@@ -1,0 +1,279 @@
+package graft.catalog
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.core.{QueryDef, Tables}
+
+/** Reference-parity relational operators (SURVEY.md §2) expressed over the
+  * driver testdata tables, each paired with its DuckDB oracle SQL.
+  *
+  * Oracle-parity rules used throughout (see also graft.catalog docs):
+  *  - timestamps surface as epoch integers (`unix_timestamp`/`epoch`) —
+  *    raw TIMESTAMP columns carry engine-specific tz metadata;
+  *  - money/measure sums go through exact DECIMAL arithmetic and are cast
+  *    back to DOUBLE (`sum(cast(x as decimal))`) — a raw double sum's
+  *    value depends on addition order, which differs across engines;
+  *  - averages are exact-decimal-sum / count: one IEEE division of
+  *    identical operands is bit-identical on both engines, so no
+  *    rounding fudge is needed;
+  *  - every query ends in a deterministic ORDER BY.
+  */
+object Relational {
+
+  /** Exact sum of a 2-decimal-place measure, surfaced as double. */
+  private def sumExact(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast("double")
+  /** Exact average of a 2-decimal-place measure (sum_dec / n). */
+  private def avgExact(c: Column): Column = sumExact(c) / count(lit(1))
+
+  private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  // ---------------------------------------------------------------------
+  // S2/S4 + pushdown: scan with filter + projection (SURVEY §2.1/§2.2).
+  // Both the date filter and the 4-column projection reach the parquet
+  // reader (PushedFilters / ReadSchema in .explain).
+  val scanFilterProject: QueryDef = QueryDef.sql("q_scan_filter_project")(
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+      |FROM lineitem WHERE l_shipdate < TIMESTAMP '1995-09-01'
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") < to_timestamp(lit("1995-09-01")))
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  // P1: column-exclusion projection (`dataframe_to_kafka.py:64-66`).
+  val dropCols: QueryDef = QueryDef.sql("q_drop_cols")(
+    """SELECT p_partkey, p_name, p_brand, p_type FROM part ORDER BY p_partkey""") {
+    (s, dir) =>
+      Tables.part(s, dir).drop("p_retailprice", "p_size").orderBy("p_partkey")
+  }
+
+  // P2: null-row filter (`dataframe_to_kafka.py:61`). Timestamp surfaces
+  // as epoch-micros.
+  val dropNa: QueryDef = QueryDef.sql("q_dropna")(
+    """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props
+      |FROM events
+      |WHERE event_id IS NOT NULL AND ts IS NOT NULL AND user_id IS NOT NULL
+      |  AND event_type IS NOT NULL AND value IS NOT NULL AND props IS NOT NULL
+      |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir).na.drop()
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .orderBy("event_id")
+  }
+
+  // P3: computed literal column (`data_collector.py:26`).
+  val litTag: QueryDef = QueryDef.sql("q_lit_tag")(
+    """SELECT n_nationkey, n_name, n_regionkey, 'batch' AS ingest_source
+      |FROM nation ORDER BY n_nationkey""".stripMargin) { (s, dir) =>
+    Tables.nation(s, dir).withColumn("ingest_source", lit("batch"))
+      .orderBy("n_nationkey")
+  }
+
+  // F5/F6/P4: JSON decode + struct flatten (`spark_streaming_kafka.py:32-34`).
+  val jsonFlatten: QueryDef = QueryDef.sql("q_json_flatten")(
+    """SELECT event_id, event_type,
+      |  CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS INTEGER) AS prop_k
+      |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .withColumn("data",
+        from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT")))
+      .select(col("event_id"), col("event_type"), col("data.k").as("prop_k"))
+      .orderBy("event_id")
+  }
+
+  // F4/F8: DSV wire encoding + key selection (`dataframe_to_kafka.py:44-53,94-100`).
+  val dsvEncode: QueryDef = QueryDef.sql("q_dsv_encode")(
+    """SELECT CAST(n_nationkey AS VARCHAR) AS key,
+      |  concat_ws('|', CAST(n_nationkey AS VARCHAR), n_name,
+      |            CAST(n_regionkey AS VARCHAR)) AS value
+      |FROM nation ORDER BY key""".stripMargin) { (s, dir) =>
+    val n = Tables.nation(s, dir)
+    n.select(
+        col("n_nationkey").cast("string").as("key"),
+        graft.core.Codecs.dsvEncode(n, "|").as("value"))
+      .orderBy("key")
+  }
+
+  // J1: multiway equi-join (`data_collector.py:23`). Dims are broadcast —
+  // at 100 TB the fact side never shuffles for the dim joins; only the
+  // lineitem⋈orders join is a genuine shuffle (co-partitionable on
+  // orderkey via bucketing in a real deployment).
+  val multiwayJoin: QueryDef = QueryDef.sql("q_multiway_join")(
+    """SELECT r_name, n_name, COUNT(*) AS n_items, SUM(l_quantity) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey  = o_orderkey
+      |JOIN customer ON o_custkey   = c_custkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(col("l_quantity")).as("sum_qty"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(DecimalType(18, 4))).cast("double").as("revenue"))
+      .orderBy("r_name", "n_name")
+  }
+
+  // A1: the reference's defining computation — minute-floor + group + mean
+  // (`data_collector.py:29-38`), on the events stream table.
+  val groupAvgMinute: QueryDef = QueryDef.sql("q_group_avg_minute")(
+    """SELECT CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS ts_min_epoch,
+      |  event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(
+        unix_timestamp(date_trunc("minute", col("ts"))).as("ts_min_epoch"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), avgExact(col("value")).as("avg_value"))
+      .orderBy("ts_min_epoch", "event_type")
+  }
+
+  // A2: Kibana-style hourly metric aggregations (`README.md:187-195`).
+  val hourlyStats: QueryDef = QueryDef.sql("q_hourly_stats")(
+    """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+      |  event_type, COUNT(*) AS n, MIN(value) AS min_value, MAX(value) AS max_value,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(
+        unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"), sumExact(col("value")).as("sum_value"))
+      .orderBy("hour_epoch", "event_type")
+  }
+
+  // O1: union-all of per-source frames (`data_collector.py:46`).
+  val unionAll: QueryDef = QueryDef.sql("q_union_all")(
+    """SELECT event_id, event_type, value FROM events
+      |WHERE event_type = 'purchase' AND value > 150
+      |UNION ALL
+      |SELECT event_id, event_type, value FROM events WHERE event_type = 'error'
+      |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val e = Tables.events(s, dir).select("event_id", "event_type", "value")
+    e.filter(col("event_type") === "purchase" && col("value") > 150)
+      .unionByName(e.filter(col("event_type") === "error"))
+      .orderBy("event_id")
+  }
+
+  // F1/F2/F3: epoch↔timestamp conversions + minute floor
+  // (`data_collector.py:29-35`). Round-trips through epoch-seconds.
+  val timeFuncs: QueryDef = QueryDef.sql("q_time_funcs")(
+    """SELECT event_id, epoch_us(ts) AS ts_us,
+      |  CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS ts_min_epoch,
+      |  epoch_us(make_timestamp(CAST(epoch(date_trunc('minute', ts)) AS BIGINT) * 1000000)) AS ts_rt_us
+      |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        unix_timestamp(date_trunc("minute", col("ts"))).as("ts_min_epoch"),
+        unix_micros(timestamp_seconds(
+          unix_timestamp(date_trunc("minute", col("ts"))))).as("ts_rt_us"))
+      .orderBy("event_id")
+  }
+
+  // P6: deterministic row shuffle — a seeded random permutation the oracle
+  // can reproduce (md5-keyed sort replaces pandas `.sample(frac=1)`,
+  // `dataframe_to_kafka.py:57-58`).
+  val shuffleDet: QueryDef = QueryDef.sql("q_shuffle_det")(
+    """SELECT event_id, md5(CAST(event_id AS VARCHAR)) AS shuffle_key
+      |FROM events ORDER BY shuffle_key, event_id""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .select(col("event_id"),
+        md5(col("event_id").cast("string")).as("shuffle_key"))
+      .orderBy("shuffle_key", "event_id")
+  }
+
+  // K3 semantics: upsert-by-key / last-write-wins per key — the surprising
+  // `es.mapping.id=room` behavior (`spark_streaming_kafka.py:41`,
+  // SURVEY §7.4.2) expressed as a relational query.
+  val upsertLastWins: QueryDef = QueryDef.sql("q_upsert_last_wins")(
+    """SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+      |  value AS last_value
+      |FROM (SELECT *, row_number() OVER
+      |        (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |      FROM events) t
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("event_type").as("last_event_type"), col("value").as("last_value"))
+      .orderBy("user_id")
+  }
+
+  // Q3 (SURVEY §7.2): top-k groups per hour via rank() — the engine's
+  // ranking window function.
+  val topkHourly: QueryDef = QueryDef.sql("q_topk_hourly")(
+    """WITH h AS (
+      |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+      |    event_type, COUNT(*) AS n,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value
+      |  FROM events GROUP BY 1, 2)
+      |SELECT hour_epoch, event_type, n, avg_value, rnk
+      |FROM (SELECT *, RANK() OVER
+      |        (PARTITION BY hour_epoch ORDER BY avg_value DESC, event_type) AS rnk
+      |      FROM h) t
+      |WHERE rnk <= 3 ORDER BY hour_epoch, rnk, event_type""".stripMargin) { (s, dir) =>
+    val hourly = Tables.events(s, dir)
+      .groupBy(
+        unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), avgExact(col("value")).as("avg_value"))
+    val w = Window.partitionBy("hour_epoch")
+      .orderBy(col("avg_value").desc, col("event_type"))
+    hourly.withColumn("rnk", rank().over(w))
+      .filter(col("rnk") <= 3)
+      .select("hour_epoch", "event_type", "n", "avg_value", "rnk")
+      .orderBy("hour_epoch", "rnk", "event_type")
+  }
+
+  // Q4 (SURVEY §7.2): key×hour matrix via pivot.
+  val pivotTypeHour: QueryDef = QueryDef.sql("q_pivot_type_hour")(
+    """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+      |  COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+      |  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+      |  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+      |  COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+      |  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val pivoted = Tables.events(s, dir)
+      .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"))
+      .pivot("event_type", eventTypes)
+      .agg(count(lit(1)))
+    // pivot leaves null where a (hour, type) combo has no rows; the SQL
+    // COUNT(CASE ...) form yields 0 — align on 0.
+    pivoted.select(col("hour_epoch") +:
+        eventTypes.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+      .orderBy("hour_epoch")
+  }
+
+  // Q6 (SURVEY §7.2): dirty-data / anomaly filter.
+  val anomalyFilter: QueryDef = QueryDef.sql("q_anomaly_filter")(
+    """SELECT event_id, user_id, event_type, value FROM events
+      |WHERE value > 190 OR (event_type = 'error' AND value > 100)
+      |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .filter(col("value") > 190 ||
+        (col("event_type") === "error" && col("value") > 100))
+      .select("event_id", "user_id", "event_type", "value")
+      .orderBy("event_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    scanFilterProject, dropCols, dropNa, litTag, jsonFlatten, dsvEncode,
+    multiwayJoin, groupAvgMinute, hourlyStats, unionAll, timeFuncs,
+    shuffleDet, upsertLastWins, topkHourly, pivotTypeHour, anomalyFilter)
+}

@@ -1,0 +1,86 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's DuckDB-oracle compare.
+
+Usage: python3 tools/check_parity.py <verify_out_dir> <sf_dir>
+
+Reads each <name>/ parquet result written by graft.Verify, runs the
+matching oracle SQL from oracle_sql.json in DuckDB over the sf_dir
+tables, and diffs values column-by-column (sorted columns, sorted rows).
+"""
+import json, sys, glob, os
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # normalize tz-aware → naive UTC, and floats to stable repr
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            try:
+                df[c] = df[c].dt.tz_localize(None)
+            except TypeError:
+                pass
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
+
+
+def main(out_dir: str, sf_dir: str) -> int:
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    failures = 0
+    for name in sorted(os.listdir(out_dir)):
+        d = os.path.join(out_dir, name)
+        if not os.path.isdir(d):
+            continue
+        files = glob.glob(f"{d}/*.parquet")
+        got = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
+        if name not in oracle:
+            print(f"[rows-only] {name}: rows={len(got)}")
+            continue
+        want = con.execute(oracle[name]).df()
+        g, w = norm(got), norm(want)
+        if list(g.columns) != list(w.columns):
+            print(f"[FAIL-cols] {name}: spark={list(g.columns)} duckdb={list(w.columns)}")
+            failures += 1
+            continue
+        if len(g) != len(w):
+            print(f"[FAIL-rows] {name}: spark={len(g)} duckdb={len(w)}")
+            failures += 1
+            continue
+        bad_cols = []
+        for c in g.columns:
+            a, b = g[c], w[c]
+            try:
+                if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
+                    eq = ((a.astype(float) == b.astype(float)) |
+                          (a.isna() & b.isna())).all()
+                else:
+                    eq = (a.astype(str) == b.astype(str)).all()
+            except Exception as ex:
+                eq = False
+            if not eq:
+                bad_cols.append(c)
+        if bad_cols:
+            print(f"[FAIL-vals] {name}: cols {bad_cols}")
+            for c in bad_cols[:2]:
+                mism = (g[c].astype(str) != w[c].astype(str))
+                idx = mism[mism].index[:3]
+                for i in idx:
+                    print(f"    row {i} col {c}: spark={g[c][i]!r} duckdb={w[c][i]!r}")
+            failures += 1
+        else:
+            print(f"[ok] {name}: {len(g)} rows")
+    print(f"=== {failures} failures ===")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
