@@ -16,7 +16,9 @@ object SparkEntry {
     * the LLM-pipeline extensions).
     */
   def catalog: Seq[QueryDef] =
-    graft.catalog.Relational.all
+    graft.catalog.Relational.all ++
+      graft.catalog.TextAnalysis.all ++
+      graft.catalog.SimilaritySearch.all
 
   /** Flagship: the reference pipeline end-to-end on sf0.001 — rows are
     * JSON-encoded onto the wire (producer, F7), decoded against the

@@ -1,0 +1,287 @@
+package graft.catalog
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.core.{QueryDef, Tables}
+import graft.ops.Text
+
+/** Text-analysis + dedup operators over the `documents` table, each with
+  * a DuckDB oracle that reproduces the md5-based signatures exactly.
+  *
+  * SQL fragments are generated from the same constants as the Spark
+  * side (stopword lists, shingle width, hash count) so the two cannot
+  * drift.
+  */
+object TextAnalysis {
+
+  // Shared SQL fragments (DuckDB dialect).
+  private val normSql =
+    """trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))"""
+  private val toksSql = s"list_filter(string_split($normSql, ' '), t -> t != '')"
+
+  private def listLit(words: Seq[String]) = words.map(w => s"'$w'").mkString("[", ", ", "]")
+  private def hitsSql(words: Seq[String]) =
+    s"len(list_filter(toks, t -> list_contains(${listLit(words)}, t)))"
+
+  // -------------------------------------------------------------------
+  // Tokenization + counting (whitespace + BPE-ish regex classes).
+  val tokenCount: QueryDef = QueryDef.sql("q_token_count")(
+    s"""WITH base AS (SELECT doc_id, text, $toksSql AS toks FROM documents)
+       |SELECT doc_id, len(toks) AS n_tokens,
+       |  len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_word_runs,
+       |  len(regexp_extract_all(lower(text), '[^a-z0-9\\s]')) AS n_punct,
+       |  length(text) AS n_chars_calc
+       |FROM base ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir).select(
+        col("doc_id"),
+        size(Text.tokens(col("text"))).as("n_tokens"),
+        regexp_count(lower(col("text")), lit("[a-z0-9]+")).as("n_word_runs"),
+        regexp_count(lower(col("text")), lit("[^a-z0-9\\s]")).as("n_punct"),
+        length(col("text")).as("n_chars_calc"))
+      .orderBy("doc_id")
+  }
+
+  // Language ID: stopword-list scoring + deterministic arg-max.
+  val langId: QueryDef = {
+    val scoreSqls = Text.langStopwords.map { case (l, ws) => s"${hitsSql(ws)} AS s_$l" }
+    val langs = Text.langStopwords.map(_._1)
+    // arg-max CASE chain, ties resolve in list order
+    val caseSql = langs.init.zipWithIndex.map { case (l, i) =>
+      val rest = langs.drop(i + 1).map(o => s"s_$o")
+      val best = if (rest.size == 1) rest.head else s"greatest(${rest.mkString(", ")})"
+      s"WHEN s_$l >= $best THEN '$l'"
+    }.mkString("CASE ", " ", s" ELSE '${langs.last}' END")
+    QueryDef.sql("q_lang_id")(
+      s"""WITH base AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+         |scored AS (SELECT doc_id, lang, ${scoreSqls.mkString(", ")} FROM base)
+         |SELECT lang, $caseSql AS lang_pred, COUNT(*) AS n
+         |FROM scored GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      val toks = Text.tokens(col("text"))
+      val scores = Text.langScores(toks)
+      Tables.documents(s, dir)
+        .select(col("lang"), Text.langPredict(scores).as("lang_pred"))
+        .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "lang_pred")
+    }
+  }
+
+  // Quality scoring: length/punct/stopword ratio composite. All ratios
+  // are int/int IEEE divisions — bit-identical across engines.
+  val qualityScore: QueryDef = {
+    val enHits = hitsSql(Text.langStopwords.head._2)
+    QueryDef.sql("q_quality_score")(
+      s"""WITH base AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+         |m AS (SELECT doc_id, length(text) AS n_chars_calc, len(toks) AS n_tokens,
+         |  CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS tok_chars,
+         |  $enHits AS stop_hits,
+         |  len(regexp_extract_all(lower(text), '[^a-z0-9\\s]')) AS punct,
+         |  len(regexp_extract_all(text, '[0-9]')) AS digits
+         |  FROM base)
+         |SELECT doc_id, n_chars_calc, n_tokens,
+         |  tok_chars / greatest(n_tokens, 1) AS avg_token_len,
+         |  stop_hits / greatest(n_tokens, 1) AS stop_ratio,
+         |  punct / greatest(n_chars_calc, 1) AS punct_ratio,
+         |  digits / greatest(n_chars_calc, 1) AS digit_ratio,
+         |  0.3 * (stop_hits / greatest(n_tokens, 1))
+         |    + 0.3 * (1 - punct / greatest(n_chars_calc, 1))
+         |    + 0.2 * (least(n_tokens, 100) / 100.0)
+         |    + 0.2 * (1 - digits / greatest(n_chars_calc, 1)) AS quality_score
+         |FROM m ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val toks = Text.tokens(col("text"))
+      val base = Tables.documents(s, dir).select(
+        col("doc_id"),
+        length(col("text")).as("n_chars_calc"),
+        size(toks).as("n_tokens"),
+        aggregate(transform(toks, t => length(t)), lit(0L), (acc, x) => acc + x).as("tok_chars"),
+        Text.stopwordHits(toks, Text.langStopwords.head._2).as("stop_hits"),
+        regexp_count(lower(col("text")), lit("[^a-z0-9\\s]")).as("punct"),
+        regexp_count(col("text"), lit("[0-9]")).as("digits"))
+      base.select(
+          col("doc_id"), col("n_chars_calc"), col("n_tokens"),
+          (col("tok_chars") / greatest(col("n_tokens"), lit(1))).as("avg_token_len"),
+          (col("stop_hits") / greatest(col("n_tokens"), lit(1))).as("stop_ratio"),
+          (col("punct") / greatest(col("n_chars_calc"), lit(1))).as("punct_ratio"),
+          (col("digits") / greatest(col("n_chars_calc"), lit(1))).as("digit_ratio"),
+          (lit(0.3) * (col("stop_hits") / greatest(col("n_tokens"), lit(1)))
+            + lit(0.3) * (lit(1) - col("punct") / greatest(col("n_chars_calc"), lit(1)))
+            + lit(0.2) * (least(col("n_tokens"), lit(100)) / lit(100.0))
+            + lit(0.2) * (lit(1) - col("digits") / greatest(col("n_chars_calc"), lit(1))))
+            .as("quality_score"))
+        .orderBy("doc_id")
+    }
+  }
+
+  // Document fingerprinting: full md5 + 64-bit prefix fingerprint.
+  val fingerprint: QueryDef = QueryDef.sql("q_fingerprint")(
+    s"""SELECT doc_id, md5($normSql) AS fp_md5,
+       |  CAST(('0x' || substr(md5($normSql), 1, 15)) AS BIGINT) AS fp64
+       |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir).select(
+        col("doc_id"),
+        md5(Text.normText(col("text"))).as("fp_md5"),
+        Text.fingerprint64(col("text")).as("fp64"))
+      .orderBy("doc_id")
+  }
+
+  // Exact dedup: hash-groupBy on the normalized-text fingerprint.
+  // Map-side partial agg collapses dup groups before the shuffle; at
+  // 100 TB the shuffle key is the 128-bit hash, not the document body.
+  val dedupExact: QueryDef = QueryDef.sql("q_dedup_exact")(
+    s"""SELECT md5($normSql) AS fp, COUNT(*) AS n_dups, MIN(doc_id) AS canonical_doc
+       |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .groupBy(md5(Text.normText(col("text"))).as("fp"))
+      .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("canonical_doc"))
+      .orderBy("fp")
+  }
+
+  // MinHash signatures + LSH band keys (k=8 hashes, 4 bands of 2).
+  private val K = 8
+  private val shinglesSql =
+    """CASE WHEN len(toks) >= 3
+      |  THEN list_transform(generate_series(1, len(toks) - 2), i -> array_to_string(toks[i:i+2], ' '))
+      |  ELSE [array_to_string(toks, ' ')] END""".stripMargin
+  private val sigSqls = (0 until K).map(i =>
+    s"list_min(list_transform(sh, s -> md5('$i:' || s))) AS sig_$i")
+  private val bandSqls = (0 until K / 2).map(b =>
+    s"md5(sig_${2 * b} || '|' || sig_${2 * b + 1}) AS band_$b")
+
+  val minhashSig: QueryDef = QueryDef.sql("q_minhash_sig")(
+    s"""WITH base AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |sh AS (SELECT doc_id, $shinglesSql AS sh FROM base),
+       |sig AS (SELECT doc_id, ${sigSqls.mkString(", ")} FROM sh)
+       |SELECT doc_id,
+       |  ${(0 until K).map(i => s"sig_$i").mkString(" || '|' || ")} AS sig_str,
+       |  ${bandSqls.mkString(",\n  ")}
+       |FROM sig ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val toks = Text.tokens(col("text"))
+    val sig = Text.minhashSig(Text.wordShingles(toks, 3), K)
+    val bands = Text.lshBands(col("sig"), 2, K)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), sig.as("sig"))
+      .select(col("doc_id"),
+        concat_ws("|", (0 until K).map(i => element_at(col("sig"), i + 1)): _*).as("sig_str"),
+        bands.as("bands"))
+      .select(col("doc_id") +: col("sig_str") +:
+        (0 until K / 2).map(b => element_at(col("bands"), b + 1).as(s"band_$b")): _*)
+      .orderBy("doc_id")
+  }
+
+  // MinHash-LSH near-dup candidates: explode band keys, equi-join on
+  // (band index, band hash), distinct pairs. This is the 100 TB path:
+  // a shuffle on band hash, never an O(n²) compare.
+  val minhashPairs: QueryDef = QueryDef.sql("q_minhash_pairs")(
+    s"""WITH base AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |sh AS (SELECT doc_id, $shinglesSql AS sh FROM base),
+       |sig AS (SELECT doc_id, ${sigSqls.mkString(", ")} FROM sh),
+       |bands AS (SELECT doc_id, ${bandSqls.mkString(", ")} FROM sig),
+       |ex AS (
+       |  ${(0 until K / 2).map(b => s"SELECT doc_id, $b AS band_idx, band_$b AS band_hash FROM bands")
+            .mkString("\n  UNION ALL\n  ")})
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |FROM ex a JOIN ex b
+       |  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       |  AND a.doc_id < b.doc_id
+       |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+    val toks = Text.tokens(col("text"))
+    val sig = Text.minhashSig(Text.wordShingles(toks, 3), K)
+    val banded = Tables.documents(s, dir)
+      .select(col("doc_id"), Text.lshBands(sig, 2, K).as("bands"))
+      .select(col("doc_id"), posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b,
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // N-gram (unigram-set) Jaccard near-dup, blocked by (lang, n_chars):
+  // explode distinct tokens, equi-join within blocks, count
+  // intersections, Jaccard = |A∩B| / (|A|+|B|-|A∩B|).
+  val ngramJaccard: QueryDef = QueryDef.sql("q_ngram_jaccard")(
+    s"""WITH base AS (
+       |  SELECT doc_id, lang, n_chars, list_distinct($toksSql) AS dtok FROM documents),
+       |sized AS (SELECT doc_id, lang, n_chars, len(dtok) AS n, dtok FROM base),
+       |ex AS (SELECT doc_id, lang, n_chars, n, UNNEST(dtok) AS t FROM sized),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS n_a, b.n AS n_b,
+       |    COUNT(*) AS inter
+       |  FROM ex a JOIN ex b
+       |    ON a.t = b.t AND a.lang = b.lang AND a.n_chars = b.n_chars
+       |    AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2, 3, 4)
+       |SELECT doc_a, doc_b, inter, n_a + n_b - inter AS uni,
+       |  inter / (n_a + n_b - inter) AS jaccard
+       |FROM pairs WHERE inter / (n_a + n_b - inter) >= 0.3
+       |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+    val ex = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        array_distinct(Text.tokens(col("text"))).as("dtok"))
+      .select(col("doc_id"), col("lang"), col("n_chars"), size(col("dtok")).as("n"),
+        explode(col("dtok")).as("t"))
+    val a = ex.as("a")
+    val b = ex.as("b")
+    val joined = a.join(b,
+        col("a.t") === col("b.t") && col("a.lang") === col("b.lang") &&
+          col("a.n_chars") === col("b.n_chars") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"))
+      .agg(count(lit(1)).as("inter"))
+    joined
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        (col("n_a") + col("n_b") - col("inter")).as("uni"),
+        (col("inter") / (col("n_a") + col("n_b") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= 0.3)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // SimHash per doc + near-dup pairs by hamming distance, blocked on lang.
+  private val simhashCte =
+    s"""base AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+       |tokx AS (SELECT doc_id, lang, UNNEST(toks) AS tok FROM base),
+       |tok AS (SELECT doc_id, lang, md5(tok) AS h FROM tokx),
+       |s AS (SELECT doc_id, any_value(lang) AS lang,
+       |  ${(1 to 16).map(j =>
+            s"SUM(CASE WHEN substr(h, $j, 1) >= '8' THEN 1 ELSE -1 END) AS s_$j")
+            .mkString(", ")}
+       |  FROM tok GROUP BY doc_id),
+       |sh AS (SELECT doc_id, lang,
+       |  ${(1 to 16).map(j => s"(CASE WHEN s_$j > 0 THEN ${1L << (j - 1)} ELSE 0 END)")
+            .mkString(" + ")} AS simhash16
+       |  FROM s)""".stripMargin
+
+  val simhash: QueryDef = QueryDef.sql("q_simhash")(
+    s"""WITH $simhashCte
+       |SELECT doc_id, simhash16 FROM sh ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Text.simhash16(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  val simhashNearDup: QueryDef = QueryDef.sql("q_simhash_neardup")(
+    s"""WITH $simhashCte
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  bit_count(xor(a.simhash16, b.simhash16)) AS hamming
+       |FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash16, b.simhash16)) <= 4
+       |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val sh = Text.simhash16(docs, "doc_id", "text")
+      .join(docs.select("doc_id", "lang"), "doc_id")
+    val a = sh.as("a")
+    val b = sh.as("b")
+    a.join(b, col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash16").bitwiseXOR(col("b.simhash16"))).as("hamming"))
+      .filter(col("hamming") <= 4)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    tokenCount, langId, qualityScore, fingerprint, dedupExact,
+    minhashSig, minhashPairs, ngramJaccard, simhash, simhashNearDup)
+}

@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for the large-scale training-data pipeline:
+  * normalization, tokenization, shingling, MinHash, SimHash, language
+  * ID and quality scoring.
+  *
+  * Everything is a pure column expression over built-in (codegen'd)
+  * functions — no UDFs — so the operators scale with whole-stage
+  * codegen and stay shuffle-free until an explicit groupBy/join.
+  * Hash functions are md5-based so the DuckDB oracle can reproduce
+  * signatures bit-for-bit.
+  */
+object Text {
+
+  /** Lowercase, strip non-alphanumerics, collapse whitespace. */
+  def normText(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
+
+  /** Whitespace tokens of the normalized text (no empties). */
+  def tokens(text: Column): Column =
+    filter(split(normText(text), " "), t => t =!= "")
+
+  /** Word n-gram shingles; a document shorter than n tokens contributes
+    * its whole token string as one shingle.
+    */
+  def wordShingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array(concat_ws(" ", toks)))
+
+  /** MinHash signature: k md5-derived hash functions
+    * (`h_i(s) = md5(i || ':' || s)`), each taking the lexicographic
+    * minimum over the shingle set. Returns an array<string> of length k.
+    */
+  def minhashSig(shingles: Column, k: Int): Column =
+    array((0 until k).map { i =>
+      array_min(transform(shingles, s => md5(concat(lit(s"$i:"), s))))
+    }: _*)
+
+  /** LSH band keys: adjacent signature components pair-wise re-hashed.
+    * Docs sharing any band key are near-dup candidates; band count =
+    * k / rowsPerBand.
+    */
+  def lshBands(sig: Column, rowsPerBand: Int, k: Int): Column =
+    array((0 until k / rowsPerBand).map { b =>
+      md5(concat_ws("|",
+        (0 until rowsPerBand).map(r => element_at(sig, b * rowsPerBand + r + 1)): _*))
+    }: _*)
+
+  /** 64-bit fingerprint from the md5 of the normalized text (top 15 hex
+    * digits → fits a signed long without ANSI overflow).
+    */
+  def fingerprint64(text: Column): Column =
+    conv(substring(md5(normText(text)), 1, 15), 16, 10).cast("long")
+
+  /** Count of tokens present in `words`. */
+  def stopwordHits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => array_contains(array(words.map(lit): _*), t)))
+
+  /** Fixed per-language stopword lists for the n-gram-heuristic language
+    * ID. Deterministic and tiny by design — the classifier quality is a
+    * function of these lists, the operator is the scoring machinery.
+    */
+  val langStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "la", "los", "y", "es"),
+    "fr" -> Seq("le", "les", "des", "et", "est"),
+    "zh" -> Seq("de", "shi", "he", "zai", "bu"))
+
+  /** Per-language scores + arg-max prediction (ties resolve in
+    * `langStopwords` order).
+    */
+  def langScores(toks: Column): Seq[(String, Column)] =
+    langStopwords.map { case (lang, words) => lang -> stopwordHits(toks, words) }
+
+  def langPredict(scores: Seq[(String, Column)]): Column = {
+    // fold from the end: ... when(s_fr >= s_zh, fr) otherwise zh
+    val (lastLang, _) = scores.last
+    scores.init.foldRight(lit(lastLang): Column) { case ((lang, s), rest) =>
+      val others = scores.dropWhile(_._1 != lang).tail.map(_._2)
+      val best = if (others.size == 1) others.head else greatest(others: _*)
+      when(s >= best, lang).otherwise(rest)
+    }
+  }
+
+  /** SimHash over the first 16 hex nibbles of each token's md5: bit j is
+    * set when the frequency-weighted sum of (nibble_j >= '8' ? +1 : -1)
+    * over tokens is positive. Returns (doc-level DataFrame) — needs an
+    * explode + re-aggregate, so it is a DataFrame transform rather than
+    * a single column.
+    *
+    * The explode keeps partial aggregation: Spark's hash aggregate
+    * map-side-combines the ±1 sums per doc before any shuffle.
+    */
+  def simhash16(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .withColumn("h", md5(col("tok")))
+    val bitSums = (1 to 16).map { j =>
+      sum(when(substring(col("h"), j, 1) >= "8", 1).otherwise(-1)).as(s"s_$j")
+    }
+    val summed = tok.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    val value = (1 to 16).map { j =>
+      when(col(s"s_$j") > 0, lit(1L << (j - 1))).otherwise(0L)
+    }.reduce(_ + _)
+    summed.select(col(idCol), value.as("simhash16"))
+  }
+}
