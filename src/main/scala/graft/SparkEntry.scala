@@ -18,7 +18,8 @@ object SparkEntry {
   def catalog: Seq[QueryDef] =
     graft.catalog.Relational.all ++
       graft.catalog.TextAnalysis.all ++
-      graft.catalog.SimilaritySearch.all
+      graft.catalog.SimilaritySearch.all ++
+      graft.catalog.Streaming.all
 
   /** Flagship: the reference pipeline end-to-end on sf0.001 — rows are
     * JSON-encoded onto the wire (producer, F7), decoded against the

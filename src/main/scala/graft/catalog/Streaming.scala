@@ -1,0 +1,124 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.DecimalType
+
+import graft.core.QueryDef
+import graft.streaming.{Ingest, RoutedAppendStore, UpsertParquetStore}
+
+/** End-to-end Structured Streaming queries: each runs a REAL streaming
+  * query (file-stream source standing in for the Kafka topic →
+  * micro-batch execution → sink) to completion inside the builder, then
+  * returns the sunk result as a batch DataFrame. The oracle is the
+  * batch-SQL equivalent — proving the streaming pipeline's exactly-once
+  * result semantics match batch execution.
+  */
+object Streaming {
+
+  private def uniqueDir(prefix: String): String = {
+    val p = java.nio.file.Paths.get("target", "stores")
+    java.nio.file.Files.createDirectories(p)
+    java.nio.file.Files.createTempDirectory(p, prefix).toString
+  }
+
+  // T1-T3 + F5/F6/P4: the reference's core streaming query — wire
+  // encode (producer, F7) → Kafka-style (key, value) → CAST → from_json
+  // → flatten (consumer) — through real micro-batch execution.
+  val streamIngestJson: QueryDef = QueryDef.sql("q_stream_ingest_json")(
+    """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value,
+      |  CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS INTEGER) AS prop_k
+      |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val wire = Ingest.toJsonWire(Ingest.eventsStream(s, dir), "event_id")
+    val decoded = Ingest.decodeJsonWire(wire)
+      .select(col("event_id"), col("ts_us"), col("user_id"), col("event_type"),
+        col("value"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k")
+          .as("prop_k"))
+    Ingest.runToMemory(decoded).orderBy("event_id")
+  }
+
+  // DSV codec round-trip through the stream (F4 + from_csv), with the
+  // props column excluded (P1) since it embeds the delimiter's quote
+  // characters — matching the producer's `-exc` column exclusion.
+  val streamIngestDsv: QueryDef = QueryDef.sql("q_stream_ingest_dsv")(
+    """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
+      |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val src = Ingest.eventsStream(s, dir).drop("props")
+    val wire = Ingest.toDsvWire(src, "event_id", "|")
+    val decoded = Ingest.decodeDsvWire(wire, "|")
+      .select("event_id", "ts_us", "user_id", "event_type", "value")
+    Ingest.runToMemory(decoded).orderBy("event_id")
+  }
+
+  // A2 + T4/T5: stateful event-time windowed aggregation with a
+  // watermark — complete mode, so the collected state equals the batch
+  // answer exactly.
+  val streamWindowHourly: QueryDef = QueryDef.sql("q_stream_window_hourly")(
+    """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+      |  event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    val agg = Ingest.eventsStream(s, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+    Ingest.runToMemory(agg, mode = "complete")
+      .select(unix_timestamp(col("window.start")).as("hour_epoch"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("hour_epoch", "event_type")
+  }
+
+  // K3 + K5: upsert-by-key sink semantics (`es.mapping.id`, last write
+  // per key wins) — the stream drains into the keyed store, and the
+  // final store contents must equal the batch last-write-wins answer.
+  val sinkUpsert: QueryDef = QueryDef.sql("q_sink_upsert")(
+    """SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+      |  value AS last_value
+      |FROM (SELECT *, row_number() OVER
+      |        (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |      FROM events) t
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin) { (s, dir) =>
+    val store = new UpsertParquetStore(uniqueDir("upsert_"), "user_id", Seq("ts", "event_id"))
+    require(store.healthCheck(), "sink preflight failed")  // K5
+    val q = Ingest.eventsStream(s, dir).writeStream
+      .foreachBatch((b: org.apache.spark.sql.Dataset[Row], id: Long) =>
+        store.upsert(b.toDF(), id))
+      .option("checkpointLocation", uniqueDir("chk_upsert_"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    store.read(s)
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("event_type").as("last_event_type"), col("value").as("last_value"))
+      .orderBy("user_id")
+  }
+
+  // K4: append sink with dynamic per-key index routing
+  // (`room-{room}` → `type-{event_type}`), bulk partitioned writes.
+  val sinkRoute: QueryDef = QueryDef.sql("q_sink_route")(
+    """SELECT 'type-' || event_type AS idx, COUNT(*) AS n
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val store = new RoutedAppendStore(uniqueDir("route_"))
+    require(store.healthCheck(), "sink preflight failed")  // K5
+    val routed = Ingest.eventsStream(s, dir)
+      .withColumn("route", concat(lit("type-"), col("event_type")))
+    val q = routed.writeStream
+      .foreachBatch((b: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        store.append(b.toDF(), "route"))
+      .option("checkpointLocation", uniqueDir("chk_route_"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    store.read(s)
+      .groupBy(col("index").cast("string").as("idx"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("idx")
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    streamIngestJson, streamIngestDsv, streamWindowHourly, sinkUpsert, sinkRoute)
+}

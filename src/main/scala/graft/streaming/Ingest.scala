@@ -1,0 +1,120 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** The reference streaming job (`spark_streaming_kafka.py`,
+  * `kafka_to_es.py`; SURVEY.md §3.3) re-expressed as Structured
+  * Streaming building blocks:
+  *
+  *   source → CAST(value AS STRING) → decode (JSON or DSV) → flatten →
+  *   sink
+  *
+  * The source is abstracted: in production `format("kafka")` with
+  * `subscribe`/`startingOffsets=earliest` (no code change — the decode
+  * chain below operates on a `value` column regardless of source); in
+  * this zero-egress environment tests and catalog queries drive the
+  * same chain from a file stream or MemoryStream.
+  */
+object Ingest {
+
+  /** The `events` table's file-stream schema (ts read as raw nanos
+    * long; converted to a microsecond timestamp immediately after —
+    * same convention as `graft.core.Tables.events`).
+    */
+  val eventsFileSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming source over the events parquet (stands in for the Kafka
+    * topic). `maxFilesPerTrigger` is left default — at scale this is
+    * the knob replacing `maxOffsetsPerTrigger`.
+    */
+  def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the file stream source wants a directory: stream the sf dir,
+    // glob-filtered to the events table's file(s)
+    spark.readStream
+      .schema(eventsFileSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Producer-side wire encoding (F7/F8): key + JSON value. Timestamps
+    * travel as epoch-micros longs so the round-trip is exact.
+    */
+  def toJsonWire(df: DataFrame, keyCol: String): DataFrame = {
+    val payload = df.withColumn("ts_us", unix_micros(col("ts"))).drop("ts")
+    payload.select(
+      col(keyCol).cast("string").as("key"),
+      to_json(struct(payload.columns.map(col).toSeq: _*)).as("value"))
+  }
+
+  /** Wire schema of [[toJsonWire]] output. */
+  val jsonWireSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType),
+    StructField("ts_us", LongType)))
+
+  /** Consumer-side decode (F5/F6/P4): CAST value to string, `from_json`
+    * against the declared schema (PERMISSIVE → nulls on corrupt rows),
+    * flatten, rebuild the event-time column.
+    */
+  def decodeJsonWire(wire: DataFrame): DataFrame =
+    wire.selectExpr("CAST(value AS STRING) AS json")
+      .select(from_json(col("json"), jsonWireSchema).as("data"))
+      .select(col("data.*"))
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+
+  /** DSV variants of the same wire (`dataframe_to_kafka.py:44-53`). */
+  def toDsvWire(df: DataFrame, keyCol: String, sep: String): DataFrame = {
+    val payload = df.withColumn("ts_us", unix_micros(col("ts"))).drop("ts")
+    payload.select(
+      col(keyCol).cast("string").as("key"),
+      concat_ws(sep, payload.columns.map(c => col(c).cast("string")).toSeq: _*).as("value"))
+  }
+
+  /** Wire schema of [[toDsvWire]] output: the JSON wire minus `props`
+    * (the producer excludes it — it embeds quote characters the CSV
+    * parser would mangle).
+    */
+  val dsvWireSchema: StructType =
+    StructType(jsonWireSchema.filterNot(_.name == "props"))
+
+  def decodeDsvWire(wire: DataFrame, sep: String): DataFrame =
+    wire.selectExpr("CAST(value AS STRING) AS line")
+      .select(from_csv(col("line"), dsvWireSchema, Map("sep" -> sep)).as("data"))
+      .select(col("data.*"))
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+
+  /** Run a (bounded) streaming DataFrame to completion into a memory
+    * sink and return the collected result as a batch DataFrame.
+    * `AvailableNow` processes everything present, then stops — the
+    * deterministic harness mode for catalog/oracle runs.
+    */
+  def runToMemory(df: DataFrame, mode: String = "append"): DataFrame = {
+    val spark = df.sparkSession
+    val name = "mem_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val chk = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "chk_").toString
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .option("checkpointLocation", chk)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+}
