@@ -19,7 +19,8 @@ object SparkEntry {
     graft.catalog.Relational.all ++
       graft.catalog.TextAnalysis.all ++
       graft.catalog.SimilaritySearch.all ++
-      graft.catalog.Streaming.all
+      graft.catalog.Streaming.all ++
+      graft.catalog.MultimodalMeta.all
 
   /** Flagship: the reference pipeline end-to-end on sf0.001 — rows are
     * JSON-encoded onto the wire (producer, F7), decoded against the

@@ -1,0 +1,101 @@
+package graft.replay
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Codecs
+
+/** The replay producer (`dataframe_to_kafka.py`; SURVEY.md §3.2) as a
+  * Spark job. Mirrors the reference CLI surface
+  * (`dataframe_to_kafka.py:129-154`) in [[ReplayConfig]]:
+  *
+  *   -i input · -s sep · -e extension · -ks kafkaSep · -rst sleep ·
+  *   -t topic · -b bootstrap · -r repeat · -shf shuffle · -k key ·
+  *   -exc excluded
+  *
+  * Differences by design (SURVEY §2.7 T6/T7): pacing is per-BATCH, not
+  * per-row-with-sync-flush (the reference's 0.5 s/row × 34,890 rows ≈
+  * 4.85 h replay is a producer anti-pattern, not a semantic); the
+  * shuffle is a deterministic md5-keyed permutation instead of an
+  * unseeded `.sample(frac=1)` so replays are reproducible.
+  *
+  * The transport is pluggable: [[toKafka]] needs the Kafka connector on
+  * the classpath (string-form `format("kafka")`, no compile-time dep);
+  * [[FileExchange]] is the zero-egress stand-in used by tests — same
+  * (key, value) contract, files instead of a broker.
+  */
+object Replay {
+
+  final case class ReplayConfig(
+      input: String,
+      sep: String = ",",
+      extension: String = "csv",
+      kafkaSep: String = ",",
+      batchSleepMs: Long = 0L,
+      topic: String = "test1",
+      bootstrap: String = "localhost:9092",
+      repeat: Int = 1,
+      shuffle: Boolean = false,
+      keyCol: Option[String] = None,
+      excluded: Seq[String] = Nil)
+
+  /** S3/S4: read the source file per `-e`. */
+  def readSource(spark: SparkSession, cfg: ReplayConfig): DataFrame =
+    cfg.extension match {
+      case "csv" =>
+        spark.read.option("header", "true").option("sep", cfg.sep)
+          .option("inferSchema", "true").csv(cfg.input)
+      case "parquet" => spark.read.parquet(cfg.input)
+      case other => throw new IllegalArgumentException(s"unsupported extension: $other")
+    }
+
+  /** P2 (dropna) → P1 (column exclusion) → P6 (deterministic shuffle). */
+  def transform(df: DataFrame, cfg: ReplayConfig): DataFrame = {
+    val cleaned = df.na.drop().drop(cfg.excluded: _*)
+    if (cfg.shuffle)
+      cleaned.orderBy(md5(concat_ws("",
+        cleaned.columns.map(c => col(c).cast("string")).toSeq: _*)))
+    else cleaned
+  }
+
+  /** F4/F8: encode to the (key, value) wire pair. */
+  def encode(df: DataFrame, cfg: ReplayConfig): DataFrame =
+    df.select(
+      Codecs.kafkaKey(cfg.keyCol).as("key"),
+      Codecs.dsvEncode(df, cfg.kafkaSep).as("value"))
+
+  /** K2: Kafka sink (requires the spark-sql-kafka connector jar). */
+  def toKafka(wire: DataFrame, cfg: ReplayConfig): Unit =
+    wire.write.format("kafka")
+      .option("kafka.bootstrap.servers", cfg.bootstrap)
+      .option("topic", cfg.topic)
+      .save()
+
+  /** Local transport: each repeat lands as one appended parquet batch
+    * under `root/topic=<topic>/`. Batch-level pacing + progress/ETA
+    * reporting (the reference's `-rst` and progress lines,
+    * `dataframe_to_kafka.py:101-109`).
+    */
+  final class FileExchange(root: String) {
+    def topicDir(topic: String) = s"$root/topic=$topic"
+
+    def publish(wire: DataFrame, cfg: ReplayConfig): Unit = {
+      val t0 = System.nanoTime()
+      (1 to cfg.repeat).foreach { r =>
+        wire.write.mode(SaveMode.Append).parquet(topicDir(cfg.topic))
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        val eta = elapsed / r * (cfg.repeat - r)
+        System.err.println(
+          f"[replay] batch $r/${cfg.repeat} (${100.0 * r / cfg.repeat}%.0f%%) eta ${eta}%.1fs")
+        if (cfg.batchSleepMs > 0 && r < cfg.repeat) Thread.sleep(cfg.batchSleepMs)
+      }
+    }
+
+    def read(spark: SparkSession, topic: String): DataFrame =
+      spark.read.parquet(topicDir(topic))
+  }
+
+  /** Full replay: read → transform → encode → publish to the exchange. */
+  def run(spark: SparkSession, cfg: ReplayConfig, exchange: FileExchange): Unit =
+    exchange.publish(encode(transform(readSource(spark, cfg), cfg), cfg), cfg)
+}

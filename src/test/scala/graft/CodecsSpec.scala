@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{Codecs, Schemas}
+
+/** Property tests (SURVEY.md §5.2.4): DSV encode→decode and JSON
+  * encode→decode are identities for null-free rows; group-average is
+  * invariant under row permutation. Uses scalacheck generators with
+  * fixed seeds (no scalatestplus bridge in the offline dep set).
+  */
+class CodecsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val roomGen = Gen.oneOf("413", "644", "656A", "621C")
+  private val doubleGen = Gen.chooseNum(-1000000, 1000000).map(_ / 100.0)
+  private val rowsGen = Gen.nonEmptyListOf(Gen.zip(roomGen, doubleGen))
+
+  private def samples(n: Int): Seq[List[(String, Double)]] =
+    (0 until n).flatMap(i => rowsGen.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  test("DSV wire round-trip is the identity (property)") {
+    samples(20).foreach { rows =>
+      val df = rows.toDF("room", "co2")
+      val encoded = df.select(Codecs.dsvEncode(df, "|").as("value"))
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "room STRING, co2 DOUBLE")
+      val decoded = encoded
+        .select(Codecs.dsvDecode(col("value"), schema, "|").as("d"))
+        .select(col("d.*"))
+      assert(decoded.collect().toSeq.sortBy(_.toString) ==
+        df.collect().toSeq.sortBy(_.toString))
+    }
+  }
+
+  test("JSON wire round-trip is the identity (property)") {
+    samples(20).foreach { rows =>
+      val df = rows.toDF("room", "co2")
+      val encoded = df.select(Codecs.jsonEncode(df).as("value"))
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "room STRING, co2 DOUBLE")
+      val decoded = encoded
+        .select(Codecs.jsonDecode(col("value"), schema).as("d"))
+        .select(col("d.*"))
+      assert(decoded.collect().toSeq.sortBy(_.toString) ==
+        df.collect().toSeq.sortBy(_.toString))
+    }
+  }
+
+  test("group-average is invariant under row permutation (P6)") {
+    val rows = Seq(
+      (1377299041L, 400.0, "413"), (1377299059L, 410.0, "413"),
+      (1377299101L, 420.0, "413"), (1377299041L, 500.0, "644"))
+    val df = rows.toDF("timestamp", "co2", "room")
+    def agg(d: org.apache.spark.sql.DataFrame) = d
+      .groupBy(date_trunc("minute", timestamp_seconds(col("timestamp"))).as("m"), col("room"))
+      .agg(avg("co2").as("co2"))
+      .orderBy("room", "m").collect().toSeq
+    assert(agg(df) == agg(df.orderBy(rand(seed = 7))))
+  }
+
+  test("wire schemas expose the reference column sets") {
+    assert(Schemas.wireSchema.fieldNames.toSeq ==
+      Seq("timestamp", "room", "co2", "light", "temp", "humidity", "pir"))
+    assert(Schemas.wireSchemaExtended.fieldNames.contains("event_ts_min"))
+    assert(Schemas.mergedSchema.fieldNames.length == 9)
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.batch.Collector
+
+/** Golden-file test for the batch ETL (SURVEY.md §5.2.1): KETI-style
+  * fixture tree per FIXTURES.md §1 — aligned + non-aligned timestamps,
+  * two rows in one minute, one malformed room folder.
+  */
+class CollectorSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val root = {
+    val dir = Files.createTempDirectory(Paths.get("target"), "keti_").toString
+    def write(room: String, file: String, rows: Seq[(Long, Double)]): Unit = {
+      val d = Paths.get(dir, room)
+      Files.createDirectories(d)
+      Files.writeString(d.resolve(file),
+        rows.map { case (t, v) => s"$t,$v" }.mkString("\n"))
+    }
+    // room 413: t1,t2 share minute 1377299040; t3 in 1377299100; t4 only in co2 (join drops)
+    val (t1, t2, t3, t4) = (1377299041L, 1377299059L, 1377299101L, 1377299999L)
+    write("413", "co2.csv", Seq(t1 -> 400.0, t2 -> 410.0, t3 -> 420.0, t4 -> 999.0))
+    write("413", "light.csv", Seq(t1 -> 100.0, t2 -> 110.0, t3 -> 120.0))
+    write("413", "temperature.csv", Seq(t1 -> 20.0, t2 -> 21.0, t3 -> 22.0))
+    write("413", "humidity.csv", Seq(t1 -> 50.0, t2 -> 52.0, t3 -> 54.0))
+    write("413", "pir.csv", Seq(t1 -> 0.0, t2 -> 1.0, t3 -> 2.0))
+    // room 644: single aligned row
+    write("644", "co2.csv", Seq(t1 -> 500.0))
+    write("644", "light.csv", Seq(t1 -> 200.0))
+    write("644", "temperature.csv", Seq(t1 -> 23.0))
+    write("644", "humidity.csv", Seq(t1 -> 60.0))
+    write("644", "pir.csv", Seq(t1 -> 0.0))
+    // room 999: malformed (no pir.csv) → must be skipped, not fatal
+    write("999", "co2.csv", Seq(t1 -> 1.0))
+    write("999", "light.csv", Seq(t1 -> 1.0))
+    write("999", "temperature.csv", Seq(t1 -> 1.0))
+    write("999", "humidity.csv", Seq(t1 -> 1.0))
+    dir
+  }
+
+  test("per-dir ETL: join alignment, minute grouping, error containment") {
+    val out = Collector.run(spark, root)
+      .orderBy("room", "ts_min_bignt")
+      .collect()
+    assert(out.map(_.getAs[String]("room")).toSeq == Seq("413", "413", "644"))
+    val first = out(0)
+    assert(first.getAs[Long]("ts_min_bignt") == 1377299040L)
+    assert(first.getAs[Double]("co2") == 405.0)
+    assert(first.getAs[Double]("light") == 105.0)
+    assert(first.getAs[Double]("pir") == 0.5)
+    assert(first.getAs[Double]("timestamp") == 1377299050.0)
+    val second = out(1)
+    assert(second.getAs[Long]("ts_min_bignt") == 1377299100L)
+    assert(second.getAs[Double]("co2") == 420.0)
+    val r644 = out(2)
+    assert(r644.getAs[Double]("co2") == 500.0)
+  }
+
+  test("glob ETL produces the same result as per-dir ETL") {
+    val perDir = Collector.run(spark, root)
+    val glob = Collector.groupAverage(Collector.mergeRoomsGlob(spark, root))
+    val a = perDir.orderBy("room", "ts_min_bignt").collect().toSeq
+    val b = glob.orderBy("room", "ts_min_bignt").collect().toSeq
+    assert(a == b)
+  }
+
+  test("K1 csv sink writes a headered file") {
+    val out = Files.createTempDirectory(Paths.get("target"), "merged_").toString
+    Collector.writeMergedCsv(Collector.run(spark, root), out)
+    val part = new java.io.File(out).listFiles()
+      .find(_.getName.endsWith(".csv")).get
+    val header = scala.io.Source.fromFile(part).getLines().next()
+    assert(header.startsWith("event_ts_min,ts_min_bignt,room,timestamp,co2"))
+  }
+}

@@ -1,0 +1,45 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.{RoutedAppendStore, UpsertParquetStore}
+
+/** Sink-semantics fixtures (FIXTURES.md §4): K3 upsert-by-id keeps only
+  * the last write per key across batches; K4 routed append keeps
+  * duplicates and lands rows in per-key index partitions.
+  */
+class SinksSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(p: String) =
+    Files.createTempDirectory(Paths.get("target"), p).toString
+
+  test("K3: last write per key wins, across micro-batches") {
+    val store = new UpsertParquetStore(tmp("upsert_"), "room", Seq("ts"))
+    assert(store.healthCheck())
+    store.upsert(Seq(("413", 1L, "a"), ("413", 2L, "b"), ("644", 1L, "c"))
+      .toDF("room", "ts", "v"), 0)
+    store.upsert(Seq(("413", 0L, "stale"), ("644", 5L, "d")).toDF("room", "ts", "v"), 1)
+    val out = store.read(spark).orderBy("room")
+      .collect().map(r => (r.getString(0), r.getString(2)))
+    assert(out.toSeq == Seq(("413", "b"), ("644", "d")))
+  }
+
+  test("K4: append with dynamic index routing keeps duplicates") {
+    val store = new RoutedAppendStore(tmp("route_"))
+    assert(store.healthCheck())
+    val batch = Seq(("413", "x"), ("644", "y")).toDF("room", "v")
+      .withColumn("route",
+        org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit("room-"),
+          org.apache.spark.sql.functions.col("room")))
+    store.append(batch, "route")
+    store.append(batch, "route")  // at-least-once retry → duplicates allowed
+    val out = store.read(spark)
+    assert(out.count() == 4)
+    assert(out.select("index").distinct().collect().map(_.get(0).toString).toSet ==
+      Set("room-413", "room-644"))
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Multimodal, Text}
+
+/** Unit behavior of the text/dedup primitives. */
+class TextOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("normalization + tokenization") {
+    val out = Seq("  Hello,   WORLD!! 42  ").toDF("text")
+      .select(Text.normText(col("text")).as("n"), Text.tokens(col("text")).as("t"))
+      .collect().head
+    assert(out.getAs[String]("n") == "hello world 42")
+    assert(out.getSeq[String](1) == Seq("hello", "world", "42"))
+  }
+
+  test("identical docs get identical minhash signatures; disjoint docs differ") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "completely different words entirely unrelated content here"))
+      .toDF("doc_id", "text")
+    val sigs = df.select(col("doc_id"),
+        Text.minhashSig(Text.wordShingles(Text.tokens(col("text")), 3), 8).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(3L))
+    assert(sigs(1L).length == 8)
+  }
+
+  test("short doc (< n tokens) falls back to whole-text shingle") {
+    val sh = Seq("hi there").toDF("text")
+      .select(Text.wordShingles(Text.tokens(col("text")), 3).as("s"))
+      .collect().head.getSeq[String](0)
+    assert(sh == Seq("hi there"))
+  }
+
+  test("simhash16: equal docs equal, hamming ≤ 16") {
+    val df = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, "delta epsilon zeta eta")).toDF("doc_id", "text")
+    val sh = Text.simhash16(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(2L))
+    assert(sh.values.forall(v => v >= 0 && v < (1 << 16)))
+  }
+
+  test("language prediction picks the list with most stopword hits") {
+    val scores = Text.langScores(Text.tokens(col("text")))
+    val out = Seq("the cat and the hat is here", "el gato y la casa es aqui")
+      .toDF("text")
+      .select(Text.langPredict(scores).as("lang"))
+      .collect().map(_.getString(0)).toSeq
+    assert(out == Seq("en", "es"))
+  }
+
+  test("multimodal stub decode: deterministic dims, frame sampling") {
+    val docs = Seq((0L, "x" * 250), (2L, "y" * 250)).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+    val meta = Multimodal.decodeMeta(Multimodal.mediaFromDocuments(spark, docs))
+      .collect().map(m => m.doc_id -> m).toMap
+    assert(meta(0L).media_type == "image" && meta(0L).format == "png")
+    assert(meta(0L).n_bytes == 250 && meta(0L).width == 64 + 250 % 577)
+    assert(meta(2L).media_type == "video" && meta(2L).n_frames == 3)
+    val frames = Multimodal.sampleFrames(
+        Multimodal.decodeMeta(Multimodal.mediaFromDocuments(spark, docs)), 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(frames.toSeq == Seq((2L, 0L)))
+  }
+}
