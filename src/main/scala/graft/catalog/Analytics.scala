@@ -1,0 +1,186 @@
+package graft.catalog
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.core.{QueryDef, Tables}
+
+/** Second analytical wave: join variants (semi/anti/outer), distinct
+  * aggregation, rollup, analytic window functions (running sums, lag,
+  * ntile), sessionization, and histogramming — the Kibana-derivable
+  * query families of SURVEY §7.2 taken further, with the same
+  * oracle-parity discipline as [[Relational]].
+  */
+object Analytics {
+
+  // Left-semi join: customers that have orders (EXISTS).
+  val semiJoin: QueryDef = QueryDef.sql("q_semi_join")(
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  // Left-anti join: customers with no orders (NOT EXISTS).
+  val antiJoin: QueryDef = QueryDef.sql("q_anti_join")(
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  // Left-outer join + null-aware aggregation: orders per customer
+  // including order-less customers.
+  val outerJoin: QueryDef = QueryDef.sql("q_outer_join")(
+    """SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+      |  CAST(SUM(CAST(coalesce(o_totalprice, 0) AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
+      |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+      |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        sum(coalesce(col("o_totalprice"), lit(0)).cast(DecimalType(18, 2)))
+          .cast("double").as("total_spent"))
+      .orderBy("c_custkey")
+  }
+
+  // Exact distinct aggregation (two-phase distinct under the hood).
+  val distinctUsers: QueryDef = QueryDef.sql("q_distinct_users")(
+    """SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+  }
+
+  // Rollup: region/nation hierarchy with subtotal + grand-total rows.
+  val rollupCounts: QueryDef = QueryDef.sql("q_rollup")(
+    """SELECT r_name, n_name, COUNT(*) AS n
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP (r_name, n_name)
+      |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin) { (s, dir) =>
+    // expr(), not string names: Dataset.rollup("c") attaches dataset-id
+    // metadata that trips DetectAmbiguousSelfJoin on the Expand copies
+    Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .rollup(expr("r_name"), expr("n_name"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+  }
+
+  // Occupancy-style conditional rate (SURVEY §7.2 Q2: `pir > 0` rate →
+  // purchase rate per user per hour). Exact int/int division.
+  val occupancyRate: QueryDef = QueryDef.sql("q_occupancy_rate")(
+    """SELECT user_id, CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+      |  SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+      |  COUNT(*) AS n,
+      |  SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) / COUNT(*) AS purchase_rate
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    val isP = sum(when(col("event_type") === "purchase", 1).otherwise(0))
+    Tables.events(s, dir)
+      .groupBy(col("user_id"),
+        unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"))
+      .agg(isP.as("n_purchase"), count(lit(1)).as("n"),
+        (isP / count(lit(1))).as("purchase_rate"))
+      .orderBy("user_id", "hour_epoch")
+  }
+
+  // Running (cumulative) sum per key — exact decimal arithmetic so every
+  // prefix is bit-identical.
+  val runningSum: QueryDef = QueryDef.sql("q_running_sum")(
+    """SELECT user_id, event_id,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER
+      |    (PARTITION BY user_id ORDER BY ts, event_id
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+      |FROM events ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        sum(col("value").cast(DecimalType(18, 2))).over(w)
+          .cast("double").as("running_value"))
+      .orderBy("user_id", "event_id")
+  }
+
+  // lag(): inter-event gap per user in micros — exact integers.
+  val eventGaps: QueryDef = QueryDef.sql("q_event_gaps")(
+    """SELECT user_id, event_id,
+      |  epoch_us(ts) - lag(epoch_us(ts)) OVER
+      |    (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      |FROM events ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)).as("gap_us"))
+      .orderBy("user_id", "event_id")
+  }
+
+  // Sessionization: a new session starts after a >30-minute silence;
+  // session id = running count of session-start flags per user.
+  val sessionize: QueryDef = QueryDef.sql("q_sessionize")(
+    """WITH g AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+      |         OR lag(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT user_id, event_id,
+      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM g)
+      |SELECT user_id, session_id, COUNT(*) AS n_events
+      |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prev = lag(unix_micros(col("ts")), 1).over(w)
+    Tables.events(s, dir)
+      .withColumn("new_session",
+        when(unix_micros(col("ts")) - prev > 1800000000L || prev.isNull, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(wRun))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy("user_id", "session_id")
+  }
+
+  // ntile quartiles over a deterministic total order.
+  val valueQuartiles: QueryDef = QueryDef.sql("q_value_quartiles")(
+    """WITH t AS (
+      |  SELECT event_id, value, NTILE(4) OVER (ORDER BY value, event_id) AS quartile
+      |  FROM events)
+      |SELECT quartile, COUNT(*) AS n, MIN(value) AS lo, MAX(value) AS hi
+      |FROM t GROUP BY quartile ORDER BY quartile""".stripMargin) { (s, dir) =>
+    val w = Window.orderBy("value", "event_id")
+    Tables.events(s, dir)
+      .select(col("event_id"), col("value"), ntile(4).over(w).as("quartile"))
+      .groupBy("quartile")
+      .agg(count(lit(1)).as("n"), min(col("value")).as("lo"), max(col("value")).as("hi"))
+      .orderBy("quartile")
+  }
+
+  // Histogram: fixed-width value buckets. floor() on exact quotients of
+  // 2-decimal values — computed identically both sides.
+  val valueHistogram: QueryDef = QueryDef.sql("q_value_histogram")(
+    """SELECT CAST(floor(value / 20) AS BIGINT) AS bucket, COUNT(*) AS n
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(floor(col("value") / 20).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("bucket")
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    semiJoin, antiJoin, outerJoin, distinctUsers, rollupCounts, occupancyRate,
+    runningSum, eventGaps, sessionize, valueQuartiles, valueHistogram)
+}

@@ -19,11 +19,13 @@ import graft.ops.Vectors
 object SimilaritySearch {
 
   /** Embeddings with double vectors + precomputed norms. */
-  private def normed(s: SparkSession, dir: String): DataFrame =
+  private def normed(s: SparkSession, dir: String): DataFrame = {
+    Vectors.register(s)
     Tables.embeddings(s, dir).select(
       col("vec_id"),
       Vectors.toDouble(col("embedding")).as("v"))
       .withColumn("nrm", Vectors.norm2(col("v")))
+  }
 
   private val normedSql =
     """SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

@@ -155,16 +155,10 @@ object TextAnalysis {
        |  ${(0 until K).map(i => s"sig_$i").mkString(" || '|' || ")} AS sig_str,
        |  ${bandSqls.mkString(",\n  ")}
        |FROM sig ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    val toks = Text.tokens(col("text"))
-    val sig = Text.minhashSig(Text.wordShingles(toks, 3), K)
-    val bands = Text.lshBands(col("sig"), 2, K)
-    Tables.documents(s, dir)
-      .select(col("doc_id"), sig.as("sig"))
-      .select(col("doc_id"),
-        concat_ws("|", (0 until K).map(i => element_at(col("sig"), i + 1)): _*).as("sig_str"),
-        bands.as("bands"))
-      .select(col("doc_id") +: col("sig_str") +:
-        (0 until K / 2).map(b => element_at(col("bands"), b + 1).as(s"band_$b")): _*)
+    Text.minhashSigDF(Tables.documents(s, dir), "doc_id", "text", 3, K)
+      .select(col("doc_id") +:
+        concat_ws("|", (0 until K).map(i => col(s"sig_$i")): _*).as("sig_str") +:
+        Text.lshBandCols(2, K): _*)
       .orderBy("doc_id")
   }
 
@@ -184,10 +178,8 @@ object TextAnalysis {
        |  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
        |  AND a.doc_id < b.doc_id
        |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
-    val toks = Text.tokens(col("text"))
-    val sig = Text.minhashSig(Text.wordShingles(toks, 3), K)
-    val banded = Tables.documents(s, dir)
-      .select(col("doc_id"), Text.lshBands(sig, 2, K).as("bands"))
+    val banded = Text.minhashSigDF(Tables.documents(s, dir), "doc_id", "text", 3, K)
+      .select(col("doc_id"), array(Text.lshBandCols(2, K): _*).as("bands"))
       .select(col("doc_id"), posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
     val a = banded.as("a")
     val b = banded.as("b")

@@ -32,14 +32,42 @@ object Text {
         i => concat_ws(" ", slice(toks, i, lit(n)))))
       .otherwise(array(concat_ws(" ", toks)))
 
-  /** MinHash signature: k md5-derived hash functions
-    * (`h_i(s) = md5(i || ':' || s)`), each taking the lexicographic
-    * minimum over the shingle set. Returns an array<string> of length k.
+  /** MinHash signature as a single-column expression: k md5-derived
+    * hash functions (`h_i(s) = md5(i || ':' || s)`), each taking the
+    * lexicographic minimum over the shingle set. Fine for small inputs
+    * and differential tests; the scale path is [[minhashSigDF]] —
+    * array HOFs run interpreted and re-evaluate the shingle expression
+    * per hash function.
     */
   def minhashSig(shingles: Column, k: Int): Column =
     array((0 until k).map { i =>
       array_min(transform(shingles, s => md5(concat(lit(s"$i:"), s))))
     }: _*)
+
+  /** MinHash signatures, scale path: explode shingles (tokenize/shingle
+    * evaluated ONCE per document in the generator), hash each shingle k
+    * ways in one codegen'd projection, then min-aggregate per document —
+    * partial aggregation map-side, one shuffle on the doc id, no
+    * interpreted HOFs. Output: idCol, sig_0..sig_{k-1}.
+    */
+  def minhashSigDF(df: DataFrame, idCol: String, textCol: String,
+      n: Int, k: Int): DataFrame = {
+    val shingled = df.select(col(idCol),
+      explode(wordShingles(tokens(col(textCol)), n)).as("shingle"))
+    val hashed = shingled.select(col(idCol) +:
+      (0 until k).map(i => md5(concat(lit(s"$i:"), col("shingle"))).as(s"h_$i")): _*)
+    hashed.groupBy(col(idCol))
+      .agg(min(col("h_0")).as("sig_0"),
+        (1 until k).map(i => min(col(s"h_$i")).as(s"sig_$i")): _*)
+  }
+
+  /** LSH band keys over [[minhashSigDF]] output columns. */
+  def lshBandCols(rowsPerBand: Int, k: Int): Seq[Column] =
+    (0 until k / rowsPerBand).map { b =>
+      md5(concat_ws("|",
+        (0 until rowsPerBand).map(r => col(s"sig_${b * rowsPerBand + r}")): _*))
+        .as(s"band_$b")
+    }
 
   /** LSH band keys: adjacent signature components pair-wise re-hashed.
     * Docs sharing any band key are near-dup candidates; band count =

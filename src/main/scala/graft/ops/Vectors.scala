@@ -19,9 +19,23 @@ object Vectors {
   /** Cast float embedding to double for stable arithmetic. */
   def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
-  /** Sequential-fold dot product of two equal-length double arrays. */
+  /** Sequential-fold dot product — the native codegen'd expression
+    * ([[graft.functions.ArrayDotProduct]]); call [[register]] on the
+    * session first. Bit-identical to [[dotHof]].
+    */
   def dot(a: Column, b: Column): Column =
+    graft.functions.ArrayDotProduct.dot(a, b)
+
+  /** Reference formulation via built-in higher-order functions; runs
+    * interpreted (HOFs don't codegen) — kept for differential testing
+    * against the native expression.
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Make [[dot]] resolvable on this session (idempotent). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    graft.functions.ArrayDotProduct.register(spark)
 
   def norm2(a: Column): Column = sqrt(dot(a, a))
 

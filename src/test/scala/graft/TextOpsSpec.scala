@@ -48,6 +48,32 @@ class TextOpsSpec extends AnyFunSuite {
     assert(sh.values.forall(v => v >= 0 && v < (1 << 16)))
   }
 
+  test("scale-path minhash (explode+agg) equals the column-expression form") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs away fast"),
+      (2L, "an entirely different document with other words in it"),
+      (3L, "hi"))
+      .toDF("doc_id", "text")
+    val colForm = df.select(col("doc_id"),
+        Text.minhashSig(Text.wordShingles(Text.tokens(col("text")), 3), 8).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toMap
+    val dfForm = Text.minhashSigDF(df, "doc_id", "text", 3, 8)
+      .collect().map(r => r.getLong(0) -> (1 to 8).map(i => r.getString(i)).toSeq).toMap
+    assert(colForm == dfForm)
+  }
+
+  test("native graft_dot equals the HOF fold bitwise") {
+    import graft.ops.Vectors
+    Vectors.register(spark)
+    val df = Seq((Seq(0.1, -2.5, 3.75, 1e-9), Seq(4.0, 0.3, -1.25, 2e9)))
+      .toDF("a", "b")
+    val r = df.select(Vectors.dot(col("a"), col("b")).as("fast"),
+        Vectors.dotHof(col("a"), col("b")).as("ref"))
+      .collect().head
+    assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+      java.lang.Double.doubleToLongBits(r.getDouble(1)))
+  }
+
   test("language prediction picks the list with most stopword hits") {
     val scores = Text.langScores(Text.tokens(col("text")))
     val out = Seq("the cat and the hat is here", "el gato y la casa es aqui")
