@@ -21,7 +21,8 @@ object SparkEntry {
       graft.catalog.TextAnalysis.all ++
       graft.catalog.SimilaritySearch.all ++
       graft.catalog.Streaming.all ++
-      graft.catalog.MultimodalMeta.all
+      graft.catalog.MultimodalMeta.all ++
+      graft.catalog.Advanced.all
 
   /** Flagship: the reference pipeline end-to-end on sf0.001 — rows are
     * JSON-encoded onto the wire (producer, F7), decoded against the

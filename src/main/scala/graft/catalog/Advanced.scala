@@ -1,0 +1,87 @@
+package graft.catalog
+
+import org.apache.spark.sql.functions._
+
+import graft.core.{QueryDef, Tables}
+import graft.functions.TopKTokens
+import graft.ops.{AsOf, Text}
+import graft.streaming.{Ingest, Stateful}
+
+/** Advanced operators beyond the reference surface: as-of join, custom
+  * keyed streaming state, and a typed user-defined aggregator.
+  */
+object Advanced {
+
+  // As-of join: for every purchase, the most recent at-or-before click
+  // of the same user (tolerance-full generalization of the reference's
+  // exact-timestamp alignment, SURVEY §2.3).
+  val asofJoin: QueryDef = QueryDef.sql("q_asof_join")(
+    """WITH l AS (
+      |  SELECT user_id, ts, event_id, 1 AS side, CAST(NULL AS BIGINT) AS asof_v
+      |  FROM events WHERE event_type = 'purchase'),
+      |r AS (
+      |  SELECT user_id, ts, CAST(NULL AS BIGINT) AS event_id, 0 AS side,
+      |    event_id AS asof_v
+      |  FROM events WHERE event_type = 'click'),
+      |u AS (SELECT * FROM l UNION ALL SELECT * FROM r),
+      |c AS (
+      |  SELECT *, last_value(asof_v IGNORE NULLS) OVER (
+      |    PARTITION BY user_id ORDER BY ts, side, asof_v NULLS FIRST
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_id
+      |  FROM u)
+      |SELECT event_id, user_id, epoch_us(ts) AS ts_us, last_click_id
+      |FROM c WHERE side = 1 ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    AsOf.joinAsOf(purchases, clicks, Seq("user_id"), "ts", "event_id", "last_click_id")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("last_click_id"))
+      .orderBy("event_id")
+  }
+
+  // Custom keyed streaming state (flatMapGroupsWithState): running
+  // per-user counts drained through a real micro-batch execution.
+  val streamStatefulCount: QueryDef = QueryDef.sql("q_stream_stateful_count")(
+    """SELECT user_id, COUNT(*) AS n FROM events
+      |GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+    val counts = Stateful.runningUserCounts(Ingest.eventsStream(s, dir))
+      .toDF("user_id", "n")
+    Ingest.runToMemory(counts, mode = "update")
+      // update mode re-emits a key's total each batch; keep the final one
+      .groupBy("user_id").agg(max(col("n")).as("n"))
+      .orderBy("user_id")
+  }
+
+  // Typed Aggregator (Aggregator[IN, BUF, OUT]): exact top-5 tokens per
+  // language, merged map-side like any partial aggregate.
+  val topkTokens: QueryDef = {
+    val normSql =
+      """trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))"""
+    QueryDef.sql("q_topk_tokens")(
+      s"""WITH base AS (SELECT lang,
+         |  list_filter(string_split($normSql, ' '), t -> t != '') AS toks FROM documents),
+         |tokx AS (SELECT lang, UNNEST(toks) AS token FROM base),
+         |counts AS (SELECT lang, token, COUNT(*) AS cnt FROM tokx GROUP BY 1, 2),
+         |ranked AS (SELECT *, ROW_NUMBER() OVER
+         |  (PARTITION BY lang ORDER BY cnt DESC, token) AS rnk FROM counts)
+         |SELECT lang, token, cnt, rnk FROM ranked WHERE rnk <= 5
+         |ORDER BY lang, rnk""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val toks = Tables.documents(s, dir)
+        .select(col("lang"), explode(Text.tokens(col("text"))).as("token"))
+        .as[(String, String)]
+      toks.groupByKey(_._1)
+        .agg(new TopKTokens[(String, String)](5, _._2).toColumn.name("topk"))
+        .toDF("lang", "topk")
+        .select(col("lang"), posexplode(col("topk")).as(Seq("pos", "tc")))
+        .select(col("lang"), col("tc.token").as("token"), col("tc.cnt").as("cnt"),
+          (col("pos") + 1).as("rnk"))
+        .orderBy("lang", "rnk")
+    }
+  }
+
+  val all: Seq[QueryDef] = Seq(asofJoin, streamStatefulCount, topkTokens)
+}

@@ -137,5 +137,61 @@ object SimilaritySearch {
       .orderBy("query_id", "rnk")
   }
 
-  val all: Seq[QueryDef] = Seq(embedNorm, embedTopk, embedNearDup, annIvf)
+  // Random-hyperplane LSH ANN: 8 sign bits of dot products against
+  // deterministic pseudo-random hyperplanes (integer LCG → exact in
+  // both engines), bucket on the 8-bit signature, search bucket-local.
+  // At scale: signature computation is one codegen'd projection pass;
+  // the bucket join shuffles on an int key.
+  private val B = 8  // signature bits
+  private val D = 64 // embedding dim
+
+  /** Hyperplane component: lcg(j*D + i + 1) scaled to [-1, 1). Exact
+    * integer arithmetic + one exact division — reproducible in SQL.
+    */
+  private def lcg(x: Long): Long = (1103515245L * x + 12345L) % 2147483648L
+  private def plane(j: Int): Seq[Double] =
+    (0 until D).map(i => lcg(j.toLong * D + i + 1) / 2147483648.0 * 2 - 1)
+
+  private def planeSqlList(j: Int): String =
+    s"list_transform(range(0, $D), i -> " +
+      s"((1103515245 * ($j * $D + i + 1) + 12345) % 2147483648) / 2147483648.0 * 2 - 1)"
+
+  private val bucketSql = (0 until B).map(j =>
+    s"(CASE WHEN list_dot_product(v, ${planeSqlList(j)}) > 0 THEN ${1 << j} ELSE 0 END)")
+    .mkString(" + ")
+
+  val annLsh: QueryDef = QueryDef.sql("q_ann_lsh")(
+    s"""WITH n AS ($normedSql),
+       |b AS (SELECT vec_id, v, nrm, $bucketSql AS bucket FROM n),
+       |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm, bucket FROM b
+       |      WHERE vec_id < 20),
+       |scored AS (
+       |  SELECT query_id, b.vec_id AS neighbor_id,
+       |    list_dot_product(qv, v) / (qnrm * nrm) AS cosine
+       |  FROM q JOIN b USING (bucket) WHERE b.vec_id <> query_id),
+       |ranked AS (SELECT *, ROW_NUMBER() OVER
+       |  (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk FROM scored)
+       |SELECT query_id, neighbor_id, cosine, rnk FROM ranked
+       |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin) { (s, dir) =>
+    val n = normed(s, dir)
+    val bucket = (0 until B).map { j =>
+      val h = array(plane(j).map(lit): _*)
+      when(Vectors.dot(col("v"), h) > 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+    val b = n.withColumn("bucket", bucket)
+    val q = b.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"), col("bucket"))
+    val scored = broadcast(q).join(b, "bucket")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        Vectors.cosine(col("qv"), col("v"), col("qnrm"), col("nrm")).as("cosine"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select("query_id", "neighbor_id", "cosine", "rnk")
+      .orderBy("query_id", "rnk")
+  }
+
+  val all: Seq[QueryDef] = Seq(embedNorm, embedTopk, embedNearDup, annIvf, annLsh)
 }

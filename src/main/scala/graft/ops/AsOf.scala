@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join: for every left-side event, the most recent right-side
+  * event at-or-before it, per key.
+  *
+  * The reference's 5-way merge on exact timestamps is an as-of join
+  * with zero tolerance (SURVEY.md §2.3); this is the tolerance-full
+  * generalization. Spark has no native as-of operator, so it is
+  * composed as the classic union + last(ignoreNulls) running window:
+  * tag both sides, union, sort within key, carry the last right-side
+  * value forward. ONE shuffle on (key), no range-explosion — the same
+  * plan shape a dedicated as-of SparkPlan would produce, and the form
+  * that scales: state per key is a single carried value, so a 100 TB
+  * union sorts within partitions after a hash partition on key.
+  */
+object AsOf {
+
+  /** @param left      probe side
+    * @param right     reference side (values carried forward)
+    * @param keyCols   equi-key columns present on both sides
+    * @param timeCol   event-time column present on both sides
+    * @param payload   right-side column to carry (as-of value)
+    * @param outCol    name for the carried column on the left rows
+    */
+  def joinAsOf(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      timeCol: String, payload: String, outCol: String): DataFrame = {
+    val l = left.withColumn("__side", lit(1))
+      .withColumn("__asof", lit(null).cast(right.schema(payload).dataType))
+    val r = right.select(keyCols.map(col) :+ col(timeCol) :+ col(payload).as("__asof"): _*)
+      .withColumn("__side", lit(0))
+    val unioned = l.columns.foldLeft(r) { (acc, c) =>
+      if (acc.columns.contains(c)) acc else acc.withColumn(c, lit(null))
+    }.select(l.columns.map(col): _*).unionByName(l)
+    // right rows sort before left rows at the same instant (__side 0 < 1):
+    // an exact-tie right value IS visible to the left row (at-or-before)
+    // third sort key makes equal-timestamp right rows deterministic
+    // (carried value = max payload at that instant)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(timeCol).asc, col("__side").asc, col("__asof").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn(outCol, last(col("__asof"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .drop("__side", "__asof")
+  }
+}

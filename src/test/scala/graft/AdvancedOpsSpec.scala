@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TopKTokens
+import graft.ops.AsOf
+
+/** As-of join and typed-aggregator unit behavior. */
+class AdvancedOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("as-of join carries the most recent at-or-before right value") {
+    val left = Seq((1L, 10L, 100L), (1L, 25L, 101L), (2L, 5L, 102L))
+      .toDF("k", "t", "lid")
+    val right = Seq((1L, 10L, 7L), (1L, 20L, 8L), (1L, 30L, 9L), (3L, 1L, 99L))
+      .toDF("k", "t", "rid")
+    val out = AsOf.joinAsOf(left, right, Seq("k"), "t", "rid", "asof_rid")
+      .orderBy("lid")
+      .collect().map(r => (r.getAs[Long]("lid"), Option(r.getAs[java.lang.Long]("asof_rid"))))
+    // lid 100 at t=10: exact tie with right t=10 → visible (at-or-before)
+    // lid 101 at t=25: last right ≤ 25 is t=20 → 8
+    // lid 102 key 2: no right rows → null
+    assert(out.toSeq == Seq(
+      (100L, Some(7L: java.lang.Long)),
+      (101L, Some(8L: java.lang.Long)),
+      (102L, None)))
+  }
+
+  test("TopKTokens: exact counts, row_number tie-break, k rows") {
+    val ds = Seq("b", "a", "a", "c", "b", "d").map(("g", _)).toDS()
+    val out = ds.groupByKey(_._1)
+      .agg(new TopKTokens[(String, String)](3, _._2).toColumn.name("topk"))
+      .collect().head._2
+    assert(out == Seq(
+      TopKTokens.TokenCount("a", 2), TopKTokens.TokenCount("b", 2),
+      TopKTokens.TokenCount("c", 1)))
+  }
+}
