@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan-audit main: prints `.explain("formatted")` for representative
+  * catalog queries so scan pushdown, join strategies, partial
+  * aggregation, and codegen spans can be reviewed (see PLANS.md).
+  */
+object Plans {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val names = if (args.length > 1) args.drop(1).toSet
+      else Set("q_scan_filter_project", "q_multiway_join", "q_group_avg_minute",
+        "q_dedup_exact", "q_minhash_pairs", "q_embed_topk", "q_ann_ivf",
+        "q_upsert_last_wins", "q_semi_join")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    SparkEntry.catalog.filter(q => names.contains(q.name)).foreach { q =>
+      println(s"\n======== ${q.name} ========")
+      q.build(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

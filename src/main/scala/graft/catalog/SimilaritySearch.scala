@@ -18,12 +18,18 @@ import graft.ops.Vectors
   */
 object SimilaritySearch {
 
-  /** Embeddings with double vectors + precomputed norms. */
+  /** Embeddings with double vectors + precomputed norms. Explicitly
+    * repartitioned: the corpus arrives as one file → one partition, and
+    * every downstream op is CPU-bound per row (AQE's size-based
+    * coalesce would undo a bare repartition()).
+    */
   private def normed(s: SparkSession, dir: String): DataFrame = {
     Vectors.register(s)
-    Tables.embeddings(s, dir).select(
-      col("vec_id"),
-      Vectors.toDouble(col("embedding")).as("v"))
+    Tables.embeddings(s, dir)
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+      .select(
+        col("vec_id"),
+        Vectors.toDouble(col("embedding")).as("v"))
       .withColumn("nrm", Vectors.norm2(col("v")))
   }
 

@@ -57,9 +57,11 @@ object TextAnalysis {
          |scored AS (SELECT doc_id, lang, ${scoreSqls.mkString(", ")} FROM base)
          |SELECT lang, $caseSql AS lang_pred, COUNT(*) AS n
          |FROM scored GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
-      val toks = Text.tokens(col("text"))
-      val scores = Text.langScores(toks)
+      val scores = Text.langScores(col("__toks"))
       Tables.documents(s, dir)
+        // stage tokens as a column: HOF lambdas re-evaluate non-lambda
+        // subtrees per element in interpreted mode
+        .select(col("lang"), Text.tokens(col("text")).as("__toks"))
         .select(col("lang"), Text.langPredict(scores).as("lang_pred"))
         .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
         .orderBy("lang", "lang_pred")
@@ -88,8 +90,10 @@ object TextAnalysis {
          |    + 0.2 * (least(n_tokens, 100) / 100.0)
          |    + 0.2 * (1 - digits / greatest(n_chars_calc, 1)) AS quality_score
          |FROM m ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val toks = Text.tokens(col("text"))
-      val base = Tables.documents(s, dir).select(
+      val toks = col("__toks")
+      val base = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), Text.tokens(col("text")).as("__toks"))
+        .select(
         col("doc_id"),
         length(col("text")).as("n_chars_calc"),
         size(toks).as("n_tokens"),
@@ -143,7 +147,7 @@ object TextAnalysis {
       |  THEN list_transform(generate_series(1, len(toks) - 2), i -> array_to_string(toks[i:i+2], ' '))
       |  ELSE [array_to_string(toks, ' ')] END""".stripMargin
   private val sigSqls = (0 until K).map(i =>
-    s"list_min(list_transform(sh, s -> md5('$i:' || s))) AS sig_$i")
+    s"list_min(list_transform(sh, s -> CAST(('0x' || substr(md5('$i:' || s), 1, 15)) AS BIGINT))) AS sig_$i")
   private val bandSqls = (0 until K / 2).map(b =>
     s"md5(sig_${2 * b} || '|' || sig_${2 * b + 1}) AS band_$b")
 

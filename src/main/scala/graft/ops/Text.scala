@@ -32,30 +32,50 @@ object Text {
         i => concat_ws(" ", slice(toks, i, lit(n)))))
       .otherwise(array(concat_ws(" ", toks)))
 
+  /** One md5-derived 60-bit hash: numeric so min-aggregation runs in a
+    * primitive HashAggregate buffer (min over strings would fall back
+    * to SortAggregate) and the shuffled signature is 8 bytes, not a
+    * 32-char string.
+    */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
   /** MinHash signature as a single-column expression: k md5-derived
-    * hash functions (`h_i(s) = md5(i || ':' || s)`), each taking the
-    * lexicographic minimum over the shingle set. Fine for small inputs
-    * and differential tests; the scale path is [[minhashSigDF]] —
-    * array HOFs run interpreted and re-evaluate the shingle expression
-    * per hash function.
+    * hash functions (`h_i(s) = hash60(i || ':' || s)`), each taking the
+    * minimum over the shingle set. Fine for small inputs and
+    * differential tests; the scale path is [[minhashSigDF]] — array
+    * HOFs run interpreted and re-evaluate the shingle expression per
+    * hash function.
     */
   def minhashSig(shingles: Column, k: Int): Column =
     array((0 until k).map { i =>
-      array_min(transform(shingles, s => md5(concat(lit(s"$i:"), s))))
+      array_min(transform(shingles, s => hash60(concat(lit(s"$i:"), s))))
     }: _*)
 
   /** MinHash signatures, scale path: explode shingles (tokenize/shingle
     * evaluated ONCE per document in the generator), hash each shingle k
     * ways in one codegen'd projection, then min-aggregate per document —
     * partial aggregation map-side, one shuffle on the doc id, no
-    * interpreted HOFs. Output: idCol, sig_0..sig_{k-1}.
+    * interpreted HOFs. Output: idCol, sig_0..sig_{k-1} (long).
     */
   def minhashSigDF(df: DataFrame, idCol: String, textCol: String,
       n: Int, k: Int): DataFrame = {
-    val shingled = df.select(col(idCol),
-      explode(wordShingles(tokens(col(textCol)), n)).as("shingle"))
+    // repartition first: corpus tables often arrive as few large files,
+    // and the shingle explode is CPU-bound per row — spread it across
+    // the cluster before the narrow chain begins. Explicit partition
+    // count: AQE's size-based coalesce would fold small-byte/high-CPU
+    // partitions back together.
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    // tokenization is materialized as its own column before shingling:
+    // inside an interpreted higher-order-function lambda a non-lambda
+    // subtree (the regex/split chain) would be RE-EVALUATED on every
+    // lambda invocation — O(tokens) re-tokenizations per document
+    val shingled = df.repartition(p, col(idCol))
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol),
+        explode(wordShingles(col("__toks"), n)).as("shingle"))
     val hashed = shingled.select(col(idCol) +:
-      (0 until k).map(i => md5(concat(lit(s"$i:"), col("shingle"))).as(s"h_$i")): _*)
+      (0 until k).map(i => hash60(concat(lit(s"$i:"), col("shingle"))).as(s"h_$i")): _*)
     hashed.groupBy(col(idCol))
       .agg(min(col("h_0")).as("sig_0"),
         (1 until k).map(i => min(col(s"h_$i")).as(s"sig_$i")): _*)
@@ -126,7 +146,8 @@ object Text {
     * map-side-combines the ±1 sums per doc before any shuffle.
     */
   def simhash16(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+    val tok = df.repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
+      .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
       .withColumn("h", md5(col("tok")))
     val bitSums = (1 to 16).map { j =>
       sum(when(substring(col("h"), j, 1) >= "8", 1).otherwise(-1)).as(s"s_$j")

@@ -26,7 +26,7 @@ class TextOpsSpec extends AnyFunSuite {
       .toDF("doc_id", "text")
     val sigs = df.select(col("doc_id"),
         Text.minhashSig(Text.wordShingles(Text.tokens(col("text")), 3), 8).as("sig"))
-      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     assert(sigs(1L) == sigs(2L))
     assert(sigs(1L) != sigs(3L))
     assert(sigs(1L).length == 8)
@@ -56,9 +56,9 @@ class TextOpsSpec extends AnyFunSuite {
       .toDF("doc_id", "text")
     val colForm = df.select(col("doc_id"),
         Text.minhashSig(Text.wordShingles(Text.tokens(col("text")), 3), 8).as("sig"))
-      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toMap
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
     val dfForm = Text.minhashSigDF(df, "doc_id", "text", 3, 8)
-      .collect().map(r => r.getLong(0) -> (1 to 8).map(i => r.getString(i)).toSeq).toMap
+      .collect().map(r => r.getLong(0) -> (1 to 8).map(i => r.getLong(i)).toSeq).toMap
     assert(colForm == dfForm)
   }
 
