@@ -1,0 +1,151 @@
+package graft.catalog
+
+import org.apache.spark.sql.functions._
+
+import graft.core.{QueryDef, Tables}
+import graft.ops.Text
+
+/** Scalar-function and set-operator coverage: strings, regex extraction,
+  * safe math, set ops (intersect/except), cube, exact median — plus the
+  * native rolling-hash fingerprint expression with an exact-arithmetic
+  * SQL oracle.
+  */
+object Functions {
+
+  // String functions over nation names.
+  val stringFuncs: QueryDef = QueryDef.sql("q_string_funcs")(
+    """SELECT n_nationkey, upper(n_name) AS up, lower(n_name) AS lo,
+      |  substr(n_name, 1, 3) AS pre, length(n_name) AS len,
+      |  concat(n_name, '-', CAST(n_regionkey AS VARCHAR)) AS tagged,
+      |  lpad(CAST(n_nationkey AS VARCHAR), 4, '0') AS padded,
+      |  replace(n_name, 'A', '_') AS repl, reverse(n_name) AS rev,
+      |  trim('  ' || n_name || ' ') AS trimmed
+      |FROM nation ORDER BY n_nationkey""".stripMargin) { (s, dir) =>
+    Tables.nation(s, dir).select(
+        col("n_nationkey"),
+        upper(col("n_name")).as("up"), lower(col("n_name")).as("lo"),
+        substring(col("n_name"), 1, 3).as("pre"), length(col("n_name")).as("len"),
+        concat(col("n_name"), lit("-"), col("n_regionkey").cast("string")).as("tagged"),
+        lpad(col("n_nationkey").cast("string"), 4, "0").as("padded"),
+        regexp_replace(col("n_name"), "A", "_").as("repl"),
+        reverse(col("n_name")).as("rev"),
+        trim(concat(lit("  "), col("n_name"), lit(" "))).as("trimmed"))
+      .orderBy("n_nationkey")
+  }
+
+  // Regex extraction (the Spark side of F6's regex cousin).
+  val regexExtract: QueryDef = QueryDef.sql("q_regex_extract")(
+    """SELECT event_id,
+      |  CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS INTEGER) AS k_regex,
+      |  CASE WHEN regexp_matches(props, '^\{.*\}$') THEN 1 ELSE 0 END AS looks_json
+      |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir).select(
+        col("event_id"),
+        regexp_extract(col("props"), "\"k\": (-?\\d+)", 1).cast("int").as("k_regex"),
+        when(col("props").rlike("^\\{.*\\}$"), 1).otherwise(0).as("looks_json"))
+      .orderBy("event_id")
+  }
+
+  // Safe math: abs/sqrt/floor/ceil/sign — IEEE-exact on both engines.
+  val mathFuncs: QueryDef = QueryDef.sql("q_math_funcs")(
+    """SELECT event_id, abs(value - 100) AS dist100, sqrt(value) AS root,
+      |  CAST(floor(value) AS BIGINT) AS fl, CAST(ceil(value) AS BIGINT) AS ce,
+      |  CAST(sign(value - 100) AS DOUBLE) AS sgn,
+      |  greatest(value, 50.0) AS hi, least(value, 50.0) AS lo
+      |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir).select(
+        col("event_id"),
+        abs(col("value") - 100).as("dist100"), sqrt(col("value")).as("root"),
+        floor(col("value")).as("fl"), ceil(col("value")).as("ce"),
+        signum(col("value") - 100).cast("double").as("sgn"),
+        greatest(col("value"), lit(50.0)).as("hi"),
+        least(col("value"), lit(50.0)).as("lo"))
+      .orderBy("event_id")
+  }
+
+  // Set operators: INTERSECT / EXCEPT (distinct semantics both engines).
+  val setOps: QueryDef = QueryDef.sql("q_set_ops")(
+    """SELECT user_id, 'both' AS tag FROM (
+      |  SELECT user_id FROM events WHERE event_type = 'purchase'
+      |  INTERSECT
+      |  SELECT user_id FROM events WHERE event_type = 'error') t
+      |UNION ALL
+      |SELECT user_id, 'purchase_only' AS tag FROM (
+      |  SELECT user_id FROM events WHERE event_type = 'purchase'
+      |  EXCEPT
+      |  SELECT user_id FROM events WHERE event_type = 'error') t
+      |ORDER BY tag, user_id""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val p = ev.filter(col("event_type") === "purchase").select("user_id")
+    val e = ev.filter(col("event_type") === "error").select("user_id")
+    p.intersect(e).withColumn("tag", lit("both"))
+      .unionByName(p.except(e).withColumn("tag", lit("purchase_only")))
+      .orderBy("tag", "user_id")
+  }
+
+  // Cube: all grouping-set combinations of (event_type, hour bucket).
+  val cubeCounts: QueryDef = QueryDef.sql("q_cube")(
+    """SELECT event_type, CAST(epoch(date_trunc('hour', ts)) AS BIGINT) % 24 AS hod, COUNT(*) AS n
+      |FROM events
+      |GROUP BY CUBE (event_type, CAST(epoch(date_trunc('hour', ts)) AS BIGINT) % 24)
+      |ORDER BY event_type NULLS FIRST, hod NULLS FIRST""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .withColumn("hod", unix_timestamp(date_trunc("hour", col("ts"))) % 24)
+      .cube(expr("event_type"), expr("hod"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type").asc_nulls_first, col("hod").asc_nulls_first)
+  }
+
+  // Exact median by explicit rank formulation — identical row_number
+  // arithmetic on both engines (no engine-specific median()).
+  val medianValue: QueryDef = QueryDef.sql("q_median_value")(
+    """WITH r AS (
+      |  SELECT event_type, value,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events)
+      |SELECT event_type,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS median_value
+      |FROM r WHERE rn IN ((n + 1) // 2, (n + 2) // 2)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    val wn = Window.partitionBy("event_type")
+    Tables.events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wn))
+      // integer division (`div` / `//`) in both engines: picks the
+      // middle row (odd n) or the two middle rows (even n)
+      .filter(expr("rn = (n + 1) div 2 OR rn = (n + 2) div 2"))
+      .groupBy("event_type")
+      .agg((sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+        .cast("double") / count(lit(1))).as("median_value"))
+      .orderBy("event_type")
+  }
+
+  // Native rolling-hash fingerprint (codegen'd expression) with an
+  // exact-BIGINT-arithmetic oracle fold over ASCII codepoints.
+  val rollingHash: QueryDef = QueryDef.sql("q_rolling_hash")(
+    s"""WITH n AS (SELECT doc_id,
+       |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS norm
+       |  FROM documents)
+       |SELECT doc_id,
+       |  list_reduce(
+       |    list_prepend(CAST(0 AS BIGINT),
+       |                 list_transform(range(1, length(norm) + 1),
+       |                                i -> CAST(unicode(substr(norm, i, 1)) AS BIGINT))),
+       |    (h, c) -> (h * 31 + c) % 2147483648) AS rh
+       |FROM n ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_rolling_hash",
+      exprs => graft.functions.RollingHash31(exprs.head), "built-in")
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        call_function("graft_rolling_hash", Text.normText(col("text"))).as("rh"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    stringFuncs, regexExtract, mathFuncs, setOps, cubeCounts, medianValue,
+    rollingHash)
+}
