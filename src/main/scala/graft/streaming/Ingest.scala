@@ -76,6 +76,25 @@ object Ingest {
       .select(col("data.*"))
       .withColumn("ts", timestamp_micros(col("ts_us")))
 
+  /** JSON decode with a dead-letter column (T8 option,
+    * SURVEY §2.7): well-formed rows parse as usual; corrupt payloads
+    * keep their raw text in `_corrupt` so a DLQ sink can route them
+    * instead of silently nulling (`columnNameOfCorruptRecord`
+    * equivalent, built from PERMISSIVE from_json + a validity check).
+    */
+  def decodeJsonWireWithDlq(wire: DataFrame): DataFrame = {
+    val parsed = wire.selectExpr("CAST(value AS STRING) AS json")
+      .select(col("json"), from_json(col("json"), jsonWireSchema).as("data"))
+    // from_json is PERMISSIVE: corrupt → all-null struct. A row is
+    // corrupt when every field is null but the raw text is not.
+    val allNull = jsonWireSchema.fieldNames
+      .map(f => col(s"data.$f").isNull).reduce(_ && _)
+    parsed
+      .withColumn("_corrupt", when(allNull, col("json")))
+      .select(col("data.*"), col("_corrupt"))
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+  }
+
   /** DSV variants of the same wire (`dataframe_to_kafka.py:44-53`). */
   def toDsvWire(df: DataFrame, keyCol: String, sep: String): DataFrame = {
     val payload = df.withColumn("ts_us", unix_micros(col("ts"))).drop("ts")
