@@ -145,7 +145,63 @@ object Functions {
       .orderBy("doc_id")
   }
 
+  // Unpivot (wide → long) via the stack expression; oracle mirrors with
+  // the equivalent UNION ALL (identical semantics in both engines).
+  val unpivot: QueryDef = QueryDef.sql("q_unpivot")(
+    """SELECT p_partkey, 'retail' AS measure, p_retailprice AS val FROM part
+      |UNION ALL
+      |SELECT p_partkey, 'size' AS measure, CAST(p_size AS DOUBLE) AS val FROM part
+      |ORDER BY p_partkey, measure""".stripMargin) { (s, dir) =>
+    Tables.part(s, dir)
+      .select(col("p_partkey"),
+        expr("stack(2, 'retail', p_retailprice, 'size', CAST(p_size AS DOUBLE))")
+          .as(Seq("measure", "val")))
+      .orderBy("p_partkey", "measure")
+  }
+
+  // min_by / max_by (arg_min / arg_max): per event type, the event id at
+  // the extreme value — unique (value, event_id) makes it deterministic.
+  val argExtremes: QueryDef = QueryDef.sql("q_arg_extremes")(
+    """WITH r AS (
+      |  SELECT event_type, value, event_id,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rmax,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value ASC, event_id) AS rmin
+      |  FROM events)
+      |SELECT event_type,
+      |  MAX(CASE WHEN rmax = 1 THEN event_id END) AS max_event,
+      |  MAX(CASE WHEN rmin = 1 THEN event_id END) AS min_event
+      |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    // formulated as rank-1 picks in BOTH engines rather than native
+    // min_by/arg_min: tie-breaking of the native functions is
+    // engine-defined, the explicit window is not
+    val wmax = Window.partitionBy("event_type").orderBy(col("value").desc, col("event_id"))
+    val wmin = Window.partitionBy("event_type").orderBy(col("value").asc, col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("rmax", row_number().over(wmax))
+      .withColumn("rmin", row_number().over(wmin))
+      .groupBy("event_type")
+      .agg(max(when(col("rmax") === 1, col("event_id"))).as("max_event"),
+        max(when(col("rmin") === 1, col("event_id"))).as("min_event"))
+      .orderBy("event_type")
+  }
+
+  // Date-part extraction: year/month/day identical across engines;
+  // weekday aligned on ISO (Spark weekday()+1 == DuckDB isodow).
+  val dateParts: QueryDef = QueryDef.sql("q_date_parts")(
+    """SELECT CAST(year(ts) AS INT) AS y, CAST(month(ts) AS INT) AS m,
+      |  CAST(day(ts) AS INT) AS d, CAST(isodow(ts) AS INT) AS dow_iso,
+      |  COUNT(*) AS n
+      |FROM events GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(
+        year(col("ts")).as("y"), month(col("ts")).as("m"),
+        dayofmonth(col("ts")).as("d"), (weekday(col("ts")) + 1).as("dow_iso"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("y", "m", "d", "dow_iso")
+  }
+
   val all: Seq[QueryDef] = Seq(
     stringFuncs, regexExtract, mathFuncs, setOps, cubeCounts, medianValue,
-    rollingHash)
+    rollingHash, unpivot, argExtremes, dateParts)
 }
