@@ -43,5 +43,39 @@ object MultimodalMeta {
         .orderBy("doc_id", "frame_idx")
   }
 
-  val all: Seq[QueryDef] = Seq(decodeMeta, frameSample)
+  // Feature extraction stub: first-8-byte embedding, exact byte/255
+  // float division reproduced by the oracle from codepoints (ASCII
+  // corpus → codepoint == UTF-8 byte), surfaced as a flattened column
+  // per dimension for stable hashing.
+  val features: QueryDef = QueryDef.sql("q_mm_features")(
+    s"""SELECT doc_id,
+       |  ${(0 until 8).map(i =>
+            s"CAST(CASE WHEN length(text) >= ${i + 1} " +
+              s"THEN CAST(unicode(substr(text, ${i + 1}, 1)) AS FLOAT) / CAST(255 AS FLOAT) " +
+              s"ELSE CAST(0 AS FLOAT) END AS DOUBLE) AS f_$i")
+            .mkString(",\n  ")}
+       |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val media = Multimodal.mediaFromDocuments(s, Tables.documents(s, dir))
+    Multimodal.extractFeatures(media)
+      .select(col("doc_id") +:
+        (0 until 8).map(i =>
+          element_at(col("features"), i + 1).cast("double").as(s"f_$i")): _*)
+      .orderBy("doc_id")
+  }
+
+  // Resize stub: aspect-preserving integer downscale to max side 256.
+  val resize: QueryDef = QueryDef.sql("q_mm_resize")(
+    s"""WITH $metaCte
+       |SELECT doc_id, media_type, width, height,
+       |  CASE WHEN greatest(width, height) <= 256 OR greatest(width, height) = 0
+       |       THEN width ELSE width * 256 // greatest(width, height) END AS rs_width,
+       |  CASE WHEN greatest(width, height) <= 256 OR greatest(width, height) = 0
+       |       THEN height ELSE height * 256 // greatest(width, height) END AS rs_height
+       |FROM meta ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val media = Multimodal.mediaFromDocuments(s, Tables.documents(s, dir))
+    Multimodal.resizeMeta(Multimodal.decodeMeta(media), 256)
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(decodeMeta, frameSample, features, resize)
 }

@@ -68,6 +68,38 @@ object Multimodal {
       .as[MediaRecord]
   }
 
+  /** STUB feature extractor: a deterministic 8-dim float "embedding"
+    * from the first payload bytes (scaled to [0,1]); the real system
+    * plugs a vision/audio model here. Runs in the same partition-wise
+    * shape as [[decodeMeta]].
+    */
+  def extractFeatures(media: Dataset[MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val f = (0 until 8).map { i =>
+          if (i < r.payload.length) (r.payload(i) & 0xff) / 255.0f else 0.0f
+        }.toArray
+        (r.doc_id, f)
+      }
+    }.toDF("doc_id", "features")
+  }
+
+  /** STUB resize: recompute target dims preserving the fake aspect
+    * ratio, capped at `maxSide` (pure metadata arithmetic — a real
+    * implementation rescales pixels partition-wise).
+    */
+  def resizeMeta(meta: Dataset[MediaMeta], maxSide: Long): DataFrame = {
+    import meta.sparkSession.implicits._
+    meta.map { m =>
+      val side = math.max(m.width, m.height)
+      val (w2, h2) =
+        if (side <= maxSide || side == 0) (m.width, m.height)
+        else (m.width * maxSide / side, m.height * maxSide / side)
+      (m.doc_id, m.media_type, m.width, m.height, w2, h2)
+    }.toDF("doc_id", "media_type", "width", "height", "rs_width", "rs_height")
+  }
+
   /** Frame sampling: every `step`-th frame index of each video. */
   def sampleFrames(meta: Dataset[MediaMeta], step: Int): DataFrame =
     meta.toDF()

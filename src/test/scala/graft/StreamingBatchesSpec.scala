@@ -1,0 +1,84 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.UpsertParquetStore
+
+/** Multi-micro-batch streaming semantics: consumer-side pacing via
+  * maxFilesPerTrigger (the file-source analog of maxOffsetsPerTrigger,
+  * SURVEY §2.7 T6), K3 upsert across several REAL batches, and
+  * checkpoint-based restart idempotence (T3).
+  */
+class StreamingBatchesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(p: String) =
+    Files.createTempDirectory(Paths.get("target"), p).toString
+
+  // three files → with maxFilesPerTrigger=1, three micro-batches; later
+  // files carry newer ts for overlapping keys
+  private def writeBatches(dir: String): Unit =
+    (0 until 3).foreach { b =>
+      Seq((1L, 10L * (b + 1), s"v1_b$b"), (2L + b, 10L * (b + 1) + 1, s"k_b$b"))
+        .toDF("key", "ts", "v")
+        .coalesce(1).write.parquet(s"$dir/batch_$b")
+    }
+
+  private def stream(dir: String) =
+    spark.readStream.schema("key LONG, ts LONG, v STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/*")
+
+  test("paced multi-batch upsert: last write per key wins across batches") {
+    val src = tmp("mb_src_")
+    writeBatches(src)
+    val store = new UpsertParquetStore(tmp("mb_store_"), "key", Seq("ts"))
+    assert(store.healthCheck())
+    var batches = 0
+    val q = stream(src).writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Row], id: Long) =>
+        batches += 1; store.upsert(b.toDF(), id)
+      }
+      .option("checkpointLocation", tmp("mb_chk_"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(batches >= 3, s"expected >=3 micro-batches, got $batches")
+    val out = store.read(spark).orderBy("key")
+      .collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    // key 1 appears in every batch; the ts=30 write must win
+    assert(out(1L) == "v1_b2")
+    assert(out.keySet == Set(1L, 2L, 3L, 4L))
+  }
+
+  test("checkpoint restart: re-running over the same source adds nothing") {
+    val src = tmp("rs_src_")
+    writeBatches(src)
+    val chk = tmp("rs_chk_")
+    val store = new UpsertParquetStore(tmp("rs_store_"), "key", Seq("ts"))
+    def runOnce(): Int = {
+      var batches = 0
+      val q = stream(src).writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[Row], id: Long) =>
+          batches += 1; store.upsert(b.toDF(), id)
+        }
+        .option("checkpointLocation", chk)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      batches
+    }
+    assert(runOnce() >= 3)
+    val snapshot = store.read(spark).orderBy("key").collect().map(_.toSeq).toSeq
+    // second run with the SAME checkpoint: offsets already committed →
+    // no new batches, store untouched
+    assert(runOnce() == 0)
+    val after = store.read(spark).orderBy("key").collect().map(_.toSeq).toSeq
+    assert(after == snapshot)
+  }
+}
