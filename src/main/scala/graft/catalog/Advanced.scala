@@ -42,6 +42,24 @@ object Advanced {
       .orderBy("event_id")
   }
 
+  // The same as-of join through the NATIVE custom operator
+  // (graft.plans.AsOfJoinExec: LogicalPlan + Strategy + SparkPlan) —
+  // identical semantics and oracle, different physical plan: one
+  // streamed sort-merge pass instead of union + window.
+  val asofJoinNative: QueryDef = QueryDef.sql("q_asof_join_native")(asofJoin.oracle.get) {
+    (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      graft.plans.AsOfJoin
+        .joinAsOf(purchases, clicks, Seq("user_id"), "ts", "event_id", "last_click_id")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("last_click_id"))
+        .orderBy("event_id")
+  }
+
   // Custom keyed streaming state (flatMapGroupsWithState): running
   // per-user counts drained through a real micro-batch execution.
   val streamStatefulCount: QueryDef = QueryDef.sql("q_stream_stateful_count")(
@@ -83,5 +101,5 @@ object Advanced {
     }
   }
 
-  val all: Seq[QueryDef] = Seq(asofJoin, streamStatefulCount, topkTokens)
+  val all: Seq[QueryDef] = Seq(asofJoin, asofJoinNative, streamStatefulCount, topkTokens)
 }

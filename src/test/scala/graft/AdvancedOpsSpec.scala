@@ -28,6 +28,38 @@ class AdvancedOpsSpec extends AnyFunSuite {
       (102L, None)))
   }
 
+  test("native AsOfJoinExec matches the composed as-of join") {
+    val r = new scala.util.Random(7)
+    val left = (1 to 500).map(_ =>
+      (r.nextInt(20).toLong, r.nextInt(1000).toLong, r.nextInt(100000).toLong))
+      .toDF("k", "t", "lid")
+    val right = (1 to 500).map(_ =>
+      (r.nextInt(25).toLong, r.nextInt(1000).toLong, r.nextInt(100000).toLong))
+      .toDF("k", "t", "rid")
+    val composed = AsOf.joinAsOf(left, right, Seq("k"), "t", "rid", "asof_rid")
+      .orderBy("k", "t", "lid").collect().map(_.toSeq).toSeq
+    val native = graft.plans.AsOfJoin.joinAsOf(left, right, Seq("k"), "t", "rid", "asof_rid")
+      .orderBy("k", "t", "lid").collect().map(_.toSeq).toSeq
+    assert(native == composed)
+    assert(native.nonEmpty)
+  }
+
+  test("native AsOfJoinExec handles empty right side and exact ties") {
+    val left = Seq((1L, 10L, 100L)).toDF("k", "t", "lid")
+    val emptyRight = Seq.empty[(Long, Long, Long)].toDF("k", "t", "rid")
+    val out = graft.plans.AsOfJoin
+      .joinAsOf(left, emptyRight, Seq("k"), "t", "rid", "a")
+      .collect()
+    assert(out.length == 1 && out.head.isNullAt(3))
+    // exact-tie: right row at the same instant is visible; max payload
+    // wins among equal instants (same as the composed operator)
+    val right = Seq((1L, 10L, 7L), (1L, 10L, 9L)).toDF("k", "t", "rid")
+    val tied = graft.plans.AsOfJoin
+      .joinAsOf(left, right, Seq("k"), "t", "rid", "a")
+      .collect().head
+    assert(tied.getLong(3) == 9L)
+  }
+
   test("TopKTokens: exact counts, row_number tie-break, k rows") {
     val ds = Seq("b", "a", "a", "c", "b", "d").map(("g", _)).toDS()
     val out = ds.groupByKey(_._1)
