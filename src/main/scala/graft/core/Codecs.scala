@@ -31,7 +31,13 @@ object Codecs {
     * (P2) so this matches reference behavior on its own input.
     */
   def dsvEncode(df: DataFrame, sep: String = ","): Column =
-    concat_ws(sep, df.columns.map(c => col(c).cast("string")).toSeq: _*)
+    dsvEncode(df.columns.toSeq, sep)
+
+  /** Same, over an explicit column list (callers that encode a schema
+    * subset, e.g. the streaming DSV wire).
+    */
+  def dsvEncode(cols: Seq[String], sep: String): Column =
+    concat_ws(sep, cols.map(c => col(c).cast("string")): _*)
 
   /** DSV decode against a declared schema via the built-in CSV reader
     * expression. `from_csv` is PERMISSIVE like `from_json`.

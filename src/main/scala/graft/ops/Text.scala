@@ -99,11 +99,8 @@ object Text {
         (0 until rowsPerBand).map(r => element_at(sig, b * rowsPerBand + r + 1)): _*))
     }: _*)
 
-  /** 64-bit fingerprint from the md5 of the normalized text (top 15 hex
-    * digits → fits a signed long without ANSI overflow).
-    */
-  def fingerprint64(text: Column): Column =
-    conv(substring(md5(normText(text)), 1, 15), 16, 10).cast("long")
+  /** 64-bit fingerprint of the normalized text ([[hash60]] convention). */
+  def fingerprint64(text: Column): Column = hash60(normText(text))
 
   /** Count of tokens present in `words`. */
   def stopwordHits(toks: Column, words: Seq[String]): Column =

@@ -148,8 +148,13 @@ final case class AsOfJoinExec(
             val cmp = keyOrd.compare(rKey, lKey)
             if (cmp < 0) { rBuf.next() }   // stale key: skip, no carry
             else if (cmp == 0 && rTimeProj(rRow).getLong(0) <= lT) {
-              curKey = rKey.copy()
-              carried = rPayloadProj(rRow).copy()
+              // last NON-NULL payload wins — matches the composed
+              // operator's last(ignoreNulls = true)
+              val p = rPayloadProj(rRow)
+              if (!p.isNullAt(0)) {
+                curKey = rKey.copy()
+                carried = p.copy()
+              }
               rBuf.next()
             } else advancing = false
           }
@@ -181,6 +186,15 @@ object AsOfJoin {
       timeCol: String, payload: String, outCol: String): DataFrame = {
     val spark = left.sparkSession
     register(spark)
+    // the exec reads time via getLong: only long-backed types are safe
+    // (an int would read without sign extension, silently corrupting)
+    Seq(left, right).foreach { df =>
+      val dt = df.schema(timeCol).dataType
+      require(dt == org.apache.spark.sql.types.TimestampType ||
+        dt == org.apache.spark.sql.types.TimestampNTZType ||
+        dt == org.apache.spark.sql.types.LongType,
+        s"as-of time column $timeCol must be timestamp or bigint, got ${dt.sql}")
+    }
     val rightPlan = GraftBridge.logicalPlan(right)
     val payloadAttr = rightPlan.output.find(_.name == payload).getOrElse(
       throw new IllegalArgumentException(s"payload column $payload not on right side"))

@@ -53,8 +53,8 @@ object Ingest {
   def toJsonWire(df: DataFrame, keyCol: String): DataFrame = {
     val payload = df.withColumn("ts_us", unix_micros(col("ts"))).drop("ts")
     payload.select(
-      col(keyCol).cast("string").as("key"),
-      to_json(struct(payload.columns.map(col).toSeq: _*)).as("value"))
+      graft.core.Codecs.kafkaKey(Some(keyCol)).as("key"),
+      graft.core.Codecs.jsonEncode(payload).as("value"))
   }
 
   /** Wire schema of [[toJsonWire]] output. */
@@ -76,32 +76,32 @@ object Ingest {
       .select(col("data.*"))
       .withColumn("ts", timestamp_micros(col("ts_us")))
 
-  /** JSON decode with a dead-letter column (T8 option,
-    * SURVEY §2.7): well-formed rows parse as usual; corrupt payloads
-    * keep their raw text in `_corrupt` so a DLQ sink can route them
-    * instead of silently nulling (`columnNameOfCorruptRecord`
-    * equivalent, built from PERMISSIVE from_json + a validity check).
+  /** JSON decode with a dead-letter column (T8 option, SURVEY §2.7):
+    * well-formed rows parse as usual; MALFORMED payloads keep their raw
+    * text in `_corrupt` so a DLQ sink can route them instead of
+    * silently nulling. Uses PERMISSIVE from_json's own
+    * `columnNameOfCorruptRecord`, so a valid-but-all-null record (e.g.
+    * `{}`) is NOT misrouted as corrupt.
     */
   def decodeJsonWireWithDlq(wire: DataFrame): DataFrame = {
-    val parsed = wire.selectExpr("CAST(value AS STRING) AS json")
-      .select(col("json"), from_json(col("json"), jsonWireSchema).as("data"))
-    // from_json is PERMISSIVE: corrupt → all-null struct. A row is
-    // corrupt when every field is null but the raw text is not.
-    val allNull = jsonWireSchema.fieldNames
-      .map(f => col(s"data.$f").isNull).reduce(_ && _)
-    parsed
-      .withColumn("_corrupt", when(allNull, col("json")))
-      .select(col("data.*"), col("_corrupt"))
+    val schemaWithDlq = jsonWireSchema.add("_corrupt", StringType)
+    wire.selectExpr("CAST(value AS STRING) AS json")
+      .select(from_json(col("json"), schemaWithDlq,
+        Map("columnNameOfCorruptRecord" -> "_corrupt")).as("data"))
+      .select(col("data.*"))
       .withColumn("ts", timestamp_micros(col("ts_us")))
   }
 
-  /** DSV variants of the same wire (`dataframe_to_kafka.py:44-53`). */
-  def toDsvWire(df: DataFrame, keyCol: String, sep: String): DataFrame = {
-    val payload = df.withColumn("ts_us", unix_micros(col("ts"))).drop("ts")
-    payload.select(
-      col(keyCol).cast("string").as("key"),
-      concat_ws(sep, payload.columns.map(c => col(c).cast("string")).toSeq: _*).as("value"))
-  }
+  /** DSV variant of the same wire (`dataframe_to_kafka.py:44-53`).
+    * Encodes EXACTLY the [[dsvWireSchema]] fields (props is excluded —
+    * it embeds quote characters the CSV parser would mangle — the
+    * producer's `-exc` behavior) so encode/decode are self-consistent
+    * regardless of extra input columns.
+    */
+  def toDsvWire(df: DataFrame, keyCol: String, sep: String): DataFrame =
+    df.withColumn("ts_us", unix_micros(col("ts"))).select(
+      graft.core.Codecs.kafkaKey(Some(keyCol)).as("key"),
+      graft.core.Codecs.dsvEncode(dsvWireSchema.fieldNames.toSeq, sep).as("value"))
 
   /** Wire schema of [[toDsvWire]] output: the JSON wire minus `props`
     * (the producer excludes it — it embeds quote characters the CSV
@@ -124,8 +124,9 @@ object Ingest {
   def runToMemory(df: DataFrame, mode: String = "append"): DataFrame = {
     val spark = df.sparkSession
     val name = "mem_" + java.util.UUID.randomUUID.toString.replace("-", "")
-    val chk = java.nio.file.Files
-      .createTempDirectory(java.nio.file.Paths.get("target"), "chk_").toString
+    val chkRoot = java.nio.file.Paths.get("target", "checkpoints")
+    java.nio.file.Files.createDirectories(chkRoot)  // cwd-independent
+    val chk = java.nio.file.Files.createTempDirectory(chkRoot, "chk_").toString
     val q = df.writeStream
       .format("memory")
       .queryName(name)

@@ -62,6 +62,17 @@ final class UpsertParquetStore(root: String, keyCol: String, orderCols: Seq[Stri
     merged.write.mode(SaveMode.Overwrite).parquet(s"$root/v$next")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$root/CURRENT"), next.toString)
+    // GC superseded versions (keep the immediate predecessor so an
+    // in-flight reader of the old CURRENT finishes cleanly)
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("v"))
+      .filter(_.getName.drop(1).toLongOption.exists(_ < next - 1))
+      .foreach(deleteRecursively)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete()
   }
 
   private def currentVersion(): Option[Long] = {

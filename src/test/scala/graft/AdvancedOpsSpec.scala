@@ -58,6 +58,14 @@ class AdvancedOpsSpec extends AnyFunSuite {
       .joinAsOf(left, right, Seq("k"), "t", "rid", "a")
       .collect().head
     assert(tied.getLong(3) == 9L)
+    // null payloads are skipped — last NON-null wins (ignoreNulls parity)
+    val withNull = Seq((1L, Some(5L), 3L), (1L, None, 9L))
+      .toDF("k", "rid", "t")
+      .select(col("k"), col("t"), col("rid"))
+    val nn = graft.plans.AsOfJoin
+      .joinAsOf(left, withNull, Seq("k"), "t", "rid", "a")
+      .collect().head
+    assert(nn.getLong(3) == 5L)
   }
 
   test("TopKTokens: exact counts, row_number tie-break, k rows") {

@@ -73,11 +73,15 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     val ms = MemoryStream[String]
     ms.addData(
       """{"event_id":1,"user_id":2,"event_type":"click","value":0.5,"props":"{}","ts_us":1704067200000000}""",
+      "{}",  // valid JSON, all fields absent → NOT corrupt
       "garbage-not-json")
     val decoded = graft.streaming.Ingest.decodeJsonWireWithDlq(ms.toDF())
     val rows = graft.streaming.Ingest.runToMemory(decoded).collect()
     val (bad, ok) = rows.partition(r => !r.isNullAt(r.fieldIndex("_corrupt")))
-    assert(ok.length == 1 && ok.head.getAs[Long]("event_id") == 1L)
+    assert(ok.length == 2)
+    assert(ok.exists(r => !r.isNullAt(r.fieldIndex("event_id")) &&
+      r.getAs[Long]("event_id") == 1L))
+    assert(ok.exists(r => r.isNullAt(r.fieldIndex("event_id"))))  // the {} row
     assert(bad.length == 1 && bad.head.getAs[String]("_corrupt") == "garbage-not-json")
   }
 }
