@@ -180,7 +180,27 @@ object Analytics {
       .orderBy("bucket")
   }
 
+  // RANGE-frame window: per event, activity in the trailing 30 minutes
+  // of the same user (event-time range frame over epoch-micros).
+  val trailingWindow: QueryDef = QueryDef.sql("q_trailing_window")(
+    """SELECT user_id, event_id,
+      |  COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |    RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW) AS n_30m,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |    RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS sum_30m
+      |FROM events ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("user_id").orderBy(unix_micros(col("ts")))
+      .rangeBetween(-1800000000L, Window.currentRow)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        count(lit(1)).over(w).as("n_30m"),
+        sum(col("value").cast(DecimalType(18, 2))).over(w)
+          .cast("double").as("sum_30m"))
+      .orderBy("user_id", "event_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     semiJoin, antiJoin, outerJoin, distinctUsers, rollupCounts, occupancyRate,
-    runningSum, eventGaps, sessionize, valueQuartiles, valueHistogram)
+    runningSum, eventGaps, sessionize, valueQuartiles, valueHistogram,
+    trailingWindow)
 }

@@ -199,5 +199,36 @@ object SimilaritySearch {
       .orderBy("query_id", "rnk")
   }
 
-  val all: Seq[QueryDef] = Seq(embedNorm, embedTopk, embedNearDup, annIvf, annLsh)
+  // LSH-bucketed near-dup: the scale path for q_embed_neardup — pairs
+  // only form inside a bucket (equi-join on the signature), so the
+  // pairwise compare is bucket-local instead of O(n²). Recall is bounded
+  // by the signature; the brute-force query remains the exact baseline.
+  val embedNearDupLsh: QueryDef = QueryDef.sql("q_embed_neardup_lsh")(
+    s"""WITH n AS ($normedSql),
+       |b AS (SELECT vec_id, v, nrm, $bucketSql AS bucket FROM n)
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cosine
+       |FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.3
+       |ORDER BY vec_a, vec_b""".stripMargin) { (s, dir) =>
+    val n = normed(s, dir)
+    val bucket = (0 until B).map { j =>
+      val h = array(plane(j).map(lit): _*)
+      when(Vectors.dot(col("v"), h) > 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+    val b = n.withColumn("bucket", bucket)
+    val a1 = b.select(col("bucket"), col("vec_id").as("vec_a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b1 = b.select(col("bucket"), col("vec_id").as("vec_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    a1.join(b1, Seq("bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        Vectors.cosine(col("va"), col("vb"), col("na"), col("nb")).as("cosine"))
+      .filter(col("cosine") >= 0.3)
+      .orderBy("vec_a", "vec_b")
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    embedNorm, embedTopk, embedNearDup, annIvf, annLsh, embedNearDupLsh)
 }

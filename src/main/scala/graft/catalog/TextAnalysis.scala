@@ -277,7 +277,65 @@ object TextAnalysis {
       .orderBy("doc_a", "doc_b")
   }
 
+  // The complete MinHash-LSH dedup pipeline: band-collision candidates
+  // verified with EXACT shingle-set Jaccard — the verification join is
+  // restricted to candidate pairs, so the expensive compare runs on
+  // O(candidates), not O(n²).
+  val minhashVerified: QueryDef = QueryDef.sql("q_minhash_verified")(
+    s"""WITH base AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |shx AS (SELECT doc_id, $shinglesSql AS sh FROM base),
+       |sig AS (SELECT doc_id, ${sigSqls.mkString(", ")} FROM shx),
+       |bands AS (SELECT doc_id, ${bandSqls.mkString(", ")} FROM sig),
+       |ex AS (
+       |  ${(0 until K / 2).map(b => s"SELECT doc_id, $b AS band_idx, band_$b AS band_hash FROM bands")
+            .mkString("\n  UNION ALL\n  ")}),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM ex a JOIN ex b
+       |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       |    AND a.doc_id < b.doc_id),
+       |dsh AS (SELECT doc_id, list_distinct(sh) AS dsh, len(list_distinct(sh)) AS n
+       |        FROM shx),
+       |e AS (SELECT doc_id, n, UNNEST(dsh) AS s FROM dsh),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, ea.n AS n_a, eb.n AS n_b, COUNT(*) AS inter
+       |  FROM cand c
+       |  JOIN e ea ON ea.doc_id = c.doc_a
+       |  JOIN e eb ON eb.doc_id = c.doc_b AND eb.s = ea.s
+       |  GROUP BY 1, 2, 3, 4)
+       |SELECT doc_a, doc_b, inter, n_a + n_b - inter AS uni,
+       |  inter / (n_a + n_b - inter) AS jaccard
+       |FROM inter ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+    val sigDf = Text.minhashSigDF(Tables.documents(s, dir), "doc_id", "text", 3, K)
+    val banded = sigDf
+      .select(col("doc_id"), array(Text.lshBandCols(2, K): _*).as("bands"))
+      .select(col("doc_id"), posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val dsh = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), Text.tokens(col("text")).as("__toks"))
+      .select(col("doc_id"),
+        array_distinct(Text.wordShingles(col("__toks"), 3)).as("dsh"))
+      .select(col("doc_id"), size(col("dsh")).as("n"), explode(col("dsh")).as("s"))
+    val ea = dsh.select(col("doc_id").as("doc_a"), col("n").as("n_a"), col("s"))
+    val eb = dsh.select(col("doc_id").as("doc_b2"), col("n").as("n_b"),
+      col("s").as("s_b"))
+    cand.join(ea, "doc_a")
+      .join(eb, col("doc_b") === col("doc_b2") && col("s") === col("s_b"))
+      .groupBy("doc_a", "doc_b", "n_a", "n_b")
+      .agg(count(lit(1)).as("inter"))
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        (col("n_a") + col("n_b") - col("inter")).as("uni"),
+        (col("inter") / (col("n_a") + col("n_b") - col("inter"))).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   val all: Seq[QueryDef] = Seq(
     tokenCount, langId, qualityScore, fingerprint, dedupExact,
-    minhashSig, minhashPairs, ngramJaccard, simhash, simhashNearDup)
+    minhashSig, minhashPairs, minhashVerified, ngramJaccard, simhash,
+    simhashNearDup)
 }
