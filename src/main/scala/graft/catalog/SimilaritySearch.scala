@@ -124,11 +124,12 @@ object SimilaritySearch {
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
     val wAsg = Window.partitionBy("vec_id").orderBy(
       Vectors.cosine(col("v"), col("cv"), col("nrm"), col("cnrm")).desc, col("cid"))
-    val bucket = n.crossJoin(broadcast(c))
+    // carry (v, nrm) through the assignment window — re-joining the
+    // corpus to fetch them back would rescan and reshuffle it
+    val nb = n.crossJoin(broadcast(c))
       .withColumn("rn", row_number().over(wAsg))
       .filter(col("rn") === 1)
-      .select("vec_id", "cid")
-    val nb = n.join(bucket, "vec_id")
+      .select("vec_id", "v", "nrm", "cid")
     val q = nb.filter(col("vec_id") < 20)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qnrm"), col("cid"))

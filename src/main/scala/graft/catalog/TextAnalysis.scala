@@ -316,11 +316,15 @@ object TextAnalysis {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+    // consumed twice (both sides of the intersection join) — persist so
+    // the CPU-heavy shingle chain runs once
     val dsh = Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), col("text"), Text.tokens(col("text")).as("__toks"))
       .select(col("doc_id"),
         array_distinct(Text.wordShingles(col("__toks"), 3)).as("dsh"))
       .select(col("doc_id"), size(col("dsh")).as("n"), explode(col("dsh")).as("s"))
+      .persist()
     val ea = dsh.select(col("doc_id").as("doc_a"), col("n").as("n_a"), col("s"))
     val eb = dsh.select(col("doc_id").as("doc_b2"), col("n").as("n_b"),
       col("s").as("s_b"))
