@@ -119,6 +119,35 @@ object Streaming {
       .orderBy("idx")
   }
 
+  // Stream-stream inner join with event-time bounds: each purchase
+  // joined to the same user's clicks in the preceding hour. Both sides
+  // watermarked — the state store can expire click state once the
+  // watermark passes the join window, which is what makes this viable
+  // on an unbounded 100 TB stream. Oracle = the identical batch join.
+  val streamStreamJoin: QueryDef = QueryDef.sql("q_stream_stream_join")(
+    """SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id
+      | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+      |ORDER BY purchase_id, click_id""".stripMargin) { (s, dir) =>
+    val src = Ingest.eventsStream(s, dir)
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "2 hours")
+    val joined = purchases.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"))
+    Ingest.runToMemory(joined.select("purchase_id", "click_id", "user_id"))
+      .orderBy("purchase_id", "click_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
-    streamIngestJson, streamIngestDsv, streamWindowHourly, sinkUpsert, sinkRoute)
+    streamIngestJson, streamIngestDsv, streamWindowHourly, sinkUpsert, sinkRoute,
+    streamStreamJoin)
 }
