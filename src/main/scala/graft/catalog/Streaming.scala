@@ -147,7 +147,25 @@ object Streaming {
       .orderBy("purchase_id", "click_id")
   }
 
+  // Streaming deduplication with a watermark: the exactly-once repair
+  // for the reference's at-least-once K4 sink — replayed records are
+  // dropped by key while the watermark bounds the dedup state. The
+  // duplicate feed is the stream unioned with itself (every record
+  // delivered twice); the oracle is simply the distinct batch.
+  val streamDedup: QueryDef = QueryDef.sql("q_stream_dedup")(
+    """SELECT event_id, user_id, event_type, value FROM events
+      |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    def side = Ingest.eventsStream(s, dir)
+      .select("event_id", "user_id", "event_type", "value", "ts")
+    val duplicated = side.unionByName(side)
+    val deduped = duplicated
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+      .drop("ts")
+    Ingest.runToMemory(deduped).orderBy("event_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     streamIngestJson, streamIngestDsv, streamWindowHourly, sinkUpsert, sinkRoute,
-    streamStreamJoin)
+    streamStreamJoin, streamDedup)
 }

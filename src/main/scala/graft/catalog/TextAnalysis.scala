@@ -306,7 +306,20 @@ object TextAnalysis {
        |SELECT doc_a, doc_b, inter, n_a + n_b - inter AS uni,
        |  inter / (n_a + n_b - inter) AS jaccard
        |FROM inter ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
-    val sigDf = Text.minhashSigDF(Tables.documents(s, dir), "doc_id", "text", 3, K)
+    // ONE persisted shingle relation feeds signature generation (min is
+    // duplicate-insensitive), candidate banding, and the exact-Jaccard
+    // verification — the CPU-heavy tokenize/shingle chain runs once.
+    val shingled = Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), Text.tokens(col("text")).as("__toks"))
+      .select(col("doc_id"),
+        explode(Text.wordShingles(col("__toks"), 3)).as("s"))
+      .persist()
+    val hashed = shingled.select(col("doc_id") +:
+      (0 until K).map(i => Text.hash60(concat(lit(s"$i:"), col("s"))).as(s"h_$i")): _*)
+    val sigDf = hashed.groupBy(col("doc_id"))
+      .agg(min(col("h_0")).as("sig_0"),
+        (1 until K).map(i => min(col(s"h_$i")).as(s"sig_$i")): _*)
     val banded = sigDf
       .select(col("doc_id"), array(Text.lshBandCols(2, K): _*).as("bands"))
       .select(col("doc_id"), posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
@@ -316,15 +329,9 @@ object TextAnalysis {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    // consumed twice (both sides of the intersection join) — persist so
-    // the CPU-heavy shingle chain runs once
-    val dsh = Tables.documents(s, dir)
-      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-      .select(col("doc_id"), col("text"), Text.tokens(col("text")).as("__toks"))
-      .select(col("doc_id"),
-        array_distinct(Text.wordShingles(col("__toks"), 3)).as("dsh"))
-      .select(col("doc_id"), size(col("dsh")).as("n"), explode(col("dsh")).as("s"))
-      .persist()
+    val distinctSh = shingled.distinct()
+    val sizes = distinctSh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val dsh = distinctSh.join(sizes, "doc_id")
     val ea = dsh.select(col("doc_id").as("doc_a"), col("n").as("n_a"), col("s"))
     val eb = dsh.select(col("doc_id").as("doc_b2"), col("n").as("n_b"),
       col("s").as("s_b"))
