@@ -85,12 +85,14 @@ object Functions {
 
   // Cube: all grouping-set combinations of (event_type, hour bucket).
   val cubeCounts: QueryDef = QueryDef.sql("q_cube")(
-    """SELECT event_type, CAST(epoch(date_trunc('hour', ts)) AS BIGINT) % 24 AS hod, COUNT(*) AS n
+    """SELECT event_type, hour(ts) AS hod, COUNT(*) AS n
       |FROM events
-      |GROUP BY CUBE (event_type, CAST(epoch(date_trunc('hour', ts)) AS BIGINT) % 24)
+      |GROUP BY CUBE (event_type, hour(ts))
       |ORDER BY event_type NULLS FIRST, hod NULLS FIRST""".stripMargin) { (s, dir) =>
+    // hour(ts), not epoch%24: epoch of an hour-truncated timestamp is a
+    // multiple of 3600 and 3600 % 24 == 0, so that form is always 0.
     Tables.events(s, dir)
-      .withColumn("hod", unix_timestamp(date_trunc("hour", col("ts"))) % 24)
+      .withColumn("hod", hour(col("ts")).cast("long"))
       .cube(expr("event_type"), expr("hod"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("event_type").asc_nulls_first, col("hod").asc_nulls_first)

@@ -158,9 +158,12 @@ object Streaming {
     def side = Ingest.eventsStream(s, dir)
       .select("event_id", "user_id", "event_type", "value", "ts")
     val duplicated = side.unionByName(side)
+    // dropDuplicatesWithinWatermark (not dropDuplicates) so the watermark
+    // actually evicts dedup state: plain dropDuplicates("event_id") keeps
+    // every key forever unless the event-time column is part of the key.
     val deduped = duplicated
       .withWatermark("ts", "1 hour")
-      .dropDuplicates("event_id")
+      .dropDuplicatesWithinWatermark("event_id")
       .drop("ts")
     Ingest.runToMemory(deduped).orderBy("event_id")
   }

@@ -30,7 +30,11 @@ object AsOf {
       timeCol: String, payload: String, outCol: String): DataFrame = {
     val l = left.withColumn("__side", lit(1))
       .withColumn("__asof", lit(null).cast(right.schema(payload).dataType))
-    val r = right.select(keyCols.map(col) :+ col(timeCol) :+ col(payload).as("__asof"): _*)
+    // null-time right rows are never "at or before" anything — drop them
+    // here so the nulls-first window sort can't leak them into null-time
+    // left rows (keeps semantics aligned with the native AsOfJoinExec)
+    val r = right.filter(col(timeCol).isNotNull)
+      .select(keyCols.map(col) :+ col(timeCol) :+ col(payload).as("__asof"): _*)
       .withColumn("__side", lit(0))
     val unioned = l.columns.foldLeft(r) { (acc, c) =>
       if (acc.columns.contains(c)) acc else acc.withColumn(c, lit(null))

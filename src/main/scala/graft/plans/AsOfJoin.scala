@@ -137,8 +137,13 @@ final case class AsOfJoinExec(
 
         override def next(): InternalRow = {
           val lRow = lIt.next()
+          val lTimeRow = lTimeProj(lRow)
+          // NULL left time: nothing is "at or before" it → null payload
+          // (same as ops.AsOf.joinAsOf, where null-time left rows sort
+          // nulls-first and see no carried right value)
+          if (lTimeRow.isNullAt(0)) return resultProj(joined(lRow, nullPayload))
           val lKey = lKeyProj(lRow)
-          val lT = lTimeProj(lRow).getLong(0)
+          val lT = lTimeRow.getLong(0)
           // advance the right side through keys < lKey and rows with
           // time <= lT on the same key, carrying the last payload
           var advancing = true
@@ -147,6 +152,9 @@ final case class AsOfJoinExec(
             val rKey = rKeyProj(rRow)
             val cmp = keyOrd.compare(rKey, lKey)
             if (cmp < 0) { rBuf.next() }   // stale key: skip, no carry
+            else if (cmp == 0 && rTimeProj(rRow).isNullAt(0)) {
+              rBuf.next()                  // NULL right time: never carriable
+            }
             else if (cmp == 0 && rTimeProj(rRow).getLong(0) <= lT) {
               // last NON-NULL payload wins — matches the composed
               // operator's last(ignoreNulls = true)
