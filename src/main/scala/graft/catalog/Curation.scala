@@ -1,0 +1,285 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.{QueryDef, Tables}
+import graft.ops.Text
+
+/** Corpus-curation operators a large-scale training-data pipeline needs
+  * beyond per-document scoring: near-dup clustering (connected
+  * components), Gopher-style repetition filters, deterministic
+  * train/val/test hash splits, stratified sampling, and fixed-width
+  * token chunking.
+  *
+  * Scale notes are on each operator; everything here is declarative
+  * DataFrame code (codegen'd built-ins, no UDFs) so Catalyst handles
+  * pushdown/pruning, and each shuffle is on an explicit, high-cardinality
+  * key (doc_id or a token block).
+  */
+object Curation {
+
+  import TextAnalysis.toksSql
+
+  // -------------------------------------------------------------------
+  // Connected-components dedup clustering.
+  //
+  // Near-dup PAIRS (q_ngram_jaccard / q_minhash_*) are not what a
+  // pipeline deletes by: transitive duplicates (A~B, B~C) must collapse
+  // into ONE cluster with one canonical survivor. Edges here are the
+  // exact token-Jaccard >= 0.3 pairs (same definition as
+  // q_ngram_jaccard); components are found by iterative min-label
+  // propagation — each round every node takes the minimum label among
+  // itself and its neighbors, converging in O(component diameter)
+  // rounds. Dup clusters are shallow (diameter 2-3 in practice), so a
+  // handful of shuffles on doc_id suffices even at 100 TB; the
+  // production-scale upgrade is the alternating large-star/small-star
+  // variant (Kiveris et al.), which keeps per-round state identical in
+  // shape (a (node,label) table) — plus periodic checkpointing to cut
+  // lineage, which `localCheckpoint` models here.
+  private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val ex = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        array_distinct(Text.tokens(col("text"))).as("dtok"))
+      .select(col("doc_id"), col("lang"), col("n_chars"), size(col("dtok")).as("n"),
+        explode(col("dtok")).as("t"))
+    ex.as("a").join(ex.as("b"),
+        col("a.t") === col("b.t") && col("a.lang") === col("b.lang") &&
+          col("a.n_chars") === col("b.n_chars") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"))
+      .agg(count(lit(1)).as("inter"))
+      .filter(col("inter") / (col("n_a") + col("n_b") - col("inter")) >= 0.3)
+      .select(col("doc_a"), col("doc_b"))
+  }
+
+  private val pairsSql =
+    s"""base AS (
+       |  SELECT doc_id, lang, n_chars, list_distinct($toksSql) AS dtok FROM documents),
+       |sized AS (SELECT doc_id, lang, n_chars, len(dtok) AS n, dtok FROM base),
+       |ex AS (SELECT doc_id, lang, n_chars, n, UNNEST(dtok) AS t FROM sized),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM ex a JOIN ex b
+       |    ON a.t = b.t AND a.lang = b.lang AND a.n_chars = b.n_chars
+       |    AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id, a.n, b.n
+       |  HAVING COUNT(*) / (a.n + b.n - COUNT(*)) >= 0.3)""".stripMargin
+
+  val dedupClusters: QueryDef = QueryDef.sql("q_dedup_clusters")(
+    s"""WITH RECURSIVE $pairsSql,
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(src, dst) AS (
+       |  SELECT src, src FROM (SELECT DISTINCT src FROM edges) t
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+       |SELECT src AS doc_id, MIN(dst) AS cluster_id,
+       |  CAST(src = MIN(dst) AS INT) AS is_canonical
+       |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val pairs = jaccardPairs(s, dir)
+    val edges = pairs
+      .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .toDF("src", "dst")
+      .persist()
+    var labels = edges.select(col("src").as("doc")).distinct()
+      .withColumn("lbl", col("doc"))
+      .persist()
+    labels.count()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 50) {
+      // min label among self + neighbors; left join keeps isolated-round
+      // nodes (none here, but the general CC contract)
+      val prop = edges.join(labels.withColumnRenamed("doc", "dst2"), col("dst") === col("dst2"))
+        .groupBy(col("src").as("doc")).agg(min(col("lbl")).as("plbl"))
+      val next = labels.withColumnRenamed("lbl", "olbl")
+        .join(prop, Seq("doc"), "left")
+        .select(col("doc"), least(col("olbl"), coalesce(col("plbl"), col("olbl"))).as("lbl"),
+          col("olbl"))
+        .persist()
+      converged = next.filter(col("lbl") =!= col("olbl")).isEmpty
+      val prev = labels
+      labels = next.select(col("doc"), col("lbl")).persist()
+      labels.count()
+      next.unpersist(blocking = false)
+      prev.unpersist(blocking = false)
+      rounds += 1
+    }
+    val result = labels
+      .select(col("doc").as("doc_id"), col("lbl").as("cluster_id"),
+        (col("doc") === col("lbl")).cast("int").as("is_canonical"))
+      .orderBy("doc_id")
+    // tiny result (only docs that participate in a near-dup pair):
+    // materialize eagerly so the iteration caches can be dropped now
+    val rows = java.util.Arrays.asList(result.collect(): _*)
+    labels.unpersist(blocking = false)
+    edges.unpersist(blocking = false)
+    s.createDataFrame(rows, result.schema)
+  }
+
+  // -------------------------------------------------------------------
+  // Gopher-style repetition filters: fraction of mass in the most
+  // frequent token, duplicate-bigram fraction, distinct-token ratio —
+  // the "repetitious document" signals from the Gopher/MassiveText
+  // rules, re-expressed as two partial-aggregating explodes (token
+  // grain + bigram grain) joined on doc_id. Both aggregates map-side
+  // combine before the doc_id shuffle, so per-executor state is
+  // O(distinct tokens per partition), not O(corpus).
+  val repetitionFilter: QueryDef = QueryDef.sql("q_repetition_filter")(
+    s"""WITH base AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |tok AS (SELECT doc_id, UNNEST(toks) AS t FROM base),
+       |tc AS (SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+       |tstats AS (
+       |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+       |    CAST(COUNT(*) AS BIGINT) AS n_distinct, CAST(MAX(c) AS BIGINT) AS top_c
+       |  FROM tc GROUP BY doc_id),
+       |bg AS (
+       |  SELECT doc_id, UNNEST(list_transform(generate_series(1, len(toks) - 1),
+       |    i -> toks[i] || ' ' || toks[i + 1])) AS b
+       |  FROM base WHERE len(toks) >= 2),
+       |bc AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+       |bstats AS (
+       |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+       |    CAST(COUNT(*) AS BIGINT) AS n_distinct_bigrams
+       |  FROM bc GROUP BY doc_id)
+       |SELECT t.doc_id, t.n_tokens, t.n_distinct,
+       |  t.n_distinct / t.n_tokens AS distinct_ratio,
+       |  t.top_c / t.n_tokens AS top_token_frac,
+       |  CASE WHEN b.n_bigrams > 0
+       |       THEN (b.n_bigrams - b.n_distinct_bigrams) / b.n_bigrams
+       |       ELSE 0.0 END AS dup_bigram_frac,
+       |  CAST(t.n_distinct / t.n_tokens >= 0.2 AND t.top_c / t.n_tokens <= 0.2 AS INT) AS keep
+       |FROM tstats t JOIN bstats b ON t.doc_id = b.doc_id
+       |ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
+    val base = Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+    val tstats = base.select(col("doc_id"), explode(col("toks")).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_c"))
+    val bstats = base
+      .select(col("doc_id"), explode(Text.wordShingles(col("toks"), 2)).as("b"))
+      // single-token docs yield a 1-token "shingle" — not a bigram; the
+      // oracle's lead() produces NULL there, so drop non-bigrams
+      .filter(col("b").contains(" "))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_bigrams"), count(lit(1)).as("n_distinct_bigrams"))
+    tstats.join(bstats, "doc_id")
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        (col("n_distinct") / col("n_tokens")).as("distinct_ratio"),
+        (col("top_c") / col("n_tokens")).as("top_token_frac"),
+        when(col("n_bigrams") > 0,
+          (col("n_bigrams") - col("n_distinct_bigrams")) / col("n_bigrams"))
+          .otherwise(0.0).as("dup_bigram_frac"),
+        (col("n_distinct") / col("n_tokens") >= 0.2 &&
+          col("top_c") / col("n_tokens") <= 0.2).cast("int").as("keep"))
+      .orderBy("doc_id")
+  }
+
+  // -------------------------------------------------------------------
+  // Deterministic train/val/test split: a salted 60-bit md5 hash of the
+  // doc id modulo 100 buckets → 80/10/10. Pure projection (no shuffle
+  // until the report aggregation); at 100 TB the same expression
+  // partitions the write (`partitionBy("split")`) with zero extra
+  // passes, and the split is stable across re-runs and cluster sizes —
+  // the property random() cannot give.
+  val hashSplit: QueryDef = QueryDef.sql("q_hash_split")(
+    """WITH b AS (
+      |  SELECT lang, n_chars,
+      |    ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
+      |      AS bucket
+      |  FROM documents),
+      |s AS (SELECT CASE WHEN bucket < 80 THEN 'train'
+      |                  WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+      |             lang, n_chars FROM b)
+      |SELECT split, lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .withColumn("bucket",
+        Text.hash60(concat(lit("split:"), col("doc_id").cast("string"))) % 100)
+      .withColumn("split",
+        when(col("bucket") < 80, "train").when(col("bucket") < 90, "val")
+          .otherwise("test"))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .orderBy("split", "lang")
+  }
+
+  // -------------------------------------------------------------------
+  // Stratified deterministic sampling: 10% per language stratum, ranked
+  // by a salted hash so the sample is reproducible. The window is
+  // per-stratum — at scale the rank shuffle partitions by lang (few
+  // strata => use the two-phase trick: pre-aggregate stratum sizes,
+  // broadcast them, and filter on hash < threshold instead of ranking;
+  // that variant is ScaleTechniquesSpec material — the rank form is the
+  // exact-count contract).
+  val sampleStratified: QueryDef = QueryDef.sql("q_sample_stratified")(
+    """WITH h AS (
+      |  SELECT doc_id, lang,
+      |    ('0x' || substr(md5('samp:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+      |  FROM documents),
+      |r AS (SELECT doc_id, lang,
+      |        ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rn,
+      |        COUNT(*) OVER (PARTITION BY lang) AS n
+      |      FROM h)
+      |SELECT doc_id, lang FROM r WHERE rn <= CEIL(0.1 * n)
+      |ORDER BY lang, doc_id""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("lang").orderBy("hv", "doc_id")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        Text.hash60(concat(lit("samp:"), col("doc_id").cast("string"))).as("hv"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
+      .filter(col("rn") <= ceil(lit(0.1) * col("n")))
+      .select("doc_id", "lang")
+      .orderBy("lang", "doc_id")
+  }
+
+  // -------------------------------------------------------------------
+  // Fixed-width token chunking with overlap (training-sequence
+  // preparation): windows of 40 tokens at stride 20, trailing partial
+  // kept. One generator per document (posexplode of the start
+  // positions) — the token array is materialized once per doc in its
+  // own projection, then sliced per window; no shuffle at all until a
+  // downstream consumer groups. Chunk identity is the 60-bit
+  // fingerprint of the window text, so exact chunk-level dedup composes
+  // directly on top.
+  private val ChunkW = 40
+  private val ChunkS = 20
+
+  val docChunks: QueryDef = QueryDef.sql("q_doc_chunks")(
+    s"""WITH base AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |starts AS (
+       |  SELECT doc_id, toks, len(toks) AS n, UNNEST(generate_series(1, len(toks), $ChunkS))
+       |    AS chunk_start
+       |  FROM base WHERE len(toks) > 0)
+       |SELECT doc_id,
+       |  CAST((chunk_start - 1) // $ChunkS AS BIGINT) AS chunk_idx,
+       |  CAST(chunk_start AS BIGINT) AS chunk_start,
+       |  CAST(LEAST($ChunkW, n - chunk_start + 1) AS BIGINT) AS n_chunk_tokens,
+       |  ('0x' || substr(md5(array_to_string(list_slice(toks, chunk_start,
+       |      chunk_start + ${ChunkW - 1}), ' ')), 1, 15))::BIGINT AS chunk_fp
+       |FROM starts ORDER BY doc_id, chunk_start""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("n"),
+        explode(sequence(lit(1), size(col("toks")), lit(ChunkS))).as("chunk_start"))
+      .select(col("doc_id"),
+        (((col("chunk_start") - 1) / ChunkS).cast("long")).as("chunk_idx"),
+        col("chunk_start").cast("long").as("chunk_start"),
+        least(lit(ChunkW), col("n") - col("chunk_start") + 1).cast("long")
+          .as("n_chunk_tokens"),
+        Text.hash60(concat_ws(" ", slice(col("toks"), col("chunk_start"), lit(ChunkW))))
+          .as("chunk_fp"))
+      .orderBy("doc_id", "chunk_start")
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    dedupClusters, repetitionFilter, hashSplit, sampleStratified, docChunks)
+}

@@ -16,9 +16,9 @@ import graft.ops.Text
 object TextAnalysis {
 
   // Shared SQL fragments (DuckDB dialect).
-  private val normSql =
+  private[catalog] val normSql =
     """trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))"""
-  private val toksSql = s"list_filter(string_split($normSql, ' '), t -> t != '')"
+  private[catalog] val toksSql = s"list_filter(string_split($normSql, ' '), t -> t != '')"
 
   private def listLit(words: Seq[String]) = words.map(w => s"'$w'").mkString("[", ", ", "]")
   private def hitsSql(words: Seq[String]) =
