@@ -352,8 +352,76 @@ object TextAnalysis {
     s.createDataFrame(rows, result.schema)
   }
 
+  // -------------------------------------------------------------------
+  // 60-bit SimHash via the native one-pass expression
+  // (graft.functions.SimHash60Expr): signatures come out of the scan
+  // stage's projection with NO explode and NO shuffle — compare the
+  // 16-bit explode→aggregate shape above. The oracle recomputes every
+  // bit through the explode formulation, proving the two shapes agree.
+  private val sig60Cte =
+    s"""base AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |tokx AS (SELECT doc_id, UNNEST(toks) AS t FROM base),
+       |tok AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tokx),
+       |bits AS (SELECT doc_id, b, SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS c
+       |         FROM tok CROSS JOIN (SELECT UNNEST(generate_series(0, 59)) AS b) bb
+       |         GROUP BY 1, 2),
+       |sig AS (SELECT doc_id, CAST(SUM(CASE WHEN c > 0 THEN 1::BIGINT << b ELSE 0 END)
+       |                            AS BIGINT) AS s
+       |        FROM bits GROUP BY doc_id)""".stripMargin
+
+  val simhash60: QueryDef = QueryDef.sql("q_simhash60")(
+    s"""WITH $sig60Cte
+       |SELECT d.doc_id, COALESCE(sig.s, 0) AS simhash60
+       |FROM documents d LEFT JOIN sig ON d.doc_id = sig.doc_id
+       |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+    graft.functions.SimHash60.register(s)
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        graft.functions.SimHash60.simhash60(Text.tokens(col("text"))).as("simhash60"))
+      .orderBy("doc_id")
+  }
+
+  // Near-dup pairs over the 60-bit signature, banded 6 × 10 bits: a pair
+  // within hamming distance 5 differs in at most 5 bands, so (pigeonhole)
+  // at least one band matches — the banded equi-join + exact hamming
+  // verify returns EXACTLY the hamming <= 5 pair set while joining on
+  // 10-bit band keys instead of comparing all pairs (Manku et al.'s
+  // web-dedup blocking, the O(n·bands) scale path).
+  val simhash60NearDup: QueryDef = QueryDef.sql("q_simhash60_neardup")(
+    s"""WITH $sig60Cte,
+       |ex AS (SELECT doc_id, s, b AS band_idx, (s >> (10 * b)) & 1023 AS band_val
+       |       FROM sig CROSS JOIN (SELECT UNNEST(generate_series(0, 5)) AS b) bb),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |                a.s AS s_a, b.s AS s_b
+       |         FROM ex a JOIN ex b
+       |           ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       |          AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(s_a, s_b)) AS BIGINT) AS hamming
+       |FROM cand WHERE bit_count(xor(s_a, s_b)) <= 5
+       |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+    graft.functions.SimHash60.register(s)
+    val sig = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        graft.functions.SimHash60.simhash60(Text.tokens(col("text"))).as("s"))
+    val banded = sig.select(col("doc_id"), col("s"),
+      posexplode(array((0 until 6).map(i =>
+        shiftright(col("s"), 10 * i).bitwiseAND(lit(1023L))): _*))
+        .as(Seq("band_idx", "band_val")))
+    banded.as("a").join(banded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.s").as("s_a"), col("b.s").as("s_b"))
+      .distinct()
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("s_a").bitwiseXOR(col("s_b"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= 5)
+      .orderBy("doc_a", "doc_b")
+  }
+
   val all: Seq[QueryDef] = Seq(
     tokenCount, langId, qualityScore, fingerprint, dedupExact,
     minhashSig, minhashPairs, minhashVerified, ngramJaccard, simhash,
-    simhashNearDup)
+    simhashNearDup, simhash60, simhash60NearDup)
 }

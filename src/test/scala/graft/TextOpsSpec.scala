@@ -97,4 +97,42 @@ class TextOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(frames.toSeq == Seq((2L, 0L)))
   }
+
+  test("simhash60 expression: bit-for-bit vs independent recomputation, null/empty handling") {
+    graft.functions.SimHash60.register(spark)
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (3L, ""),
+      (4L, "completely different words entirely unrelated content here"))
+      .toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+        graft.functions.SimHash60.simhash60(Text.tokens(col("text"))).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // independent recomputation with java.security + BigInt (no shared code)
+    def h60(tok: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      val hex = d.digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    def ref(text: String): Long = {
+      val toks = text.toLowerCase.replaceAll("[^a-z0-9\\s]", " ").trim
+        .split("\\s+").filter(_.nonEmpty)
+      val c = new Array[Int](60)
+      toks.foreach { t =>
+        val h = h60(t)
+        (0 until 60).foreach(b => c(b) += (if (((h >> b) & 1L) == 1L) 1 else -1))
+      }
+      (0 until 60).map(b => if (c(b) > 0) 1L << b else 0L).sum
+    }
+    assert(got(1L) == ref("the quick brown fox jumps over the lazy dog"))
+    assert(got(2L) == ref("the quick brown fox jumps over the lazy cat"))
+    assert(got(4L) == ref("completely different words entirely unrelated content here"))
+    assert(got(3L) == 0L) // empty token array -> all counters 0 -> 0
+    // one-token edit => small hamming; unrelated doc => large
+    val ham12 = java.lang.Long.bitCount(got(1L) ^ got(2L))
+    val ham14 = java.lang.Long.bitCount(got(1L) ^ got(4L))
+    assert(ham12 < ham14)
+  }
 }
