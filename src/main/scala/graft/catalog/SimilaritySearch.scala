@@ -144,6 +144,93 @@ object SimilaritySearch {
       .orderBy("query_id", "rnk")
   }
 
+  // IVF with TRAINED centroids: one deterministic Lloyd update on top
+  // of the seed assignment — members of each seed bucket are averaged
+  // per dimension, vectors re-assign to the updated centroids, and the
+  // bucket-local search runs against the trained partitioning. The
+  // per-dimension mean folds members in vec_id order (collect → sort →
+  // sequential double fold), bit-identical to the oracle's
+  // `list_reduce(list(x ORDER BY vec_id))` — a groupBy-avg would be
+  // shuffle-order-dependent in IEEE arithmetic. At scale each Lloyd
+  // round is one broadcast-assign pass + one (cid, dim) aggregation of
+  // 64·n rows; more rounds = a driver loop over the same two stages.
+  val annIvfKmeans: QueryDef = QueryDef.sql("q_ann_ivf_kmeans")(
+    s"""WITH n AS ($normedSql),
+       |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n WHERE vec_id % 50 = 0),
+       |asg AS (
+       |  SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |    ORDER BY list_dot_product(v, cv) / (nrm * cnrm) DESC, cid) AS rn
+       |  FROM n CROSS JOIN c),
+       |bucket AS (SELECT vec_id, cid FROM asg WHERE rn = 1),
+       |nb AS (SELECT n.vec_id, v, nrm, cid FROM n JOIN bucket USING (vec_id)),
+       |dimx AS (SELECT cid, vec_id, d, v[d] AS x
+       |         FROM nb CROSS JOIN (SELECT UNNEST(range(1, 65)) AS d) dd),
+       |m AS (SELECT cid, d,
+       |        list_reduce(list_prepend(0.0, list(x ORDER BY vec_id)),
+       |          (a, b) -> a + b) / COUNT(*) AS mx
+       |      FROM dimx GROUP BY cid, d),
+       |c2 AS (SELECT cid, list(mx ORDER BY d) AS cv FROM m GROUP BY cid),
+       |c2n AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cnrm FROM c2),
+       |asg2 AS (
+       |  SELECT vec_id, v, nrm, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |    ORDER BY list_dot_product(v, cv) / (nrm * cnrm) DESC, cid) AS rn
+       |  FROM n CROSS JOIN c2n),
+       |nb2 AS (SELECT vec_id, v, nrm, cid FROM asg2 WHERE rn = 1),
+       |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm, cid FROM nb2
+       |      WHERE vec_id < 20),
+       |scored AS (
+       |  SELECT query_id, nb2.vec_id AS neighbor_id,
+       |    list_dot_product(qv, v) / (qnrm * nrm) AS cosine
+       |  FROM q JOIN nb2 USING (cid) WHERE nb2.vec_id <> query_id),
+       |ranked AS (SELECT *, ROW_NUMBER() OVER
+       |  (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk FROM scored)
+       |SELECT query_id, neighbor_id, cosine, rnk FROM ranked
+       |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin) { (s, dir) =>
+    val n = normed(s, dir)
+    val c = n.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val wAsg = Window.partitionBy("vec_id").orderBy(
+      Vectors.cosine(col("v"), col("cv"), col("nrm"), col("cnrm")).desc, col("cid"))
+    val nb = n.crossJoin(broadcast(c))
+      .withColumn("rn", row_number().over(wAsg))
+      .filter(col("rn") === 1)
+      .select("vec_id", "v", "nrm", "cid")
+    // Lloyd update — per-(cluster, dimension) mean with a vec_id-ordered
+    // sequential fold (IEEE addition order pinned on both engines)
+    val dimx = nb.select(col("cid"), col("vec_id"),
+        posexplode(col("v")).as(Seq("d0", "x")))
+      .select(col("cid"), col("vec_id"), (col("d0") + 1).as("d"), col("x"))
+    val m = dimx.groupBy("cid", "d")
+      .agg(collect_list(struct(col("vec_id"), col("x"))).as("pairs"),
+        count(lit(1)).as("cnt"))
+      .select(col("cid"), col("d"),
+        (aggregate(transform(sort_array(col("pairs")), p => p.getField("x")),
+          lit(0.0), (a, x) => a + x) / col("cnt")).as("mx"))
+    val c2 = m.groupBy("cid")
+      .agg(collect_list(struct(col("d"), col("mx"))).as("dms"))
+      .select(col("cid"),
+        transform(sort_array(col("dms")), p => p.getField("mx")).as("cv"))
+      .withColumn("cnrm", Vectors.norm2(col("cv")))
+    val wAsg2 = Window.partitionBy("vec_id").orderBy(
+      Vectors.cosine(col("v"), col("cv"), col("nrm"), col("cnrm")).desc, col("cid"))
+    val nb2 = n.crossJoin(broadcast(c2))
+      .withColumn("rn", row_number().over(wAsg2))
+      .filter(col("rn") === 1)
+      .select("vec_id", "v", "nrm", "cid")
+    val q = nb2.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"), col("cid"))
+    val scored = broadcast(q).join(nb2, "cid")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        Vectors.cosine(col("qv"), col("v"), col("qnrm"), col("nrm")).as("cosine"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select("query_id", "neighbor_id", "cosine", "rnk")
+      .orderBy("query_id", "rnk")
+  }
+
   // Random-hyperplane LSH ANN: 8 sign bits of dot products against
   // deterministic pseudo-random hyperplanes (integer LCG → exact in
   // both engines), bucket on the 8-bit signature, search bucket-local.
@@ -231,5 +318,5 @@ object SimilaritySearch {
   }
 
   val all: Seq[QueryDef] = Seq(
-    embedNorm, embedTopk, embedNearDup, annIvf, annLsh, embedNearDupLsh)
+    embedNorm, embedTopk, embedNearDup, annIvf, annIvfKmeans, annLsh, embedNearDupLsh)
 }
