@@ -199,8 +199,39 @@ object Analytics {
       .orderBy("user_id", "event_id")
   }
 
+  // Kibana dashboard preset in one pass: the date_histogram bucket with
+  // its metric panel family — count, cardinality (distinct users), sum
+  // (decimal-exact), plus the pipeline aggregations Kibana layers on
+  // top: derivative (Δ count vs previous bucket) and cumulative sum.
+  // One hash aggregate for the buckets, one window over the tiny
+  // bucket-grain result — the window never touches event-grain data, so
+  // at 100 TB the expensive stage is still a single map-side-combining
+  // groupBy.
+  val dashboardTiles: QueryDef = QueryDef.sql("q_dashboard_tiles")(
+    """WITH h AS (
+      |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+      |    COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |  FROM events GROUP BY 1)
+      |SELECT hour_epoch, n, n_users, sum_value,
+      |  n - lag(n) OVER (ORDER BY hour_epoch) AS derivative,
+      |  CAST(SUM(n) OVER (ORDER BY hour_epoch
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumulative
+      |FROM h ORDER BY hour_epoch""".stripMargin) { (s, dir) =>
+    val w = Window.orderBy("hour_epoch")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+      .select(col("hour_epoch"), col("n"), col("n_users"), col("sum_value"),
+        (col("n") - lag(col("n"), 1).over(w)).as("derivative"),
+        sum(col("n")).over(wRun).as("cumulative"))
+      .orderBy("hour_epoch")
+  }
+
   val all: Seq[QueryDef] = Seq(
     semiJoin, antiJoin, outerJoin, distinctUsers, rollupCounts, occupancyRate,
     runningSum, eventGaps, sessionize, valueQuartiles, valueHistogram,
-    trailingWindow)
+    trailingWindow, dashboardTiles)
 }

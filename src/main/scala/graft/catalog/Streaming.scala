@@ -6,7 +6,7 @@ import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.DecimalType
 
 import graft.core.QueryDef
-import graft.streaming.{Ingest, RoutedAppendStore, UpsertParquetStore}
+import graft.streaming.{DeltaUpsertStore, Ingest, RoutedAppendStore, UpsertParquetStore}
 
 /** End-to-end Structured Streaming queries: each runs a REAL streaming
   * query (file-stream source standing in for the Kafka topic →
@@ -97,6 +97,38 @@ object Streaming {
       .orderBy("user_id")
   }
 
+  // K3 at scale: the log-structured upsert store — per-batch delta
+  // segments + interleaved compaction — must converge to the same
+  // last-write-wins state as the read-merge-overwrite store, so it
+  // shares q_sink_upsert's oracle semantics. Compaction runs both
+  // mid-stream (every odd batch) and at the end, proving readers see an
+  // equivalent merged view at any compaction boundary.
+  val sinkUpsertDelta: QueryDef = QueryDef.sql("q_sink_upsert_delta")(
+    """SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+      |  value AS last_value
+      |FROM (SELECT *, row_number() OVER
+      |        (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |      FROM events) t
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin) { (s, dir) =>
+    val store = new DeltaUpsertStore(uniqueDir("upsert_delta_"), "user_id",
+      Seq("ts", "event_id"))
+    require(store.healthCheck(), "sink preflight failed")  // K5
+    val q = Ingest.eventsStream(s, dir).writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Row], id: Long) =>
+        store.upsert(b.toDF(), id)
+        if (id % 2 == 1) store.compact(b.sparkSession)
+      }
+      .option("checkpointLocation", uniqueDir("chk_upsert_delta_"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    store.compact(s)
+    store.read(s)
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("event_type").as("last_event_type"), col("value").as("last_value"))
+      .orderBy("user_id")
+  }
+
   // K4: append sink with dynamic per-key index routing
   // (`room-{room}` → `type-{event_type}`), bulk partitioned writes.
   val sinkRoute: QueryDef = QueryDef.sql("q_sink_route")(
@@ -169,6 +201,6 @@ object Streaming {
   }
 
   val all: Seq[QueryDef] = Seq(
-    streamIngestJson, streamIngestDsv, streamWindowHourly, sinkUpsert, sinkRoute,
-    streamStreamJoin, streamDedup)
+    streamIngestJson, streamIngestDsv, streamWindowHourly, sinkUpsert,
+    sinkUpsertDelta, sinkRoute, streamStreamJoin, streamDedup)
 }

@@ -89,6 +89,113 @@ final class UpsertParquetStore(root: String, keyCol: String, orderCols: Seq[Stri
     }
 }
 
+/** K3 at scale: log-structured upsert store. Each micro-batch appends
+  * ONE delta segment holding only the batch's latest-per-key rows —
+  * O(batch) write cost, versus [[UpsertParquetStore]]'s O(store)
+  * read-merge-overwrite per batch. Readers merge base + deltas with
+  * "global orderCols maximum per key, newest segment breaking ties" (a
+  * window over the unioned segments — identical last-write-wins state
+  * to [[UpsertParquetStore]]); [[compact]] folds segments into a base so read
+  * amplification stays bounded — the same base/delta/compaction shape
+  * Delta Lake and Iceberg MERGE pipelines use, minus the format
+  * machinery this zero-egress build can't carry.
+  *
+  * Commit protocol: segments land in their own directories first, then
+  * MANIFEST (the single source of truth, listing active segments in
+  * order) flips via atomic rename — a reader sees the old or the new
+  * segment list, never a partial one. Compaction GC keeps superseded
+  * segments until the NEXT commit so in-flight readers of the previous
+  * manifest finish cleanly.
+  */
+final class DeltaUpsertStore(root: String, keyCol: String, orderCols: Seq[String])
+    extends IndexStore {
+
+  private val dir = new java.io.File(root)
+
+  override def healthCheck(): Boolean = { dir.mkdirs(); dir.canWrite }
+
+  private def latestPerKey(df: DataFrame, segOrdered: Boolean): DataFrame = {
+    // orderCols FIRST, segment only as tiebreaker: the winner per key is
+    // the global orderCols maximum across all segments — the same merge
+    // [[UpsertParquetStore]] computes — not "newest segment wins", which
+    // would let a late-arriving batch holding an older event time
+    // clobber the newer stored row
+    val ord = orderCols.map(col(_).desc) ++
+      (if (segOrdered) Seq(col("__seg").desc) else Nil)
+    val w = Window.partitionBy(keyCol).orderBy(ord: _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .drop("__rn", "__seg")
+  }
+
+  private def manifest(): Seq[String] = {
+    val p = java.nio.file.Paths.get(s"$root/MANIFEST")
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.readAllLines(p).toArray(Array.empty[String]).toSeq
+        .filter(_.nonEmpty)
+    else Seq.empty
+  }
+
+  private def commit(segments: Seq[String]): Unit = {
+    val tmp = java.nio.file.Paths.get(s"$root/MANIFEST.tmp")
+    java.nio.file.Files.writeString(tmp, segments.mkString("\n"))
+    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(s"$root/MANIFEST"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private var segCounter = -1L
+
+  private def nextSegment(prefix: String): String = synchronized {
+    if (segCounter < 0)
+      segCounter = Option(dir.listFiles()).getOrElse(Array.empty)
+        .flatMap(f => f.getName.drop(1).toLongOption).foldLeft(-1L)(math.max)
+    segCounter += 1
+    s"$prefix$segCounter"
+  }
+
+  /** O(batch): reduce to latest-per-key and append one delta segment. */
+  def upsert(batch: DataFrame, batchId: Long): Unit = synchronized {
+    val seg = nextSegment("d")
+    latestPerKey(batch.withColumn("__seg", lit(0L)), segOrdered = false)
+      .write.mode(SaveMode.Overwrite).parquet(s"$root/$seg")
+    commit(manifest() :+ seg)
+  }
+
+  /** Merged view: global orderCols max per key across segments. */
+  override def read(spark: SparkSession): DataFrame = {
+    val segs = manifest()
+    if (segs.isEmpty) spark.emptyDataFrame
+    else {
+      val tagged = segs.zipWithIndex.map { case (seg, i) =>
+        spark.read.parquet(s"$root/$seg").withColumn("__seg", lit(i.toLong))
+      }
+      latestPerKey(tagged.reduce(_ unionByName _), segOrdered = true)
+    }
+  }
+
+  /** Fold all segments into one base segment; superseded segments are
+    * GC'd on the NEXT compaction (in-flight-reader grace, same policy as
+    * [[UpsertParquetStore]]).
+    */
+  def compact(spark: SparkSession): Unit = synchronized {
+    val old = manifest()
+    if (old.size > 1) {
+      val base = nextSegment("b")
+      read(spark).write.mode(SaveMode.Overwrite).parquet(s"$root/$base")
+      commit(Seq(base))
+      val keep = (old :+ base).toSet
+      Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && !keep.contains(f.getName))
+        .foreach(deleteRecursively)
+    }
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete()
+  }
+}
+
 /** K4: append-only store with dynamic index routing — each row lands in
   * `index=<prefix><key>/`. Hive-style partitioned parquet gives the
   * same "one index per key" layout the per-row `es.index(index=...)`

@@ -3,7 +3,7 @@ package graft
 import java.nio.file.{Files, Paths}
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.streaming.{RoutedAppendStore, UpsertParquetStore}
+import graft.streaming.{DeltaUpsertStore, RoutedAppendStore, UpsertParquetStore}
 
 /** Sink-semantics fixtures (FIXTURES.md §4): K3 upsert-by-id keeps only
   * the last write per key across batches; K4 routed append keeps
@@ -41,5 +41,28 @@ class SinksSpec extends AnyFunSuite {
     assert(out.count() == 4)
     assert(out.select("index").distinct().collect().map(_.get(0).toString).toSet ==
       Set("room-413", "room-644"))
+  }
+
+  test("K3 delta store: stale keys lose across segments; compaction preserves state") {
+    val store = new DeltaUpsertStore(tmp("delta_"), "room", Seq("ts"))
+    assert(store.healthCheck())
+    store.upsert(Seq(("413", 1L, "a"), ("413", 2L, "b"), ("644", 1L, "c"))
+      .toDF("room", "ts", "v"), 0)
+    store.upsert(Seq(("413", 0L, "stale"), ("644", 5L, "d")).toDF("room", "ts", "v"), 1)
+    def state() = store.read(spark).orderBy("room")
+      .collect().map(r => (r.getString(0), r.getString(2))).toSeq
+    // a LATER segment holding an OLDER event time must NOT clobber the
+    // stored newer row: winner = global orderCols max across segments,
+    // exactly the overwrite store's merge
+    assert(state() == Seq(("413", "b"), ("644", "d")))
+    store.compact(spark)
+    assert(state() == Seq(("413", "b"), ("644", "d")))
+    // post-compaction upserts still apply on top of the folded base
+    store.upsert(Seq(("999", 9L, "z")).toDF("room", "ts", "v"), 2)
+    assert(state() == Seq(("413", "b"), ("644", "d"), ("999", "z")))
+    // second compaction GCs superseded segments; only base dirs + the
+    // just-written base remain active
+    store.compact(spark)
+    assert(state() == Seq(("413", "b"), ("644", "d"), ("999", "z")))
   }
 }
