@@ -78,15 +78,19 @@ object Curation {
        |SELECT src AS doc_id, MIN(dst) AS cluster_id,
        |  CAST(src = MIN(dst) AS INT) AS is_canonical
        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    // each loop round below eagerly localCheckpoints (cuts lineage — 30
+    // rounds of accumulated plan would swamp the analyzer) which pins
+    // RDD blocks; snapshot what was cached before so everything new can
+    // be released at the end
+    val preexisting = s.sparkContext.getPersistentRDDs.keySet
     val pairs = jaccardPairs(s, dir)
     val edges = pairs
       .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .toDF("src", "dst")
-      .persist()
+      .localCheckpoint()
     var labels = edges.select(col("src").as("doc")).distinct()
       .withColumn("lbl", col("doc"))
-      .persist()
-    labels.count()
+      .localCheckpoint()
     var converged = false
     var rounds = 0
     while (!converged && rounds < 50) {
@@ -94,17 +98,21 @@ object Curation {
       // nodes (none here, but the general CC contract)
       val prop = edges.join(labels.withColumnRenamed("doc", "dst2"), col("dst") === col("dst2"))
         .groupBy(col("src").as("doc")).agg(min(col("lbl")).as("plbl"))
-      val next = labels.withColumnRenamed("lbl", "olbl")
+      val m = labels.withColumnRenamed("lbl", "olbl")
         .join(prop, Seq("doc"), "left")
-        .select(col("doc"), least(col("olbl"), coalesce(col("plbl"), col("olbl"))).as("lbl"),
+        .select(col("doc"),
+          least(col("olbl"), coalesce(col("plbl"), col("olbl"))).as("mlbl"),
           col("olbl"))
-        .persist()
+      // pointer jump (path halving): lbl' = m(m(x)) — labels chase the
+      // component minimum in O(log diameter) rounds instead of
+      // O(diameter); mlbl is itself a node id, so one self-join
+      // dereferences it
+      val mapping = m.select(col("doc").as("mdoc"), col("mlbl").as("mmlbl"))
+      val next = m.join(mapping, col("mlbl") === col("mdoc"), "left")
+        .select(col("doc"), coalesce(col("mmlbl"), col("mlbl")).as("lbl"), col("olbl"))
+        .localCheckpoint()
       converged = next.filter(col("lbl") =!= col("olbl")).isEmpty
-      val prev = labels
-      labels = next.select(col("doc"), col("lbl")).persist()
-      labels.count()
-      next.unpersist(blocking = false)
-      prev.unpersist(blocking = false)
+      labels = next.select("doc", "lbl")
       rounds += 1
     }
     val result = labels
@@ -112,10 +120,11 @@ object Curation {
         (col("doc") === col("lbl")).cast("int").as("is_canonical"))
       .orderBy("doc_id")
     // tiny result (only docs that participate in a near-dup pair):
-    // materialize eagerly so the iteration caches can be dropped now
+    // materialize eagerly so the iteration checkpoints can be dropped
     val rows = java.util.Arrays.asList(result.collect(): _*)
-    labels.unpersist(blocking = false)
-    edges.unpersist(blocking = false)
+    s.sparkContext.getPersistentRDDs
+      .filterNot { case (id, _) => preexisting.contains(id) }
+      .values.foreach(_.unpersist(false))
     s.createDataFrame(rows, result.schema)
   }
 

@@ -95,6 +95,23 @@ object SimilaritySearch {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Nearest-centroid assignment as a max_by AGGREGATION, not a window:
+    * the window formulation shuffles the whole corpus × centroids cross
+    * product (each row dragging its 64-double vector), while max_by
+    * partially aggregates map-side — only one (v, nrm, best-centroid)
+    * buffer per vector crosses the wire. Tie-break `ORDER BY cosine
+    * DESC, cid ASC` is encoded as max over the (cosine, -cid) struct.
+    */
+  private def assignNearest(n: DataFrame, c: DataFrame): DataFrame =
+    n.crossJoin(broadcast(c))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid"),
+        Vectors.cosine(col("v"), col("cv"), col("nrm"), col("cnrm")).as("__cos"))
+      .groupBy("vec_id")
+      .agg(
+        max_by(col("cid"), struct(col("__cos"), (-col("cid")).as("__negcid"))).as("cid"),
+        first(col("v")).as("v"), first(col("nrm")).as("nrm"))
+      .select("vec_id", "v", "nrm", "cid")
+
   // IVF-style ANN: centroids = every 50th vector (deterministic,
   // training-free); assign each vector to its nearest centroid via a
   // broadcast join; answer queries from their bucket only. At scale the
@@ -122,14 +139,7 @@ object SimilaritySearch {
     val n = normed(s, dir)
     val c = n.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
-    val wAsg = Window.partitionBy("vec_id").orderBy(
-      Vectors.cosine(col("v"), col("cv"), col("nrm"), col("cnrm")).desc, col("cid"))
-    // carry (v, nrm) through the assignment window — re-joining the
-    // corpus to fetch them back would rescan and reshuffle it
-    val nb = n.crossJoin(broadcast(c))
-      .withColumn("rn", row_number().over(wAsg))
-      .filter(col("rn") === 1)
-      .select("vec_id", "v", "nrm", "cid")
+    val nb = assignNearest(n, c)
     val q = nb.filter(col("vec_id") < 20)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qnrm"), col("cid"))
@@ -189,12 +199,7 @@ object SimilaritySearch {
     val n = normed(s, dir)
     val c = n.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
-    val wAsg = Window.partitionBy("vec_id").orderBy(
-      Vectors.cosine(col("v"), col("cv"), col("nrm"), col("cnrm")).desc, col("cid"))
-    val nb = n.crossJoin(broadcast(c))
-      .withColumn("rn", row_number().over(wAsg))
-      .filter(col("rn") === 1)
-      .select("vec_id", "v", "nrm", "cid")
+    val nb = assignNearest(n, c)
     // Lloyd update — per-(cluster, dimension) mean with a vec_id-ordered
     // sequential fold (IEEE addition order pinned on both engines)
     val dimx = nb.select(col("cid"), col("vec_id"),
@@ -211,12 +216,7 @@ object SimilaritySearch {
       .select(col("cid"),
         transform(sort_array(col("dms")), p => p.getField("mx")).as("cv"))
       .withColumn("cnrm", Vectors.norm2(col("cv")))
-    val wAsg2 = Window.partitionBy("vec_id").orderBy(
-      Vectors.cosine(col("v"), col("cv"), col("nrm"), col("cnrm")).desc, col("cid"))
-    val nb2 = n.crossJoin(broadcast(c2))
-      .withColumn("rn", row_number().over(wAsg2))
-      .filter(col("rn") === 1)
-      .select("vec_id", "v", "nrm", "cid")
+    val nb2 = assignNearest(n, c2)
     val q = nb2.filter(col("vec_id") < 20)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qnrm"), col("cid"))

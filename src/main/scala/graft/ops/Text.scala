@@ -19,6 +19,28 @@ object Text {
   def normText(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
 
+  /** Web-corpus cleaning (C4/RefinedWeb-style pre-tokenization pass):
+    * drop script/style blocks with their payload, strip remaining tags,
+    * decode the common HTML entities, remove control characters,
+    * collapse whitespace. Pure codegen'd regexp chain — runs in the scan
+    * stage's projection at 100 TB. Idempotent on entity-free clean text;
+    * NOT on text whose entities decode to tag-like spans (`&lt;x&gt;` →
+    * `<x>`, which a second pass would strip) — run it once, at ingest.
+    */
+  def cleanHtml(text: Column): Column = {
+    val noBlocks = regexp_replace(text,
+      "(?is)<(script|style)[^>]*>.*?</\\1>", " ")
+    val noTags = regexp_replace(noBlocks, "(?s)<[^>]*>", " ")
+    val decoded = Seq(
+      "&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&nbsp;" -> " ")
+      .foldLeft(noTags) { case (c, (ent, ch)) =>
+        regexp_replace(c, java.util.regex.Pattern.quote(ent), ch)
+      }
+    val noCtl = regexp_replace(decoded, "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]", " ")
+    trim(regexp_replace(noCtl, "\\s+", " "))
+  }
+
   /** Whitespace tokens of the normalized text (no empties). */
   def tokens(text: Column): Column =
     filter(split(normText(text), " "), t => t =!= "")

@@ -135,4 +135,27 @@ class TextOpsSpec extends AnyFunSuite {
     val ham14 = java.lang.Long.bitCount(got(1L) ^ got(4L))
     assert(ham12 < ham14)
   }
+
+  test("cleanHtml strips tags/scripts, decodes entities, idempotent on clean text") {
+    val dirty = Seq(
+      (1L, "<html><head><style>body { color: red }</style></head>" +
+        "<body><p>Hello &amp; welcome to <b>Spark</b>!</p>" +
+        "<script>alert('x < y');</script>Goodbye&nbsp;now</body></html>"),
+      (2L, "already clean text"),
+      (3L, "a &lt;tag&gt; literal and a control\u0007char"))
+      .toDF("doc_id", "text")
+    val out = dirty.select(col("doc_id"), Text.cleanHtml(col("text")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "Hello & welcome to Spark ! Goodbye now")
+    assert(out(2L) == "already clean text")
+    assert(out(3L) == "a <tag> literal and a control char")
+    // idempotent on entity-free text (doc 3's &lt;..&gt; decodes to a
+    // tag-like span a second pass would strip — documented non-goal)
+    val entityFree = dirty.filter(col("doc_id") < 3)
+    val twice = entityFree.select(Text.cleanHtml(Text.cleanHtml(col("text"))).as("c"))
+      .collect().map(_.getString(0))
+    val once = entityFree.select(Text.cleanHtml(col("text")).as("c"))
+      .collect().map(_.getString(0))
+    assert(twice.toSeq == once.toSeq)
+  }
 }
