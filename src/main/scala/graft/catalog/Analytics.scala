@@ -230,8 +230,37 @@ object Analytics {
       .orderBy("hour_epoch")
   }
 
+  // Kibana percentiles panel, exact: nearest-rank selection (value at
+  // rank ceil(p·n) in the per-type order) — pure row selection, no
+  // interpolation arithmetic, so doubles pass through untouched and the
+  // oracle matches bit-for-bit. Both engines evaluate ceil(p·n) in IEEE
+  // double on identical inputs, so the chosen rank is identical even
+  // where p·n is inexact.
+  val percentiles: QueryDef = QueryDef.sql("q_percentiles")(
+    """WITH r AS (
+      |  SELECT event_type, value,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events)
+      |SELECT event_type,
+      |  MAX(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT) THEN value END) AS p50,
+      |  MAX(CASE WHEN rn = CAST(ceil(0.90 * n) AS BIGINT) THEN value END) AS p90,
+      |  MAX(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN value END) AS p99
+      |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    val wn = Window.partitionBy("event_type")
+    def pick(p: Double) =
+      max(when(col("rn") === ceil(lit(p) * col("n")), col("value")))
+    Tables.events(s, dir)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(wn))
+      .groupBy("event_type")
+      .agg(pick(0.50).as("p50"), pick(0.90).as("p90"), pick(0.99).as("p99"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[QueryDef] = Seq(
     semiJoin, antiJoin, outerJoin, distinctUsers, rollupCounts, occupancyRate,
     runningSum, eventGaps, sessionize, valueQuartiles, valueHistogram,
-    trailingWindow, dashboardTiles)
+    trailingWindow, dashboardTiles, percentiles)
 }

@@ -289,6 +289,47 @@ object Curation {
       .orderBy("doc_id", "chunk_start")
   }
 
+  // -------------------------------------------------------------------
+  // PII redaction: emails and phone numbers replaced with typed
+  // placeholders before the text enters a training corpus. The corpus
+  // tables carry no contact strings, so the query CONSTRUCTS a
+  // deterministic contact line per event from real columns and then
+  // redacts it — the operator under test is the regexp chain (pure
+  // codegen'd projection; the same two regexes at 100 TB run inside the
+  // scan stage). Counts prove each pattern fired exactly once per row.
+  val piiRedact: QueryDef = QueryDef.sql("q_pii_redact")(
+    """WITH c AS (
+      |  SELECT event_id,
+      |    'contact user' || CAST(user_id AS VARCHAR) || ' at user' ||
+      |    CAST(user_id AS VARCHAR) || '@example.com or +1-555-' ||
+      |    lpad(CAST(event_id % 10000 AS VARCHAR), 4, '0') AS txt
+      |  FROM events WHERE event_id < 1000)
+      |SELECT event_id,
+      |  regexp_replace(regexp_replace(txt,
+      |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+      |    '\+1-555-[0-9]{4}', '[PHONE]', 'g') AS redacted,
+      |  len(regexp_extract_all(txt, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))
+      |    AS n_emails,
+      |  len(regexp_extract_all(txt, '\+1-555-[0-9]{4}')) AS n_phones
+      |FROM c ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val emailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val phonePat = "\\+1-555-[0-9]{4}"
+    Tables.events(s, dir)
+      .filter(col("event_id") < 1000)
+      .select(col("event_id"),
+        concat(lit("contact user"), col("user_id").cast("string"),
+          lit(" at user"), col("user_id").cast("string"),
+          lit("@example.com or +1-555-"),
+          lpad((col("event_id") % 10000).cast("string"), 4, "0")).as("txt"))
+      .select(col("event_id"),
+        regexp_replace(regexp_replace(col("txt"), emailPat, "[EMAIL]"),
+          phonePat, "[PHONE]").as("redacted"),
+        regexp_count(col("txt"), lit(emailPat)).as("n_emails"),
+        regexp_count(col("txt"), lit(phonePat)).as("n_phones"))
+      .orderBy("event_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
-    dedupClusters, repetitionFilter, hashSplit, sampleStratified, docChunks)
+    dedupClusters, repetitionFilter, hashSplit, sampleStratified, docChunks,
+    piiRedact)
 }
