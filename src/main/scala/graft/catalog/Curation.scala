@@ -329,7 +329,86 @@ object Curation {
       .orderBy("event_id")
   }
 
+  // -------------------------------------------------------------------
+  // Corpus-statistics quality score (the unigram-LM-lite signal real
+  // curation pipelines compute): global token frequencies, then each
+  // document scored by its mean token rarity (1/corpus_count, folded in
+  // token-position order so the IEEE sum is engine-identical). At scale
+  // the frequency table is a broadcast dictionary — the corpus shuffles
+  // once to build it and never again.
+  val idfQuality: QueryDef = QueryDef.sql("q_idf_quality")(
+    s"""WITH base AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |tok AS (SELECT doc_id, UNNEST(toks) AS t,
+       |               UNNEST(generate_series(1, len(toks))) AS pos FROM base),
+       |freq AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+       |scored AS (
+       |  SELECT tok.doc_id,
+       |    list_reduce(list_prepend(0.0, list(1.0 / freq.c ORDER BY tok.pos)),
+       |      (a, b) -> a + b) AS rarity_sum,
+       |    COUNT(*) AS n_tokens
+       |  FROM tok JOIN freq ON tok.t = freq.t GROUP BY tok.doc_id)
+       |SELECT doc_id, n_tokens, rarity_sum / n_tokens AS mean_rarity
+       |FROM scored ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val base = Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+    val tok = base.select(col("doc_id"),
+      posexplode(col("toks")).as(Seq("pos0", "t")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("t"))
+    val freq = tok.groupBy("t").agg(count(lit(1)).as("c"))
+    tok.join(broadcast(freq), "t")
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("pos"), (lit(1.0) / col("c")).as("r"))).as("pairs"),
+        count(lit(1)).as("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        (aggregate(transform(sort_array(col("pairs")), p => p.getField("r")),
+          lit(0.0), (a, x) => a + x) / col("n_tokens")).as("mean_rarity"))
+      .orderBy("doc_id")
+  }
+
+  // -------------------------------------------------------------------
+  // Benchmark-contamination check: fraction of each training document's
+  // distinct 3-gram shingles that collide with a held-out benchmark set
+  // (here: doc_id < 10 stands in for the eval corpus). The benchmark
+  // shingle set is tiny → broadcast; the corpus side aggregates its own
+  // shingles once — the decontamination join every serious training
+  // pipeline runs before a data release.
+  val contamination: QueryDef = QueryDef.sql("q_contamination")(
+    s"""WITH base AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |sh AS (SELECT doc_id, UNNEST(list_transform(generate_series(1, len(toks) - 2),
+       |         i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS s
+       |       FROM base WHERE len(toks) >= 3),
+       |dsh AS (SELECT DISTINCT doc_id, s FROM sh),
+       |bench AS (SELECT DISTINCT s FROM dsh WHERE doc_id < 10),
+       |train AS (SELECT doc_id, s FROM dsh WHERE doc_id >= 10),
+       |hits AS (SELECT t.doc_id, COUNT(*) AS n_contaminated
+       |         FROM train t JOIN bench b ON t.s = b.s GROUP BY t.doc_id),
+       |totals AS (SELECT doc_id, COUNT(*) AS n_shingles FROM train GROUP BY doc_id)
+       |SELECT totals.doc_id, n_shingles,
+       |  COALESCE(n_contaminated, 0) AS n_contaminated,
+       |  COALESCE(n_contaminated, 0) / n_shingles AS contamination_ratio
+       |FROM totals LEFT JOIN hits ON totals.doc_id = hits.doc_id
+       |ORDER BY totals.doc_id""".stripMargin) { (s, dir) =>
+    val dsh = Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(Text.wordShingles(col("toks"), 3)).as("s"))
+      .distinct()
+    val bench = dsh.filter(col("doc_id") < 10).select("s").distinct()
+    val train = dsh.filter(col("doc_id") >= 10)
+    val hits = train.join(broadcast(bench), "s")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
+    val totals = train.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    totals.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        (coalesce(col("n_contaminated"), lit(0L)) / col("n_shingles"))
+          .as("contamination_ratio"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     dedupClusters, repetitionFilter, hashSplit, sampleStratified, docChunks,
-    piiRedact)
+    piiRedact, idfQuality, contamination)
 }

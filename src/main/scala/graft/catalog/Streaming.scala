@@ -200,7 +200,48 @@ object Streaming {
     Ingest.runToMemory(deduped).orderBy("event_id")
   }
 
+  // T4/T5 beyond parity: session windows in a REAL streaming query —
+  // per-user sessions close after a 30-minute silence, state merges
+  // session fragments across (here: within) micro-batches, and append
+  // mode emits a session only once the watermark passes its end. The
+  // oracle encodes the full emission contract: the 30-minute gap rule
+  // (`>=`: an event at exactly session end opens a NEW session — Spark
+  // session windows are [start, end)) AND the watermark gate
+  // (session_end <= max event time − 1h, with Spark's ms-precision
+  // watermark), so streaming state semantics — not just the aggregation
+  // — are what the hash check verifies.
+  val streamSessionWindow: QueryDef = QueryDef.sql("q_stream_session_window")(
+    """WITH g AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+      |         OR lag(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |s AS (
+      |  SELECT user_id, ts, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM g),
+      |agg AS (
+      |  SELECT user_id, sid, MIN(epoch_us(ts)) AS start_us,
+      |    MAX(epoch_us(ts)) + 1800000000 AS end_us, COUNT(*) AS n_events
+      |  FROM s GROUP BY 1, 2),
+      |wm AS (SELECT (MAX(epoch_us(ts)) // 1000 - 3600000) * 1000 AS wm_us FROM events)
+      |SELECT user_id, start_us // 1000000 AS session_start,
+      |  end_us // 1000000 AS session_end, n_events
+      |FROM agg, wm WHERE end_us <= wm_us
+      |ORDER BY user_id, session_start""".stripMargin) { (s, dir) =>
+    val agg = Ingest.eventsStream(s, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_timestamp(col("session_window.start")).as("session_start"),
+        unix_timestamp(col("session_window.end")).as("session_end"),
+        col("n_events"))
+    Ingest.runToMemory(agg).orderBy("user_id", "session_start")
+  }
+
   val all: Seq[QueryDef] = Seq(
     streamIngestJson, streamIngestDsv, streamWindowHourly, sinkUpsert,
-    sinkUpsertDelta, sinkRoute, streamStreamJoin, streamDedup)
+    sinkUpsertDelta, sinkRoute, streamStreamJoin, streamDedup,
+    streamSessionWindow)
 }
