@@ -20,7 +20,7 @@ import graft.ops.Text
   */
 object Curation {
 
-  import TextAnalysis.toksSql
+  import TextAnalysis.{normSql, toksSql}
 
   // -------------------------------------------------------------------
   // Connected-components dedup clustering.
@@ -408,7 +408,98 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  // -------------------------------------------------------------------
+  // Curation funnel: the end-to-end keep/drop report a corpus release
+  // ships with — documents flow through min-length → language-ID →
+  // repetition → exact-dedup stages, and the output is per-stage
+  // in/out/dropped counts. All four signals come from ONE metrics pass
+  // (token aggregate + doc-level projections + a dedup rank window);
+  // the funnel itself is a single-row aggregate unpivoted to stage
+  // grain, so adding stages never adds corpus passes.
+  private val langsHitsSql = Text.langStopwords.map { case (_, words) =>
+    s"len(list_filter(toks, t -> list_contains(${words.map(w => s"'$w'").mkString("[", ", ", "]")}, t)))"
+  }.mkString("GREATEST(", ", ", ")")
+
+  val filterFunnel: QueryDef = QueryDef.sql("q_filter_funnel")(
+    s"""WITH base AS (
+       |  SELECT doc_id, $toksSql AS toks,
+       |    md5($normSql) AS fp
+       |  FROM documents),
+       |tok AS (SELECT doc_id, UNNEST(toks) AS t FROM base),
+       |tc AS (SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+       |tstat AS (
+       |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+       |    CAST(MAX(c) AS BIGINT) AS top_c
+       |  FROM tc GROUP BY doc_id),
+       |m AS (
+       |  SELECT b.doc_id, COALESCE(t.n_tokens, 0) AS n_tokens,
+       |    COALESCE(t.top_c, 0) AS top_c, $langsHitsSql AS lang_hits,
+       |    ROW_NUMBER() OVER (PARTITION BY fp ORDER BY b.doc_id) AS dup_rank
+       |  FROM base b LEFT JOIN tstat t ON b.doc_id = t.doc_id),
+       |f AS (
+       |  SELECT doc_id,
+       |    n_tokens >= 20 AS p1,
+       |    n_tokens >= 20 AND lang_hits >= 1 AS p2,
+       |    n_tokens >= 20 AND lang_hits >= 1 AND top_c <= 0.2 * n_tokens AS p3,
+       |    n_tokens >= 20 AND lang_hits >= 1 AND top_c <= 0.2 * n_tokens
+       |      AND dup_rank = 1 AS p4
+       |  FROM m),
+       |c AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+       |    CAST(SUM(CASE WHEN p1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+       |    CAST(SUM(CASE WHEN p2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+       |    CAST(SUM(CASE WHEN p3 THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+       |    CAST(SUM(CASE WHEN p4 THEN 1 ELSE 0 END) AS BIGINT) AS c4
+       |  FROM f)
+       |SELECT * FROM (
+       |  SELECT 1 AS stage_idx, 'min_length' AS stage, n0 AS n_in, c1 AS n_out,
+       |    n0 - c1 AS n_dropped FROM c
+       |  UNION ALL SELECT 2, 'lang_id', c1, c2, c1 - c2 FROM c
+       |  UNION ALL SELECT 3, 'repetition', c2, c3, c2 - c3 FROM c
+       |  UNION ALL SELECT 4, 'exact_dedup', c3, c4, c3 - c4 FROM c) t
+       |ORDER BY stage_idx""".stripMargin) { (s, dir) =>
+    val base = Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"),
+        md5(Text.normText(col("text"))).as("fp"))
+    val tstat = base.select(col("doc_id"), explode(col("toks")).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_tokens"), max(col("c")).as("top_c"))
+    val langHits = greatest(Text.langScores(col("toks")).map(_._2): _*)
+    val wDup = Window.partitionBy("fp").orderBy("doc_id")
+    val m = base
+      .join(tstat, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("top_c"), lit(0L)).as("top_c"),
+        langHits.as("lang_hits"),
+        row_number().over(wDup).as("dup_rank"))
+    val p1 = col("n_tokens") >= 20
+    val p2 = p1 && col("lang_hits") >= 1
+    val p3 = p2 && col("top_c") <= lit(0.2) * col("n_tokens")
+    val p4 = p3 && col("dup_rank") === 1
+    def cnt(p: org.apache.spark.sql.Column) = sum(when(p, 1).otherwise(0))
+    val c = m.agg(count(lit(1)).as("n0"), cnt(p1).as("c1"), cnt(p2).as("c2"),
+      cnt(p3).as("c3"), cnt(p4).as("c4"))
+    c.select(explode(array(
+        struct(lit(1).as("stage_idx"), lit("min_length").as("stage"),
+          col("n0").as("n_in"), col("c1").as("n_out"),
+          (col("n0") - col("c1")).as("n_dropped")),
+        struct(lit(2).as("stage_idx"), lit("lang_id").as("stage"),
+          col("c1").as("n_in"), col("c2").as("n_out"),
+          (col("c1") - col("c2")).as("n_dropped")),
+        struct(lit(3).as("stage_idx"), lit("repetition").as("stage"),
+          col("c2").as("n_in"), col("c3").as("n_out"),
+          (col("c2") - col("c3")).as("n_dropped")),
+        struct(lit(4).as("stage_idx"), lit("exact_dedup").as("stage"),
+          col("c3").as("n_in"), col("c4").as("n_out"),
+          (col("c3") - col("c4")).as("n_dropped")))).as("r"))
+      .select(col("r.*"))
+      .orderBy("stage_idx")
+  }
+
   val all: Seq[QueryDef] = Seq(
     dedupClusters, repetitionFilter, hashSplit, sampleStratified, docChunks,
-    piiRedact, idfQuality, contamination)
+    piiRedact, idfQuality, contamination, filterFunnel)
 }
