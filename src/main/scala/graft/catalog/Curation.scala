@@ -380,31 +380,36 @@ object Curation {
        |       FROM base WHERE len(toks) >= 3),
        |dsh AS (SELECT DISTINCT doc_id, s FROM sh),
        |bench AS (SELECT DISTINCT s FROM dsh WHERE doc_id < 10),
-       |train AS (SELECT doc_id, s FROM dsh WHERE doc_id >= 10),
-       |hits AS (SELECT t.doc_id, COUNT(*) AS n_contaminated
-       |         FROM train t JOIN bench b ON t.s = b.s GROUP BY t.doc_id),
-       |totals AS (SELECT doc_id, COUNT(*) AS n_shingles FROM train GROUP BY doc_id)
-       |SELECT totals.doc_id, n_shingles,
-       |  COALESCE(n_contaminated, 0) AS n_contaminated,
-       |  COALESCE(n_contaminated, 0) / n_shingles AS contamination_ratio
-       |FROM totals LEFT JOIN hits ON totals.doc_id = hits.doc_id
-       |ORDER BY totals.doc_id""".stripMargin) { (s, dir) =>
+       |agg AS (
+       |  SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       |    CAST(SUM(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_contaminated
+       |  FROM dsh t LEFT JOIN bench b ON t.s = b.s
+       |  WHERE t.doc_id >= 10 GROUP BY t.doc_id)
+       |SELECT doc_id, n_shingles, n_contaminated,
+       |  n_contaminated / n_shingles AS contamination_ratio
+       |FROM agg ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    // ONE corpus pass: the train side left-joins the (tiny, broadcast)
+    // benchmark shingle set and aggregates totals + hits together — the
+    // three-branch formulation (hits join + totals + reconcile) would
+    // re-tokenize the corpus per branch
     val dsh = Tables.documents(s, dir)
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), explode(Text.wordShingles(col("toks"), 3)).as("s"))
       .distinct()
+    // benchmark branch: the doc_id < 10 filter pushes below the shingle
+    // explode to the scan, so only the 10 eval docs are tokenized here
     val bench = dsh.filter(col("doc_id") < 10).select("s").distinct()
-    val train = dsh.filter(col("doc_id") >= 10)
-    val hits = train.join(broadcast(bench), "s")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
-    val totals = train.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
-    totals.join(hits, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_shingles"),
-        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
-        (coalesce(col("n_contaminated"), lit(0L)) / col("n_shingles"))
-          .as("contamination_ratio"))
+      .withColumn("__hit", lit(1))
+    dsh.filter(col("doc_id") >= 10)
+      .join(broadcast(bench), Seq("s"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("__hit"), lit(0))).as("n_contaminated"))
+      .select(col("doc_id"), col("n_shingles"), col("n_contaminated"),
+        (col("n_contaminated") / col("n_shingles")).as("contamination_ratio"))
       .orderBy("doc_id")
   }
 
