@@ -101,5 +101,48 @@ object Advanced {
     }
   }
 
-  val all: Seq[QueryDef] = Seq(asofJoin, asofJoinNative, streamStatefulCount, topkTokens)
+  // Band (range) join — an operator Spark has no native physical plan
+  // for: error events in the same hour whose values differ by <= 0.5.
+  // The naive theta-join is a per-hour cross product; the scale path
+  // implemented here buckets values at the band width and equi-joins on
+  // (hour, bucket) with the left side EXPLODED to its own and adjacent
+  // buckets, so every qualifying pair is found by an equi-join
+  // (candidates within one bucket of each other ⊇ all |Δ| <= width
+  // pairs) and verified exactly. Shuffle key cardinality = hours ×
+  // buckets — no cross product ever materializes.
+  val rangeJoinBucketed: QueryDef = QueryDef.sql("q_range_join_bucketed")(
+    """WITH e AS (
+      |  SELECT event_id, CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h, value,
+      |    CAST(FLOOR(value / 0.5) AS BIGINT) AS bkt
+      |  FROM events WHERE event_type = 'error'),
+      |cand AS (
+      |  SELECT DISTINCT a.event_id AS id_a, b.event_id AS id_b,
+      |    a.value AS v_a, b.value AS v_b
+      |  FROM (SELECT e.*, UNNEST([bkt - 1, bkt, bkt + 1]) AS probe FROM e) a
+      |  JOIN e b ON a.h = b.h AND a.probe = b.bkt AND a.event_id < b.event_id)
+      |SELECT id_a, id_b, v_a, v_b FROM cand
+      |WHERE abs(v_a - v_b) <= 0.5
+      |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+    val e = graft.core.Tables.events(s, dir)
+      .filter(col("event_type") === "error")
+      .select(col("event_id"),
+        unix_timestamp(date_trunc("hour", col("ts"))).as("h"),
+        col("value"),
+        floor(col("value") / 0.5).as("bkt"))
+    val probes = e.select(col("event_id"), col("h"), col("value"),
+      explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1)).as("probe"))
+    val b = e.select(col("event_id").as("id_b"), col("h").as("h_b"),
+      col("value").as("v_b"), col("bkt").as("bkt_b"))
+    probes.join(b,
+        col("h") === col("h_b") && col("probe") === col("bkt_b") &&
+          col("event_id") < col("id_b"))
+      .select(col("event_id").as("id_a"), col("id_b"),
+        col("value").as("v_a"), col("v_b"))
+      .distinct()
+      .filter(abs(col("v_a") - col("v_b")) <= 0.5)
+      .orderBy("id_a", "id_b")
+  }
+
+  val all: Seq[QueryDef] = Seq(asofJoin, asofJoinNative, streamStatefulCount,
+    topkTokens, rangeJoinBucketed)
 }

@@ -259,8 +259,77 @@ object Analytics {
       .orderBy("event_type")
   }
 
+  // Explicit GROUPING SETS (the general form rollup/cube specialize):
+  // per-type totals, per-day totals, and the grand total in ONE pass —
+  // Spark expands to a single Expand + aggregate, not three scans.
+  // grouping() disambiguates "NULL because aggregated over" from a real
+  // NULL group value.
+  val groupingSets: QueryDef = QueryDef.sql("q_grouping_sets")(
+    """SELECT event_type, CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_epoch,
+      |  COUNT(*) AS n,
+      |  CAST(GROUPING(event_type) AS INT) AS g_type,
+      |  CAST(GROUPING(CAST(epoch(date_trunc('day', ts)) AS BIGINT)) AS INT) AS g_day
+      |FROM events
+      |GROUP BY GROUPING SETS ((event_type),
+      |  (CAST(epoch(date_trunc('day', ts)) AS BIGINT)), ())
+      |ORDER BY g_type, g_day, event_type NULLS FIRST, day_epoch NULLS FIRST""".stripMargin) {
+    (s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("day_epoch", unix_timestamp(date_trunc("day", col("ts"))))
+        .groupingSets(
+          Seq(Seq(col("event_type")), Seq(col("day_epoch")), Seq.empty),
+          col("event_type"), col("day_epoch"))
+        .agg(count(lit(1)).as("n"),
+          grouping(col("event_type")).cast("int").as("g_type"),
+          grouping(col("day_epoch")).cast("int").as("g_day"))
+        .orderBy(col("g_type"), col("g_day"), col("event_type").asc_nulls_first,
+          col("day_epoch").asc_nulls_first)
+  }
+
+  // Time-series gap fill + forward fill (the Kibana line panel over a
+  // sparse sensor needs a dense time axis): per user, a dense hourly
+  // spine from first to last activity, hours with no events get n = 0
+  // and CARRY the last observed hourly mean forward. The spine is
+  // generated from the tiny per-user (min, max) aggregate — never from
+  // the event grain — and the fill is one last(ignoreNulls) running
+  // window per user.
+  val gapFill: QueryDef = QueryDef.sql("q_gap_fill")(
+    """WITH b AS (
+      |  SELECT user_id, CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h,
+      |    COUNT(*) AS n,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value
+      |  FROM events WHERE user_id < 20 GROUP BY 1, 2),
+      |r AS (SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM b GROUP BY 1),
+      |spine AS (SELECT user_id, UNNEST(generate_series(h0, h1, 3600)) AS h FROM r),
+      |j AS (SELECT s.user_id, s.h, b.n, b.avg_value
+      |      FROM spine s LEFT JOIN b ON s.user_id = b.user_id AND s.h = b.h)
+      |SELECT user_id, h AS hour_epoch, COALESCE(n, 0) AS n,
+      |  last_value(avg_value IGNORE NULLS) OVER
+      |    (PARTITION BY user_id ORDER BY h
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+      |FROM j ORDER BY user_id, hour_epoch""".stripMargin) { (s, dir) =>
+    val b = Tables.events(s, dir)
+      .filter(col("user_id") < 20)
+      .groupBy(col("user_id"),
+        unix_timestamp(date_trunc("hour", col("ts"))).as("h"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("value").cast(DecimalType(18, 2))).cast("double") /
+          count(lit(1))).as("avg_value"))
+    val spine = b.groupBy("user_id")
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"), lit(3600L))).as("h"))
+    val w = Window.partitionBy("user_id").orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(b, Seq("user_id", "h"), "left")
+      .select(col("user_id"), col("h").as("hour_epoch"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        last(col("avg_value"), ignoreNulls = true).over(w).as("filled_value"))
+      .orderBy("user_id", "hour_epoch")
+  }
+
   val all: Seq[QueryDef] = Seq(
     semiJoin, antiJoin, outerJoin, distinctUsers, rollupCounts, occupancyRate,
     runningSum, eventGaps, sessionize, valueQuartiles, valueHistogram,
-    trailingWindow, dashboardTiles, percentiles)
+    trailingWindow, dashboardTiles, percentiles, groupingSets, gapFill)
 }
