@@ -12,7 +12,10 @@ object Plans {
     val names = if (args.length > 1) args.drop(1).toSet
       else Set("q_scan_filter_project", "q_multiway_join", "q_group_avg_minute",
         "q_dedup_exact", "q_minhash_pairs", "q_embed_topk", "q_ann_ivf",
-        "q_upsert_last_wins", "q_semi_join")
+        "q_upsert_last_wins", "q_semi_join",
+        // round-2 additions worth auditing
+        "q_simhash60", "q_hash_split", "q_range_join_bucketed",
+        "q_contamination", "q_grouping_sets", "q_gap_fill")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
