@@ -1,6 +1,7 @@
 package graft.catalog
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.core.{QueryDef, Tables}
 import graft.ops.Text
@@ -203,7 +204,59 @@ object Functions {
       .orderBy("y", "m", "d", "dow_iso")
   }
 
+  // Exact-arithmetic dispersion statistics: variance/stddev derived
+  // from DECIMAL sums (sum x, sum x²) with the textbook formula applied
+  // in ONE fixed double-expression tree — engines agree bit-for-bit
+  // because the only float ops are the same few multiplications/
+  // divisions on identical exact inputs. Spark's own stddev() (Welford
+  // accumulation) is shuffle-order-dependent and can't hash-match; this
+  // formulation is also what a map-side-combining aggregate wants at
+  // scale (two decimal sums + a count, merged associatively).
+  val statsExact: QueryDef = QueryDef.sql("q_stats_exact")(
+    """WITH s AS (
+      |  SELECT event_type, COUNT(*) AS n,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)))
+      |      AS DOUBLE) AS sxx
+      |  FROM events GROUP BY 1)
+      |SELECT event_type, n, sx / n AS mean,
+      |  (sxx - sx * sx / n) / (n - 1) AS var_samp,
+      |  sqrt((sxx - sx * sx / n) / (n - 1)) AS stddev_samp
+      |FROM s ORDER BY event_type""".stripMargin) { (s, dir) =>
+    val dec = col("value").cast(DecimalType(18, 2))
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(dec).cast("double").as("sx"),
+        sum(dec * dec).cast("double").as("sxx"))
+      .select(col("event_type"), col("n"),
+        (col("sx") / col("n")).as("mean"),
+        ((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1))
+          .as("var_samp"),
+        sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1))
+          .as("stddev_samp"))
+      .orderBy("event_type")
+  }
+
+  // Collection-function surface: set collection, sort, and string
+  // materialization per group. Output flattened to a joined string so
+  // the cross-engine hash never compares raw array columns.
+  val collectFuncs: QueryDef = QueryDef.sql("q_collect_funcs")(
+    """SELECT user_id,
+      |  array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types_str,
+      |  COUNT(DISTINCT event_type) AS n_types,
+      |  MIN(event_id) AS first_event, MAX(event_id) AS last_event
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy("user_id")
+      .agg(concat_ws(",", array_sort(collect_set(col("event_type")))).as("types_str"),
+        countDistinct(col("event_type")).as("n_types"),
+        min(col("event_id")).as("first_event"),
+        max(col("event_id")).as("last_event"))
+      .orderBy("user_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     stringFuncs, regexExtract, mathFuncs, setOps, cubeCounts, medianValue,
-    rollingHash, unpivot, argExtremes, dateParts)
+    rollingHash, unpivot, argExtremes, dateParts, statsExact, collectFuncs)
 }

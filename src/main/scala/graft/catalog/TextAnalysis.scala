@@ -420,8 +420,38 @@ object TextAnalysis {
       .orderBy("doc_a", "doc_b")
   }
 
+  // Edit-distance fuzzy matching (the record-linkage complement to the
+  // token-set measures): candidate pairs blocked on (lang, n_chars) —
+  // the same cheap equi-key the Jaccard ops use, so no cross product —
+  // verified by Levenshtein over the 60-char prefix of the SORTED-token
+  // canonical string (order-insensitive: bag-of-words near-dups differ
+  // by token order, which raw-prefix edit distance misreads as distant).
+  // Integer distances, exact on both engines.
+  val levenshteinPairs: QueryDef = QueryDef.sql("q_levenshtein_pairs")(
+    s"""WITH n AS (SELECT doc_id, lang, n_chars,
+       |  substr(array_to_string(list_sort($toksSql), ' '), 1, 60) AS canon
+       |  FROM documents)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  levenshtein(a.canon, b.canon) AS edit_dist
+       |FROM n a JOIN n b
+       |  ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id
+       |WHERE levenshtein(a.canon, b.canon) <= 18
+       |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+    val n = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        substring(concat_ws(" ", array_sort(Text.tokens(col("text")))), 1, 60)
+          .as("canon"))
+    n.as("a").join(n.as("b"),
+        col("a.lang") === col("b.lang") && col("a.n_chars") === col("b.n_chars") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        levenshtein(col("a.canon"), col("b.canon")).as("edit_dist"))
+      .filter(col("edit_dist") <= 18)
+      .orderBy("doc_a", "doc_b")
+  }
+
   val all: Seq[QueryDef] = Seq(
     tokenCount, langId, qualityScore, fingerprint, dedupExact,
     minhashSig, minhashPairs, minhashVerified, ngramJaccard, simhash,
-    simhashNearDup, simhash60, simhash60NearDup)
+    simhashNearDup, simhash60, simhash60NearDup, levenshteinPairs)
 }
