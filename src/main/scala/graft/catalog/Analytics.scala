@@ -328,8 +328,55 @@ object Analytics {
       .orderBy("user_id", "hour_epoch")
   }
 
+  // The full ranking-function family in one pass: rank/dense_rank with
+  // gap semantics, percent_rank ((rank-1)/(n-1)) and cume_dist — both
+  // ratio functions are a single exact-int division, so doubles match
+  // bit-for-bit. Restricted to one deterministic order (value, then id).
+  val rankFuncs: QueryDef = QueryDef.sql("q_rank_funcs")(
+    """SELECT event_id, event_type,
+      |  RANK() OVER w AS rnk, DENSE_RANK() OVER w AS drnk,
+      |  PERCENT_RANK() OVER w AS prnk, CUME_DIST() OVER w AS cdist
+      |FROM events WHERE event_type IN ('error', 'purchase')
+      |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+      |ORDER BY event_type, rnk, event_id""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    Tables.events(s, dir)
+      .filter(col("event_type").isin("error", "purchase"))
+      .select(col("event_id"), col("event_type"),
+        rank().over(w).as("rnk"), dense_rank().over(w).as("drnk"),
+        percent_rank().over(w).as("prnk"), cume_dist().over(w).as("cdist"))
+      .orderBy("event_type", "rnk", "event_id")
+  }
+
+  // RANGE frame over event time (vs q_trailing_window's ROWS frame):
+  // per user, count and exact sum over the trailing literal hour — the
+  // frame boundary is a VALUE offset on epoch seconds, so ties and
+  // uneven spacing are handled by time, not by row position.
+  val rangeFrame: QueryDef = QueryDef.sql("q_range_frame")(
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) // 1000000 AS sec, value
+      |           FROM events)
+      |SELECT user_id, event_id,
+      |  COUNT(*) OVER w AS n_1h,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_1h
+      |FROM e
+      |WINDOW w AS (PARTITION BY user_id ORDER BY sec
+      |  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("user_id").orderBy("sec")
+      .rangeBetween(-3600L, Window.currentRow)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("sec"), col("value"))
+      .select(col("user_id"), col("event_id"),
+        count(lit(1)).over(w).as("n_1h"),
+        sum(col("value").cast(DecimalType(18, 2))).over(w)
+          .cast("double").as("sum_1h"))
+      .orderBy("user_id", "event_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     semiJoin, antiJoin, outerJoin, distinctUsers, rollupCounts, occupancyRate,
     runningSum, eventGaps, sessionize, valueQuartiles, valueHistogram,
-    trailingWindow, dashboardTiles, percentiles, groupingSets, gapFill)
+    trailingWindow, dashboardTiles, percentiles, groupingSets, gapFill,
+    rankFuncs, rangeFrame)
 }

@@ -13,6 +13,8 @@ import graft.ops.Text
   */
 object Functions {
 
+  import TextAnalysis.toksSql
+
   // String functions over nation names.
   val stringFuncs: QueryDef = QueryDef.sql("q_string_funcs")(
     """SELECT n_nationkey, upper(n_name) AS up, lower(n_name) AS lo,
@@ -256,7 +258,78 @@ object Functions {
       .orderBy("user_id")
   }
 
+  // JSON path extraction WITHOUT a declared schema (the ad-hoc
+  // exploration path next to from_json's typed decode): top-level,
+  // nested-object, and array-index paths. The document is constructed
+  // from real event columns (the stored props carries only one field,
+  // which couldn't exercise nesting). get_json_object == json_extract
+  // on well-formed input; array paths are 0-based in both engines.
+  val jsonPath: QueryDef = QueryDef.sql("q_json_path")(
+    """WITH j AS (
+      |  SELECT event_id,
+      |    '{"meta": {"type": "' || event_type || '", "uid": ' ||
+      |    CAST(user_id AS VARCHAR) || '}, "vals": [' || CAST(event_id AS VARCHAR) ||
+      |    ', ' || CAST(user_id AS VARCHAR) || '], "k": ' ||
+      |    CAST(json_extract(props, '$.k') AS VARCHAR) || '}' AS doc
+      |  FROM events)
+      |SELECT event_id,
+      |  json_extract_string(doc, '$.meta.type') AS mtype,
+      |  CAST(json_extract(doc, '$.meta.uid') AS BIGINT) AS muid,
+      |  CAST(json_extract(doc, '$.vals[1]') AS BIGINT) AS val1,
+      |  CAST(json_extract(doc, '$.k') AS INTEGER) AS k
+      |FROM j ORDER BY event_id""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .select(col("event_id"),
+        concat(lit("{\"meta\": {\"type\": \""), col("event_type"),
+          lit("\", \"uid\": "), col("user_id").cast("string"),
+          lit("}, \"vals\": ["), col("event_id").cast("string"),
+          lit(", "), col("user_id").cast("string"), lit("], \"k\": "),
+          get_json_object(col("props"), "$.k"), lit("}")).as("doc"))
+      .select(col("event_id"),
+        get_json_object(col("doc"), "$.meta.type").as("mtype"),
+        get_json_object(col("doc"), "$.meta.uid").cast("long").as("muid"),
+        get_json_object(col("doc"), "$.vals[1]").cast("long").as("val1"),
+        get_json_object(col("doc"), "$.k").cast("int").as("k"))
+      .orderBy("event_id")
+  }
+
+  // Array/list operator family over token arrays, surfaced as sorted
+  // joined strings (never raw array columns — hash-safe on both
+  // engines). Set semantics pinned by explicit distinct + sort.
+  val arrayOps: QueryDef = QueryDef.sql("q_array_ops")(
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |p AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.toks AS ta, b.toks AS tb
+       |  FROM t a JOIN t b ON b.doc_id = a.doc_id + 1),
+       |x AS (
+       |  SELECT doc_a, doc_b,
+       |    COALESCE(array_to_string(list_sort(list_distinct(list_filter(ta,
+       |      v -> list_contains(tb, v)))), ','), '') AS inter_str,
+       |    COALESCE(array_to_string(list_sort(list_distinct(list_filter(ta,
+       |      v -> NOT list_contains(tb, v)))), ','), '') AS except_str,
+       |    len(list_distinct(ta)) + len(list_distinct(list_filter(tb,
+       |      v -> NOT list_contains(ta, v)))) AS union_n
+       |  FROM p)
+       |SELECT doc_a, doc_b, inter_str, except_str, union_n FROM x
+       |ORDER BY doc_a""".stripMargin) { (s, dir) =>
+    val t = Tables.documents(s, dir)
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+    val p = t.as("a").join(t.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.toks").as("ta"), col("b.toks").as("tb"))
+    p.select(col("doc_a"), col("doc_b"),
+        concat_ws(",", array_sort(array_distinct(
+          filter(col("ta"), v => array_contains(col("tb"), v))))).as("inter_str"),
+        concat_ws(",", array_sort(array_distinct(
+          filter(col("ta"), v => !array_contains(col("tb"), v))))).as("except_str"),
+        (size(array_distinct(col("ta"))) +
+          size(array_distinct(filter(col("tb"), v => !array_contains(col("ta"), v)))))
+          .as("union_n"))
+      .orderBy("doc_a")
+  }
+
   val all: Seq[QueryDef] = Seq(
     stringFuncs, regexExtract, mathFuncs, setOps, cubeCounts, medianValue,
-    rollingHash, unpivot, argExtremes, dateParts, statsExact, collectFuncs)
+    rollingHash, unpivot, argExtremes, dateParts, statsExact, collectFuncs,
+    jsonPath, arrayOps)
 }
