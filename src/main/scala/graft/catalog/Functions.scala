@@ -312,19 +312,23 @@ object Functions {
        |  FROM p)
        |SELECT doc_a, doc_b, inter_str, except_str, union_n FROM x
        |ORDER BY doc_a""".stripMargin) { (s, dir) =>
+    // repartition first: the single-file table scans as ONE partition
+    // and the regex tokenize chain is CPU-bound per row
     val t = Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
     val p = t.as("a").join(t.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.toks").as("ta"), col("b.toks").as("tb"))
+    // built-in set expressions (array_intersect/except/union all dedup),
+    // not filter() lambdas — interpreted HOFs with array_contains inside
+    // are O(|ta|·|tb|) per pair with per-element interpreter overhead
     p.select(col("doc_a"), col("doc_b"),
-        concat_ws(",", array_sort(array_distinct(
-          filter(col("ta"), v => array_contains(col("tb"), v))))).as("inter_str"),
-        concat_ws(",", array_sort(array_distinct(
-          filter(col("ta"), v => !array_contains(col("tb"), v))))).as("except_str"),
-        (size(array_distinct(col("ta"))) +
-          size(array_distinct(filter(col("tb"), v => !array_contains(col("ta"), v)))))
-          .as("union_n"))
+        concat_ws(",", array_sort(array_intersect(col("ta"), col("tb"))))
+          .as("inter_str"),
+        concat_ws(",", array_sort(array_except(col("ta"), col("tb"))))
+          .as("except_str"),
+        size(array_union(col("ta"), col("tb"))).as("union_n"))
       .orderBy("doc_a")
   }
 
