@@ -1,0 +1,125 @@
+package graft.cli
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.batch.Collector
+import graft.replay.Replay
+import graft.replay.Replay.{FileExchange, ReplayConfig}
+import graft.streaming.{Ingest, UpsertParquetStore}
+
+/** The reference's three executable entry points (SURVEY.md §3), as
+  * thin CLIs over the library — a user who ran the reference's scripts
+  * runs these instead:
+  *
+  *  - `data_collector.py`      → [[CollectorMain]]
+  *  - `dataframe_to_kafka.py`  → [[ReplayMain]] (same flag surface)
+  *  - `spark_streaming_kafka.py` → [[StreamMain]]
+  *
+  * Each builds its own session exactly like the reference scripts did;
+  * all logic lives in the library objects these call.
+  */
+object Mains {
+  /** Run `f` with a session, stopping it afterwards ONLY if this call
+    * created it — `getOrCreate` joins any live session (e.g. a test
+    * harness's), and a CLI must not tear down a context it borrowed.
+    */
+  private[cli] def withSession(app: String)(f: SparkSession => Unit): Unit = {
+    val preexisting = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession).isDefined
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName(app)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .getOrCreate()
+    try f(spark)
+    finally if (!preexisting) spark.stop()
+  }
+}
+
+/** `data_collector.py` (SURVEY §3.1): merge per-room sensor trees,
+  * minute-floor group-average, write one CSV.
+  *
+  * Usage: CollectorMain <sensorRoot> <outCsvDir> [--per-dir]
+  * (default scan strategy is the globbed single pass; `--per-dir`
+  * switches to the reference's room-at-a-time iteration)
+  */
+object CollectorMain {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: CollectorMain <sensorRoot> <outCsvDir> [--per-dir]")
+    Mains.withSession("graft-collector") { spark =>
+      val merged =
+        if (args.contains("--per-dir")) Collector.mergeRoomsPerDir(spark, args(0))
+        else Collector.mergeRoomsGlob(spark, args(0))
+      Collector.writeMergedCsv(Collector.groupAverage(merged), args(1))
+    }
+  }
+}
+
+/** `dataframe_to_kafka.py` (SURVEY §3.2) — same flags:
+  * -i input, -s sep, -e csv|parquet, -ks kafkaSep, -rst rowSleepSec
+  * (applied per batch), -t topic, -b bootstrap, -r repeat, -shf,
+  * -k keyCol, -exc col1,col2,...
+  * plus `-x exchangeRoot` for the zero-egress file transport (omit to
+  * write through the Kafka connector at `-b`).
+  */
+object ReplayMain {
+  def main(args: Array[String]): Unit = {
+    val a = args.sliding(2, 2).collect { case Array(k, v) => k -> v }.toMap
+    require(a.contains("-i"), "usage: ReplayMain -i <input> [-s ,] [-e csv] " +
+      "[-ks ,] [-rst 0.5] [-t topic] [-b host:9092] [-r 1] [-shf true] " +
+      "[-k keyCol] [-exc c1,c2] [-x exchangeRoot]")
+    val cfg = ReplayConfig(
+      input = a("-i"),
+      sep = a.getOrElse("-s", ","),
+      extension = a.getOrElse("-e", "csv"),
+      kafkaSep = a.getOrElse("-ks", ","),
+      batchSleepMs = (a.getOrElse("-rst", "0").toDouble * 1000).toLong,
+      topic = a.getOrElse("-t", "test1"),
+      bootstrap = a.getOrElse("-b", "localhost:9092"),
+      repeat = a.getOrElse("-r", "1").toInt,
+      shuffle = a.get("-shf").exists(_.toBoolean),
+      keyCol = a.get("-k"),
+      excluded = a.get("-exc").map(_.split(",").toSeq).getOrElse(Nil))
+    Mains.withSession("graft-replay") { spark =>
+      a.get("-x") match {
+        case Some(root) => Replay.run(spark, cfg, new FileExchange(root))
+        case None =>
+          val wire = Replay.encode(Replay.transform(Replay.readSource(spark, cfg), cfg), cfg)
+          Replay.toKafka(wire, cfg)
+      }
+    }
+  }
+}
+
+/** `spark_streaming_kafka.py` (SURVEY §3.3): streaming decode of the
+  * JSON wire into the K3 upsert store (last write per key wins), with
+  * the K5 health preflight.
+  *
+  * Usage: StreamMain <wireDir> <storeRoot> [keyCol] — `wireDir` is a
+  * FileExchange topic dir (or any directory of (key, value) parquet).
+  */
+object StreamMain {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: StreamMain <wireDir> <storeRoot> [keyCol]")
+    val keyCol = if (args.length > 2) args(2) else "user_id"
+    Mains.withSession("graft-stream") { spark =>
+      val store = new UpsertParquetStore(args(1), keyCol, Seq("ts", "event_id"))
+      require(store.healthCheck(), "sink preflight failed")  // K5
+      val wire = spark.readStream
+        .schema("key STRING, value STRING")
+        .parquet(args(0))
+      val decoded = Ingest.decodeJsonWire(wire)
+      val q = decoded.writeStream
+        .foreachBatch((b: org.apache.spark.sql.Dataset[Row], id: Long) =>
+          store.upsert(b.toDF(), id))
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("chk_stream_").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+  }
+}

@@ -45,7 +45,12 @@ object Replay {
       case "csv" =>
         spark.read.option("header", "true").option("sep", cfg.sep)
           .option("inferSchema", "true").csv(cfg.input)
-      case "parquet" => spark.read.parquet(cfg.input)
+      case "parquet" =>
+        // Spark 4 refuses TIMESTAMP(NANOS) parquet outright; read nanos
+        // as raw longs (same convention as core.Tables.events) — the
+        // wire encoding serializes them verbatim either way
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.read.parquet(cfg.input)
       case other => throw new IllegalArgumentException(s"unsupported extension: $other")
     }
 
