@@ -504,7 +504,83 @@ object Curation {
       .orderBy("stage_idx")
   }
 
+  // -------------------------------------------------------------------
+  // Domain-mixing quotas: given per-source mixing weights, compute the
+  // largest total corpus consistent with every source's supply and each
+  // source's integer keep-quota, then take each quota deterministically
+  // by salted-hash rank. ALL quota arithmetic is integer (n·W // w,
+  // w·N // W), so the plan is engine-exact and — more importantly —
+  // reproducible across reruns and cluster sizes: the mixed corpus is a
+  // pure function of the data and the weights. The per-source table is
+  // tiny (one row per source) so every scalar join broadcasts.
+  val domainMix: QueryDef = QueryDef.sql("q_domain_mix")(
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |    (CAST(substr(source, 4) AS INT) % 3) + 1 AS w
+      |  FROM documents),
+      |t AS (SELECT source, CAST(ANY_VALUE(w) AS BIGINT) AS w, COUNT(*) AS n
+      |      FROM d GROUP BY source),
+      |tot AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM t),
+      |nmax AS (SELECT CAST(MIN(n * tw // w) AS BIGINT) AS nn FROM t, tot),
+      |k AS (SELECT source, w, n, CAST(w * nn // tw AS BIGINT) AS n_quota
+      |      FROM t, tot, nmax),
+      |r AS (SELECT d.doc_id, d.source,
+      |        ROW_NUMBER() OVER (PARTITION BY d.source ORDER BY
+      |          ('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+      |          doc_id) AS rn
+      |      FROM d),
+      |kept AS (SELECT r.source, COUNT(*) AS n_kept
+      |         FROM r JOIN k ON r.source = k.source AND r.rn <= k.n_quota
+      |         GROUP BY r.source)
+      |SELECT k.source, k.w, k.n AS n_docs, COALESCE(kept.n_kept, 0) AS n_kept
+      |FROM k LEFT JOIN kept ON k.source = kept.source
+      |ORDER BY k.source""".stripMargin) { (s, dir) =>
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        ((substring(col("source"), 4, 10).cast("int") % 3) + 1).as("w"))
+    val t = d.groupBy("source")
+      .agg(first(col("w")).cast("long").as("w"), count(lit(1)).as("n"))
+    val tot = t.agg(sum(col("w")).as("tw"))
+    val nmax = t.crossJoin(broadcast(tot))
+      .agg(min(expr("n * tw div w")).as("nn"))
+    val k = t.crossJoin(broadcast(tot)).crossJoin(broadcast(nmax))
+      .select(col("source"), col("w"), col("n"),
+        expr("w * nn div tw").as("n_quota"))
+    val wRank = Window.partitionBy("source").orderBy(
+      Text.hash60(concat(lit("mix:"), col("doc_id").cast("string"))).asc,
+      col("doc_id").asc)
+    val kept = d.withColumn("rn", row_number().over(wRank))
+      .join(broadcast(k.select(col("source"), col("n_quota"))), "source")
+      .filter(col("rn") <= col("n_quota"))
+      .groupBy("source").agg(count(lit(1)).as("n_kept"))
+    k.join(kept, Seq("source"), "left")
+      .select(col("source"), col("w"), col("n").as("n_docs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      .orderBy("source")
+  }
+
+  // Repeat-upsampling (the "epochs per domain" half of data mixing):
+  // low-weight sources replicate more; each copy is tagged with its
+  // epoch index so downstream shuffles can spread replicas. A generator
+  // per row — no shuffle, output is (rows × repeat) with full lineage
+  // back to the original doc.
+  val upsampleRepeat: QueryDef = QueryDef.sql("q_upsample_repeat")(
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |    3 - ((CAST(substr(source, 4) AS INT) % 3)) AS r
+      |  FROM documents)
+      |SELECT doc_id, source, CAST(UNNEST(generate_series(1, r)) AS BIGINT) AS epoch
+      |FROM d ORDER BY doc_id, epoch""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        (lit(3) - (substring(col("source"), 4, 10).cast("int") % 3)).as("r"))
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(1L), col("r").cast("long"))).as("epoch"))
+      .orderBy("doc_id", "epoch")
+  }
+
   val all: Seq[QueryDef] = Seq(
     dedupClusters, repetitionFilter, hashSplit, sampleStratified, docChunks,
-    piiRedact, idfQuality, contamination, filterFunnel)
+    piiRedact, idfQuality, contamination, filterFunnel, domainMix,
+    upsampleRepeat)
 }
