@@ -38,34 +38,24 @@ object Curation {
   // variant (Kiveris et al.), which keeps per-round state identical in
   // shape (a (node,label) table) — plus periodic checkpointing to cut
   // lineage, which `localCheckpoint` models here.
-  private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
-    val ex = Tables.documents(s, dir)
-      .select(col("doc_id"), col("lang"), col("n_chars"),
-        array_distinct(Text.tokens(col("text"))).as("dtok"))
-      .select(col("doc_id"), col("lang"), col("n_chars"), size(col("dtok")).as("n"),
-        explode(col("dtok")).as("t"))
-    ex.as("a").join(ex.as("b"),
-        col("a.t") === col("b.t") && col("a.lang") === col("b.lang") &&
-          col("a.n_chars") === col("b.n_chars") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.n").as("n_a"), col("b.n").as("n_b"))
-      .agg(count(lit(1)).as("inter"))
-      .filter(col("inter") / (col("n_a") + col("n_b") - col("inter")) >= 0.3)
+  // edge definition shared with q_ngram_jaccard — pair relation,
+  // blocking keys, and threshold all come from TextAnalysis so the two
+  // queries cannot drift
+  private def jaccardPairs(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenJaccardStats(s, dir)
+      .filter(col("inter") / (col("n_a") + col("n_b") - col("inter"))
+        >= TextAnalysis.JaccardThreshold)
       .select(col("doc_a"), col("doc_b"))
-  }
 
   private val pairsSql =
-    s"""base AS (
-       |  SELECT doc_id, lang, n_chars, list_distinct($toksSql) AS dtok FROM documents),
-       |sized AS (SELECT doc_id, lang, n_chars, len(dtok) AS n, dtok FROM base),
-       |ex AS (SELECT doc_id, lang, n_chars, n, UNNEST(dtok) AS t FROM sized),
+    s"""${TextAnalysis.distinctTokenExSql},
        |pairs AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM ex a JOIN ex b
        |    ON a.t = b.t AND a.lang = b.lang AND a.n_chars = b.n_chars
        |    AND a.doc_id < b.doc_id
        |  GROUP BY a.doc_id, b.doc_id, a.n, b.n
-       |  HAVING COUNT(*) / (a.n + b.n - COUNT(*)) >= 0.3)""".stripMargin
+       |  HAVING COUNT(*) / (a.n + b.n - COUNT(*)) >= ${TextAnalysis.JaccardThreshold})""".stripMargin
 
   val dedupClusters: QueryDef = QueryDef.sql("q_dedup_clusters")(
     s"""WITH RECURSIVE $pairsSql,
@@ -115,6 +105,11 @@ object Curation {
       labels = next.select("doc", "lbl")
       rounds += 1
     }
+    // a silent cap-exit would emit mid-propagation labels — multiple
+    // "canonical" survivors per real cluster, over-retaining duplicates
+    // undetected. Pointer jumping converges in O(log diameter), so 50
+    // rounds covers any graph that fits in storage; fail loudly if not.
+    require(converged, s"connected components did not converge in $rounds rounds")
     val result = labels
       .select(col("doc").as("doc_id"), col("lbl").as("cluster_id"),
         (col("doc") === col("lbl")).cast("int").as("is_canonical"))

@@ -201,20 +201,9 @@ object SimilaritySearch {
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
     val nb = assignNearest(n, c)
     // Lloyd update — per-(cluster, dimension) mean with a vec_id-ordered
-    // sequential fold (IEEE addition order pinned on both engines)
-    val dimx = nb.select(col("cid"), col("vec_id"),
-        posexplode(col("v")).as(Seq("d0", "x")))
-      .select(col("cid"), col("vec_id"), (col("d0") + 1).as("d"), col("x"))
-    val m = dimx.groupBy("cid", "d")
-      .agg(collect_list(struct(col("vec_id"), col("x"))).as("pairs"),
-        count(lit(1)).as("cnt"))
-      .select(col("cid"), col("d"),
-        (aggregate(transform(sort_array(col("pairs")), p => p.getField("x")),
-          lit(0.0), (a, x) => a + x) / col("cnt")).as("mx"))
-    val c2 = m.groupBy("cid")
-      .agg(collect_list(struct(col("d"), col("mx"))).as("dms"))
-      .select(col("cid"),
-        transform(sort_array(col("dms")), p => p.getField("mx")).as("cv"))
+    // sequential fold (IEEE addition order pinned on both engines);
+    // shared with the general ops.KMeans loop so the fold can't drift
+    val c2 = graft.ops.KMeans.foldMeans(nb, "vec_id", "cid", "v")
       .withColumn("cnrm", Vectors.norm2(col("cv")))
     val nb2 = assignNearest(n, c2)
     val q = nb2.filter(col("vec_id") < 20)

@@ -1,5 +1,6 @@
 package graft.catalog
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -199,11 +200,40 @@ object TextAnalysis {
   // N-gram (unigram-set) Jaccard near-dup, blocked by (lang, n_chars):
   // explode distinct tokens, equi-join within blocks, count
   // intersections, Jaccard = |A∩B| / (|A|+|B|-|A∩B|).
-  val ngramJaccard: QueryDef = QueryDef.sql("q_ngram_jaccard")(
-    s"""WITH base AS (
+  //
+  // The pair relation is shared with q_dedup_clusters (Curation), which
+  // builds its edge set from exactly these pairs — threshold or
+  // blocking-key changes must reach both, so both use these definitions.
+  private[catalog] val JaccardThreshold = 0.3
+
+  /** Shared CTEs: documents exploded to distinct tokens with block keys
+    * (`ex(doc_id, lang, n_chars, n, t)`).
+    */
+  private[catalog] val distinctTokenExSql: String =
+    s"""base AS (
        |  SELECT doc_id, lang, n_chars, list_distinct($toksSql) AS dtok FROM documents),
        |sized AS (SELECT doc_id, lang, n_chars, len(dtok) AS n, dtok FROM base),
-       |ex AS (SELECT doc_id, lang, n_chars, n, UNNEST(dtok) AS t FROM sized),
+       |ex AS (SELECT doc_id, lang, n_chars, n, UNNEST(dtok) AS t FROM sized)""".stripMargin
+
+  /** Unfiltered pair stats: (doc_a, doc_b, n_a, n_b, inter) for every
+    * blocked candidate pair.
+    */
+  private[catalog] def tokenJaccardStats(s: SparkSession, dir: String): DataFrame = {
+    val ex = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        array_distinct(Text.tokens(col("text"))).as("dtok"))
+      .select(col("doc_id"), col("lang"), col("n_chars"), size(col("dtok")).as("n"),
+        explode(col("dtok")).as("t"))
+    ex.as("a").join(ex.as("b"),
+        col("a.t") === col("b.t") && col("a.lang") === col("b.lang") &&
+          col("a.n_chars") === col("b.n_chars") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"))
+      .agg(count(lit(1)).as("inter"))
+  }
+
+  val ngramJaccard: QueryDef = QueryDef.sql("q_ngram_jaccard")(
+    s"""WITH $distinctTokenExSql,
        |pairs AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS n_a, b.n AS n_b,
        |    COUNT(*) AS inter
@@ -213,26 +243,13 @@ object TextAnalysis {
        |  GROUP BY 1, 2, 3, 4)
        |SELECT doc_a, doc_b, inter, n_a + n_b - inter AS uni,
        |  inter / (n_a + n_b - inter) AS jaccard
-       |FROM pairs WHERE inter / (n_a + n_b - inter) >= 0.3
+       |FROM pairs WHERE inter / (n_a + n_b - inter) >= $JaccardThreshold
        |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
-    val ex = Tables.documents(s, dir)
-      .select(col("doc_id"), col("lang"), col("n_chars"),
-        array_distinct(Text.tokens(col("text"))).as("dtok"))
-      .select(col("doc_id"), col("lang"), col("n_chars"), size(col("dtok")).as("n"),
-        explode(col("dtok")).as("t"))
-    val a = ex.as("a")
-    val b = ex.as("b")
-    val joined = a.join(b,
-        col("a.t") === col("b.t") && col("a.lang") === col("b.lang") &&
-          col("a.n_chars") === col("b.n_chars") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.n").as("n_a"), col("b.n").as("n_b"))
-      .agg(count(lit(1)).as("inter"))
-    joined
+    tokenJaccardStats(s, dir)
       .select(col("doc_a"), col("doc_b"), col("inter"),
         (col("n_a") + col("n_b") - col("inter")).as("uni"),
         (col("inter") / (col("n_a") + col("n_b") - col("inter"))).as("jaccard"))
-      .filter(col("jaccard") >= 0.3)
+      .filter(col("jaccard") >= JaccardThreshold)
       .orderBy("doc_a", "doc_b")
   }
 

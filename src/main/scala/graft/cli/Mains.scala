@@ -20,23 +20,26 @@ import graft.streaming.{Ingest, UpsertParquetStore}
   * all logic lives in the library objects these call.
   */
 object Mains {
-  /** Run `f` with a session, stopping it afterwards ONLY if this call
-    * created it — `getOrCreate` joins any live session (e.g. a test
-    * harness's), and a CLI must not tear down a context it borrowed.
+  /** Run `f` with a session. A borrowed live session (e.g. a test
+    * harness's) is used AS-IS — `Builder.getOrCreate` would silently
+    * apply this CLI's config to it (shuffle partitions, timezone) and
+    * never restore, and it must not be stopped either. Only a session
+    * this call creates is configured and torn down.
     */
-  private[cli] def withSession(app: String)(f: SparkSession => Unit): Unit = {
-    val preexisting = SparkSession.getActiveSession
-      .orElse(SparkSession.getDefaultSession).isDefined
-    val spark = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
-      .appName(app)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-      .getOrCreate()
-    try f(spark)
-    finally if (!preexisting) spark.stop()
-  }
+  private[cli] def withSession(app: String)(f: SparkSession => Unit): Unit =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession) match {
+      case Some(borrowed) => f(borrowed)
+      case None =>
+        val spark = SparkSession.builder()
+          .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+          .appName(app)
+          .config("spark.sql.session.timeZone", "UTC")
+          .config("spark.sql.shuffle.partitions",
+            sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+          .getOrCreate()
+        try f(spark)
+        finally spark.stop()
+    }
 }
 
 /** `data_collector.py` (SURVEY §3.1): merge per-room sensor trees,
@@ -66,11 +69,21 @@ object CollectorMain {
   * write through the Kafka connector at `-b`).
   */
 object ReplayMain {
+  private val Usage = "usage: ReplayMain -i <input> [-s ,] [-e csv] " +
+    "[-ks ,] [-rst 0.5] [-t topic] [-b host:9092] [-r 1] [-shf true] " +
+    "[-k keyCol] [-exc c1,c2] [-x exchangeRoot]"
+  private val Flags = Set("-i", "-s", "-e", "-ks", "-rst", "-t", "-b", "-r",
+    "-shf", "-k", "-exc", "-x")
+
   def main(args: Array[String]): Unit = {
+    // every flag takes a value (matching the reference CLI); validate
+    // arity and flag names so a valueless flag can't silently misalign
+    // the rest of the pairs
+    require(args.length % 2 == 0, s"odd argument count — every flag takes a value\n$Usage")
     val a = args.sliding(2, 2).collect { case Array(k, v) => k -> v }.toMap
-    require(a.contains("-i"), "usage: ReplayMain -i <input> [-s ,] [-e csv] " +
-      "[-ks ,] [-rst 0.5] [-t topic] [-b host:9092] [-r 1] [-shf true] " +
-      "[-k keyCol] [-exc c1,c2] [-x exchangeRoot]")
+    val unknown = a.keySet.diff(Flags)
+    require(unknown.isEmpty, s"unknown flag(s): ${unknown.mkString(", ")}\n$Usage")
+    require(a.contains("-i"), Usage)
     val cfg = ReplayConfig(
       input = a("-i"),
       sep = a.getOrElse("-s", ","),

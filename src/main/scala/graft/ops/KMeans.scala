@@ -26,6 +26,31 @@ import org.apache.spark.sql.functions._
   */
 object KMeans {
 
+  /** One Lloyd update: per-(cluster, dimension) member mean, folding
+    * members in `idCol` order so the IEEE sum is bit-reproducible
+    * regardless of partitioning. Shared by [[fit]] and the catalog's
+    * `q_ann_ivf_kmeans` (whose DuckDB oracle mirrors this exact fold) —
+    * a change to the fold order in one place must reach both.
+    *
+    * @param members (idCol, cidCol, vecCol) assigned vectors
+    * @return (cid, cv) updated centroids, dimensions in input order
+    */
+  def foldMeans(members: DataFrame, idCol: String, cidCol: String,
+      vecCol: String): DataFrame =
+    members
+      .select(col(cidCol).as("cid"), col(idCol).as("__mid"),
+        posexplode(col(vecCol)).as(Seq("d", "x")))
+      .groupBy("cid", "d")
+      .agg(collect_list(struct(col("__mid"), col("x"))).as("pairs"),
+        count(lit(1)).as("cnt"))
+      .select(col("cid"), col("d"),
+        (aggregate(transform(sort_array(col("pairs")), p => p.getField("x")),
+          lit(0.0), (a, x) => a + x) / col("cnt")).as("mx"))
+      .groupBy("cid")
+      .agg(collect_list(struct(col("d"), col("mx"))).as("dms"))
+      .select(col("cid"),
+        transform(sort_array(col("dms")), p => p.getField("mx")).as("cv"))
+
   /** @param vectors  (id: long, v: array<double>) — pre-normalized or raw
     * @param k        centroid count; initial centroids are the k
     *                 smallest-id vectors (deterministic seed)
@@ -68,20 +93,18 @@ object KMeans {
     var r = 0
     while (r < rounds) {
       val asg = assign(centroids)
-      val m = asg.select(col("cid"), col("id"), posexplode(col("v")).as(Seq("d", "x")))
-        .groupBy("cid", "d")
-        .agg(collect_list(struct(col("id"), col("x"))).as("pairs"),
-          count(lit(1)).as("cnt"))
-        .select(col("cid"), col("d"),
-          (aggregate(transform(sort_array(col("pairs")), p => p.getField("x")),
-            lit(0.0), (a, x) => a + x) / col("cnt")).as("mx"))
+      val updated = foldMeans(asg, "id", "cid", "v")
+        .select(col("cid"), col("cv").as("new_cv"))
+      // a cluster can empty (e.g. duplicate seed vectors: the tie-break
+      // sends both copies to the smaller cid) — keep the previous
+      // centroid then, so fit always returns exactly k centroids
       // the final round's centroids are a RETURNED frame — only earlier
       // rounds' tables are released
-      centroids = checkpoint(m.groupBy("cid")
-        .agg(collect_list(struct(col("d"), col("mx"))).as("dms"))
-        .select(col("cid"),
-          transform(sort_array(col("dms")), p => p.getField("mx")).as("cv"))
-        .withColumn("cnrm", Vectors.norm2(col("cv"))),
+      centroids = checkpoint(
+        centroids.select(col("cid"), col("cv").as("old_cv"))
+          .join(updated, Seq("cid"), "left")
+          .select(col("cid"), coalesce(col("new_cv"), col("old_cv")).as("cv"))
+          .withColumn("cnrm", Vectors.norm2(col("cv"))),
         intermediate = r < rounds - 1)
       r += 1
     }

@@ -31,9 +31,14 @@ object Text {
     val noBlocks = regexp_replace(text,
       "(?is)<(script|style)[^>]*>.*?</\\1>", " ")
     val noTags = regexp_replace(noBlocks, "(?s)<[^>]*>", " ")
+    // &amp; decodes LAST: decoding it first would turn double-escaped
+    // text ("5 &amp;lt; 6", displayed as "5 &lt; 6") into "&lt;" that a
+    // later rule decodes AGAIN, inventing characters the source never
+    // displayed
     val decoded = Seq(
-      "&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
-      "&quot;" -> "\"", "&#39;" -> "'", "&nbsp;" -> " ")
+      "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&nbsp;" -> " ",
+      "&amp;" -> "&")
       .foldLeft(noTags) { case (c, (ent, ch)) =>
         regexp_replace(c, java.util.regex.Pattern.quote(ent), ch)
       }

@@ -48,7 +48,10 @@ object Replay {
       case "parquet" =>
         // Spark 4 refuses TIMESTAMP(NANOS) parquet outright; read nanos
         // as raw longs (same convention as core.Tables.events) — the
-        // wire encoding serializes them verbatim either way
+        // wire encoding serializes them verbatim either way. SESSION
+        // SIDE EFFECT: the conf stays set until the plan executes (the
+        // scan consults it at execution, not here); [[run]] restores it
+        // after publishing.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.read.parquet(cfg.input)
       case other => throw new IllegalArgumentException(s"unsupported extension: $other")
@@ -100,7 +103,15 @@ object Replay {
       spark.read.parquet(topicDir(topic))
   }
 
-  /** Full replay: read → transform → encode → publish to the exchange. */
-  def run(spark: SparkSession, cfg: ReplayConfig, exchange: FileExchange): Unit =
-    exchange.publish(encode(transform(readSource(spark, cfg), cfg), cfg), cfg)
+  /** Full replay: read → transform → encode → publish to the exchange.
+    * The nanos-as-long conf [[readSource]] may set is restored once the
+    * publish has materialized every batch, so a borrowed session's
+    * later parquet reads keep their normal timestamp decoding.
+    */
+  def run(spark: SparkSession, cfg: ReplayConfig, exchange: FileExchange): Unit = {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(key)
+    try exchange.publish(encode(transform(readSource(spark, cfg), cfg), cfg), cfg)
+    finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
 }

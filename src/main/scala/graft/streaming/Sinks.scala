@@ -156,7 +156,9 @@ final class DeltaUpsertStore(root: String, keyCol: String, orderCols: Seq[String
   /** O(batch): reduce to latest-per-key and append one delta segment. */
   def upsert(batch: DataFrame, batchId: Long): Unit = synchronized {
     val seg = nextSegment("d")
-    latestPerKey(batch.withColumn("__seg", lit(0L)), segOrdered = false)
+    // drop("__seg") inside latestPerKey is a no-op here (drop ignores
+    // missing columns) — no synthetic column needed on the batch path
+    latestPerKey(batch, segOrdered = false)
       .write.mode(SaveMode.Overwrite).parquet(s"$root/$seg")
     commit(manifest() :+ seg)
   }

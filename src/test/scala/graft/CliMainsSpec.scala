@@ -36,9 +36,12 @@ class CliMainsSpec extends AnyFunSuite {
     graft.cli.ReplayMain.main(Array(
       "-i", "/root/testdata/sf0.001/events.parquet", "-e", "parquet",
       "-t", "events", "-r", "2", "-k", "event_id", "-x", exchange))
-    // 2 repeats of the full table landed on the wire
+    // 2 repeats of the full table landed on the wire. (Count the source
+    // through the Tables loader — Replay.run restores the nanos-as-long
+    // conf on exit, so a raw spark.read.parquet of the NANOS table here
+    // would rightly fail.)
     val wire = spark.read.parquet(s"$exchange/topic=events")
-    val nEvents = spark.read.parquet("/root/testdata/sf0.001/events.parquet").count()
+    val nEvents = graft.core.Tables.events(spark, "/root/testdata/sf0.001").count()
     assert(wire.count() == 2 * nEvents)
 
     // the reference's streaming consumer: wire -> decode -> K3 upsert.

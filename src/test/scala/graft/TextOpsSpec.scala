@@ -142,13 +142,16 @@ class TextOpsSpec extends AnyFunSuite {
         "<body><p>Hello &amp; welcome to <b>Spark</b>!</p>" +
         "<script>alert('x < y');</script>Goodbye&nbsp;now</body></html>"),
       (2L, "already clean text"),
-      (3L, "a &lt;tag&gt; literal and a control\u0007char"))
+      (3L, "a &lt;tag&gt; literal and a control\u0007char"),
+      (4L, "5 &amp;lt; 6"))  // double-escaped: displays as "5 &lt; 6"
       .toDF("doc_id", "text")
     val out = dirty.select(col("doc_id"), Text.cleanHtml(col("text")).as("c"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(out(1L) == "Hello & welcome to Spark ! Goodbye now")
     assert(out(2L) == "already clean text")
     assert(out(3L) == "a <tag> literal and a control char")
+    // &amp; decodes LAST: one level of escaping is removed, never two
+    assert(out(4L) == "5 &lt; 6")
     // idempotent on entity-free text (doc 3's &lt;..&gt; decodes to a
     // tag-like span a second pass would strip — documented non-goal)
     val entityFree = dirty.filter(col("doc_id") < 3)
