@@ -143,6 +143,50 @@ object Advanced {
       .orderBy("id_a", "id_b")
   }
 
+  // As-of join WITH TOLERANCE (the common market-data variant: a stale
+  // reference value is worse than none): the carried payload is a
+  // (click_id, click_ts) struct through the SAME composed operator —
+  // no operator change needed — and matches older than 1 hour null out
+  // in a final projection. The oracle carries id and ts as two
+  // last_value IGNORE NULLS columns over one frame; their null patterns
+  // coincide row-wise, so both come from the same matched right row.
+  val asofTolerance: QueryDef = QueryDef.sql("q_asof_tolerance")(
+    """WITH l AS (
+      |  SELECT user_id, ts, event_id, 1 AS side,
+      |    CAST(NULL AS BIGINT) AS asof_v, CAST(NULL AS BIGINT) AS asof_ts
+      |  FROM events WHERE event_type = 'purchase'),
+      |r AS (
+      |  SELECT user_id, ts, CAST(NULL AS BIGINT) AS event_id, 0 AS side,
+      |    event_id AS asof_v, epoch_us(ts) AS asof_ts
+      |  FROM events WHERE event_type = 'click'),
+      |u AS (SELECT * FROM l UNION ALL SELECT * FROM r),
+      |c AS (
+      |  SELECT *,
+      |    last_value(asof_v IGNORE NULLS) OVER w AS last_click_id,
+      |    last_value(asof_ts IGNORE NULLS) OVER w AS last_click_ts
+      |  FROM u
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, side, asof_v NULLS FIRST
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+      |  CASE WHEN last_click_id IS NOT NULL
+      |        AND epoch_us(ts) - last_click_ts <= 3600000000
+      |       THEN last_click_id END AS click_id_1h
+      |FROM c WHERE side = 1 ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"),
+        struct(col("event_id").as("cid"), unix_micros(col("ts")).as("cts_us"))
+          .as("click"))
+    AsOf.joinAsOf(purchases, clicks, Seq("user_id"), "ts", "click", "asof_click")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        when(col("asof_click").isNotNull &&
+          unix_micros(col("ts")) - col("asof_click.cts_us") <= 3600000000L,
+          col("asof_click.cid")).as("click_id_1h"))
+      .orderBy("event_id")
+  }
+
   val all: Seq[QueryDef] = Seq(asofJoin, asofJoinNative, streamStatefulCount,
-    topkTokens, rangeJoinBucketed)
+    topkTokens, rangeJoinBucketed, asofTolerance)
 }
