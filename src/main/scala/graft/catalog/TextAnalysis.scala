@@ -21,6 +21,17 @@ object TextAnalysis {
     """trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))"""
   private[catalog] val toksSql = s"list_filter(string_split($normSql, ' '), t -> t != '')"
 
+  /** Documents spread across the cluster before any per-row regex work:
+    * the single-file table scans as ONE partition, and every query here
+    * is CPU-bound per row (explicit count — AQE's size-based coalesce
+    * would fold small-byte/high-CPU partitions back together). At scale
+    * a multi-file table already scans parallel; the repartition then
+    * just pins the downstream key.
+    */
+  private def docs(s: SparkSession, dir: String) =
+    Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+
   private def listLit(words: Seq[String]) = words.map(w => s"'$w'").mkString("[", ", ", "]")
   private def hitsSql(words: Seq[String]) =
     s"len(list_filter(toks, t -> list_contains(${listLit(words)}, t)))"
@@ -34,7 +45,7 @@ object TextAnalysis {
        |  len(regexp_extract_all(lower(text), '[^a-z0-9\\s]')) AS n_punct,
        |  length(text) AS n_chars_calc
        |FROM base ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    Tables.documents(s, dir).select(
+    docs(s, dir).select(
         col("doc_id"),
         size(Text.tokens(col("text"))).as("n_tokens"),
         regexp_count(lower(col("text")), lit("[a-z0-9]+")).as("n_word_runs"),
@@ -59,7 +70,7 @@ object TextAnalysis {
          |SELECT lang, $caseSql AS lang_pred, COUNT(*) AS n
          |FROM scored GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
       val scores = Text.langScores(col("__toks"))
-      Tables.documents(s, dir)
+      docs(s, dir)
         // stage tokens as a column: HOF lambdas re-evaluate non-lambda
         // subtrees per element in interpreted mode
         .select(col("lang"), Text.tokens(col("text")).as("__toks"))
@@ -92,7 +103,7 @@ object TextAnalysis {
          |    + 0.2 * (1 - digits / greatest(n_chars_calc, 1)) AS quality_score
          |FROM m ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val toks = col("__toks")
-      val base = Tables.documents(s, dir)
+      val base = docs(s, dir)
         .select(col("doc_id"), col("text"), Text.tokens(col("text")).as("__toks"))
         .select(
         col("doc_id"),
@@ -122,7 +133,7 @@ object TextAnalysis {
     s"""SELECT doc_id, md5($normSql) AS fp_md5,
        |  CAST(('0x' || substr(md5($normSql), 1, 15)) AS BIGINT) AS fp64
        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    Tables.documents(s, dir).select(
+    docs(s, dir).select(
         col("doc_id"),
         md5(Text.normText(col("text"))).as("fp_md5"),
         Text.fingerprint64(col("text")).as("fp64"))
@@ -135,7 +146,7 @@ object TextAnalysis {
   val dedupExact: QueryDef = QueryDef.sql("q_dedup_exact")(
     s"""SELECT md5($normSql) AS fp, COUNT(*) AS n_dups, MIN(doc_id) AS canonical_doc
        |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin) { (s, dir) =>
-    Tables.documents(s, dir)
+    docs(s, dir)
       .groupBy(md5(Text.normText(col("text"))).as("fp"))
       .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("canonical_doc"))
       .orderBy("fp")
@@ -219,7 +230,7 @@ object TextAnalysis {
     * blocked candidate pair.
     */
   private[catalog] def tokenJaccardStats(s: SparkSession, dir: String): DataFrame = {
-    val ex = Tables.documents(s, dir)
+    val ex = docs(s, dir)
       .select(col("doc_id"), col("lang"), col("n_chars"),
         array_distinct(Text.tokens(col("text"))).as("dtok"))
       .select(col("doc_id"), col("lang"), col("n_chars"), size(col("dtok")).as("n"),
@@ -282,9 +293,10 @@ object TextAnalysis {
        |FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.simhash16, b.simhash16)) <= 4
        |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
-    val docs = Tables.documents(s, dir)
-    val sh = Text.simhash16(docs, "doc_id", "text")
-      .join(docs.select("doc_id", "lang"), "doc_id")
+    // simhash16 repartitions its input internally — plain loader here
+    val d = Tables.documents(s, dir)
+    val sh = Text.simhash16(d, "doc_id", "text")
+      .join(d.select("doc_id", "lang"), "doc_id")
     val a = sh.as("a")
     val b = sh.as("b")
     a.join(b, col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
@@ -392,7 +404,7 @@ object TextAnalysis {
        |FROM documents d LEFT JOIN sig ON d.doc_id = sig.doc_id
        |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
     graft.functions.SimHash60.register(s)
-    Tables.documents(s, dir)
+    docs(s, dir)
       .select(col("doc_id"),
         graft.functions.SimHash60.simhash60(Text.tokens(col("text"))).as("simhash60"))
       .orderBy("doc_id")
@@ -417,7 +429,7 @@ object TextAnalysis {
        |FROM cand WHERE bit_count(xor(s_a, s_b)) <= 5
        |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
     graft.functions.SimHash60.register(s)
-    val sig = Tables.documents(s, dir)
+    val sig = docs(s, dir)
       .select(col("doc_id"),
         graft.functions.SimHash60.simhash60(Text.tokens(col("text"))).as("s"))
     val banded = sig.select(col("doc_id"), col("s"),
@@ -454,7 +466,7 @@ object TextAnalysis {
        |  ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id
        |WHERE levenshtein(a.canon, b.canon) <= 18
        |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
-    val n = Tables.documents(s, dir)
+    val n = docs(s, dir)
       .select(col("doc_id"), col("lang"), col("n_chars"),
         substring(concat_ws(" ", array_sort(Text.tokens(col("text")))), 1, 60)
           .as("canon"))
