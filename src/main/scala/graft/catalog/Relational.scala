@@ -272,8 +272,41 @@ object Relational {
       .orderBy("event_id")
   }
 
+  // TPC-H Q3 shape (shipping-priority revenue top-k): selective filters
+  // on BOTH join sides reach the parquet scans, the join shuffles (or
+  // broadcasts, size-permitting) only surviving rows, revenue is an
+  // exact decimal product-sum, and the top-10 is a deterministic
+  // (revenue DESC, orderkey) LIMIT that Spark executes as TakeOrdered —
+  // no global sort materializes.
+  val topRevenue: QueryDef = QueryDef.sql("q_top_revenue")(
+    """SELECT l_orderkey,
+      |  CAST(epoch(o_orderdate) AS BIGINT) AS orderdate_epoch, o_orderpriority,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |           (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+      |GROUP BY 1, 2, 3
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin) { (s, dir) =>
+    val cut = "1995-03-15 00:00:00"
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") > lit(cut).cast("timestamp"))
+      .join(Tables.orders(s, dir)
+          .filter(col("o_orderdate") < lit(cut).cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"),
+        unix_timestamp(col("o_orderdate")).as("orderdate_epoch"),
+        col("o_orderpriority"))
+      .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+          (lit(1) - col("l_discount").cast(DecimalType(18, 2))))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
   val all: Seq[QueryDef] = Seq(
     scanFilterProject, dropCols, dropNa, litTag, jsonFlatten, dsvEncode,
     multiwayJoin, groupAvgMinute, hourlyStats, unionAll, timeFuncs,
-    shuffleDet, upsertLastWins, topkHourly, pivotTypeHour, anomalyFilter)
+    shuffleDet, upsertLastWins, topkHourly, pivotTypeHour, anomalyFilter,
+    topRevenue)
 }

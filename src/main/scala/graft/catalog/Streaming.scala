@@ -240,8 +240,35 @@ object Streaming {
     Ingest.runToMemory(agg).orderBy("user_id", "session_start")
   }
 
+  // T5 via Spark 4's transformWithState (arbitrary-state v2: typed
+  // per-key state variables, TTL, timers) — runs on the RocksDB state
+  // store it requires, which is also the large-state deployment choice.
+  // Per-user running summary (count, max, latest event id); every
+  // in-batch reduction is order-insensitive, so streaming equals batch.
+  val streamTwsSummary: QueryDef = QueryDef.sql("q_stream_tws_summary")(
+    """SELECT s.user_id, s.n_events, s.max_value, l.event_id AS last_event_id
+      |FROM (SELECT user_id, COUNT(*) AS n_events, MAX(value) AS max_value
+      |      FROM events GROUP BY 1) s
+      |JOIN (SELECT user_id, event_id FROM (
+      |        SELECT user_id, event_id, ROW_NUMBER() OVER
+      |          (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |        FROM events) t WHERE rn = 1) l
+      |  ON s.user_id = l.user_id
+      |ORDER BY s.user_id""".stripMargin) { (s, dir) =>
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val out = Ingest.runToMemory(
+        graft.streaming.Stateful.userSummaries(Ingest.eventsStream(s, dir)).toDF(),
+        mode = "update")
+      out.orderBy("user_id")
+    } finally prev.fold(s.conf.unset(key))(s.conf.set(key, _))
+  }
+
   val all: Seq[QueryDef] = Seq(
     streamIngestJson, streamIngestDsv, streamWindowHourly, sinkUpsert,
     sinkUpsertDelta, sinkRoute, streamStreamJoin, streamDedup,
-    streamSessionWindow)
+    streamSessionWindow, streamTwsSummary)
 }
