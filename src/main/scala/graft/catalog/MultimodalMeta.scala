@@ -77,5 +77,48 @@ object MultimodalMeta {
       .orderBy("doc_id")
   }
 
-  val all: Seq[QueryDef] = Seq(decodeMeta, frameSample, features, resize)
+  // Cross-modal retrieval pipeline: media rows (decoded metadata) look
+  // up their embedding (vec_id == doc_id in the testdata) and fetch
+  // their top-3 cosine neighbors from the full embedding corpus — the
+  // media→embedding→ANN stitch a multimodal training pipeline runs for
+  // near-dup images or retrieval-augmented captioning. Query side
+  // broadcasts (tiny), corpus side streams once.
+  val retrieval: QueryDef = QueryDef.sql("q_mm_retrieval")(
+    s"""WITH $metaCte,
+       |n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |        sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+       |                              CAST(embedding AS DOUBLE[]))) AS nrm
+       |      FROM embeddings),
+       |q AS (SELECT meta.doc_id, meta.media_type, n.v AS qv, n.nrm AS qnrm
+       |      FROM meta JOIN n ON n.vec_id = meta.doc_id WHERE meta.doc_id < 20),
+       |scored AS (
+       |  SELECT q.doc_id, q.media_type, n.vec_id AS neighbor_id,
+       |    list_dot_product(qv, v) / (qnrm * nrm) AS cosine
+       |  FROM q CROSS JOIN n WHERE n.vec_id <> q.doc_id),
+       |ranked AS (SELECT *, ROW_NUMBER() OVER
+       |  (PARTITION BY doc_id ORDER BY cosine DESC, neighbor_id) AS rnk FROM scored)
+       |SELECT doc_id, media_type, neighbor_id, cosine, rnk FROM ranked
+       |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    import graft.ops.Vectors
+    val media = Multimodal.decodeMeta(
+        Multimodal.mediaFromDocuments(s, Tables.documents(s, dir)))
+      .toDF().select("doc_id", "media_type")
+    val n = SimilaritySearch.normed(s, dir)
+    val q = media.filter(col("doc_id") < 20)
+      .join(n, col("vec_id") === col("doc_id"))
+      .select(col("doc_id"), col("media_type"),
+        col("v").as("qv"), col("nrm").as("qnrm"))
+    val scored = broadcast(q).crossJoin(n)
+      .filter(col("vec_id") =!= col("doc_id"))
+      .select(col("doc_id"), col("media_type"), col("vec_id").as("neighbor_id"),
+        Vectors.cosine(col("qv"), col("v"), col("qnrm"), col("nrm")).as("cosine"))
+    val w = Window.partitionBy("doc_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select("doc_id", "media_type", "neighbor_id", "cosine", "rnk")
+      .orderBy("doc_id", "rnk")
+  }
+
+  val all: Seq[QueryDef] = Seq(decodeMeta, frameSample, features, resize, retrieval)
 }

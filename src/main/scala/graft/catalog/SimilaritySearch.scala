@@ -23,7 +23,7 @@ object SimilaritySearch {
     * every downstream op is CPU-bound per row (AQE's size-based
     * coalesce would undo a bare repartition()).
     */
-  private def normed(s: SparkSession, dir: String): DataFrame = {
+  private[catalog] def normed(s: SparkSession, dir: String): DataFrame = {
     Vectors.register(s)
     Tables.embeddings(s, dir)
       .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
