@@ -574,8 +574,44 @@ object Curation {
       .orderBy("doc_id", "epoch")
   }
 
+  // Chunk-level dedup — the composition q_doc_chunks' fingerprints
+  // exist for: identical 40-token windows across DIFFERENT documents
+  // (the fine-grained duplication document-level dedup can't see —
+  // boilerplate headers, quoted passages). Pure groupBy on the 60-bit
+  // chunk fingerprint; at 100 TB the shuffle carries 8-byte keys.
+  val chunkDedup: QueryDef = QueryDef.sql("q_chunk_dedup")(
+    s"""WITH base AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |starts AS (
+       |  SELECT doc_id, toks, len(toks) AS n,
+       |    UNNEST(generate_series(1, len(toks), $ChunkS)) AS chunk_start
+       |  FROM base WHERE len(toks) > 0),
+       |ch AS (
+       |  SELECT doc_id,
+       |    ('0x' || substr(md5(array_to_string(list_slice(toks, chunk_start,
+       |        chunk_start + ${ChunkW - 1}), ' ')), 1, 15))::BIGINT AS chunk_fp
+       |  FROM starts)
+       |SELECT chunk_fp, COUNT(*) AS n_copies, COUNT(DISTINCT doc_id) AS n_docs,
+       |  MIN(doc_id) AS canonical_doc
+       |FROM ch GROUP BY chunk_fp HAVING COUNT(*) > 1
+       |ORDER BY chunk_fp""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(1), size(col("toks")), lit(ChunkS))).as("chunk_start"))
+      .select(col("doc_id"),
+        Text.hash60(concat_ws(" ", slice(col("toks"), col("chunk_start"), lit(ChunkW))))
+          .as("chunk_fp"))
+      .groupBy("chunk_fp")
+      .agg(count(lit(1)).as("n_copies"), countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("canonical_doc"))
+      .filter(col("n_copies") > 1)
+      .orderBy("chunk_fp")
+  }
+
   val all: Seq[QueryDef] = Seq(
     dedupClusters, repetitionFilter, hashSplit, sampleStratified, docChunks,
     piiRedact, idfQuality, contamination, filterFunnel, domainMix,
-    upsampleRepeat)
+    upsampleRepeat, chunkDedup)
 }

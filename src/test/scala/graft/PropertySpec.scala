@@ -71,13 +71,15 @@ class PropertySpec extends AnyFunSuite {
     assert(dups.isEmpty, s"duplicate catalog names: ${dups.mkString(", ")}")
     // every name is q_-prefixed and filesystem-safe (Verify writes dirs)
     cat.foreach(q => assert(q.name.matches("q_[a-z0-9_]+"), q.name))
-    // oracles reference only driver-provided tables
+    // every oracle must ground in at least one driver-provided table
+    // (an oracle referencing only CTEs of nothing would vacuously pass
+    // DuckDB but verify nothing)
     val tables = graft.core.Tables.all.toSet
-    val word = "(?i)\\bFROM\\s+([a-zA-Z_][a-zA-Z0-9_]*)".r
-    cat.flatMap(q => q.oracle).foreach { sql =>
-      word.findAllMatchIn(sql).map(_.group(1).toLowerCase).foreach { t =>
-        // CTE names and derived aliases are fine; real tables must exist
-        if (tables.contains(t)) () // ok
+    cat.foreach { q =>
+      q.oracle.foreach { sql =>
+        val lower = sql.toLowerCase
+        assert(tables.exists(t => lower.contains(t)),
+          s"${q.name}: oracle references no driver table")
       }
     }
     // the two rows-only queries are exactly the documented sketches
