@@ -479,8 +479,61 @@ object TextAnalysis {
       .orderBy("doc_a", "doc_b")
   }
 
+  // MinHash-as-ESTIMATOR: jaccard_est = matching signature components
+  // / K for every LSH candidate pair — the sketch answer that stands in
+  // for exact verification at scale (q_minhash_verified is the exact
+  // counterpart on the same candidates; the estimate needs only the
+  // K-long signatures, never the shingle sets).
+  val minhashJaccardEst: QueryDef = QueryDef.sql("q_minhash_jaccard_est")(
+    s"""WITH base AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |sh AS (SELECT doc_id, $shinglesSql AS sh FROM base),
+       |sig AS (SELECT doc_id, ${sigSqls.mkString(", ")} FROM sh),
+       |bands AS (SELECT doc_id, ${bandSqls.mkString(", ")} FROM sig),
+       |ex AS (
+       |  ${(0 until K / 2).map(b => s"SELECT doc_id, $b AS band_idx, band_$b AS band_hash FROM bands")
+            .mkString("\n  UNION ALL\n  ")}),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM ex a JOIN ex b
+       |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       |    AND a.doc_id < b.doc_id)
+       |SELECT c.doc_a, c.doc_b,
+       |  CAST(${(0 until K).map(i =>
+            s"(CASE WHEN sa.sig_$i = sb.sig_$i THEN 1 ELSE 0 END)").mkString(" + ")}
+       |    AS BIGINT) AS n_match,
+       |  (${(0 until K).map(i =>
+            s"(CASE WHEN sa.sig_$i = sb.sig_$i THEN 1 ELSE 0 END)").mkString(" + ")})
+       |    / $K AS jaccard_est
+       |FROM cand c
+       |JOIN sig sa ON sa.doc_id = c.doc_a
+       |JOIN sig sb ON sb.doc_id = c.doc_b
+       |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+    val sig = Text.minhashSigDF(Tables.documents(s, dir), "doc_id", "text", 3, K)
+    val banded = sig
+      .select(col("doc_id"), array(Text.lshBandCols(2, K): _*).as("bands"))
+      .select(col("doc_id"), posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sa = sig.toDF(sig.columns.map(c => s"a_$c"): _*)
+    val sb = sig.toDF(sig.columns.map(c => s"b_$c"): _*)
+    val nMatch = (0 until K).map(i =>
+      when(col(s"a_sig_$i") === col(s"b_sig_$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand.join(sa, col("a_doc_id") === col("doc_a"))
+      .join(sb, col("b_doc_id") === col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        nMatch.cast("long").as("n_match"),
+        (nMatch / K).as("jaccard_est"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   val all: Seq[QueryDef] = Seq(
     tokenCount, langId, qualityScore, fingerprint, dedupExact,
     minhashSig, minhashPairs, minhashVerified, ngramJaccard, simhash,
-    simhashNearDup, simhash60, simhash60NearDup, levenshteinPairs)
+    simhashNearDup, simhash60, simhash60NearDup, levenshteinPairs,
+    minhashJaccardEst)
 }
