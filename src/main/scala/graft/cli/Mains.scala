@@ -71,9 +71,9 @@ object CollectorMain {
 object ReplayMain {
   private val Usage = "usage: ReplayMain -i <input> [-s ,] [-e csv] " +
     "[-ks ,] [-rst 0.5] [-t topic] [-b host:9092] [-r 1] [-shf true] " +
-    "[-k keyCol] [-exc c1,c2] [-x exchangeRoot]"
+    "[-k keyCol] [-exc c1,c2] [-x exchangeRoot] [-wf dsv|json]"
   private val Flags = Set("-i", "-s", "-e", "-ks", "-rst", "-t", "-b", "-r",
-    "-shf", "-k", "-exc", "-x")
+    "-shf", "-k", "-exc", "-x", "-wf")
 
   def main(args: Array[String]): Unit = {
     // every flag takes a value (matching the reference CLI); validate
@@ -95,7 +95,8 @@ object ReplayMain {
       repeat = a.getOrElse("-r", "1").toInt,
       shuffle = a.get("-shf").exists(_.toBoolean),
       keyCol = a.get("-k"),
-      excluded = a.get("-exc").map(_.split(",").toSeq).getOrElse(Nil))
+      excluded = a.get("-exc").map(_.split(",").toSeq).getOrElse(Nil),
+      wireFormat = a.getOrElse("-wf", "dsv"))
     Mains.withSession("graft-replay") { spark =>
       a.get("-x") match {
         case Some(root) => Replay.run(spark, cfg, new FileExchange(root))
@@ -108,23 +109,48 @@ object ReplayMain {
 }
 
 /** `spark_streaming_kafka.py` (SURVEY §3.3): streaming decode of the
-  * JSON wire into the K3 upsert store (last write per key wins), with
-  * the K5 health preflight.
+  * wire into the K3 upsert store (last write per key wins), with the
+  * K5 health preflight. SCHEMA-ON-READ like the reference consumer: the
+  * CLI declares the wire schema (DDL) and format instead of assuming
+  * one — a JSON consumer pointed at a DSV wire would PERMISSIVE-null
+  * every row, exactly as with a misconfigured reference deployment.
   *
-  * Usage: StreamMain <wireDir> <storeRoot> [keyCol] — `wireDir` is a
-  * FileExchange topic dir (or any directory of (key, value) parquet).
+  * Usage: StreamMain <wireDir> <storeRoot> [keyCol] [json|dsv] [ddl]
+  * — `wireDir` is a FileExchange topic dir (or any (key, value)
+  * parquet directory). Defaults decode ReplayMain's events wire
+  * (`-wf json`, ts as raw nanos).
   */
 object StreamMain {
+  private val EventsDdl = "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
+    "event_type STRING, value DOUBLE, props STRING"
+
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: StreamMain <wireDir> <storeRoot> [keyCol]")
+    require(args.length >= 2,
+      "usage: StreamMain <wireDir> <storeRoot> [keyCol] [json|dsv] [ddl]")
     val keyCol = if (args.length > 2) args(2) else "user_id"
+    val format = if (args.length > 3) args(3) else "json"
+    val ddl = if (args.length > 4) args(4) else EventsDdl
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(ddl)
     Mains.withSession("graft-stream") { spark =>
       val store = new UpsertParquetStore(args(1), keyCol, Seq("ts", "event_id"))
       require(store.healthCheck(), "sink preflight failed")  // K5
       val wire = spark.readStream
         .schema("key STRING, value STRING")
         .parquet(args(0))
-      val decoded = Ingest.decodeJsonWire(wire)
+      val decoded = format match {
+        case "json" =>
+          wire.selectExpr("CAST(value AS STRING) AS payload")
+            .select(org.apache.spark.sql.functions.from_json(
+              org.apache.spark.sql.functions.col("payload"), schema).as("data"))
+            .select("data.*")
+        case "dsv" =>
+          wire.selectExpr("CAST(value AS STRING) AS payload")
+            .select(org.apache.spark.sql.functions.from_csv(
+              org.apache.spark.sql.functions.col("payload"), schema,
+              Map("sep" -> ",")).as("data"))
+            .select("data.*")
+        case other => throw new IllegalArgumentException(s"unsupported format: $other")
+      }
       val q = decoded.writeStream
         .foreachBatch((b: org.apache.spark.sql.Dataset[Row], id: Long) =>
           store.upsert(b.toDF(), id))

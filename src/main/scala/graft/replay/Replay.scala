@@ -37,7 +37,12 @@ object Replay {
       repeat: Int = 1,
       shuffle: Boolean = false,
       keyCol: Option[String] = None,
-      excluded: Seq[String] = Nil)
+      excluded: Seq[String] = Nil,
+      // "dsv" = the reference producer's turn_df_to_str path; "json" =
+      // its README json.dumps demo. A JSON consumer reading a DSV wire
+      // (or vice versa) PERMISSIVE-decodes to all-null rows — producer
+      // and consumer must agree, exactly as with the reference.
+      wireFormat: String = "dsv")
 
   /** S3/S4: read the source file per `-e`. */
   def readSource(spark: SparkSession, cfg: ReplayConfig): DataFrame =
@@ -66,11 +71,15 @@ object Replay {
     else cleaned
   }
 
-  /** F4/F8: encode to the (key, value) wire pair. */
+  /** F4/F7/F8: encode to the (key, value) wire pair per `wireFormat`. */
   def encode(df: DataFrame, cfg: ReplayConfig): DataFrame =
     df.select(
       Codecs.kafkaKey(cfg.keyCol).as("key"),
-      Codecs.dsvEncode(df, cfg.kafkaSep).as("value"))
+      (cfg.wireFormat match {
+        case "dsv"  => Codecs.dsvEncode(df, cfg.kafkaSep)
+        case "json" => Codecs.jsonEncode(df)
+        case other  => throw new IllegalArgumentException(s"unsupported wire format: $other")
+      }).as("value"))
 
   /** K2: Kafka sink (requires the spark-sql-kafka connector jar). */
   def toKafka(wire: DataFrame, cfg: ReplayConfig): Unit =

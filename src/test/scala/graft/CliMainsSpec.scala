@@ -44,23 +44,21 @@ class CliMainsSpec extends AnyFunSuite {
     val nEvents = graft.core.Tables.events(spark, "/root/testdata/sf0.001").count()
     assert(wire.count() == 2 * nEvents)
 
-    // the reference's streaming consumer: wire -> decode -> K3 upsert.
-    // ReplayMain's DSV wire is (key,value) CSV text; StreamMain decodes
-    // the JSON wire, so re-publish JSON for this leg.
+    // the COMPOSED pipeline, exactly as a reference user runs it:
+    // producer (-wf json) -> wire -> streaming consumer -> K3 upsert
+    val jsonExchange = tmp("cli_exchange_json_")
+    graft.cli.ReplayMain.main(Array(
+      "-i", "/root/testdata/sf0.001/events.parquet", "-e", "parquet",
+      "-t", "events", "-k", "event_id", "-wf", "json", "-x", jsonExchange))
     val store = tmp("cli_store_")
+    graft.cli.StreamMain.main(Array(
+      s"$jsonExchange/topic=events", store, "user_id", "json"))
     val events = graft.core.Tables.events(spark, "/root/testdata/sf0.001")
-    val jsonWire = events
-      .withColumn("ts_us", org.apache.spark.sql.functions.unix_micros(
-        org.apache.spark.sql.functions.col("ts"))).drop("ts")
-    val wireDir = tmp("cli_jsonwire_")
-    jsonWire.select(
-        org.apache.spark.sql.functions.col("event_id").cast("string").as("key"),
-        graft.core.Codecs.jsonEncode(jsonWire).as("value"))
-      .write.mode("overwrite").parquet(wireDir)
-    graft.cli.StreamMain.main(Array(wireDir, store, "user_id"))
     val stored = new graft.streaming.UpsertParquetStore(store, "user_id",
       Seq("ts", "event_id")).read(spark)
-    // last-write-wins: exactly one row per user
+    // last-write-wins: exactly one row per user, none of them null-keyed
+    // (a producer/consumer wire-format mismatch PERMISSIVE-nulls rows)
     assert(stored.count() == events.select("user_id").distinct().count())
+    assert(stored.filter(org.apache.spark.sql.functions.col("user_id").isNull).isEmpty)
   }
 }
