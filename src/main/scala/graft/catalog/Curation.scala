@@ -41,11 +41,14 @@ object Curation {
   // edge definition shared with q_ngram_jaccard — pair relation,
   // blocking keys, and threshold all come from TextAnalysis so the two
   // queries cannot drift
-  private def jaccardPairs(s: SparkSession, dir: String): DataFrame =
-    TextAnalysis.tokenJaccardStats(s, dir)
+  private def jaccardPairs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val (stats, ex) = TextAnalysis.tokenJaccardStats(s, dir)
+    val pairs = stats
       .filter(col("inter") / (col("n_a") + col("n_b") - col("inter"))
         >= TextAnalysis.JaccardThreshold)
       .select(col("doc_a"), col("doc_b"))
+    (pairs, ex)
+  }
 
   private val pairsSql =
     s"""${TextAnalysis.distinctTokenExSql},
@@ -73,11 +76,14 @@ object Curation {
     // RDD blocks; snapshot what was cached before so everything new can
     // be released at the end
     val preexisting = s.sparkContext.getPersistentRDDs.keySet
-    val pairs = jaccardPairs(s, dir)
+    val (pairs, tokenEx) = jaccardPairs(s, dir)
     val edges = pairs
       .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .toDF("src", "dst")
       .localCheckpoint()
+    // localCheckpoint is eager — the pair join ran; the persisted token
+    // explode backing it can go before the iteration starts
+    tokenEx.unpersist(blocking = false)
     var labels = edges.select(col("src").as("doc")).distinct()
       .withColumn("lbl", col("doc"))
       .localCheckpoint()

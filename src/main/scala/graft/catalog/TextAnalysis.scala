@@ -32,6 +32,20 @@ object TextAnalysis {
     Tables.documents(s, dir)
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
 
+  /** Eagerly materialize `result`, then drop the persisted inputs it was
+    * built from. Self-joins recompute a relation's whole upstream chain
+    * once per reference (a sig relation referenced 4× costs 4 full
+    * tokenize→shingle→hash passes), so the expensive intermediate is
+    * persisted — and since the bench runs every query in one session,
+    * the cache must be released as soon as the (small) result is out.
+    */
+  private def materialized(result: DataFrame, cached: DataFrame*): DataFrame = {
+    val s = result.sparkSession
+    val rows = java.util.Arrays.asList(result.collect(): _*)
+    cached.foreach(_.unpersist(blocking = false))
+    s.createDataFrame(rows, result.schema)
+  }
+
   private def listLit(words: Seq[String]) = words.map(w => s"'$w'").mkString("[", ", ", "]")
   private def hitsSql(words: Seq[String]) =
     s"len(list_filter(toks, t -> list_contains(${listLit(words)}, t)))"
@@ -194,18 +208,23 @@ object TextAnalysis {
        |  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
        |  AND a.doc_id < b.doc_id
        |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
-    val banded = Text.minhashSigDF(Tables.documents(s, dir), "doc_id", "text", 3, K)
+    // the self-join references `banded` twice — persist the tiny
+    // signature relation so tokenize→shingle→hash runs once, not twice
+    val sig = Text.minhashSigDF(Tables.documents(s, dir), "doc_id", "text", 3, K)
+      .persist()
+    val banded = sig
       .select(col("doc_id"), array(Text.lshBandCols(2, K): _*).as("bands"))
       .select(col("doc_id"), posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
     val a = banded.as("a")
     val b = banded.as("b")
-    a.join(b,
+    val pairs = a.join(b,
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_hash") === col("b.band_hash") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
       .orderBy("doc_a", "doc_b")
+    materialized(pairs, sig)
   }
 
   // N-gram (unigram-set) Jaccard near-dup, blocked by (lang, n_chars):
@@ -227,20 +246,24 @@ object TextAnalysis {
        |ex AS (SELECT doc_id, lang, n_chars, n, UNNEST(dtok) AS t FROM sized)""".stripMargin
 
   /** Unfiltered pair stats: (doc_a, doc_b, n_a, n_b, inter) for every
-    * blocked candidate pair.
+    * blocked candidate pair. The exploded-token relation feeds both
+    * sides of the self-join, so it comes back PERSISTED — the second
+    * element; callers must unpersist it once the stats are materialized.
     */
-  private[catalog] def tokenJaccardStats(s: SparkSession, dir: String): DataFrame = {
+  private[catalog] def tokenJaccardStats(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val ex = docs(s, dir)
       .select(col("doc_id"), col("lang"), col("n_chars"),
         array_distinct(Text.tokens(col("text"))).as("dtok"))
       .select(col("doc_id"), col("lang"), col("n_chars"), size(col("dtok")).as("n"),
         explode(col("dtok")).as("t"))
-    ex.as("a").join(ex.as("b"),
+      .persist()
+    val stats = ex.as("a").join(ex.as("b"),
         col("a.t") === col("b.t") && col("a.lang") === col("b.lang") &&
           col("a.n_chars") === col("b.n_chars") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.n").as("n_a"), col("b.n").as("n_b"))
       .agg(count(lit(1)).as("inter"))
+    (stats, ex)
   }
 
   val ngramJaccard: QueryDef = QueryDef.sql("q_ngram_jaccard")(
@@ -256,12 +279,14 @@ object TextAnalysis {
        |  inter / (n_a + n_b - inter) AS jaccard
        |FROM pairs WHERE inter / (n_a + n_b - inter) >= $JaccardThreshold
        |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
-    tokenJaccardStats(s, dir)
+    val (stats, ex) = tokenJaccardStats(s, dir)
+    val result = stats
       .select(col("doc_a"), col("doc_b"), col("inter"),
         (col("n_a") + col("n_b") - col("inter")).as("uni"),
         (col("inter") / (col("n_a") + col("n_b") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= JaccardThreshold)
       .orderBy("doc_a", "doc_b")
+    materialized(result, ex)
   }
 
   // SimHash per doc + near-dup pairs by hamming distance, blocked on lang.
@@ -293,7 +318,11 @@ object TextAnalysis {
        |FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.simhash16, b.simhash16)) <= 4
        |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
-    // simhash16 repartitions its input internally — plain loader here
+    // simhash16 repartitions its input internally — plain loader here.
+    // NOT persisted: measured 6.4s recompute-per-side vs 11.6s cached at
+    // sf0.1 — the lang-blocked hamming join dominates, and caching its
+    // inputs costs more (cache write + ColumnarToRow on both probe
+    // sides) than re-running the cheap signature pass twice.
     val d = Tables.documents(s, dir)
     val sh = Text.simhash16(d, "doc_id", "text")
       .join(d.select("doc_id", "lang"), "doc_id")
@@ -372,13 +401,7 @@ object TextAnalysis {
         (col("n_a") + col("n_b") - col("inter")).as("uni"),
         (col("inter") / (col("n_a") + col("n_b") - col("inter"))).as("jaccard"))
       .orderBy("doc_a", "doc_b")
-    // the verified-pair set is tiny — materialize it eagerly so the
-    // persisted shingle cache can be released now instead of leaking
-    // cached blocks for the rest of the session (bench runs all queries
-    // in one SparkSession)
-    val rows = java.util.Arrays.asList(result.collect(): _*)
-    shingled.unpersist(blocking = false)
-    s.createDataFrame(rows, result.schema)
+    materialized(result, shingled)
   }
 
   // -------------------------------------------------------------------
@@ -429,14 +452,16 @@ object TextAnalysis {
        |FROM cand WHERE bit_count(xor(s_a, s_b)) <= 5
        |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
     graft.functions.SimHash60.register(s)
+    // persist: both band-join sides would otherwise re-tokenize + re-hash
     val sig = docs(s, dir)
       .select(col("doc_id"),
         graft.functions.SimHash60.simhash60(Text.tokens(col("text"))).as("s"))
+      .persist()
     val banded = sig.select(col("doc_id"), col("s"),
       posexplode(array((0 until 6).map(i =>
         shiftright(col("s"), 10 * i).bitwiseAND(lit(1023L))): _*))
         .as(Seq("band_idx", "band_val")))
-    banded.as("a").join(banded.as("b"),
+    val pairs = banded.as("a").join(banded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_val") === col("b.band_val") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -447,6 +472,7 @@ object TextAnalysis {
         bit_count(col("s_a").bitwiseXOR(col("s_b"))).cast("long").as("hamming"))
       .filter(col("hamming") <= 5)
       .orderBy("doc_a", "doc_b")
+    materialized(pairs, sig)
   }
 
   // Edit-distance fuzzy matching (the record-linkage complement to the
@@ -508,7 +534,11 @@ object TextAnalysis {
        |JOIN sig sa ON sa.doc_id = c.doc_a
        |JOIN sig sb ON sb.doc_id = c.doc_b
        |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+    // `sig` is referenced FOUR times (both band-join sides + sa + sb);
+    // unpersisted, each reference recomputes the full tokenize→shingle→
+    // K×hash chain — measured 7.4s vs 1.7s for one sig pass at sf0.1
     val sig = Text.minhashSigDF(Tables.documents(s, dir), "doc_id", "text", 3, K)
+      .persist()
     val banded = sig
       .select(col("doc_id"), array(Text.lshBandCols(2, K): _*).as("bands"))
       .select(col("doc_id"), posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
@@ -523,12 +553,13 @@ object TextAnalysis {
     val nMatch = (0 until K).map(i =>
       when(col(s"a_sig_$i") === col(s"b_sig_$i"), 1).otherwise(0))
       .reduce(_ + _)
-    cand.join(sa, col("a_doc_id") === col("doc_a"))
+    val est = cand.join(sa, col("a_doc_id") === col("doc_a"))
       .join(sb, col("b_doc_id") === col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         nMatch.cast("long").as("n_match"),
         (nMatch / K).as("jaccard_est"))
       .orderBy("doc_a", "doc_b")
+    materialized(est, sig)
   }
 
   val all: Seq[QueryDef] = Seq(
