@@ -84,4 +84,49 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     assert(ok.exists(r => r.isNullAt(r.fieldIndex("event_id"))))  // the {} row
     assert(bad.length == 1 && bad.head.getAs[String]("_corrupt") == "garbage-not-json")
   }
+
+  test("GlobalIndex.withRowNumber equals the single-partition window") {
+    val r = new scala.util.Random(11)
+    // duplicate sort values force tie-breaking through the unique id
+    val df = (1 to 5000).map(i => (i.toLong, r.nextInt(100).toDouble))
+      .toDF("id", "v").repartition(16)
+    // AQE's size-based coalesce folds this byte-tiny input to one
+    // partition, hiding what the test pins: the operator never FORCES a
+    // single partition the way the empty-partition window does
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.get(coalesceKey)
+    val dist =
+      try {
+        spark.conf.set(coalesceKey, "false")
+        val d = graft.ops.GlobalIndex
+          .withRowNumber(df, Seq(col("v").desc, col("id").asc), "rn")
+        // stays distributed: no single-partition funnel
+        assert(d.rdd.getNumPartitions > 1)
+        d
+      } finally spark.conf.set(coalesceKey, prev)
+    val viaWindow = df.withColumn("rn",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("v").desc, col("id").asc)))
+      .orderBy("rn").collect().map(r => (r.getAs[Long]("id"), r.getAs[Int]("rn").toLong))
+    val viaDist = dist.orderBy("rn").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("rn")))
+    assert(viaDist.toSeq == viaWindow.map { case (id, rn) => (id, rn) }.toSeq)
+  }
+
+  test("salted join equals the plain join") {
+    val r = new scala.util.Random(13)
+    // skew: key 0 holds half the fact rows
+    val fact = (1 to 4000).map(i =>
+      (i.toLong, if (i % 2 == 0) 0L else r.nextInt(40).toLong)).toDF("row_id", "k")
+    val dim = (0 to 40).map(k => (k.toLong, s"d$k")).toDF("k", "payload")
+    val plain = fact.join(dim, "k").select("row_id", "k", "payload")
+      .orderBy("row_id").collect().map(_.toSeq).toSeq
+    val s = 8
+    val salted = fact.withColumn("__salt", pmod(hash(col("row_id")), lit(s)))
+      .join(dim.withColumn("__salt", explode(sequence(lit(0), lit(s - 1)))),
+        Seq("k", "__salt"))
+      .select("row_id", "k", "payload")
+      .orderBy("row_id").collect().map(_.toSeq).toSeq
+    assert(salted == plain)
+  }
 }
