@@ -26,7 +26,8 @@ object SparkEntry {
       graft.catalog.Functions.all ++
       graft.catalog.Sketches.all ++
       graft.catalog.Curation.all ++
-      graft.catalog.Scale.all
+      graft.catalog.Scale.all ++
+      graft.catalog.Graph.all
 
   /** Flagship: the reference pipeline end-to-end on sf0.001 — rows are
     * JSON-encoded onto the wire (producer, F7), decoded against the

@@ -306,6 +306,50 @@ object SimilaritySearch {
       .orderBy("vec_a", "vec_b")
   }
 
+  // Embedding-space outlier scoring: distance to the centroid of the
+  // vector's own label group — the standard "mislabeled / off-manifold
+  // sample" triage signal in training-data curation. Centroids come
+  // from ops.KMeans.foldMeans (vec_id-ordered sequential fold → IEEE
+  // sums pinned on both engines); per-vector distance folds the 64
+  // dimensions in index order, so the doubles are bit-exact and need no
+  // rounding. Top-5 farthest per label.
+  val embedOutlier: QueryDef = QueryDef.sql("q_embed_outlier")(
+    """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      |           FROM embeddings),
+      |dimx AS (SELECT label, vec_id, d, v[d] AS x
+      |         FROM e CROSS JOIN (SELECT UNNEST(range(1, 65)) AS d) dd),
+      |m AS (SELECT label, d,
+      |        list_reduce(list_prepend(0.0, list(x ORDER BY vec_id)),
+      |          (a, b) -> a + b) / COUNT(*) AS mx
+      |      FROM dimx GROUP BY label, d),
+      |c AS (SELECT label, list(mx ORDER BY d) AS cv FROM m GROUP BY label),
+      |dist AS (
+      |  SELECT vec_id, e.label,
+      |    sqrt(list_reduce(list_prepend(0.0,
+      |      list_transform(range(1, 65), i -> (v[i] - cv[i]) * (v[i] - cv[i]))),
+      |      (a, b) -> a + b)) AS dist
+      |  FROM e JOIN c USING (label)),
+      |ranked AS (SELECT *, ROW_NUMBER() OVER
+      |  (PARTITION BY label ORDER BY dist DESC, vec_id) AS rnk FROM dist)
+      |SELECT vec_id, label, dist, rnk FROM ranked
+      |WHERE rnk <= 5 ORDER BY label, rnk""".stripMargin) { (s, dir) =>
+    Vectors.register(s)
+    val e = Tables.embeddings(s, dir)
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+      .select(col("vec_id"), col("label"), Vectors.toDouble(col("embedding")).as("v"))
+    val cent = graft.ops.KMeans.foldMeans(e, "vec_id", "label", "v")
+    val d = e.join(broadcast(cent), col("label") === col("cid"))
+      .select(col("vec_id"), col("label"),
+        sqrt(aggregate(zip_with(col("v"), col("cv"), (x, c) => (x - c) * (x - c)),
+          lit(0.0), (a, x) => a + x)).as("dist"))
+    val w = Window.partitionBy("label").orderBy(col("dist").desc, col("vec_id"))
+    d.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select("vec_id", "label", "dist", "rnk")
+      .orderBy("label", "rnk")
+  }
+
   val all: Seq[QueryDef] = Seq(
-    embedNorm, embedTopk, embedNearDup, annIvf, annIvfKmeans, annLsh, embedNearDupLsh)
+    embedNorm, embedTopk, embedNearDup, annIvf, annIvfKmeans, annLsh, embedNearDupLsh,
+    embedOutlier)
 }

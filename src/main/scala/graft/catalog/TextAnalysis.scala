@@ -562,9 +562,53 @@ object TextAnalysis {
     materialized(est, sig)
   }
 
+  // Unigram Shannon entropy + perplexity per document — the
+  // distributional quality signal (low entropy = repetitive/degenerate
+  // text, the statistic behind perplexity-style corpus filters).
+  // Float discipline: the per-term doubles (c/n)·ln(c/n) are identical
+  // on both engines (same integer inputs, IEEE division, ln); the SUM's
+  // accumulation order differs but its error is < 1e-13 for ≤ thousands
+  // of terms of magnitude ≤ 0.4, so rounding the FINAL sum to 6 decimals
+  // is order-independent. `+ 0.0` normalizes -0.0 (single-token docs:
+  // -SUM(+0) = -0.0) to +0.0 so the value hash agrees.
+  val tokenEntropy: QueryDef = QueryDef.sql("q_token_entropy")(
+    s"""WITH base AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |tok AS (SELECT doc_id, UNNEST(toks) AS t FROM base),
+       |tc AS (SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+       |tot AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+       |               COUNT(*) AS n_distinct
+       |        FROM tc GROUP BY 1),
+       |h AS (SELECT tc.doc_id,
+       |        round(-SUM((c / n_tokens) * ln(c / n_tokens)), 6) + 0.0 AS entropy,
+       |        -SUM((c / n_tokens) * ln(c / n_tokens)) AS hraw
+       |      FROM tc JOIN tot USING (doc_id) GROUP BY tc.doc_id)
+       |SELECT tot.doc_id, n_tokens, n_distinct, entropy,
+       |  CASE WHEN n_distinct > 1 THEN round(hraw / ln(n_distinct), 6) + 0.0
+       |       ELSE 0.0 END AS norm_entropy,
+       |  round(exp(hraw), 6) AS ppl
+       |FROM tot JOIN h USING (doc_id) ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val tc = docs(s, dir)
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+    val tot = tc.groupBy("doc_id")
+      .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_distinct"))
+    val p = col("c") / col("n_tokens")
+    val h = tc.join(tot.select("doc_id", "n_tokens"), "doc_id")
+      .groupBy("doc_id")
+      .agg((-sum(p * log(p))).as("hraw"))
+    tot.join(h, "doc_id")
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        (round(col("hraw"), 6) + lit(0.0)).as("entropy"),
+        when(col("n_distinct") > 1,
+            round(col("hraw") / log(col("n_distinct")), 6) + lit(0.0))
+          .otherwise(lit(0.0)).as("norm_entropy"),
+        round(exp(col("hraw")), 6).as("ppl"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     tokenCount, langId, qualityScore, fingerprint, dedupExact,
     minhashSig, minhashPairs, minhashVerified, ngramJaccard, simhash,
     simhashNearDup, simhash60, simhash60NearDup, levenshteinPairs,
-    minhashJaccardEst)
+    minhashJaccardEst, tokenEntropy)
 }
