@@ -267,8 +267,89 @@ object Streaming {
     } finally prev.fold(s.conf.unset(key))(s.conf.set(key, _))
   }
 
+  // Stream-stream LEFT OUTER join: matches emit eagerly like the inner
+  // join, but a null-padded row for an unmatched purchase can emit only
+  // once the watermark proves no future click can still match it
+  // (clicks arrive with event time >= watermark, and a match needs
+  // c_ts <= p_ts, so a purchase closes when the GLOBAL watermark passes
+  // p_ts). The global watermark is the MIN across inputs, and each
+  // input's watermark tracks the max event time IT has seen — the
+  // purchase stream's max purchase ts − 1h vs the click stream's max
+  // click ts − 2h, NOT the raw table max (empirically pinned: one
+  // boundary purchase separates the two definitions at sf0.01). The
+  // oracle encodes exactly that, ms-truncated like Spark's watermark.
+  val streamLeftOuter: QueryDef = QueryDef.sql("q_stream_left_outer")(
+    """WITH p AS (SELECT event_id AS purchase_id, user_id, ts FROM events
+      |           WHERE event_type = 'purchase'),
+      |c AS (SELECT event_id AS click_id, user_id, ts FROM events
+      |      WHERE event_type = 'click'),
+      |m AS (SELECT p.purchase_id, c.click_id, p.user_id
+      |      FROM p JOIN c ON p.user_id = c.user_id
+      |       AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts),
+      |wm AS (SELECT LEAST(
+      |    (SELECT (MAX(epoch_us(ts)) // 1000 - 3600000) * 1000 FROM p),
+      |    (SELECT (MAX(epoch_us(ts)) // 1000 - 7200000) * 1000 FROM c)) AS wm_us),
+      |unmatched AS (
+      |  SELECT p.purchase_id, CAST(NULL AS BIGINT) AS click_id, p.user_id
+      |  FROM p, wm
+      |  WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.purchase_id = p.purchase_id)
+      |    AND epoch_us(p.ts) < wm_us)
+      |SELECT purchase_id, click_id, user_id FROM m
+      |UNION ALL SELECT purchase_id, click_id, user_id FROM unmatched
+      |ORDER BY purchase_id, click_id NULLS FIRST""".stripMargin) { (s, dir) =>
+    val src = Ingest.eventsStream(s, dir)
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "2 hours")
+    val joined = purchases.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"),
+      "left_outer")
+    Ingest.runToMemory(joined.select("purchase_id", "click_id", "user_id"))
+      .orderBy(col("purchase_id"), col("click_id").asc_nulls_first)
+  }
+
+  // Chained stateful aggregations (Spark 3.4+ allows windowed agg over
+  // a windowed agg in append mode): hourly per-user counts feed a daily
+  // per-user rollup via window(window, '1 day') — the hourly window
+  // struct IS the second agg's event time. A daily window emits once
+  // the watermark (max event time − 1h) passes its end; every hourly
+  // window inside it has closed by then, so the oracle is the full
+  // two-level batch rollup gated on closed days.
+  val streamChainedAgg: QueryDef = QueryDef.sql("q_stream_chained_agg")(
+    """WITH h AS (
+      |  SELECT user_id, epoch_us(ts) // 3600000000 AS hour_b, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |d AS (
+      |  SELECT user_id, hour_b // 24 AS day_b, MAX(n) AS max_hourly,
+      |    CAST(SUM(n) AS BIGINT) AS n_events, COUNT(*) AS n_active_hours
+      |  FROM h GROUP BY 1, 2),
+      |wm AS (SELECT (MAX(epoch_us(ts)) // 1000 - 3600000) * 1000 AS wm_us
+      |       FROM events)
+      |SELECT user_id, day_b * 86400 AS day_start, max_hourly, n_events,
+      |  n_active_hours
+      |FROM d, wm WHERE (day_b + 1) * 86400000000 <= wm_us
+      |ORDER BY user_id, day_start""".stripMargin) { (s, dir) =>
+    val hourly = Ingest.eventsStream(s, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+    val daily = hourly
+      .groupBy(col("user_id"), window(col("window"), "1 day"))
+      .agg(max(col("n")).as("max_hourly"), sum(col("n")).as("n_events"),
+        count(lit(1)).as("n_active_hours"))
+      .select(col("user_id"), unix_timestamp(col("window.start")).as("day_start"),
+        col("max_hourly"), col("n_events"), col("n_active_hours"))
+    Ingest.runToMemory(daily).orderBy("user_id", "day_start")
+  }
+
   val all: Seq[QueryDef] = Seq(
     streamIngestJson, streamIngestDsv, streamWindowHourly, sinkUpsert,
     sinkUpsertDelta, sinkRoute, streamStreamJoin, streamDedup,
-    streamSessionWindow, streamTwsSummary)
+    streamSessionWindow, streamTwsSummary, streamLeftOuter, streamChainedAgg)
 }
