@@ -129,6 +129,78 @@ object Curation {
     s.createDataFrame(rows, result.schema)
   }
 
+  // The SAME clustering through the alternating large-star/small-star
+  // algorithm (Kiveris et al., "Connected Components in MapReduce and
+  // Beyond") — the production-scale CC the pointer-jumping scaladoc
+  // above points to. Each round is two grouped aggregations over the
+  // edge list (min-neighbor per node + re-emit), state is only the
+  // shrinking edge set, and convergence is a fixed point of that set —
+  // O(log² n) rounds worst case, 2-3 on shallow dup clusters. Sharing
+  // q_dedup_clusters' oracle pins that both algorithms produce the
+  // identical clustering.
+  val dedupClustersTwoStar: QueryDef =
+    QueryDef.sql("q_dedup_clusters_twostar")(dedupClusters.oracle.get) { (s, dir) =>
+      val preexisting = s.sparkContext.getPersistentRDDs.keySet
+      val (pairs, tokenEx) = jaccardPairs(s, dir)
+      var edges = pairs.toDF("src", "dst").localCheckpoint()
+      tokenEx.unpersist(blocking = false)
+
+      // large-star: every node hooks its LARGER neighbors onto the min
+      // of its neighborhood (incl. itself)
+      def largeStar(e: DataFrame): DataFrame = {
+        val both = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+        val m = both.groupBy("src").agg(min(col("dst")).as("mn"))
+          .select(col("src"), least(col("src"), col("mn")).as("m"))
+        both.filter(col("dst") > col("src"))
+          .join(m, "src")
+          .select(col("dst").as("src"), col("m").as("dst"))
+          .filter(col("src") =!= col("dst"))
+          .distinct()
+      }
+      // small-star: edges canonicalized large→small; every node hooks
+      // its smaller neighbors (and itself) onto its min neighbor
+      def smallStar(e: DataFrame): DataFrame = {
+        val dir = e.select(greatest(col("src"), col("dst")).as("src"),
+            least(col("src"), col("dst")).as("dst"))
+          .filter(col("src") =!= col("dst"))
+        val m = dir.groupBy("src").agg(min(col("dst")).as("m"))
+        dir.join(m, "src")
+          .select(col("dst").as("src"), col("m").as("dst"))
+          .unionByName(m.select(col("src"), col("m").as("dst")))
+          .filter(col("src") =!= col("dst"))
+          .distinct()
+      }
+
+      var converged = false
+      var rounds = 0
+      while (!converged && rounds < 50) {
+        val next = smallStar(largeStar(edges)).localCheckpoint()
+        converged = next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
+        edges = next
+        rounds += 1
+      }
+      require(converged, s"two-star CC did not converge in $rounds rounds")
+      // fixed point = star graphs: (v, componentMin) edges; the min
+      // labels itself
+      val labels = edges.select(col("src").as("doc_id"), col("dst").as("cluster_id"))
+        .unionByName(edges.select(col("dst").as("doc_id"), col("dst").as("cluster_id")))
+        .distinct()
+      // a node with two labels would mean a non-star fixed point — that
+      // silently splits clusters, so fail loudly instead
+      val dup = labels.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1)
+      require(dup.isEmpty, "two-star fixed point is not a star forest")
+      val result = labels
+        .select(col("doc_id"), col("cluster_id"),
+          (col("doc_id") === col("cluster_id")).cast("int").as("is_canonical"))
+        .orderBy("doc_id")
+      val rows = java.util.Arrays.asList(result.collect(): _*)
+      s.sparkContext.getPersistentRDDs
+        .filterNot { case (id, _) => preexisting.contains(id) }
+        .values.foreach(_.unpersist(false))
+      s.createDataFrame(rows, result.schema)
+    }
+
   // -------------------------------------------------------------------
   // Gopher-style repetition filters: fraction of mass in the most
   // frequent token, duplicate-bigram fraction, distinct-token ratio —
@@ -617,7 +689,7 @@ object Curation {
   }
 
   val all: Seq[QueryDef] = Seq(
-    dedupClusters, repetitionFilter, hashSplit, sampleStratified, docChunks,
-    piiRedact, idfQuality, contamination, filterFunnel, domainMix,
-    upsampleRepeat, chunkDedup)
+    dedupClusters, dedupClustersTwoStar, repetitionFilter, hashSplit,
+    sampleStratified, docChunks, piiRedact, idfQuality, contamination,
+    filterFunnel, domainMix, upsampleRepeat, chunkDedup)
 }

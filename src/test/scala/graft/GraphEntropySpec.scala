@@ -24,6 +24,14 @@ class GraphEntropySpec extends AnyFunSuite {
     assert(top % 2 == 1)
   }
 
+  test("two-star CC equals pointer-jumping CC") {
+    val pj = graft.catalog.Curation.dedupClusters.build(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    val ts = graft.catalog.Curation.dedupClustersTwoStar.build(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(ts == pj)
+  }
+
   test("token entropy: bounds and exact value on a uniform document") {
     val rows = graft.catalog.TextAnalysis.tokenEntropy.build(spark, dir).collect()
     assert(rows.nonEmpty)
