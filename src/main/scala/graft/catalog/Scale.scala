@@ -56,7 +56,10 @@ object Scale {
       pmod(hash(col("event_id")), lit(SaltBuckets)).as("__salt"))
     val dimSalted = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(SaltBuckets - 1))))
-    salted.join(dimSalted, Seq("user_id", "__salt"))
+    // shuffle_hash hint: at THIS size Spark would broadcast the dim and
+    // the salt would never reach a shuffle — force the shuffled path the
+    // technique exists for (at 100 TB the dim is past broadcast range)
+    salted.join(dimSalted.hint("shuffle_hash"), Seq("user_id", "__salt"))
       .select("event_id", "user_id", "user_events", "user_purchases")
       .orderBy("event_id")
   }

@@ -32,6 +32,41 @@ class GraphEntropySpec extends AnyFunSuite {
     assert(ts == pj)
   }
 
+  test("approx quantiles track exact nearest-rank percentiles") {
+    import org.apache.spark.sql.functions._
+    val approx = graft.catalog.Sketches.approxQuantiles.build(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = graft.core.Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(expr("percentile(value, 0.5)").as("p50"), expr("percentile(value, 0.9)").as("p90"),
+        max("value").as("mx"), min("value").as("mn"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2),
+        r.getDouble(3) - r.getDouble(4))).toMap
+    exact.foreach { case (k, (p50, p90, range)) =>
+      val (a50, a90) = approx(k)
+      assert(math.abs(a50 - p50) <= range * 0.02, s"$k p50: $a50 vs $p50")
+      assert(math.abs(a90 - p90) <= range * 0.02, s"$k p90: $a90 vs $p90")
+    }
+  }
+
+  test("kmeans fit: WCSS non-increasing over Lloyd rounds") {
+    import org.apache.spark.sql.functions._
+    graft.ops.Vectors.register(spark)
+    val vecs = graft.core.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), graft.ops.Vectors.toDouble(col("embedding")).as("v"))
+      .localCheckpoint()
+    def wcss(rounds: Int): Double = {
+      val (asg, cents) = graft.ops.KMeans.fit(vecs, "vec_id", "v", k = 8, rounds = rounds)
+      asg.join(vecs, asg("id") === vecs("vec_id")).join(cents, "cid")
+        .select(aggregate(zip_with(col("v"), col("cv"), (x, c) => (x - c) * (x - c)),
+          lit(0.0), (a, x) => a + x).as("sq"))
+        .agg(sum("sq")).collect()(0).getDouble(0)
+    }
+    val w = (1 to 3).map(wcss)
+    assert(w(1) <= w(0) + 1e-9 && w(2) <= w(1) + 1e-9,
+      s"WCSS increased across rounds: $w")
+  }
+
   test("token entropy: bounds and exact value on a uniform document") {
     val rows = graft.catalog.TextAnalysis.tokenEntropy.build(spark, dir).collect()
     assert(rows.nonEmpty)
