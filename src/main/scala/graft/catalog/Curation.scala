@@ -120,13 +120,14 @@ object Curation {
       .select(col("doc").as("doc_id"), col("lbl").as("cluster_id"),
         (col("doc") === col("lbl")).cast("int").as("is_canonical"))
       .orderBy("doc_id")
-    // tiny result (only docs that participate in a near-dup pair):
-    // materialize eagerly so the iteration checkpoints can be dropped
-    val rows = java.util.Arrays.asList(result.collect(): _*)
-    s.sparkContext.getPersistentRDDs
-      .filterNot { case (id, _) => preexisting.contains(id) }
-      .values.foreach(_.unpersist(false))
-    s.createDataFrame(rows, result.schema)
+    // materialize eagerly (distributed spill, never a driver collect —
+    // the result is one row per near-dup doc, cluster-sized at 100 TB)
+    // so the iteration checkpoints can be dropped
+    graft.core.Spill.materialize(result) {
+      s.sparkContext.getPersistentRDDs
+        .filterNot { case (id, _) => preexisting.contains(id) }
+        .values.foreach(_.unpersist(false))
+    }
   }
 
   // The SAME clustering through the alternating large-star/small-star
@@ -194,11 +195,11 @@ object Curation {
         .select(col("doc_id"), col("cluster_id"),
           (col("doc_id") === col("cluster_id")).cast("int").as("is_canonical"))
         .orderBy("doc_id")
-      val rows = java.util.Arrays.asList(result.collect(): _*)
-      s.sparkContext.getPersistentRDDs
-        .filterNot { case (id, _) => preexisting.contains(id) }
-        .values.foreach(_.unpersist(false))
-      s.createDataFrame(rows, result.schema)
+      graft.core.Spill.materialize(result) {
+        s.sparkContext.getPersistentRDDs
+          .filterNot { case (id, _) => preexisting.contains(id) }
+          .values.foreach(_.unpersist(false))
+      }
     }
 
   // -------------------------------------------------------------------

@@ -74,11 +74,13 @@ object Graph {
           .localCheckpoint() // cut lineage: 5 rounds of joins would nest plans
       }
       val result = r.select(col("node"), col("r").as("rank_u")).orderBy("node")
-      val rows = java.util.Arrays.asList(result.collect(): _*)
-      s.sparkContext.getPersistentRDDs
-        .filterNot { case (id, _) => preexisting.contains(id) }
-        .values.foreach(_.unpersist(false))
-      s.createDataFrame(rows, result.schema)
+      // distributed spill, never a driver collect: the result is one row
+      // per node — cluster-sized at 100 TB
+      graft.core.Spill.materialize(result) {
+        s.sparkContext.getPersistentRDDs
+          .filterNot { case (id, _) => preexisting.contains(id) }
+          .values.foreach(_.unpersist(false))
+      }
     }
   }
 

@@ -77,7 +77,19 @@ object SimilaritySearch {
   }
 
   // Embedding-cosine near-dup pairs (threshold tuned to the synthetic
-  // data's cosine distribution; max observed ≈ 0.51).
+  // data's cosine distribution; max observed ≈ 0.51). EXACT all-pairs —
+  // inherently O(n²) comparisons — but executed as a BLOCKED equi-join,
+  // not a broadcast nested loop: each vector lands in block
+  // g = vec_id % G, every unordered block pair (g1 <= g2) is a join key,
+  // and each side replicates a vector to the ~G/2 block pairs it
+  // participates in. The join then shuffles on (g1, g2), so every
+  // reducer compares exactly two blocks of n/G vectors — the n² work
+  // spreads evenly across the cluster and NO task ever needs the whole
+  // corpus in memory (a BroadcastNestedLoopJoin ships one entire side to
+  // every executor, which is the piece that dies first at 100 TB; there
+  // G grows ~√cluster to keep per-task pairs bounded). The LSH twin
+  // q_embed_neardup_lsh remains the sub-quadratic path when approximate
+  // recall is acceptable.
   val embedNearDup: QueryDef = QueryDef.sql("q_embed_neardup")(
     s"""WITH n AS ($normedSql)
        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -85,11 +97,29 @@ object SimilaritySearch {
        |FROM n a JOIN n b ON a.vec_id < b.vec_id
        |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4
        |ORDER BY vec_a, vec_b""".stripMargin) { (s, dir) =>
+    val G = 8
     val n = normed(s, dir)
-    val a = n.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
-    val b = n.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
-    a.join(b, col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b"),
+      .withColumn("g", pmod(col("vec_id"), lit(G)).cast("int"))
+    // left: a vector in block g serves block pairs (g, g..G-1);
+    // right: block pairs (0..g, g). Unordered pair {x,y} with blocks
+    // gx != gy meets exactly once (smaller block on the left); same
+    // block meets in both orders, deduped by the id inequality below.
+    val a = n
+      .withColumn("g2", explode(sequence(col("g"), lit(G - 1))))
+      .select(col("g").as("g1"), col("g2"),
+        col("vec_id").as("ida"), col("v").as("va"), col("nrm").as("na"))
+    val b = n
+      .withColumn("g1", explode(sequence(lit(0), col("g"))))
+      .select(col("g1"), col("g").as("g2"),
+        col("vec_id").as("idb"), col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, Seq("g1", "g2"))
+      .filter(col("g1") < col("g2") || col("ida") < col("idb"))
+      .select(
+        least(col("ida"), col("idb")).as("vec_a"),
+        greatest(col("ida"), col("idb")).as("vec_b"),
+        // cosine is operand-order-insensitive bit-for-bit (per-dim
+        // products commute; the dim fold order is fixed), so the
+        // smaller-id-first output matches the oracle's a.v x b.v
         Vectors.cosine(col("va"), col("vb"), col("na"), col("nb")).as("cosine"))
       .filter(col("cosine") >= 0.4)
       .orderBy("vec_a", "vec_b")

@@ -58,11 +58,61 @@ object Sketches {
   }
 
   // Full distributed k-means (3 Lloyd rounds over ops.KMeans.fit):
-  // cluster cardinalities + within-cluster sum of squares. Rows-only —
-  // an unrolled 3-round SQL oracle adds nothing over the per-round
-  // parity q_ann_ivf_kmeans already proves — while `GraphEntropySpec`
-  // pins the Lloyd invariant (WCSS non-increasing round over round).
-  val kmeansFit: QueryDef = QueryDef.rowsOnly("q_kmeans_fit") { (s, dir) =>
+  // cluster cardinalities + within-cluster sum of squares, hash-matched
+  // against a fully UNROLLED 3-round DuckDB oracle (the q_pagerank
+  // trick): every Lloyd round is deterministic — broadcast max-cosine
+  // assignment with a min-cid tie-break, then a vec_id-ordered IEEE
+  // mean fold (ops.KMeans.foldMeans ≡ the oracle's
+  // `list_reduce(list(x ORDER BY vec_id))`) — so three rounds compose
+  // bit-for-bit. The WCSS itself is an id-ordered sequential fold on
+  // both engines (a plain SUM of doubles would be shuffle-order-
+  // dependent). `KMeansSpec` additionally pins the Lloyd invariant
+  // (objective non-decreasing round over round).
+  private val kmeansOracle: String = {
+    def round(i: Int, prev: String): String =
+      s"""asg$i AS (
+         |  SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |    ORDER BY list_dot_product(v, cv) / (nrm * cnrm) DESC, cid) AS rn
+         |  FROM n CROSS JOIN $prev),
+         |nb$i AS (SELECT n.vec_id, v, nrm, cid FROM n
+         |  JOIN (SELECT vec_id, cid FROM asg$i WHERE rn = 1) b$i USING (vec_id)),
+         |dim$i AS (SELECT cid, vec_id, d, v[d] AS x
+         |  FROM nb$i CROSS JOIN (SELECT UNNEST(range(1, 65)) AS d) dd$i),
+         |m$i AS (SELECT cid, d,
+         |    list_reduce(list_prepend(0.0, list(x ORDER BY vec_id)),
+         |      (a, b) -> a + b) / COUNT(*) AS mx
+         |  FROM dim$i GROUP BY cid, d),
+         |u$i AS (SELECT cid, list(mx ORDER BY d) AS cv FROM m$i GROUP BY cid),
+         |c$i AS (SELECT p.cid, COALESCE(u$i.cv, p.cv) AS cv
+         |  FROM $prev p LEFT JOIN u$i ON p.cid = u$i.cid),
+         |cn$i AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cnrm
+         |  FROM c$i)""".stripMargin
+    s"""WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+       |      CAST(embedding AS DOUBLE[]))) AS nrm FROM embeddings),
+       |c0 AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n
+       |  ORDER BY vec_id LIMIT 8),
+       |${round(1, "c0")},
+       |${round(2, "cn1")},
+       |${round(3, "cn2")},
+       |asgf AS (
+       |  SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |    ORDER BY list_dot_product(v, cv) / (nrm * cnrm) DESC, cid) AS rn
+       |  FROM n CROSS JOIN cn3),
+       |nbf AS (SELECT n.vec_id, v, cid FROM n
+       |  JOIN (SELECT vec_id, cid FROM asgf WHERE rn = 1) bf USING (vec_id)),
+       |sq AS (SELECT f.cid, f.vec_id AS id,
+       |    list_reduce(list_prepend(0.0,
+       |      list_transform(range(1, 65), i -> (v[i] - cv[i]) * (v[i] - cv[i]))),
+       |      (a, b) -> a + b) AS sq
+       |  FROM nbf f JOIN cn3 USING (cid))
+       |SELECT cid, COUNT(*) AS n_members,
+       |  list_reduce(list_prepend(0.0, list(sq ORDER BY id)),
+       |    (a, b) -> a + b) AS wcss
+       |FROM sq GROUP BY cid ORDER BY cid""".stripMargin
+  }
+
+  val kmeansFit: QueryDef = QueryDef.sql("q_kmeans_fit")(kmeansOracle) { (s, dir) =>
     graft.ops.Vectors.register(s)
     val vecs = Tables.embeddings(s, dir)
       .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
@@ -74,7 +124,13 @@ object Sketches {
         aggregate(zip_with(col("v"), col("cv"), (x, c) => (x - c) * (x - c)),
           lit(0.0), (a, x) => a + x).as("sq"))
       .groupBy("cid")
-      .agg(count(lit(1)).as("n_members"), sum(col("sq")).as("wcss"))
+      .agg(count(lit(1)).as("n_members"),
+        // id-ordered sequential fold — bit-identical across partitionings
+        // and to the oracle's list_reduce(list(sq ORDER BY id))
+        aggregate(
+          transform(sort_array(collect_list(struct(col("id"), col("sq")))),
+            p => p.getField("sq")),
+          lit(0.0), (a, x) => a + x).as("wcss"))
       .orderBy("cid")
   }
 

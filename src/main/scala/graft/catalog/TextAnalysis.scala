@@ -32,19 +32,18 @@ object TextAnalysis {
     Tables.documents(s, dir)
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
 
-  /** Eagerly materialize `result`, then drop the persisted inputs it was
-    * built from. Self-joins recompute a relation's whole upstream chain
-    * once per reference (a sig relation referenced 4× costs 4 full
+  /** Eagerly materialize `result` (to a temp parquet — never to the
+    * driver), then drop the persisted inputs it was built from.
+    * Self-joins recompute a relation's whole upstream chain once per
+    * reference (a sig relation referenced 4× costs 4 full
     * tokenize→shingle→hash passes), so the expensive intermediate is
     * persisted — and since the bench runs every query in one session,
-    * the cache must be released as soon as the (small) result is out.
+    * the cache must be released as soon as the result is out.
     */
-  private def materialized(result: DataFrame, cached: DataFrame*): DataFrame = {
-    val s = result.sparkSession
-    val rows = java.util.Arrays.asList(result.collect(): _*)
-    cached.foreach(_.unpersist(blocking = false))
-    s.createDataFrame(rows, result.schema)
-  }
+  private def materialized(result: DataFrame, cached: DataFrame*): DataFrame =
+    graft.core.Spill.materialize(result) {
+      cached.foreach(_.unpersist(blocking = false))
+    }
 
   private def listLit(words: Seq[String]) = words.map(w => s"'$w'").mkString("[", ", ", "]")
   private def hitsSql(words: Seq[String]) =

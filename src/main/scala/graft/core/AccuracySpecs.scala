@@ -1,0 +1,21 @@
+package graft.core
+
+/** Registry of the catalog's rows-only queries (no DuckDB-expressible
+  * oracle) and, for each, the ScalaTest spec that pins its accuracy
+  * against an exact computation. `PropertySpec` asserts the catalog's
+  * rows-only set equals this registry's key set, so adding a rows-only
+  * query without registering (and writing) its accuracy spec — or
+  * leaving a stale entry behind after a query gains a hash oracle —
+  * fails the build instead of silently weakening the gate.
+  */
+object AccuracySpecs {
+
+  /** rows-only query name -> the spec (suite: assertion) pinning it */
+  val registry: Map[String, String] = Map(
+    "q_approx_distinct" ->
+      "ScaleTechniquesSpec: HLL approx distinct within 5% of exact",
+    "q_heavy_hitters" ->
+      "ScaleTechniquesSpec: CMS estimate upper-bounds exact counts",
+    "q_approx_quantiles" ->
+      "GraphEntropySpec: approx quantiles track exact nearest-rank percentiles")
+}

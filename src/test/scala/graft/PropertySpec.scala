@@ -82,8 +82,17 @@ class PropertySpec extends AnyFunSuite {
           s"${q.name}: oracle references no driver table")
       }
     }
-    // the two rows-only queries are exactly the documented sketches
+    // every rows-only query must carry a registered accuracy spec, and
+    // the registry must not hold stale entries for queries that since
+    // gained a hash oracle (see core.AccuracySpecs)
     val rowsOnly = cat.filter(_.oracle.isEmpty).map(_.name).toSet
-    assert(rowsOnly == Set("q_approx_distinct", "q_heavy_hitters"), rowsOnly)
+    val registered = graft.core.AccuracySpecs.registry.keySet
+    assert(rowsOnly.diff(registered).isEmpty,
+      s"rows-only queries with no accuracy spec: ${rowsOnly.diff(registered)}")
+    assert(registered.diff(rowsOnly).isEmpty,
+      s"stale accuracy-spec entries: ${registered.diff(rowsOnly)}")
+    graft.core.AccuracySpecs.registry.foreach { case (n, spec) =>
+      assert(spec.contains(":") && spec.nonEmpty, s"$n: malformed spec pointer")
+    }
   }
 }
