@@ -348,8 +348,75 @@ object Streaming {
     Ingest.runToMemory(daily).orderBy("user_id", "day_start")
   }
 
+  // T4 beyond the happy path: the oracle ENCODES WATERMARK EVICTION.
+  // The feed is delivered in two deterministic waves via two sequential
+  // AvailableNow runs SHARING ONE CHECKPOINT (the watermark persists
+  // across restarts, exactly like a resumed production job): run 1 sees
+  // only the on-time file — including the max-timestamp event, so it
+  // commits with the watermark at max − 1h; run 2 finds the late file
+  // (all rows ≥3h older than the max, so their hourly windows closed
+  // when the watermark advanced) and Spark must DROP every row of it.
+  // The oracle aggregates only the on-time rows and gates emission on
+  // window_end <= watermark — a runtime that fails to drop late rows
+  // (or drops the wrong boundary) hash-mismatches.
+  val streamLateDrop: QueryDef = QueryDef.sql("q_stream_late_drop")(
+    """WITH mx AS (SELECT MAX(epoch_us(ts)) AS max_us FROM events),
+      |ontime AS (SELECT e.* FROM events e, mx
+      |  WHERE NOT (epoch_us(ts) < max_us - 10800000000 AND event_id % 7 = 0)),
+      |wm AS (SELECT (MAX(epoch_us(ts)) // 1000 - 3600000) * 1000 AS wm_us
+      |       FROM ontime),
+      |w AS (SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS win_start,
+      |        event_type, COUNT(*) AS n
+      |      FROM ontime GROUP BY 1, 2)
+      |SELECT win_start, event_type, n FROM w, wm
+      |WHERE win_start * 1000000 + 3600000000 <= wm_us
+      |ORDER BY win_start, event_type""".stripMargin) { (s, dir) =>
+    val ev = graft.core.Tables.events(s, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val maxUs = ev.agg(max(unix_micros(col("ts")))).head.getLong(0)
+    val isLate = unix_micros(col("ts")) < maxUs - 3L * 3600000000L &&
+      col("event_id") % 7 === 0
+    val root = uniqueDir("late_")
+    val outDir = uniqueDir("late_out_")
+    val chk = uniqueDir("late_chk_")
+    def writeBatch(df: DataFrame, name: String): Unit = {
+      val stage = s"$root/stage_$name"
+      df.coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(root, s"$name.parquet"))
+    }
+    def runPass(): Unit = {
+      val src = s.readStream
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(
+          "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE"))
+        .option("pathGlobFilter", "b*.parquet")
+        .parquet(root)
+      val agg = src.withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_timestamp(col("window.start")).as("win_start"),
+          col("event_type"), col("n"))
+      val q = agg.writeStream
+        .foreachBatch((b: org.apache.spark.sql.Dataset[Row], _: Long) =>
+          b.write.mode("append").parquet(outDir))
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    writeBatch(ev.filter(!isLate), "b0")
+    runPass()  // commits with watermark = max - 1h; closed windows emit
+    writeBatch(ev.filter(isLate), "b1")
+    runPass()  // every late row must be dropped; nothing new may emit
+    s.read.parquet(outDir).orderBy("win_start", "event_type")
+  }
+
   val all: Seq[QueryDef] = Seq(
     streamIngestJson, streamIngestDsv, streamWindowHourly, sinkUpsert,
     sinkUpsertDelta, sinkRoute, streamStreamJoin, streamDedup,
-    streamSessionWindow, streamTwsSummary, streamLeftOuter, streamChainedAgg)
+    streamSessionWindow, streamTwsSummary, streamLeftOuter, streamChainedAgg,
+    streamLateDrop)
 }

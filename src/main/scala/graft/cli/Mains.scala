@@ -136,6 +136,9 @@ object StreamMain {
       require(store.healthCheck(), "sink preflight failed")  // K5
       val wire = spark.readStream
         .schema("key STRING, value STRING")
+        // plain nested listing: the exchange's batch=<r> dirs are
+        // transport framing, not a partition column of the wire
+        .option("recursiveFileLookup", "true")
         .parquet(args(0))
       val decoded = format match {
         case "json" =>

@@ -88,18 +88,41 @@ object Replay {
       .option("topic", cfg.topic)
       .save()
 
-  /** Local transport: each repeat lands as one appended parquet batch
-    * under `root/topic=<topic>/`. Batch-level pacing + progress/ETA
+  /** Local transport: repeat `r` lands as partition dir
+    * `root/topic=<topic>/batch=<r>`. Batch-level pacing + progress/ETA
     * reporting (the reference's `-rst` and progress lines,
     * `dataframe_to_kafka.py:101-109`).
+    *
+    * Publishing is IDEMPOTENT under kill-and-resume — the exactly-once
+    * counterpart of the reference's at-least-once Kafka producer: each
+    * batch is overwritten into its own dir, then a hidden commit marker
+    * (`_committed_<r>`; underscore-prefixed files are invisible to
+    * Spark's file listing) is created. A resumed publish skips
+    * committed batches and re-overwrites a torn one, so readers never
+    * see a duplicate or partial batch.
     */
   final class FileExchange(root: String) {
     def topicDir(topic: String) = s"$root/topic=$topic"
 
-    def publish(wire: DataFrame, cfg: ReplayConfig): Unit = {
+    private def marker(topic: String, r: Int) =
+      java.nio.file.Paths.get(topicDir(topic), s"_committed_$r")
+
+    /** @param afterWrite test seam between a batch's data write and its
+      *                   commit marker — a crash injected there models
+      *                   the torn-batch window
+      */
+    def publish(wire: DataFrame, cfg: ReplayConfig,
+        afterWrite: Int => Unit = _ => ()): Unit = {
       val t0 = System.nanoTime()
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(topicDir(cfg.topic)))
       (1 to cfg.repeat).foreach { r =>
-        wire.write.mode(SaveMode.Append).parquet(topicDir(cfg.topic))
+        if (!java.nio.file.Files.exists(marker(cfg.topic, r))) {
+          wire.write.mode(SaveMode.Overwrite)
+            .parquet(s"${topicDir(cfg.topic)}/batch=$r")
+          afterWrite(r)
+          java.nio.file.Files.createFile(marker(cfg.topic, r))
+        }
         val elapsed = (System.nanoTime() - t0) / 1e9
         val eta = elapsed / r * (cfg.repeat - r)
         System.err.println(

@@ -55,6 +55,7 @@ class E2EPipelineSpec extends AnyFunSuite {
     //    merged schema, through real micro-batch execution
     val wireStream = spark.readStream
       .schema("key STRING, value STRING")
+      .option("recursiveFileLookup", "true")
       .parquet(exchange.topicDir(cfg.topic))
     val decoded = wireStream
       .select(from_csv(col("value"), Schemas.mergedSchema, Map("sep" -> "|")).as("d"))

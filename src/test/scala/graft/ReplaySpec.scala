@@ -51,4 +51,28 @@ class ReplaySpec extends AnyFunSuite {
     assert(a == b)
     assert(a.map(_.getAs[String]("room")).toSet == Set("413", "656A"))
   }
+
+  test("kill-and-resume publish is exactly-once: no duplicate or torn batch") {
+    val cfg = ReplayConfig(input = input, repeat = 3, excluded = Seq("pir"),
+      keyCol = Some("room"))
+    val exchange = new FileExchange(
+      Files.createTempDirectory(Paths.get("target"), "exch_eo_").toString)
+    val wire = Replay.encode(Replay.transform(Replay.readSource(spark, cfg), cfg), cfg)
+    // first attempt dies in the torn-batch window: batch 2's data is on
+    // disk but its commit marker is not
+    val boom = intercept[RuntimeException] {
+      exchange.publish(wire, cfg,
+        afterWrite = r => if (r == 2) throw new RuntimeException("kill"))
+    }
+    assert(boom.getMessage == "kill")
+    // resume: batch 1 skipped (committed), torn batch 2 overwritten,
+    // batch 3 published — the topic holds each batch exactly once
+    exchange.publish(wire, cfg)
+    val out = exchange.read(spark, cfg.topic)
+    assert(out.count() == 2L * 3)  // 2 wire rows per batch x 3 batches
+    assert(out.select("batch").distinct().count() == 3)
+    val perBatch = out.groupBy("batch").count().collect()
+      .map(_.getAs[Long]("count")).toSet
+    assert(perBatch == Set(2L), s"torn/duplicated batch: $perBatch")
+  }
 }
