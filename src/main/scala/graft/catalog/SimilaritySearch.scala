@@ -379,7 +379,69 @@ object SimilaritySearch {
       .orderBy("label", "rnk")
   }
 
+  // Int8 scalar quantization — the storage/IO lever for 100 TB ANN: a
+  // 64-dim float32 vector compresses 4× (and the quantized dot product
+  // runs on integers). Per-dimension min/max comes from one partial→
+  // final aggregate over the exploded corpus (64 rows out), broadcast
+  // back as two 64-element arrays; the quantize/reconstruct pass is
+  // then a narrow codegen'd projection. Output per vector: the exact
+  // integer norm of the quantized code (bit-exact across engines) and
+  // the reconstruction MSE (dim-ordered IEEE fold). A degenerate
+  // dimension (min = max) quantizes to 0 by convention on both engines.
+  val vecQuantize: QueryDef = QueryDef.sql("q_vec_quantize")(
+    s"""WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |dx AS (SELECT vec_id, d, v[d] AS x
+       |       FROM n CROSS JOIN (SELECT UNNEST(range(1, 65)) AS d) dd),
+       |mm AS (SELECT d, MIN(x) AS mn, MAX(x) AS mx FROM dx GROUP BY d),
+       |mml AS (SELECT list(mn ORDER BY d) AS mns, list(mx ORDER BY d) AS mxs FROM mm),
+       |q AS (SELECT vec_id,
+       |    list_transform(range(1, 65), i -> CASE WHEN mxs[i] = mns[i] THEN 0
+       |      ELSE CAST(round((v[i] - mns[i]) / (mxs[i] - mns[i]) * 255) AS BIGINT) - 128
+       |      END) AS code,
+       |    v, mns, mxs
+       |  FROM n CROSS JOIN mml)
+       |SELECT vec_id,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(code, c -> c * c)), (a, b) -> a + b) AS qnorm,
+       |  list_reduce(list_prepend(0.0, list_transform(range(1, 65), i ->
+       |    CASE WHEN mxs[i] = mns[i] THEN 0.0 ELSE
+       |      (v[i] - ((CAST(code[i] + 128 AS DOUBLE)) / 255 * (mxs[i] - mns[i]) + mns[i]))
+       |      * (v[i] - ((CAST(code[i] + 128 AS DOUBLE)) / 255 * (mxs[i] - mns[i]) + mns[i]))
+       |    END)), (a, b) -> a + b) / 64 AS mse
+       |FROM q ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    Vectors.register(s)
+    val n = Tables.embeddings(s, dir)
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+      .select(col("vec_id"), Vectors.toDouble(col("embedding")).as("v"))
+    val mm = n.select(posexplode(col("v")).as(Seq("d", "x")))
+      .groupBy("d").agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .agg(transform(sort_array(collect_list(struct(col("d"), col("mn")))),
+          p => p.getField("mn")).as("mns"),
+        transform(sort_array(collect_list(struct(col("d"), col("mx")))),
+          p => p.getField("mx")).as("mxs"))
+    val q = n.crossJoin(broadcast(mm))
+      .withColumn("code", transform(sequence(lit(0), lit(63)), i =>
+        when(element_at(col("mxs"), i + 1) === element_at(col("mns"), i + 1), lit(0L))
+          .otherwise(
+            round((element_at(col("v"), i + 1) - element_at(col("mns"), i + 1)) /
+              (element_at(col("mxs"), i + 1) - element_at(col("mns"), i + 1)) * 255)
+              .cast("long") - 128L)))
+    def recon(i: org.apache.spark.sql.Column) =
+      (element_at(col("code"), i + 1).cast("double") + 128.0) / 255.0 *
+        (element_at(col("mxs"), i + 1) - element_at(col("mns"), i + 1)) +
+        element_at(col("mns"), i + 1)
+    q.select(col("vec_id"),
+        aggregate(transform(col("code"), c => c * c), lit(0L), (a, x) => a + x)
+          .as("qnorm"),
+        (aggregate(transform(sequence(lit(0), lit(63)), i =>
+            when(element_at(col("mxs"), i + 1) === element_at(col("mns"), i + 1), lit(0.0))
+              .otherwise((element_at(col("v"), i + 1) - recon(i)) *
+                (element_at(col("v"), i + 1) - recon(i)))),
+          lit(0.0), (a, x) => a + x) / 64).as("mse"))
+      .orderBy("vec_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     embedNorm, embedTopk, embedNearDup, annIvf, annIvfKmeans, annLsh, embedNearDupLsh,
-    embedOutlier)
+    embedOutlier, vecQuantize)
 }

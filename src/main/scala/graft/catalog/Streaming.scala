@@ -414,9 +414,27 @@ object Streaming {
     s.read.parquet(outDir).orderBy("win_start", "event_type")
   }
 
+  // Stream-static enrichment join — the standard "decorate the event
+  // stream with a dimension table" production pattern: the static side
+  // (customer) is broadcast per micro-batch, so the stream never
+  // shuffles and no join state accrues (unlike a stream-stream join,
+  // there is nothing to watermark — the static side is re-resolved
+  // each batch, which is also what picks up dimension updates).
+  val streamStaticJoin: QueryDef = QueryDef.sql("q_stream_static_join")(
+    """SELECT e.event_id, e.user_id, c.c_name, c.c_nationkey, e.value
+      |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      |ORDER BY e.event_id""".stripMargin) { (s, dir) =>
+    val dim = graft.core.Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+    val enriched = Ingest.eventsStream(s, dir)
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .select("event_id", "user_id", "c_name", "c_nationkey", "value")
+    Ingest.runToMemory(enriched).orderBy("event_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     streamIngestJson, streamIngestDsv, streamWindowHourly, sinkUpsert,
     sinkUpsertDelta, sinkRoute, streamStreamJoin, streamDedup,
     streamSessionWindow, streamTwsSummary, streamLeftOuter, streamChainedAgg,
-    streamLateDrop)
+    streamLateDrop, streamStaticJoin)
 }

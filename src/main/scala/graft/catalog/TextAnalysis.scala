@@ -605,9 +605,83 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // Tokenizer-training primitive: adjacent-token pair frequencies — the
+  // inner statistic of a BPE merge round. At scale this is one narrow
+  // explode (each doc emits len-1 pairs) into a partial→final
+  // HashAggregate on the pair string, then TakeOrderedAndProject for
+  // the top-k — no corpus-wide sort. A full BPE trainer is this query
+  // in a driver loop: count, merge the argmax pair, re-tokenize.
+  val bpePairs: QueryDef = QueryDef.sql("q_bpe_pairs")(
+    s"""WITH base AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |p AS (SELECT UNNEST(list_transform(range(1, len(toks)),
+       |        i -> toks[i] || ' ' || toks[i + 1])) AS pair
+       |      FROM base WHERE len(toks) >= 2)
+       |SELECT pair, COUNT(*) AS n FROM p GROUP BY pair
+       |ORDER BY n DESC, pair LIMIT 50""".stripMargin) { (s, dir) =>
+    val base = docs(s, dir).select(Text.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+    base
+      .select(explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (a, b) => concat(a, lit(" "), b))).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair")).limit(50)
+  }
+
+  // Incremental dedup — the continuous-training-data shape: a small
+  // incoming batch (doc_id % 10 = 0 stands in for "today's crawl") is
+  // checked against the existing corpus WITHOUT ever joining the corpus
+  // to itself. Candidates come from the asymmetric LSH band join
+  // (incoming bands broadcast; the corpus side only shuffles on band
+  // hash), then each candidate pair is scored by the MinHash Jaccard
+  // estimate (matching signature components / k). At 100 TB the corpus
+  // never self-joins and the incoming side is tiny — per-batch cost is
+  // O(|incoming| + collisions), independent of corpus size.
+  val dedupIncremental: QueryDef = QueryDef.sql("q_dedup_incremental")(
+    s"""WITH base AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |sh AS (SELECT doc_id, $shinglesSql AS sh FROM base),
+       |sig AS (SELECT doc_id, ${sigSqls.mkString(", ")} FROM sh),
+       |bands AS (SELECT doc_id, ${bandSqls.mkString(", ")} FROM sig),
+       |ex AS (
+       |  ${(0 until K / 2).map(b => s"SELECT doc_id, $b AS band_idx, band_$b AS band_hash FROM bands")
+            .mkString("\n  UNION ALL\n  ")}),
+       |cand AS (
+       |  SELECT DISTINCT n.doc_id AS doc_new, c.doc_id AS doc_corpus
+       |  FROM (SELECT * FROM ex WHERE doc_id % 10 = 0) n
+       |  JOIN (SELECT * FROM ex WHERE doc_id % 10 <> 0) c
+       |    ON n.band_idx = c.band_idx AND n.band_hash = c.band_hash)
+       |SELECT doc_new, doc_corpus,
+       |  (${(0 until K).map(i => s"CASE WHEN a.sig_$i = b.sig_$i THEN 1 ELSE 0 END").mkString(" + ")}) / ${K}.0 AS est_jaccard
+       |FROM cand JOIN sig a ON a.doc_id = doc_new
+       |          JOIN sig b ON b.doc_id = doc_corpus
+       |ORDER BY doc_new, doc_corpus""".stripMargin) { (s, dir) =>
+    val sig = Text.minhashSigDF(Tables.documents(s, dir), "doc_id", "text", 3, K)
+      .persist()
+    val banded = sig
+      .select(col("doc_id"), posexplode(array(Text.lshBandCols(2, K): _*))
+        .as(Seq("band_idx", "band_hash")))
+    val incoming = banded.filter(col("doc_id") % 10 === 0)
+    val corpus = banded.filter(col("doc_id") % 10 =!= 0)
+    val cand = broadcast(incoming.as("n")).join(corpus.as("c"),
+        col("n.band_idx") === col("c.band_idx") &&
+          col("n.band_hash") === col("c.band_hash"))
+      .select(col("n.doc_id").as("doc_new"), col("c.doc_id").as("doc_corpus"))
+      .distinct()
+    val est = (0 until K)
+      .map(i => when(col("a.sig_" + i) === col("b.sig_" + i), 1).otherwise(0))
+      .reduce(_ + _) / lit(K.toDouble)
+    val scored = cand
+      .join(sig.as("a"), col("doc_new") === col("a.doc_id"))
+      .join(sig.as("b"), col("doc_corpus") === col("b.doc_id"))
+      .select(col("doc_new"), col("doc_corpus"), est.as("est_jaccard"))
+      .orderBy("doc_new", "doc_corpus")
+    materialized(scored, sig)
+  }
+
   val all: Seq[QueryDef] = Seq(
     tokenCount, langId, qualityScore, fingerprint, dedupExact,
     minhashSig, minhashPairs, minhashVerified, ngramJaccard, simhash,
     simhashNearDup, simhash60, simhash60NearDup, levenshteinPairs,
-    minhashJaccardEst, tokenEntropy)
+    minhashJaccardEst, tokenEntropy, bpePairs, dedupIncremental)
 }
