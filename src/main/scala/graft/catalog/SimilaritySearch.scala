@@ -441,7 +441,65 @@ object SimilaritySearch {
       .orderBy("vec_id")
   }
 
+  // Product quantization encode — the memory-bound ANN compression
+  // (Jégou et al., "Product Quantization for Nearest Neighbor Search"):
+  // the 64-dim vector splits into 8 subspaces of 8 dims; each subvector
+  // is assigned to its nearest codebook centroid (here: the first 8
+  // vectors' subvectors, a deterministic seed codebook — training them
+  // further is ops.KMeans per subspace), so a vector stores as 8 small
+  // codes. Scale shape: the 64-row codebook broadcasts; assignment is a
+  // map-side min_by aggregation over corpus × codebook rows keyed by
+  // (vec, subspace) — the corpus never shuffles with its payload, and
+  // the quantization error is a subspace-ordered IEEE fold.
+  val pqCodes: QueryDef = QueryDef.sql("q_pq_codes")(
+    s"""WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |ss AS (SELECT UNNEST(range(0, 8)) AS s),
+       |sub AS (SELECT vec_id, s,
+       |          list_transform(range(1, 9), j -> v[s * 8 + j]) AS sv
+       |        FROM n CROSS JOIN ss),
+       |cb AS (SELECT n.vec_id AS cid, s,
+       |          list_transform(range(1, 9), j -> v[s * 8 + j]) AS cs
+       |        FROM n CROSS JOIN ss WHERE n.vec_id < 8),
+       |d AS (SELECT vec_id, sub.s, cid,
+       |        list_reduce(list_prepend(0.0, list_transform(range(1, 9),
+       |          j -> (sv[j] - cs[j]) * (sv[j] - cs[j]))), (a, b) -> a + b) AS d2
+       |      FROM sub JOIN cb ON sub.s = cb.s),
+       |best AS (SELECT vec_id, s, cid, d2, ROW_NUMBER() OVER
+       |  (PARTITION BY vec_id, s ORDER BY d2, cid) AS rn FROM d)
+       |SELECT vec_id,
+       |  array_to_string(list(cid ORDER BY s), '-') AS code,
+       |  list_reduce(list_prepend(0.0, list(d2 ORDER BY s)), (a, b) -> a + b) AS qerr
+       |FROM best WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    Vectors.register(s)
+    val n = Tables.embeddings(s, dir)
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+      .select(col("vec_id"), Vectors.toDouble(col("embedding")).as("v"))
+    def subspaces(df: DataFrame, idOut: String) = df
+      .withColumn("s", explode(sequence(lit(0), lit(7))))
+      .select(col("vec_id").as(idOut), col("s"),
+        slice(col("v"), col("s") * 8 + 1, lit(8)).as(if (idOut == "cid") "cs" else "sv"))
+    val sub = subspaces(n, "vec_id")
+    val cb = subspaces(n.filter(col("vec_id") < 8), "cid")
+    val d2 = aggregate(zip_with(col("sv"), col("cs"), (x, c) => (x - c) * (x - c)),
+      lit(0.0), (a, x) => a + x)
+    val best = sub.join(broadcast(cb), "s")
+      .select(col("vec_id"), col("s"), col("cid"), d2.as("d2"))
+      .groupBy("vec_id", "s")
+      .agg(min_by(struct(col("cid"), col("d2")), struct(col("d2"), col("cid"))).as("b"))
+      .select(col("vec_id"), col("s"), col("b.cid").as("cid"), col("b.d2").as("d2"))
+    best.groupBy("vec_id")
+      .agg(
+        concat_ws("-", transform(
+          sort_array(collect_list(struct(col("s"), col("cid")))),
+          p => p.getField("cid").cast("string"))).as("code"),
+        aggregate(transform(
+            sort_array(collect_list(struct(col("s"), col("d2")))),
+            p => p.getField("d2")),
+          lit(0.0), (a, x) => a + x).as("qerr"))
+      .orderBy("vec_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     embedNorm, embedTopk, embedNearDup, annIvf, annIvfKmeans, annLsh, embedNearDupLsh,
-    embedOutlier, vecQuantize)
+    embedOutlier, vecQuantize, pqCodes)
 }

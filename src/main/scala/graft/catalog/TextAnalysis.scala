@@ -679,9 +679,58 @@ object TextAnalysis {
     materialized(scored, sig)
   }
 
+  // Exact duplicated-substring detection (the "Deduplicating Training
+  // Data Makes Language Models Better" statistic, approximated at
+  // 8-token granularity): every 8-gram window is hashed to a 60-bit
+  // numeric key; a window duplicated ACROSS documents marks its doc.
+  // Per doc: total windows, cross-doc-duplicated windows, and the
+  // duplicated fraction — the signal substring-dedup pipelines cut on.
+  // Scale shape: the shuffle carries (doc_id, int64 hash) — never text;
+  // "appears in ≥2 docs" is MIN(doc_id) <> MAX(doc_id), a primitive
+  // two-phase HashAggregate with no COUNT(DISTINCT) expansion.
+  private val shingles8Sql =
+    """CASE WHEN len(toks) >= 8
+      |  THEN list_transform(generate_series(1, len(toks) - 7), i -> array_to_string(toks[i:i+7], ' '))
+      |  ELSE [array_to_string(toks, ' ')] END""".stripMargin
+
+  val dupNgramSpans: QueryDef = QueryDef.sql("q_dup_ngram_spans")(
+    s"""WITH base AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |g AS (SELECT doc_id, UNNEST($shingles8Sql) AS g FROM base),
+       |h AS (SELECT doc_id,
+       |        CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) AS gh FROM g),
+       |dup AS (SELECT gh FROM h GROUP BY gh HAVING MIN(doc_id) <> MAX(doc_id)),
+       |per AS (SELECT doc_id, COUNT(*) AS n_spans,
+       |          CAST(SUM(CASE WHEN gh IN (SELECT gh FROM dup) THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS n_dup_spans
+       |        FROM h GROUP BY doc_id)
+       |SELECT doc_id, n_spans, n_dup_spans,
+       |  CAST(n_dup_spans AS DOUBLE) / CAST(n_spans AS DOUBLE) AS dup_frac
+       |FROM per ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val h = docs(s, dir)
+      .select(col("doc_id"),
+        explode(Text.wordShingles(Text.tokens(col("text")), 8)).as("g"))
+      .select(col("doc_id"), Text.hash60(col("g")).as("gh"))
+      .persist()
+    val dup = h.groupBy("gh")
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .filter(col("mn") =!= col("mx"))
+      .select("gh")
+    val tot = h.groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
+    val dups = h.join(dup, Seq("gh"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup_spans"))
+    val result = tot.join(dups, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        (coalesce(col("n_dup_spans"), lit(0L)).cast("double") /
+          col("n_spans").cast("double")).as("dup_frac"))
+      .orderBy("doc_id")
+    materialized(result, h)
+  }
+
   val all: Seq[QueryDef] = Seq(
     tokenCount, langId, qualityScore, fingerprint, dedupExact,
     minhashSig, minhashPairs, minhashVerified, ngramJaccard, simhash,
     simhashNearDup, simhash60, simhash60NearDup, levenshteinPairs,
-    minhashJaccardEst, tokenEntropy, bpePairs, dedupIncremental)
+    minhashJaccardEst, tokenEntropy, bpePairs, dedupIncremental,
+    dupNgramSpans)
 }
