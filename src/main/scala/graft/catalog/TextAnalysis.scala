@@ -727,10 +727,63 @@ object TextAnalysis {
     materialized(result, h)
   }
 
+  // Sparse lexical retrieval through an INVERTED INDEX — the BM25-family
+  // pattern without dense vectors: score(q,d) = Σ_t tf_q·tf_d / df_t²
+  // (a rational idf² weight — exact integer arithmetic plus one IEEE
+  // division per term, so no libm log whose last ulp could differ
+  // across engines). Scale shape: the query side and the df dictionary
+  // broadcast, so the corpus posting list never shuffles for the match —
+  // only the (query, doc) partial scores shuffle, and the per-pair fold
+  // is token-ordered for bit-stable sums.
+  val tfidfRetrieval: QueryDef = QueryDef.sql("q_tfidf_retrieval")(
+    s"""WITH base AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |tok AS (SELECT doc_id, t, COUNT(*) AS tf
+       |        FROM (SELECT doc_id, UNNEST(toks) AS t FROM base) u
+       |        GROUP BY doc_id, t),
+       |dfreq AS (SELECT t, COUNT(*) AS df FROM tok GROUP BY t),
+       |q AS (SELECT doc_id AS query_id, t, tf AS tfq FROM tok WHERE doc_id < 5),
+       |m AS (SELECT q.query_id, tok.doc_id, q.t,
+       |        q.tfq * tok.tf * 1.0 / (dfreq.df * dfreq.df) AS term
+       |      FROM q JOIN tok ON q.t = tok.t AND tok.doc_id <> q.query_id
+       |      JOIN dfreq ON dfreq.t = q.t),
+       |sc AS (SELECT query_id, doc_id,
+       |        list_reduce(list_prepend(0.0, list(term ORDER BY t)),
+       |          (a, b) -> a + b) AS score
+       |       FROM m GROUP BY query_id, doc_id),
+       |r AS (SELECT *, ROW_NUMBER() OVER
+       |  (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk FROM sc)
+       |SELECT query_id, doc_id, score, rnk FROM r WHERE rnk <= 5
+       |ORDER BY query_id, rnk""".stripMargin) { (s, dir) =>
+    val base = docs(s, dir).select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+    val tok = base.select(col("doc_id"), explode(col("toks")).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+      .persist()
+    val dfreq = tok.groupBy("t").agg(count(lit(1)).as("df"))
+    val q = tok.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("query_id"), col("t").as("qt"), col("tf").as("tfq"))
+    val m = broadcast(q).join(tok.as("c"),
+        col("qt") === col("c.t") && col("c.doc_id") =!= col("query_id"))
+      .join(broadcast(dfreq.as("f")), col("qt") === col("f.t"))
+      .select(col("query_id"), col("c.doc_id").as("doc_id"), col("qt"),
+        (col("tfq") * col("c.tf") * lit(1.0) / (col("f.df") * col("f.df")))
+          .as("term"))
+    val sc = m.groupBy("query_id", "doc_id")
+      .agg(aggregate(
+        transform(sort_array(collect_list(struct(col("qt"), col("term")))),
+          p => p.getField("term")),
+        lit(0.0), (a, x) => a + x).as("score"))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))
+    val result = sc.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select("query_id", "doc_id", "score", "rnk")
+      .orderBy("query_id", "rnk")
+    materialized(result, tok)
+  }
+
   val all: Seq[QueryDef] = Seq(
     tokenCount, langId, qualityScore, fingerprint, dedupExact,
     minhashSig, minhashPairs, minhashVerified, ngramJaccard, simhash,
     simhashNearDup, simhash60, simhash60NearDup, levenshteinPairs,
     minhashJaccardEst, tokenEntropy, bpePairs, dedupIncremental,
-    dupNgramSpans)
+    dupNgramSpans, tfidfRetrieval)
 }
