@@ -129,4 +129,73 @@ class ScaleTechniquesSpec extends AnyFunSuite {
       .orderBy("row_id").collect().map(_.toSeq).toSeq
     assert(salted == plain)
   }
+
+  /** Set confs for the duration of `body`, restoring previous values. */
+  private def withConfs(pairs: (String, String)*)(body: => Unit): Unit = {
+    val prev = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prev.foreach { case (k, o) =>
+      o.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
+  test("AQE splits a skewed sort-merge join partition (skew=true in final plan)") {
+    // key 0 holds 90% of a fact whose hot partition (~20 MB) exceeds the
+    // lowered skew threshold — AQE must split it instead of letting one
+    // reducer drag the stage (the alternative to manual salting above)
+    withConfs(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1m",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "512k",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      val fact = spark.range(200000)
+        .select(when(col("id") % 10 < 9, 0L).otherwise(col("id") % 100).as("k"),
+          concat(lit("x"), lpad(col("id").cast("string"), 100, "p")).as("payload"))
+      val dim = spark.range(100).select(col("id").as("k"),
+        concat(lit("d"), col("id").cast("string")).as("dv"))
+      // keep the fat payload in the join output — column pruning would
+      // otherwise shrink the hot partition below the skew threshold
+      val joined = fact.join(dim, "k").select(col("k"), col("payload"), col("dv"))
+      // execute THIS dataset's QueryExecution: AQE finalizes the plan
+      // only on the executed instance (a count() would plan separately)
+      assert(joined.collect().length == 200000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ, got:\n$plan")
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the skewed partition:\n$plan")
+    }
+  }
+
+  test("runtime bloom filter prunes the scan side of a selective join") {
+    // a selective filter on the small side should inject might_contain
+    // on the large scan side (Spark's runtime row-level semi-join
+    // pruning) once the size thresholds admit it
+    withConfs(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100m",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      val dir = "/root/testdata/sf0.01"
+      val lineitem = spark.read.parquet(s"$dir/lineitem.parquet")
+      val orders = spark.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val joined = lineitem.join(orders,
+        col("l_orderkey") === col("o_orderkey"))
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain"),
+        s"no bloom runtime filter injected:\n$optimized")
+      // and the filtered result is still exactly the plain join
+      val n = joined.count()
+      val plainN = spark.read.parquet(s"$dir/lineitem.parquet")
+        .join(spark.read.parquet(s"$dir/orders.parquet")
+          .filter(col("o_orderpriority") === "1-URGENT"),
+          col("l_orderkey") === col("o_orderkey")).count()
+      assert(n == plainN && n > 0)
+    }
+  }
 }
