@@ -706,10 +706,11 @@ object TextAnalysis {
        |SELECT doc_id, n_spans, n_dup_spans,
        |  CAST(n_dup_spans AS DOUBLE) / CAST(n_spans AS DOUBLE) AS dup_frac
        |FROM per ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    graft.functions.ShingleHash60.register(s)
     val h = docs(s, dir)
       .select(col("doc_id"),
-        explode(Text.wordShingles(Text.tokens(col("text")), 8)).as("g"))
-      .select(col("doc_id"), Text.hash60(col("g")).as("gh"))
+        explode(graft.functions.ShingleHash60
+          .shingleHash60(Text.tokens(col("text")), 8)).as("gh"))
       .persist()
     val dup = h.groupBy("gh")
       .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))

@@ -88,24 +88,22 @@ object Text {
   def minhashSigDF(df: DataFrame, idCol: String, textCol: String,
       n: Int, k: Int): DataFrame = {
     // repartition first: corpus tables often arrive as few large files,
-    // and the shingle explode is CPU-bound per row — spread it across
+    // and the signature pass is CPU-bound per row — spread it across
     // the cluster before the narrow chain begins. Explicit partition
     // count: AQE's size-based coalesce would fold small-byte/high-CPU
     // partitions back together.
     val p = df.sparkSession.sparkContext.defaultParallelism
-    // tokenization is materialized as its own column before shingling:
-    // inside an interpreted higher-order-function lambda a non-lambda
-    // subtree (the regex/split chain) would be RE-EVALUATED on every
-    // lambda invocation — O(tokens) re-tokenizations per document
-    val shingled = df.repartition(p, col(idCol))
-      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+    // the whole k-signature computes projection-locally in one native
+    // pass (functions.MinHashSig60) — no shingle generator, no k-column
+    // min re-aggregation; PropertySpec pins it against the explode →
+    // per-hash md5 → groupBy-min formulation it replaced
+    graft.functions.MinHashSig60.register(df.sparkSession)
+    df.repartition(p, col(idCol))
       .select(col(idCol),
-        explode(wordShingles(col("__toks"), n)).as("shingle"))
-    val hashed = shingled.select(col(idCol) +:
-      (0 until k).map(i => hash60(concat(lit(s"$i:"), col("shingle"))).as(s"h_$i")): _*)
-    hashed.groupBy(col(idCol))
-      .agg(min(col("h_0")).as("sig_0"),
-        (1 until k).map(i => min(col(s"h_$i")).as(s"sig_$i")): _*)
+        graft.functions.MinHashSig60
+          .minhashSig60(tokens(col(textCol)), n, k).as("__sig"))
+      .select(col(idCol) +:
+        (0 until k).map(i => element_at(col("__sig"), i + 1).as(s"sig_$i")): _*)
   }
 
   /** LSH band keys over [[minhashSigDF]] output columns. */

@@ -49,6 +49,49 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("shingleHash60 equals the HOF wordShingles+hash60 formulation on random tokens") {
+    graft.functions.ShingleHash60.register(spark)
+    for (n <- Seq(1, 3, 8)) {
+      val toksSeq = samples(30)
+      val df = toksSeq.zipWithIndex.map { case (ts, i) => (i.toLong, ts) }
+        .toDF("id", "toks")
+      val native = df.select(col("id"),
+          graft.functions.ShingleHash60.shingleHash60(col("toks"), n).as("h"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val hof = df.select(col("id"),
+          transform(graft.ops.Text.wordShingles(col("toks"), n),
+            s => graft.ops.Text.hash60(s)).as("h"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      toksSeq.indices.foreach { i =>
+        assert(native(i.toLong) == hof(i.toLong), s"n=$n sample $i: ${toksSeq(i)}")
+      }
+    }
+  }
+
+  test("minhashSig60 equals the explode+md5+groupBy-min formulation on random tokens") {
+    graft.functions.MinHashSig60.register(spark)
+    for ((n, k) <- Seq((3, 4), (1, 8), (8, 2))) {
+      val toksSeq = samples(30)
+      val df = toksSeq.zipWithIndex.map { case (ts, i) => (i.toLong, ts) }
+        .toDF("id", "toks")
+      val native = df.select(col("id"),
+          graft.functions.MinHashSig60.minhashSig60(col("toks"), n, k).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val legacy = df
+        .select(col("id"), explode(Text.wordShingles(col("toks"), n)).as("shingle"))
+        .select(col("id") +: (0 until k).map(i =>
+          Text.hash60(concat(lit(s"$i:"), col("shingle"))).as(s"h_$i")): _*)
+        .groupBy(col("id"))
+        .agg(min(col("h_0")).as("sig_0"),
+          (1 until k).map(i => min(col(s"h_$i")).as(s"sig_$i")): _*)
+        .collect().map(r => r.getLong(0) -> (1 to k).map(r.getLong).toSeq).toMap
+      toksSeq.indices.foreach { i =>
+        assert(native(i.toLong) == legacy(i.toLong),
+          s"n=$n k=$k sample $i: ${toksSeq(i)}")
+      }
+    }
+  }
+
   test("cleanHtml is idempotent on entity-free random text (property)") {
     val textGen = Gen.nonEmptyListOf(Gen.oneOf(
       Gen.alphaNumStr.map(_.take(12)),
