@@ -57,6 +57,7 @@ object Bench {
     // a failed query must be visible in the JSON, not just on stderr —
     // otherwise a crashed round reads as a fast green one
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    graft.core.Spill.cleanup()
     spark.stop()
   }
 }

@@ -10,12 +10,17 @@ package graft.core
   */
 object AccuracySpecs {
 
-  /** rows-only query name -> the spec (suite: assertion) pinning it */
+  /** rows-only query name -> `Suite:exact test name` pinning it.
+    * Entries are machine-checked: `PropertySpec` instantiates the suite
+    * by reflection and asserts the named test exists, so a renamed or
+    * deleted accuracy test fails the build instead of leaving a dangling
+    * pointer.
+    */
   val registry: Map[String, String] = Map(
     "q_approx_distinct" ->
-      "ScaleTechniquesSpec: HLL approx distinct within 5% of exact",
+      "ScaleTechniquesSpec:HLL approx distinct within 5% of exact; CMS estimate upper-bounds exact",
     "q_heavy_hitters" ->
-      "ScaleTechniquesSpec: CMS estimate upper-bounds exact counts",
+      "ScaleTechniquesSpec:HLL approx distinct within 5% of exact; CMS estimate upper-bounds exact",
     "q_approx_quantiles" ->
-      "GraphEntropySpec: approx quantiles track exact nearest-rank percentiles")
+      "GraphEntropySpec:approx quantiles track exact nearest-rank percentiles")
 }

@@ -1,6 +1,6 @@
 package graft.core
 
-import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicLong
 
 import org.apache.spark.sql.DataFrame
 
@@ -18,21 +18,66 @@ import org.apache.spark.sql.DataFrame
   * cluster-sized — and this path never materializes it on any single
   * node, unlike a `collect()`.
   *
+  * Spill root: `spark.graft.spill.dir` if set, else a per-JVM temp dir.
+  * On a multi-host cluster the conf MUST point at storage every executor
+  * can write (HDFS/S3/NFS scratch URI) — the temp-dir default is a
+  * driver-local `file:/` path and only works in local mode, where driver
+  * and executors share one filesystem. Every spill dir is tracked and
+  * recursively deleted (data files included) by [[cleanup]], which a JVM
+  * shutdown hook also runs, so repeated bench/verify runs don't
+  * accumulate orphaned parquet under the spill root.
+  *
   * Row order is not preserved by the rescan; the driver's parity check
   * sorts rows before hashing (tools/check_parity.py:27), so ordering is
   * cosmetic for catalog results.
   */
 object Spill {
 
-  /** Write `result` to a temp parquet, run `release` (drop caches /
+  private val seq = new AtomicLong(0L)
+  private val tracked =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
+  @volatile private var localRootPath: String = _
+
+  private def localRoot: String = synchronized {
+    if (localRootPath == null) {
+      localRootPath =
+        java.nio.file.Files.createTempDirectory("graft-spill-").toString
+      tracked.add(localRootPath)
+    }
+    localRootPath
+  }
+
+  sys.addShutdownHook(cleanup())
+
+  /** Write `result` to a spill parquet, run `release` (drop caches /
     * checkpoints the result was built from), return a scan of the spill.
     */
   def materialize(result: DataFrame)(release: => Unit): DataFrame = {
     val s = result.sparkSession
-    val dir = Files.createTempDirectory("graft-spill-").toFile
-    dir.deleteOnExit()
-    result.write.mode("overwrite").parquet(dir.getAbsolutePath)
+    val root = s.conf.getOption("spark.graft.spill.dir").getOrElse(localRoot)
+    val dir = s"$root/spill-${seq.incrementAndGet()}"
+    tracked.add(dir)
+    result.write.mode("overwrite").parquet(dir)
     release
-    s.read.parquet(dir.getAbsolutePath)
+    s.read.parquet(dir)
+  }
+
+  /** Recursively delete every spill written by this JVM (Hadoop FS API,
+    * so conf-rooted shared-FS spills are deleted too). Safe to call
+    * repeatedly; the bench/verify mains call it after their parity dump
+    * and a shutdown hook covers everything else.
+    */
+  def cleanup(): Unit = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val it = tracked.iterator()
+    while (it.hasNext) {
+      val dir = it.next()
+      try {
+        val p = new org.apache.hadoop.fs.Path(dir)
+        p.getFileSystem(conf).delete(p, true)
+      } catch { case _: Exception => () } // best-effort on teardown
+      it.remove()
+    }
   }
 }

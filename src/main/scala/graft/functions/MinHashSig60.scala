@@ -117,11 +117,15 @@ object MinHashSig60 {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_minhash_sig60",
-      exprs => (exprs(1), exprs(2)) match {
-        case (Literal(n: Int, IntegerType), Literal(k: Int, IntegerType)) =>
-          MinHashSig60Expr(exprs.head, n, k)
-        case other => throw new IllegalArgumentException(
-          s"shingle width / hash count must be int literals, got $other")
+      exprs => {
+        if (exprs.length != 3) throw new IllegalArgumentException(
+          s"graft_minhash_sig60 expects 3 arguments (tokens, shingle width, hash count), got ${exprs.length}")
+        (exprs(1), exprs(2)) match {
+          case (Literal(n: Int, IntegerType), Literal(k: Int, IntegerType)) =>
+            MinHashSig60Expr(exprs.head, n, k)
+          case other => throw new IllegalArgumentException(
+            s"shingle width / hash count must be int literals, got $other")
+        }
       }, "built-in")
 
   /** Column-API form; requires [[register]] on the running session. */

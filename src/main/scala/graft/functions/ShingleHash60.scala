@@ -107,10 +107,14 @@ object ShingleHash60 {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_shingle_hash60",
-      exprs => exprs(1) match {
-        case Literal(v: Int, IntegerType) => ShingleHash60Expr(exprs.head, v)
-        case other => throw new IllegalArgumentException(
-          s"shingle width must be an int literal, got $other")
+      exprs => {
+        if (exprs.length != 2) throw new IllegalArgumentException(
+          s"graft_shingle_hash60 expects 2 arguments (tokens, shingle width), got ${exprs.length}")
+        exprs(1) match {
+          case Literal(v: Int, IntegerType) => ShingleHash60Expr(exprs.head, v)
+          case other => throw new IllegalArgumentException(
+            s"shingle width must be an int literal, got $other")
+        }
       }, "built-in")
 
   /** Column-API form; requires [[register]] on the running session. */

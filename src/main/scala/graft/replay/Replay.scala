@@ -116,18 +116,24 @@ object Replay {
       val t0 = System.nanoTime()
       java.nio.file.Files.createDirectories(
         java.nio.file.Paths.get(topicDir(cfg.topic)))
+      // batches actually written THIS invocation — a resumed publish
+      // skips committed batches silently (no progress line, no pacing
+      // sleep) and bases its rate/ETA only on real writes, so the ETA
+      // for the remaining work isn't skewed by an instant skipped prefix
+      var written = 0
       (1 to cfg.repeat).foreach { r =>
         if (!java.nio.file.Files.exists(marker(cfg.topic, r))) {
           wire.write.mode(SaveMode.Overwrite)
             .parquet(s"${topicDir(cfg.topic)}/batch=$r")
           afterWrite(r)
           java.nio.file.Files.createFile(marker(cfg.topic, r))
+          written += 1
+          val elapsed = (System.nanoTime() - t0) / 1e9
+          val eta = elapsed / written * (cfg.repeat - r)
+          System.err.println(
+            f"[replay] batch $r/${cfg.repeat} (${100.0 * r / cfg.repeat}%.0f%%) eta ${eta}%.1fs")
+          if (cfg.batchSleepMs > 0 && r < cfg.repeat) Thread.sleep(cfg.batchSleepMs)
         }
-        val elapsed = (System.nanoTime() - t0) / 1e9
-        val eta = elapsed / r * (cfg.repeat - r)
-        System.err.println(
-          f"[replay] batch $r/${cfg.repeat} (${100.0 * r / cfg.repeat}%.0f%%) eta ${eta}%.1fs")
-        if (cfg.batchSleepMs > 0 && r < cfg.repeat) Thread.sleep(cfg.batchSleepMs)
       }
     }
 

@@ -134,8 +134,18 @@ class PropertySpec extends AnyFunSuite {
       s"rows-only queries with no accuracy spec: ${rowsOnly.diff(registered)}")
     assert(registered.diff(rowsOnly).isEmpty,
       s"stale accuracy-spec entries: ${registered.diff(rowsOnly)}")
+    // each registry pointer must name a real suite AND a real test in it
+    // — instantiating the suite registers its test names (sessions are
+    // lazy), so a renamed accuracy test breaks here, not silently
     graft.core.AccuracySpecs.registry.foreach { case (n, spec) =>
-      assert(spec.contains(":") && spec.nonEmpty, s"$n: malformed spec pointer")
+      val parts = spec.split(":", 2)
+      assert(parts.length == 2 && parts.forall(_.nonEmpty),
+        s"$n: malformed spec pointer '$spec' (want Suite:test name)")
+      val Array(suiteName, testName) = parts
+      val suite = Class.forName(s"graft.$suiteName").getDeclaredConstructor()
+        .newInstance().asInstanceOf[org.scalatest.Suite]
+      assert(suite.testNames.contains(testName),
+        s"$n: $suiteName has no test named '$testName'; has ${suite.testNames}")
     }
   }
 }
