@@ -60,30 +60,20 @@ object Curation {
        |  GROUP BY a.doc_id, b.doc_id, a.n, b.n
        |  HAVING COUNT(*) / (a.n + b.n - COUNT(*)) >= ${TextAnalysis.JaccardThreshold})""".stripMargin
 
-  val dedupClusters: QueryDef = QueryDef.sql("q_dedup_clusters")(
-    s"""WITH RECURSIVE $pairsSql,
-       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
-       |reach(src, dst) AS (
-       |  SELECT src, src FROM (SELECT DISTINCT src FROM edges) t
-       |  UNION
-       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
-       |SELECT src AS doc_id, MIN(dst) AS cluster_id,
-       |  CAST(src = MIN(dst) AS INT) AS is_canonical
-       |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    // each loop round below eagerly localCheckpoints (cuts lineage — 30
-    // rounds of accumulated plan would swamp the analyzer) which pins
-    // RDD blocks; snapshot what was cached before so everything new can
-    // be released at the end
-    val preexisting = s.sparkContext.getPersistentRDDs.keySet
-    val (pairs, tokenEx) = jaccardPairs(s, dir)
-    val edges = pairs
-      .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .toDF("src", "dst")
+  /** Min-label propagation with pointer jumping over an undirected pair
+    * list `(doc_a, doc_b)`: returns `(doc, lbl)` where lbl is the
+    * component minimum, for every node that appears in a pair. Each
+    * round eagerly localCheckpoints (cuts lineage — 30 rounds of
+    * accumulated plan would swamp the analyzer); callers snapshot
+    * `getPersistentRDDs` around the call and release what it pinned.
+    * Shared by q_dedup_clusters (exact-Jaccard edges) and
+    * q_corpus_dedup (MinHash-LSH verified edges).
+    */
+  private def ccLabels(pairs: DataFrame): DataFrame = {
+    val Array(ca, cb) = pairs.columns
+    val edges = pairs.select(col(ca).as("src"), col(cb).as("dst"))
+      .unionByName(pairs.select(col(cb).as("src"), col(ca).as("dst")))
       .localCheckpoint()
-    // localCheckpoint is eager — the pair join ran; the persisted token
-    // explode backing it can go before the iteration starts
-    tokenEx.unpersist(blocking = false)
     var labels = edges.select(col("src").as("doc")).distinct()
       .withColumn("lbl", col("doc"))
       .localCheckpoint()
@@ -116,6 +106,29 @@ object Curation {
     // undetected. Pointer jumping converges in O(log diameter), so 50
     // rounds covers any graph that fits in storage; fail loudly if not.
     require(converged, s"connected components did not converge in $rounds rounds")
+    labels
+  }
+
+  val dedupClusters: QueryDef = QueryDef.sql("q_dedup_clusters")(
+    s"""WITH RECURSIVE $pairsSql,
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(src, dst) AS (
+       |  SELECT src, src FROM (SELECT DISTINCT src FROM edges) t
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+       |SELECT src AS doc_id, MIN(dst) AS cluster_id,
+       |  CAST(src = MIN(dst) AS INT) AS is_canonical
+       |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    // snapshot what was cached before so everything the CC rounds pin
+    // can be released at the end
+    val preexisting = s.sparkContext.getPersistentRDDs.keySet
+    val (pairs, tokenEx) = jaccardPairs(s, dir)
+    val pairsCk = pairs.localCheckpoint()
+    // localCheckpoint is eager — the pair join ran; the persisted token
+    // explode backing it can go before the iteration starts
+    tokenEx.unpersist(blocking = false)
+    val labels = ccLabels(pairsCk)
     val result = labels
       .select(col("doc").as("doc_id"), col("lbl").as("cluster_id"),
         (col("doc") === col("lbl")).cast("int").as("is_canonical"))
@@ -689,8 +702,111 @@ object Curation {
       .orderBy("chunk_fp")
   }
 
+  // -------------------------------------------------------------------
+  // End-to-end corpus dedup: the full pipeline a training-data run
+  // executes as ONE materialization — MinHash-LSH band candidates
+  // (TextAnalysis.minhashVerifiedStats) → exact shingle-Jaccard verify
+  // ≥ 0.7 → connected components → keep the minimum-id canonical per
+  // cluster → emit the SURVIVING corpus. Differs from q_dedup_clusters
+  // (which reports cluster labels from exact all-pairs-blocked edges):
+  // here the edge set comes from the O(n·bands) LSH path — the shape
+  // that still runs at 100 TB — and the output is the deduplicated
+  // document set itself, full corpus in → kept corpus out.
+  val corpusDedup: QueryDef = {
+    val threshold = 0.7
+    QueryDef.sql("q_corpus_dedup")(
+      s"""WITH RECURSIVE ${TextAnalysis.minhashVerifiedCte},
+         |pairs AS (SELECT doc_a, doc_b FROM inter
+         |          WHERE inter / (n_a + n_b - inter) >= $threshold),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, src FROM (SELECT DISTINCT src FROM edges) t
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |clusters AS (SELECT src AS doc_id, MIN(dst) AS cluster_id
+         |             FROM reach GROUP BY src)
+         |SELECT d.doc_id, d.lang, d.n_chars,
+         |  COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+         |  CAST(c.doc_id IS NOT NULL AS INT) AS had_dups
+         |FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+         |WHERE c.doc_id IS NULL OR c.cluster_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      val preexisting = s.sparkContext.getPersistentRDDs.keySet
+      val (stats, shingled) = TextAnalysis.minhashVerifiedStats(s, dir)
+      val pairs = stats
+        .filter(col("inter") / (col("n_a") + col("n_b") - col("inter"))
+          >= threshold)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+      shingled.unpersist(blocking = false)
+      val labels = ccLabels(pairs)
+      // kept = never-duplicated docs + one canonical per dup cluster;
+      // labels hold only near-dup members — a small fraction of any
+      // real corpus — so the join against the full scan auto-broadcasts
+      val result = Tables.documents(s, dir)
+        .select("doc_id", "lang", "n_chars")
+        .join(labels.withColumnRenamed("doc", "doc_id"), Seq("doc_id"), "left")
+        .filter(col("lbl").isNull || col("lbl") === col("doc_id"))
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          coalesce(col("lbl"), col("doc_id")).as("cluster_id"),
+          col("lbl").isNotNull.cast("int").as("had_dups"))
+        .orderBy("doc_id")
+      graft.core.Spill.materialize(result) {
+        s.sparkContext.getPersistentRDDs
+          .filterNot { case (id, _) => preexisting.contains(id) }
+          .values.foreach(_.unpersist(false))
+      }
+    }
+  }
+
+  // Deterministic weighted sampling without replacement
+  // (Efraimidis–Spirakis A-Res): each doc draws u ∈ (0,1) from a salted
+  // md5 of its id, and the k docs maximizing u^(1/w) — equivalently
+  // ln(u)/w, the order used here — form the sample, so inclusion
+  // probability scales with weight (n_chars: long documents preferred,
+  // the "sample by token budget" curation primitive). Same salted-hash
+  // determinism as q_hash_split: reproducible under any partitioning,
+  // re-runnable, and auditable cross-engine. Scale shape: one
+  // projection + global top-k (TakeOrderedAndProject — per-partition
+  // heaps merged on the driver, never a full sort); rank is assigned
+  // after the top-k, over k rows.
+  val sampleWeighted: QueryDef = {
+    val k = 50
+    QueryDef.sql("q_sample_weighted")(
+      s"""WITH keyed AS (
+         |  SELECT doc_id, n_chars,
+         |    ln((('0x' || substr(md5('ws:' || doc_id), 1, 15))::BIGINT + 1)
+         |       / 1152921504606846976.0) / n_chars AS key
+         |  FROM documents),
+         |r AS (SELECT doc_id, n_chars,
+         |        ROW_NUMBER() OVER (ORDER BY key DESC, doc_id) AS rnk
+         |      FROM keyed)
+         |SELECT rnk, doc_id, n_chars FROM r WHERE rnk <= $k
+         |ORDER BY rnk""".stripMargin) { (s, dir) =>
+      // u = (h60 + 1) / 2^60 ∈ (0, 1]; +1 keeps ln finite. Every step
+      // (one division, ln, one division) is a single IEEE op on
+      // identical inputs, so the sort keys are bit-identical cross-
+      // engine and the selected set matches exactly.
+      val key = log(
+        (graft.ops.Text.hash60(concat(lit("ws:"), col("doc_id").cast("string")))
+          + lit(1L)) / lit(1152921504606846976.0)) / col("n_chars")
+      val top = Tables.documents(s, dir)
+        .select(col("doc_id"), col("n_chars"), key.as("key"))
+        .orderBy(col("key").desc, col("doc_id"))
+        .limit(k)
+      // rank over k rows only — the single-partition window is bounded
+      // by k, not the corpus
+      val w = Window.orderBy(col("key").desc, col("doc_id"))
+      top.withColumn("rnk", row_number().over(w))
+        .select("rnk", "doc_id", "n_chars")
+        .orderBy("rnk")
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     dedupClusters, dedupClustersTwoStar, repetitionFilter, hashSplit,
     sampleStratified, docChunks, piiRedact, idfQuality, contamination,
-    filterFunnel, domainMix, upsampleRepeat, chunkDedup)
+    filterFunnel, domainMix, upsampleRepeat, chunkDedup, corpusDedup,
+    sampleWeighted)
 }

@@ -338,8 +338,17 @@ object TextAnalysis {
   // verified with EXACT shingle-set Jaccard — the verification join is
   // restricted to candidate pairs, so the expensive compare runs on
   // O(candidates), not O(n²).
-  val minhashVerified: QueryDef = QueryDef.sql("q_minhash_verified")(
-    s"""WITH base AS (SELECT doc_id, $toksSql AS toks FROM documents),
+  //
+  // The CTE chain and the Spark-side pair relation are shared with
+  // Curation's q_corpus_dedup (which clusters these verified pairs and
+  // drops non-canonical members), so the candidate definition cannot
+  // drift between "report pairs" and "delete duplicates".
+  /** DuckDB CTE body `base..inter`: `inter(doc_a, doc_b, n_a, n_b, inter)`
+    * holds exact shingle-set intersection stats for every LSH-band
+    * candidate pair.
+    */
+  private[catalog] val minhashVerifiedCte: String =
+    s"""base AS (SELECT doc_id, $toksSql AS toks FROM documents),
        |shx AS (SELECT doc_id, $shinglesSql AS sh FROM base),
        |sig AS (SELECT doc_id, ${sigSqls.mkString(", ")} FROM shx),
        |bands AS (SELECT doc_id, ${bandSqls.mkString(", ")} FROM sig),
@@ -359,13 +368,18 @@ object TextAnalysis {
        |  FROM cand c
        |  JOIN e ea ON ea.doc_id = c.doc_a
        |  JOIN e eb ON eb.doc_id = c.doc_b AND eb.s = ea.s
-       |  GROUP BY 1, 2, 3, 4)
-       |SELECT doc_a, doc_b, inter, n_a + n_b - inter AS uni,
-       |  inter / (n_a + n_b - inter) AS jaccard
-       |FROM inter ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
-    // ONE persisted shingle relation feeds signature generation (min is
-    // duplicate-insensitive), candidate banding, and the exact-Jaccard
-    // verification — the CPU-heavy tokenize/shingle chain runs once.
+       |  GROUP BY 1, 2, 3, 4)""".stripMargin
+
+  /** Exact intersection stats `(doc_a, doc_b, n_a, n_b, inter)` for
+    * every LSH-band candidate pair — the Spark twin of
+    * [[minhashVerifiedCte]]. ONE persisted shingle relation (returned
+    * second; callers unpersist after materializing) feeds signature
+    * generation (min is duplicate-insensitive), candidate banding, and
+    * the exact-Jaccard verification — the CPU-heavy tokenize/shingle
+    * chain runs once.
+    */
+  private[catalog] def minhashVerifiedStats(
+      s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val shingled = Tables.documents(s, dir)
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), Text.tokens(col("text")).as("__toks"))
@@ -392,10 +406,20 @@ object TextAnalysis {
     val ea = dsh.select(col("doc_id").as("doc_a"), col("n").as("n_a"), col("s"))
     val eb = dsh.select(col("doc_id").as("doc_b2"), col("n").as("n_b"),
       col("s").as("s_b"))
-    val result = cand.join(ea, "doc_a")
+    val stats = cand.join(ea, "doc_a")
       .join(eb, col("doc_b") === col("doc_b2") && col("s") === col("s_b"))
       .groupBy("doc_a", "doc_b", "n_a", "n_b")
       .agg(count(lit(1)).as("inter"))
+    (stats, shingled)
+  }
+
+  val minhashVerified: QueryDef = QueryDef.sql("q_minhash_verified")(
+    s"""WITH $minhashVerifiedCte
+       |SELECT doc_a, doc_b, inter, n_a + n_b - inter AS uni,
+       |  inter / (n_a + n_b - inter) AS jaccard
+       |FROM inter ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+    val (stats, shingled) = minhashVerifiedStats(s, dir)
+    val result = stats
       .select(col("doc_a"), col("doc_b"), col("inter"),
         (col("n_a") + col("n_b") - col("inter")).as("uni"),
         (col("inter") / (col("n_a") + col("n_b") - col("inter"))).as("jaccard"))
@@ -781,10 +805,158 @@ object TextAnalysis {
     materialized(result, tok)
   }
 
+  // BM25 ranked retrieval (Okapi, k1=1.2, b=0.75) — the
+  // length-normalized, tf-saturating upgrade of q_tfidf_retrieval, and
+  // the standard lexical scorer for contamination / nearest-neighbor
+  // text search over a training corpus. idf = ln(1 + (N-df+0.5)/(df+0.5))
+  // is bit-identical cross-engine (same integer inputs → one division →
+  // ln, see q_token_entropy's float discipline); the per-document score
+  // folds its per-term contributions in term order, so the double sum is
+  // order-pinned on both engines. Plan shape at scale: postings
+  // (doc_id, term, tf) shuffle once on term; queries, idf, and the
+  // global (N, avgdl) row broadcast; per-doc length joins on doc_id —
+  // no O(n²) anywhere.
+  val bm25Retrieval: QueryDef = QueryDef.sql("q_bm25_retrieval")(
+    s"""WITH base AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |tok AS (SELECT doc_id, t, COUNT(*) AS tf
+       |        FROM (SELECT doc_id, UNNEST(toks) AS t FROM base) u
+       |        GROUP BY doc_id, t),
+       |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
+       |st AS (SELECT COUNT(*) AS n_docs,
+       |              CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+       |idf AS (SELECT t, ln(1 + ((st.n_docs - df) + 0.5) / (df + 0.5)) AS idf
+       |        FROM (SELECT t, COUNT(*) AS df FROM tok GROUP BY t) f, st),
+       |q AS (SELECT doc_id AS query_id, t, tf AS tfq FROM tok WHERE doc_id < 5),
+       |m AS (SELECT q.query_id, c.doc_id, q.t,
+       |        q.tfq * (i.idf * ((c.tf * 2.2) /
+       |          (c.tf + 1.2 * (0.25 + 0.75 * (d.dl / st.avgdl))))) AS term
+       |      FROM q JOIN tok c ON q.t = c.t AND c.doc_id <> q.query_id
+       |      JOIN idf i ON i.t = q.t
+       |      JOIN dl d ON d.doc_id = c.doc_id, st),
+       |sc AS (SELECT query_id, doc_id,
+       |        round(list_reduce(list_prepend(0.0, list(term ORDER BY t)),
+       |          (a, b) -> a + b), 6) AS score
+       |       FROM m GROUP BY query_id, doc_id),
+       |r AS (SELECT *, ROW_NUMBER() OVER
+       |  (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk FROM sc)
+       |SELECT query_id, doc_id, score, rnk FROM r WHERE rnk <= 5
+       |ORDER BY query_id, rnk""".stripMargin) { (s, dir) =>
+    val base = docs(s, dir).select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+    val tok = base.select(col("doc_id"), explode(col("toks")).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+      .persist()
+    val dl = tok.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val st = dl.agg(count(lit(1)).as("n_docs"),
+      (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+    val idf = tok.groupBy("t").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(st.select("n_docs")))
+      .select(col("t").as("it"),
+        log(lit(1.0) + ((col("n_docs") - col("df")) + lit(0.5))
+          / (col("df") + lit(0.5))).as("idf"))
+    val q = tok.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("query_id"), col("t").as("qt"), col("tf").as("tfq"))
+    val m = broadcast(q).join(tok.as("c"),
+        col("qt") === col("c.t") && col("c.doc_id") =!= col("query_id"))
+      .select(col("query_id"), col("c.doc_id").as("doc_id"), col("qt"),
+        col("tfq"), col("c.tf").as("tf"))
+      // idf is vocabulary-sized — small enough to auto-broadcast at
+      // test SF, a real shuffle at 100 TB; let AQE decide
+      .join(idf, col("qt") === col("it"))
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(st.select("avgdl")))
+      .select(col("query_id"), col("doc_id"), col("qt"),
+        (col("tfq") * (col("idf") * ((col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl")))))))
+          .as("term"))
+    // ln carries a last-ulp cross-engine difference on some inputs
+    // (unlike single divisions), so the FINAL score is rounded to 6
+    // decimals — order-independent at these magnitudes — and the rank
+    // is computed over the rounded score, making the top-5 cut
+    // ulp-proof too (entropy-query float discipline)
+    val sc = m.groupBy("query_id", "doc_id")
+      .agg(round(aggregate(
+        transform(sort_array(collect_list(struct(col("qt"), col("term")))),
+          p => p.getField("term")),
+        lit(0.0), (a, x) => a + x), 6).as("score"))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))
+    val result = sc.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select("query_id", "doc_id", "score", "rnk")
+      .orderBy("query_id", "rnk")
+    materialized(result, tok)
+  }
+
+  // Bigram language-model scoring — per-document mean log-probability
+  // under an add-one-smoothed bigram model trained on the corpus itself,
+  // the cheap stand-in for the perplexity-based quality filters (CCNet
+  // et al.) that rank documents by how "model-like" their text is.
+  // p(t2|t1) = (c(t1,t2)+1) / (c(t1)+V); every per-bigram double is one
+  // integer division + ln (bit-identical cross-engine), and the per-doc
+  // sum folds in position order, so avg_logprob hash-matches exactly.
+  // Scale shape: bigrams are one narrow explode; model counts are two
+  // partial→final aggregates; scoring re-joins on (t1,t2) — all
+  // high-cardinality equi-shuffles, no driver state.
+  val bigramLm: QueryDef = QueryDef.sql("q_bigram_lm")(
+    s"""WITH base AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |bg AS (SELECT doc_id,
+       |         UNNEST(generate_series(1, len(toks) - 1)) AS pos,
+       |         UNNEST(toks[1:len(toks)-1]) AS t1,
+       |         UNNEST(toks[2:len(toks)]) AS t2
+       |       FROM base WHERE len(toks) >= 2),
+       |c2 AS (SELECT t1, t2, COUNT(*) AS c2 FROM bg GROUP BY t1, t2),
+       |c1 AS (SELECT t1, COUNT(*) AS c1 FROM bg GROUP BY t1),
+       |v AS (SELECT COUNT(DISTINCT t) AS v
+       |      FROM (SELECT UNNEST(toks) AS t FROM base) u),
+       |lp AS (SELECT bg.doc_id, bg.pos, ln((c2.c2 + 1) / (c1.c1 + v.v)) AS lp
+       |       FROM bg JOIN c2 ON bg.t1 = c2.t1 AND bg.t2 = c2.t2
+       |       JOIN c1 ON bg.t1 = c1.t1, v),
+       |sc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       |        list_reduce(list_prepend(0.0, list(lp ORDER BY pos)),
+       |          (a, b) -> a + b) AS sum_lp
+       |       FROM lp GROUP BY doc_id)
+       |SELECT doc_id, n_bigrams, round(sum_lp / n_bigrams, 6) AS avg_logprob
+       |FROM sc ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val base = docs(s, dir).select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+    val n = size(col("toks"))
+    // adjacent pairs WITHOUT a per-element lambda: posexplode the n-1
+    // left tokens, fetch the right token by index (codegen'd element_at
+    // outside any HOF — see the interpreted-HOF re-eval trap), drop the
+    // carried array before anything shuffles
+    val bg = base.filter(n >= 2)
+      .select(col("doc_id"), col("toks"),
+        posexplode(slice(col("toks"), lit(1), n - 1)).as(Seq("pos0", "t1")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("t1"),
+        element_at(col("toks"), col("pos0") + 2).as("t2"))
+    val c2 = bg.groupBy("t1", "t2").agg(count(lit(1)).as("c2"))
+    val c1 = bg.groupBy("t1").agg(count(lit(1)).as("c1"))
+    val v = base.select(explode(col("toks")).as("t"))
+      .agg(count_distinct(col("t")).as("v"))
+    // c2/c1 are model-sized (distinct bigrams / vocab) — auto-broadcast
+    // at test SF, genuine shuffle joins at 100 TB; only the one-row V
+    // is pinned broadcast
+    val lp = bg.join(c2, Seq("t1", "t2"))
+      .join(c1, Seq("t1"))
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"), col("pos"),
+        log((col("c2") + lit(1)) / (col("c1") + col("v"))).as("lp"))
+    lp.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        aggregate(
+          transform(sort_array(collect_list(struct(col("pos"), col("lp")))),
+            p => p.getField("lp")),
+          lit(0.0), (a, x) => a + x).as("sum_lp"))
+      // ln carries a last-ulp cross-engine difference on some inputs;
+      // rounding the final mean to 6 decimals absorbs it (entropy-query
+      // float discipline)
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("sum_lp") / col("n_bigrams"), 6).as("avg_logprob"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     tokenCount, langId, qualityScore, fingerprint, dedupExact,
     minhashSig, minhashPairs, minhashVerified, ngramJaccard, simhash,
     simhashNearDup, simhash60, simhash60NearDup, levenshteinPairs,
     minhashJaccardEst, tokenEntropy, bpePairs, dedupIncremental,
-    dupNgramSpans, tfidfRetrieval)
+    dupNgramSpans, tfidfRetrieval, bm25Retrieval, bigramLm)
 }

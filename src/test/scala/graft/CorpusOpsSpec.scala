@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavior of the round-5 corpus operators beyond their DuckDB oracles:
+  * the end-to-end dedup's survivor invariants, the weighted sample's
+  * weight skew, BM25 ranking contracts, and bigram-LM consistency with
+  * the token counts.
+  */
+class CorpusOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.01"
+
+  test("corpus dedup keeps every unique doc and exactly one canonical per cluster") {
+    val total = graft.core.Tables.documents(spark, sf).count()
+    val kept = graft.catalog.Curation.corpusDedup.build(spark, sf)
+    val rows = kept.collect()
+    assert(rows.length < total, "near-dup clusters exist at sf0.01, some docs must drop")
+    // every kept doc is its own cluster representative
+    assert(rows.forall(r => r.getAs[Long]("cluster_id") == r.getAs[Long]("doc_id")))
+    // survivors that had duplicates really were cluster members; the
+    // pair queries (same LSH+verify definition) must agree on who
+    val verified = graft.catalog.TextAnalysis.minhashVerified.build(spark, sf)
+      .filter(col("jaccard") >= 0.7)
+    val dupMembers = verified.select(col("doc_a").as("d")).
+      unionByName(verified.select(col("doc_b").as("d")))
+      .distinct().collect().map(_.getLong(0)).toSet
+    val keptDups = rows.filter(_.getAs[Int]("had_dups") == 1).map(_.getAs[Long]("doc_id")).toSet
+    assert(keptDups.subsetOf(dupMembers))
+    // dropped docs = dup members that are not canonical
+    assert(total - rows.length == dupMembers.size - keptDups.size)
+  }
+
+  test("weighted sample prefers long documents and is deterministic") {
+    val q = graft.catalog.Curation.sampleWeighted
+    val a = q.build(spark, sf).collect()
+    val b = q.build(spark, sf).collect()
+    assert(a.toSeq == b.toSeq, "salted-hash keys must be partition-invariant")
+    assert(a.length == 50)
+    val sampleMean = a.map(_.getAs[Long]("n_chars")).sum.toDouble / a.length
+    val corpusMean = graft.core.Tables.documents(spark, sf)
+      .agg(avg("n_chars")).collect().head.getDouble(0)
+    assert(sampleMean > corpusMean,
+      s"n_chars-weighted sample mean $sampleMean should exceed corpus mean $corpusMean")
+  }
+
+  test("bm25 returns 5 ranked hits per query and never the query doc itself") {
+    val rows = graft.catalog.TextAnalysis.bm25Retrieval.build(spark, sf).collect()
+    val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.size == 5)
+    byQuery.foreach { case (qid, hits) =>
+      assert(hits.map(_.getAs[Int]("rnk")).sorted.toSeq == (1 to 5))
+      assert(hits.forall(_.getAs[Long]("doc_id") != qid))
+      assert(hits.forall(_.getAs[Double]("score") > 0.0))
+      // rank order is score order
+      val sorted = hits.sortBy(_.getAs[Int]("rnk")).map(_.getAs[Double]("score"))
+      assert(sorted.zip(sorted.tail).forall { case (hi, lo) => hi >= lo })
+    }
+  }
+
+  test("bigram-lm bigram counts match token counts and scores are negative log-probs") {
+    val lm = graft.catalog.TextAnalysis.bigramLm.build(spark, sf)
+    val toks = graft.core.Tables.documents(spark, sf)
+      .select(col("doc_id"), size(graft.ops.Text.tokens(col("text"))).as("n_toks"))
+    val joined = lm.join(toks, "doc_id").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(r.getAs[Long]("n_bigrams") == r.getAs[Int]("n_toks") - 1L)
+      assert(r.getAs[Double]("avg_logprob") < 0.0)
+    }
+  }
+}
