@@ -922,6 +922,10 @@ object TextAnalysis {
     // left tokens, fetch the right token by index (codegen'd element_at
     // outside any HOF — see the interpreted-HOF re-eval trap), drop the
     // carried array before anything shuffles
+    // NOT persisted: the bigram relation feeds model training (c2, c1)
+    // and scoring, but the scan→tokenize→explode chain is cheap enough
+    // that recomputing it 3× beats caching it (A/B at sf0.1: ~5.9s
+    // recompute vs ~6.6s cached — same tradeoff as q_simhash_neardup)
     val bg = base.filter(n >= 2)
       .select(col("doc_id"), col("toks"),
         posexplode(slice(col("toks"), lit(1), n - 1)).as(Seq("pos0", "t1")))
@@ -939,7 +943,7 @@ object TextAnalysis {
       .crossJoin(broadcast(v))
       .select(col("doc_id"), col("pos"),
         log((col("c2") + lit(1)) / (col("c1") + col("v"))).as("lp"))
-    lp.groupBy("doc_id")
+    val result = lp.groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         aggregate(
           transform(sort_array(collect_list(struct(col("pos"), col("lp")))),
@@ -951,6 +955,7 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_bigrams"),
         round(col("sum_lp") / col("n_bigrams"), 6).as("avg_logprob"))
       .orderBy("doc_id")
+    result
   }
 
   val all: Seq[QueryDef] = Seq(
