@@ -804,9 +804,55 @@ object Curation {
     }
   }
 
+  // Training-sequence packing — the GPT-style dataloader transform:
+  // documents are concatenated in a deterministic total order (doc_id)
+  // and the token stream is cut into fixed-length sequences of L; each
+  // (sequence, document) overlap is emitted with its offset inside the
+  // sequence. The global token prefix-sum uses
+  // `GlobalIndex.withRunningTotal` (range-sort + per-partition offsets),
+  // NOT `SUM() OVER (ORDER BY ...)` — the window form funnels the whole
+  // corpus through one task, the classic 100 TB cliff. Everything
+  // downstream is integer arithmetic: zero float risk, fully
+  // hash-matched.
+  val packSequences: QueryDef = {
+    val L = 256
+    QueryDef.sql("q_pack_sequences")(
+      s"""WITH t AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_toks
+         |           FROM documents),
+         |c AS (SELECT doc_id, n_toks,
+         |        CAST(SUM(n_toks) OVER (ORDER BY doc_id) AS BIGINT) AS cum
+         |      FROM t WHERE n_toks > 0),
+         |q AS (SELECT doc_id, n_toks, cum - n_toks AS g_start, cum AS g_end FROM c),
+         |x AS (SELECT doc_id, g_start, g_end,
+         |        UNNEST(generate_series(g_start // $L, (g_end - 1) // $L)) AS seq_id
+         |      FROM q)
+         |SELECT seq_id, doc_id,
+         |  greatest(g_start, seq_id * $L) - seq_id * $L AS pos_in_seq,
+         |  least(g_end, (seq_id + 1) * $L) - greatest(g_start, seq_id * $L)
+         |    AS n_toks_in_seq
+         |FROM x ORDER BY seq_id, doc_id""".stripMargin) { (s, dir) =>
+      val t = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(Text.tokens(col("text"))).cast("long").as("n_toks"))
+        .filter(col("n_toks") > 0)
+      val cum = graft.ops.GlobalIndex.withRunningTotal(
+        t, Seq(col("doc_id")), "n_toks", "g_start")
+      val x = cum.withColumn("g_end", col("g_start") + col("n_toks"))
+        .select(col("doc_id"), col("g_start"), col("g_end"),
+          explode(sequence(
+            expr(s"g_start div $L"), expr(s"(g_end - 1) div $L"))).as("seq_id"))
+      x.select(col("seq_id"), col("doc_id"),
+          (greatest(col("g_start"), col("seq_id") * L) - col("seq_id") * L)
+            .as("pos_in_seq"),
+          (least(col("g_end"), (col("seq_id") + 1) * L)
+            - greatest(col("g_start"), col("seq_id") * L)).as("n_toks_in_seq"))
+        .orderBy("seq_id", "doc_id")
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     dedupClusters, dedupClustersTwoStar, repetitionFilter, hashSplit,
     sampleStratified, docChunks, piiRedact, idfQuality, contamination,
     filterFunnel, domainMix, upsampleRepeat, chunkDedup, corpusDedup,
-    sampleWeighted)
+    sampleWeighted, packSequences)
 }

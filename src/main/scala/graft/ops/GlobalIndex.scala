@@ -33,4 +33,38 @@ object GlobalIndex {
     }
     spark.createDataFrame(rdd, schema)
   }
+
+  /** EXCLUSIVE global running total of long column `valueCol` in
+    * `sortCols` order — the prefix-sum generalization of
+    * [[withRowNumber]], same two-phase shape: range-sort, one light job
+    * summing each partition, prefix offsets (one long per partition on
+    * the driver), then every partition labels its own rows locally.
+    * `SUM(...) OVER (ORDER BY ...)` would funnel the table through one
+    * task; this never does, at any width. The result is independent of
+    * the sampled range boundaries because prefix sums over a total
+    * order are partition-agnostic.
+    */
+  def withRunningTotal(df: DataFrame, sortCols: Seq[Column], valueCol: String,
+      out: String): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.orderBy(sortCols: _*)
+    val idx = sorted.schema.fieldIndex(valueCol)
+    val schema = sorted.schema.add(out, LongType, nullable = false)
+    val rdd = sorted.rdd
+    val partSums = rdd.mapPartitionsWithIndex { case (i, it) =>
+      var s = 0L
+      it.foreach(r => s += r.getLong(idx))
+      Iterator.single(i -> s)
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = partSums.scanLeft(0L)(_ + _)
+    val labeled = rdd.mapPartitionsWithIndex { case (i, it) =>
+      var acc = offsets(i)
+      it.map { r =>
+        val start = acc
+        acc += r.getLong(idx)
+        Row.fromSeq(r.toSeq :+ start)
+      }
+    }
+    spark.createDataFrame(labeled, schema)
+  }
 }

@@ -59,6 +59,31 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("sequence packing conserves tokens, fills every non-final sequence exactly") {
+    val L = 256L
+    val rows = graft.catalog.Curation.packSequences.build(spark, sf).collect()
+    // offsets stay inside the sequence
+    assert(rows.forall { r =>
+      val p = r.getAs[Long]("pos_in_seq"); val n = r.getAs[Long]("n_toks_in_seq")
+      p >= 0 && n > 0 && p + n <= L
+    })
+    // every sequence except the last is exactly full
+    val bySeq = rows.groupBy(_.getAs[Long]("seq_id"))
+      .map { case (s, rs) => s -> rs.map(_.getAs[Long]("n_toks_in_seq")).sum }
+    val lastSeq = bySeq.keys.max
+    bySeq.foreach { case (s, tot) =>
+      if (s == lastSeq) assert(tot > 0 && tot <= L) else assert(tot == L, s"seq $s")
+    }
+    // token conservation per document
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+      .map { case (d, rs) => d -> rs.map(_.getAs[Long]("n_toks_in_seq")).sum }
+    val nToks = graft.core.Tables.documents(spark, sf)
+      .select(col("doc_id"), size(graft.ops.Text.tokens(col("text"))).cast("long").as("n"))
+      .filter(col("n") > 0).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byDoc == nToks)
+  }
+
   test("bigram-lm bigram counts match token counts and scores are negative log-probs") {
     val lm = graft.catalog.TextAnalysis.bigramLm.build(spark, sf)
     val toks = graft.core.Tables.documents(spark, sf)
