@@ -374,9 +374,101 @@ object Analytics {
       .orderBy("user_id", "event_id")
   }
 
+  // Exponentially weighted moving average — the Kibana moving-average
+  // pipeline aggregation (README.md:187-195 dashboards) as a real
+  // operator: per (event_type, day), EWMA(α=0.3, zero-seeded) of value
+  // in (ts, event_id) order. EWMA is inherently sequential, so it runs
+  // as an ordered IEEE fold per group (the idf/kmeans fold pattern);
+  // each step is two multiplies and an add in the same order on both
+  // engines, so the raw doubles hash-match without rounding. Group
+  // grain (type × day) bounds per-group state — no global sort, no
+  // unbounded collect.
+  val ewma: QueryDef = QueryDef.sql("q_ewma")(
+    """WITH e AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |                  ts, event_id, value FROM events)
+      |SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS n,
+      |  list_reduce(list_prepend(0.0, list(value ORDER BY ts, event_id)),
+      |    (a, x) -> 0.3 * x + 0.7 * a) AS ewma
+      |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .select(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"),
+        unix_micros(col("ts")).as("o1"), col("event_id").as("o2"), col("value"))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("n"),
+        aggregate(
+          transform(sort_array(collect_list(struct(col("o1"), col("o2"), col("value")))),
+            p => p.getField("value")),
+          lit(0.0), (a, x) => lit(0.3) * x + lit(0.7) * a).as("ewma"))
+      .orderBy("event_type", "day")
+  }
+
+  // Funnel analysis: users progressing signup → click → purchase, each
+  // step strictly after the previous one's FIRST occurrence. Each stage
+  // is one filtered min-aggregation joined on user_id (user-dimension
+  // sized — broadcast at test SF, an equi-shuffle at scale); no window
+  // over the full event stream.
+  val eventFunnel: QueryDef = QueryDef.sql("q_event_funnel")(
+    """WITH a AS (SELECT user_id, MIN(epoch_us(ts)) AS t1 FROM events
+      |           WHERE event_type = 'signup' GROUP BY 1),
+      |b AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2 FROM events e
+      |      JOIN a ON e.user_id = a.user_id
+      |      WHERE e.event_type = 'click' AND epoch_us(e.ts) > a.t1 GROUP BY 1),
+      |c AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t3 FROM events e
+      |      JOIN b ON e.user_id = b.user_id
+      |      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > b.t2 GROUP BY 1)
+      |SELECT 1 AS stage, 'signup' AS step,
+      |       (SELECT CAST(COUNT(*) AS BIGINT) FROM a) AS n_users
+      |UNION ALL SELECT 2, 'click_after_signup',
+      |       (SELECT CAST(COUNT(*) AS BIGINT) FROM b)
+      |UNION ALL SELECT 3, 'purchase_after_click',
+      |       (SELECT CAST(COUNT(*) AS BIGINT) FROM c)
+      |ORDER BY stage""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val a = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("us")).as("t1"))
+    val b = ev.filter(col("event_type") === "click")
+      .join(a, "user_id").filter(col("us") > col("t1"))
+      .groupBy("user_id").agg(min(col("us")).as("t2"))
+    val c = ev.filter(col("event_type") === "purchase")
+      .join(b, "user_id").filter(col("us") > col("t2"))
+      .groupBy("user_id").agg(min(col("us")).as("t3"))
+    def stage(n: Int, step: String, df: org.apache.spark.sql.DataFrame) =
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(n).as("stage"), lit(step).as("step"), col("n_users"))
+    stage(1, "signup", a)
+      .unionByName(stage(2, "click_after_signup", b))
+      .unionByName(stage(3, "purchase_after_click", c))
+      .orderBy("stage")
+  }
+
+  // Cohort retention: users bucketed by first-activity day, activity
+  // counted per (cohort day, day offset) — the classic retention
+  // triangle. Day indices are integer epoch-day divisions (no DATE
+  // types on the wire, per oracle-parity rules); the cohort dimension
+  // joins on user_id.
+  val cohortRetention: QueryDef = QueryDef.sql("q_cohort_retention")(
+    """WITH u AS (SELECT user_id, MIN(epoch_us(ts) // 86400000000) AS cohort_day
+      |           FROM events GROUP BY 1),
+      |x AS (SELECT e.user_id, u.cohort_day,
+      |        epoch_us(e.ts) // 86400000000 - u.cohort_day AS day_offset
+      |      FROM events e JOIN u ON e.user_id = u.user_id)
+      |SELECT cohort_day, day_offset, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+    val u = ev.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+    ev.join(u, "user_id")
+      .select(col("user_id"), col("cohort_day"),
+        (col("day") - col("cohort_day")).as("day_offset"))
+      .groupBy("cohort_day", "day_offset")
+      .agg(count_distinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
   val all: Seq[QueryDef] = Seq(
     semiJoin, antiJoin, outerJoin, distinctUsers, rollupCounts, occupancyRate,
     runningSum, eventGaps, sessionize, valueQuartiles, valueHistogram,
     trailingWindow, dashboardTiles, percentiles, groupingSets, gapFill,
-    rankFuncs, rangeFrame)
+    rankFuncs, rangeFrame, ewma, eventFunnel, cohortRetention)
 }
