@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-5 analytics operators cross-checked against independent
+  * in-memory references (not just the DuckDB oracle): a plain-Scala
+  * EWMA recomputation, funnel monotonicity, and the cohort-triangle
+  * identities.
+  */
+class AnalyticsOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("ewma matches a sequential scala fold over the same event order") {
+    val rows = graft.catalog.Analytics.ewma.build(spark, sf).collect()
+    val events = graft.core.Tables.events(spark, sf)
+      .select(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"),
+        unix_micros(col("ts")).as("us"), col("event_id"), col("value"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    val ref = events.groupBy(e => (e._1, e._2)).map { case (k, es) =>
+      val ordered = es.sortBy(e => (e._3, e._4)).map(_._5)
+      k -> ordered.foldLeft(0.0)((a, x) => 0.3 * x + 0.7 * a)
+    }
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val k = (r.getAs[String]("event_type"), r.getAs[Long]("day"))
+      assert(r.getAs[Double]("ewma") == ref(k), s"ewma mismatch for $k")
+    }
+  }
+
+  test("funnel stages are monotonically non-increasing") {
+    val n = graft.catalog.Analytics.eventFunnel.build(spark, sf).collect()
+      .sortBy(_.getAs[Int]("stage")).map(_.getAs[Long]("n_users"))
+    assert(n.length == 3)
+    assert(n(0) >= n(1) && n(1) >= n(2))
+    assert(n(0) > 0)
+  }
+
+  test("every cohort is complete at offset zero and never grows") {
+    val rows = graft.catalog.Analytics.cohortRetention.build(spark, sf).collect()
+      .map(r => (r.getAs[Long]("cohort_day"), r.getAs[Long]("day_offset"),
+        r.getAs[Long]("n_users")))
+    val byCohort = rows.groupBy(_._1)
+    byCohort.foreach { case (c, rs) =>
+      val at0 = rs.find(_._2 == 0L)
+      assert(at0.isDefined, s"cohort $c missing offset-0 row")
+      // offset 0 contains every cohort member by definition of cohort_day
+      assert(rs.forall(_._3 <= at0.get._3), s"cohort $c exceeds its own size")
+      assert(rs.forall(_._2 >= 0L))
+    }
+    // cohort sizes partition the user base
+    val users = graft.core.Tables.events(spark, sf)
+      .select(count_distinct(col("user_id"))).collect().head.getLong(0)
+    assert(byCohort.values.map(_.find(_._2 == 0L).get._3).sum == users)
+  }
+}
