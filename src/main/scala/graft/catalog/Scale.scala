@@ -85,6 +85,33 @@ object Scale {
       .orderBy("event_type")
   }
 
+  // JSON-lines source/sink round-trip: events → JSON files → schema-on-
+  // read scan → aggregate. The third storage format end-to-end (after
+  // parquet and ORC). Timestamps travel as explicit unix_micros longs —
+  // the JSON writer's default timestamp format truncates to millis, so
+  // fidelity-critical pipelines put epoch integers on the wire (same
+  // rule the oracle-parity discipline applies to outputs). Doubles
+  // round-trip exactly (shortest-repr encoding).
+  val sourceJson: QueryDef = QueryDef.sql("q_source_json")(
+    """SELECT event_type, COUNT(*) AS n,
+      |  min(value) AS min_v, max(value) AS max_v,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+    val path = "target/tmp/q_source_json"
+    Tables.events(s, dir)
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"), col("value"))
+      .write.mode("overwrite").json(path)
+    s.read
+      .schema("event_id BIGINT, ts_us BIGINT, user_id BIGINT, event_type STRING, value DOUBLE")
+      .json(path)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        min(col("value")).as("min_v"), max(col("value")).as("max_v"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_v"))
+      .orderBy("event_type")
+  }
+
   // Distribution-position window family: percent_rank / cume_dist plus
   // the frame-sensitive value pickers (nth/first/last over the full
   // partition frame — the default RANGE frame would stop at CURRENT ROW
@@ -171,5 +198,6 @@ object Scale {
   }
 
   val all: Seq[QueryDef] = Seq(
-    globalRownum, saltedJoin, sourceOrc, windowFuncs2, bitwiseAgg, corrExact)
+    globalRownum, saltedJoin, sourceOrc, sourceJson, windowFuncs2, bitwiseAgg,
+    corrExact)
 }
