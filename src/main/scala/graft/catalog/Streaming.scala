@@ -432,9 +432,29 @@ object Streaming {
     Ingest.runToMemory(enriched).orderBy("event_id")
   }
 
+  // The SAME session windows through Spark 4 event-time TIMERS
+  // (transformWithState: ValueState open session + ListState finished
+  // sessions + one timer at the earliest pending end, emission on
+  // watermark crossing). Shares q_stream_session_window's oracle, so
+  // the hand-built state machine is proven to reproduce the built-in
+  // operator's gap rule AND append-mode emission contract — the
+  // two-algorithms-one-oracle pattern from the CC dedup pair.
+  val streamSessionTimers: QueryDef =
+    QueryDef.sql("q_stream_session_timers")(streamSessionWindow.oracle.get) { (s, dir) =>
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        Ingest.runToMemory(
+          graft.streaming.Stateful.sessionsViaTimers(Ingest.eventsStream(s, dir)).toDF())
+          .orderBy("user_id", "session_start")
+      } finally prev.fold(s.conf.unset(key))(s.conf.set(key, _))
+    }
+
   val all: Seq[QueryDef] = Seq(
     streamIngestJson, streamIngestDsv, streamWindowHourly, sinkUpsert,
     sinkUpsertDelta, sinkRoute, streamStreamJoin, streamDedup,
     streamSessionWindow, streamTwsSummary, streamLeftOuter, streamChainedAgg,
-    streamLateDrop, streamStaticJoin)
+    streamLateDrop, streamStaticJoin, streamSessionTimers)
 }

@@ -1,8 +1,9 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
-  StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
+  GroupStateTimeout, ListState, OutputMode, StatefulProcessor, TimeMode,
+  TimerValues, TTLConfig, ValueState}
 
 /** Custom keyed streaming state via `flatMapGroupsWithState`
   * (SURVEY.md §1.3 / §2.7 T5 — beyond reference parity, which is
@@ -70,6 +71,117 @@ object Stateful {
       summary.update((c, mx, lts, lid))
       Iterator.single(UserSummary(key, c, mx, lid))
     }
+  }
+
+  // ------------------------------------------------------------------
+  // Event-time TIMERS (transformWithState TimeMode.EventTime): a
+  // hand-built session window. The built-in `session_window` operator
+  // (q_stream_session_window) and this processor share ONE oracle — the
+  // same trick q_dedup_clusters/q_dedup_clusters_twostar use — so the
+  // custom state machine is proven to reproduce the built-in's gap rule
+  // ([start, last+gap), new session when diff >= gap) AND its append-
+  // mode emission contract (a session emits only once the watermark
+  // passes its end).
+  //
+  // Mechanics: per user, one open session in a ValueState and finished-
+  // but-unemittable sessions in a ListState; after each batch exactly
+  // one event-time timer sits at the earliest pending session end. When
+  // the watermark crosses it, handleExpiredTimer emits every session
+  // with end <= watermark and re-arms for the rest. In-batch events are
+  // sorted by (ts, event_id) — bounded by a user's per-batch volume,
+  // the standard sessionization shape; cross-batch order is the
+  // watermark's job.
+
+  final case class SessionIn(
+      user_id: Long, event_id: Long, ts_us: Long, ts: java.sql.Timestamp)
+  final case class SessionOut(
+      user_id: Long, session_start: Long, session_end: Long, n_events: Long)
+
+  final class SessionTimerProcessor(gapUs: Long)
+      extends StatefulProcessor[Long, SessionIn, SessionOut] {
+
+    private val tuple3 = Encoders.tuple(
+      Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)
+    // (start_us, last_us, n_events)
+    @transient private var open: ValueState[(Long, Long, Long)] = _
+    // (start_us, end_us, n_events)
+    @transient private var closed: ListState[(Long, Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      open = getHandle.getValueState[(Long, Long, Long)]("open", tuple3, TTLConfig.NONE)
+      closed = getHandle.getListState[(Long, Long, Long)]("closed", tuple3, TTLConfig.NONE)
+    }
+
+    private def pendingEnds(): Seq[Long] =
+      (closed.get().map(_._2) ++
+        (if (open.exists()) Iterator.single(open.get()._2 + gapUs)
+         else Iterator.empty)).toSeq
+
+    /** One timer per key, at the earliest pending end; re-check against
+      * the actual watermark at expiry, so the exact fire boundary
+      * semantics never matter.
+      */
+    private def armTimer(): Unit = {
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      val ends = pendingEnds()
+      if (ends.nonEmpty) getHandle.registerTimer((ends.min + 999L) / 1000L)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[SessionIn],
+        timerValues: TimerValues): Iterator[SessionOut] = {
+      val sorted = rows.toArray.sortBy(e => (e.ts_us, e.event_id))
+      var cur: Option[(Long, Long, Long)] =
+        if (open.exists()) Some(open.get()) else None
+      sorted.foreach { e =>
+        cur match {
+          case Some((st, last, n)) if e.ts_us - last < gapUs =>
+            cur = Some((st, e.ts_us, n + 1))
+          case Some((st, last, n)) =>
+            closed.appendValue((st, last + gapUs, n))
+            cur = Some((e.ts_us, e.ts_us, 1L))
+          case None =>
+            cur = Some((e.ts_us, e.ts_us, 1L))
+        }
+      }
+      cur.foreach(open.update)
+      armTimer()
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[SessionOut] = {
+      val wmUs = timerValues.getCurrentWatermarkInMs() * 1000L
+      var done = closed.get().map(s => (s._1, s._2, s._3)).toVector
+      if (open.exists()) {
+        val (st, last, n) = open.get()
+        if (last + gapUs <= wmUs) {
+          done :+= ((st, last + gapUs, n))
+          open.clear()
+        }
+      }
+      val (emit, keep) = done.partition(_._2 <= wmUs)
+      closed.clear()
+      keep.foreach(closed.appendValue)
+      armTimer()
+      emit.sortBy(_._1).iterator.map { case (st, end, n) =>
+        SessionOut(key, st / 1000000L, end / 1000000L, n)
+      }
+    }
+  }
+
+  /** Timer-driven session windows through transformWithState. */
+  def sessionsViaTimers(events: DataFrame, gapUs: Long = 1800000000L): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.functions._
+    events
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("ts"))
+      .withWatermark("ts", "1 hour")
+      .as[SessionIn]
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionTimerProcessor(gapUs),
+        TimeMode.EventTime(), OutputMode.Append(),
+        implicitly[org.apache.spark.sql.Encoder[SessionOut]])
   }
 
   /** Streaming per-user summaries through transformWithState. */
