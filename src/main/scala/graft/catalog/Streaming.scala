@@ -452,9 +452,28 @@ object Streaming {
       } finally prev.fold(s.conf.unset(key))(s.conf.set(key, _))
     }
 
+  // MapState (third typed-state kind, completing the
+  // transformWithState surface next to ValueState/ListState/timers):
+  // per-user event-type distribution with point lookups per input row.
+  val streamMapStateCounts: QueryDef =
+    QueryDef.sql("q_stream_mapstate_counts")(
+      """SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        Ingest.runToMemory(
+          graft.streaming.Stateful.userTypeCounts(Ingest.eventsStream(s, dir)).toDF(),
+          mode = "update")
+          .orderBy("user_id", "event_type")
+      } finally prev.fold(s.conf.unset(key))(s.conf.set(key, _))
+    }
+
   val all: Seq[QueryDef] = Seq(
     streamIngestJson, streamIngestDsv, streamWindowHourly, sinkUpsert,
     sinkUpsertDelta, sinkRoute, streamStreamJoin, streamDedup,
     streamSessionWindow, streamTwsSummary, streamLeftOuter, streamChainedAgg,
-    streamLateDrop, streamStaticJoin, streamSessionTimers)
+    streamLateDrop, streamStaticJoin, streamSessionTimers, streamMapStateCounts)
 }

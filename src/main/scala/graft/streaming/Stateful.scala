@@ -2,8 +2,8 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
-  GroupStateTimeout, ListState, OutputMode, StatefulProcessor, TimeMode,
-  TimerValues, TTLConfig, ValueState}
+  GroupStateTimeout, ListState, MapState, OutputMode, StatefulProcessor,
+  TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** Custom keyed streaming state via `flatMapGroupsWithState`
   * (SURVEY.md §1.3 / §2.7 T5 — beyond reference parity, which is
@@ -182,6 +182,48 @@ object Stateful {
       .transformWithState(new SessionTimerProcessor(gapUs),
         TimeMode.EventTime(), OutputMode.Append(),
         implicitly[org.apache.spark.sql.Encoder[SessionOut]])
+  }
+
+  // ------------------------------------------------------------------
+  // MapState — the third typed-state kind (with UserSummaryProcessor's
+  // ValueState and SessionTimerProcessor's ListState this covers the
+  // full transformWithState state surface): per-user map of
+  // event_type -> running count, emitting the updated distribution each
+  // batch. Point lookups/updates touch ONE map entry per input row —
+  // the state store never rewrites the whole per-key blob, which is the
+  // reason MapState exists over a ValueState[Map[...]].
+
+  final case class TypeCount(user_id: Long, event_type: String, n: Long)
+
+  final class UserTypeCountsProcessor
+      extends StatefulProcessor[Long, (Long, String), TypeCount] {
+
+    @transient private var counts: MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long](
+        "counts", Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, String)],
+        timerValues: TimerValues): Iterator[TypeCount] = {
+      val touched = scala.collection.mutable.Set.empty[String]
+      rows.foreach { case (_, t) =>
+        val cur = if (counts.containsKey(t)) counts.getValue(t) else 0L
+        counts.updateValue(t, cur + 1L)
+        touched += t
+      }
+      touched.iterator.map(t => TypeCount(key, t, counts.getValue(t))).toVector.iterator
+    }
+  }
+
+  /** Streaming per-(user, event_type) counts through MapState. */
+  def userTypeCounts(events: DataFrame): Dataset[TypeCount] = {
+    import events.sparkSession.implicits._
+    events.select("user_id", "event_type").as[(Long, String)]
+      .groupByKey(_._1)
+      .transformWithState(new UserTypeCountsProcessor,
+        TimeMode.None(), OutputMode.Update(),
+        implicitly[org.apache.spark.sql.Encoder[TypeCount]])
   }
 
   /** Streaming per-user summaries through transformWithState. */
