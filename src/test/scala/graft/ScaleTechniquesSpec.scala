@@ -198,4 +198,27 @@ class ScaleTechniquesSpec extends AnyFunSuite {
       assert(n == plainN && n > 0)
     }
   }
+
+  test("hive-partitioned layout prunes partitions at planning time") {
+    // at 100 TB the events table would be laid out
+    // events/event_type=X/date=Y/...; a filter on the partition column
+    // must prune DIRECTORIES (never open their files), not post-filter
+    // rows. Write the partitioned layout, then prove the scan's
+    // partition list shrank to exactly the predicate's one.
+    val path = "target/tmp/events_partitioned"
+    graft.core.Tables.events(spark, "/root/testdata/sf0.001")
+      .write.mode("overwrite").partitionBy("event_type").parquet(path)
+    val scan = spark.read.parquet(path).filter(col("event_type") === "purchase")
+    val fileScans = scan.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(fileScans.nonEmpty)
+    assert(fileScans.head.partitionFilters.nonEmpty, "filter not recognized as partition filter")
+    val scanned = fileScans.head.selectedPartitions.partitionCount
+    assert(scanned == 1, s"expected 1 pruned partition, scanned $scanned")
+    // pruned read still returns exactly the filtered rows
+    val expected = graft.core.Tables.events(spark, "/root/testdata/sf0.001")
+      .filter(col("event_type") === "purchase").count()
+    assert(scan.count() == expected && expected > 0)
+  }
 }
