@@ -41,7 +41,7 @@ object Curation {
   // edge definition shared with q_ngram_jaccard — pair relation,
   // blocking keys, and threshold all come from TextAnalysis so the two
   // queries cannot drift
-  private def jaccardPairs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private[catalog] def jaccardPairs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val (stats, ex) = TextAnalysis.tokenJaccardStats(s, dir)
     val pairs = stats
       .filter(col("inter") / (col("n_a") + col("n_b") - col("inter"))
@@ -50,7 +50,7 @@ object Curation {
     (pairs, ex)
   }
 
-  private val pairsSql =
+  private[catalog] val pairsSql =
     s"""${TextAnalysis.distinctTokenExSql},
        |pairs AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b

@@ -84,5 +84,68 @@ object Graph {
     }
   }
 
-  val all: Seq[QueryDef] = Seq(pagerank)
+  // Triangle counting over the near-dup document graph (the exact
+  // token-Jaccard >= 0.3 pairs shared with q_ngram_jaccard /
+  // q_dedup_clusters — dup clusters are near-cliques, so triangle
+  // participation is a cluster-density signal). The Spark side runs the
+  // DEGREE-ORIENTED (compact-forward) algorithm: every edge is oriented
+  // from its lower-(degree, id) endpoint to the higher one, wedges are
+  // enumerated only from each node's oriented out-neighborhood (out-
+  // degree is O(√m)-bounded on any graph), and a wedge closes iff the
+  // oriented closing edge exists — each triangle found exactly once,
+  // no high-degree hub ever explodes a join. The oracle enumerates the
+  // same triangles by plain id-ordered 3-way self-join; per-node counts
+  // are algorithm-invariant, so the hash match proves the oriented
+  // enumeration exact.
+  val triangleCount: QueryDef = QueryDef.sql("q_triangle_count")(
+    s"""WITH ${Curation.pairsSql},
+       |tri AS (
+       |  SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+       |  FROM pairs e1
+       |  JOIN pairs e2 ON e2.doc_a = e1.doc_b
+       |  JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b),
+       |n AS (SELECT UNNEST([a, b, c]) AS doc_id FROM tri)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+       |FROM n GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val preexisting = s.sparkContext.getPersistentRDDs.keySet
+    val (rawPairs, tokenEx) = Curation.jaccardPairs(s, dir)
+    val pairs = rawPairs.localCheckpoint()
+    tokenEx.unpersist(blocking = false)
+    val deg = pairs.select(col("doc_a").as("node"))
+      .unionByName(pairs.select(col("doc_b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // orient by (deg, id): lexicographic struct comparison
+    val withDeg = pairs
+      .join(deg.select(col("node").as("doc_a"), col("deg").as("deg_a")), "doc_a")
+      .join(deg.select(col("node").as("doc_b"), col("deg").as("deg_b")), "doc_b")
+    def key(d: String, i: String) = struct(col(d).as("d"), col(i).as("i"))
+    val oriented = withDeg.select(
+      when(key("deg_a", "doc_a") < key("deg_b", "doc_b"),
+        struct(col("doc_a").as("src"), key("deg_b", "doc_b").as("dkey"),
+          col("doc_b").as("dst")))
+        .otherwise(
+          struct(col("doc_b").as("src"), key("deg_a", "doc_a").as("dkey"),
+            col("doc_a").as("dst"))).as("e"))
+      .select(col("e.src").as("src"), col("e.dkey").as("dkey"), col("e.dst").as("dst"))
+    // wedges from each node's out-neighborhood, smaller dkey first
+    val w1 = oriented.select(col("src"), col("dkey").as("k1"), col("dst").as("v"))
+    val w2 = oriented.select(col("src"), col("dkey").as("k2"), col("dst").as("w"))
+    val wedges = w1.join(w2, Seq("src")).filter(col("k1") < col("k2"))
+    // a wedge closes iff the oriented edge v→w exists (v has the
+    // smaller (deg, id), so the closing edge is oriented v→w)
+    val closing = oriented.select(col("src").as("v"), col("dst").as("w"))
+    val tri = wedges.join(closing, Seq("v", "w"))
+      .select(col("src"), col("v"), col("w"))
+    val result = tri
+      .select(explode(array(col("src"), col("v"), col("w"))).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_triangles"))
+      .orderBy("doc_id")
+    graft.core.Spill.materialize(result) {
+      s.sparkContext.getPersistentRDDs
+        .filterNot { case (id, _) => preexisting.contains(id) }
+        .values.foreach(_.unpersist(false))
+    }
+  }
+
+  val all: Seq[QueryDef] = Seq(pagerank, triangleCount)
 }
