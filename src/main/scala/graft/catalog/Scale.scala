@@ -73,7 +73,10 @@ object Scale {
       |  min(value) AS min_v, max(value) AS max_v,
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
-    val path = "target/tmp/q_source_orc"
+    // same per-run unique scratch path as q_source_json (race-free under
+    // concurrent bench/verify runs sharing a working directory)
+    val path = s"target/tmp/q_source_orc-${java.util.UUID.randomUUID().toString.take(8)}"
+    graft.core.Spill.track(path)
     Tables.events(s, dir)
       .select("event_id", "ts", "user_id", "event_type", "value")
       .write.mode("overwrite").orc(path)
@@ -97,7 +100,11 @@ object Scale {
       |  min(value) AS min_v, max(value) AS max_v,
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
-    val path = "target/tmp/q_source_json"
+    // unique per-run scratch path (tracked for Spill.cleanup): a fixed
+    // relative path races when concurrent bench/verify runs share a
+    // working directory — one run can read another's half-written output
+    val path = s"target/tmp/q_source_json-${java.util.UUID.randomUUID().toString.take(8)}"
+    graft.core.Spill.track(path)
     Tables.events(s, dir)
       .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
         col("user_id"), col("event_type"), col("value"))

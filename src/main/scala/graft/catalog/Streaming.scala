@@ -464,9 +464,16 @@ object Streaming {
       s.conf.set(key,
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       try {
+        // update-mode memory sink APPENDS each batch's emissions; with
+        // more than one micro-batch (maxFilesPerTrigger, a second file
+        // matching the glob) intermediate counts land as extra rows. The
+        // counts are monotone per key, so last-emission == max(n) —
+        // reduce to it instead of assuming a single-batch source.
         Ingest.runToMemory(
           graft.streaming.Stateful.userTypeCounts(Ingest.eventsStream(s, dir)).toDF(),
           mode = "update")
+          .groupBy("user_id", "event_type")
+          .agg(max(col("n")).as("n"))
           .orderBy("user_id", "event_type")
       } finally prev.fold(s.conf.unset(key))(s.conf.set(key, _))
     }

@@ -34,6 +34,10 @@ import org.apache.spark.sql.DataFrame
 object Spill {
 
   private val seq = new AtomicLong(0L)
+  // conf-rooted spills get a per-JVM token: two concurrent JVMs pointed
+  // at the same spark.graft.spill.dir must not both write $root/spill-1
+  // (mode overwrite would clobber the other's live spill data)
+  private val jvmToken = java.util.UUID.randomUUID().toString.take(8)
   private val tracked =
     java.util.Collections.newSetFromMap(
       new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
@@ -56,12 +60,18 @@ object Spill {
   def materialize(result: DataFrame)(release: => Unit): DataFrame = {
     val s = result.sparkSession
     val root = s.conf.getOption("spark.graft.spill.dir").getOrElse(localRoot)
-    val dir = s"$root/spill-${seq.incrementAndGet()}"
+    val dir = s"$root/spill-$jvmToken-${seq.incrementAndGet()}"
     tracked.add(dir)
     result.write.mode("overwrite").parquet(dir)
     release
     s.read.parquet(dir)
   }
+
+  /** Register an externally written scratch dir so [[cleanup]] (and the
+    * shutdown hook) delete it with the spills — for catalog queries that
+    * need a side-channel write (e.g. a source-format round-trip).
+    */
+  def track(dir: String): Unit = tracked.add(dir)
 
   /** Recursively delete every spill written by this JVM (Hadoop FS API,
     * so conf-rooted shared-FS spills are deleted too). Safe to call

@@ -102,69 +102,68 @@ object Stateful {
 
     private val tuple3 = Encoders.tuple(
       Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)
-    // (start_us, last_us, n_events)
-    @transient private var open: ValueState[(Long, Long, Long)] = _
-    // (start_us, end_us, n_events)
-    @transient private var closed: ListState[(Long, Long, Long)] = _
+    // every not-yet-emitted session as (start_us, last_us, n_events).
+    // No open/closed split: a session is "closed" only by the watermark,
+    // so out-of-order events across micro-batches (allowed by the 1h
+    // watermark delay vs the 30m gap) can extend or BRIDGE any pending
+    // session — exactly the merge rule the built-in session_window
+    // applies, which is what the shared oracle checks.
+    @transient private var pending: ListState[(Long, Long, Long)] = _
 
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
-      open = getHandle.getValueState[(Long, Long, Long)]("open", tuple3, TTLConfig.NONE)
-      closed = getHandle.getListState[(Long, Long, Long)]("closed", tuple3, TTLConfig.NONE)
-    }
-
-    private def pendingEnds(): Seq[Long] =
-      (closed.get().map(_._2) ++
-        (if (open.exists()) Iterator.single(open.get()._2 + gapUs)
-         else Iterator.empty)).toSeq
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      pending = getHandle.getListState[(Long, Long, Long)]("pending", tuple3, TTLConfig.NONE)
 
     /** One timer per key, at the earliest pending end; re-check against
       * the actual watermark at expiry, so the exact fire boundary
       * semantics never matter.
       */
-    private def armTimer(): Unit = {
-      getHandle.listTimers().foreach(getHandle.deleteTimer)
-      val ends = pendingEnds()
-      if (ends.nonEmpty) getHandle.registerTimer((ends.min + 999L) / 1000L)
+    private def armTimer(sessions: Seq[(Long, Long, Long)],
+        expiredMs: Long = Long.MinValue): Unit = {
+      // the just-expired timer is already gone from the store; deleting
+      // it again only produces a WARN per key per batch
+      getHandle.listTimers().filter(_ != expiredMs).foreach(getHandle.deleteTimer)
+      if (sessions.nonEmpty)
+        getHandle.registerTimer((sessions.map(_._2).min + gapUs + 999L) / 1000L)
+    }
+
+    /** Sort by start and fold: intervals [start, last+gap) that touch
+      * merge (counts add). Events enter as unit sessions (ts, ts, 1), so
+      * one pass handles extend-forward, extend-backward, and bridging
+      * two previously separate sessions. Per-key pending count is
+      * bounded by watermark-delay / gap — O(1) sessions, not O(rows).
+      */
+    private def merged(all: Seq[(Long, Long, Long)]): Vector[(Long, Long, Long)] = {
+      val sorted = all.sortBy(s => (s._1, s._2))
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      sorted.foreach { case s @ (st, last, n) =>
+        out.lastOption match {
+          case Some((pst, plast, pn)) if st - plast < gapUs =>
+            out(out.size - 1) = (pst, math.max(plast, last), pn + n)
+          case _ => out += s
+        }
+      }
+      out.toVector
     }
 
     override def handleInputRows(key: Long, rows: Iterator[SessionIn],
         timerValues: TimerValues): Iterator[SessionOut] = {
-      val sorted = rows.toArray.sortBy(e => (e.ts_us, e.event_id))
-      var cur: Option[(Long, Long, Long)] =
-        if (open.exists()) Some(open.get()) else None
-      sorted.foreach { e =>
-        cur match {
-          case Some((st, last, n)) if e.ts_us - last < gapUs =>
-            cur = Some((st, e.ts_us, n + 1))
-          case Some((st, last, n)) =>
-            closed.appendValue((st, last + gapUs, n))
-            cur = Some((e.ts_us, e.ts_us, 1L))
-          case None =>
-            cur = Some((e.ts_us, e.ts_us, 1L))
-        }
-      }
-      cur.foreach(open.update)
-      armTimer()
+      val units = rows.map(e => (e.ts_us, e.ts_us, 1L)).toVector
+      val next = merged(pending.get().toVector ++ units)
+      pending.clear()
+      next.foreach(pending.appendValue)
+      armTimer(next)
       Iterator.empty
     }
 
     override def handleExpiredTimer(key: Long, timerValues: TimerValues,
         expiredTimerInfo: ExpiredTimerInfo): Iterator[SessionOut] = {
       val wmUs = timerValues.getCurrentWatermarkInMs() * 1000L
-      var done = closed.get().map(s => (s._1, s._2, s._3)).toVector
-      if (open.exists()) {
-        val (st, last, n) = open.get()
-        if (last + gapUs <= wmUs) {
-          done :+= ((st, last + gapUs, n))
-          open.clear()
-        }
-      }
-      val (emit, keep) = done.partition(_._2 <= wmUs)
-      closed.clear()
-      keep.foreach(closed.appendValue)
-      armTimer()
-      emit.sortBy(_._1).iterator.map { case (st, end, n) =>
-        SessionOut(key, st / 1000000L, end / 1000000L, n)
+      val (emit, keep) = pending.get().toVector.partition(_._2 + gapUs <= wmUs)
+      pending.clear()
+      keep.foreach(pending.appendValue)
+      armTimer(keep, expiredTimerInfo.getExpiryTimeInMs())
+      emit.sortBy(_._1).iterator.map { case (st, last, n) =>
+        SessionOut(key, st / 1000000L, (last + gapUs) / 1000000L, n)
       }
     }
   }
