@@ -646,6 +646,74 @@ object Curation {
       .orderBy("source")
   }
 
+  // Temperature-scaled mixing weights (the multinomial-sampling side of
+  // data mixing, α = 0.5): raw per-source counts are flattened to
+  // w_s = ⌊√n_s · 1000⌋ so large sources stop dominating, then the same
+  // integer largest-feasible-corpus arithmetic as q_domain_mix turns
+  // them into exact keep-quotas (nn = min over sources of n·W//w,
+  // quota = w·nn//W). √ is IEEE-correctly-rounded on both engines and
+  // immediately floored to an integer basis, so every downstream number
+  // is engine-exact integer math — the mix is a pure function of the
+  // data and α. Per-source relation is one row per source: every join
+  // broadcasts, nothing corpus-sized shuffles.
+  val domainMixTemp: QueryDef = QueryDef.sql("q_domain_mix_temp")(
+    """WITH t AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+      |           FROM documents GROUP BY source),
+      |w AS (SELECT source, n,
+      |        CAST(FLOOR(SQRT(CAST(n AS DOUBLE)) * 1000) AS BIGINT) AS w FROM t),
+      |tot AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM w),
+      |nmax AS (SELECT CAST(MIN(n * tw // w) AS BIGINT) AS nn FROM w, tot),
+      |k AS (SELECT source, n, w, CAST(w * nn // tw AS BIGINT) AS n_quota
+      |      FROM w, tot, nmax)
+      |SELECT source, n AS n_docs, w, n_quota FROM k
+      |ORDER BY source""".stripMargin) { (s, dir) =>
+    val t = Tables.documents(s, dir)
+      .groupBy("source").agg(count(lit(1)).as("n"))
+    val w = t.select(col("source"), col("n"),
+      floor(sqrt(col("n").cast("double")) * 1000).as("w"))
+    val tot = w.agg(sum(col("w")).as("tw"))
+    val nmax = w.crossJoin(broadcast(tot))
+      .agg(min(expr("n * tw div w")).as("nn"))
+    w.crossJoin(broadcast(tot)).crossJoin(broadcast(nmax))
+      .select(col("source"), col("n").as("n_docs"), col("w"),
+        expr("w * nn div tw").as("n_quota"))
+      .orderBy("source")
+  }
+
+  // Serpentine shard assignment — the "write N balanced training shards"
+  // step after curation. Docs are ranked globally by cost (n_chars desc,
+  // doc_id tie-break) and dealt boustrophedon across 8 shards: pass
+  // p = (rn-1)//8 runs left-to-right when even, right-to-left when odd,
+  // so each shard receives one doc per pass and alternates between the
+  // pass's cheap and expensive end — totals stay within one doc of each
+  // other without any sequential greedy state. The global rank uses
+  // ops.GlobalIndex (range-sort + per-partition offsets), NEVER a
+  // ROW_NUMBER over an empty window partition — that funnels the corpus
+  // through one task, the classic 100 TB cliff.
+  val shardBalance: QueryDef = QueryDef.sql("q_shard_balance")(
+    """WITH r AS (SELECT doc_id, n_chars,
+      |    ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS rn
+      |  FROM documents),
+      |a AS (SELECT doc_id, n_chars,
+      |    CASE WHEN ((rn - 1) // 8) % 2 = 0 THEN (rn - 1) % 8
+      |         ELSE 7 - ((rn - 1) % 8) END AS shard
+      |  FROM r)
+      |SELECT CAST(shard AS BIGINT) AS shard,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      |FROM a GROUP BY shard ORDER BY shard""".stripMargin) { (s, dir) =>
+    val ranked = graft.ops.GlobalIndex.withRowNumber(
+      Tables.documents(s, dir).select(col("doc_id"), col("n_chars")),
+      Seq(col("n_chars").desc, col("doc_id").asc), "rn")
+    ranked
+      .select(col("doc_id"), col("n_chars"),
+        when(expr("((rn - 1) div 8) % 2 = 0"), expr("(rn - 1) % 8"))
+          .otherwise(expr("7 - ((rn - 1) % 8)")).as("shard"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .orderBy("shard")
+  }
+
   // Repeat-upsampling (the "epochs per domain" half of data mixing):
   // low-weight sources replicate more; each copy is tagged with its
   // epoch index so downstream shuffles can spread replicas. A generator
@@ -853,6 +921,6 @@ object Curation {
   val all: Seq[QueryDef] = Seq(
     dedupClusters, dedupClustersTwoStar, repetitionFilter, hashSplit,
     sampleStratified, docChunks, piiRedact, idfQuality, contamination,
-    filterFunnel, domainMix, upsampleRepeat, chunkDedup, corpusDedup,
-    sampleWeighted, packSequences)
+    filterFunnel, domainMix, domainMixTemp, upsampleRepeat, chunkDedup,
+    corpusDedup, sampleWeighted, packSequences, shardBalance)
 }

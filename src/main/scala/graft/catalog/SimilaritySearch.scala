@@ -184,6 +184,61 @@ object SimilaritySearch {
       .orderBy("query_id", "rnk")
   }
 
+  // Multi-probe IVF (nprobe=2): the recall knob every production IVF
+  // deployment turns. Corpus assignment is unchanged (each vector lives
+  // in ONE bucket — storage never duplicates); each QUERY fans out to
+  // its 2 nearest centroids' buckets, so recall loss from a query
+  // sitting near a Voronoi boundary shrinks at exactly 2× the bucket-
+  // scan cost. The query-side top-2 ranking windows over query_id —
+  // high-cardinality partitions, not a global window — and the probe
+  // list (2 rows/query) broadcasts into the bucket join, same
+  // co-partitioned shape as single-probe.
+  val annIvfProbe2: QueryDef = QueryDef.sql("q_ann_ivf_probe2")(
+    s"""WITH n AS ($normedSql),
+       |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n WHERE vec_id % 50 = 0),
+       |asg AS (
+       |  SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |    ORDER BY list_dot_product(v, cv) / (nrm * cnrm) DESC, cid) AS rn
+       |  FROM n CROSS JOIN c),
+       |bucket AS (SELECT vec_id, cid FROM asg WHERE rn = 1),
+       |nb AS (SELECT n.vec_id, v, nrm, cid FROM n JOIN bucket USING (vec_id)),
+       |probe AS (SELECT vec_id AS query_id, cid FROM asg
+       |          WHERE vec_id < 20 AND rn <= 2),
+       |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM n
+       |      WHERE vec_id < 20),
+       |scored AS (
+       |  SELECT p.query_id, nb.vec_id AS neighbor_id,
+       |    list_dot_product(qv, v) / (qnrm * nrm) AS cosine
+       |  FROM probe p JOIN q USING (query_id) JOIN nb USING (cid)
+       |  WHERE nb.vec_id <> p.query_id),
+       |ranked AS (SELECT *, ROW_NUMBER() OVER
+       |  (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk FROM scored)
+       |SELECT query_id, neighbor_id, cosine, rnk FROM ranked
+       |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin) { (s, dir) =>
+    val n = normed(s, dir)
+    val c = n.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val nb = assignNearest(n, c)
+    val qs = n.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val wp = Window.partitionBy("query_id").orderBy(col("__cos").desc, col("cid"))
+    val probes = qs.crossJoin(broadcast(c))
+      .select(col("query_id"), col("qv"), col("qnrm"), col("cid"),
+        Vectors.cosine(col("qv"), col("cv"), col("qnrm"), col("cnrm")).as("__cos"))
+      .withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= 2)
+      .select("query_id", "qv", "qnrm", "cid")
+    val scored = broadcast(probes).join(nb, "cid")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        Vectors.cosine(col("qv"), col("v"), col("qnrm"), col("nrm")).as("cosine"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select("query_id", "neighbor_id", "cosine", "rnk")
+      .orderBy("query_id", "rnk")
+  }
+
   // IVF with TRAINED centroids: one deterministic Lloyd update on top
   // of the seed assignment — members of each seed bucket are averaged
   // per dimension, vectors re-assign to the updated centroids, and the
@@ -499,7 +554,55 @@ object SimilaritySearch {
       .orderBy("vec_id")
   }
 
+  // SemDeDup-style semantic dedup: k-means-cluster the embeddings
+  // (ops.KMeans.fit, 3 Lloyd rounds — the SAME trained clustering
+  // q_kmeans_fit hash-pins), then compare pairs WITHIN a cluster only
+  // and flag the higher-id member of every pair above the cosine
+  // threshold. This is the scale path for embedding dedup: candidate
+  // generation is a co-partitioned equi-join on cluster id, so total
+  // work is Σ|cluster|² ≪ n² and no task ever sees the corpus — the
+  // cluster count grows with the data to cap per-cluster size (here
+  // k=8 over 500 vectors to keep the unrolled oracle tractable).
+  // Recall vs the exact all-pairs baseline (q_embed_neardup) is the
+  // deliberate trade: pairs split across clusters are missed.
+  val semanticDedup: QueryDef = QueryDef.sql("q_semantic_dedup")(
+    s"""${Sketches.kmeansAssignCte},
+       |mem AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_members
+       |        FROM nbf GROUP BY cid),
+       |pr AS (SELECT a.cid, a.vec_id AS id_a, b.vec_id AS id_b
+       |       FROM nbf a JOIN nbf b ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |       WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4),
+       |agg AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |        CAST(COUNT(DISTINCT id_b) AS BIGINT) AS n_dups
+       |        FROM pr GROUP BY cid)
+       |SELECT mem.cid AS cid, mem.n_members,
+       |  COALESCE(agg.n_pairs, CAST(0 AS BIGINT)) AS n_pairs,
+       |  COALESCE(agg.n_dups, CAST(0 AS BIGINT)) AS n_dups
+       |FROM mem LEFT JOIN agg ON mem.cid = agg.cid
+       |ORDER BY mem.cid""".stripMargin) { (s, dir) =>
+    val vecs = normed(s, dir)
+    val (asg, _) = graft.ops.KMeans.fit(
+      vecs.select("vec_id", "v"), "vec_id", "v", k = 8, rounds = 3)
+    val members = asg.join(vecs, asg("id") === vecs("vec_id"))
+      .select(col("cid"), col("vec_id"), col("v"), col("nrm"))
+    val mem = members.groupBy("cid").agg(count(lit(1)).as("n_members"))
+    val a = members.select(col("cid"), col("vec_id").as("id_a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = members.select(col("cid"), col("vec_id").as("id_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val agg = a.join(b, Seq("cid"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(Vectors.cosine(col("va"), col("vb"), col("na"), col("nb")) >= 0.4)
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n_pairs"), count_distinct(col("id_b")).as("n_dups"))
+    mem.join(agg, Seq("cid"), "left")
+      .select(col("cid"), col("n_members"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"))
+      .orderBy("cid")
+  }
+
   val all: Seq[QueryDef] = Seq(
-    embedNorm, embedTopk, embedNearDup, annIvf, annIvfKmeans, annLsh, embedNearDupLsh,
-    embedOutlier, vecQuantize, pqCodes)
+    embedNorm, embedTopk, embedNearDup, annIvf, annIvfProbe2, annIvfKmeans, annLsh,
+    embedNearDupLsh, embedOutlier, vecQuantize, pqCodes, semanticDedup)
 }

@@ -68,7 +68,13 @@ object Sketches {
   // both engines (a plain SUM of doubles would be shuffle-order-
   // dependent). `KMeansSpec` additionally pins the Lloyd invariant
   // (objective non-decreasing round over round).
-  private val kmeansOracle: String = {
+  /** WITH-clause prefix shared with `q_semantic_dedup`: the full
+    * unrolled 3-round Lloyd fit, ending at `nbf(vec_id, v, nrm, cid)` —
+    * every vector with its final cluster assignment. Both oracles build
+    * on the same trained clustering, so a change to the fit (seeding,
+    * tie-break, fold order) must reach both or neither.
+    */
+  private[catalog] val kmeansAssignCte: String = {
     def round(i: Int, prev: String): String =
       s"""asg$i AS (
          |  SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
@@ -99,8 +105,12 @@ object Sketches {
        |  SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
        |    ORDER BY list_dot_product(v, cv) / (nrm * cnrm) DESC, cid) AS rn
        |  FROM n CROSS JOIN cn3),
-       |nbf AS (SELECT n.vec_id, v, cid FROM n
-       |  JOIN (SELECT vec_id, cid FROM asgf WHERE rn = 1) bf USING (vec_id)),
+       |nbf AS (SELECT n.vec_id, v, nrm, cid FROM n
+       |  JOIN (SELECT vec_id, cid FROM asgf WHERE rn = 1) bf USING (vec_id))""".stripMargin
+  }
+
+  private val kmeansOracle: String =
+    s"""$kmeansAssignCte,
        |sq AS (SELECT f.cid, f.vec_id AS id,
        |    list_reduce(list_prepend(0.0,
        |      list_transform(range(1, 65), i -> (v[i] - cv[i]) * (v[i] - cv[i]))),
@@ -110,7 +120,6 @@ object Sketches {
        |  list_reduce(list_prepend(0.0, list(sq ORDER BY id)),
        |    (a, b) -> a + b) AS wcss
        |FROM sq GROUP BY cid ORDER BY cid""".stripMargin
-  }
 
   val kmeansFit: QueryDef = QueryDef.sql("q_kmeans_fit")(kmeansOracle) { (s, dir) =>
     graft.ops.Vectors.register(s)

@@ -141,6 +141,108 @@ object TextAnalysis {
     }
   }
 
+  // Fixed-weight logistic quality classifier — the shape of every
+  // learned quality filter (fastText/logreg over handcrafted features)
+  // at inference time: a per-document dot product with a broadcast
+  // weight vector, a sigmoid, a threshold. No shuffle at all until the
+  // final ORDER BY — the whole scorer is one narrow projection, which
+  // is why learned filters are effectively free at 100 TB next to the
+  // joins around them. exp() can differ in the last ulp across engines,
+  // so the probability is rounded to 6 decimals BEFORE the keep
+  // threshold compares against it (same float discipline as the ln()
+  // queries — the decision is made on the exact rounded value).
+  val qualityLogit: QueryDef = {
+    val enHits = hitsSql(Text.langStopwords.head._2)
+    QueryDef.sql("q_quality_logit")(
+      s"""WITH base AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+         |m AS (SELECT doc_id, length(text) AS nc, len(toks) AS nt,
+         |  $enHits AS stop_hits,
+         |  len(regexp_extract_all(lower(text), '[^a-z0-9\\s]')) AS punct,
+         |  len(regexp_extract_all(text, '[0-9]')) AS digits
+         |  FROM base),
+         |z AS (SELECT doc_id,
+         |  -1.0 + 3.0 * (stop_hits / greatest(nt, 1))
+         |       - 4.0 * (punct / greatest(nc, 1))
+         |       - 2.0 * (digits / greatest(nc, 1))
+         |       + 1.5 * (least(nt, 100) / 100.0) AS z
+         |  FROM m),
+         |p AS (SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 6) AS p_keep FROM z)
+         |SELECT doc_id, p_keep, p_keep >= 0.5 AS kept
+         |FROM p ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val toks = col("__toks")
+      val m = docs(s, dir)
+        .select(col("doc_id"), col("text"), Text.tokens(col("text")).as("__toks"))
+        .select(col("doc_id"),
+          length(col("text")).as("nc"), size(toks).as("nt"),
+          Text.stopwordHits(toks, Text.langStopwords.head._2).as("stop_hits"),
+          regexp_count(lower(col("text")), lit("[^a-z0-9\\s]")).as("punct"),
+          regexp_count(col("text"), lit("[0-9]")).as("digits"))
+      val z = lit(-1.0) +
+        lit(3.0) * (col("stop_hits") / greatest(col("nt"), lit(1))) -
+        lit(4.0) * (col("punct") / greatest(col("nc"), lit(1))) -
+        lit(2.0) * (col("digits") / greatest(col("nc"), lit(1))) +
+        lit(1.5) * (least(col("nt"), lit(100)) / lit(100.0))
+      m.select(col("doc_id"), round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("p_keep"))
+        .select(col("doc_id"), col("p_keep"), (col("p_keep") >= 0.5).as("kept"))
+        .orderBy("doc_id")
+    }
+  }
+
+  // Zipf rank–frequency fit over the corpus vocabulary: token counts,
+  // top-100 by frequency, then the closed-form least-squares slope of
+  // ln(freq) on ln(rank) — the standard "is this corpus natural
+  // language" diagnostic (slope ≈ −1 for clean text, flatter for
+  // boilerplate/spam). Scale shape: token counts partial-aggregate
+  // map-side; the top-100 is TakeOrderedAndProject (distributed top-k,
+  // never a global sort); ranking and the regression fold run on the
+  // 100-row result. Regression sums fold in rank order on both engines
+  // so the slope is bit-stable; ln's last ulp is absorbed by round(6).
+  val zipfFit: QueryDef = QueryDef.sql("q_zipf_fit")(
+    s"""WITH base AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |tc AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS cnt
+       |       FROM (SELECT UNNEST(toks) AS t FROM base) u GROUP BY t),
+       |top AS (SELECT t, cnt FROM tc ORDER BY cnt DESC, t LIMIT 100),
+       |r AS (SELECT t, cnt,
+       |        ROW_NUMBER() OVER (ORDER BY cnt DESC, t) AS rank FROM top),
+       |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |  list_reduce(list_prepend(0.0, list(ln(rank) ORDER BY rank)), (a,b) -> a+b) AS sx,
+       |  list_reduce(list_prepend(0.0, list(ln(cnt) ORDER BY rank)), (a,b) -> a+b) AS sy,
+       |  list_reduce(list_prepend(0.0, list(ln(rank) * ln(rank) ORDER BY rank)), (a,b) -> a+b) AS sxx,
+       |  list_reduce(list_prepend(0.0, list(ln(rank) * ln(cnt) ORDER BY rank)), (a,b) -> a+b) AS sxy
+       |  FROM r)
+       |SELECT n AS n_top,
+       |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       |  round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6) AS intercept
+       |FROM s""".stripMargin) { (s, dir) =>
+    val tc = docs(s, dir)
+      .select(explode(Text.tokens(col("text"))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("cnt"))
+    val top = tc.orderBy(col("cnt").desc, col("t")).limit(100)
+    val r = top.withColumn("rank",
+      row_number().over(Window.orderBy(col("cnt").desc, col("t"))))
+    val agg = r.agg(
+      count(lit(1)).as("n"),
+      foldOrdered(log(col("rank"))).as("sx"),
+      foldOrdered(log(col("cnt"))).as("sy"),
+      foldOrdered(log(col("rank")) * log(col("rank"))).as("sxx"),
+      foldOrdered(log(col("rank")) * log(col("cnt"))).as("sxy"))
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+      (col("n") * col("sxx") - col("sx") * col("sx"))
+    agg.select(col("n").as("n_top"),
+      round(slope, 6).as("slope"),
+      round((col("sy") - slope * col("sx")) / col("n"), 6).as("intercept"))
+  }
+
+  /** Rank-ordered sequential double fold of `e` over a relation that
+    * carries a `rank` column — the aggregation-side twin of the oracle's
+    * `list_reduce(list(e ORDER BY rank))`.
+    */
+  private def foldOrdered(e: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    aggregate(
+      transform(sort_array(collect_list(struct(col("rank"), e.as("__v")))),
+        p => p.getField("__v")),
+      lit(0.0), (a, x) => a + x)
+
   // Document fingerprinting: full md5 + 64-bit prefix fingerprint.
   val fingerprint: QueryDef = QueryDef.sql("q_fingerprint")(
     s"""SELECT doc_id, md5($normSql) AS fp_md5,
@@ -896,7 +998,10 @@ object TextAnalysis {
   // Scale shape: bigrams are one narrow explode; model counts are two
   // partial→final aggregates; scoring re-joins on (t1,t2) — all
   // high-cardinality equi-shuffles, no driver state.
-  val bigramLm: QueryDef = QueryDef.sql("q_bigram_lm")(
+  // WITH-chain ending at scored(doc_id, n_bigrams, avg_logprob) —
+  // shared by q_bigram_lm and q_perplexity_buckets, which bucket the
+  // same scores; a smoothing/fold change must reach both.
+  private val bigramScoredCte: String =
     s"""WITH base AS (SELECT doc_id, $toksSql AS toks FROM documents),
        |bg AS (SELECT doc_id,
        |         UNNEST(generate_series(1, len(toks) - 1)) AS pos,
@@ -913,9 +1018,21 @@ object TextAnalysis {
        |sc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
        |        list_reduce(list_prepend(0.0, list(lp ORDER BY pos)),
        |          (a, b) -> a + b) AS sum_lp
-       |       FROM lp GROUP BY doc_id)
-       |SELECT doc_id, n_bigrams, round(sum_lp / n_bigrams, 6) AS avg_logprob
-       |FROM sc ORDER BY doc_id""".stripMargin) { (s, dir) =>
+       |       FROM lp GROUP BY doc_id),
+       |scored AS (SELECT doc_id, n_bigrams,
+       |        round(sum_lp / n_bigrams, 6) AS avg_logprob FROM sc)""".stripMargin
+
+  val bigramLm: QueryDef = QueryDef.sql("q_bigram_lm")(
+    s"""$bigramScoredCte
+       |SELECT doc_id, n_bigrams, avg_logprob
+       |FROM scored ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    bigramScored(s, dir).orderBy("doc_id")
+  }
+
+  /** (doc_id, n_bigrams, avg_logprob) — the Spark twin of
+    * [[bigramScoredCte]].
+    */
+  private def bigramScored(s: SparkSession, dir: String): DataFrame = {
     val base = docs(s, dir).select(col("doc_id"), Text.tokens(col("text")).as("toks"))
     val n = size(col("toks"))
     // adjacent pairs WITHOUT a per-element lambda: posexplode the n-1
@@ -954,8 +1071,52 @@ object TextAnalysis {
       // float discipline)
       .select(col("doc_id"), col("n_bigrams"),
         round(col("sum_lp") / col("n_bigrams"), 6).as("avg_logprob"))
-      .orderBy("doc_id")
     result
+  }
+
+  // CCNet-style quality bucketing over the bigram-LM scores: split the
+  // corpus into approximate tertiles by avg_logprob (bucket 1 = least
+  // model-like ≈ lowest quality). The scale-correct mechanics matter
+  // here: an exact NTILE(3) OVER (ORDER BY score) funnels the whole
+  // corpus through ONE window task, so instead the scores are rounded
+  // into 2-decimal HISTOGRAM BINS, the tiny bin relation gets exact
+  // cumulative counts (a window over ~hundreds of rows, not the corpus),
+  // and each bin maps to the tertile its cumulative START falls in —
+  // per-doc work is then a broadcast join on the bin value. Bucket
+  // boundaries are bin-granular (docs sharing a bin share a bucket),
+  // the documented trade for never sorting the corpus globally.
+  val perplexityBuckets: QueryDef = QueryDef.sql("q_perplexity_buckets")(
+    s"""$bigramScoredCte,
+       |b AS (SELECT doc_id, n_bigrams, round(avg_logprob, 2) AS bin FROM scored),
+       |h AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY bin),
+       |c AS (SELECT bin, n,
+       |        CAST(SUM(n) OVER (ORDER BY bin) - n AS BIGINT) AS cum0 FROM h),
+       |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM h),
+       |t AS (SELECT bin,
+       |        CAST(LEAST(CAST(2 AS BIGINT), 3 * cum0 // nn) + 1 AS BIGINT) AS bucket
+       |      FROM c, tot)
+       |SELECT t.bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  min(b.bin) AS lo, max(b.bin) AS hi,
+       |  CAST(SUM(b.n_bigrams) AS BIGINT) AS n_bigrams
+       |FROM b JOIN t ON b.bin = t.bin
+       |GROUP BY t.bucket ORDER BY t.bucket""".stripMargin) { (s, dir) =>
+    val b = bigramScored(s, dir)
+      .select(col("doc_id"), col("n_bigrams"), round(col("avg_logprob"), 2).as("bin"))
+    val h = b.groupBy("bin").agg(count(lit(1)).as("n"))
+    // exclusive cumulative count over the BIN table only — bounded by
+    // the number of distinct 2-decimal bins, safe in one window task
+    val c = h.withColumn("cum0",
+      sum(col("n")).over(Window.orderBy("bin")) - col("n"))
+    val tot = h.agg(sum(col("n")).as("nn"))
+    val t = c.crossJoin(broadcast(tot))
+      .select(col("bin"),
+        (least(lit(2L), expr("3 * cum0 div nn")) + 1).as("bucket"))
+    b.join(broadcast(t), "bin")
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("bin")).as("lo"), max(col("bin")).as("hi"),
+        sum(col("n_bigrams")).as("n_bigrams"))
+      .orderBy("bucket")
   }
 
   val all: Seq[QueryDef] = Seq(
@@ -963,5 +1124,6 @@ object TextAnalysis {
     minhashSig, minhashPairs, minhashVerified, ngramJaccard, simhash,
     simhashNearDup, simhash60, simhash60NearDup, levenshteinPairs,
     minhashJaccardEst, tokenEntropy, bpePairs, dedupIncremental,
-    dupNgramSpans, tfidfRetrieval, bm25Retrieval, bigramLm)
+    dupNgramSpans, tfidfRetrieval, bm25Retrieval, bigramLm, perplexityBuckets,
+    qualityLogit, zipfFit)
 }
