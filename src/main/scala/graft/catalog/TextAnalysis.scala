@@ -755,6 +755,80 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("pair")).limit(50)
   }
 
+  // One FULL BPE merge round — q_bpe_pairs is the counting primitive;
+  // this applies the training step: take the argmax pair, merge its
+  // non-overlapping occurrences greedily left-to-right in every doc
+  // (the exact BPE rule: in a run of consecutive matches like "a a a"
+  // for pair (a,a), only even offsets merge), and recount pairs over
+  // the rewritten corpus. Greedy non-overlap looks sequential but is
+  // pure window algebra: consecutive-match islands via the
+  // i − row_number() trick, then offset parity inside each island —
+  // every window partitions by doc_id (high-cardinality, never global),
+  // the argmax pair is a 1-row broadcast, and both top-k cuts are
+  // TakeOrderedAndProject. A full tokenizer trainer is this query in a
+  // driver loop, one merged symbol per round.
+  val bpeMergeRound: QueryDef = QueryDef.sql("q_bpe_merge_round")(
+    s"""WITH base AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |pos AS (SELECT doc_id, UNNEST(generate_series(1, len(toks))) AS i,
+       |               UNNEST(toks) AS t FROM base),
+       |p1 AS (SELECT doc_id, i, t,
+       |         lead(t) OVER (PARTITION BY doc_id ORDER BY i) AS tn FROM pos),
+       |cnt1 AS (SELECT t || ' ' || tn AS pair, COUNT(*) AS n
+       |         FROM p1 WHERE tn IS NOT NULL GROUP BY 1),
+       |best AS (SELECT split_part(pair, ' ', 1) AS a, split_part(pair, ' ', 2) AS b
+       |         FROM cnt1 ORDER BY n DESC, pair LIMIT 1),
+       |m AS (SELECT doc_id, i, t, tn,
+       |        COALESCE(t = a AND tn = b, FALSE) AS mt FROM p1, best),
+       |isl AS (SELECT *, i - ROW_NUMBER() OVER
+       |          (PARTITION BY doc_id, mt ORDER BY i) AS grp FROM m),
+       |mk AS (SELECT *, mt AND (ROW_NUMBER() OVER
+       |          (PARTITION BY doc_id, mt, grp ORDER BY i) - 1) % 2 = 0 AS merged
+       |        FROM isl),
+       |fin AS (SELECT doc_id, i,
+       |          CASE WHEN merged THEN a || '_' || b ELSE t END AS t2,
+       |          COALESCE(lag(merged) OVER (PARTITION BY doc_id ORDER BY i),
+       |            FALSE) AS consumed
+       |        FROM mk, best),
+       |seq2 AS (SELECT doc_id, i, t2 FROM fin WHERE NOT consumed),
+       |p2 AS (SELECT doc_id, t2,
+       |         lead(t2) OVER (PARTITION BY doc_id ORDER BY i) AS t2n FROM seq2)
+       |SELECT t2 || ' ' || t2n AS pair, CAST(COUNT(*) AS BIGINT) AS n
+       |FROM p2 WHERE t2n IS NOT NULL
+       |GROUP BY 1 ORDER BY n DESC, pair LIMIT 20""".stripMargin) { (s, dir) =>
+    val wDoc = Window.partitionBy("doc_id").orderBy("i")
+    val pos = docs(s, dir)
+      .select(col("doc_id"), Text.tokens(col("text")).as("__toks"))
+      .select(col("doc_id"), posexplode(col("__toks")).as(Seq("i0", "t")))
+      .select(col("doc_id"), (col("i0") + 1).as("i"), col("t"))
+    val p1 = pos.withColumn("tn", lead(col("t"), 1).over(wDoc))
+    val cnt1 = p1.filter(col("tn").isNotNull)
+      .groupBy(concat(col("t"), lit(" "), col("tn")).as("pair"))
+      .agg(count(lit(1)).as("n"))
+    val best = cnt1.orderBy(col("n").desc, col("pair")).limit(1)
+      .select(split(col("pair"), " ").getItem(0).as("a"),
+        split(col("pair"), " ").getItem(1).as("b"))
+    val m = p1.crossJoin(broadcast(best))
+      .withColumn("mt", coalesce(col("t") === col("a") && col("tn") === col("b"),
+        lit(false)))
+    val isl = m.withColumn("grp", col("i") -
+      row_number().over(Window.partitionBy("doc_id", "mt").orderBy("i")))
+    val mk = isl.withColumn("merged", col("mt") &&
+      (row_number().over(Window.partitionBy("doc_id", "mt", "grp").orderBy("i"))
+        - 1) % 2 === 0)
+    val fin = mk
+      .withColumn("t2", when(col("merged"),
+        concat(col("a"), lit("_"), col("b"))).otherwise(col("t")))
+      .withColumn("consumed",
+        coalesce(lag(col("merged"), 1).over(wDoc), lit(false)))
+    val p2 = fin.filter(!col("consumed"))
+      .select(col("doc_id"), col("i"), col("t2"))
+      .withColumn("t2n", lead(col("t2"), 1).over(wDoc))
+    p2.filter(col("t2n").isNotNull)
+      .groupBy(concat(col("t2"), lit(" "), col("t2n")).as("pair"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair")).limit(20)
+  }
+
   // Incremental dedup — the continuous-training-data shape: a small
   // incoming batch (doc_id % 10 = 0 stands in for "today's crawl") is
   // checked against the existing corpus WITHOUT ever joining the corpus
@@ -803,6 +877,69 @@ object TextAnalysis {
       .select(col("doc_new"), col("doc_corpus"), est.as("est_jaccard"))
       .orderBy("doc_new", "doc_corpus")
     materialized(scored, sig)
+  }
+
+  // STREAMING incremental dedup — q_dedup_incremental's semantics as a
+  // live pipeline: "today's crawl" (doc_id % 10 = 0) arrives as a file
+  // stream, each micro-batch computes signatures in one STATELESS
+  // native projection (MinHashSig60 — no per-doc aggregation, so no
+  // streaming state at all on the new side), fans out band keys, and
+  // stream-static-joins the pre-built corpus index. Per-batch cost is
+  // O(|batch| + collisions) independent of corpus size; the corpus
+  // index is static and re-broadcast/shuffled per batch exactly like
+  // q_stream_static_join. The per-doc rollup (candidate count, best
+  // estimate, dup verdict) runs batch-side on the sink table — each
+  // candidate pair is emitted exactly once in append mode, so the
+  // rollup is batching-invariant by construction.
+  val streamDedupLsh: QueryDef = QueryDef.sql("q_stream_dedup_lsh")(
+    s"""WITH base AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |sh AS (SELECT doc_id, $shinglesSql AS sh FROM base),
+       |sig AS (SELECT doc_id, ${sigSqls.mkString(", ")} FROM sh),
+       |bands AS (SELECT doc_id, ${bandSqls.mkString(", ")} FROM sig),
+       |ex AS (
+       |  ${(0 until K / 2).map(b => s"SELECT doc_id, $b AS band_idx, band_$b AS band_hash FROM bands")
+            .mkString("\n  UNION ALL\n  ")}),
+       |cand AS (
+       |  SELECT DISTINCT n.doc_id AS doc_new, c.doc_id AS doc_corpus
+       |  FROM (SELECT * FROM ex WHERE doc_id % 10 = 0) n
+       |  JOIN (SELECT * FROM ex WHERE doc_id % 10 <> 0) c
+       |    ON n.band_idx = c.band_idx AND n.band_hash = c.band_hash),
+       |scored AS (SELECT doc_new, doc_corpus,
+       |  (${(0 until K).map(i => s"CASE WHEN a.sig_$i = b.sig_$i THEN 1 ELSE 0 END").mkString(" + ")}) / ${K}.0 AS est
+       |  FROM cand JOIN sig a ON a.doc_id = doc_new
+       |            JOIN sig b ON b.doc_id = doc_corpus)
+       |SELECT doc_new, CAST(COUNT(*) AS BIGINT) AS n_cand,
+       |  MAX(est) AS best_est, MAX(est) >= 0.5 AS is_dup
+       |FROM scored GROUP BY doc_new ORDER BY doc_new""".stripMargin) { (s, dir) =>
+    graft.functions.MinHashSig60.register(s)
+    val corpusSig = Text.minhashSigDF(
+      Tables.documents(s, dir).filter(col("doc_id") % 10 =!= 0),
+      "doc_id", "text", 3, K)
+    val corpusBands = corpusSig.select(
+      col("doc_id").as("doc_corpus") +:
+        (0 until K).map(i => col(s"sig_$i")) :+
+        posexplode(array(Text.lshBandCols(2, K): _*))
+          .as(Seq("band_idx", "band_hash")): _*)
+    val stream = graft.streaming.Ingest.docsStream(s, dir)
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("doc_new"),
+        graft.functions.MinHashSig60
+          .minhashSig60(Text.tokens(col("text")), 3, K).as("__sig"))
+      .select(col("doc_new"), col("__sig"),
+        posexplode(Text.lshBands(col("__sig"), 2, K))
+          .as(Seq("band_idx", "band_hash")))
+    val est = (0 until K).map(i =>
+      when(element_at(col("__sig"), i + 1) === col(s"sig_$i"), 1).otherwise(0))
+      .reduce(_ + _) / lit(K.toDouble)
+    val pairs = stream.join(corpusBands, Seq("band_idx", "band_hash"))
+      .select(col("doc_new"), col("doc_corpus"), est.as("est"))
+    graft.streaming.Ingest.runToMemory(pairs)
+      .groupBy("doc_new")
+      .agg(count_distinct(col("doc_corpus")).as("n_cand"),
+        max(col("est")).as("best_est"))
+      .select(col("doc_new"), col("n_cand"), col("best_est"),
+        (col("best_est") >= 0.5).as("is_dup"))
+      .orderBy("doc_new")
   }
 
   // Exact duplicated-substring detection (the "Deduplicating Training
@@ -1125,5 +1262,5 @@ object TextAnalysis {
     simhashNearDup, simhash60, simhash60NearDup, levenshteinPairs,
     minhashJaccardEst, tokenEntropy, bpePairs, dedupIncremental,
     dupNgramSpans, tfidfRetrieval, bm25Retrieval, bigramLm, perplexityBuckets,
-    qualityLogit, zipfFit)
+    qualityLogit, zipfFit, streamDedupLsh, bpeMergeRound)
 }

@@ -47,6 +47,15 @@ object Ingest {
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
+  /** Streaming source over the documents parquet — "today's crawl"
+    * arriving continuously for the streaming curation queries.
+    */
+  def docsStream(spark: SparkSession, sfDir: String): DataFrame =
+    spark.readStream
+      .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+
   /** Producer-side wire encoding (F7/F8): key + JSON value. Timestamps
     * travel as epoch-micros longs so the round-trip is exact.
     */
