@@ -143,5 +143,81 @@ object Sketches {
       .orderBy("cid")
   }
 
-  val all: Seq[QueryDef] = Seq(approxDistinct, heavyHitters, approxQuantiles, kmeansFit)
+  // -------------------------------------------------------------------
+  // Accuracy-contract twins: the sketch VALUES are engine-specific (so
+  // q_approx_distinct / q_heavy_hitters / q_approx_quantiles stay
+  // rows-only), but the sketch ERROR against the exact answer computed
+  // in the same query is deterministic — so the error CONTRACT is
+  // hash-oracle-able. Each twin outputs the exact statistic plus
+  // booleans asserting the sketch landed inside its documented bound;
+  // the DuckDB oracle supplies the exact values and TRUE for every
+  // bound. A sketch regression (wrong rsd wiring, seed drift, broken
+  // merge) flips a boolean and fails the hash gate — turning the former
+  // weakest checks into full oracle checks.
+
+  val approxDistinctBound: QueryDef = QueryDef.sql("q_approx_distinct_bound")(
+    """SELECT event_type,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+      |  TRUE AS within_5pct
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(count_distinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("user_id"), 0.01).as("__est"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("__est") - col("exact_users")) <=
+          greatest(lit(1.0), col("exact_users") * 0.05)).as("within_5pct"))
+      .orderBy("event_type")
+  }
+
+  val heavyHittersBound: QueryDef = QueryDef.sql("q_heavy_hitters_bound")(
+    """WITH top AS (
+      |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_n
+      |  FROM events GROUP BY user_id
+      |  ORDER BY COUNT(*) DESC, user_id LIMIT 5)
+      |SELECT user_id, exact_n,
+      |  TRUE AS is_upper_bound, TRUE AS within_eps
+      |FROM top ORDER BY user_id""".stripMargin) { (s, dir) =>
+    val events = Tables.events(s, dir)
+    val cms = events
+      .select(count_min_sketch(col("user_id"), lit(0.001), lit(0.99), lit(42)).as("sketch"),
+        count(lit(1)).as("total_n"))
+    val top = events
+      .groupBy("user_id").agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("user_id")).limit(5)
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_cms_estimate",
+      exprs => graft.functions.CountMinEstimate(exprs(0), exprs(1)), "built-in")
+    top.crossJoin(cms)
+      .select(col("user_id"), col("exact_n"),
+        call_function("graft_cms_estimate", col("sketch"), col("user_id")).as("__est"),
+        col("total_n"))
+      // CMS guarantees: never under-counts; over-counts by <= eps·N
+      .select(col("user_id"), col("exact_n"),
+        (col("__est") >= col("exact_n")).as("is_upper_bound"),
+        (col("__est") - col("exact_n") <= col("total_n") * 0.001).as("within_eps"))
+      .orderBy("user_id")
+  }
+
+  val approxQuantilesBound: QueryDef = QueryDef.sql("q_approx_quantiles_bound")(
+    """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |  TRUE AS p50_ok, TRUE AS p90_ok
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        percentile_approx(col("value"), lit(0.5), lit(10000)).as("__a50"),
+        percentile_approx(col("value"), lit(0.9), lit(10000)).as("__a90"),
+        expr("percentile(value, 0.5)").as("__e50"),
+        expr("percentile(value, 0.9)").as("__e90"),
+        (max(col("value")) - min(col("value"))).as("__range"))
+      // same 2%-of-range tolerance GraphEntropySpec pins
+      .select(col("event_type"), col("n"),
+        (abs(col("__a50") - col("__e50")) <= col("__range") * 0.02).as("p50_ok"),
+        (abs(col("__a90") - col("__e90")) <= col("__range") * 0.02).as("p90_ok"))
+      .orderBy("event_type")
+  }
+
+  val all: Seq[QueryDef] = Seq(approxDistinct, heavyHitters, approxQuantiles, kmeansFit,
+    approxDistinctBound, heavyHittersBound, approxQuantilesBound)
 }
