@@ -911,17 +911,27 @@ object TextAnalysis {
        |SELECT doc_new, CAST(COUNT(*) AS BIGINT) AS n_cand,
        |  MAX(est) AS best_est, MAX(est) >= 0.5 AS is_dup
        |FROM scored GROUP BY doc_new ORDER BY doc_new""".stripMargin) { (s, dir) =>
-    graft.functions.MinHashSig60.register(s)
-    val corpusSig = Text.minhashSigDF(
-      Tables.documents(s, dir).filter(col("doc_id") % 10 =!= 0),
-      "doc_id", "text", 3, K)
-    val corpusBands = corpusSig.select(
-      col("doc_id").as("doc_corpus") +:
-        (0 until K).map(i => col(s"sig_$i")) :+
-        posexplode(array(Text.lshBandCols(2, K): _*))
-          .as(Seq("band_idx", "band_hash")): _*)
-    val stream = graft.streaming.Ingest.docsStream(s, dir)
-      .filter(col("doc_id") % 10 === 0)
+    val pairs = lshStreamPairs(
+      graft.streaming.Ingest.docsStream(s, dir).filter(col("doc_id") % 10 === 0),
+      Tables.documents(s, dir).filter(col("doc_id") % 10 =!= 0))
+    lshDupRollup(graft.streaming.Ingest.runToMemory(pairs))
+  }
+
+  /** Candidate (doc_new, doc_corpus, est) pairs: `newDocs` (may be a
+    * STREAMING relation — the whole new-doc chain is stateless) banded
+    * against the static `corpusDocs` index. Shared by
+    * `q_stream_dedup_lsh` and the batching-invariance spec, so the
+    * query body and the proof drive one implementation.
+    */
+  private[graft] def lshStreamPairs(newDocs: DataFrame, corpusDocs: DataFrame): DataFrame = {
+    graft.functions.MinHashSig60.register(newDocs.sparkSession)
+    val corpusBands = Text.minhashSigDF(corpusDocs, "doc_id", "text", 3, K)
+      .select(
+        col("doc_id").as("doc_corpus") +:
+          (0 until K).map(i => col(s"sig_$i")) :+
+          posexplode(array(Text.lshBandCols(2, K): _*))
+            .as(Seq("band_idx", "band_hash")): _*)
+    val stream = newDocs
       .select(col("doc_id").as("doc_new"),
         graft.functions.MinHashSig60
           .minhashSig60(Text.tokens(col("text")), 3, K).as("__sig"))
@@ -931,16 +941,22 @@ object TextAnalysis {
     val est = (0 until K).map(i =>
       when(element_at(col("__sig"), i + 1) === col(s"sig_$i"), 1).otherwise(0))
       .reduce(_ + _) / lit(K.toDouble)
-    val pairs = stream.join(corpusBands, Seq("band_idx", "band_hash"))
+    stream.join(corpusBands, Seq("band_idx", "band_hash"))
       .select(col("doc_new"), col("doc_corpus"), est.as("est"))
-    graft.streaming.Ingest.runToMemory(pairs)
+  }
+
+  /** Per-doc dup verdict over emitted candidate pairs — distinct-count
+    * and max are idempotent under the per-band pair repetition, so the
+    * rollup is batching-invariant.
+    */
+  private[graft] def lshDupRollup(pairs: DataFrame): DataFrame =
+    pairs
       .groupBy("doc_new")
       .agg(count_distinct(col("doc_corpus")).as("n_cand"),
         max(col("est")).as("best_est"))
       .select(col("doc_new"), col("n_cand"), col("best_est"),
         (col("best_est") >= 0.5).as("is_dup"))
       .orderBy("doc_new")
-  }
 
   // Exact duplicated-substring detection (the "Deduplicating Training
   // Data Makes Language Models Better" statistic, approximated at
