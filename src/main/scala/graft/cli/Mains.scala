@@ -165,3 +165,36 @@ object StreamMain {
     }
   }
 }
+
+/** The training-data entry point the reference never had but this
+  * library's north-star surface is for: run the end-to-end corpus dedup
+  * (MinHash-LSH candidates → exact-Jaccard verify → connected
+  * components → canonical survivors, `q_corpus_dedup`'s exact pipeline)
+  * over a table directory and write the SURVIVING corpus plus a
+  * one-line JSON report.
+  *
+  * Usage: CurateMain <sfDir> <outDir> — `sfDir` holds
+  * `documents.parquet`; kept docs land in `<outDir>/kept` (parquet),
+  * the report in `<outDir>/report.json`.
+  */
+object CurateMain {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: CurateMain <sfDir> <outDir>")
+    val (inDir, outDir) = (args(0), args(1))
+    Mains.withSession("graft-curate") { spark =>
+      val nIn = graft.core.Tables.documents(spark, inDir).count()
+      val kept = graft.catalog.Curation.corpusDedup.build(spark, inDir)
+      kept.write.mode("overwrite").parquet(s"$outDir/kept")
+      val out = spark.read.parquet(s"$outDir/kept")
+      val nKept = out.count()
+      val nCanonical = out.filter(org.apache.spark.sql.functions
+        .col("had_dups") === 1).count()
+      val report =
+        s"""{"n_in":$nIn,"n_kept":$nKept,"n_dropped":${nIn - nKept},"n_dup_clusters":$nCanonical}"""
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(outDir, "report.json"), report.getBytes("UTF-8"))
+      println(report)
+    }
+  }
+}

@@ -61,4 +61,21 @@ class CliMainsSpec extends AnyFunSuite {
     assert(stored.count() == events.select("user_id").distinct().count())
     assert(stored.filter(org.apache.spark.sql.functions.col("user_id").isNull).isEmpty)
   }
+
+  test("CurateMain: corpus in, deduplicated corpus + report out") {
+    val out = tmp("cli_curate_")
+    graft.cli.CurateMain.main(Array("/root/testdata/sf0.001", out))
+    val kept = spark.read.parquet(s"$out/kept")
+    val nIn = graft.core.Tables.documents(spark, "/root/testdata/sf0.001").count()
+    val nKept = kept.count()
+    // dedup never grows the corpus, and the report agrees with the data
+    assert(nKept <= nIn && nKept > 0)
+    val report = new String(
+      Files.readAllBytes(Paths.get(out, "report.json")), "UTF-8")
+    assert(report.contains(s""""n_in":$nIn""") &&
+      report.contains(s""""n_kept":$nKept"""))
+    // surviving docs are unique per cluster: every cluster_id appears once
+    assert(kept.groupBy("cluster_id").count()
+      .filter(org.apache.spark.sql.functions.col("count") > 1).isEmpty)
+  }
 }
