@@ -60,6 +60,39 @@ object Advanced {
         .orderBy("event_id")
   }
 
+  // Forward as-of: for every purchase, the EARLIEST at-or-after click —
+  // "what did the user do next" (attribution windows, next-touch
+  // analysis). Same one-shuffle union + window shape as q_asof_join
+  // with the frame mirrored; tie rules mirror too (a click at the
+  // purchase instant counts, equal-time clicks resolve to min id).
+  val asofForward: QueryDef = QueryDef.sql("q_asof_forward")(
+    """WITH l AS (
+      |  SELECT user_id, ts, event_id, 1 AS side, CAST(NULL AS BIGINT) AS asof_v
+      |  FROM events WHERE event_type = 'purchase'),
+      |r AS (
+      |  SELECT user_id, ts, CAST(NULL AS BIGINT) AS event_id, 0 AS side,
+      |    event_id AS asof_v
+      |  FROM events WHERE event_type = 'click'),
+      |u AS (SELECT * FROM l UNION ALL SELECT * FROM r),
+      |c AS (
+      |  SELECT *, first_value(asof_v IGNORE NULLS) OVER (
+      |    PARTITION BY user_id ORDER BY ts, side DESC, asof_v NULLS FIRST
+      |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_click_id
+      |  FROM u)
+      |SELECT event_id, user_id, epoch_us(ts) AS ts_us, next_click_id
+      |FROM c WHERE side = 1 ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    AsOf.joinAsOfForward(purchases, clicks, Seq("user_id"), "ts", "event_id",
+        "next_click_id")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("next_click_id"))
+      .orderBy("event_id")
+  }
+
   // Custom keyed streaming state (flatMapGroupsWithState): running
   // per-user counts drained through a real micro-batch execution.
   val streamStatefulCount: QueryDef = QueryDef.sql("q_stream_stateful_count")(
@@ -187,6 +220,6 @@ object Advanced {
       .orderBy("event_id")
   }
 
-  val all: Seq[QueryDef] = Seq(asofJoin, asofJoinNative, streamStatefulCount,
-    topkTokens, rangeJoinBucketed, asofTolerance)
+  val all: Seq[QueryDef] = Seq(asofJoin, asofJoinNative, asofForward,
+    streamStatefulCount, topkTokens, rangeJoinBucketed, asofTolerance)
 }

@@ -51,4 +51,32 @@ object AsOf {
       .filter(col("__side") === 1)
       .drop("__side", "__asof")
   }
+
+  /** Forward as-of join: for every left-side event, the EARLIEST
+    * right-side event at-or-after it, per key — the look-ahead twin of
+    * [[joinAsOf]] ("what happened next"), same union + one-shuffle
+    * window shape with the frame mirrored to (currentRow,
+    * unboundedFollowing). Tie rules mirror too: a right row at exactly
+    * the left row's instant IS visible (left sorts before right at the
+    * same time via `__side` DESC), and equal-time right rows resolve to
+    * the minimum payload (first in payload order).
+    */
+  def joinAsOfForward(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      timeCol: String, payload: String, outCol: String): DataFrame = {
+    val l = left.withColumn("__side", lit(1))
+      .withColumn("__asof", lit(null).cast(right.schema(payload).dataType))
+    val r = right.filter(col(timeCol).isNotNull)
+      .select(keyCols.map(col) :+ col(timeCol) :+ col(payload).as("__asof"): _*)
+      .withColumn("__side", lit(0))
+    val unioned = l.columns.foldLeft(r) { (acc, c) =>
+      if (acc.columns.contains(c)) acc else acc.withColumn(c, lit(null))
+    }.select(l.columns.map(col): _*).unionByName(l)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(timeCol).asc, col("__side").desc, col("__asof").asc_nulls_first)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    unioned
+      .withColumn(outCol, first(col("__asof"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .drop("__side", "__asof")
+  }
 }
