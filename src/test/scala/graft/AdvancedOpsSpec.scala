@@ -28,6 +28,46 @@ class AdvancedOpsSpec extends AnyFunSuite {
       (102L, None)))
   }
 
+  test("forward as-of carries the earliest at-or-after right value") {
+    val left = Seq((1L, 10L, 100L), (1L, 25L, 101L), (1L, 31L, 103L), (2L, 5L, 102L))
+      .toDF("k", "t", "lid")
+    val right = Seq((1L, 10L, 7L), (1L, 20L, 8L), (1L, 30L, 9L), (3L, 1L, 99L))
+      .toDF("k", "t", "rid")
+    val out = AsOf.joinAsOfForward(left, right, Seq("k"), "t", "rid", "next_rid")
+      .orderBy("lid")
+      .collect().map(r => (r.getAs[Long]("lid"), Option(r.getAs[java.lang.Long]("next_rid"))))
+    // lid 100 at t=10: exact tie with right t=10 → visible (at-or-after)
+    // lid 101 at t=25: earliest right ≥ 25 is t=30 → 9
+    // lid 103 at t=31: nothing after → null
+    // lid 102 key 2: no right rows → null
+    assert(out.toSeq == Seq(
+      (100L, Some(7L: java.lang.Long)),
+      (101L, Some(9L: java.lang.Long)),
+      (102L, None),
+      (103L, None)))
+  }
+
+  test("forward and backward as-of bracket every event") {
+    // on random data: the backward match time is <= the event time and
+    // the forward match time is >= it — the two directions partition the
+    // right timeline around each left row
+    val r = new scala.util.Random(11)
+    val left = (1 to 300).map(i =>
+      (r.nextInt(10).toLong, r.nextInt(500).toLong, i.toLong)).toDF("k", "t", "lid")
+    val right = (1 to 300).map(i =>
+      (r.nextInt(12).toLong, r.nextInt(500).toLong, 1000L + i)).toDF("k", "t", "rid")
+    val rTime = right.select(col("rid").as("m_rid"), col("t").as("m_t"))
+    def times(df: org.apache.spark.sql.DataFrame, outCol: String) = df
+      .join(rTime, col(outCol) === col("m_rid"), "left")
+      .select(col("t"), col("m_t"))
+      .collect().map(x => (x.getLong(0), Option(x.getAs[java.lang.Long]("m_t"))))
+    val back = times(AsOf.joinAsOf(left, right, Seq("k"), "t", "rid", "b"), "b")
+    val fwd = times(AsOf.joinAsOfForward(left, right, Seq("k"), "t", "rid", "f"), "f")
+    assert(back.exists(_._2.isDefined) && fwd.exists(_._2.isDefined))
+    back.foreach { case (t, mt) => mt.foreach(m => assert(m <= t)) }
+    fwd.foreach { case (t, mt) => mt.foreach(m => assert(m >= t)) }
+  }
+
   test("native AsOfJoinExec matches the composed as-of join") {
     val r = new scala.util.Random(7)
     val left = (1 to 500).map(_ =>
