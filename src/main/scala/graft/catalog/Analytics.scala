@@ -259,6 +259,44 @@ object Analytics {
       .orderBy("event_type")
   }
 
+  // The 100 TB path for q_percentiles: EXACT nearest-rank percentiles at
+  // 2-decimal bin granularity via a histogram CDF. q_percentiles ranks
+  // every event per type (a per-type corpus sort — the audit-only exact
+  // form); here the corpus pass is ONE partial→final count per
+  // (type, bin), the cumulative window runs over the tiny bin table,
+  // and because rounding is monotone the selected bin IS round(true
+  // nearest-rank percentile, 2) — deterministic, oracle-exact, and
+  // bounded-error by construction (error ≤ bin width, not probabilistic
+  // like the t-digest twin q_approx_quantiles). AnalyticsOpsSpec pins
+  // hist == round(exact, 2) per type.
+  val percentilesHist: QueryDef = QueryDef.sql("q_percentiles_hist")(
+    """WITH b AS (SELECT event_type, round(value, 2) AS bin FROM events),
+      |h AS (SELECT event_type, bin, CAST(COUNT(*) AS BIGINT) AS c
+      |      FROM b GROUP BY 1, 2),
+      |cdf AS (SELECT event_type, bin,
+      |         CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY bin) AS BIGINT) AS cum,
+      |         CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      |        FROM h)
+      |SELECT event_type, MAX(n) AS n,
+      |  MIN(CASE WHEN cum >= CAST(ceil(0.50 * n) AS BIGINT) THEN bin END) AS p50,
+      |  MIN(CASE WHEN cum >= CAST(ceil(0.90 * n) AS BIGINT) THEN bin END) AS p90,
+      |  MIN(CASE WHEN cum >= CAST(ceil(0.99 * n) AS BIGINT) THEN bin END) AS p99
+      |FROM cdf GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+    val h = Tables.events(s, dir)
+      .select(col("event_type"), round(col("value"), 2).as("bin"))
+      .groupBy("event_type", "bin").agg(count(lit(1)).as("c"))
+    val cdf = h
+      .withColumn("cum",
+        sum(col("c")).over(Window.partitionBy("event_type").orderBy("bin")))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy("event_type")))
+    def pick(p: Double) =
+      min(when(col("cum") >= ceil(lit(p) * col("n")), col("bin")))
+    cdf.groupBy("event_type")
+      .agg(max(col("n")).as("n"),
+        pick(0.50).as("p50"), pick(0.90).as("p90"), pick(0.99).as("p99"))
+      .orderBy("event_type")
+  }
+
   // Explicit GROUPING SETS (the general form rollup/cube specialize):
   // per-type totals, per-day totals, and the grand total in ONE pass —
   // Spark expands to a single Expand + aggregate, not three scans.
@@ -469,6 +507,6 @@ object Analytics {
   val all: Seq[QueryDef] = Seq(
     semiJoin, antiJoin, outerJoin, distinctUsers, rollupCounts, occupancyRate,
     runningSum, eventGaps, sessionize, valueQuartiles, valueHistogram,
-    trailingWindow, dashboardTiles, percentiles, groupingSets, gapFill,
+    trailingWindow, dashboardTiles, percentiles, percentilesHist, groupingSets, gapFill,
     rankFuncs, rangeFrame, ewma, eventFunnel, cohortRetention)
 }

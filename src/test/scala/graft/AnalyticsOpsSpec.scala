@@ -55,4 +55,18 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       .select(count_distinct(col("user_id"))).collect().head.getLong(0)
     assert(byCohort.values.map(_.find(_._2 == 0L).get._3).sum == users)
   }
+
+  test("histogram percentiles equal the exact nearest-rank values at bin granularity") {
+    // rounding is monotone, so the CDF-selected bin must be exactly
+    // round(exact nearest-rank percentile, 2) — not merely close
+    val exact = graft.catalog.Analytics.percentiles.build(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val hist = graft.catalog.Analytics.percentilesHist.build(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(hist.keySet == exact.keySet && hist.nonEmpty)
+    def r2(x: Double) = BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+    exact.foreach { case (k, (p50, p90, p99)) =>
+      assert(hist(k) == ((r2(p50), r2(p90), r2(p99))), s"$k: ${hist(k)} vs exact ($p50,$p90,$p99)")
+    }
+  }
 }
