@@ -767,47 +767,59 @@ object TextAnalysis {
   // the argmax pair is a 1-row broadcast, and both top-k cuts are
   // TakeOrderedAndProject. A full tokenizer trainer is this query in a
   // driver loop, one merged symbol per round.
-  val bpeMergeRound: QueryDef = QueryDef.sql("q_bpe_merge_round")(
-    s"""WITH base AS (SELECT doc_id, $toksSql AS toks FROM documents),
-       |pos AS (SELECT doc_id, UNNEST(generate_series(1, len(toks))) AS i,
-       |               UNNEST(toks) AS t FROM base),
-       |p1 AS (SELECT doc_id, i, t,
-       |         lead(t) OVER (PARTITION BY doc_id ORDER BY i) AS tn FROM pos),
-       |cnt1 AS (SELECT t || ' ' || tn AS pair, COUNT(*) AS n
-       |         FROM p1 WHERE tn IS NOT NULL GROUP BY 1),
-       |best AS (SELECT split_part(pair, ' ', 1) AS a, split_part(pair, ' ', 2) AS b
-       |         FROM cnt1 ORDER BY n DESC, pair LIMIT 1),
-       |m AS (SELECT doc_id, i, t, tn,
-       |        COALESCE(t = a AND tn = b, FALSE) AS mt FROM p1, best),
-       |isl AS (SELECT *, i - ROW_NUMBER() OVER
-       |          (PARTITION BY doc_id, mt ORDER BY i) AS grp FROM m),
-       |mk AS (SELECT *, mt AND (ROW_NUMBER() OVER
+  /** One SQL merge round: CTEs taking relation `sq`(doc_id, i, t) to
+    * `sq'`(doc_id, i, t) with suffix `x` on every intermediate name.
+    * The Scala twin is [[bpeMergeStep]] — the round logic lives in
+    * exactly two places that unroll together.
+    */
+  private def bpeRoundSql(x: Int, in: String, out: String): String =
+    s"""p$x AS (SELECT doc_id, i, t,
+       |         lead(t) OVER (PARTITION BY doc_id ORDER BY i) AS tn FROM $in),
+       |cnt$x AS (SELECT t || ' ' || tn AS pair, COUNT(*) AS n
+       |         FROM p$x WHERE tn IS NOT NULL GROUP BY 1),
+       |best$x AS (SELECT split_part(pair, ' ', 1) AS a, split_part(pair, ' ', 2) AS b
+       |         FROM cnt$x ORDER BY n DESC, pair LIMIT 1),
+       |m$x AS (SELECT doc_id, i, t, tn,
+       |        COALESCE(t = a AND tn = b, FALSE) AS mt FROM p$x, best$x),
+       |isl$x AS (SELECT *, i - ROW_NUMBER() OVER
+       |          (PARTITION BY doc_id, mt ORDER BY i) AS grp FROM m$x),
+       |mk$x AS (SELECT *, mt AND (ROW_NUMBER() OVER
        |          (PARTITION BY doc_id, mt, grp ORDER BY i) - 1) % 2 = 0 AS merged
-       |        FROM isl),
-       |fin AS (SELECT doc_id, i,
+       |        FROM isl$x),
+       |fin$x AS (SELECT doc_id, i,
        |          CASE WHEN merged THEN a || '_' || b ELSE t END AS t2,
        |          COALESCE(lag(merged) OVER (PARTITION BY doc_id ORDER BY i),
        |            FALSE) AS consumed
-       |        FROM mk, best),
-       |seq2 AS (SELECT doc_id, i, t2 FROM fin WHERE NOT consumed),
-       |p2 AS (SELECT doc_id, t2,
-       |         lead(t2) OVER (PARTITION BY doc_id ORDER BY i) AS t2n FROM seq2)
-       |SELECT t2 || ' ' || t2n AS pair, CAST(COUNT(*) AS BIGINT) AS n
-       |FROM p2 WHERE t2n IS NOT NULL
-       |GROUP BY 1 ORDER BY n DESC, pair LIMIT 20""".stripMargin) { (s, dir) =>
+       |        FROM mk$x, best$x),
+       |$out AS (SELECT doc_id, i, t2 AS t FROM fin$x WHERE NOT consumed)""".stripMargin
+
+  private def bpeFinalSql(in: String): String =
+    s"""pf AS (SELECT doc_id, t,
+       |         lead(t) OVER (PARTITION BY doc_id ORDER BY i) AS tn FROM $in)
+       |SELECT t || ' ' || tn AS pair, CAST(COUNT(*) AS BIGINT) AS n
+       |FROM pf WHERE tn IS NOT NULL
+       |GROUP BY 1 ORDER BY n DESC, pair LIMIT 20""".stripMargin
+
+  private val bpePosSql =
+    s"""base AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |seq1 AS (SELECT doc_id, UNNEST(generate_series(1, len(toks))) AS i,
+       |               UNNEST(toks) AS t FROM base)""".stripMargin
+
+  /** One Spark merge round over `(doc_id, i, t)` — the exact rewrite
+    * [[bpeRoundSql]] declares: argmax pair (1-row broadcast), greedy
+    * left-to-right non-overlapping merge via consecutive-match islands
+    * (i − row_number) + offset parity, consumed-successor drop.
+    */
+  private def bpeMergeStep(seq: DataFrame): DataFrame = {
     val wDoc = Window.partitionBy("doc_id").orderBy("i")
-    val pos = docs(s, dir)
-      .select(col("doc_id"), Text.tokens(col("text")).as("__toks"))
-      .select(col("doc_id"), posexplode(col("__toks")).as(Seq("i0", "t")))
-      .select(col("doc_id"), (col("i0") + 1).as("i"), col("t"))
-    val p1 = pos.withColumn("tn", lead(col("t"), 1).over(wDoc))
-    val cnt1 = p1.filter(col("tn").isNotNull)
+    val p = seq.withColumn("tn", lead(col("t"), 1).over(wDoc))
+    val cnt = p.filter(col("tn").isNotNull)
       .groupBy(concat(col("t"), lit(" "), col("tn")).as("pair"))
       .agg(count(lit(1)).as("n"))
-    val best = cnt1.orderBy(col("n").desc, col("pair")).limit(1)
+    val best = cnt.orderBy(col("n").desc, col("pair")).limit(1)
       .select(split(col("pair"), " ").getItem(0).as("a"),
         split(col("pair"), " ").getItem(1).as("b"))
-    val m = p1.crossJoin(broadcast(best))
+    val m = p.crossJoin(broadcast(best))
       .withColumn("mt", coalesce(col("t") === col("a") && col("tn") === col("b"),
         lit(false)))
     val isl = m.withColumn("grp", col("i") -
@@ -815,18 +827,49 @@ object TextAnalysis {
     val mk = isl.withColumn("merged", col("mt") &&
       (row_number().over(Window.partitionBy("doc_id", "mt", "grp").orderBy("i"))
         - 1) % 2 === 0)
-    val fin = mk
+    mk
       .withColumn("t2", when(col("merged"),
         concat(col("a"), lit("_"), col("b"))).otherwise(col("t")))
       .withColumn("consumed",
         coalesce(lag(col("merged"), 1).over(wDoc), lit(false)))
-    val p2 = fin.filter(!col("consumed"))
-      .select(col("doc_id"), col("i"), col("t2"))
-      .withColumn("t2n", lead(col("t2"), 1).over(wDoc))
-    p2.filter(col("t2n").isNotNull)
-      .groupBy(concat(col("t2"), lit(" "), col("t2n")).as("pair"))
+      .filter(!col("consumed"))
+      .select(col("doc_id"), col("i"), col("t2").as("t"))
+  }
+
+  private def bpePos(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), Text.tokens(col("text")).as("__toks"))
+      .select(col("doc_id"), posexplode(col("__toks")).as(Seq("i0", "t")))
+      .select(col("doc_id"), (col("i0") + 1).as("i"), col("t"))
+
+  private def bpeTopPairs(seq: DataFrame): DataFrame = {
+    val wDoc = Window.partitionBy("doc_id").orderBy("i")
+    seq.withColumn("tn", lead(col("t"), 1).over(wDoc))
+      .filter(col("tn").isNotNull)
+      .groupBy(concat(col("t"), lit(" "), col("tn")).as("pair"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("pair")).limit(20)
+  }
+
+  val bpeMergeRound: QueryDef = QueryDef.sql("q_bpe_merge_round")(
+    s"""WITH $bpePosSql,
+       |${bpeRoundSql(1, "seq1", "seq2")},
+       |${bpeFinalSql("seq2")}""".stripMargin) { (s, dir) =>
+    bpeTopPairs(bpeMergeStep(bpePos(s, dir)))
+  }
+
+  // TWO unrolled merge rounds — the tokenizer-training DRIVER LOOP made
+  // concrete and bit-matched: round 2's argmax is computed over round
+  // 1's rewritten corpus (its merged symbol can itself participate),
+  // exactly like the unrolled 3-round Lloyd / PageRank oracles. A real
+  // vocab build is `Iterator.iterate(pos)(bpeMergeStep)` with a
+  // localCheckpoint per round.
+  val bpeMergeRound2: QueryDef = QueryDef.sql("q_bpe_merge_round2")(
+    s"""WITH $bpePosSql,
+       |${bpeRoundSql(1, "seq1", "seq2")},
+       |${bpeRoundSql(2, "seq2", "seq3")},
+       |${bpeFinalSql("seq3")}""".stripMargin) { (s, dir) =>
+    bpeTopPairs(bpeMergeStep(bpeMergeStep(bpePos(s, dir))))
   }
 
   // Incremental dedup — the continuous-training-data shape: a small
@@ -1278,5 +1321,5 @@ object TextAnalysis {
     simhashNearDup, simhash60, simhash60NearDup, levenshteinPairs,
     minhashJaccardEst, tokenEntropy, bpePairs, dedupIncremental,
     dupNgramSpans, tfidfRetrieval, bm25Retrieval, bigramLm, perplexityBuckets,
-    qualityLogit, zipfFit, streamDedupLsh, bpeMergeRound)
+    qualityLogit, zipfFit, streamDedupLsh, bpeMergeRound, bpeMergeRound2)
 }
