@@ -170,7 +170,13 @@ object Scale {
   // streaming double accumulation is partition-order dependent, so the
   // five moments (Sx, Sy, Sxx, Syy, Sxy) accumulate as DECIMAL —
   // associative, order-free — and the final formula runs once per group
-  // in double. Bit-identical on any partitioning, any engine.
+  // in double, identical on any partitioning. The moment sums can
+  // exceed 2^53 scaled units, where DECIMAL→DOUBLE conversion itself
+  // rounds — and the two engines can double-round differently by one
+  // ulp (observed on one sf0.001 group), so the final correlation is
+  // rounded to 12 decimals (≈10 significant digits at |corr|~0.01,
+  // far above the conversion noise) — same ulp-absorption discipline
+  // as the ln()/exp() queries.
   val corrExact: QueryDef = QueryDef.sql("q_corr_exact")(
     """WITH m AS (
       |  SELECT l_returnflag, COUNT(*) AS n,
@@ -181,9 +187,9 @@ object Scale {
       |    SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy
       |  FROM lineitem GROUP BY l_returnflag)
       |SELECT l_returnflag, n,
-      |  (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |  round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
       |    / (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-      |       * sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+      |       * sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 12)
       |    AS corr_qty_price
       |FROM m ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
     val x = col("l_quantity").cast("decimal(18,2)")
@@ -198,8 +204,8 @@ object Scale {
       col("sxx").cast("double"), col("syy").cast("double"),
       col("sxy").cast("double"))
     m.select(col("l_returnflag"), n,
-        ((n * sxy - sx * sy)
-          / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)))
+        round((n * sxy - sx * sy)
+          / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 12)
           .as("corr_qty_price"))
       .orderBy("l_returnflag")
   }
