@@ -147,5 +147,38 @@ object Graph {
     }
   }
 
-  val all: Seq[QueryDef] = Seq(pagerank, triangleCount)
+  // Degree distribution of the near-dup graph — the first diagnostic a
+  // dedup run reads: how many docs have 1 duplicate partner, how many
+  // sit in dense boilerplate hubs (high degree = template/spam
+  // families; a long tail means cluster-collapse will delete heavily).
+  // Two partial→final HashAggregates (per-node degree, then per-degree
+  // count) over the shared exact-Jaccard edge relation — the shuffles
+  // carry (id, long) pairs only.
+  val degreeDist: QueryDef = QueryDef.sql("q_degree_dist")(
+    s"""WITH ${Curation.pairsSql},
+       |n AS (SELECT doc_a AS node FROM pairs
+       |      UNION ALL SELECT doc_b FROM pairs),
+       |deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+       |        FROM n GROUP BY node)
+       |SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       |  CAST(MIN(node) AS BIGINT) AS example_doc
+       |FROM deg GROUP BY degree ORDER BY degree""".stripMargin) { (s, dir) =>
+    val preexisting = s.sparkContext.getPersistentRDDs.keySet
+    val (rawPairs, tokenEx) = Curation.jaccardPairs(s, dir)
+    val pairs = rawPairs.localCheckpoint()
+    tokenEx.unpersist(blocking = false)
+    val result = pairs.select(col("doc_a").as("node"))
+      .unionByName(pairs.select(col("doc_b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+      .groupBy("degree")
+      .agg(count(lit(1)).as("n_nodes"), min(col("node")).as("example_doc"))
+      .orderBy("degree")
+    graft.core.Spill.materialize(result) {
+      s.sparkContext.getPersistentRDDs
+        .filterNot { case (id, _) => preexisting.contains(id) }
+        .values.foreach(_.unpersist(false))
+    }
+  }
+
+  val all: Seq[QueryDef] = Seq(pagerank, triangleCount, degreeDist)
 }
