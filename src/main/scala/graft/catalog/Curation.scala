@@ -918,9 +918,124 @@ object Curation {
     }
   }
 
+  // Token-budget corpus selection: fill a FIXED per-domain token budget
+  // with the best documents first — the curation step that turns "we
+  // scored everything" into "this is the training set". Quality order
+  // here is (n_chars DESC, doc_id) — integer keys, so the greedy
+  // prefix is bit-identical cross-engine (float scores would make the
+  // cut-off ulp-sensitive); a doc is kept while the running token
+  // total stays within budget. Scale shape: one shuffle on source
+  // (the window partition key = the domain), running sum inside each
+  // partition — no global sort, and domains fill independently, so
+  // 10k domains parallelize across the cluster.
+  val tokenBudget: QueryDef = {
+    val budget = 600L
+    QueryDef.sql("q_token_budget")(
+      s"""WITH t AS (SELECT source, doc_id, len($toksSql) AS n_toks
+         |           FROM documents),
+         |w AS (SELECT source, doc_id, n_toks,
+         |        ROW_NUMBER() OVER (PARTITION BY source
+         |          ORDER BY n_toks DESC, doc_id) AS rnk,
+         |        CAST(SUM(n_toks) OVER (PARTITION BY source
+         |          ORDER BY n_toks DESC, doc_id
+         |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_toks
+         |      FROM t)
+         |SELECT source, rnk, doc_id, n_toks, cum_toks
+         |FROM w WHERE cum_toks <= $budget
+         |ORDER BY source, rnk""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("source")
+        .orderBy(col("n_toks").desc, col("doc_id"))
+      Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"),
+          size(Text.tokens(col("text"))).cast("long").as("n_toks"))
+        .select(col("source"), col("doc_id"), col("n_toks"),
+          row_number().over(w).as("rnk"),
+          sum(col("n_toks")).over(w.rowsBetween(
+            Window.unboundedPreceding, Window.currentRow)).as("cum_toks"))
+        .filter(col("cum_toks") <= budget)
+        .select("source", "rnk", "doc_id", "n_toks", "cum_toks")
+        .orderBy("source", "rnk")
+    }
+  }
+
+  // Quality-aware dedup survivorship: q_corpus_dedup keeps the MIN-id
+  // doc per near-dup cluster; real pipelines keep the BEST one
+  // (RefinedWeb keeps the longest page of a dup cluster). Same LSH →
+  // verify → connected-components pipeline, but the representative is
+  // chosen by (n_chars DESC, doc_id) inside each cluster — a policy
+  // swap isolated to one window over the (tiny) cluster-member
+  // relation, proving survivorship policy is orthogonal to the
+  // clustering machinery. Output also carries cluster_size, the audit
+  // column a dedup report aggregates.
+  val corpusDedupBest: QueryDef = {
+    val threshold = 0.7
+    QueryDef.sql("q_corpus_dedup_best")(
+      s"""WITH RECURSIVE ${TextAnalysis.minhashVerifiedCte},
+         |pairs AS (SELECT doc_a, doc_b FROM inter
+         |          WHERE inter / (n_a + n_b - inter) >= $threshold),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, src FROM (SELECT DISTINCT src FROM edges) t
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |clusters AS (SELECT src AS doc_id, MIN(dst) AS cluster_id
+         |             FROM reach GROUP BY src),
+         |members AS (SELECT c.doc_id, c.cluster_id, d.lang, d.n_chars
+         |            FROM clusters c JOIN documents d ON c.doc_id = d.doc_id),
+         |reps AS (SELECT doc_id, cluster_id, lang, n_chars,
+         |           COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+         |           ROW_NUMBER() OVER (PARTITION BY cluster_id
+         |             ORDER BY n_chars DESC, doc_id) AS rn
+         |         FROM members)
+         |SELECT doc_id, lang, n_chars, cluster_id, cluster_size
+         |FROM reps WHERE rn = 1
+         |UNION ALL
+         |SELECT d.doc_id, d.lang, d.n_chars, d.doc_id AS cluster_id,
+         |  CAST(1 AS BIGINT) AS cluster_size
+         |FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+         |WHERE c.doc_id IS NULL
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val preexisting = s.sparkContext.getPersistentRDDs.keySet
+      val (stats, shingled) = TextAnalysis.minhashVerifiedStats(s, dir)
+      val pairs = stats
+        .filter(col("inter") / (col("n_a") + col("n_b") - col("inter"))
+          >= threshold)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+      shingled.unpersist(blocking = false)
+      val labels = ccLabels(pairs).withColumnRenamed("doc", "doc_id")
+      val docsAll = Tables.documents(s, dir)
+        .select("doc_id", "lang", "n_chars")
+      // cluster members are a small fraction of any real corpus: the
+      // window runs over |members| rows and the join auto-broadcasts
+      val members = docsAll
+        .join(labels, Seq("doc_id"))
+        .withColumnRenamed("lbl", "cluster_id")
+      val wc = Window.partitionBy("cluster_id")
+      val reps = members
+        .withColumn("cluster_size", count(lit(1)).over(wc))
+        .withColumn("rn", row_number().over(
+          wc.orderBy(col("n_chars").desc, col("doc_id"))))
+        .filter(col("rn") === 1)
+        .select("doc_id", "lang", "n_chars", "cluster_id", "cluster_size")
+      val singletons = docsAll
+        .join(labels.select("doc_id"), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          col("doc_id").as("cluster_id"), lit(1L).as("cluster_size"))
+      val result = reps.unionByName(singletons).orderBy("doc_id")
+      graft.core.Spill.materialize(result) {
+        s.sparkContext.getPersistentRDDs
+          .filterNot { case (id, _) => preexisting.contains(id) }
+          .values.foreach(_.unpersist(false))
+      }
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     dedupClusters, dedupClustersTwoStar, repetitionFilter, hashSplit,
     sampleStratified, docChunks, piiRedact, idfQuality, contamination,
     filterFunnel, domainMix, domainMixTemp, upsampleRepeat, chunkDedup,
-    corpusDedup, sampleWeighted, packSequences, shardBalance)
+    corpusDedup, sampleWeighted, packSequences, shardBalance,
+    tokenBudget, corpusDedupBest)
 }

@@ -1,5 +1,6 @@
 package graft.catalog
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -210,7 +211,250 @@ object Scale {
       .orderBy("l_returnflag")
   }
 
+  // Snapshot CDC diff: compare two last-write-wins states of a keyed
+  // store — state(T) at the two-thirds timestamp vs state(now), keyed
+  // by (user_id, week) — and classify every key as added (first seen
+  // after T), changed (a later event moved its latest record), or
+  // unchanged. This is the change-data-capture primitive a 100 TB
+  // incremental pipeline runs between ingest snapshots to touch only
+  // the delta downstream. Scale shape: both states are one hash-
+  // aggregate over the SAME shuffle key — co-partitioned, so the diff
+  // join adds no extra shuffle — and latest-row selection is max_by
+  // over a (ts_us, event_id) tuple, which partial-aggregates map-side
+  // (the oracle states the same semantics as the naive per-key
+  // ROW_NUMBER window). The 2/3 split (not 1/2) lands mid-week on this
+  // dataset, so all three statuses are populated at every SF.
+  private val WeekUs = 7L * 86400000000L
+  val snapshotDiff: QueryDef = QueryDef.sql("q_snapshot_diff")(
+    s"""WITH b AS (SELECT (min(epoch_us(ts)) + 2 * max(epoch_us(ts))) // 3
+       |             AS split FROM events),
+       |base AS (SELECT user_id, epoch_us(ts) // $WeekUs AS week,
+       |           epoch_us(ts) AS ts_us, event_id, event_type
+       |         FROM events),
+       |old AS (SELECT user_id, week, ts_us AS old_ts_us, event_type AS old_type
+       |        FROM (SELECT user_id, week, ts_us, event_type,
+       |                ROW_NUMBER() OVER (PARTITION BY user_id, week
+       |                  ORDER BY ts_us DESC, event_id DESC) AS rn
+       |              FROM base WHERE ts_us < (SELECT split FROM b))
+       |        WHERE rn = 1),
+       |new AS (SELECT user_id, week, ts_us AS new_ts_us, event_type AS new_type
+       |        FROM (SELECT user_id, week, ts_us, event_type,
+       |                ROW_NUMBER() OVER (PARTITION BY user_id, week
+       |                  ORDER BY ts_us DESC, event_id DESC) AS rn
+       |              FROM base)
+       |        WHERE rn = 1)
+       |SELECT n.user_id, n.week,
+       |  CASE WHEN o.user_id IS NULL THEN 'added'
+       |       WHEN o.old_ts_us <> n.new_ts_us THEN 'changed'
+       |       ELSE 'unchanged' END AS status,
+       |  o.old_ts_us, o.old_type, n.new_ts_us, n.new_type
+       |FROM new n LEFT JOIN old o ON n.user_id = o.user_id AND n.week = o.week
+       |ORDER BY n.user_id, n.week""".stripMargin) { (s, dir) =>
+    val base = Tables.events(s, dir)
+      .select(col("user_id"),
+        expr(s"unix_micros(ts) div $WeekUs").as("week"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type"))
+    // split point as one integer expression over (min, max) —
+    // deterministic, computed once (tiny aggregate)
+    val split = base
+      .agg(expr("(min(ts_us) + 2 * max(ts_us)) div 3").as("split"))
+      .first().getLong(0)
+    def latest(df: org.apache.spark.sql.DataFrame, p: String) = df
+      .groupBy("user_id", "week")
+      .agg(
+        max_by(col("ts_us"), struct(col("ts_us"), col("event_id")))
+          .as(s"${p}_ts_us"),
+        max_by(col("event_type"), struct(col("ts_us"), col("event_id")))
+          .as(s"${p}_type"))
+    val old = latest(base.filter(col("ts_us") < split), "old")
+    val now = latest(base, "new")
+    now.join(old, Seq("user_id", "week"), "left")
+      .select(col("user_id"), col("week"),
+        when(col("old_ts_us").isNull, "added")
+          .when(col("old_ts_us") =!= col("new_ts_us"), "changed")
+          .otherwise("unchanged").as("status"),
+        col("old_ts_us"), col("old_type"), col("new_ts_us"), col("new_type"))
+      .orderBy("user_id", "week")
+  }
+
+  // Z-order (Morton) clustering: interleave the bits of two dimensions
+  // so one linear sort key preserves locality in BOTH — the layout
+  // trick behind multi-dimensional data skipping (Delta/Iceberg
+  // OPTIMIZE ZORDER BY). Files written in z order carry tight min/max
+  // ranges on every z-ordered column, so a 2-D box predicate prunes at
+  // planning time instead of scanning. The query emits per-z-bucket
+  // min/max stats plus whether the bucket can serve a sample box query
+  // (user_id 100–200, value 100–200): `SUM(hit)` over the output IS the
+  // file-skipping ratio a 100 TB table would see. The interleave is
+  // pure integer bit arithmetic generated from one Scala constant for
+  // both engines — no UDF, stays inside whole-stage codegen.
+  private val ZBits = 16
+  private def zExprSql(x: String, y: String): String =
+    (0 until ZBits).map(i =>
+      s"((($x >> $i) & 1) << ${2 * i}) + ((($y >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" + ")
+  private def zExprCol(x: org.apache.spark.sql.Column,
+      y: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until ZBits).map(i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i)
+        + shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
+      .reduce(_ + _)
+  val zorder: QueryDef = QueryDef.sql("q_zorder")(
+    s"""WITH d AS (
+       |  SELECT user_id % 65536 AS xb,
+       |    CAST(floor(value * 100) AS BIGINT) % 65536 AS yb
+       |  FROM events),
+       |z AS (SELECT xb, yb, ${zExprSql("xb", "yb")} AS zv FROM d)
+       |SELECT zv >> 24 AS z_bucket, COUNT(*) AS n,
+       |  min(xb) AS min_x, max(xb) AS max_x,
+       |  min(yb) AS min_y, max(yb) AS max_y,
+       |  CAST(max(xb) >= 100 AND min(xb) <= 200
+       |    AND max(yb) >= 10000 AND min(yb) <= 20000 AS INT) AS hit
+       |FROM z GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val d = Tables.events(s, dir).select(
+      pmod(col("user_id"), lit(65536L)).as("xb"),
+      pmod(floor(col("value") * 100).cast("long"), lit(65536L)).as("yb"))
+    d.select(col("xb"), col("yb"), zExprCol(col("xb"), col("yb")).as("zv"))
+      .groupBy(shiftright(col("zv"), 24).as("z_bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("xb")).as("min_x"), max(col("xb")).as("max_x"),
+        min(col("yb")).as("min_y"), max(col("yb")).as("max_y"),
+        (max(col("xb")) >= 100 && min(col("xb")) <= 200
+          && max(col("yb")) >= 10000 && min(col("yb")) <= 20000)
+          .cast("int").as("hit"))
+      .orderBy("z_bucket")
+  }
+
+  // Skew diagnostics: the report a 100 TB job reads BEFORE choosing a
+  // join strategy — per-key row counts for the heaviest keys, each
+  // key's share of the table, its ratio to the mean key, and the salt
+  // factor that would level it (ceil(n / mean), the S in q_salted_join).
+  // One hash-aggregate + a global top-k (per-partition heaps, no full
+  // sort) + a broadcast of the 2-row totals; nothing here gets more
+  // expensive as keys get hotter.
+  val skewReport: QueryDef = QueryDef.sql("q_skew_report")(
+    """WITH per AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total,
+      |               CAST(COUNT(*) AS BIGINT) AS n_keys FROM per),
+      |top AS (SELECT user_id, n,
+      |          ROW_NUMBER() OVER (ORDER BY n DESC, user_id) AS rnk
+      |        FROM per)
+      |SELECT t.rnk, t.user_id, t.n,
+      |  CAST(t.n AS DOUBLE) / tot.total AS share,
+      |  CAST(t.n AS DOUBLE) * tot.n_keys / tot.total AS skew_ratio,
+      |  CAST(ceil(CAST(t.n AS DOUBLE) * tot.n_keys / tot.total) AS BIGINT)
+      |    AS salt_factor
+      |FROM top t CROSS JOIN tot WHERE t.rnk <= 10
+      |ORDER BY t.rnk""".stripMargin) { (s, dir) =>
+    val per = Tables.events(s, dir)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+    val tot = per.agg(sum(col("n")).cast("long").as("total"),
+      count(lit(1)).cast("long").as("n_keys"))
+    // top-10 via orderBy+limit → TakeOrderedAndProject (partition-local
+    // heaps merged on the driver); rank assigned after, over 10 rows
+    val top = per.orderBy(col("n").desc, col("user_id")).limit(10)
+      .withColumn("rnk",
+        row_number().over(Window.orderBy(col("n").desc, col("user_id"))))
+    val ratio = col("n").cast("double") * col("n_keys") / col("total")
+    top.crossJoin(broadcast(tot))
+      .select(col("rnk"), col("user_id"), col("n"),
+        (col("n").cast("double") / col("total")).as("share"),
+        ratio.as("skew_ratio"),
+        ceil(ratio).cast("long").as("salt_factor"))
+      .orderBy("rnk")
+  }
+
+  // Incremental aggregate maintenance: a materialized view at 100 TB is
+  // never fully recomputed — the standing per-(type, day) state merges
+  // with the new batch's PARTIAL aggregate. Counts and decimal sums are
+  // mergeable (associative); the average is derived AFTER the merge
+  // (sum/count — merging averages directly would weight batches
+  // equally and be wrong). The oracle is the full recompute, so the
+  // merge path must be indistinguishable from it. Scale shape: the
+  // delta batch aggregates alone (predicate pushed to the scan), and
+  // the merge is an aggregate over |state| + |delta| rows — never over
+  // the raw history.
+  val incrAggMerge: QueryDef = QueryDef.sql("q_incr_agg_merge")(
+    """WITH b AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS split
+      |           FROM events)
+      |SELECT event_type, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_v
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    val base = Tables.events(s, dir)
+      .select(col("event_type"), unix_micros(col("ts")).as("ts_us"),
+        col("value"))
+    val split = base
+      .agg(expr("(min(ts_us) + max(ts_us)) div 2").as("split"))
+      .first().getLong(0)
+    def partial(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(col("event_type"), expr("ts_us div 86400000000").as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).as("sum_dec"))
+    val state = partial(base.filter(col("ts_us") < split))
+    val delta = partial(base.filter(col("ts_us") >= split))
+    state.unionByName(delta)
+      .groupBy("event_type", "day")
+      .agg(sum(col("n")).as("n"), sum(col("sum_dec")).as("sum_dec"))
+      .select(col("event_type"), col("day"), col("n"),
+        col("sum_dec").cast("double").as("sum_v"),
+        (col("sum_dec").cast("double") / col("n")).as("avg_v"))
+      .orderBy("event_type", "day")
+  }
+
+  // Bucketed co-located join: both sides are written as BUCKETED tables
+  // on the join key (8 buckets, same hash), so the join consumes the
+  // on-disk partitioning directly — zero Exchange in the join subplan
+  // (ScaleRound6Spec asserts it on the executed plan). This is the
+  // pre-partitioning answer to q_salted_join's problem: pay the shuffle
+  // ONCE at write time, then every future join on the key is
+  // shuffle-free — the standard layout contract for a 100 TB fact
+  // table that joins on the same key daily. The merge hint forces the
+  // sort-merge path a cluster-sized dim would take (at this test size
+  // Spark would broadcast and the bucketing would never be exercised).
+  private[graft] def bucketedJoinParts(s: SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame, () => Unit) = {
+    val tag = java.util.UUID.randomUUID().toString.take(8).replace("-", "")
+    val factT = s"graft_bkt_fact_$tag"
+    val dimT = s"graft_bkt_dim_$tag"
+    val ev = Tables.events(s, dir)
+    ev.select("event_id", "user_id", "value")
+      .repartition(8, col("user_id"))
+      .write.bucketBy(8, "user_id").sortBy("user_id")
+      .mode("overwrite").saveAsTable(factT)
+    ev.groupBy("user_id")
+      .agg(count(lit(1)).as("user_events"),
+        sum(when(col("event_type") === "purchase", 1).otherwise(0)).cast("long")
+          .as("user_purchases"))
+      .repartition(8, col("user_id"))
+      .write.bucketBy(8, "user_id").sortBy("user_id")
+      .mode("overwrite").saveAsTable(dimT)
+    val joined = s.table(factT)
+      .join(s.table(dimT).hint("merge"), Seq("user_id"))
+      .select("event_id", "user_id", "user_events", "user_purchases")
+    (joined, () => {
+      s.sql(s"DROP TABLE IF EXISTS $factT")
+      s.sql(s"DROP TABLE IF EXISTS $dimT")
+    })
+  }
+  val bucketedJoin: QueryDef = QueryDef.sql("q_bucketed_join")(
+    """WITH dim AS (
+      |  SELECT user_id, COUNT(*) AS user_events,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS user_purchases
+      |  FROM events GROUP BY user_id)
+      |SELECT e.event_id, e.user_id, d.user_events, d.user_purchases
+      |FROM events e JOIN dim d ON e.user_id = d.user_id
+      |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val (joined, drop) = bucketedJoinParts(s, dir)
+    // materialize (to temp parquet) BEFORE dropping the tables the
+    // lazy plan reads from; the returned frame is self-contained
+    graft.core.Spill.materialize(joined.orderBy("event_id"))(drop())
+  }
+
   val all: Seq[QueryDef] = Seq(
     globalRownum, saltedJoin, sourceOrc, sourceJson, windowFuncs2, bitwiseAgg,
-    corrExact)
+    corrExact, snapshotDiff, zorder, skewReport, incrAggMerge, bucketedJoin)
 }

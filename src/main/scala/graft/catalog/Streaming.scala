@@ -478,9 +478,87 @@ object Streaming {
       } finally prev.fold(s.conf.unset(key))(s.conf.set(key, _))
     }
 
+  // Incremental processing across RUNS — the production cadence of a
+  // 100 TB pipeline: each scheduled run wakes up, processes ONLY the
+  // files that arrived since the last checkpoint, and upserts the
+  // updated aggregate rows into a keyed store. Two AvailableNow passes
+  // share one checkpoint: pass 1 sees the history (ts before the 2/3
+  // split), pass 2 sees only the delta file. The store is
+  // last-write-wins by (key, batch_id); `updated_in_delta` exposes
+  // WHICH keys the second run rewrote — the oracle pins it to "key has
+  // an event past the split", proving the delta run touched exactly
+  // the delta's keys and the merged state still equals the full batch
+  // recompute. (State here is unwatermarked because the grouping key is
+  // calendar day — a production MV bounds it by retention/partition
+  // drop, not by watermark.)
+  val streamIncremental: QueryDef = QueryDef.sql("q_stream_incremental")(
+    """WITH b AS (SELECT (min(epoch_us(ts)) + 2 * max(epoch_us(ts))) // 3
+      |             AS split FROM events)
+      |SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+      |  CAST(MAX(CASE WHEN epoch_us(ts) >= (SELECT split FROM b)
+      |    THEN 1 ELSE 0 END) AS INT) AS updated_in_delta
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    val ev = graft.core.Tables.events(s, dir)
+      .select("event_id", "ts", "event_type", "value")
+    val split = ev
+      .agg(expr("(min(unix_micros(ts)) + 2 * max(unix_micros(ts))) div 3"))
+      .first().getLong(0)
+    val root = uniqueDir("incr_")
+    val store = uniqueDir("incr_store_")
+    val chk = uniqueDir("incr_chk_")
+    def writeBatch(df: DataFrame, name: String): Unit = {
+      val stage = s"$root/stage_$name"
+      df.coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(root, s"$name.parquet"))
+    }
+    def runPass(): Unit = {
+      val src = s.readStream
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(
+          "event_id BIGINT, ts TIMESTAMP, event_type STRING, value DOUBLE"))
+        .option("pathGlobFilter", "b*.parquet")
+        .parquet(root)
+      val agg = src
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 2))).as("sum_dec"))
+      val q = agg.writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[Row], id: Long) =>
+          // update mode emits only the keys this batch changed; the
+          // store append is the upsert journal (last batch id wins)
+          if (!b.isEmpty)
+            b.withColumn("bid", lit(id)).write.mode("append").parquet(store)
+        }
+        .outputMode("update")
+        .option("checkpointLocation", chk)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    writeBatch(ev.filter(unix_micros(col("ts")) < split), "b0")
+    runPass()  // history: batch 0 from a fresh checkpoint
+    writeBatch(ev.filter(unix_micros(col("ts")) >= split), "b1")
+    runPass()  // delta: strictly later batch ids upsert over batch 0
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type", "day")
+    s.read.parquet(store)
+      .withColumn("last_bid", max(col("bid")).over(w))
+      .filter(col("bid") === col("last_bid"))
+      .select(col("event_type"), col("day"), col("n"),
+        col("sum_dec").cast("double").as("sum_v"),
+        (col("last_bid") > 0).cast("int").as("updated_in_delta"))
+      .orderBy("event_type", "day")
+  }
+
   val all: Seq[QueryDef] = Seq(
     streamIngestJson, streamIngestDsv, streamWindowHourly, sinkUpsert,
     sinkUpsertDelta, sinkRoute, streamStreamJoin, streamDedup,
     streamSessionWindow, streamTwsSummary, streamLeftOuter, streamChainedAgg,
-    streamLateDrop, streamStaticJoin, streamSessionTimers, streamMapStateCounts)
+    streamLateDrop, streamStaticJoin, streamSessionTimers, streamMapStateCounts,
+    streamIncremental)
 }
