@@ -218,6 +218,38 @@ object Sketches {
       .orderBy("event_type")
   }
 
+  // Sketch MERGEABILITY — the property that makes sketches the 100 TB
+  // rollup strategy: per-(type, day) HLL sketches union into a
+  // per-type monthly sketch WITHOUT revisiting the raw rows (a nightly
+  // job keeps day sketches; month/quarter/all-time distincts are
+  // sketch unions, never rescans). The estimate from the unioned
+  // day-sketches must match the exact month-level distinct within the
+  // configured error — pinned per group under the hash oracle, same
+  // discipline as the other `_bound` twins. lgConfigK=14 ⇒ rse ≈
+  // 1.04/√2^14 ≈ 0.8%; the 5% gate leaves 6σ headroom.
+  val hllMergeRollup: QueryDef = QueryDef.sql("q_hll_merge_rollup")(
+    """SELECT event_type,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+      |  CAST(COUNT(DISTINCT epoch_us(ts) // 86400000000) AS BIGINT) AS n_days,
+      |  TRUE AS merged_within_5pct
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(hll_sketch_agg(col("user_id"), lit(14)).as("day_sketch"))
+    daily
+      .groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_union_agg(col("day_sketch"), lit(false)))
+          .as("__merged_est"),
+        count(lit(1)).as("n_days"))
+      .join(Tables.events(s, dir).groupBy("event_type")
+        .agg(count_distinct(col("user_id")).as("exact_users")), Seq("event_type"))
+      .select(col("event_type"), col("exact_users"), col("n_days"),
+        (abs(col("__merged_est") - col("exact_users")) <=
+          greatest(lit(1.0), col("exact_users") * 0.05))
+          .as("merged_within_5pct"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[QueryDef] = Seq(approxDistinct, heavyHitters, approxQuantiles, kmeansFit,
-    approxDistinctBound, heavyHittersBound, approxQuantilesBound)
+    approxDistinctBound, heavyHittersBound, approxQuantilesBound, hllMergeRollup)
 }
