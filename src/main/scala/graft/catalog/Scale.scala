@@ -454,7 +454,82 @@ object Scale {
     graft.core.Spill.materialize(joined.orderBy("event_id"))(drop())
   }
 
+  // Data-quality constraint report (the Deequ pattern): the validation
+  // gate a pipeline runs BEFORE a snapshot is promoted to training.
+  // Every constraint metric comes from ONE aggregate pass over the
+  // table (completeness, uniqueness, range, set membership, volume) —
+  // the report never rescans per check, which is what keeps a 50-check
+  // suite a single job at 100 TB. Metrics are exact-integer ratios
+  // surfaced as one IEEE division each; thresholds compare on the
+  // rounded metric so the pass flag is ulp-proof cross-engine.
+  val dqChecks: QueryDef = QueryDef.sql("q_dq_checks")(
+    """WITH m AS (SELECT
+      |    CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |    CAST(COUNT(event_id) AS BIGINT) AS n_id,
+      |    CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_id_distinct,
+      |    CAST(COUNT(value) AS BIGINT) AS n_value,
+      |    CAST(SUM(CASE WHEN value >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_value_nonneg,
+      |    CAST(SUM(CASE WHEN event_type IN
+      |        ('click','purchase','view','signup','error','logout')
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_type_known,
+      |    CAST(SUM(CASE WHEN value <= 100 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_value_soft
+      |  FROM events)
+      |SELECT chk, round(metric, 6) AS metric,
+      |  CAST(round(metric, 6) >= threshold AS INT) AS passed
+      |FROM (
+      |  SELECT 'completeness_event_id' AS chk,
+      |    CAST(n_id AS DOUBLE) / n_rows AS metric, 1.0 AS threshold FROM m
+      |  UNION ALL SELECT 'uniqueness_event_id',
+      |    CAST(n_id_distinct AS DOUBLE) / n_rows, 1.0 FROM m
+      |  UNION ALL SELECT 'completeness_value',
+      |    CAST(n_value AS DOUBLE) / n_rows, 1.0 FROM m
+      |  UNION ALL SELECT 'value_nonnegative',
+      |    CAST(n_value_nonneg AS DOUBLE) / n_rows, 1.0 FROM m
+      |  UNION ALL SELECT 'event_type_in_set',
+      |    CAST(n_type_known AS DOUBLE) / n_rows, 0.95 FROM m
+      |  UNION ALL SELECT 'value_within_soft_cap',
+      |    CAST(n_value_soft AS DOUBLE) / n_rows, 0.99 FROM m
+      |  UNION ALL SELECT 'volume_min_rows',
+      |    CAST(n_rows AS DOUBLE), 100.0 FROM m)
+      |ORDER BY chk""".stripMargin) { (s, dir) =>
+    val m = Tables.events(s, dir).agg(
+      count(lit(1)).as("n_rows"),
+      count(col("event_id")).as("n_id"),
+      count_distinct(col("event_id")).as("n_id_distinct"),
+      count(col("value")).as("n_value"),
+      sum(when(col("value") >= 0, 1).otherwise(0)).cast("long")
+        .as("n_value_nonneg"),
+      sum(when(col("event_type").isin(
+          "click", "purchase", "view", "signup", "error", "logout"), 1)
+        .otherwise(0)).cast("long").as("n_type_known"),
+      sum(when(col("value") <= 100, 1).otherwise(0)).cast("long")
+        .as("n_value_soft"))
+    val checks: Seq[(String, org.apache.spark.sql.Column, Double)] = Seq(
+      ("completeness_event_id", col("n_id").cast("double") / col("n_rows"), 1.0),
+      ("uniqueness_event_id", col("n_id_distinct").cast("double") / col("n_rows"), 1.0),
+      ("completeness_value", col("n_value").cast("double") / col("n_rows"), 1.0),
+      ("value_nonnegative", col("n_value_nonneg").cast("double") / col("n_rows"), 1.0),
+      ("event_type_in_set", col("n_type_known").cast("double") / col("n_rows"), 0.95),
+      // deliberately-failing soft cap: the report must DISCRIMINATE —
+      // a suite that can only say "pass" verifies nothing
+      ("value_within_soft_cap", col("n_value_soft").cast("double") / col("n_rows"), 0.99),
+      ("volume_min_rows", col("n_rows").cast("double"), 100.0))
+    // stack() pivots the single metrics row into check rows inside ONE
+    // projection — a per-branch union would re-run the aggregate
+    val stacked = stack(
+      lit(checks.size) +: checks.flatMap { case (name, metric, threshold) =>
+        Seq(lit(name), round(metric, 6), lit(threshold))
+      }: _*).as(Seq("chk", "metric", "threshold"))
+    m.select(stacked)
+      .select(col("chk"), col("metric"),
+        (col("metric") >= col("threshold")).cast("int").as("passed"))
+      .orderBy("chk")
+  }
+
   val all: Seq[QueryDef] = Seq(
     globalRownum, saltedJoin, sourceOrc, sourceJson, windowFuncs2, bitwiseAgg,
-    corrExact, snapshotDiff, zorder, skewReport, incrAggMerge, bucketedJoin)
+    corrExact, snapshotDiff, zorder, skewReport, incrAggMerge, bucketedJoin,
+    dqChecks)
 }

@@ -148,6 +148,20 @@ class ScaleRound6Spec extends AnyFunSuite {
     }
   }
 
+  test("dq report discriminates: soft cap fails, hard constraints pass") {
+    val rows = run("q_dq_checks")
+    val byName = rows.map(r => r.getString(0) -> (r.getDouble(1), r.getInt(2))).toMap
+    assert(byName.size == 7)
+    // the clean synthetic table must pass every hard constraint
+    Seq("completeness_event_id", "uniqueness_event_id", "completeness_value",
+      "value_nonnegative", "event_type_in_set", "volume_min_rows")
+      .foreach(c => assert(byName(c)._2 == 1, s"$c unexpectedly failed"))
+    // and the deliberately-tight soft cap must FAIL — a report that can
+    // only say "pass" verifies nothing
+    assert(byName("value_within_soft_cap")._2 == 0)
+    assert(byName("value_within_soft_cap")._1 < 0.99)
+  }
+
   test("best-of-cluster survivorship keeps as many docs as min-id, never shorter ones") {
     val best = run("q_corpus_dedup_best")
     val minId = run("q_corpus_dedup")
