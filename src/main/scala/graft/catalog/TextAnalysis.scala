@@ -1315,11 +1315,70 @@ object TextAnalysis {
       .orderBy("bucket")
   }
 
+  // Substring-dedup REMOVAL — the delete twin of q_dup_ngram_spans'
+  // report (Lee et al. substring dedup removes the duplicated spans,
+  // not the documents): a token is scrubbed iff some cross-doc
+  // duplicated 8-gram window covers its position. Coverage expands
+  // each duplicated window to its ≤8 covered positions through an
+  // EQUI-join-shaped explode (never a position-range theta join), and
+  // per-doc removal is a distinct-position count — the shuffles carry
+  // (doc_id, int64) pairs only. Output is the per-doc retention a
+  // scrubbing pass would apply.
+  val substringScrub: QueryDef = QueryDef.sql("q_substring_scrub")(
+    s"""WITH base AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |w AS (SELECT doc_id, len(toks) AS n_toks,
+       |        CASE WHEN len(toks) >= 8
+       |          THEN list_transform(generate_series(1, len(toks) - 7),
+       |                 i -> {'p': i, 'h': CAST(('0x' || substr(md5(array_to_string(toks[i:i+7], ' ')), 1, 15)) AS BIGINT)})
+       |          ELSE [{'p': 1, 'h': CAST(('0x' || substr(md5(array_to_string(toks, ' ')), 1, 15)) AS BIGINT)}] END AS wins
+       |      FROM base),
+       |h AS (SELECT doc_id, n_toks, UNNEST(wins, recursive := true) FROM w),
+       |dup AS (SELECT h AS gh FROM h GROUP BY h HAVING MIN(doc_id) <> MAX(doc_id)),
+       |cov AS (SELECT DISTINCT doc_id,
+       |          UNNEST(generate_series(p, p + least(8, n_toks) - 1)) AS cp
+       |        FROM h WHERE h IN (SELECT gh FROM dup)),
+       |rem AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_removed
+       |        FROM cov GROUP BY doc_id),
+       |tot AS (SELECT DISTINCT doc_id, n_toks FROM h)
+       |SELECT t.doc_id, t.n_toks, COALESCE(r.n_removed, 0) AS n_removed,
+       |  CAST(t.n_toks - COALESCE(r.n_removed, 0) AS DOUBLE) / t.n_toks
+       |    AS retention
+       |FROM tot t LEFT JOIN rem r ON t.doc_id = r.doc_id
+       |ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
+    graft.functions.ShingleHash60.register(s)
+    val h = docs(s, dir)
+      .select(col("doc_id"),
+        size(Text.tokens(col("text"))).cast("long").as("n_toks"),
+        posexplode(graft.functions.ShingleHash60
+          .shingleHash60(Text.tokens(col("text")), 8)))
+      .withColumnRenamed("col", "gh")
+      .persist()
+    val dup = h.groupBy("gh")
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .filter(col("mn") =!= col("mx"))
+      .select("gh")
+    val cov = h.join(dup, Seq("gh"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("pos").cast("long"),
+          col("pos").cast("long") + least(lit(8L), col("n_toks")) - 1)).as("cp"))
+      .distinct()
+    val rem = cov.groupBy("doc_id").agg(count(lit(1)).as("n_removed"))
+    val tot = h.select("doc_id", "n_toks").distinct()
+    val result = tot.join(rem, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_toks"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        ((col("n_toks") - coalesce(col("n_removed"), lit(0L))).cast("double")
+          / col("n_toks")).as("retention"))
+      .orderBy("doc_id")
+    materialized(result, h)
+  }
+
   val all: Seq[QueryDef] = Seq(
     tokenCount, langId, qualityScore, fingerprint, dedupExact,
     minhashSig, minhashPairs, minhashVerified, ngramJaccard, simhash,
     simhashNearDup, simhash60, simhash60NearDup, levenshteinPairs,
     minhashJaccardEst, tokenEntropy, bpePairs, dedupIncremental,
     dupNgramSpans, tfidfRetrieval, bm25Retrieval, bigramLm, perplexityBuckets,
-    qualityLogit, zipfFit, streamDedupLsh, bpeMergeRound, bpeMergeRound2)
+    qualityLogit, zipfFit, streamDedupLsh, bpeMergeRound, bpeMergeRound2,
+    substringScrub)
 }

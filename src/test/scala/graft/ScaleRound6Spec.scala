@@ -162,6 +162,25 @@ class ScaleRound6Spec extends AnyFunSuite {
     assert(byName("value_within_soft_cap")._1 < 0.99)
   }
 
+  test("substring scrub flags exactly the docs the span report flags") {
+    val scrub = run("q_substring_scrub")
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val spans = run("q_dup_ngram_spans")
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(scrub.keySet == spans.keySet)
+    scrub.foreach { case (doc, (nToks, nRemoved, retention)) =>
+      assert(nRemoved >= 0 && nRemoved <= nToks, s"doc $doc removal out of range")
+      assert(math.abs(retention - (nToks - nRemoved).toDouble / nToks) < 1e-12)
+      // a doc loses tokens iff it has at least one cross-doc duplicated span
+      assert((nRemoved > 0) == (spans(doc) > 0),
+        s"doc $doc: scrub=$nRemoved dupSpans=${spans(doc)} disagree")
+      // each duplicated 8-gram covers at most 8 tokens: removal is
+      // bounded by 8 x span count (equality when spans don't overlap)
+      assert(nRemoved <= 8 * spans(doc), s"doc $doc removes more than spans cover")
+    }
+    assert(scrub.values.exists(_._2 > 0), "no doc scrubbed at sf0.01 — vacuous")
+  }
+
   test("best-of-cluster survivorship keeps as many docs as min-id, never shorter ones") {
     val best = run("q_corpus_dedup_best")
     val minId = run("q_corpus_dedup")
