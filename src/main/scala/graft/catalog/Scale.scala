@@ -528,8 +528,51 @@ object Scale {
       .orderBy("chk")
   }
 
+  // Partition-scoped backfill through DYNAMIC partition overwrite: the
+  // standard fix-one-day operation on a date-partitioned 100 TB table.
+  // Phase 1 writes the full per-(day, type) rollup partitioned by day;
+  // phase 2 recomputes ONE day from source (predicate pushed to the
+  // scan) and overwrites in dynamic mode — only that day's directory is
+  // replaced. The oracle is the full recompute, so BOTH failure modes
+  // break the hash: static overwrite would delete every other day
+  // (missing rows), append would duplicate the backfilled day.
+  val partitionBackfill: QueryDef = QueryDef.sql("q_partition_backfill")(
+    """WITH b AS (SELECT (min(epoch_us(ts)) // 86400000000
+      |                 + max(epoch_us(ts)) // 86400000000) // 2 AS bday
+      |           FROM events),
+      |agg AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+      |          event_type, COUNT(*) AS n,
+      |          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+      |        FROM events GROUP BY 1, 2)
+      |SELECT day, event_type, n, sum_v,
+      |  CAST(day = (SELECT bday FROM b) AS INT) AS backfilled
+      |FROM agg ORDER BY day, event_type""".stripMargin) { (s, dir) =>
+    val base = Tables.events(s, dir)
+      .select(expr("unix_micros(ts) div 86400000000").as("day"),
+        col("event_type"), col("value"))
+    def rollup(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy("day", "event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).as("sum_dec"))
+    val bday = base.agg(expr("(min(day) + max(day)) div 2")).first().getLong(0)
+    val store = s"target/tmp/q_backfill-${java.util.UUID.randomUUID().toString.take(8)}"
+    graft.core.Spill.track(store)
+    rollup(base).write.partitionBy("day").mode("overwrite").parquet(store)
+    // the backfill: ONE day recomputed and swapped in; dynamic mode
+    // keeps every other day's directory untouched
+    rollup(base.filter(col("day") === bday))
+      .write.partitionBy("day").mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .parquet(store)
+    s.read.parquet(store)
+      .select(col("day").cast("long").as("day"), col("event_type"), col("n"),
+        col("sum_dec").cast("double").as("sum_v"),
+        (col("day") === bday).cast("int").as("backfilled"))
+      .orderBy("day", "event_type")
+  }
+
   val all: Seq[QueryDef] = Seq(
     globalRownum, saltedJoin, sourceOrc, sourceJson, windowFuncs2, bitwiseAgg,
     corrExact, snapshotDiff, zorder, skewReport, incrAggMerge, bucketedJoin,
-    dqChecks)
+    dqChecks, partitionBackfill)
 }

@@ -181,6 +181,20 @@ class ScaleRound6Spec extends AnyFunSuite {
     assert(scrub.values.exists(_._2 > 0), "no doc scrubbed at sf0.01 — vacuous")
   }
 
+  test("partition backfill rewrites exactly one day and loses none") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q_partition_backfill")
+    val days = rows.map(_.getLong(0)).distinct
+    val marked = rows.filter(_.getInt(4) == 1).map(_.getLong(0)).distinct
+    assert(marked.length == 1, s"expected one backfilled day, got ${marked.toSeq}")
+    val expectedDays = graft.core.Tables.events(spark, dir)
+      .select(expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct().count()
+    // dynamic overwrite must keep every non-backfilled day's partition
+    assert(days.length.toLong == expectedDays,
+      s"days lost by overwrite: ${days.length} of $expectedDays survive")
+  }
+
   test("best-of-cluster survivorship keeps as many docs as min-id, never shorter ones") {
     val best = run("q_corpus_dedup_best")
     val minId = run("q_corpus_dedup")
