@@ -602,7 +602,81 @@ object SimilaritySearch {
       .orderBy("cid")
   }
 
+  // Matryoshka-style truncation evaluation: retrieval quality of the
+  // FIRST-32-dims prefix vs the full 64-dim embedding — the measurement
+  // behind "store the short prefix, rerank with the full vector" index
+  // layouts (MRL). Per query: how many of the full top-5 the truncated
+  // top-5 recovers, and whether rank 1 agrees. Integer-only output
+  // (overlap counts, not cosines) makes the hash gate trivially
+  // ulp-proof; the cosine ORDERING itself still matches cross-engine
+  // because both sides share the bit-identical sequential-fold dot
+  // product. Scale shape: the 20-query side broadcasts twice (full and
+  // truncated), the corpus is scanned once per representation, and both
+  // top-5s are WindowGroupLimit-prefiltered per query.
+  val embedTruncatedRecall: QueryDef = {
+    val kDims = 32
+    QueryDef.sql("q_embed_truncated_recall")(
+      s"""WITH n AS ($normedSql),
+         |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM n
+         |      WHERE vec_id < 20),
+         |fullr AS (
+         |  SELECT query_id, n.vec_id AS nb, ROW_NUMBER() OVER
+         |      (PARTITION BY query_id
+         |       ORDER BY list_dot_product(qv, v) / (qnrm * nrm) DESC, n.vec_id)
+         |    AS rnk
+         |  FROM q CROSS JOIN n WHERE n.vec_id <> query_id),
+         |f5 AS (SELECT query_id, nb, rnk FROM fullr WHERE rnk <= 5),
+         |tq AS (SELECT query_id, qv[1:$kDims] AS qtv,
+         |         sqrt(list_dot_product(qv[1:$kDims], qv[1:$kDims])) AS qtnrm
+         |       FROM q),
+         |tn AS (SELECT vec_id, v[1:$kDims] AS tv,
+         |         sqrt(list_dot_product(v[1:$kDims], v[1:$kDims])) AS tnrm
+         |       FROM n),
+         |truncr AS (
+         |  SELECT t.query_id, tn.vec_id AS nb, ROW_NUMBER() OVER
+         |      (PARTITION BY t.query_id
+         |       ORDER BY list_dot_product(qtv, tv) / (qtnrm * tnrm) DESC, tn.vec_id)
+         |    AS rnk
+         |  FROM tq t CROSS JOIN tn WHERE tn.vec_id <> t.query_id),
+         |t5 AS (SELECT query_id, nb, rnk FROM truncr WHERE rnk <= 5)
+         |SELECT f.query_id, CAST(COUNT(t.nb) AS BIGINT) AS n_common,
+         |  CAST(MAX(CASE WHEN f.rnk = 1 AND t.rnk = 1 THEN 1 ELSE 0 END) AS INT)
+         |    AS top1_match
+         |FROM f5 f LEFT JOIN t5 t ON f.query_id = t.query_id AND f.nb = t.nb
+         |GROUP BY f.query_id ORDER BY f.query_id""".stripMargin) { (s, dir) =>
+      val n = normed(s, dir)
+      def top5(corpus: DataFrame, q: DataFrame): DataFrame = {
+        val scored = broadcast(q).crossJoin(corpus)
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id").as("nb"),
+            Vectors.cosine(col("qv"), col("v"), col("qnrm"), col("nrm"))
+              .as("cosine"))
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("nb"))
+        scored.withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 5).select("query_id", "nb", "rnk")
+      }
+      val q = n.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("nrm").as("qnrm"))
+      val tn = n.select(col("vec_id"), slice(col("v"), 1, kDims).as("v"))
+        .withColumn("nrm", Vectors.norm2(col("v")))
+      val tq = q.select(col("query_id"), slice(col("qv"), 1, kDims).as("qv"))
+        .withColumn("qnrm", Vectors.norm2(col("qv")))
+      val f5 = top5(n, q)
+      val t5 = top5(tn, tq)
+        .withColumnRenamed("rnk", "trnk")
+      f5.join(t5, Seq("query_id", "nb"), "left")
+        .groupBy("query_id")
+        .agg(count(col("trnk")).as("n_common"),
+          max(when(col("rnk") === 1 && col("trnk") === 1, 1).otherwise(0))
+            .cast("int").as("top1_match"))
+        .orderBy("query_id")
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     embedNorm, embedTopk, embedNearDup, annIvf, annIvfProbe2, annIvfKmeans, annLsh,
-    embedNearDupLsh, embedOutlier, vecQuantize, pqCodes, semanticDedup)
+    embedNearDupLsh, embedOutlier, vecQuantize, pqCodes, semanticDedup,
+    embedTruncatedRecall)
 }
