@@ -1346,29 +1346,49 @@ object TextAnalysis {
        |FROM tot t LEFT JOIN rem r ON t.doc_id = r.doc_id
        |ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
     graft.functions.ShingleHash60.register(s)
+    // h carries ONLY (doc_id, pos, gh): any column derived from `text`
+    // here gets project-collapsed ABOVE the Generate and re-evaluated
+    // once per WINDOW row — measured 275 CPU-seconds of redundant
+    // re-tokenization (size(tokens(text)) × 236k windows) before the
+    // column was dropped. Short-doc capping happens at the end via
+    // least(n_removed, n_toks) instead.
     val h = docs(s, dir)
       .select(col("doc_id"),
-        size(Text.tokens(col("text"))).cast("long").as("n_toks"),
         posexplode(graft.functions.ShingleHash60
           .shingleHash60(Text.tokens(col("text")), 8)))
       .withColumnRenamed("col", "gh")
       .persist()
+    // fill the cache EAGERLY: AQE materializes the dup-agg and coverage
+    // shuffle branches concurrently, and with a lazy persist both jobs
+    // race to compute the uncached tokenize+hash relation in parallel.
+    // One count pays the pass once; both branches then read the cache.
+    h.count()
     val dup = h.groupBy("gh")
       .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
       .filter(col("mn") =!= col("mx"))
       .select("gh")
-    val cov = h.join(dup, Seq("gh"), "left_semi")
+    // one aggregation (count_distinct on the doc_id key) instead of a
+    // global distinct THEN a count — halves the shuffles on the fanned-
+    // out coverage rows. An 8-position expansion may run past the end
+    // of a <8-token doc's single window; the least() below caps it.
+    val rem = h.join(dup, Seq("gh"), "left_semi")
       .select(col("doc_id"),
         explode(sequence(col("pos").cast("long"),
-          col("pos").cast("long") + least(lit(8L), col("n_toks")) - 1)).as("cp"))
-      .distinct()
-    val rem = cov.groupBy("doc_id").agg(count(lit(1)).as("n_removed"))
-    val tot = h.select("doc_id", "n_toks").distinct()
+          col("pos").cast("long") + 7)).as("cp"))
+      .groupBy("doc_id").agg(count_distinct(col("cp")).as("n_removed"))
+    // totals from the narrow source projection — a distinct over the
+    // exploded window relation would shuffle 50x more rows for the
+    // same (doc_id, n_toks) pairs
+    val tot = docs(s, dir)
+      .select(col("doc_id"),
+        size(Text.tokens(col("text"))).cast("long").as("n_toks"))
     val result = tot.join(rem, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_toks"),
-        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
-        ((col("n_toks") - coalesce(col("n_removed"), lit(0L))).cast("double")
-          / col("n_toks")).as("retention"))
+        least(coalesce(col("n_removed"), lit(0L)), col("n_toks"))
+          .as("n_removed"),
+        ((col("n_toks")
+          - least(coalesce(col("n_removed"), lit(0L)), col("n_toks")))
+          .cast("double") / col("n_toks")).as("retention"))
       .orderBy("doc_id")
     materialized(result, h)
   }
