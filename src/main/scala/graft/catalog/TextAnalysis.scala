@@ -464,7 +464,9 @@ object TextAnalysis {
        |    AND a.doc_id < b.doc_id),
        |dsh AS (SELECT doc_id, list_distinct(sh) AS dsh, len(list_distinct(sh)) AS n
        |        FROM shx),
-       |e AS (SELECT doc_id, n, UNNEST(dsh) AS s FROM dsh),
+       |e AS (SELECT doc_id, n,
+       |        CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS s
+       |      FROM (SELECT doc_id, n, UNNEST(dsh) AS s FROM dsh)),
        |inter AS (
        |  SELECT c.doc_a, c.doc_b, ea.n AS n_a, eb.n AS n_b, COUNT(*) AS inter
        |  FROM cand c
@@ -488,6 +490,12 @@ object TextAnalysis {
       .select(col("doc_id"),
         explode(Text.wordShingles(col("__toks"), 3)).as("s"))
       .persist()
+    // fill the cache EAGERLY: this relation feeds four AQE shuffle
+    // branches (signatures, both band sides, the distinct-shingle
+    // verify side) which materialize concurrently — with a lazy
+    // persist each raced to compute the uncached tokenize+shingle
+    // chain (event log showed the Generate subtree in four stages)
+    shingled.count()
     val hashed = shingled.select(col("doc_id") +:
       (0 until K).map(i => Text.hash60(concat(lit(s"$i:"), col("s"))).as(s"h_$i")): _*)
     val sigDf = hashed.groupBy(col("doc_id"))
@@ -504,12 +512,19 @@ object TextAnalysis {
       .distinct()
     val distinctSh = shingled.distinct()
     val sizes = distinctSh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // the verify join carries the candidate-pair × shingle fan-out
+    // (the query's hottest shuffle, 209 CPU-s at sf0.1 when keyed by
+    // raw 3-gram STRINGS): key it by the 60-bit md5 instead — the
+    // shuffle/sort compares int64s, and the oracle CTE hashes with the
+    // same md5 so any collision (p ≈ |sh|²/2⁶⁰) is shared bit-for-bit
     val dsh = distinctSh.join(sizes, "doc_id")
-    val ea = dsh.select(col("doc_id").as("doc_a"), col("n").as("n_a"), col("s"))
+      .select(col("doc_id"), col("n"), Text.hash60(col("s")).as("sh60"))
+    val ea = dsh.select(col("doc_id").as("doc_a"), col("n").as("n_a"),
+      col("sh60"))
     val eb = dsh.select(col("doc_id").as("doc_b2"), col("n").as("n_b"),
-      col("s").as("s_b"))
+      col("sh60").as("sh60b"))
     val stats = cand.join(ea, "doc_a")
-      .join(eb, col("doc_b") === col("doc_b2") && col("s") === col("s_b"))
+      .join(eb, col("doc_b") === col("doc_b2") && col("sh60") === col("sh60b"))
       .groupBy("doc_a", "doc_b", "n_a", "n_b")
       .agg(count(lit(1)).as("inter"))
     (stats, shingled)
