@@ -199,6 +199,44 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     }
   }
 
+  test("explicit bloom pre-filter is sound (no false negatives) and prunes") {
+    // q_bloom_prune's mechanism in isolation: dim keys → bloom sketch
+    // (scalar subquery) → map-side fact pre-filter. Soundness: the
+    // pre-filtered set must contain EVERY true match; effectiveness:
+    // with 10 dim keys out of 1000, the vast majority of fact rows must
+    // die before the join.
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_agg",
+      exprs => new BloomFilterAggregate(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_might_contain",
+      exprs => BloomFilterMightContain(exprs(0), exprs(1)), "built-in")
+    (1L to 10000L).map(i => (i, i % 1000)).toDF("row_id", "key")
+      .createOrReplaceTempView("bloom_fact")
+    (0L to 9L).toDF("key").createOrReplaceTempView("bloom_dim")
+    try {
+      val pre = spark.sql(
+        """SELECT * FROM bloom_fact f
+          |WHERE graft_might_contain(
+          |  (SELECT graft_bloom_agg(xxhash64(key)) FROM bloom_dim),
+          |  xxhash64(f.key))""".stripMargin)
+      val exact = spark.sql(
+        """SELECT * FROM bloom_fact f
+          |WHERE key IN (SELECT key FROM bloom_dim)""".stripMargin)
+      val preKeys = pre.select("row_id").as[Long].collect().toSet
+      val exactKeys = exact.select("row_id").as[Long].collect().toSet
+      assert(exactKeys.subsetOf(preKeys), "bloom dropped a true match")
+      assert(exactKeys.nonEmpty)
+      // 1% true selectivity; allow generous false-positive slack
+      assert(preKeys.size < 2000, s"bloom barely pruned: ${preKeys.size}")
+    } finally {
+      spark.catalog.dropTempView("bloom_fact")
+      spark.catalog.dropTempView("bloom_dim")
+    }
+  }
+
   test("hive-partitioned layout prunes partitions at planning time") {
     // at 100 TB the events table would be laid out
     // events/event_type=X/date=Y/...; a filter on the partition column
