@@ -1408,6 +1408,113 @@ object TextAnalysis {
     materialized(result, h)
   }
 
+  // PMI collocations — the classic lexical-association statistic
+  // (Church & Hanks 1990): for each adjacent token pair,
+  // pmi = ln(p(ab) / (p(a)·p(b))). The corpus-wide unigram and bigram
+  // counts are two map-side-combined hash aggregates over ONE persisted
+  // tokenization; the totals are 1-row broadcasts; the vocabulary joins
+  // broadcast (a vocabulary fits an executor even when the corpus does
+  // not). The ln argument is assembled as a single exact-integer
+  // quotient (counts ≪ 2^53, so both engines divide the same two exact
+  // doubles), and pmi is rounded to 6 decimals BEFORE the rank so the
+  // top-25 cut cannot flip on a ulp. Min support n ≥ 5 keeps the
+  // statistic out of the noise floor, as in the original formulation.
+  val pmiCollocations: QueryDef = QueryDef.sql("q_pmi_collocations")(
+    s"""WITH base0 AS (SELECT $toksSql AS toks FROM documents),
+       |base AS (SELECT toks FROM base0 WHERE len(toks) >= 2),
+       |uni AS (SELECT UNNEST(toks) AS t FROM base),
+       |uc AS (SELECT t, COUNT(*) AS c FROM uni GROUP BY t),
+       |nu AS (SELECT COUNT(*) AS n_uni FROM uni),
+       |p AS (SELECT UNNEST(list_transform(range(1, len(toks)),
+       |        i -> toks[i] || ' ' || toks[i + 1])) AS pair FROM base),
+       |bc AS (SELECT pair, COUNT(*) AS n FROM p GROUP BY pair),
+       |nb AS (SELECT COUNT(*) AS n_bi FROM p)
+       |SELECT pair, n,
+       |  ROUND(LN(CAST(n * n_uni * n_uni AS DOUBLE) / (n_bi * ua.c * ub.c)), 6) AS pmi
+       |FROM bc CROSS JOIN nu CROSS JOIN nb
+       |JOIN uc ua ON ua.t = split_part(pair, ' ', 1)
+       |JOIN uc ub ON ub.t = split_part(pair, ' ', 2)
+       |WHERE n >= 5
+       |ORDER BY pmi DESC, pair LIMIT 25""".stripMargin) { (s, dir) =>
+    val base = docs(s, dir).select(Text.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .persist()
+    val uni = base.select(explode(col("toks")).as("t"))
+    val uc = uni.groupBy("t").agg(count(lit(1)).as("c"))
+    val nu = uni.agg(count(lit(1)).as("n_uni"))
+    val bi = base.select(explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (a, b) => struct(a.as("a"), b.as("b")))).as("pr"))
+      .select(col("pr.a").as("a"), col("pr.b").as("b"))
+    val bc = bi.groupBy("a", "b").agg(count(lit(1)).as("n"))
+    val nb = bi.agg(count(lit(1)).as("n_bi"))
+    val res = bc.filter(col("n") >= 5)
+      .join(broadcast(uc.select(col("t").as("a"), col("c").as("ca"))), Seq("a"))
+      .join(broadcast(uc.select(col("t").as("b"), col("c").as("cb"))), Seq("b"))
+      .crossJoin(broadcast(nu))
+      .crossJoin(broadcast(nb))
+      .select(
+        concat(col("a"), lit(" "), col("b")).as("pair"),
+        col("n"),
+        round(
+          log((col("n") * col("n_uni") * col("n_uni")).cast("double") /
+            (col("n_bi") * col("ca") * col("cb"))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("pair")).limit(25)
+    materialized(res, base)
+  }
+
+  // Per-source distribution drift: KL(P_source ‖ P_corpus) over unigram
+  // distributions — the mixture-monitoring statistic a training pipeline
+  // watches when a new crawl/source lands (is this slice lexically like
+  // the corpus, or did the mix shift?). Every count is one hash
+  // aggregate over a single persisted tokenization; the vocabulary join
+  // broadcasts; each KL term is p·ln(p/q) assembled as exact-integer
+  // quotients (counts ≪ 2^53), and the per-source sum is a token-ordered
+  // IEEE fold so partitioning can never reorder the addition. Sources
+  // whose every token matches corpus frequency score ~0; drifted ones
+  // rank high.
+  val klDrift: QueryDef = QueryDef.sql("q_kl_drift")(
+    s"""WITH base AS (
+       |  SELECT source, UNNEST(toks) AS t
+       |  FROM (SELECT source, $toksSql AS toks FROM documents)),
+       |st AS (SELECT source, t, COUNT(*) AS c_st FROM base GROUP BY source, t),
+       |ns AS (SELECT source, COUNT(*) AS n_s FROM base GROUP BY source),
+       |gt AS (SELECT t, COUNT(*) AS c_t FROM base GROUP BY t),
+       |tot AS (SELECT COUNT(*) AS n_tot FROM base),
+       |terms AS (
+       |  SELECT st.source, st.t, ns.n_s,
+       |    (CAST(c_st AS DOUBLE) / n_s)
+       |      * LN(CAST(c_st * n_tot AS DOUBLE) / (n_s * c_t)) AS term
+       |  FROM st JOIN gt USING (t) JOIN ns USING (source) CROSS JOIN tot)
+       |SELECT source, MAX(n_s) AS n_tokens,
+       |  ROUND(list_reduce(list_prepend(0.0, list(term ORDER BY t)),
+       |    (a, b) -> a + b), 6) AS kl
+       |FROM terms GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+    val tok = docs(s, dir)
+      .select(col("source"), explode(Text.tokens(col("text"))).as("t"))
+      .persist()
+    val st = tok.groupBy("source", "t").agg(count(lit(1)).as("c_st"))
+    val ns = tok.groupBy("source").agg(count(lit(1)).as("n_s"))
+    val gt = tok.groupBy("t").agg(count(lit(1)).as("c_t"))
+    val nTot = tok.agg(count(lit(1)).as("n_tot"))
+    val terms = st
+      .join(broadcast(gt), Seq("t"))
+      .join(broadcast(ns), Seq("source"))
+      .crossJoin(broadcast(nTot))
+      .withColumn("term",
+        (col("c_st").cast("double") / col("n_s")) *
+          log((col("c_st") * col("n_tot")).cast("double") /
+            (col("n_s") * col("c_t"))))
+      .withColumn("rank",
+        row_number().over(Window.partitionBy("source").orderBy("t")))
+    val res = terms.groupBy("source")
+      .agg(max(col("n_s")).as("n_tokens"),
+        round(foldOrdered(col("term")), 6).as("kl"))
+      .orderBy("source")
+    materialized(res, tok)
+  }
+
   val all: Seq[QueryDef] = Seq(
     tokenCount, langId, qualityScore, fingerprint, dedupExact,
     minhashSig, minhashPairs, minhashVerified, ngramJaccard, simhash,
@@ -1415,5 +1522,5 @@ object TextAnalysis {
     minhashJaccardEst, tokenEntropy, bpePairs, dedupIncremental,
     dupNgramSpans, tfidfRetrieval, bm25Retrieval, bigramLm, perplexityBuckets,
     qualityLogit, zipfFit, streamDedupLsh, bpeMergeRound, bpeMergeRound2,
-    substringScrub)
+    substringScrub, pmiCollocations, klDrift)
 }
