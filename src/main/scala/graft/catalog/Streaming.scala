@@ -555,10 +555,44 @@ object Streaming {
       .orderBy("event_type", "day")
   }
 
+  // Stream-stream LEFT SEMI join — the remaining join type Structured
+  // Streaming supports (inner/left outer live above; left anti is not a
+  // streaming-supported type). "Purchases preceded by a click within an
+  // hour": a purchase emits AT MOST ONCE, as soon as any qualifying
+  // click is seen, and the matched-state marker prevents re-emission on
+  // later matches; both sides are watermarked with an event-time bound
+  // so join state evicts. The oracle is EXISTS — exactly the at-most-
+  // once emission semantics — so the hash verifies the join type, not
+  // just the pairing.
+  val streamSemiJoin: QueryDef = QueryDef.sql("q_stream_semi_join")(
+    """SELECT p.event_id AS purchase_id, p.user_id
+      |FROM events p WHERE p.event_type = 'purchase' AND EXISTS (
+      |  SELECT 1 FROM events c
+      |  WHERE c.event_type = 'click' AND c.user_id = p.user_id
+      |    AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts)
+      |ORDER BY purchase_id""".stripMargin) { (s, dir) =>
+    val src = Ingest.eventsStream(s, dir)
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "2 hours")
+    val joined = purchases.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"),
+      "left_semi")
+    Ingest.runToMemory(joined.select("purchase_id", "user_id"))
+      .orderBy("purchase_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     streamIngestJson, streamIngestDsv, streamWindowHourly, sinkUpsert,
     sinkUpsertDelta, sinkRoute, streamStreamJoin, streamDedup,
     streamSessionWindow, streamTwsSummary, streamLeftOuter, streamChainedAgg,
     streamLateDrop, streamStaticJoin, streamSessionTimers, streamMapStateCounts,
-    streamIncremental)
+    streamIncremental, streamSemiJoin)
 }
