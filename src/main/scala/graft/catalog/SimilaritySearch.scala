@@ -675,8 +675,75 @@ object SimilaritySearch {
     }
   }
 
+  // Hybrid retrieval via reciprocal-rank fusion (Cormack et al. 2009):
+  // the standard way modern search stacks combine a lexical ranker with
+  // a dense one. The BM25 top-20 (shared relation with
+  // q_bm25_retrieval — the lexical scorer literally cannot drift
+  // between the plain and hybrid retrievers) and the cosine top-20 are
+  // full-outer-joined per (query, doc); each side contributes
+  // 1/(60 + rank), a missing side contributes 0. RRF works on RANKS,
+  // not scores, so the two retrievers' incomparable score scales never
+  // touch — only two exact-integer reciprocals and one fixed-order sum
+  // cross the hash. Fusion is rank-domain algebra over two top-k
+  // relations (k rows per query each), so its cost is negligible next
+  // to the retrievers it fuses — the scale path is theirs.
+  val rrfFusion: QueryDef = QueryDef.sql("q_rrf_fusion")(
+    s"""WITH ${TextAnalysis.bm25RankedCte},
+       |n AS ($normedSql),
+       |dq AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM n WHERE vec_id < 5),
+       |ds AS (SELECT query_id, n.vec_id AS doc_id,
+       |         list_dot_product(qv, v) / (qnrm * nrm) AS cosine
+       |       FROM dq CROSS JOIN n WHERE n.vec_id <> query_id),
+       |dr AS (SELECT query_id, doc_id, ROW_NUMBER() OVER
+       |        (PARTITION BY query_id ORDER BY cosine DESC, doc_id) AS drnk FROM ds),
+       |lex AS (SELECT query_id, doc_id, rnk AS lrnk FROM bm25r WHERE rnk <= 20),
+       |den AS (SELECT query_id, doc_id, drnk FROM dr WHERE drnk <= 20),
+       |fused AS (
+       |  SELECT COALESCE(lex.query_id, den.query_id) AS query_id,
+       |    COALESCE(lex.doc_id, den.doc_id) AS doc_id,
+       |    ROUND(COALESCE(CAST(1 AS DOUBLE) / (60 + lrnk), 0)
+       |        + COALESCE(CAST(1 AS DOUBLE) / (60 + drnk), 0), 6) AS rrf
+       |  FROM lex FULL OUTER JOIN den
+       |    ON lex.query_id = den.query_id AND lex.doc_id = den.doc_id),
+       |fr AS (SELECT *, ROW_NUMBER() OVER
+       |  (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rnk FROM fused)
+       |SELECT query_id, doc_id, rrf, rnk FROM fr WHERE rnk <= 10
+       |ORDER BY query_id, rnk""".stripMargin) { (s, dir) =>
+    val (bm25, tok) = TextAnalysis.bm25Ranked(s, dir)
+    val lex = bm25.filter(col("rnk") <= 20)
+      .select(col("query_id").as("l_q"), col("doc_id").as("l_d"),
+        col("rnk").as("lrnk"))
+    val n = normed(s, dir)
+    val dq = n.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
+    val ds = broadcast(dq).crossJoin(n)
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        Vectors.cosine(col("qv"), col("v"), col("qnrm"), col("nrm")).as("cosine"))
+    val dw = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("doc_id"))
+    val den = ds.withColumn("drnk", row_number().over(dw))
+      .filter(col("drnk") <= 20)
+      .select(col("query_id").as("d_q"), col("doc_id").as("d_d"), col("drnk"))
+    val fused = lex.join(den,
+        col("l_q") === col("d_q") && col("l_d") === col("d_d"), "full_outer")
+      .select(
+        coalesce(col("l_q"), col("d_q")).as("query_id"),
+        coalesce(col("l_d"), col("d_d")).as("doc_id"),
+        round(
+          coalesce(lit(1).cast("double") / (lit(60) + col("lrnk")), lit(0.0)) +
+            coalesce(lit(1).cast("double") / (lit(60) + col("drnk")), lit(0.0)),
+          6).as("rrf"))
+    val fw = Window.partitionBy("query_id").orderBy(col("rrf").desc, col("doc_id"))
+    val res = fused.withColumn("rnk", row_number().over(fw))
+      .filter(col("rnk") <= 10)
+      .select("query_id", "doc_id", "rrf", "rnk")
+      .orderBy("query_id", "rnk")
+    graft.core.Spill.materialize(res) { tok.unpersist(blocking = false) }
+  }
+
   val all: Seq[QueryDef] = Seq(
     embedNorm, embedTopk, embedNearDup, annIvf, annIvfProbe2, annIvfKmeans, annLsh,
     embedNearDupLsh, embedOutlier, vecQuantize, pqCodes, semanticDedup,
-    embedTruncatedRecall)
+    embedTruncatedRecall, rrfFusion)
 }

@@ -1129,8 +1129,14 @@ object TextAnalysis {
   // (doc_id, term, tf) shuffle once on term; queries, idf, and the
   // global (N, avgdl) row broadcast; per-doc length joins on doc_id —
   // no O(n²) anywhere.
-  val bm25Retrieval: QueryDef = QueryDef.sql("q_bm25_retrieval")(
-    s"""WITH base AS (SELECT doc_id, $toksSql AS toks FROM documents),
+  /** WITH-chain body ending at `bm25r(query_id, doc_id, score, rnk)` —
+    * the full BM25 ranking of the corpus for the query docs
+    * (doc_id < 5). Shared by q_bm25_retrieval and q_rrf_fusion so the
+    * lexical scorer cannot drift between the plain and hybrid
+    * retrievers; the Scala twin is [[bm25Ranked]].
+    */
+  private[catalog] val bm25RankedCte: String =
+    s"""base AS (SELECT doc_id, $toksSql AS toks FROM documents),
        |tok AS (SELECT doc_id, t, COUNT(*) AS tf
        |        FROM (SELECT doc_id, UNNEST(toks) AS t FROM base) u
        |        GROUP BY doc_id, t),
@@ -1150,10 +1156,14 @@ object TextAnalysis {
        |        round(list_reduce(list_prepend(0.0, list(term ORDER BY t)),
        |          (a, b) -> a + b), 6) AS score
        |       FROM m GROUP BY query_id, doc_id),
-       |r AS (SELECT *, ROW_NUMBER() OVER
-       |  (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk FROM sc)
-       |SELECT query_id, doc_id, score, rnk FROM r WHERE rnk <= 5
-       |ORDER BY query_id, rnk""".stripMargin) { (s, dir) =>
+       |bm25r AS (SELECT *, ROW_NUMBER() OVER
+       |  (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk FROM sc)""".stripMargin
+
+  /** Scala twin of [[bm25RankedCte]]: the full BM25 ranking
+    * `(query_id, doc_id, score, rnk)` plus the persisted term-frequency
+    * relation the caller must release (pass it to [[materialized]]).
+    */
+  private[catalog] def bm25Ranked(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val base = docs(s, dir).select(col("doc_id"), Text.tokens(col("text")).as("toks"))
     val tok = base.select(col("doc_id"), explode(col("toks")).as("t"))
       .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
@@ -1192,11 +1202,19 @@ object TextAnalysis {
           p => p.getField("term")),
         lit(0.0), (a, x) => a + x), 6).as("score"))
     val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))
-    val result = sc.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 5)
-      .select("query_id", "doc_id", "score", "rnk")
-      .orderBy("query_id", "rnk")
-    materialized(result, tok)
+    (sc.withColumn("rnk", row_number().over(w)), tok)
+  }
+
+  val bm25Retrieval: QueryDef = QueryDef.sql("q_bm25_retrieval")(
+    s"""WITH $bm25RankedCte
+       |SELECT query_id, doc_id, score, rnk FROM bm25r WHERE rnk <= 5
+       |ORDER BY query_id, rnk""".stripMargin) { (s, dir) =>
+    val (ranked, tok) = bm25Ranked(s, dir)
+    materialized(
+      ranked.filter(col("rnk") <= 5)
+        .select("query_id", "doc_id", "score", "rnk")
+        .orderBy("query_id", "rnk"),
+      tok)
   }
 
   // Bigram language-model scoring — per-document mean log-probability
