@@ -504,9 +504,52 @@ object Analytics {
       .orderBy("cohort_day", "day_offset")
   }
 
+  // OHLC downsampling — the classic time-series bar aggregation: per
+  // (event_type, hour), the time-ordered first/last value plus range
+  // and volume. First/last are rank-1 picks over an explicit
+  // (ts, event_id) window order (same discipline as q_arg_extremes:
+  // native first()/arg_min tie-breaking is engine-defined, the window
+  // is not); everything else is a plain hash aggregate. Windows
+  // partition by (type, hour) — high-cardinality keys that scale with
+  // the data, never a global sort.
+  val ohlcHourly: QueryDef = QueryDef.sql("q_ohlc_hourly")(
+    """WITH r AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS hr, value,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+      |      ORDER BY ts, event_id) AS rfirst,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+      |      ORDER BY ts DESC, event_id DESC) AS rlast
+      |  FROM events)
+      |SELECT event_type, hr,
+      |  MAX(CASE WHEN rfirst = 1 THEN value END) AS open_v,
+      |  MAX(value) AS high_v, MIN(value) AS low_v,
+      |  MAX(CASE WHEN rlast = 1 THEN value END) AS close_v,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume
+      |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    val base = Tables.events(s, dir)
+      .withColumn("hr", date_trunc("hour", col("ts")))
+    val wf = Window.partitionBy("event_type", "hr")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val wl = Window.partitionBy("event_type", "hr")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    base
+      .withColumn("rfirst", row_number().over(wf))
+      .withColumn("rlast", row_number().over(wl))
+      .groupBy("event_type", "hr")
+      .agg(
+        max(when(col("rfirst") === 1, col("value"))).as("open_v"),
+        max(col("value")).as("high_v"),
+        min(col("value")).as("low_v"),
+        max(when(col("rlast") === 1, col("value"))).as("close_v"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("volume"))
+      .orderBy("event_type", "hr")
+  }
+
   val all: Seq[QueryDef] = Seq(
     semiJoin, antiJoin, outerJoin, distinctUsers, rollupCounts, occupancyRate,
     runningSum, eventGaps, sessionize, valueQuartiles, valueHistogram,
     trailingWindow, dashboardTiles, percentiles, percentilesHist, groupingSets, gapFill,
-    rankFuncs, rangeFrame, ewma, eventFunnel, cohortRetention)
+    rankFuncs, rangeFrame, ewma, eventFunnel, cohortRetention, ohlcHourly)
 }
