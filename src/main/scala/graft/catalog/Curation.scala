@@ -460,8 +460,14 @@ object Curation {
   // shingle set is tiny → broadcast; the corpus side aggregates its own
   // shingles once — the decontamination join every serious training
   // pipeline runs before a data release.
-  val contamination: QueryDef = QueryDef.sql("q_contamination")(
-    s"""WITH base AS (SELECT doc_id, $toksSql AS toks FROM documents),
+  /** WITH-chain body ending at `agg(doc_id, n_shingles, n_contaminated)`
+    * — per-train-doc distinct-3-gram overlap vs the benchmark set.
+    * Shared by q_contamination (the report) and q_decontaminate (the
+    * delete) so the two cannot drift; the Scala twin is
+    * [[contaminationAgg]].
+    */
+  private val contaminationAggCte: String =
+    s"""base AS (SELECT doc_id, $toksSql AS toks FROM documents),
        |sh AS (SELECT doc_id, UNNEST(list_transform(generate_series(1, len(toks) - 2),
        |         i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS s
        |       FROM base WHERE len(toks) >= 3),
@@ -472,10 +478,10 @@ object Curation {
        |    CAST(SUM(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
        |      AS n_contaminated
        |  FROM dsh t LEFT JOIN bench b ON t.s = b.s
-       |  WHERE t.doc_id >= 10 GROUP BY t.doc_id)
-       |SELECT doc_id, n_shingles, n_contaminated,
-       |  n_contaminated / n_shingles AS contamination_ratio
-       |FROM agg ORDER BY doc_id""".stripMargin) { (s, dir) =>
+       |  WHERE t.doc_id >= 10 GROUP BY t.doc_id)""".stripMargin
+
+  /** Scala twin of [[contaminationAggCte]]. */
+  private def contaminationAgg(s: SparkSession, dir: String): DataFrame = {
     // ONE corpus pass: the train side left-joins the (tiny, broadcast)
     // benchmark shingle set and aggregates totals + hits together — the
     // three-branch formulation (hits join + totals + reconcile) would
@@ -495,8 +501,43 @@ object Curation {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"),
         sum(coalesce(col("__hit"), lit(0))).as("n_contaminated"))
+  }
+
+  val contamination: QueryDef = QueryDef.sql("q_contamination")(
+    s"""WITH $contaminationAggCte
+       |SELECT doc_id, n_shingles, n_contaminated,
+       |  n_contaminated / n_shingles AS contamination_ratio
+       |FROM agg ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    contaminationAgg(s, dir)
       .select(col("doc_id"), col("n_shingles"), col("n_contaminated"),
         (col("n_contaminated") / col("n_shingles")).as("contamination_ratio"))
+      .orderBy("doc_id")
+  }
+
+  // The DELETE twin of q_contamination — the decontamination step a
+  // corpus actually ships through: train docs whose distinct-3-gram
+  // benchmark overlap reaches 5% are dropped, the rest are emitted as
+  // the surviving corpus. The keep test is exact integer arithmetic
+  // (hits·20 ≥ total ⟺ ratio ≥ 0.05) so no float boundary can flip a
+  // doc; docs too short to shingle cannot be contaminated and survive
+  // via the anti join (absent from agg ⇒ not dropped). Shares
+  // [[contaminationAggCte]]/[[contaminationAgg]] with the report, so
+  // report and delete cannot disagree on what is contaminated.
+  val decontaminate: QueryDef = QueryDef.sql("q_decontaminate")(
+    s"""WITH $contaminationAggCte,
+       |dropped AS (SELECT doc_id FROM agg WHERE n_contaminated * 20 >= n_shingles)
+       |SELECT d.doc_id, d.lang, d.source, d.n_chars
+       |FROM documents d
+       |WHERE d.doc_id >= 10
+       |  AND d.doc_id NOT IN (SELECT doc_id FROM dropped)
+       |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+    val dropped = contaminationAgg(s, dir)
+      .filter(col("n_contaminated") * 20 >= col("n_shingles"))
+      .select("doc_id")
+    Tables.documents(s, dir)
+      .filter(col("doc_id") >= 10)
+      .join(dropped, Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "source", "n_chars")
       .orderBy("doc_id")
   }
 
@@ -1037,5 +1078,5 @@ object Curation {
     sampleStratified, docChunks, piiRedact, idfQuality, contamination,
     filterFunnel, domainMix, domainMixTemp, upsampleRepeat, chunkDedup,
     corpusDedup, sampleWeighted, packSequences, shardBalance,
-    tokenBudget, corpusDedupBest)
+    tokenBudget, corpusDedupBest, decontaminate)
 }

@@ -129,6 +129,32 @@ object Streaming {
       .orderBy("user_id")
   }
 
+  // Time travel over the log-structured upsert store: two upsert
+  // commits (the even-event_id half of the feed, then the odd half),
+  // then READ AS OF version 1 — the state the store held after the
+  // first commit, reconstructed from its immutable MANIFEST.v1 twin.
+  // The oracle is latest-per-key over the even half only: a time-travel
+  // read that leaked any second-commit row (or lost a first-commit one)
+  // breaks the hash.
+  val sinkUpsertDeltaAsof: QueryDef = QueryDef.sql("q_sink_upsert_delta_asof")(
+    """SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+      |  value AS last_value
+      |FROM (SELECT *, row_number() OVER
+      |        (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |      FROM events WHERE event_id % 2 = 0) t
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin) { (s, dir) =>
+    val store = new DeltaUpsertStore(uniqueDir("upsert_asof_"), "user_id",
+      Seq("ts", "event_id"))
+    require(store.healthCheck(), "sink preflight failed")  // K5
+    val ev = graft.core.Tables.events(s, dir)
+    store.upsert(ev.filter(col("event_id") % 2 === 0), 0)
+    store.upsert(ev.filter(col("event_id") % 2 =!= 0), 1)
+    store.readAt(s, 1)
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("event_type").as("last_event_type"), col("value").as("last_value"))
+      .orderBy("user_id")
+  }
+
   // K4: append sink with dynamic per-key index routing
   // (`room-{room}` → `type-{event_type}`), bulk partitioned writes.
   val sinkRoute: QueryDef = QueryDef.sql("q_sink_route")(
@@ -398,14 +424,16 @@ object Streaming {
         .agg(count(lit(1)).as("n"))
         .select(unix_timestamp(col("window.start")).as("win_start"),
           col("event_type"), col("n"))
-      val q = agg.writeStream
-        .foreachBatch((b: org.apache.spark.sql.Dataset[Row], _: Long) =>
-          b.write.mode("append").parquet(outDir))
-        .outputMode("append")
-        .option("checkpointLocation", chk)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      Ingest.withStatePartitions(s) {
+        val q = agg.writeStream
+          .foreachBatch((b: org.apache.spark.sql.Dataset[Row], _: Long) =>
+            b.write.mode("append").parquet(outDir))
+          .outputMode("append")
+          .option("checkpointLocation", chk)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
     }
     writeBatch(ev.filter(!isLate), "b0")
     runPass()  // commits with watermark = max - 1h; closed windows emit
@@ -527,18 +555,20 @@ object Streaming {
           expr("unix_micros(ts) div 86400000000").as("day"))
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast(DecimalType(18, 2))).as("sum_dec"))
-      val q = agg.writeStream
-        .foreachBatch { (b: org.apache.spark.sql.Dataset[Row], id: Long) =>
-          // update mode emits only the keys this batch changed; the
-          // store append is the upsert journal (last batch id wins)
-          if (!b.isEmpty)
-            b.withColumn("bid", lit(id)).write.mode("append").parquet(store)
-        }
-        .outputMode("update")
-        .option("checkpointLocation", chk)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      Ingest.withStatePartitions(s) {
+        val q = agg.writeStream
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[Row], id: Long) =>
+            // update mode emits only the keys this batch changed; the
+            // store append is the upsert journal (last batch id wins)
+            if (!b.isEmpty)
+              b.withColumn("bid", lit(id)).write.mode("append").parquet(store)
+          }
+          .outputMode("update")
+          .option("checkpointLocation", chk)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
     }
     writeBatch(ev.filter(unix_micros(col("ts")) < split), "b0")
     runPass()  // history: batch 0 from a fresh checkpoint
@@ -594,5 +624,5 @@ object Streaming {
     sinkUpsertDelta, sinkRoute, streamStreamJoin, streamDedup,
     streamSessionWindow, streamTwsSummary, streamLeftOuter, streamChainedAgg,
     streamLateDrop, streamStaticJoin, streamSessionTimers, streamMapStateCounts,
-    streamIncremental, streamSemiJoin)
+    streamIncremental, streamSemiJoin, sinkUpsertDeltaAsof)
 }

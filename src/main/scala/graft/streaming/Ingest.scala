@@ -136,14 +136,40 @@ object Ingest {
     val chkRoot = java.nio.file.Paths.get("target", "checkpoints")
     java.nio.file.Files.createDirectories(chkRoot)  // cwd-independent
     val chk = java.nio.file.Files.createTempDirectory(chkRoot, "chk_").toString
-    val q = df.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(mode)
-      .option("checkpointLocation", chk)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // State sizing: every stateful operator keeps one state store per
+    // shuffle partition PER STORE KIND (a stream-stream join holds four
+    // per partition), and each micro-batch pays a commit + maintenance
+    // round per store. The batch default (one partition per core) is
+    // the wrong shape for that fixed cost at this state volume, so
+    // streaming queries plan with a state-sized partition count and the
+    // batch value is restored after the run. The count is pinned into
+    // the query's checkpoint at creation (state is not repartitionable),
+    // so resumed runs — e.g. q_stream_late_drop's second wave — keep it
+    // automatically. A deployment sizes this to state volume via
+    // spark.graft.stream.statePartitions.
+    withStatePartitions(spark) {
+      val q = df.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", chk)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(name)
+  }
+
+  /** Run `body` (a streaming query start + awaitTermination) with
+    * `spark.sql.shuffle.partitions` set to the streaming state size,
+    * restoring the batch value after — see the sizing note in
+    * [[runToMemory]].
+    */
+  def withStatePartitions[T](spark: SparkSession)(body: => T): T = {
+    val batchParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      spark.conf.getOption("spark.graft.stream.statePartitions").getOrElse("8"))
+    try body
+    finally spark.conf.set("spark.sql.shuffle.partitions", batchParts)
   }
 }

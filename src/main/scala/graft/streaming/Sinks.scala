@@ -106,6 +106,11 @@ final class UpsertParquetStore(root: String, keyCol: String, orderCols: Seq[Stri
   * segment list, never a partial one. Compaction GC keeps superseded
   * segments until the NEXT commit so in-flight readers of the previous
   * manifest finish cleanly.
+  *
+  * Every commit also writes an immutable `MANIFEST.v<n>` twin, so the
+  * store supports time travel ([[readAt]]) back to any version whose
+  * segments compaction GC has not yet reclaimed — the Delta/Iceberg
+  * snapshot-read pattern with the same retention caveat as VACUUM.
   */
 final class DeltaUpsertStore(root: String, keyCol: String, orderCols: Seq[String])
     extends IndexStore {
@@ -135,7 +140,30 @@ final class DeltaUpsertStore(root: String, keyCol: String, orderCols: Seq[String
     else Seq.empty
   }
 
+  private def versionPath(v: Long) =
+    java.nio.file.Paths.get(s"$root/MANIFEST.v$v")
+
+  /** Committed versions, ascending (1-based, one per commit). */
+  def versions(): Seq[Long] =
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .map(_.getName).filter(_.startsWith("MANIFEST.v"))
+      .flatMap(_.drop("MANIFEST.v".length).toLongOption)
+      .sorted.toSeq
+
+  private var verCounter = -1L
+
+  private def nextVersion(): Long = synchronized {
+    if (verCounter < 0) verCounter = versions().foldLeft(0L)(math.max)
+    verCounter += 1
+    verCounter
+  }
+
   private def commit(segments: Seq[String]): Unit = {
+    // versioned twin FIRST (time-travel history is complete even if the
+    // flip below is lost to a crash — an orphan version that never
+    // became current is harmless), then the atomic current-pointer flip
+    java.nio.file.Files.writeString(versionPath(nextVersion()),
+      segments.mkString("\n"))
     val tmp = java.nio.file.Paths.get(s"$root/MANIFEST.tmp")
     java.nio.file.Files.writeString(tmp, segments.mkString("\n"))
     java.nio.file.Files.move(tmp, java.nio.file.Paths.get(s"$root/MANIFEST"),
@@ -164,8 +192,31 @@ final class DeltaUpsertStore(root: String, keyCol: String, orderCols: Seq[String
   }
 
   /** Merged view: global orderCols max per key across segments. */
-  override def read(spark: SparkSession): DataFrame = {
-    val segs = manifest()
+  override def read(spark: SparkSession): DataFrame =
+    mergedView(spark, manifest())
+
+  /** Time travel: the merged view as of `version` (from [[versions]]).
+    * Valid while the version's segments survive compaction GC —
+    * superseded segments are deleted one compaction AFTER they leave the
+    * current manifest (the in-flight-reader grace), so history older
+    * than that is gone, VACUUM-style; a stale version fails loudly here
+    * rather than returning a partial state.
+    */
+  def readAt(spark: SparkSession, version: Long): DataFrame = {
+    val p = versionPath(version)
+    require(java.nio.file.Files.exists(p),
+      s"unknown version $version (have: ${versions().mkString(",")})")
+    val segs = java.nio.file.Files.readAllLines(p)
+      .toArray(Array.empty[String]).toSeq.filter(_.nonEmpty)
+    segs.foreach { seg =>
+      require(new java.io.File(s"$root/$seg").isDirectory,
+        s"version $version references segment $seg, GC'd by compaction — " +
+          "history beyond the retention window is not readable")
+    }
+    mergedView(spark, segs)
+  }
+
+  private def mergedView(spark: SparkSession, segs: Seq[String]): DataFrame = {
     if (segs.isEmpty) spark.emptyDataFrame
     else {
       val tagged = segs.zipWithIndex.map { case (seg, i) =>

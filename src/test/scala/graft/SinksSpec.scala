@@ -65,4 +65,31 @@ class SinksSpec extends AnyFunSuite {
     store.compact(spark)
     assert(state() == Seq(("413", "b"), ("644", "d"), ("999", "z")))
   }
+
+  test("K3 delta store: time travel reads each committed version until GC") {
+    val store = new DeltaUpsertStore(tmp("delta_tt_"), "room", Seq("ts"))
+    assert(store.healthCheck())
+    store.upsert(Seq(("413", 1L, "a")).toDF("room", "ts", "v"), 0)
+    store.upsert(Seq(("413", 2L, "b"), ("644", 1L, "c")).toDF("room", "ts", "v"), 1)
+    store.upsert(Seq(("644", 5L, "d")).toDF("room", "ts", "v"), 2)
+    assert(store.versions() == Seq(1L, 2L, 3L))
+    def at(v: Long) = store.readAt(spark, v).orderBy("room")
+      .collect().map(r => (r.getString(0), r.getString(2))).toSeq
+    assert(at(1) == Seq(("413", "a")))
+    assert(at(2) == Seq(("413", "b"), ("644", "c")))
+    assert(at(3) == Seq(("413", "b"), ("644", "d")))
+    // the latest version IS the current read
+    assert(at(3) == store.read(spark).orderBy("room")
+      .collect().map(r => (r.getString(0), r.getString(2))).toSeq)
+    intercept[IllegalArgumentException] { store.readAt(spark, 99) }
+    // compaction 1 folds to a base but keeps the old segments for
+    // in-flight readers — all history still readable
+    store.compact(spark)
+    assert(at(1) == Seq(("413", "a")))
+    // an upsert + compaction 2 GC the pre-fold segments: history beyond
+    // the retention window fails LOUDLY, never a partial state
+    store.upsert(Seq(("999", 9L, "z")).toDF("room", "ts", "v"), 3)
+    store.compact(spark)
+    intercept[IllegalArgumentException] { store.readAt(spark, 1) }
+  }
 }
