@@ -547,9 +547,31 @@ object Analytics {
       .orderBy("event_type", "hr")
   }
 
+  // Rolling exact median — the robust trailing statistic (median is
+  // outlier-proof where the running mean is not). The frame is a FIXED
+  // 100 rows, so per-row cost is O(frame), not O(partition): the window
+  // partitions by event_type (scales with data) and the frame bound is
+  // a constant — at 100 TB this stays a linear pass, unlike an
+  // unbounded exact-median window. Both engines interpolate the even
+  // frame's middle pair; rounding to 6 decimals absorbs the one-ulp
+  // interpolation difference (house float discipline).
+  val rollingMedian: QueryDef = QueryDef.sql("q_rolling_median")(
+    """SELECT event_id, event_type, value,
+      |  ROUND(median(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+      |    ROWS BETWEEN 99 PRECEDING AND CURRENT ROW), 6) AS med100
+      |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("event_type").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-99, 0)
+    Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"), col("value"),
+        round(percentile(col("value"), lit(0.5)).over(w), 6).as("med100"))
+      .orderBy("event_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     semiJoin, antiJoin, outerJoin, distinctUsers, rollupCounts, occupancyRate,
     runningSum, eventGaps, sessionize, valueQuartiles, valueHistogram,
     trailingWindow, dashboardTiles, percentiles, percentilesHist, groupingSets, gapFill,
-    rankFuncs, rangeFrame, ewma, eventFunnel, cohortRetention, ohlcHourly)
+    rankFuncs, rangeFrame, ewma, eventFunnel, cohortRetention, ohlcHourly,
+    rollingMedian)
 }

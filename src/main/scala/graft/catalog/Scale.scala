@@ -685,8 +685,44 @@ object Scale {
     }
   }
 
+  // Incremental view maintenance for a JOIN — the delta algebra
+  // Δ(A⋈B) = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB. The standing materialization
+  // (base⋈base) is READ FROM STORAGE, never recomputed; the refresh
+  // joins each (small) delta against the other side with the delta
+  // broadcast, so refresh cost scales with the deltas, not the base —
+  // the reason IVM exists at 100 TB. The four quadrant joins partition
+  // the full join exactly (the splits are disjoint), so the refreshed
+  // view is row-identical to recomputing from scratch: the oracle is
+  // the plain full-table join.
+  val ivmJoin: QueryDef = QueryDef.sql("q_ivm_join")(
+    """SELECT o.o_orderkey AS okey, l.l_linenumber AS lnum,
+      |  o.o_totalprice, l.l_quantity, l.l_extendedprice
+      |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |ORDER BY okey, lnum""".stripMargin) { (s, dir) =>
+    val o = Tables.orders(s, dir)
+    val l = Tables.lineitem(s, dir)
+    // independent splits: a delta row on one side must still join base
+    // AND delta rows of the other — pmod 5 vs 7 exercises all quadrants
+    val baseO = o.filter(pmod(col("o_orderkey"), lit(5)) =!= 0)
+    val dO = o.filter(pmod(col("o_orderkey"), lit(5)) === 0)
+    val baseL = l.filter(pmod(col("l_orderkey"), lit(7)) =!= 0)
+    val dL = l.filter(pmod(col("l_orderkey"), lit(7)) === 0)
+    def j(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+      a.join(b, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderkey").as("okey"), col("l_linenumber").as("lnum"),
+          col("o_totalprice"), col("l_quantity"), col("l_extendedprice"))
+    val mv = s"target/tmp/q_ivm_join-${java.util.UUID.randomUUID().toString.take(8)}"
+    graft.core.Spill.track(mv)
+    j(baseO, baseL).write.mode("overwrite").parquet(mv) // the standing MV
+    s.read.parquet(mv)
+      .unionByName(j(broadcast(dO), baseL))
+      .unionByName(j(baseO, broadcast(dL)))
+      .unionByName(j(broadcast(dO), broadcast(dL)))
+      .orderBy("okey", "lnum")
+  }
+
   val all: Seq[QueryDef] = Seq(
     globalRownum, saltedJoin, sourceOrc, sourceJson, windowFuncs2, bitwiseAgg,
     corrExact, snapshotDiff, zorder, skewReport, incrAggMerge, bucketedJoin,
-    dqChecks, partitionBackfill, bloomPrune, columnProfile)
+    dqChecks, partitionBackfill, bloomPrune, columnProfile, ivmJoin)
 }
