@@ -621,19 +621,15 @@ object Scale {
   }
 
   // Column profiler — the first thing run against any new table at any
-  // scale: per-column null count, exact distinct count, and numeric
-  // range, in ONE scan. All per-column aggregates sit in a single
-  // Aggregate node (the multi-DISTINCT plan is Expand-based: the scan
-  // happens once and rows fan out ×k for the k distinct aggs — at
-  // 100 TB swap exact NDV for the HLL twin `q_approx_distinct_bound`
-  // pattern, same shape minus the Expand). The wide 1-row result is
-  // unpivoted driver-free via explode(array(struct…)). Timestamps
-  // profile on the epoch-micros axis; strings profile null/NDV only —
-  // counts and exact input values, so nothing float-unstable crosses
-  // the oracle hash.
+  // scale. The logic is the schema-driven [[graft.ops.Profiler]] (one
+  // Expand-based scan, driver-free unpivot; also the ProfileMain CLI),
+  // applied here to lineitem; the oracle restates each column's
+  // null/NDV/range rule explicitly, so the generic type dispatch is
+  // what the hash verifies. Counts and exact input values only —
+  // nothing float-unstable crosses the oracle hash.
   val columnProfile: QueryDef = {
     // (name, kind): num → min/max of the value; ts → min/max epoch-us;
-    // str → no numeric range
+    // str → no numeric range — mirrors Profiler.axis per column
     val profiled: Seq[(String, String)] = Seq(
       "l_orderkey" -> "num", "l_partkey" -> "num", "l_suppkey" -> "num",
       "l_linenumber" -> "num", "l_quantity" -> "num",
@@ -653,35 +649,7 @@ object Scale {
     }
     QueryDef.sql("q_column_profile")(
       oracleSelects.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")) { (s, dir) =>
-      val li = Tables.lineitem(s, dir)
-      val aggs = profiled.flatMap { case (c, kind) =>
-        val axis = kind match {
-          // parquet TIMESTAMP here reads as NTZ; sessions run UTC so the
-          // NTZ→instant cast is the identity epoch_us the oracle takes
-          case "ts" => unix_micros(col(c).cast("timestamp")).cast("double")
-          case _ => col(c).cast("double") // strings cast → handled below
-        }
-        Seq(
-          sum(col(c).isNull.cast("long")).as(s"${c}__nulls"),
-          countDistinct(col(c)).as(s"${c}__ndv")) ++
-          (if (kind == "str") Nil
-           else Seq(min(axis).as(s"${c}__min"), max(axis).as(s"${c}__max")))
-      }
-      val wide = li.agg(aggs.head, aggs.tail: _*)
-      val rows = profiled.map { case (c, kind) =>
-        val (mn, mx) =
-          if (kind == "str")
-            (lit(null).cast("double"), lit(null).cast("double"))
-          else (col(s"${c}__min"), col(s"${c}__max"))
-        struct(
-          lit(c).as("col_name"),
-          col(s"${c}__nulls").as("n_nulls"),
-          col(s"${c}__ndv").as("n_distinct"),
-          mn.as("min_num"), mx.as("max_num"))
-      }
-      wide.select(explode(array(rows: _*)).as("p"))
-        .select(col("p.*"))
-        .orderBy("col_name")
+      graft.ops.Profiler.profile(Tables.lineitem(s, dir))
     }
   }
 

@@ -198,3 +198,30 @@ object CurateMain {
     }
   }
 }
+
+/** Table profiler CLI: one-scan per-column null/NDV/range report for
+  * ANY parquet table — the `DESCRIBE`-on-steroids a data engineer runs
+  * first against an unfamiliar dataset. Logic lives in
+  * [[graft.ops.Profiler]] (shared with the `q_column_profile` catalog
+  * query, so CLI and library cannot drift).
+  *
+  * Usage: ProfileMain <parquetPath> [outDir]
+  * Prints one JSON line per column; with outDir also writes the profile
+  * as parquet.
+  */
+object ProfileMain {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: ProfileMain <parquetPath> [outDir]")
+    Mains.withSession("graft-profile") { spark =>
+      val prof = graft.ops.Profiler.profile(spark.read.parquet(args(0)))
+      val rows = prof.collect() // one row per COLUMN — driver-safe
+      rows.foreach { r =>
+        def num(i: Int) = if (r.isNullAt(i)) "null" else r.getDouble(i).toString
+        println(s"""{"col":"${r.getString(0)}","n_nulls":${r.getLong(1)},""" +
+          s""""n_distinct":${r.getLong(2)},"min":${num(3)},"max":${num(4)}}""")
+      }
+      args.lift(1).foreach(out =>
+        prof.write.mode("overwrite").parquet(s"$out/profile"))
+    }
+  }
+}

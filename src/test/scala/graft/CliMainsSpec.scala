@@ -78,4 +78,22 @@ class CliMainsSpec extends AnyFunSuite {
     assert(kept.groupBy("cluster_id").count()
       .filter(org.apache.spark.sql.functions.col("count") > 1).isEmpty)
   }
+
+  test("ProfileMain: schema-driven profile of an arbitrary parquet table") {
+    val out = tmp("cli_profile_")
+    graft.cli.ProfileMain.main(
+      Array("/root/testdata/sf0.001/orders.parquet", out))
+    val prof = spark.read.parquet(s"$out/profile")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.isNullAt(3))).toMap
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    // one row per column, numeric/timestamp columns carry a range,
+    // string columns do not, and NDV agrees with a direct count
+    assert(prof.keySet == orders.columns.toSet)
+    assert(!prof("o_orderkey")._3 && !prof("o_orderdate")._3)
+    assert(prof("o_orderstatus")._3)
+    val ndv = orders.select("o_orderstatus").distinct().count()
+    assert(prof("o_orderstatus")._2 == ndv)
+    assert(prof.values.forall(_._1 == 0L)) // no nulls in the test data
+  }
 }
