@@ -184,6 +184,102 @@ object Stateful {
   }
 
   // ------------------------------------------------------------------
+  // Streaming AS-OF join — the temporal join Structured Streaming has
+  // no built-in operator for: each purchase pairs with the user's most
+  // recent click at-or-before its event time. Event-time timers make it
+  // exact under out-of-order arrival: a purchase is emitted only once
+  // the watermark passes its timestamp — at that point every click with
+  // c_ts ≤ p_ts has either arrived or would be dropped as late, so the
+  // match is final (the same emission contract as append-mode session
+  // windows). State per user is bounded: pending purchases only until
+  // their timer fires, and of the clicks at-or-below the watermark only
+  // the LATEST survives — any older one can never win an as-of match
+  // for a future (> watermark) purchase.
+
+  final case class AsOfEvent(
+      user_id: Long, ts_us: Long, event_id: Long, kind: String,
+      ts: java.sql.Timestamp)
+  final case class AsOfMatch(
+      purchase_id: Long, user_id: Long, p_sec: Long, click_id: Option[Long])
+
+  final class AsOfTimerProcessor
+      extends StatefulProcessor[Long, AsOfEvent, AsOfMatch] {
+
+    private val tuple2 = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    // (ts_us, event_id) lists; purchases pending until their timer fires
+    @transient private var clicks: ListState[(Long, Long)] = _
+    @transient private var purchases: ListState[(Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      clicks = getHandle.getListState[(Long, Long)]("clicks", tuple2, TTLConfig.NONE)
+      purchases = getHandle.getListState[(Long, Long)]("purchases", tuple2, TTLConfig.NONE)
+    }
+
+    /** One timer per key at the earliest pending purchase; expiry
+      * re-checks against the actual watermark (same discipline as
+      * [[SessionTimerProcessor]]).
+      */
+    private def armTimer(pending: Seq[(Long, Long)],
+        expiredMs: Long = Long.MinValue): Unit = {
+      getHandle.listTimers().filter(_ != expiredMs).foreach(getHandle.deleteTimer)
+      if (pending.nonEmpty)
+        getHandle.registerTimer((pending.map(_._1).min + 999L) / 1000L)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[AsOfEvent],
+        timerValues: TimerValues): Iterator[AsOfMatch] = {
+      rows.foreach { e =>
+        if (e.kind == "p") purchases.appendValue((e.ts_us, e.event_id))
+        else clicks.appendValue((e.ts_us, e.event_id))
+      }
+      armTimer(purchases.get().toVector)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[AsOfMatch] = {
+      val wmUs = timerValues.getCurrentWatermarkInMs() * 1000L
+      val allClicks = clicks.get().toVector
+      val (emit, keep) = purchases.get().toVector.partition(_._1 <= wmUs)
+      purchases.clear()
+      keep.foreach(purchases.appendValue)
+      // click GC: of the clicks at-or-below the watermark only the
+      // latest can still win (every surviving purchase has p_ts > wm ≥
+      // their ts); clicks above the watermark all remain in play
+      val (old, live) = allClicks.partition(_._1 <= wmUs)
+      val kept = live ++ old.sortBy(c => (c._1, c._2)).lastOption
+      clicks.clear()
+      kept.foreach(clicks.appendValue)
+      armTimer(keep, expiredTimerInfo.getExpiryTimeInMs())
+      emit.sortBy(p => (p._1, p._2)).iterator.map { case (pTs, pid) =>
+        val best = allClicks.filter(_._1 <= pTs)
+          .sortBy(c => (c._1, c._2)).lastOption
+        AsOfMatch(pid, key, pTs / 1000000L, best.map(_._2))
+      }
+    }
+  }
+
+  /** Event-time as-of join (purchases ⟕ latest preceding click) through
+    * transformWithState timers.
+    */
+  def asOfViaTimers(events: DataFrame): Dataset[AsOfMatch] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.functions._
+    events
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"),
+        when(col("event_type") === "purchase", "p").otherwise("c").as("kind"),
+        col("ts"))
+      .withWatermark("ts", "1 hour")
+      .as[AsOfEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new AsOfTimerProcessor,
+        TimeMode.EventTime(), OutputMode.Append(),
+        implicitly[org.apache.spark.sql.Encoder[AsOfMatch]])
+  }
+
+  // ------------------------------------------------------------------
   // MapState — the third typed-state kind (with UserSummaryProcessor's
   // ValueState and SessionTimerProcessor's ListState this covers the
   // full transformWithState state surface): per-user map of

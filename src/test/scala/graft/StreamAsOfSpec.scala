@@ -1,0 +1,67 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.{Ingest, Stateful}
+
+/** Out-of-order streaming as-of join across REAL micro-batches.
+  *
+  * The catalog oracle (q_stream_asof_join) runs a single sorted batch;
+  * this spec drives AsOfTimerProcessor through three paced batches
+  * where (a) a better click for an already-seen purchase arrives in a
+  * LATER batch, (b) a purchase arrives out of order after a newer one,
+  * and (c) the final watermark leaves one event pending — the general
+  * event-time contract, not the happy path.
+  */
+class StreamAsOfSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(p: String) =
+    Files.createTempDirectory(Paths.get("target"), p).toString
+
+  // (user_id, event_id, event_type, t_seconds); wm delay = 1 h
+  private val batches: Seq[Seq[(Long, Long, String, Long)]] = Seq(
+    // batch 0: user 1 click + purchase; user 2 purchase with no click
+    Seq((1L, 1L, "click", 1000L), (1L, 100L, "purchase", 2000L),
+      (2L, 200L, "purchase", 1500L)),
+    // batch 1 (out of order, inside the watermark delay): a BETTER
+    // click for p100 (1800 ≤ 2000, newer than c1), and an older
+    // purchase p101 whose only valid match is c1 (c2's 1800 > 1500)
+    Seq((1L, 2L, "click", 1800L), (1L, 101L, "purchase", 1500L)),
+    // batch 2: user 9's click advances the watermark to 100000−3600 so
+    // every pending purchase flushes; the click itself emits nothing
+    Seq((9L, 900L, "click", 100000L)))
+
+  test("out-of-order batches: late better click, late purchase, watermark flush") {
+    val src = tmp("asof_src_")
+    batches.zipWithIndex.foreach { case (rows, b) =>
+      rows.toDF("user_id", "event_id", "event_type", "t")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          timestamp_seconds(col("t")).as("ts"))
+        .coalesce(1).write.parquet(s"$src/batch_$b")
+    }
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = spark.readStream
+        .schema("user_id LONG, event_id LONG, event_type STRING, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$src/*")
+      val out = Ingest.runToMemory(Stateful.asOfViaTimers(stream).toDF())
+        .orderBy("purchase_id")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3))))
+        .toSeq
+      assert(out == Seq(
+        (100L, 1L, 2000L, Some(2L)), // the batch-1 click c2 wins
+        (101L, 1L, 1500L, Some(1L)), // late purchase matches only c1
+        (200L, 2L, 1500L, None)))    // no preceding click → null
+    } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+}
