@@ -568,10 +568,89 @@ object Analytics {
       .orderBy("event_id")
   }
 
+  // Time-series similarity search (per the retrieved EDBT 2019 theme —
+  // distributed similarity search over streaming series): z-normalized
+  // Euclidean distance between a query window and every sliding window
+  // of the hourly event-count series, UCR-suite style. Windows
+  // materialize distributively — each hour explodes to the ≤24 windows
+  // containing it and the group-by reassembles (type, wstart) vectors —
+  // so the shuffle carries (series, window) keys, never a whole series
+  // per task. Window values are exact integer counts, so the
+  // mean/variance doubles are bit-identical cross-engine; only full
+  // (24-hour) non-constant windows compete; the distance folds in
+  // position order and rounds before the top-10 cut. The query window
+  // is itself derived in-query (first full purchase window ≥ 100 hours
+  // in), so the whole search is one declarative plan — at 100 TB the
+  // same shape handles per-metric fleets of series.
+  val tsSimilarity: QueryDef = QueryDef.sql("q_ts_similarity")(
+    """WITH hc AS (SELECT event_type, epoch_us(date_trunc('hour', ts)) // 3600000000 AS hidx,
+      |              COUNT(*) AS n
+      |            FROM events GROUP BY 1, 2),
+      |mem AS (SELECT event_type, hidx, n, UNNEST(generate_series(hidx - 23, hidx)) AS wstart FROM hc),
+      |w0 AS (SELECT event_type, wstart, COUNT(*) AS sup,
+      |         CAST(SUM(n) AS BIGINT) AS sx, CAST(SUM(n*n) AS BIGINT) AS sxx,
+      |         list_transform(list(struct_pack(p := hidx - wstart, v := n) ORDER BY hidx - wstart),
+      |           s -> CAST(s.v AS DOUBLE)) AS wv
+      |       FROM mem GROUP BY 1, 2),
+      |w AS (SELECT event_type, wstart, wv,
+      |        CAST(sx AS DOUBLE)/24 AS m,
+      |        CAST(sxx AS DOUBLE)/24 - (CAST(sx AS DOUBLE)/24)*(CAST(sx AS DOUBLE)/24) AS v
+      |      FROM w0 WHERE sup = 24),
+      |wz AS (SELECT event_type, wstart, wv, m, sqrt(v) AS sd FROM w WHERE v > 0),
+      |qs AS (SELECT MIN(wstart) AS qstart FROM wz, (SELECT MIN(hidx) AS h0 FROM hc)
+      |       WHERE event_type = 'purchase' AND wstart >= h0 + 100),
+      |q AS (SELECT wv AS qv, m AS qm, sd AS qsd FROM wz, qs
+      |      WHERE event_type = 'purchase' AND wstart = qstart),
+      |terms AS (SELECT event_type, wstart, i,
+      |            ((wv[i] - m)/sd - (qv[i] - qm)/qsd) * ((wv[i] - m)/sd - (qv[i] - qm)/qsd) AS term
+      |          FROM wz CROSS JOIN q CROSS JOIN generate_series(1, 24) AS t(i)),
+      |d AS (SELECT event_type, wstart,
+      |        ROUND(list_reduce(list_prepend(0.0, list(term ORDER BY i)), (a, b) -> a + b), 6) AS dist2
+      |      FROM terms GROUP BY 1, 2)
+      |SELECT event_type, wstart, dist2 FROM d
+      |ORDER BY dist2, event_type, wstart LIMIT 10""".stripMargin) { (s, dir) =>
+    val hc = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        expr("unix_micros(date_trunc('hour', ts)) div 3600000000").as("hidx"))
+      .agg(count(lit(1)).as("n"))
+    val mem = hc.select(col("event_type"), col("hidx"), col("n"),
+      explode(sequence(col("hidx") - 23, col("hidx"))).as("wstart"))
+    val w = mem.groupBy("event_type", "wstart")
+      .agg(count(lit(1)).as("sup"),
+        sum("n").as("sx"), sum(col("n") * col("n")).as("sxx"),
+        transform(
+          sort_array(collect_list(struct((col("hidx") - col("wstart")).as("p"), col("n").as("v")))),
+          e => e.getField("v").cast("double")).as("wv"))
+      .filter(col("sup") === 24)
+      .withColumn("m", col("sx").cast("double") / 24)
+      .withColumn("v",
+        col("sxx").cast("double") / 24 - (col("sx").cast("double") / 24) * (col("sx").cast("double") / 24))
+      .filter(col("v") > 0)
+      .withColumn("sd", sqrt(col("v")))
+      .persist()
+    val qstart = w.filter(col("event_type") === "purchase")
+      .crossJoin(broadcast(hc.agg((min("hidx") + 100).as("hq"))))
+      .filter(col("wstart") >= col("hq"))
+      .agg(min("wstart").as("qstart"))
+    val q = w.filter(col("event_type") === "purchase")
+      .crossJoin(broadcast(qstart))
+      .filter(col("wstart") === col("qstart"))
+      .select(col("wv").as("qv"), col("m").as("qm"), col("sd").as("qsd"))
+    def znormDiff(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      (a - col("m")) / col("sd") - (b - col("qm")) / col("qsd")
+    val res = w.crossJoin(broadcast(q))
+      .select(col("event_type"), col("wstart"),
+        round(aggregate(
+          zip_with(col("wv"), col("qv"), (a, b) => znormDiff(a, b) * znormDiff(a, b)),
+          lit(0.0), (acc, x) => acc + x), 6).as("dist2"))
+      .orderBy(col("dist2"), col("event_type"), col("wstart")).limit(10)
+    graft.core.Spill.materialize(res) { w.unpersist(blocking = false) }
+  }
+
   val all: Seq[QueryDef] = Seq(
     semiJoin, antiJoin, outerJoin, distinctUsers, rollupCounts, occupancyRate,
     runningSum, eventGaps, sessionize, valueQuartiles, valueHistogram,
     trailingWindow, dashboardTiles, percentiles, percentilesHist, groupingSets, gapFill,
     rankFuncs, rangeFrame, ewma, eventFunnel, cohortRetention, ohlcHourly,
-    rollingMedian)
+    rollingMedian, tsSimilarity)
 }
