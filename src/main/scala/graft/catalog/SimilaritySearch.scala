@@ -742,8 +742,48 @@ object SimilaritySearch {
     graft.core.Spill.materialize(res) { tok.unpersist(blocking = false) }
   }
 
+  // Incremental top-k refinement (the retrieved EDBT 2020 theme:
+  // interactive analysis sessions deepen k against the same query).
+  // The expensive corpus pass runs ONCE and materializes a top-20
+  // candidate set per query; the session's deepen-to-10 is then a
+  // candidate-local re-rank. Correctness is structural — with a total
+  // tie-broken order, a top-K set is a prefix superset of every
+  // k' ≤ K — which is exactly what the direct-top-10 oracle verifies.
+  // At 100 TB the candidate store is the only thing an interactive
+  // session re-touches; the corpus is scanned once per query batch,
+  // not once per k.
+  val annTopkRefine: QueryDef = QueryDef.sql("q_ann_topk_refine")(
+    s"""WITH n AS ($normedSql),
+       |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM n WHERE vec_id < 20),
+       |scored AS (
+       |  SELECT query_id, n.vec_id AS neighbor_id,
+       |    list_dot_product(qv, v) / (qnrm * nrm) AS cosine
+       |  FROM q CROSS JOIN n WHERE n.vec_id <> query_id),
+       |ranked AS (SELECT *, ROW_NUMBER() OVER
+       |  (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk FROM scored)
+       |SELECT query_id, neighbor_id, cosine, rnk FROM ranked
+       |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin) { (s, dir) =>
+    val n = normed(s, dir)
+    val q = n.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    val top20 = broadcast(q).crossJoin(n)
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        Vectors.cosine(col("qv"), col("v"), col("qnrm"), col("nrm")).as("cosine"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 20)
+      .drop("rnk")
+    val candidates = graft.core.Spill.materialize(top20) {} // the session store
+    candidates
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .select("query_id", "neighbor_id", "cosine", "rnk")
+      .orderBy("query_id", "rnk")
+  }
+
   val all: Seq[QueryDef] = Seq(
     embedNorm, embedTopk, embedNearDup, annIvf, annIvfProbe2, annIvfKmeans, annLsh,
     embedNearDupLsh, embedOutlier, vecQuantize, pqCodes, semanticDedup,
-    embedTruncatedRecall, rrfFusion)
+    embedTruncatedRecall, rrfFusion, annTopkRefine)
 }
