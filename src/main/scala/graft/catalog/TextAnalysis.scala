@@ -1533,6 +1533,44 @@ object TextAnalysis {
     materialized(res, tok)
   }
 
+  // Lexicon-based sentiment scoring (the retrieved EDBT 2016 theme —
+  // large-scale sentiment analysis on Spark): per-document positive/
+  // negative lexicon hit counts (with multiplicity), a smoothed
+  // polarity score (pos−neg)/(pos+neg+1) — one exact-integer division,
+  // bit-identical cross-engine — and an integer-comparison label. The
+  // whole scorer is one narrow codegen'd projection + token filter per
+  // document: embarrassingly parallel, no shuffle until the final sort.
+  val sentiment: QueryDef = {
+    val pos = Seq("fast", "small")
+    val neg = Seq("slow", "big", "dup")
+    def hits(words: Seq[String]) =
+      s"len(list_filter(toks, t -> list_contains(${listLit(words)}, t)))"
+    QueryDef.sql("q_sentiment")(
+      s"""WITH base AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |h AS (SELECT doc_id,
+         |        CAST(${hits(pos)} AS BIGINT) AS pos_hits,
+         |        CAST(${hits(neg)} AS BIGINT) AS neg_hits
+         |      FROM base)
+         |SELECT doc_id, pos_hits, neg_hits,
+         |  ROUND(CAST(pos_hits - neg_hits AS DOUBLE) / (pos_hits + neg_hits + 1), 6) AS polarity,
+         |  CASE WHEN pos_hits > neg_hits THEN 'pos'
+         |       WHEN neg_hits > pos_hits THEN 'neg' ELSE 'neu' END AS label
+         |FROM h ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val h = docs(s, dir)
+        .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          size(filter(col("toks"), t => t.isInCollection(pos))).cast("long").as("pos_hits"),
+          size(filter(col("toks"), t => t.isInCollection(neg))).cast("long").as("neg_hits"))
+      h.select(col("doc_id"), col("pos_hits"), col("neg_hits"),
+          round((col("pos_hits") - col("neg_hits")).cast("double") /
+            (col("pos_hits") + col("neg_hits") + 1), 6).as("polarity"),
+          when(col("pos_hits") > col("neg_hits"), "pos")
+            .when(col("neg_hits") > col("pos_hits"), "neg")
+            .otherwise("neu").as("label"))
+        .orderBy("doc_id")
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     tokenCount, langId, qualityScore, fingerprint, dedupExact,
     minhashSig, minhashPairs, minhashVerified, ngramJaccard, simhash,
@@ -1540,5 +1578,5 @@ object TextAnalysis {
     minhashJaccardEst, tokenEntropy, bpePairs, dedupIncremental,
     dupNgramSpans, tfidfRetrieval, bm25Retrieval, bigramLm, perplexityBuckets,
     qualityLogit, zipfFit, streamDedupLsh, bpeMergeRound, bpeMergeRound2,
-    substringScrub, pmiCollocations, klDrift)
+    substringScrub, pmiCollocations, klDrift, sentiment)
 }
