@@ -220,6 +220,64 @@ object Advanced {
       .orderBy("event_id")
   }
 
+  // Trajectory similarity (the retrieved ICDE 2021 REPOSE theme —
+  // distributed top-k trajectory similarity): each user's event-type
+  // SEQUENCE becomes a trigram frequency vector (order-aware, unlike a
+  // bag of types), and the top-20 most behaviorally similar user pairs
+  // rank by cosine. The pairwise dot products come from an
+  // inverted-index self-join on the trigram (shuffle carries
+  // (user, trigram, count) then (pair) — the exact all-pairs baseline,
+  // same role as q_embed_neardup; the blocked/LSH machinery is the
+  // documented scale path for both). Counts are exact integers, so
+  // dot/norms are bit-identical doubles; cosine rounds before the rank.
+  val trajectorySim: QueryDef = QueryDef.sql("q_trajectory_sim")(
+    """WITH tr AS (
+      |  SELECT user_id,
+      |    event_type || ' ' || lead(event_type, 1) OVER w
+      |      || ' ' || lead(event_type, 2) OVER w AS g,
+      |    lead(event_type, 2) OVER w AS t3
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |tc AS (SELECT user_id, g, COUNT(*) AS c FROM tr WHERE t3 IS NOT NULL GROUP BY 1, 2),
+      |nrm AS (SELECT user_id, CAST(SUM(c*c) AS BIGINT) AS ss FROM tc GROUP BY 1),
+      |dots AS (SELECT a.user_id AS ua, b.user_id AS ub,
+      |           CAST(SUM(a.c * b.c) AS BIGINT) AS dot
+      |         FROM tc a JOIN tc b ON a.g = b.g AND a.user_id < b.user_id
+      |         GROUP BY 1, 2)
+      |SELECT ua, ub,
+      |  ROUND(CAST(dot AS DOUBLE) /
+      |    (sqrt(CAST(na.ss AS DOUBLE)) * sqrt(CAST(nb.ss AS DOUBLE))), 6) AS cosine
+      |FROM dots JOIN nrm na ON na.user_id = ua JOIN nrm nb ON nb.user_id = ub
+      |ORDER BY cosine DESC, ua, ub LIMIT 20""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val wu = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val tri = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("t2", lead(col("event_type"), 1).over(wu))
+      .withColumn("t3", lead(col("event_type"), 2).over(wu))
+      .filter(col("t3").isNotNull)
+      .select(col("user_id"),
+        concat_ws(" ", col("event_type"), col("t2"), col("t3")).as("g"))
+      .groupBy("user_id", "g").agg(count(lit(1)).as("c"))
+      .persist()
+    val nrm = tri.groupBy("user_id").agg(sum(col("c") * col("c")).as("ss"))
+    val dots = tri.as("a")
+      .join(tri.as("b"),
+        col("a.g") === col("b.g") && col("a.user_id") < col("b.user_id"))
+      .select(col("a.user_id").as("ua"), col("b.user_id").as("ub"),
+        (col("a.c") * col("b.c")).as("p"))
+      .groupBy("ua", "ub").agg(sum("p").as("dot"))
+    val res = dots
+      .join(nrm.select(col("user_id").as("ua"), col("ss").as("sa")), "ua")
+      .join(nrm.select(col("user_id").as("ub"), col("ss").as("sb")), "ub")
+      .select(col("ua"), col("ub"),
+        round(col("dot").cast("double") /
+          (sqrt(col("sa").cast("double")) * sqrt(col("sb").cast("double"))), 6)
+          .as("cosine"))
+      .orderBy(col("cosine").desc, col("ua"), col("ub")).limit(20)
+    graft.core.Spill.materialize(res) { tri.unpersist(blocking = false) }
+  }
+
   val all: Seq[QueryDef] = Seq(asofJoin, asofJoinNative, asofForward,
-    streamStatefulCount, topkTokens, rangeJoinBucketed, asofTolerance)
+    streamStatefulCount, topkTokens, rangeJoinBucketed, asofTolerance,
+    trajectorySim)
 }
