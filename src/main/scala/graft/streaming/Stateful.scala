@@ -215,15 +215,21 @@ object Stateful {
       purchases = getHandle.getListState[(Long, Long)]("purchases", tuple2, TTLConfig.NONE)
     }
 
-    /** One timer per key at the earliest pending purchase; expiry
-      * re-checks against the actual watermark (same discipline as
+    /** One timer per key at the earliest actionable instant: the
+      * earliest pending purchase, OR — so click state stays bounded for
+      * keys with few/no purchases — the SECOND-earliest stored click
+      * (once the watermark passes it, at least two clicks sit
+      * at-or-below it and the GC in handleExpiredTimer collapses them
+      * to one, so every pure-GC fire shrinks state). Expiry re-checks
+      * against the actual watermark (same discipline as
       * [[SessionTimerProcessor]]).
       */
-    private def armTimer(pending: Seq[(Long, Long)],
+    private def armTimer(pending: Seq[(Long, Long)], clickTs: Seq[Long],
         expiredMs: Long = Long.MinValue): Unit = {
       getHandle.listTimers().filter(_ != expiredMs).foreach(getHandle.deleteTimer)
-      if (pending.nonEmpty)
-        getHandle.registerTimer((pending.map(_._1).min + 999L) / 1000L)
+      val gc = if (clickTs.sizeIs >= 2) Seq(clickTs.sorted.apply(1)) else Nil
+      val cand = pending.map(_._1) ++ gc
+      if (cand.nonEmpty) getHandle.registerTimer((cand.min + 999L) / 1000L)
     }
 
     override def handleInputRows(key: Long, rows: Iterator[AsOfEvent],
@@ -232,7 +238,7 @@ object Stateful {
         if (e.kind == "p") purchases.appendValue((e.ts_us, e.event_id))
         else clicks.appendValue((e.ts_us, e.event_id))
       }
-      armTimer(purchases.get().toVector)
+      armTimer(purchases.get().toVector, clicks.get().toVector.map(_._1))
       Iterator.empty
     }
 
@@ -250,7 +256,7 @@ object Stateful {
       val kept = live ++ old.sortBy(c => (c._1, c._2)).lastOption
       clicks.clear()
       kept.foreach(clicks.appendValue)
-      armTimer(keep, expiredTimerInfo.getExpiryTimeInMs())
+      armTimer(keep, kept.map(_._1), expiredTimerInfo.getExpiryTimeInMs())
       emit.sortBy(p => (p._1, p._2)).iterator.map { case (pTs, pid) =>
         val best = allClicks.filter(_._1 <= pTs)
           .sortBy(c => (c._1, c._2)).lastOption

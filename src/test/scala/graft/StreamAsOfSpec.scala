@@ -64,4 +64,57 @@ class StreamAsOfSpec extends AnyFunSuite {
         (200L, 2L, 1500L, None)))    // no preceding click → null
     } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
   }
+
+  test("click state stays bounded for a key that never purchases") {
+    // A user who ONLY clicks must not accumulate state forever: once
+    // the watermark passes a click, only the latest at-or-below-wm
+    // click can ever win a future as-of match, so GC must run even
+    // with no purchase timer pending. Verified by reading the "clicks"
+    // state variable straight out of the checkpoint after the run.
+    val src = tmp("asofgc_src_")
+    val clickBatches: Seq[Seq[(Long, Long, String, Long)]] = Seq(
+      Seq((1L, 1L, "click", 1000L), (1L, 2L, "click", 1100L),
+        (1L, 3L, "click", 1200L)),
+      Seq((1L, 4L, "click", 2000L), (1L, 5L, "click", 2100L)),
+      // advances the watermark to 100000-3600: ALL of user 1's clicks
+      // are then at-or-below it → exactly one may survive
+      Seq((9L, 900L, "click", 100000L)))
+    clickBatches.zipWithIndex.foreach { case (rows, b) =>
+      rows.toDF("user_id", "event_id", "event_type", "t")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          timestamp_seconds(col("t")).as("ts"))
+        .coalesce(1).write.parquet(s"$src/batch_$b")
+    }
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val chk = tmp("asofgc_chk_")
+      val stream = spark.readStream
+        .schema("user_id LONG, event_id LONG, event_type STRING, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$src/*")
+      val q = graft.streaming.Ingest.withStatePartitions(spark) {
+        val q0 = Stateful.asOfViaTimers(stream).toDF().writeStream
+          .format("memory").queryName("asof_gc")
+          .option("checkpointLocation", chk)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q0.awaitTermination(); q0
+      }
+      assert(spark.table("asof_gc").count() == 0) // no purchases → no output
+      val clickState = spark.read.format("statestore")
+        .option("path", chk)
+        .option("stateVarName", "clicks")
+        .load()
+      val perKey = clickState.groupBy(col("key.value").as("uid")).count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // user 1: five clicks arrived, all at-or-below the final
+      // watermark — GC must have collapsed them to the single latest
+      assert(perKey(1L) == 1L, s"user-1 clicks not GC'd: $perKey")
+      // user 9's lone click is above the watermark and remains in play
+      assert(perKey(9L) == 1L)
+    } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
 }
