@@ -1432,11 +1432,15 @@ object TextAnalysis {
   // counts are two map-side-combined hash aggregates over ONE persisted
   // tokenization; the totals are 1-row broadcasts; the vocabulary joins
   // broadcast (a vocabulary fits an executor even when the corpus does
-  // not). The ln argument is assembled as a single exact-integer
-  // quotient (counts ≪ 2^53, so both engines divide the same two exact
-  // doubles), and pmi is rounded to 6 decimals BEFORE the rank so the
-  // top-25 cut cannot flip on a ulp. Min support n ≥ 5 keeps the
-  // statistic out of the noise floor, as in the original formulation.
+  // not). The ln argument is assembled as a ratio of two left-
+  // associated DOUBLE products: each count is exact in a double
+  // (≪ 2^53), but the cubic product n·n_uni² would overflow BIGINT at
+  // corpus scale (n_uni ≳ 3e9 on 100 TB), so every factor is promoted
+  // to double BEFORE multiplying — the same op sequence on both
+  // engines, hence bit-identical — and pmi is rounded to 6 decimals
+  // BEFORE the rank so the top-25 cut cannot flip on a ulp. Min
+  // support n ≥ 5 keeps the statistic out of the noise floor, as in
+  // the original formulation.
   val pmiCollocations: QueryDef = QueryDef.sql("q_pmi_collocations")(
     s"""WITH base0 AS (SELECT $toksSql AS toks FROM documents),
        |base AS (SELECT toks FROM base0 WHERE len(toks) >= 2),
@@ -1448,7 +1452,8 @@ object TextAnalysis {
        |bc AS (SELECT pair, COUNT(*) AS n FROM p GROUP BY pair),
        |nb AS (SELECT COUNT(*) AS n_bi FROM p)
        |SELECT pair, n,
-       |  ROUND(LN(CAST(n * n_uni * n_uni AS DOUBLE) / (n_bi * ua.c * ub.c)), 6) AS pmi
+       |  ROUND(LN(CAST(n AS DOUBLE) * n_uni * n_uni
+       |           / (CAST(n_bi AS DOUBLE) * ua.c * ub.c)), 6) AS pmi
        |FROM bc CROSS JOIN nu CROSS JOIN nb
        |JOIN uc ua ON ua.t = split_part(pair, ' ', 1)
        |JOIN uc ub ON ub.t = split_part(pair, ' ', 2)
@@ -1476,8 +1481,8 @@ object TextAnalysis {
         concat(col("a"), lit(" "), col("b")).as("pair"),
         col("n"),
         round(
-          log((col("n") * col("n_uni") * col("n_uni")).cast("double") /
-            (col("n_bi") * col("ca") * col("cb"))), 6).as("pmi"))
+          log(col("n").cast("double") * col("n_uni") * col("n_uni") /
+            (col("n_bi").cast("double") * col("ca") * col("cb"))), 6).as("pmi"))
       .orderBy(col("pmi").desc, col("pair")).limit(25)
     materialized(res, base)
   }

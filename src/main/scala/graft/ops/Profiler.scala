@@ -20,41 +20,51 @@ import org.apache.spark.sql.types._
   * epoch-microseconds axis; every other type profiles null/NDV only.
   * Shared by the `q_column_profile` catalog query and [[graft.cli.ProfileMain]],
   * so the library surface and the CLI cannot drift.
+  *
+  * "ANY parquet table" is taken literally: columns are renamed
+  * positionally before aggregating, so names containing dots (struct-
+  * access syntax in a column reference) and duplicate names both
+  * profile cleanly, and the null count coalesces to 0 on a zero-row
+  * table (SUM over no rows is NULL).
   */
 object Profiler {
 
   /** Per-column range axis, when the type has a meaningful order. */
-  private def axis(f: StructField): Option[Column] = f.dataType match {
-    case _: NumericType => Some(col(f.name).cast("double"))
+  private def axis(name: String, f: StructField): Option[Column] = f.dataType match {
+    case _: NumericType => Some(col(name).cast("double"))
     case _: TimestampType | _: TimestampNTZType | _: DateType =>
       // NTZ/date → instant under the session (UTC) clock, then epoch-us
-      Some(unix_micros(col(f.name).cast("timestamp")).cast("double"))
+      Some(unix_micros(col(name).cast("timestamp")).cast("double"))
     case _ => None
   }
 
   /** `(col_name, n_nulls, n_distinct, min_num, max_num)`, one row per
-    * input column, ordered by name.
+    * input column, ordered by name (duplicate input names yield one row
+    * each, in position order).
     */
   def profile(df: DataFrame): DataFrame = {
     val fields = df.schema.fields.toSeq
     require(fields.nonEmpty, "cannot profile a zero-column relation")
-    val aggs = fields.flatMap { f =>
+    val safe = df.toDF(fields.indices.map(i => s"c_$i"): _*)
+    val aggs = fields.indices.flatMap { i =>
       Seq(
-        sum(col(f.name).isNull.cast("long")).as(s"${f.name}__nulls"),
-        countDistinct(col(f.name)).as(s"${f.name}__ndv")) ++
-        axis(f).toSeq.flatMap(a =>
-          Seq(min(a).as(s"${f.name}__min"), max(a).as(s"${f.name}__max")))
+        coalesce(sum(col(s"c_$i").isNull.cast("long")), lit(0L))
+          .as(s"c_${i}__nulls"),
+        countDistinct(col(s"c_$i")).as(s"c_${i}__ndv")) ++
+        axis(s"c_$i", fields(i)).toSeq.flatMap(a =>
+          Seq(min(a).as(s"c_${i}__min"), max(a).as(s"c_${i}__max")))
     }
-    val wide = df.agg(aggs.head, aggs.tail: _*)
-    val rows = fields.map { f =>
+    val wide = safe.agg(aggs.head, aggs.tail: _*)
+    val rows = fields.indices.map { i =>
+      val f = fields(i)
       val (mn, mx) =
-        if (axis(f).isEmpty)
+        if (axis(s"c_$i", f).isEmpty)
           (lit(null).cast("double"), lit(null).cast("double"))
-        else (col(s"${f.name}__min"), col(s"${f.name}__max"))
+        else (col(s"c_${i}__min"), col(s"c_${i}__max"))
       struct(
         lit(f.name).as("col_name"),
-        col(s"${f.name}__nulls").as("n_nulls"),
-        col(s"${f.name}__ndv").as("n_distinct"),
+        col(s"c_${i}__nulls").as("n_nulls"),
+        col(s"c_${i}__ndv").as("n_distinct"),
         mn.as("min_num"), mx.as("max_num"))
     }
     wide.select(explode(array(rows: _*)).as("p"))

@@ -164,6 +164,15 @@ object Ingest {
     * `spark.sql.shuffle.partitions` set to the streaming state size,
     * restoring the batch value after — see the sizing note in
     * [[runToMemory]].
+    *
+    * NOT thread-safe with concurrent planning: the override mutates the
+    * session-global conf for the duration of `body`, so a batch query
+    * planned on the SAME SparkSession from another thread during that
+    * window would silently pick up the streaming partition count. The
+    * catalog/verify/bench harness is strictly sequential, which is the
+    * assumption here; a shared-session deployment should instead run
+    * its streaming queries on `spark.newSession()` (same SparkContext,
+    * isolated conf) and set the partition count there.
     */
   def withStatePartitions[T](spark: SparkSession)(body: => T): T = {
     val batchParts = spark.conf.get("spark.sql.shuffle.partitions")

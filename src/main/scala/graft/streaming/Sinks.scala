@@ -161,10 +161,15 @@ final class DeltaUpsertStore(root: String, keyCol: String, orderCols: Seq[String
   private def commit(segments: Seq[String]): Unit = {
     // versioned twin FIRST (time-travel history is complete even if the
     // flip below is lost to a crash — an orphan version that never
-    // became current is harmless), then the atomic current-pointer flip
-    java.nio.file.Files.writeString(versionPath(nextVersion()),
-      segments.mkString("\n"))
+    // became current is harmless), then the atomic current-pointer flip.
+    // Both writes go through tmp + ATOMIC_MOVE: a direct write could be
+    // cut mid-stream, and a truncated version file is a valid PREFIX of
+    // the segment list — readAt would silently serve a partial state
+    // instead of failing loudly.
     val tmp = java.nio.file.Paths.get(s"$root/MANIFEST.tmp")
+    java.nio.file.Files.writeString(tmp, segments.mkString("\n"))
+    java.nio.file.Files.move(tmp, versionPath(nextVersion()),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     java.nio.file.Files.writeString(tmp, segments.mkString("\n"))
     java.nio.file.Files.move(tmp, java.nio.file.Paths.get(s"$root/MANIFEST"),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,

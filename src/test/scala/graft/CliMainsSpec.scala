@@ -96,4 +96,26 @@ class CliMainsSpec extends AnyFunSuite {
     assert(prof("o_orderstatus")._2 == ndv)
     assert(prof.values.forall(_._1 == 0L)) // no nulls in the test data
   }
+
+  test("Profiler: dotted and duplicate column names, zero-row tables") {
+    import spark.implicits._
+    // "ANY parquet table": a dotted name is NOT struct access, and two
+    // columns may share a name — both must profile by position
+    val weird = Seq((1, 2.0, "x"), (4, 5.5, "y"))
+      .toDF("a.b", "v", "v")
+    val p = graft.ops.Profiler.profile(weird)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSeq
+    assert(p.map(_._1).sorted == Seq("a.b", "v", "v"))
+    val ab = p.find(_._1 == "a.b").get
+    assert(ab._2 == 0L && ab._3 == 2L && ab._4 == Some(1.0))
+    // the two "v" columns profile independently: one numeric with a
+    // range, one string without
+    assert(p.filter(_._1 == "v").map(_._4.isDefined).sorted == Seq(false, true))
+    // zero-row table: null count reports 0, not a NULL-driven NPE
+    val empty = graft.ops.Profiler.profile(
+      Seq.empty[(Int, Double, String)].toDF("a", "b", "c"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.isNullAt(3)))
+    assert(empty.toSeq == Seq((0L, 0L, true), (0L, 0L, true), (0L, 0L, true)))
+  }
 }
