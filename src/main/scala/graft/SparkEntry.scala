@@ -55,6 +55,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     catalog.map(q => q.name -> q.build).toMap
 
+  /** Correctness-gated exact forms whose plan shape is deliberately not
+    * the 100 TB path (each has a scale twin in the catalog); the bench
+    * default skips them — see [[graft.core.QueryDef.auditOnly]].
+    */
+  def auditOnly: Set[String] = catalog.filter(_.auditOnly).map(_.name).toSet
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
     */

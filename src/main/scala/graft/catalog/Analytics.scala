@@ -154,7 +154,12 @@ object Analytics {
       .orderBy("user_id", "session_id")
   }
 
-  // ntile quartiles over a deterministic total order.
+  // ntile quartiles over a deterministic total order. AUDIT-ONLY: the
+  // NTILE(4) OVER (ORDER BY ...) ranks the whole corpus through ONE
+  // partition — the exact form the oracle can bit-check, kept for
+  // correctness gating, but q_value_quartiles_hist (histogram CDF,
+  // below) is the plan a 100 TB deployment runs and the one the bench
+  // measures.
   val valueQuartiles: QueryDef = QueryDef.sql("q_value_quartiles")(
     """WITH t AS (
       |  SELECT event_id, value, NTILE(4) OVER (ORDER BY value, event_id) AS quartile
@@ -166,6 +171,38 @@ object Analytics {
       .select(col("event_id"), col("value"), ntile(4).over(w).as("quartile"))
       .groupBy("quartile")
       .agg(count(lit(1)).as("n"), min(col("value")).as("lo"), max(col("value")).as("hi"))
+      .orderBy("quartile")
+  }
+
+  // The 100 TB path for q_value_quartiles: quartile boundaries at
+  // 2-decimal bin granularity via a histogram CDF (the
+  // q_percentiles_hist technique at NTILE granularity). The corpus
+  // pass is ONE partial→final count per bin; the cumulative window
+  // runs over the tiny bin table (bounded by value granularity, not
+  // corpus size), and each bin's quartile is the exact integer
+  // ceil(4·cum/n) — computed as (4·cum + n − 1) div n on BIGINTs, so
+  // both engines pick identical labels with zero float involvement.
+  // Bins never split across quartiles (that is the ≤ bin-width
+  // deviation from exact NTILE, which q_value_quartiles still audits).
+  val valueQuartilesHist: QueryDef = QueryDef.sql("q_value_quartiles_hist")(
+    """WITH b AS (SELECT round(value, 2) AS bin FROM events),
+      |h AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY 1),
+      |cdf AS (SELECT bin, c,
+      |         CAST(SUM(c) OVER (ORDER BY bin) AS BIGINT) AS cum,
+      |         CAST(SUM(c) OVER () AS BIGINT) AS n
+      |        FROM h),
+      |q AS (SELECT bin, c, (4 * cum + n - 1) // n AS quartile FROM cdf)
+      |SELECT quartile, CAST(SUM(c) AS BIGINT) AS n, MIN(bin) AS lo, MAX(bin) AS hi
+      |FROM q GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val h = Tables.events(s, dir)
+      .select(round(col("value"), 2).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("c"))
+    h.withColumn("cum", sum(col("c")).over(Window.orderBy("bin")))
+      .withColumn("n", sum(col("c")).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("quartile", expr("(4 * cum + n - 1) div n"))
+      .groupBy("quartile")
+      .agg(sum(col("c")).as("n"), min(col("bin")).as("lo"), max(col("bin")).as("hi"))
       .orderBy("quartile")
   }
 
@@ -235,7 +272,9 @@ object Analytics {
   // interpolation arithmetic, so doubles pass through untouched and the
   // oracle matches bit-for-bit. Both engines evaluate ceil(p·n) in IEEE
   // double on identical inputs, so the chosen rank is identical even
-  // where p·n is inexact.
+  // where p·n is inexact. AUDIT-ONLY: the per-type corpus sort is the
+  // exact form; q_percentiles_hist is the scale path and the bench
+  // default.
   val percentiles: QueryDef = QueryDef.sql("q_percentiles")(
     """WITH r AS (
       |  SELECT event_type, value,
@@ -649,8 +688,10 @@ object Analytics {
 
   val all: Seq[QueryDef] = Seq(
     semiJoin, antiJoin, outerJoin, distinctUsers, rollupCounts, occupancyRate,
-    runningSum, eventGaps, sessionize, valueQuartiles, valueHistogram,
-    trailingWindow, dashboardTiles, percentiles, percentilesHist, groupingSets, gapFill,
+    runningSum, eventGaps, sessionize, valueQuartiles.audit, valueQuartilesHist,
+    valueHistogram,
+    trailingWindow, dashboardTiles, percentiles.audit, percentilesHist,
+    groupingSets, gapFill,
     rankFuncs, rangeFrame, ewma, eventFunnel, cohortRetention, ohlcHourly,
     rollingMedian, tsSimilarity)
 }

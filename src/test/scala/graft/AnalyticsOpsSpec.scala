@@ -69,4 +69,28 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       assert(hist(k) == ((r2(p50), r2(p90), r2(p99))), s"$k: ${hist(k)} vs exact ($p50,$p90,$p99)")
     }
   }
+
+  test("histogram quartiles partition the corpus and track exact NTILE at bin granularity") {
+    // bins never split across quartiles, so counts may deviate from
+    // exact NTILE by at most one bin's population and each quartile
+    // boundary by at most one bin width
+    val exact = graft.catalog.Analytics.valueQuartiles.build(spark, sf).collect()
+      .map(r => r.getInt(0).toLong -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val hist = graft.catalog.Analytics.valueQuartilesHist.build(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(hist.keySet == Set(1L, 2L, 3L, 4L) && exact.keySet == hist.keySet)
+    // a partition of the corpus: counts sum to the total
+    assert(hist.values.map(_._1).sum == exact.values.map(_._1).sum)
+    val maxBin = graft.core.Tables.events(spark, sf)
+      .groupBy(org.apache.spark.sql.functions.round(col("value"), 2))
+      .count().agg(org.apache.spark.sql.functions.max("count"))
+      .collect().head.getLong(0)
+    (1L to 4L).foreach { q =>
+      assert(math.abs(hist(q)._1 - exact(q)._1) <= maxBin,
+        s"quartile $q count ${hist(q)._1} vs exact ${exact(q)._1} (maxBin $maxBin)")
+      // upper boundary within one bin width of the exact NTILE boundary
+      assert(math.abs(hist(q)._3 - exact(q)._3) <= 0.011,
+        s"quartile $q hi ${hist(q)._3} vs exact ${exact(q)._3}")
+    }
+  }
 }
