@@ -226,9 +226,11 @@ object Advanced {
   // bag of types), and the top-20 most behaviorally similar user pairs
   // rank by cosine. The pairwise dot products come from an
   // inverted-index self-join on the trigram (shuffle carries
-  // (user, trigram, count) then (pair) — the exact all-pairs baseline,
-  // same role as q_embed_neardup; the blocked/LSH machinery is the
-  // documented scale path for both). Counts are exact integers, so
+  // (user, trigram, count) then (pair)). AUDIT-ONLY: per-trigram cost
+  // is df², and the tiny trigram vocabulary concentrates huge heavy
+  // hitters, so this form is the oracle-gated exact baseline while
+  // q_trajectory_sim_blocked (same oracle, block-pair equi-join) is
+  // the plan the bench measures. Counts are exact integers, so
   // dot/norms are bit-identical doubles; cosine rounds before the rank.
   val trajectorySim: QueryDef = QueryDef.sql("q_trajectory_sim")(
     """WITH tr AS (
@@ -277,7 +279,76 @@ object Advanced {
     graft.core.Spill.materialize(res) { tri.unpersist(blocking = false) }
   }
 
+  // The 100 TB path for q_trajectory_sim — SAME oracle (two algorithms,
+  // one oracle, like the CC dedup pair), different plan. The inverted-
+  // index self-join above is hot-key quadratic: event-type trigrams
+  // have a tiny vocabulary, so per-trigram cost is df² on heavy
+  // hitters. Here each user's trajectory becomes a DENSE vector over
+  // that same tiny vocabulary (dimension bounded by |event types|³ —
+  // a data-model constant, not a corpus-scale variable), the vocabulary
+  // index is a broadcast, and the all-pairs cosine runs as the
+  // q_embed_neardup BLOCKED equi-join: every unordered block pair is a
+  // join key, the shuffle is on (g1, g2), each reducer compares two
+  // bounded blocks, and no trigram ever concentrates a df² pair list on
+  // one key. Dot products and norms are exact integer folds (zip_with
+  // products summed as BIGINT — order-insensitive), so the cosine is
+  // bit-identical to the oracle's SUM(a.c*b.c) form. Past the exact
+  // requirement, the sub-quadratic fallback is the SimHash/LSH
+  // signature machinery (q_embed_neardup_lsh) over these same vectors.
+  val trajectorySimBlocked: QueryDef =
+    QueryDef.sql("q_trajectory_sim_blocked")(trajectorySim.oracle.get) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val wu = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val tc = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("t2", lead(col("event_type"), 1).over(wu))
+        .withColumn("t3", lead(col("event_type"), 2).over(wu))
+        .filter(col("t3").isNotNull)
+        .select(col("user_id"),
+          concat_ws(" ", col("event_type"), col("t2"), col("t3")).as("g"))
+        .groupBy("user_id", "g").agg(count(lit(1)).as("c"))
+        .persist() // feeds vocab AND vectors — one event-grain pass
+      // dense index over the bounded trigram vocabulary; the window is
+      // over the tiny distinct-trigram relation, never event-grain data
+      val vocab = tc.select("g").distinct()
+        .withColumn("gid", row_number().over(Window.orderBy("g")))
+      val d = vocab.groupBy().agg(max(col("gid")).as("d"))
+      val vecs = tc.join(broadcast(vocab), "g")
+        .groupBy("user_id")
+        .agg(map_from_entries(collect_list(struct(col("gid"), col("c")))).as("m"),
+          sum(col("c") * col("c")).as("ss"))
+        .crossJoin(broadcast(d))
+        .select(col("user_id"), col("ss"),
+          expr("transform(sequence(1, d), i -> coalesce(element_at(m, i), CAST(0 AS BIGINT)))")
+            .as("v"))
+      val G = 8
+      val n = vecs.withColumn("g", pmod(col("user_id"), lit(G)).cast("int"))
+      val a = n
+        .withColumn("g2", explode(sequence(col("g"), lit(G - 1))))
+        .select(col("g").as("g1"), col("g2"),
+          col("user_id").as("ida"), col("v").as("va"), col("ss").as("sa"))
+      val b = n
+        .withColumn("g1", explode(sequence(lit(0), col("g"))))
+        .select(col("g1"), col("g").as("g2"),
+          col("user_id").as("idb"), col("v").as("vb"), col("ss").as("sb"))
+      val res = a.join(b, Seq("g1", "g2"))
+        .filter(col("g1") < col("g2") || col("ida") < col("idb"))
+        .select(
+          least(col("ida"), col("idb")).as("ua"),
+          greatest(col("ida"), col("idb")).as("ub"),
+          // integer dot: operand order cannot matter
+          expr("aggregate(zip_with(va, vb, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, x) -> acc + x)")
+            .as("dot"),
+          col("sa"), col("sb"))
+        .select(col("ua"), col("ub"),
+          round(col("dot").cast("double") /
+            (sqrt(col("sa").cast("double")) * sqrt(col("sb").cast("double"))), 6)
+            .as("cosine"))
+        .orderBy(col("cosine").desc, col("ua"), col("ub")).limit(20)
+      graft.core.Spill.materialize(res) { tc.unpersist(blocking = false) }
+    }
+
   val all: Seq[QueryDef] = Seq(asofJoin, asofJoinNative, asofForward,
     streamStatefulCount, topkTokens, rangeJoinBucketed, asofTolerance,
-    trajectorySim)
+    trajectorySim.audit, trajectorySimBlocked)
 }
