@@ -289,7 +289,16 @@ object Streaming {
       val out = Ingest.runToMemory(
         graft.streaming.Stateful.userSummaries(Ingest.eventsStream(s, dir)).toDF(),
         mode = "update")
-      out.orderBy("user_id")
+      // update-mode memory sink APPENDS each batch's emissions; under a
+      // paced multi-batch source a key re-emits per touching batch.
+      // n_events is strictly monotone per key, so the struct max IS the
+      // final emission — batching-invariant, like q_stream_mapstate_counts.
+      out.groupBy("user_id")
+        .agg(max(struct(col("n_events"), col("max_value"), col("last_event_id"))).as("m"))
+        .select(col("user_id"), col("m.n_events").as("n_events"),
+          col("m.max_value").as("max_value"),
+          col("m.last_event_id").as("last_event_id"))
+        .orderBy("user_id")
     } finally prev.fold(s.conf.unset(key))(s.conf.set(key, _))
   }
 

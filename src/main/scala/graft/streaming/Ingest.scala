@@ -40,10 +40,17 @@ object Ingest {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // the file stream source wants a directory: stream the sf dir,
     // glob-filtered to the events table's file(s)
-    spark.readStream
+    // glob matches events.parquet AND events_<k>.parquet so a test
+    // harness can pace the same table as several time-ordered files;
+    // with spark.graft.stream.maxFilesPerTrigger set, those files
+    // become REAL multi-batch runs (StreamingPacedSweepSpec drives
+    // every stateful catalog query through both shapes)
+    val reader = spark.readStream
       .schema(eventsFileSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
+      .option("pathGlobFilter", "events*.parquet")
+    spark.conf.getOption("spark.graft.stream.maxFilesPerTrigger")
+      .foreach(reader.option("maxFilesPerTrigger", _))
+    reader.parquet(sfDir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
