@@ -336,6 +336,59 @@ object Analytics {
       .orderBy("event_type")
   }
 
+  // Multi-touch attribution — the marketing-analytics op layered on the
+  // as-of family: every purchase credits the FIRST and LAST click in
+  // its trailing 1-hour lookback, plus the touch count (linear
+  // attribution's denominator). One equi-join on user_id with the
+  // event-time range as a residual predicate — the q_stream_stream_join
+  // shape, so the join partitions by user and no corpus-wide sort
+  // exists; the per-purchase first/last pick is an order-insensitive
+  // min/max over the (c_us, click_id) struct, so it map-side combines
+  // instead of ranking rows in a window (the oracle says the same
+  // thing with per-purchase ROW_NUMBERs over the tiny touch lists).
+  // No packed integer encoding: ts_us·shift + id overflows BIGINT at
+  // corpus scale, the same trap the PMI cubic product had. Purchases
+  // with no qualifying click keep NULL touches and n_touches = 0 (the
+  // left join preserves them).
+  val attribution: QueryDef = QueryDef.sql("q_attribution")(
+    """WITH p AS (SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS p_us
+      |           FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS c_us
+      |      FROM events WHERE event_type = 'click'),
+      |j AS (SELECT p.purchase_id, p.user_id, c.click_id, c.c_us
+      |      FROM p LEFT JOIN c ON p.user_id = c.user_id
+      |        AND c.c_us >= p.p_us - 3600000000 AND c.c_us <= p.p_us),
+      |r AS (SELECT *,
+      |        ROW_NUMBER() OVER (PARTITION BY purchase_id
+      |          ORDER BY c_us, click_id) AS rn_a,
+      |        ROW_NUMBER() OVER (PARTITION BY purchase_id
+      |          ORDER BY c_us DESC, click_id DESC) AS rn_d
+      |      FROM j)
+      |SELECT purchase_id, user_id,
+      |  MAX(CASE WHEN rn_a = 1 THEN click_id END) AS first_click_id,
+      |  MAX(CASE WHEN rn_d = 1 THEN click_id END) AS last_click_id,
+      |  COUNT(click_id) AS n_touches
+      |FROM r GROUP BY 1, 2 ORDER BY purchase_id""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        unix_micros(col("ts")).as("p_us"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        unix_micros(col("ts")).as("c_us"))
+    val touch = when(col("click_id").isNotNull,
+      struct(col("c_us"), col("click_id")))
+    p.join(c, col("user_id") === col("c_user") &&
+        col("c_us") >= col("p_us") - 3600000000L && col("c_us") <= col("p_us"),
+        "left")
+      .groupBy("purchase_id", "user_id")
+      .agg(
+        min(touch).getField("click_id").as("first_click_id"),
+        max(touch).getField("click_id").as("last_click_id"),
+        count(col("click_id")).as("n_touches"))
+      .orderBy("purchase_id")
+  }
+
   // Explicit GROUPING SETS (the general form rollup/cube specialize):
   // per-type totals, per-day totals, and the grand total in ONE pass —
   // Spark expands to a single Expand + aggregate, not three scans.
@@ -693,5 +746,5 @@ object Analytics {
     trailingWindow, dashboardTiles, percentiles.audit, percentilesHist,
     groupingSets, gapFill,
     rankFuncs, rangeFrame, ewma, eventFunnel, cohortRetention, ohlcHourly,
-    rollingMedian, tsSimilarity)
+    rollingMedian, tsSimilarity, attribution)
 }

@@ -689,8 +689,59 @@ object Scale {
       .orderBy("okey", "lnum")
   }
 
+  // SCD type-2 history build — the CDC companion to q_snapshot_diff:
+  // instead of diffing two snapshots, fold a change STREAM into
+  // versioned dimension rows. Each user's event_type sequence becomes
+  // its attribute history: consecutive runs of the same type collapse
+  // to one version with [valid_from, valid_to) bounds, the latest
+  // version stays open (NULL valid_to), and versions number from 1.
+  // Pure per-user window work — lag to find change points, a running
+  // sum to number versions, lead to close each one — so the plan is
+  // one user-partitioned sort with no corpus-wide window, the same
+  // shape as q_sessionize.
+  val scd2History: QueryDef = QueryDef.sql("q_scd2_history")(
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+      |    lag(event_type) OVER w AS prev_type
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |chg AS (
+      |  SELECT user_id, event_type, ts_us,
+      |    CAST(SUM(CASE WHEN prev_type IS NULL OR prev_type <> event_type
+      |                  THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS version
+      |  FROM e),
+      |v AS (
+      |  SELECT user_id, version, event_type,
+      |    MIN(ts_us) AS valid_from
+      |  FROM chg GROUP BY 1, 2, 3)
+      |SELECT user_id, version, event_type, valid_from,
+      |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+      |    AS valid_to
+      |FROM v ORDER BY user_id, version""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val wRun = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wVer = Window.partitionBy("user_id").orderBy("version")
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"), col("event_id"), col("ts"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .withColumn("version",
+        sum(when(col("prev_type").isNull ||
+          col("prev_type") =!= col("event_type"), 1).otherwise(0))
+          .over(wRun))
+      .groupBy("user_id", "version", "event_type")
+      .agg(min(col("ts_us")).as("valid_from"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(wVer))
+      .orderBy("user_id", "version")
+  }
+
   val all: Seq[QueryDef] = Seq(
     globalRownum, saltedJoin, sourceOrc, sourceJson, windowFuncs2, bitwiseAgg,
     corrExact, snapshotDiff, zorder, skewReport, incrAggMerge, bucketedJoin,
-    dqChecks, partitionBackfill, bloomPrune, columnProfile, ivmJoin)
+    dqChecks, partitionBackfill, bloomPrune, columnProfile, ivmJoin,
+    scd2History)
 }
