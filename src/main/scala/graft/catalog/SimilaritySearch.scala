@@ -782,8 +782,117 @@ object SimilaritySearch {
       .orderBy("query_id", "rnk")
   }
 
+  // MMR diversity re-rank (Carbonell & Goldstein 1998) — the RAG
+  // retrieval op that trades relevance against redundancy: after
+  // candidate generation, greedily pick k=3 of 8 candidates maximizing
+  // λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s), λ = 0.7. The ONLY
+  // corpus-scale stage is candidate generation (broadcast queries,
+  // map-side cosine, WindowGroupLimit top-8 — the q_embed_topk shape);
+  // the greedy loop, inherently sequential, is unrolled over the
+  // 8-row-per-query candidate relation whose size is k-bound, not
+  // corpus-bound — re-rank cost is independent of corpus size, which
+  // is what makes MMR deployable at 100 TB. Relevances and pairwise
+  // sims are the same bit-identical cosine folds as every other
+  // embedding query; each round's score rounds to 6 decimals BEFORE
+  // its argmax so the pick cannot flip on a ulp (tie → lowest id).
+  val mmrRerank: QueryDef = QueryDef.sql("q_mmr_rerank")(
+    s"""WITH n AS ($normedSql),
+       |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM n WHERE vec_id < 20),
+       |scored AS (
+       |  SELECT query_id, n.vec_id AS cid,
+       |    list_dot_product(qv, v) / (qnrm * nrm) AS rel
+       |  FROM q CROSS JOIN n WHERE n.vec_id <> query_id),
+       |cand AS (SELECT query_id, cid, rel FROM (
+       |    SELECT *, ROW_NUMBER() OVER
+       |      (PARTITION BY query_id ORDER BY rel DESC, cid) AS rc
+       |    FROM scored) t WHERE rc <= 8),
+       |cv AS (SELECT c.query_id, c.cid, c.rel, n.v, n.nrm
+       |       FROM cand c JOIN n ON n.vec_id = c.cid),
+       |ps AS (SELECT a.query_id, a.cid AS ca, b.cid AS cb,
+       |         list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS sim
+       |       FROM cv a JOIN cv b
+       |         ON a.query_id = b.query_id AND a.cid <> b.cid),
+       |s1 AS (SELECT query_id, cid, rel FROM (
+       |    SELECT *, ROW_NUMBER() OVER
+       |      (PARTITION BY query_id ORDER BY rel DESC, cid) AS rn
+       |    FROM cand) t WHERE rn = 1),
+       |m2 AS (SELECT c.query_id, c.cid,
+       |         ROUND(0.7 * c.rel - 0.3 * p.sim, 6) AS mmr
+       |       FROM cand c
+       |       JOIN s1 ON s1.query_id = c.query_id AND c.cid <> s1.cid
+       |       JOIN ps p ON p.query_id = c.query_id
+       |         AND p.ca = c.cid AND p.cb = s1.cid),
+       |s2 AS (SELECT query_id, cid, mmr FROM (
+       |    SELECT *, ROW_NUMBER() OVER
+       |      (PARTITION BY query_id ORDER BY mmr DESC, cid) AS rn
+       |    FROM m2) t WHERE rn = 1),
+       |m3 AS (SELECT c.query_id, c.cid,
+       |         ROUND(0.7 * c.rel - 0.3 * GREATEST(p1.sim, p2.sim), 6) AS mmr
+       |       FROM cand c
+       |       JOIN s1 ON s1.query_id = c.query_id AND c.cid <> s1.cid
+       |       JOIN s2 ON s2.query_id = c.query_id AND c.cid <> s2.cid
+       |       JOIN ps p1 ON p1.query_id = c.query_id
+       |         AND p1.ca = c.cid AND p1.cb = s1.cid
+       |       JOIN ps p2 ON p2.query_id = c.query_id
+       |         AND p2.ca = c.cid AND p2.cb = s2.cid),
+       |s3 AS (SELECT query_id, cid, mmr FROM (
+       |    SELECT *, ROW_NUMBER() OVER
+       |      (PARTITION BY query_id ORDER BY mmr DESC, cid) AS rn
+       |    FROM m3) t WHERE rn = 1)
+       |SELECT query_id, 1 AS rnk, cid AS vec_id, ROUND(0.7 * rel, 6) AS score FROM s1
+       |UNION ALL SELECT query_id, 2, cid, mmr FROM s2
+       |UNION ALL SELECT query_id, 3, cid, mmr FROM s3
+       |ORDER BY query_id, rnk""".stripMargin) { (s, dir) =>
+    val n = normed(s, dir)
+    val q = n.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val scored = broadcast(q).crossJoin(n)
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("cid"),
+        Vectors.cosine(col("qv"), col("v"), col("qnrm"), col("nrm")).as("rel"))
+    val byRel = Window.partitionBy("query_id").orderBy(col("rel").desc, col("cid"))
+    val cand = scored.withColumn("rc", row_number().over(byRel))
+      .filter(col("rc") <= 8).select("query_id", "cid", "rel")
+    // candidate vectors + the 8×7-per-query pairwise sim matrix: both
+    // k-bound relations — broadcast them, never shuffle the corpus again
+    val cv = broadcast(cand).join(n, col("cid") === col("vec_id"))
+      .select(col("query_id"), col("cid"), col("rel"), col("v"), col("nrm"))
+    val ps = cv.as("a").join(broadcast(cv.as("b")),
+        col("a.query_id") === col("b.query_id") && col("a.cid") =!= col("b.cid"))
+      .select(col("a.query_id").as("query_id"), col("a.cid").as("ca"),
+        col("b.cid").as("cb"),
+        Vectors.cosine(col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm")).as("sim"))
+    val s1 = cand.withColumn("rn", row_number().over(byRel)).filter(col("rn") === 1)
+      .select(col("query_id"), col("cid").as("s1"), col("rel").as("rel1"))
+    val ps1 = ps.select(col("query_id"), col("ca").as("cid"),
+      col("cb").as("s1"), col("sim").as("sim1"))
+    val m2 = cand.join(s1, Seq("query_id")).filter(col("cid") =!= col("s1"))
+      .join(ps1, Seq("query_id", "cid", "s1"))
+      .withColumn("mmr", round(lit(0.7) * col("rel") - lit(0.3) * col("sim1"), 6))
+    val byMmr = Window.partitionBy("query_id").orderBy(col("mmr").desc, col("cid"))
+    val s2 = m2.withColumn("rn", row_number().over(byMmr)).filter(col("rn") === 1)
+      .select(col("query_id"), col("cid").as("s2"), col("mmr").as("score2"))
+    val ps2 = ps.select(col("query_id"), col("ca").as("cid"),
+      col("cb").as("s2"), col("sim").as("sim2"))
+    val m3 = cand.join(s1, Seq("query_id")).filter(col("cid") =!= col("s1"))
+      .join(s2, Seq("query_id")).filter(col("cid") =!= col("s2"))
+      .join(ps1, Seq("query_id", "cid", "s1"))
+      .join(ps2, Seq("query_id", "cid", "s2"))
+      .withColumn("mmr", round(
+        lit(0.7) * col("rel") - lit(0.3) * greatest(col("sim1"), col("sim2")), 6))
+    val s3 = m3.withColumn("rn", row_number().over(byMmr)).filter(col("rn") === 1)
+      .select(col("query_id"), col("cid").as("s3"), col("mmr").as("score3"))
+    s1.select(col("query_id"), lit(1).as("rnk"), col("s1").as("vec_id"),
+        round(lit(0.7) * col("rel1"), 6).as("score"))
+      .unionByName(s2.select(col("query_id"), lit(2).as("rnk"),
+        col("s2").as("vec_id"), col("score2").as("score")))
+      .unionByName(s3.select(col("query_id"), lit(3).as("rnk"),
+        col("s3").as("vec_id"), col("score3").as("score")))
+      .orderBy("query_id", "rnk")
+  }
+
   val all: Seq[QueryDef] = Seq(
     embedNorm, embedTopk, embedNearDup, annIvf, annIvfProbe2, annIvfKmeans, annLsh,
     embedNearDupLsh, embedOutlier, vecQuantize, pqCodes, semanticDedup,
-    embedTruncatedRecall, rrfFusion, annTopkRefine)
+    embedTruncatedRecall, rrfFusion, annTopkRefine, mmrRerank)
 }
