@@ -349,6 +349,58 @@ object Streaming {
       .orderBy(col("purchase_id"), col("click_id").asc_nulls_first)
   }
 
+  // Stream-stream FULL OUTER join — completes the streaming join family
+  // (inner / left outer / left semi live above). Null-padding now works
+  // BOTH ways, each gated by its own state eviction: an unmatched
+  // purchase closes when the global watermark passes p_ts (as in the
+  // left outer), and an unmatched click closes when the watermark
+  // passes c_ts + 1h — the condition p_ts <= c_ts + 1h means a click
+  // stays joinable until every purchase that could still reach it is
+  // provably in the past. The oracle encodes both eviction boundaries
+  // against the same min-across-inputs ms-truncated watermark.
+  val streamFullOuter: QueryDef = QueryDef.sql("q_stream_full_outer")(
+    """WITH p AS (SELECT event_id AS purchase_id, user_id, ts FROM events
+      |           WHERE event_type = 'purchase'),
+      |c AS (SELECT event_id AS click_id, user_id, ts FROM events
+      |      WHERE event_type = 'click'),
+      |m AS (SELECT p.purchase_id, c.click_id, p.user_id
+      |      FROM p JOIN c ON p.user_id = c.user_id
+      |       AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts),
+      |wm AS (SELECT LEAST(
+      |    (SELECT (MAX(epoch_us(ts)) // 1000 - 3600000) * 1000 FROM p),
+      |    (SELECT (MAX(epoch_us(ts)) // 1000 - 7200000) * 1000 FROM c)) AS wm_us),
+      |up AS (
+      |  SELECT p.purchase_id, CAST(NULL AS BIGINT) AS click_id, p.user_id
+      |  FROM p, wm
+      |  WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.purchase_id = p.purchase_id)
+      |    AND epoch_us(p.ts) < wm_us),
+      |uc AS (
+      |  SELECT CAST(NULL AS BIGINT) AS purchase_id, c.click_id, c.user_id
+      |  FROM c, wm
+      |  WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.click_id = c.click_id)
+      |    AND epoch_us(c.ts) < wm_us - 3600000000)
+      |SELECT purchase_id, click_id, user_id FROM m
+      |UNION ALL SELECT purchase_id, click_id, user_id FROM up
+      |UNION ALL SELECT purchase_id, click_id, user_id FROM uc
+      |ORDER BY purchase_id NULLS LAST, click_id NULLS FIRST""".stripMargin) { (s, dir) =>
+    val src = Ingest.eventsStream(s, dir)
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "2 hours")
+    val joined = purchases.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"),
+      "full_outer")
+    Ingest.runToMemory(joined.select(col("purchase_id"), col("click_id"),
+        coalesce(col("user_id"), col("c_user")).as("user_id")))
+      .orderBy(col("purchase_id").asc_nulls_last, col("click_id").asc_nulls_first)
+  }
+
   // Chained stateful aggregations (Spark 3.4+ allows windowed agg over
   // a windowed agg in append mode): hourly per-user counts feed a daily
   // per-user rollup via window(window, '1 day') — the hourly window
@@ -664,7 +716,8 @@ object Streaming {
   val all: Seq[QueryDef] = Seq(
     streamIngestJson, streamIngestDsv, streamWindowHourly, sinkUpsert,
     sinkUpsertDelta, sinkRoute, streamStreamJoin, streamDedup,
-    streamSessionWindow, streamTwsSummary, streamLeftOuter, streamChainedAgg,
+    streamSessionWindow, streamTwsSummary, streamLeftOuter, streamFullOuter,
+    streamChainedAgg,
     streamLateDrop, streamStaticJoin, streamSessionTimers, streamMapStateCounts,
     streamIncremental, streamSemiJoin, sinkUpsertDeltaAsof, streamAsofJoin)
 }

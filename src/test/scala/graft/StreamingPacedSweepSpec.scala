@@ -56,7 +56,8 @@ class StreamingPacedSweepSpec extends AnyFunSuite {
   private val sweep = Seq(
     "q_stream_window_hourly", "q_stream_stream_join", "q_stream_dedup",
     "q_stream_session_window", "q_stream_session_timers",
-    "q_stream_tws_summary", "q_stream_left_outer", "q_stream_chained_agg",
+    "q_stream_tws_summary", "q_stream_left_outer", "q_stream_full_outer",
+    "q_stream_chained_agg",
     "q_stream_asof_join", "q_stream_mapstate_counts", "q_stream_semi_join",
     "q_stream_static_join")
 
