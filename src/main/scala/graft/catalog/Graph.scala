@@ -180,5 +180,61 @@ object Graph {
     }
   }
 
-  val all: Seq[QueryDef] = Seq(pagerank, triangleCount, degreeDist)
+  // Synchronous label propagation (Raghavan et al. 2007) over the same
+  // trade graph — the community-detection op that complements the CC
+  // pair (components merge everything reachable; LPA groups by
+  // neighborhood MAJORITY, so dense bipartite clusters separate even
+  // inside one component). Deterministic variant: every node updates
+  // simultaneously to its neighbors' modal label, ties to the SMALLEST
+  // label, two unrolled rounds — same iteration budget both engines, so
+  // the per-node labels hash-match. Each round is one tally aggregate
+  // on (node, label) — map-side combinable — plus a per-node argmax
+  // window; both shuffle on the node key, never on a corpus-wide order.
+  val labelProp: QueryDef = {
+    def duckRound(k: Int): String =
+      s"""t$k AS (SELECT e.dst AS node, p.label AS l, COUNT(*) AS c
+         |  FROM edges e JOIN l${k - 1} p ON p.node = e.src GROUP BY 1, 2),
+         |l$k AS (SELECT node, l AS label FROM (
+         |    SELECT node, l, ROW_NUMBER() OVER
+         |      (PARTITION BY node ORDER BY c DESC, l) AS rn
+         |    FROM t$k) r WHERE rn = 1)""".stripMargin
+    QueryDef.sql("q_label_prop")(
+      s"""WITH cs AS (
+         |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |edges AS (SELECT src, dst FROM cs UNION ALL SELECT dst, src FROM cs),
+         |l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+         |${(1 to 2).map(duckRound).mkString(",\n")}
+         |SELECT node, label AS community FROM l2 ORDER BY node""".stripMargin) { (s, dir) =>
+      val preexisting = s.sparkContext.getPersistentRDDs.keySet
+      val cs = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey")
+        .join(Tables.orders(s, dir).select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      val edges = cs.unionByName(cs.select(col("dst").as("src"), col("src").as("dst")))
+        .localCheckpoint() // reused by l0 and both rounds
+      var lbl = edges.select(col("src").as("node")).distinct()
+        .select(col("node"), col("node").as("label"))
+      for (_ <- 1 to 2) {
+        val tally = edges
+          .join(lbl, col("node") === col("src"))
+          .groupBy("dst", "label")
+          .agg(count(lit(1)).as("c"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("dst").orderBy(col("c").desc, col("label"))
+        lbl = tally.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("dst").as("node"), col("label"))
+      }
+      val result = lbl.select(col("node"), col("label").as("community"))
+        .orderBy("node")
+      graft.core.Spill.materialize(result) {
+        s.sparkContext.getPersistentRDDs
+          .filterNot { case (id, _) => preexisting.contains(id) }
+          .values.foreach(_.unpersist(false))
+      }
+    }
+  }
+
+  val all: Seq[QueryDef] = Seq(pagerank, triangleCount, degreeDist, labelProp)
 }
