@@ -1073,10 +1073,94 @@ object Curation {
     }
   }
 
+  // -------------------------------------------------------------------
+  // End-to-end training export — the capstone composition that turns
+  // the raw corpus into sharded training sequences in ONE
+  // materialization, the way q_corpus_dedup is the capstone for the
+  // dedup family: quality gate (q_repetition_filter's keep rule) →
+  // exact dedup (q_dedup_exact's min-id-per-md5 rule) → GPT-style
+  // packing of the survivors' token stream into L=256 sequences
+  // (q_pack_sequences' transform over the SAME GlobalIndex prefix sum —
+  // never SUM() OVER an empty partition) → per-shard rollup
+  // (shard = seq_id % 8). Every stage reuses the component query's
+  // exact formula and shared helper (Text.tokens / Text.normText /
+  // GlobalIndex.withRunningTotal), so the capstone cannot drift from
+  // the operators it composes. One persisted (toks, norm) projection
+  // feeds gate, dedup, and packing; output is the 8-row shard manifest
+  // a dataloader consumes — all integer arithmetic, fully hash-matched.
+  val trainingExport: QueryDef = QueryDef.sql("q_training_export")(
+    s"""WITH base AS (SELECT doc_id, $toksSql AS toks, $normSql AS norm
+       |              FROM documents),
+       |tok AS (SELECT doc_id, UNNEST(toks) AS t FROM base),
+       |tc AS (SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+       |ts AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+       |         CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       |         CAST(MAX(c) AS BIGINT) AS top_c
+       |       FROM tc GROUP BY doc_id),
+       |keepq AS (SELECT doc_id, n_tokens FROM ts
+       |          WHERE n_distinct / n_tokens >= 0.2 AND top_c / n_tokens <= 0.2),
+       |dd AS (SELECT b.doc_id, k.n_tokens, md5(b.norm) AS fp
+       |       FROM base b JOIN keepq k ON b.doc_id = k.doc_id),
+       |canon AS (SELECT fp, MIN(doc_id) AS doc_id FROM dd GROUP BY fp),
+       |kept AS (SELECT d.doc_id, d.n_tokens FROM dd d
+       |         JOIN canon c ON c.doc_id = d.doc_id),
+       |cum AS (SELECT doc_id, n_tokens,
+       |          CAST(SUM(n_tokens) OVER (ORDER BY doc_id) AS BIGINT) AS cumt
+       |        FROM kept WHERE n_tokens > 0),
+       |q AS (SELECT doc_id, cumt - n_tokens AS g_start, cumt AS g_end FROM cum),
+       |x AS (SELECT doc_id, g_start, g_end,
+       |        UNNEST(generate_series(g_start // 256, (g_end - 1) // 256)) AS seq_id
+       |      FROM q),
+       |seg AS (SELECT seq_id, doc_id,
+       |          least(g_end, (seq_id + 1) * 256)
+       |            - greatest(g_start, seq_id * 256) AS n_in_seq
+       |        FROM x)
+       |SELECT seq_id % 8 AS shard_id,
+       |  CAST(COUNT(DISTINCT seq_id) AS BIGINT) AS n_seqs,
+       |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_in_seq) AS BIGINT) AS n_tokens
+       |FROM seg GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val L = 256
+    val base = Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"),
+        Text.normText(col("text")).as("norm"))
+      .persist()
+    val ts = base.select(col("doc_id"), explode(col("toks")).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_c"))
+    val keepq = ts
+      .filter(col("n_distinct") / col("n_tokens") >= 0.2 &&
+        col("top_c") / col("n_tokens") <= 0.2)
+      .select("doc_id", "n_tokens")
+    val dd = base.join(keepq, "doc_id")
+      .select(col("doc_id"), col("n_tokens"), md5(col("norm")).as("fp"))
+    val canon = dd.groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
+    val kept = dd.join(canon.select("doc_id"), Seq("doc_id"), "left_semi")
+      .select("doc_id", "n_tokens")
+    val cum = graft.ops.GlobalIndex.withRunningTotal(
+      kept.filter(col("n_tokens") > 0), Seq(col("doc_id")), "n_tokens", "g_start")
+    val seg = cum.withColumn("g_end", col("g_start") + col("n_tokens"))
+      .select(col("doc_id"), col("g_start"), col("g_end"),
+        explode(sequence(
+          expr(s"g_start div $L"), expr(s"(g_end - 1) div $L"))).as("seq_id"))
+      .select(col("seq_id"), col("doc_id"),
+        (least(col("g_end"), (col("seq_id") + 1) * L)
+          - greatest(col("g_start"), col("seq_id") * L)).as("n_in_seq"))
+    val res = seg.groupBy((col("seq_id") % 8).as("shard_id"))
+      .agg(countDistinct(col("seq_id")).as("n_seqs"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        sum(col("n_in_seq")).as("n_tokens"))
+      .orderBy("shard_id")
+    graft.core.Spill.materialize(res) { base.unpersist(blocking = false) }
+  }
+
   val all: Seq[QueryDef] = Seq(
     dedupClusters, dedupClustersTwoStar, repetitionFilter, hashSplit,
     sampleStratified, docChunks, piiRedact, idfQuality, contamination,
     filterFunnel, domainMix, domainMixTemp, upsampleRepeat, chunkDedup,
     corpusDedup, sampleWeighted, packSequences, shardBalance,
-    tokenBudget, corpusDedupBest, decontaminate)
+    tokenBudget, corpusDedupBest, decontaminate, trainingExport)
 }
