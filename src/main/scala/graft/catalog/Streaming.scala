@@ -6,7 +6,8 @@ import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.DecimalType
 
 import graft.core.QueryDef
-import graft.streaming.{DeltaUpsertStore, Ingest, RoutedAppendStore, UpsertParquetStore}
+import graft.streaming.{DeltaUpsertStore, EsHttpStore, EsStub, Ingest,
+  RoutedAppendStore, UpsertParquetStore}
 
 /** End-to-end Structured Streaming queries: each runs a REAL streaming
   * query (file-stream source standing in for the Kafka topic →
@@ -153,6 +154,83 @@ object Streaming {
       .select(col("user_id"), col("event_id").as("last_event_id"),
         col("event_type").as("last_event_type"), col("value").as("last_value"))
       .orderBy("user_id")
+  }
+
+  // K3 + K5 over the REAL wire: the same upsert contract as
+  // q_sink_upsert, but spoken as the Elasticsearch `_bulk` protocol —
+  // executor partitions POST chunked NDJSON index actions (codegen'd
+  // to_json docs) to an in-process HTTP stand-in that implements the
+  // engine's external-versioning rule. version = epoch-micros of the
+  // event time, so the store's highest-version-wins merge IS the
+  // oracle's latest-per-(ts) row regardless of batch arrival order or
+  // concurrent partition writers; within a micro-batch the map-side
+  // latest-per-key reduction bounds what crosses the wire to O(keys).
+  // (The feed has no (user, ts_us) ties; a tie would 409 the later
+  // event_id, the real engine's strictly-greater rule.)
+  val sinkUpsertEs: QueryDef = QueryDef.sql("q_sink_upsert_es")(
+    """SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+      |  value AS last_value
+      |FROM (SELECT *, row_number() OVER
+      |        (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |      FROM events) t
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin) { (s, dir) =>
+    val stub = new EsStub()
+    stub.start()
+    try {
+      val docSchema = org.apache.spark.sql.types.StructType.fromDDL(
+        "user_id BIGINT, event_id BIGINT, event_type STRING, value DOUBLE")
+      val store = new EsHttpStore(stub.baseUrl, "events", "user_id",
+        Seq("ts", "event_id"), "_ver", docSchema)
+      require(store.healthCheck(), "sink preflight failed") // K5 over the wire
+      val q = Ingest.eventsStream(s, dir)
+        .withColumn("_ver", unix_micros(col("ts")))
+        .writeStream
+        .foreachBatch((b: org.apache.spark.sql.Dataset[Row], id: Long) =>
+          store.upsert(b.toDF(), id))
+        .option("checkpointLocation", uniqueDir("chk_upsert_es_"))
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val out = store.read(s)
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("event_type").as("last_event_type"), col("value").as("last_value"))
+        .orderBy("user_id")
+      graft.core.Spill.materialize(out)(())
+    } finally stub.stop()
+  }
+
+  // K4 over the REAL wire: dynamic per-row index routing
+  // (`room-{room}` → `type-{event_type}`) as auto-id `_bulk` appends
+  // from the executors — the reference's per-row `es.index(...)` loop
+  // (`kafka_to_es.py:55-71`) re-expressed as bulk batches.
+  // At-least-once by contract; the AvailableNow run has no retries, so
+  // counts are exact.
+  val sinkRouteEs: QueryDef = QueryDef.sql("q_sink_route_es")(
+    """SELECT 'type-' || event_type AS idx, COUNT(*) AS n
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val stub = new EsStub()
+    stub.start()
+    try {
+      val docSchema = org.apache.spark.sql.types.StructType.fromDDL(
+        "event_id BIGINT, user_id BIGINT, value DOUBLE")
+      val store = new EsHttpStore(stub.baseUrl, "", "event_id", Seq("event_id"),
+        "event_id", docSchema)
+      require(store.healthCheck(), "sink preflight failed") // K5
+      val routed = Ingest.eventsStream(s, dir)
+        .withColumn("route", concat(lit("type-"), col("event_type")))
+      val q = routed.writeStream
+        .foreachBatch((b: org.apache.spark.sql.Dataset[Row], _: Long) =>
+          store.appendRouted(b.toDF(), "route"))
+        .option("checkpointLocation", uniqueDir("chk_route_es_"))
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val out = store.readRouted(s)
+        .groupBy(col("es_index").as("idx"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("idx")
+      graft.core.Spill.materialize(out)(())
+    } finally stub.stop()
   }
 
   // K4: append sink with dynamic per-key index routing
@@ -719,5 +797,6 @@ object Streaming {
     streamSessionWindow, streamTwsSummary, streamLeftOuter, streamFullOuter,
     streamChainedAgg,
     streamLateDrop, streamStaticJoin, streamSessionTimers, streamMapStateCounts,
-    streamIncremental, streamSemiJoin, sinkUpsertDeltaAsof, streamAsofJoin)
+    streamIncremental, streamSemiJoin, sinkUpsertDeltaAsof, streamAsofJoin,
+    sinkUpsertEs, sinkRouteEs)
 }

@@ -1,0 +1,171 @@
+package graft.streaming
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.{ConcurrentHashMap, Executors}
+import java.util.concurrent.atomic.AtomicLong
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+/** In-process Elasticsearch stand-in for the zero-egress sandbox —
+  * implements the slice of the REST surface the engine's sink layer
+  * speaks ([[EsBulkClient]]/[[EsHttpStore]]): `_cluster/health`,
+  * `_bulk` (index actions: external-versioned upsert, plain
+  * last-write-wins, auto-id append, per-item 409 conflicts), and a
+  * one-page `_search` per index or across all indices. The client
+  * never knows it isn't talking to Elasticsearch: same NDJSON bulk
+  * bytes, same response shapes, same status codes — so swapping
+  * `baseUrl` to a real cluster exercises the identical code path
+  * (README documents this as the sanctioned stand-in, like
+  * `FileExchange` for the Kafka transport).
+  *
+  * Semantics per (index, _id):
+  *  - `version_type=external`: keep the doc with the HIGHEST version;
+  *    lower-or-equal incoming version → item status 409
+  *    (`version_conflict_engine_exception`), exactly the real engine's
+  *    optimistic concurrency rule — what makes concurrent partition
+  *    writers and at-least-once replays deterministic.
+  *  - no version: unconditional overwrite (arrival order wins).
+  *  - no `_id`: server-assigned sequential id (append).
+  *
+  * Test hooks: [[failNextBulks]] makes the next N bulk requests return
+  * 429 (client retry path); [[bulkRequests]] counts accepted bulk
+  * POSTs (chunking assertions).
+  */
+final class EsStub {
+
+  private final case class Entry(version: Long, source: String)
+
+  private val mapper = new ObjectMapper()
+  private val docs = new ConcurrentHashMap[(String, String), Entry]()
+  private val autoId = new AtomicLong(0L)
+  val bulkRequests = new AtomicLong(0L)
+  @volatile var failNextBulks: Int = 0
+
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+  // daemon threads + explicit shutdown in stop(): a leaked stub must
+  // never pin the JVM open after the owning query finishes
+  private val pool = Executors.newFixedThreadPool(8, r => {
+    val t = new Thread(r, "es-stub")
+    t.setDaemon(true)
+    t
+  })
+  server.setExecutor(pool)
+
+  def port: Int = server.getAddress.getPort
+  def baseUrl: String = s"http://127.0.0.1:$port"
+
+  def start(): Unit = server.start()
+  def stop(): Unit = { server.stop(0); pool.shutdown() }
+
+  /** Docs currently held for `index` ("" = all): (index, id, source). */
+  def snapshot(index: String): Seq[(String, String, String)] =
+    docs.asScala.toSeq
+      .filter { case ((i, _), _) => index.isEmpty || i == index }
+      .map { case ((i, id), e) => (i, id, e.source) }
+
+  server.createContext("/", (ex: HttpExchange) => {
+    try handle(ex)
+    catch {
+      case e: Exception =>
+        System.err.println(s"[EsStub] ${e.getClass.getName}: ${e.getMessage}")
+        respond(ex, 500, s"""{"error":"${e.getClass.getSimpleName}"}""")
+    } finally ex.close()
+  })
+
+  private def handle(ex: HttpExchange): Unit = {
+    val path = ex.getRequestURI.getPath.stripPrefix("/").stripSuffix("/")
+    (ex.getRequestMethod, path) match {
+      case ("GET", "_cluster/health") =>
+        respond(ex, 200, """{"status":"yellow"}""")
+      case ("POST", "_bulk") =>
+        if (failNextBulks > 0) {
+          synchronized { failNextBulks -= 1 }
+          respond(ex, 429, """{"error":"rejected_execution_exception"}""")
+        } else {
+          bulkRequests.incrementAndGet()
+          val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+          respond(ex, 200, applyBulk(body))
+        }
+      case ("GET", "_search") => respond(ex, 200, searchBody(""))
+      case ("GET", p) if p.endsWith("/_search") =>
+        respond(ex, 200, searchBody(p.stripSuffix("/_search")))
+      case (m, p) =>
+        respond(ex, 400, s"""{"error":"unsupported $m /$p"}""")
+    }
+  }
+
+  /** Apply an NDJSON bulk body; only `index` actions are implemented
+    * (the one op the sink layer emits).
+    */
+  private def applyBulk(body: String): String = {
+    val lines = body.split('\n').iterator.filter(_.nonEmpty)
+    val items = mapper.createArrayNode()
+    var anyError = false
+    while (lines.hasNext) {
+      val action = mapper.readTree(lines.next())
+      require(action.has("index"), s"unsupported bulk op: ${action.toString.take(100)}")
+      val meta = action.get("index")
+      val index = meta.path("_index").asText()
+      require(index.nonEmpty, "bulk index action without _index")
+      val source = lines.next() // index ops carry a source line
+      val external = meta.path("version_type").asText("") == "external"
+      val id = Option(meta.get("_id")).map(_.asText())
+        .getOrElse(s"_auto_${autoId.incrementAndGet()}")
+      val status =
+        if (external) {
+          val v = meta.path("version").asLong()
+          // atomic highest-version-wins per key; ties conflict (real
+          // external-versioning rule: new must be STRICTLY greater, so
+          // an exact replay of an already-applied write also 409s)
+          val won = new java.util.concurrent.atomic.AtomicBoolean(false)
+          docs.compute((index, id), (_, cur) =>
+            if (cur == null || v > cur.version) { won.set(true); Entry(v, source) }
+            else { won.set(false); cur })
+          if (won.get) 201 else 409
+        } else {
+          docs.compute((index, id), (_, cur) =>
+            Entry(if (cur == null) 1L else cur.version + 1L, source))
+          201
+        }
+      if (status == 409) anyError = true
+      val item = items.addObject().putObject("index")
+      item.put("_index", index)
+      item.put("_id", id)
+      item.put("status", status)
+      if (status == 409) item.putObject("error")
+        .put("type", "version_conflict_engine_exception")
+    }
+    val resp = mapper.createObjectNode()
+    resp.put("took", 1)
+    resp.put("errors", anyError)
+    resp.set[JsonNode]("items", items)
+    mapper.writeValueAsString(resp)
+  }
+
+  private def searchBody(index: String): String = {
+    val hits = snapshot(index)
+    val resp = mapper.createObjectNode()
+    val hitsObj = resp.putObject("hits")
+    hitsObj.putObject("total").put("value", hits.size).put("relation", "eq")
+    val arr = hitsObj.putArray("hits")
+    hits.foreach { case (i, id, src) =>
+      val h = arr.addObject()
+      h.put("_index", i)
+      h.put("_id", id)
+      h.set[JsonNode]("_source", mapper.readTree(src))
+    }
+    mapper.writeValueAsString(resp)
+  }
+
+  private def respond(ex: HttpExchange, status: Int, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(status, bytes.length)
+    ex.getResponseBody.write(bytes)
+  }
+}

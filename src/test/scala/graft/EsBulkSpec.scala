@@ -1,0 +1,96 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.streaming.{EsBulkClient, EsBulkStats, EsDoc, EsHttpStore, EsStub}
+
+/** The Elasticsearch `_bulk` wire path (FIXTURES.md §4, K3/K4/K5 over
+  * HTTP): chunked NDJSON bulks from executor partitions, external
+  * versioning as the deterministic last-write-wins rule, 429 retry, and
+  * semantic parity with the parquet upsert store on the same feed.
+  */
+class EsBulkSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def withStub(f: EsStub => Unit): Unit = {
+    val stub = new EsStub()
+    stub.start()
+    try f(stub) finally stub.stop()
+  }
+
+  private val docSchema = StructType.fromDDL("k BIGINT, v STRING")
+
+  test("K5: health preflight passes against a live endpoint, fails on a dead one") {
+    withStub { stub =>
+      assert(new EsBulkClient(stub.baseUrl).health())
+    }
+    // ephemeral port that was just released — nothing listens there
+    assert(!new EsBulkClient("http://127.0.0.1:1").health())
+  }
+
+  test("external versioning: highest version wins regardless of arrival order; stale and replayed writes 409") {
+    withStub { stub =>
+      val c = new EsBulkClient(stub.baseUrl)
+      val s1 = c.bulk(Iterator(
+        EsDoc("t", Some("a"), Some(5L), """{"k":1,"v":"new"}"""),
+        EsDoc("t", Some("b"), Some(1L), """{"k":2,"v":"x"}""")))
+      assert(s1 == EsBulkStats(2, 0, 1))
+      // older version arrives later (out-of-order batch) → conflict, not clobber
+      val s2 = c.bulk(Iterator(EsDoc("t", Some("a"), Some(3L), """{"k":1,"v":"stale"}""")))
+      assert(s2 == EsBulkStats(0, 1, 1))
+      // exact replay of an applied write (at-least-once) → also a conflict
+      val s3 = c.bulk(Iterator(EsDoc("t", Some("a"), Some(5L), """{"k":1,"v":"new"}""")))
+      assert(s3 == EsBulkStats(0, 1, 1))
+      val docs = stub.snapshot("t").sortBy(_._2)
+      assert(docs.map(_._2) == Seq("a", "b"))
+      assert(docs.head._3.contains("\"new\""))
+    }
+  }
+
+  test("bulk requests chunk by doc count and retry transparently on 429") {
+    withStub { stub =>
+      val c = new EsBulkClient(stub.baseUrl, maxDocsPerRequest = 100)
+      stub.failNextBulks = 1
+      val docs = (1 to 250).iterator.map(i =>
+        EsDoc("chunks", Some(i.toString), Some(i.toLong), s"""{"k":$i,"v":"d$i"}"""))
+      val stats = c.bulk(docs)
+      assert(stats.indexed == 250 && stats.conflicts == 0)
+      // 3 accepted chunks (100+100+50); the 429'd attempt is not counted
+      assert(stub.bulkRequests.get() == 3)
+      assert(stub.snapshot("chunks").size == 250)
+    }
+  }
+
+  test("K3 over the wire matches the parquet upsert store on the same batches") {
+    withStub { stub =>
+      val store = new EsHttpStore(stub.baseUrl, "events", "k", Seq("ver"),
+        "ver", docSchema)
+      assert(store.healthCheck())
+      val b0 = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "c")).toDF("k", "ver", "v")
+      val b1 = Seq((1L, 15L, "late"), (2L, 9L, "d"), (3L, 1L, "e")).toDF("k", "ver", "v")
+      store.upsert(b0, 0)
+      store.upsert(b1, 1) // k=1 ver 15 < stored 20 → 409, store keeps "b"
+      val out = store.read(spark).orderBy("k")
+        .select("k", "v").as[(Long, String)].collect().toSeq
+      assert(out == Seq((1L, "b"), (2L, "d"), (3L, "e")))
+    }
+  }
+
+  test("K4 over the wire: per-row index routing with auto ids keeps duplicates") {
+    withStub { stub =>
+      val store = new EsHttpStore(stub.baseUrl, "", "k", Seq("k"), "k", docSchema)
+      val batch = Seq((1L, "x"), (2L, "y")).toDF("k", "v")
+        .withColumn("route", concat(lit("room-"), col("k")))
+      store.appendRouted(batch, "route")
+      store.appendRouted(batch, "route") // retry replay → at-least-once dupes
+      val out = store.readRouted(spark)
+        .groupBy("es_index").count().orderBy("es_index")
+        .as[(String, Long)].collect().toSeq
+      assert(out == Seq(("room-1", 2L), ("room-2", 2L)))
+    }
+  }
+}
