@@ -891,8 +891,108 @@ object SimilaritySearch {
       .orderBy("query_id", "rnk")
   }
 
+  // Hard-negative mining for contrastive/retrieval training: for each
+  // query vector, the top-5 most similar vectors with a DIFFERENT
+  // label — the highest-loss negatives a trainer wants in the batch.
+  // Same plan shape as q_embed_topk (tiny broadcast query side, corpus
+  // streams map-side, WindowGroupLimit top-k per query); the label
+  // inequality is just one more pushed filter on the joined row, so the
+  // 100 TB cost is identical to plain top-k retrieval. Cosines are
+  // dim-ordered folds — bit-identical to DuckDB, no rounding.
+  val hardNegatives: QueryDef = QueryDef.sql("q_hard_negatives")(
+    """WITH n AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+      |  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv, nrm AS qnrm
+      |      FROM n WHERE vec_id < 20),
+      |scored AS (
+      |  SELECT query_id, n.vec_id AS neighbor_id, n.label AS neg_label,
+      |    list_dot_product(qv, v) / (qnrm * nrm) AS cosine
+      |  FROM q CROSS JOIN n WHERE n.label <> qlabel),
+      |ranked AS (SELECT *, ROW_NUMBER() OVER
+      |  (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk FROM scored)
+      |SELECT query_id, neighbor_id, neg_label, cosine, rnk FROM ranked
+      |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin) { (s, dir) =>
+    Vectors.register(s)
+    val n = Tables.embeddings(s, dir)
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+      .select(col("vec_id"), col("label"), Vectors.toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", Vectors.norm2(col("v")))
+    val q = n.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("v").as("qv"), col("nrm").as("qnrm"))
+    val scored = broadcast(q).crossJoin(n)
+      .filter(col("label") =!= col("qlabel"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("label").as("neg_label"),
+        Vectors.cosine(col("qv"), col("v"), col("qnrm"), col("nrm")).as("cosine"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select("query_id", "neighbor_id", "neg_label", "cosine", "rnk")
+      .orderBy("query_id", "rnk")
+  }
+
+  // Embedding distribution drift between two corpus snapshots (half A =
+  // even vec_ids, half B = odd — the deterministic stand-in for
+  // "yesterday's corpus vs today's"): per-label centroid of each half,
+  // then the cosine between the two centroids and the L2 shift. The
+  // drift monitor a production embedding pipeline runs nightly — a
+  // label whose centroid cosine drops signals upstream distribution
+  // change. Centroids are vec_id-ordered sequential folds
+  // (KMeans.foldMeans on a composite label⋅2+half key), so every double
+  // is bit-identical to the oracle; the final cosine/shift fold in dim
+  // order likewise — no rounding anywhere. Cost: one partial→final
+  // aggregate over the exploded corpus (2·|labels|·64 rows out), then
+  // arithmetic on the tiny centroid relation.
+  val embedDrift: QueryDef = QueryDef.sql("q_embed_drift")(
+    """WITH e AS (SELECT vec_id, label, vec_id % 2 AS half,
+      |             CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |dimx AS (SELECT label, half, vec_id, d, v[d] AS x
+      |         FROM e CROSS JOIN (SELECT UNNEST(range(1, 65)) AS d) dd),
+      |m AS (SELECT label, half, d,
+      |        list_reduce(list_prepend(0.0, list(x ORDER BY vec_id)),
+      |          (a, b) -> a + b) / COUNT(*) AS mx,
+      |        COUNT(*) AS cnt
+      |      FROM dimx GROUP BY label, half, d),
+      |c AS (SELECT label, half, list(mx ORDER BY d) AS cv, MIN(cnt) AS cnt
+      |      FROM m GROUP BY label, half)
+      |SELECT a.label, a.cnt AS n_even, b.cnt AS n_odd,
+      |  list_dot_product(a.cv, b.cv) /
+      |    (sqrt(list_dot_product(a.cv, a.cv)) * sqrt(list_dot_product(b.cv, b.cv)))
+      |    AS centroid_cosine,
+      |  sqrt(list_reduce(list_prepend(0.0,
+      |    list_transform(range(1, 65), i -> (a.cv[i] - b.cv[i]) * (a.cv[i] - b.cv[i]))),
+      |    (x, y) -> x + y)) AS l2_shift
+      |FROM c a JOIN c b ON a.label = b.label AND a.half = 0 AND b.half = 1
+      |ORDER BY a.label""".stripMargin) { (s, dir) =>
+    Vectors.register(s)
+    val e = Tables.embeddings(s, dir)
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+      .select(col("vec_id"), col("label"),
+        (col("label") * 2 + pmod(col("vec_id"), lit(2))).as("key"),
+        Vectors.toDouble(col("embedding")).as("v"))
+    val counts = e.groupBy("key").agg(count(lit(1)).as("cnt"))
+    val cent = graft.ops.KMeans.foldMeans(e, "vec_id", "key", "v")
+      .join(counts, col("cid") === col("key"))
+      .select((col("cid") / 2).cast("int").as("label"),
+        pmod(col("cid"), lit(2)).cast("int").as("half"), col("cv"), col("cnt"))
+    val a = cent.filter(col("half") === 0)
+      .select(col("label"), col("cv").as("cva"), col("cnt").as("n_even"))
+    val b = cent.filter(col("half") === 1)
+      .select(col("label"), col("cv").as("cvb"), col("cnt").as("n_odd"))
+    a.join(b, "label")
+      .select(col("label"), col("n_even"), col("n_odd"),
+        Vectors.cosine(col("cva"), col("cvb"),
+          Vectors.norm2(col("cva")), Vectors.norm2(col("cvb"))).as("centroid_cosine"),
+        sqrt(aggregate(zip_with(col("cva"), col("cvb"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x)).as("l2_shift"))
+      .orderBy("label")
+  }
+
   val all: Seq[QueryDef] = Seq(
     embedNorm, embedTopk, embedNearDup, annIvf, annIvfProbe2, annIvfKmeans, annLsh,
     embedNearDupLsh, embedOutlier, vecQuantize, pqCodes, semanticDedup,
-    embedTruncatedRecall, rrfFusion, annTopkRefine, mmrRerank)
+    embedTruncatedRecall, rrfFusion, annTopkRefine, mmrRerank, hardNegatives,
+    embedDrift)
 }

@@ -1576,6 +1576,77 @@ object TextAnalysis {
     }
   }
 
+  // Asymmetric near-superset detection: directed shingle-set
+  // containment C(A→B) = |sh(A) ∩ sh(B)| / |sh(A)| ≥ 0.8 with
+  // |sh(A)| ≤ |sh(B)| — the quote/excerpt/boilerplate-wrapper relation
+  // that symmetric Jaccard structurally misses (a 100-shingle doc fully
+  // embedded in a 10 000-shingle doc has J ≈ 0.01 but C = 1.0).
+  // Candidate generation is PREFIX FILTERING (SSJoin, Chaudhuri et al.
+  // ICDE 2006; PPJoin, Xiao et al. WWW 2008), asymmetric form: a
+  // qualifying pair must share at least one of A's n - ⌈0.8n⌉ + 1
+  // RAREST shingles (global (df, shingle) order) — provably no recall
+  // loss, so the result is EXACT while the equi-join runs on the rare
+  // end of the df distribution: a heavy shingle reaches the join only
+  // through the few docs where it ranks in the rarest 20%, which is
+  // what keeps per-key cost off the df² cliff at 100 TB. Verification
+  // recomputes the exact intersection restricted to candidate pairs
+  // (the q_minhash_verified shape). Keep test is exact-integer
+  // (inter·5 ≥ n_a·4); the reported containment is one integer
+  // quotient. Shingle definition shared with the MinHash pipeline.
+  val containment: QueryDef = QueryDef.sql("q_containment")(
+    s"""WITH base AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |shl AS (SELECT doc_id, list_distinct($shinglesSql) AS sh FROM base),
+       |sized AS (SELECT doc_id, len(sh) AS n, sh FROM shl),
+       |ex AS (SELECT doc_id, n, UNNEST(sh) AS t FROM sized),
+       |df AS (SELECT t, COUNT(*) AS df FROM ex GROUP BY 1),
+       |rk AS (SELECT ex.doc_id, ex.n, ex.t,
+       |         row_number() OVER (PARTITION BY ex.doc_id ORDER BY df.df, ex.t) AS r
+       |       FROM ex JOIN df ON df.t = ex.t),
+       |pfx AS (SELECT * FROM rk WHERE r <= n - ((4*n + 4) // 5) + 1),
+       |cand AS (SELECT DISTINCT p.doc_id AS doc_a, e.doc_id AS doc_b
+       |         FROM pfx p JOIN ex e ON e.t = p.t AND e.doc_id <> p.doc_id),
+       |inter AS (SELECT c.doc_a, c.doc_b, ea.n AS n_a, eb2.n AS n_b, COUNT(*) AS inter
+       |          FROM cand c
+       |          JOIN ex ea ON ea.doc_id = c.doc_a
+       |          JOIN ex eb ON eb.doc_id = c.doc_b AND eb.t = ea.t
+       |          JOIN sized eb2 ON eb2.doc_id = c.doc_b
+       |          GROUP BY 1, 2, 3, 4)
+       |SELECT doc_a, doc_b, n_a, inter, inter / n_a AS containment
+       |FROM inter
+       |WHERE inter * 5 >= n_a * 4
+       |  AND (n_a < n_b OR (n_a = n_b AND doc_a < doc_b))
+       |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+    val ex = docs(s, dir)
+      .select(col("doc_id"),
+        array_distinct(Text.wordShingles(Text.tokens(col("text")), 3)).as("sh"))
+      .select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("t"))
+      .persist()
+    val dfreq = ex.groupBy("t").agg(count(lit(1)).as("df"))
+    val pfx = ex.join(dfreq, "t")
+      .withColumn("r", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("t"))))
+      .filter(col("r") <= col("n") - expr("(4*n + 4) div 5") + 1)
+    val cand = pfx.select(col("doc_id").as("doc_a"), col("t"))
+      .join(ex.select(col("doc_id").as("doc_b"), col("t")), "t")
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val sizes = ex.groupBy("doc_id").agg(first(col("n")).as("n"))
+    val inter = cand
+      .join(ex.select(col("doc_id").as("doc_a"), col("n").as("n_a"), col("t")),
+        Seq("doc_a"))
+      .join(ex.select(col("doc_id").as("doc_b"), col("t")), Seq("doc_b", "t"))
+      .groupBy("doc_a", "doc_b", "n_a").agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+    val res = inter
+      .filter(col("inter") * 5 >= col("n_a") * 4 &&
+        (col("n_a") < col("n_b") ||
+          (col("n_a") === col("n_b") && col("doc_a") < col("doc_b"))))
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("inter"),
+        (col("inter") / col("n_a")).as("containment"))
+      .orderBy("doc_a", "doc_b")
+    materialized(res, ex)
+  }
+
   val all: Seq[QueryDef] = Seq(
     tokenCount, langId, qualityScore, fingerprint, dedupExact,
     minhashSig, minhashPairs, minhashVerified, ngramJaccard, simhash,
@@ -1583,5 +1654,5 @@ object TextAnalysis {
     minhashJaccardEst, tokenEntropy, bpePairs, dedupIncremental,
     dupNgramSpans, tfidfRetrieval, bm25Retrieval, bigramLm, perplexityBuckets,
     qualityLogit, zipfFit, streamDedupLsh, bpeMergeRound, bpeMergeRound2,
-    substringScrub, pmiCollocations, klDrift, sentiment)
+    substringScrub, pmiCollocations, klDrift, sentiment, containment)
 }
