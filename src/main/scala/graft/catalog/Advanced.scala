@@ -298,6 +298,7 @@ object Advanced {
   val trajectorySimBlocked: QueryDef =
     QueryDef.sql("q_trajectory_sim_blocked")(trajectorySim.oracle.get) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
+      graft.ops.Vectors.register(s)
       val wu = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
       val tc = Tables.events(s, dir)
         .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
@@ -313,13 +314,20 @@ object Advanced {
       val vocab = tc.select("g").distinct()
         .withColumn("gid", row_number().over(Window.orderBy("g")))
       val d = vocab.groupBy().agg(max(col("gid")).as("d"))
+      // dense DOUBLE vectors: counts are small integers, so every
+      // product and partial sum is ≪ 2^53 and exactly representable —
+      // the codegen'd graft_dot then folds dims in index order, landing
+      // on the same integer the oracle's BIGINT SUM(a.c*b.c) computes
+      // (the interpreted zip_with/aggregate HOF pair allocates a fresh
+      // array per pair; on the ~n²/2 pair stream that allocation WAS
+      // the query's cost at sf0.1)
       val vecs = tc.join(broadcast(vocab), "g")
         .groupBy("user_id")
         .agg(map_from_entries(collect_list(struct(col("gid"), col("c")))).as("m"),
           sum(col("c") * col("c")).as("ss"))
         .crossJoin(broadcast(d))
         .select(col("user_id"), col("ss"),
-          expr("transform(sequence(1, d), i -> coalesce(element_at(m, i), CAST(0 AS BIGINT)))")
+          expr("transform(sequence(1, d), i -> CAST(coalesce(element_at(m, i), CAST(0 AS BIGINT)) AS DOUBLE))")
             .as("v"))
       val G = 8
       val n = vecs.withColumn("g", pmod(col("user_id"), lit(G)).cast("int"))
@@ -336,9 +344,8 @@ object Advanced {
         .select(
           least(col("ida"), col("idb")).as("ua"),
           greatest(col("ida"), col("idb")).as("ub"),
-          // integer dot: operand order cannot matter
-          expr("aggregate(zip_with(va, vb, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, x) -> acc + x)")
-            .as("dot"),
+          // integer-valued dot (exact in double): operand order cannot matter
+          graft.ops.Vectors.dot(col("va"), col("vb")).as("dot"),
           col("sa"), col("sb"))
         .select(col("ua"), col("ub"),
           round(col("dot").cast("double") /
