@@ -304,9 +304,60 @@ object Relational {
       .limit(10)
   }
 
+  // The TPC-H Q5 star-join shape. nation/region are CONSTANT-size
+  // dimensions (25/5 rows at any SF) → explicit broadcast; customer and
+  // supplier SCALE with the corpus, so they are deliberately NOT pinned
+  // broadcast — AQE picks broadcast at bench scale and falls back to a
+  // shuffle join when they outgrow the threshold, which is the correct
+  // 100 TB behavior (hard-coding broadcast() on an SF-scaled table is
+  // the plan that dies first on a real cluster). The supplier join
+  // carries the local-supplier condition (s_nationkey = c_nationkey —
+  // what makes Q5 a graph, not a chain); the region filter prunes
+  // suppliers BEFORE the fact join. Revenue sums in exact DECIMAL, cast
+  // back to double after the final aggregate.
+  val regionRevenue: QueryDef = QueryDef.sql("q_region_revenue")(
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |           (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON c_custkey = o_custkey
+      |JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+      |JOIN nation ON n_nationkey = s_nationkey
+      |JOIN region ON r_regionkey = n_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin) { (s, dir) =>
+    val nations = broadcast(Tables.nation(s, dir)
+      .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name"))
+    val suppliers = Tables.supplier(s, dir)
+      .join(nations, col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_nationkey", "n_name")
+    val fact = Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lit("1995-01-01 00:00:00").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
+          .select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(suppliers,
+        col("l_suppkey") === col("s_suppkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+    fact.groupBy("n_name")
+      .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+          (lit(1) - col("l_discount").cast(DecimalType(18, 2))))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     scanFilterProject, dropCols, dropNa, litTag, jsonFlatten, dsvEncode,
     multiwayJoin, groupAvgMinute, hourlyStats, unionAll, timeFuncs,
     shuffleDet, upsertLastWins, topkHourly, pivotTypeHour, anomalyFilter,
-    topRevenue)
+    topRevenue, regionRevenue)
 }

@@ -1647,6 +1647,50 @@ object TextAnalysis {
     materialized(res, ex)
   }
 
+  // Tokenizer-vocabulary coverage: per-doc out-of-vocabulary rate
+  // against the corpus' own top-1000 tokens (the "will my tokenizer
+  // fragment this text" audit run before committing a vocab). Vocab =
+  // global token counts (map-side partial agg) → distributed top-1000
+  // (TakeOrderedAndProject, ties broken by token — deterministic on
+  // both engines) → broadcast membership set; the per-doc pass is then
+  // one narrow aggregation, no second shuffle of token-grain data.
+  // OOV rate is a single exact-integer quotient.
+  val oovRate: QueryDef = QueryDef.sql("q_oov_rate")(
+    s"""WITH base AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |tok AS (SELECT doc_id, UNNEST(toks) AS t FROM base),
+       |cnt AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY 1),
+       |vocab AS (SELECT t FROM cnt ORDER BY c DESC, t LIMIT 1000),
+       |perdoc AS (
+       |  SELECT k.doc_id, COUNT(*) AS n_tokens,
+       |    COUNT(*) FILTER (WHERE v.t IS NULL) AS n_oov
+       |  FROM tok k LEFT JOIN vocab v ON v.t = k.t GROUP BY 1)
+       |SELECT b.doc_id, COALESCE(p.n_tokens, 0) AS n_tokens,
+       |  COALESCE(p.n_oov, 0) AS n_oov,
+       |  CASE WHEN COALESCE(p.n_tokens, 0) = 0 THEN 0.0
+       |       ELSE p.n_oov / p.n_tokens END AS oov_rate
+       |FROM base b LEFT JOIN perdoc p USING (doc_id)
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val base = docs(s, dir)
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+    val tok = base.select(col("doc_id"), explode(col("toks")).as("t")).persist()
+    val vocab = tok.groupBy("t").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("t")).limit(1000)
+      .select(col("t"), lit(1).as("in_vocab"))
+    val perdoc = tok.join(broadcast(vocab), Seq("t"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("in_vocab").isNull, 1)).as("n_oov"))
+    val res = base.select("doc_id")
+      .join(perdoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        when(coalesce(col("n_tokens"), lit(0L)) === 0, lit(0.0))
+          .otherwise(col("n_oov") / col("n_tokens")).as("oov_rate"))
+      .orderBy("doc_id")
+    materialized(res, tok)
+  }
+
   val all: Seq[QueryDef] = Seq(
     tokenCount, langId, qualityScore, fingerprint, dedupExact,
     minhashSig, minhashPairs, minhashVerified, ngramJaccard, simhash,
@@ -1654,5 +1698,6 @@ object TextAnalysis {
     minhashJaccardEst, tokenEntropy, bpePairs, dedupIncremental,
     dupNgramSpans, tfidfRetrieval, bm25Retrieval, bigramLm, perplexityBuckets,
     qualityLogit, zipfFit, streamDedupLsh, bpeMergeRound, bpeMergeRound2,
-    substringScrub, pmiCollocations, klDrift, sentiment, containment)
+    substringScrub, pmiCollocations, klDrift, sentiment, containment,
+    oovRate)
 }
