@@ -1595,7 +1595,9 @@ object TextAnalysis {
   // quotient. Shingle definition shared with the MinHash pipeline.
   val containment: QueryDef = QueryDef.sql("q_containment")(
     s"""WITH base AS (SELECT doc_id, $toksSql AS toks FROM documents),
-       |shl AS (SELECT doc_id, list_distinct($shinglesSql) AS sh FROM base),
+       |shl AS (SELECT doc_id, list_distinct(list_transform($shinglesSql,
+       |          g -> CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT))) AS sh
+       |        FROM base),
        |sized AS (SELECT doc_id, len(sh) AS n, sh FROM shl),
        |ex AS (SELECT doc_id, n, UNNEST(sh) AS t FROM sized),
        |df AS (SELECT t, COUNT(*) AS df FROM ex GROUP BY 1),
@@ -1616,9 +1618,21 @@ object TextAnalysis {
        |WHERE inter * 5 >= n_a * 4
        |  AND (n_a < n_b OR (n_a = n_b AND doc_a < doc_b))
        |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+    // shingles are 60-bit hashes from the ONE-PASS native generator
+    // (same discipline as q_dup_ngram_spans: the shuffle carries
+    // (doc_id, int64), never shingle text; a hash collision would fold
+    // identically on both engines since the oracle applies the same
+    // md5-prefix hash before ITS distinct). The first cut of this query
+    // built string shingles with the interpreted HOF generator — the
+    // tokens(text) subtree re-evaluated per shingle index (PLANS.md
+    // "Perf findings" #1) put 27 s of the query's 35 s at sf0.1 in
+    // shingle generation alone; the native pass + long joins run the
+    // whole query in ~6 s.
+    graft.functions.ShingleHash60.register(s)
     val ex = docs(s, dir)
       .select(col("doc_id"),
-        array_distinct(Text.wordShingles(Text.tokens(col("text")), 3)).as("sh"))
+        array_distinct(graft.functions.ShingleHash60
+          .shingleHash60(Text.tokens(col("text")), 3)).as("sh"))
       .select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("t"))
       .persist()
     val dfreq = ex.groupBy("t").agg(count(lit(1)).as("df"))
