@@ -156,6 +156,37 @@ object Streaming {
       .orderBy("user_id")
   }
 
+  // Streaming windowed TOP-K: the "trending event types per hour"
+  // dashboard tile. The unbounded side runs as a real watermarked
+  // streaming aggregation (hour window × type — state bounded by the
+  // watermark); the top-3-per-hour rank is a BATCH window over the
+  // tiny emitted rollup (|hours|·|types| rows), the standard
+  // stream-to-serving split: rank-over-aggregate isn't expressible as
+  // incremental streaming state, so it runs where the data is already
+  // small. Ties break by event_type — deterministic on both engines.
+  val streamTopkTypes: QueryDef = QueryDef.sql("q_stream_topk_types")(
+    """WITH agg AS (
+      |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+      |    event_type, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |ranked AS (SELECT *, ROW_NUMBER() OVER
+      |  (PARTITION BY hour_epoch ORDER BY n DESC, event_type) AS rnk FROM agg)
+      |SELECT hour_epoch, event_type, n, rnk FROM ranked
+      |WHERE rnk <= 3 ORDER BY hour_epoch, rnk""".stripMargin) { (s, dir) =>
+    val agg = Ingest.eventsStream(s, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val emitted = Ingest.runToMemory(agg, mode = "complete")
+      .select(unix_timestamp(col("window.start")).as("hour_epoch"),
+        col("event_type"), col("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("hour_epoch").orderBy(col("n").desc, col("event_type"))
+    emitted.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .orderBy("hour_epoch", "rnk")
+  }
+
   // K3 + K5 over the REAL wire: the same upsert contract as
   // q_sink_upsert, but spoken as the Elasticsearch `_bulk` protocol —
   // executor partitions POST chunked NDJSON index actions (codegen'd
@@ -798,5 +829,5 @@ object Streaming {
     streamChainedAgg,
     streamLateDrop, streamStaticJoin, streamSessionTimers, streamMapStateCounts,
     streamIncremental, streamSemiJoin, sinkUpsertDeltaAsof, streamAsofJoin,
-    sinkUpsertEs, sinkRouteEs)
+    sinkUpsertEs, sinkRouteEs, streamTopkTypes)
 }

@@ -1705,6 +1705,50 @@ object TextAnalysis {
     materialized(res, tok)
   }
 
+  // The dataset card: per-language corpus summary a model team reads
+  // before training — doc counts, exact-dup rate (md5 fingerprints, the
+  // q_dedup_exact definition), token volume, corpus share. ONE pass
+  // over the corpus computes per-doc (lang, fp, n_tokens, n_chars);
+  // per-lang partial→final aggregates collapse it to |langs| rows; the
+  // corpus total broadcasts back as a 1-row crossJoin. Every ratio is a
+  // single exact-integer division; avg_tokens is exact-sum ÷ count.
+  val datasetCard: QueryDef = QueryDef.sql("q_dataset_card")(
+    s"""WITH per AS (
+       |  SELECT doc_id, lang, n_chars, md5($normSql) AS fp,
+       |    len($toksSql) AS n_tokens
+       |  FROM documents),
+       |byl AS (
+       |  SELECT lang, COUNT(*) AS n_docs,
+       |    COUNT(DISTINCT fp) AS n_unique,
+       |    CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       |    CAST(SUM(n_chars) AS BIGINT) AS total_chars
+       |  FROM per GROUP BY 1),
+       |tot AS (SELECT COUNT(*) AS n_total FROM per)
+       |SELECT lang, n_docs, n_unique,
+       |  (n_docs - n_unique) / n_docs AS dup_frac,
+       |  total_tokens, total_chars,
+       |  total_tokens / n_docs AS avg_tokens,
+       |  n_docs / n_total AS share_docs
+       |FROM byl CROSS JOIN tot ORDER BY lang""".stripMargin) { (s, dir) =>
+    val per = docs(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        md5(Text.normText(col("text"))).as("fp"),
+        size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
+    val byl = per.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("fp")).as("n_unique"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("n_chars")).as("total_chars"))
+    val tot = per.groupBy().agg(count(lit(1)).as("n_total"))
+    byl.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_docs"), col("n_unique"),
+        ((col("n_docs") - col("n_unique")) / col("n_docs")).as("dup_frac"),
+        col("total_tokens"), col("total_chars"),
+        (col("total_tokens") / col("n_docs")).as("avg_tokens"),
+        (col("n_docs") / col("n_total")).as("share_docs"))
+      .orderBy("lang")
+  }
+
   val all: Seq[QueryDef] = Seq(
     tokenCount, langId, qualityScore, fingerprint, dedupExact,
     minhashSig, minhashPairs, minhashVerified, ngramJaccard, simhash,
@@ -1713,5 +1757,5 @@ object TextAnalysis {
     dupNgramSpans, tfidfRetrieval, bm25Retrieval, bigramLm, perplexityBuckets,
     qualityLogit, zipfFit, streamDedupLsh, bpeMergeRound, bpeMergeRound2,
     substringScrub, pmiCollocations, klDrift, sentiment, containment,
-    oovRate)
+    oovRate, datasetCard)
 }
