@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{ArrayDotProduct, RollingHash31, SimHash60Expr}
+import graft.functions.{ArrayDotProduct, RewriteHofDot, RollingHash31, SimHash60Expr}
 
 /** SparkSessionExtensions entry point: makes the engine's native
   * expressions available in any session built with
@@ -20,6 +20,10 @@ import graft.functions.{ArrayDotProduct, RollingHash31, SimHash60Expr}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
+    // optimizer rule: un-interpret the HOF dot-product pattern
+    // (aggregate∘zip_with) into the codegen'd graft_dot — see
+    // [[graft.functions.RewriteHofDot]]
+    e.injectOptimizerRule(_ => RewriteHofDot)
     e.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[ArrayDotProduct].getName, "graft_dot"),

@@ -1,0 +1,82 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{ArrayDotProduct, RewriteHofDot}
+import graft.ops.Vectors
+
+/** The Rule[LogicalPlan] surface: the HOF dot-product pattern rewrites
+  * to the native expression, bit-exactly, and ONLY that pattern.
+  */
+class RewriteHofDotSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def withRule[A](f: => A): A = {
+    val before = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = before :+ RewriteHofDot
+    try f finally spark.experimental.extraOptimizations = before
+  }
+
+  /** A literal Seq becomes a LocalRelation the optimizer folds eagerly,
+    * so route fixtures through parquet like real input.
+    */
+  private def viaParquet(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val dir = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "hofdot_").toString
+    df.write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir)
+  }
+
+  private lazy val vecs = viaParquet(Seq(
+    (1L, Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0)),
+    (2L, Array(0.5, -1.5, 2.5), Array(2.0, 0.25, -4.0))
+  ).toDF("id", "a", "b"))
+
+  test("aggregate-zip_with dot rewrites to graft_dot and matches bit-exactly") {
+    // QueryExecution memoizes per DataFrame — build a fresh plan on
+    // each side of the rule installation
+    def build() = vecs.select(col("id"), Vectors.dotHof(col("a"), col("b")).as("d"))
+    val plain = build().collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    withRule {
+      val df = build()
+      val optimized = df.queryExecution.optimizedPlan
+      assert(optimized.expressions.flatMap(_.collect {
+        case d: ArrayDotProduct => d
+      }).nonEmpty, s"rule did not fire:\n$optimized")
+      val rewritten = df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(rewritten == plain) // bit-exact: same IEEE fold order
+    }
+  }
+
+  test("null semantics survive the rewrite: length mismatch and null element") {
+    withRule {
+      val df = viaParquet(Seq(
+        (1L, Array[java.lang.Double](1.0, 2.0), Array[java.lang.Double](1.0)),
+        (2L, Array[java.lang.Double](1.0, null), Array[java.lang.Double](1.0, 1.0)),
+        (3L, Array.empty[java.lang.Double], Array.empty[java.lang.Double])
+      ).toDF("id", "a", "b"))
+        .select(col("id"),
+          Vectors.dotHof(col("a").cast("array<double>"), col("b").cast("array<double>")).as("d"))
+      val out = df.orderBy("id").collect()
+      assert(out(0).isNullAt(1) && out(1).isNullAt(1))
+      assert(out(2).getDouble(1) == 0.0)
+    }
+  }
+
+  test("only the exact dot pattern rewrites — a squared-difference fold is untouched") {
+    withRule {
+      val df = vecs
+        .select(col("id"),
+          aggregate(zip_with(col("a"), col("b"), (x, y) => (x - y) * (x - y)),
+            lit(0.0), (acc, x) => acc + x).as("d"))
+      assert(df.queryExecution.optimizedPlan.expressions.flatMap(_.collect {
+        case d: ArrayDotProduct => d
+      }).isEmpty)
+      // and it still computes the squared distance
+      assert(df.orderBy("id").collect()(0).getDouble(1) == 27.0)
+    }
+  }
+}
