@@ -1593,8 +1593,13 @@ object TextAnalysis {
   // (the q_minhash_verified shape). Keep test is exact-integer
   // (inter·5 ≥ n_a·4); the reported containment is one integer
   // quotient. Shingle definition shared with the MinHash pipeline.
-  val containment: QueryDef = QueryDef.sql("q_containment")(
-    s"""WITH base AS (SELECT doc_id, $toksSql AS toks FROM documents),
+  /** Shared DuckDB CTE chain `base..qual`: `qual(doc_a, doc_b, n_a,
+    * inter)` holds every qualifying directed containment pair — used by
+    * BOTH the report (q_containment) and the scrub twin
+    * (q_containment_scrub), so the pair definition cannot drift.
+    */
+  private val containmentCteSql =
+    s"""base AS (SELECT doc_id, $toksSql AS toks FROM documents),
        |shl AS (SELECT doc_id, list_distinct(list_transform($shinglesSql,
        |          g -> CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT))) AS sh
        |        FROM base),
@@ -1612,22 +1617,25 @@ object TextAnalysis {
        |          JOIN ex ea ON ea.doc_id = c.doc_a
        |          JOIN ex eb ON eb.doc_id = c.doc_b AND eb.t = ea.t
        |          JOIN sized eb2 ON eb2.doc_id = c.doc_b
-       |          GROUP BY 1, 2, 3, 4)
-       |SELECT doc_a, doc_b, n_a, inter, inter / n_a AS containment
-       |FROM inter
-       |WHERE inter * 5 >= n_a * 4
-       |  AND (n_a < n_b OR (n_a = n_b AND doc_a < doc_b))
-       |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
-    // shingles are 60-bit hashes from the ONE-PASS native generator
-    // (same discipline as q_dup_ngram_spans: the shuffle carries
-    // (doc_id, int64), never shingle text; a hash collision would fold
-    // identically on both engines since the oracle applies the same
-    // md5-prefix hash before ITS distinct). The first cut of this query
-    // built string shingles with the interpreted HOF generator — the
-    // tokens(text) subtree re-evaluated per shingle index (PLANS.md
-    // "Perf findings" #1) put 27 s of the query's 35 s at sf0.1 in
-    // shingle generation alone; the native pass + long joins run the
-    // whole query in ~6 s.
+       |          GROUP BY 1, 2, 3, 4),
+       |qual AS (SELECT doc_a, doc_b, n_a, inter FROM inter
+       |         WHERE inter * 5 >= n_a * 4
+       |           AND (n_a < n_b OR (n_a = n_b AND doc_a < doc_b)))""".stripMargin
+
+  /** Spark side of [[containmentCteSql]]: (qualifying pairs, persisted
+    * shingle relation — callers unpersist after materializing).
+    *
+    * Shingles are 60-bit hashes from the ONE-PASS native generator
+    * (q_dup_ngram_spans' discipline: shuffles carry (doc_id, int64),
+    * never shingle text; a hash collision folds identically on both
+    * engines because the oracle applies the same md5-prefix hash before
+    * ITS distinct). The first cut built string shingles with the
+    * interpreted HOF generator — the tokens(text) subtree re-evaluated
+    * per shingle index (PLANS.md "Perf findings" #1) put 27 s of the
+    * query's 35 s at sf0.1 in shingle generation alone; this native
+    * pass + long joins run the report in ~6 s.
+    */
+  private def containmentQual(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     graft.functions.ShingleHash60.register(s)
     val ex = docs(s, dir)
       .select(col("doc_id"),
@@ -1645,19 +1653,48 @@ object TextAnalysis {
       .filter(col("doc_a") =!= col("doc_b"))
       .select("doc_a", "doc_b").distinct()
     val sizes = ex.groupBy("doc_id").agg(first(col("n")).as("n"))
-    val inter = cand
+    val qual = cand
       .join(ex.select(col("doc_id").as("doc_a"), col("n").as("n_a"), col("t")),
         Seq("doc_a"))
       .join(ex.select(col("doc_id").as("doc_b"), col("t")), Seq("doc_b", "t"))
       .groupBy("doc_a", "doc_b", "n_a").agg(count(lit(1)).as("inter"))
       .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
-    val res = inter
       .filter(col("inter") * 5 >= col("n_a") * 4 &&
         (col("n_a") < col("n_b") ||
           (col("n_a") === col("n_b") && col("doc_a") < col("doc_b"))))
+      .select("doc_a", "doc_b", "n_a", "inter")
+    (qual, ex)
+  }
+
+  val containment: QueryDef = QueryDef.sql("q_containment")(
+    s"""WITH $containmentCteSql
+       |SELECT doc_a, doc_b, n_a, inter, inter / n_a AS containment
+       |FROM qual ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+    val (qual, ex) = containmentQual(s, dir)
+    val res = qual
       .select(col("doc_a"), col("doc_b"), col("n_a"), col("inter"),
         (col("inter") / col("n_a")).as("containment"))
       .orderBy("doc_a", "doc_b")
+    materialized(res, ex)
+  }
+
+  // The scrub twin: drop every doc that is ≥0.8-contained in an
+  // equal-or-larger doc (ties keep the larger doc_id — the directed
+  // qual relation already encodes that), emit the surviving ids. The
+  // qualifying-pair definition is the SHARED containmentQual /
+  // containmentCteSql relation, so report and delete cannot drift. The
+  // anti-join is on the tiny distinct-contained-ids side — broadcast at
+  // any realistic dup rate.
+  val containmentScrub: QueryDef = QueryDef.sql("q_containment_scrub")(
+    s"""WITH $containmentCteSql
+       |SELECT doc_id FROM documents
+       |WHERE doc_id NOT IN (SELECT DISTINCT doc_a FROM qual)
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val (qual, ex) = containmentQual(s, dir)
+    val contained = qual.select(col("doc_a").as("doc_id")).distinct()
+    val res = docs(s, dir).select("doc_id")
+      .join(contained, Seq("doc_id"), "left_anti")
+      .orderBy("doc_id")
     materialized(res, ex)
   }
 
@@ -1757,5 +1794,5 @@ object TextAnalysis {
     dupNgramSpans, tfidfRetrieval, bm25Retrieval, bigramLm, perplexityBuckets,
     qualityLogit, zipfFit, streamDedupLsh, bpeMergeRound, bpeMergeRound2,
     substringScrub, pmiCollocations, klDrift, sentiment, containment,
-    oovRate, datasetCard)
+    containmentScrub, oovRate, datasetCard)
 }
