@@ -126,14 +126,23 @@ object StreamMain {
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
-      "usage: StreamMain <wireDir> <storeRoot> [keyCol] [json|dsv] [ddl]")
+      "usage: StreamMain <wireDir> <storeRoot|http(s)://es-host> [keyCol] [json|dsv] [ddl]")
     val keyCol = if (args.length > 2) args(2) else "user_id"
     val format = if (args.length > 3) args(3) else "json"
     val ddl = if (args.length > 4) args(4) else EventsDdl
     val schema = org.apache.spark.sql.types.StructType.fromDDL(ddl)
     Mains.withSession("graft-stream") { spark =>
-      val store = new UpsertParquetStore(args(1), keyCol, Seq("ts", "event_id"))
-      require(store.healthCheck(), "sink preflight failed")  // K5
+      // an http(s) store root selects the Elasticsearch _bulk wire path
+      // (the reference consumer's actual sink, spark_streaming_kafka
+      // .py:37-44) with external versioning on the event time; any
+      // other root is the local parquet upsert store
+      val store: Either[graft.streaming.EsHttpStore, UpsertParquetStore] =
+        if (args(1).startsWith("http://") || args(1).startsWith("https://"))
+          Left(new graft.streaming.EsHttpStore(args(1), "events", keyCol,
+            Seq("ts", "event_id"), "__ver", schema))
+        else Right(new UpsertParquetStore(args(1), keyCol, Seq("ts", "event_id")))
+      require(store.fold(_.healthCheck(), _.healthCheck()),
+        "sink preflight failed")  // K5
       val wire = spark.readStream
         .schema("key STRING, value STRING")
         // plain nested listing: the exchange's batch=<r> dirs are
@@ -156,7 +165,14 @@ object StreamMain {
       }
       val q = decoded.writeStream
         .foreachBatch((b: org.apache.spark.sql.Dataset[Row], id: Long) =>
-          store.upsert(b.toDF(), id))
+          store.fold(
+            // wire ts (epoch long from the decode DDL) doubles as the
+            // external version — monotone per key, so replays and
+            // concurrent partitions converge
+            es => es.upsert(
+              b.toDF().withColumn("__ver",
+                org.apache.spark.sql.functions.col("ts")), id),
+            parquet => parquet.upsert(b.toDF(), id)))
         .option("checkpointLocation",
           java.nio.file.Files.createTempDirectory("chk_stream_").toString)
         .trigger(Trigger.AvailableNow())

@@ -60,6 +60,17 @@ class CliMainsSpec extends AnyFunSuite {
     // (a producer/consumer wire-format mismatch PERMISSIVE-nulls rows)
     assert(stored.count() == events.select("user_id").distinct().count())
     assert(stored.filter(org.apache.spark.sql.functions.col("user_id").isNull).isEmpty)
+
+    // same composed pipeline, ES-wire sink: an http store root routes the
+    // consumer through the _bulk protocol (external version = wire ts)
+    val stub = new graft.streaming.EsStub()
+    stub.start()
+    try {
+      graft.cli.StreamMain.main(Array(
+        s"$jsonExchange/topic=events", stub.baseUrl, "user_id", "json"))
+      assert(stub.snapshot("events").size ==
+        events.select("user_id").distinct().count())
+    } finally stub.stop()
   }
 
   test("CurateMain: corpus in, deduplicated corpus + report out") {
