@@ -80,6 +80,35 @@ class EsBulkSpec extends AnyFunSuite {
     }
   }
 
+  test("concurrent writers converge: external versioning is arrival-order independent") {
+    withStub { stub =>
+      // two writers race interleaved version sequences for the same keys;
+      // whoever loses a round 409s, and the store must end at the global
+      // max version per key no matter the interleaving
+      val url = stub.baseUrl
+      val writers = (0 until 2).map { w =>
+        new Thread(() => {
+          val c = new EsBulkClient(url, maxDocsPerRequest = 7)
+          (1 to 50).foreach { v =>
+            c.bulk(Iterator(
+              EsDoc("race", Some((v % 5).toString), Some(v.toLong * 2 + w),
+                s"""{"k":${v % 5},"v":"w$w-$v"}""")))
+          }
+        })
+      }
+      writers.foreach(_.start())
+      writers.foreach(_.join())
+      // per key k∈0..4 the max version written is for v = 46..50: the
+      // winner is version 2v+1 (writer 1), i.e. source "w1-<v>"
+      val fin = stub.snapshot("race").map { case (_, id, src) => id -> src }.toMap
+      assert(fin.keySet == Set("0", "1", "2", "3", "4"))
+      (46 to 50).foreach { v =>
+        assert(fin((v % 5).toString).contains(s""""v":"w1-$v""""),
+          s"key ${v % 5} did not converge to the max-version write: ${fin((v % 5).toString)}")
+      }
+    }
+  }
+
   test("K4 over the wire: per-row index routing with auto ids keeps duplicates") {
     withStub { stub =>
       val store = new EsHttpStore(stub.baseUrl, "", "k", Seq("k"), "k", docSchema)

@@ -56,6 +56,35 @@ class StreamingBatchesSpec extends AnyFunSuite {
     assert(out.keySet == Set(1L, 2L, 3L, 4L))
   }
 
+  test("paced multi-batch ES upsert: external versioning wins across batches AND rejects a late-arriving older batch") {
+    val src = tmp("mbes_src_")
+    writeBatches(src)
+    // a 4th batch arriving LAST but carrying OLDER timestamps for key 1:
+    // the parquet store would need its global merge to handle this; the
+    // ES wire path must reject it via the strictly-greater version rule
+    Seq((1L, 5L, "stale_late")).toDF("key", "ts", "v")
+      .coalesce(1).write.parquet(s"$src/batch_9")
+    val stub = new graft.streaming.EsStub()
+    stub.start()
+    try {
+      val store = new graft.streaming.EsHttpStore(stub.baseUrl, "mb", "key",
+        Seq("ts"), "ts", org.apache.spark.sql.types.StructType.fromDDL(
+          "key BIGINT, ts BIGINT, v STRING"))
+      assert(store.healthCheck())
+      val q = stream(src).writeStream
+        .foreachBatch((b: org.apache.spark.sql.Dataset[Row], id: Long) =>
+          store.upsert(b.toDF(), id))
+        .option("checkpointLocation", tmp("mbes_chk_"))
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val out = store.read(spark).orderBy("key")
+        .collect().map(r => (r.getLong(0), r.getString(2))).toMap
+      assert(out(1L) == "v1_b2", s"stale late batch clobbered key 1: $out")
+      assert(out.keySet == Set(1L, 2L, 3L, 4L))
+    } finally stub.stop()
+  }
+
   test("checkpoint restart: re-running over the same source adds nothing") {
     val src = tmp("rs_src_")
     writeBatches(src)
