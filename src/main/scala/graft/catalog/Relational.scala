@@ -355,9 +355,45 @@ object Relational {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  // TPC-H Q14 shape: conditional aggregation over the fact⋈part join —
+  // promo revenue share per ship month. One key shuffle (partkey; part
+  // is SF-scaled so the join strategy is left to AQE, same policy as
+  // q_region_revenue's customer/supplier), then a month rollup. The
+  // CASE lives INSIDE the sum so both measures come from the same
+  // partial→final aggregate pass; revenue math in exact DECIMAL, the
+  // pct is one double division of the two exact sums, rounded.
+  val promoRevenue: QueryDef = QueryDef.sql("q_promo_revenue")(
+    """WITH m AS (
+      |  SELECT CAST(epoch(date_trunc('month', l_shipdate)) AS BIGINT) AS month_epoch,
+      |    CAST(SUM(CASE WHEN p_type = 'PROMO'
+      |      THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+      |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS promo_revenue,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |             (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  GROUP BY 1)
+      |SELECT month_epoch, promo_revenue, total_revenue,
+      |  ROUND(100 * promo_revenue / total_revenue, 6) AS promo_pct
+      |FROM m ORDER BY month_epoch""".stripMargin) { (s, dir) =>
+    val rev = col("l_extendedprice").cast(DecimalType(18, 2)) *
+      (lit(1) - col("l_discount").cast(DecimalType(18, 2)))
+    val m = Tables.lineitem(s, dir)
+      .select("l_partkey", "l_shipdate", "l_extendedprice", "l_discount")
+      .join(Tables.part(s, dir).select("p_partkey", "p_type"),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(unix_timestamp(date_trunc("month", col("l_shipdate"))).as("month_epoch"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", rev)
+          .otherwise(lit(0).cast(DecimalType(18, 2)))).cast("double").as("promo_revenue"),
+        sum(rev).cast("double").as("total_revenue"))
+    m.select(col("month_epoch"), col("promo_revenue"), col("total_revenue"),
+        round(lit(100) * col("promo_revenue") / col("total_revenue"), 6).as("promo_pct"))
+      .orderBy("month_epoch")
+  }
+
   val all: Seq[QueryDef] = Seq(
     scanFilterProject, dropCols, dropNa, litTag, jsonFlatten, dsvEncode,
     multiwayJoin, groupAvgMinute, hourlyStats, unionAll, timeFuncs,
     shuffleDet, upsertLastWins, topkHourly, pivotTypeHour, anomalyFilter,
-    topRevenue, regionRevenue)
+    topRevenue, regionRevenue, promoRevenue)
 }
