@@ -5,12 +5,16 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: image/audio/video travel as opaque
   * `binary` columns with typed metadata. The Spark-side machinery —
-  * schema, typed Datasets, partition-wise batch decode — is real; the
-  * codec itself is a STUB (`fakeDecode`): this container has no
-  * image/audio libraries, so the decoder derives deterministic fake
-  * dimensions from the payload bytes. Swap `fakeDecode` for a real
-  * JNI/FFmpeg/ImageIO call (or a Pandas UDF via `mapInPandas` on the
-  * PySpark side) without touching anything else.
+  * schema, typed Datasets, partition-wise batch decode — is real, and
+  * so is the decode for every codec the JDK itself carries:
+  * [[realDecode]] sniffs magic bytes and reads PNG/JPEG/GIF/BMP
+  * headers through `javax.imageio` and WAV through
+  * `javax.sound.sampled` (both ship in the JDK — no external library
+  * needed). Payloads that match no JDK codec (video containers, or the
+  * synthetic text-byte stand-ins the test corpus uses) fall back to
+  * [[fakeDecode]], the deterministic stub that keeps catalog oracles
+  * reproducible. Swap in JNI/FFmpeg for the video leg without touching
+  * anything else.
   *
   * Scale notes: decode runs via `mapPartitions` so each task
   * amortizes codec init across its whole partition (the same batch
@@ -45,12 +49,49 @@ object Multimodal {
     MediaMeta(r.doc_id, r.media_type, n, w, h, frames, fmt)
   }
 
+  /** REAL decode for JDK-supported codecs. Image formats go through
+    * `ImageIO` (true pixel dimensions from the actual header); WAV goes
+    * through `AudioSystem` (true frame count; width carries the sample
+    * rate, height the channel count — the schema's two free dims).
+    * Returns None when the payload matches no JDK codec or is corrupt —
+    * the caller decides the fallback, so a truncated PNG degrades
+    * loudly-typed instead of throwing mid-partition.
+    */
+  def realDecode(r: MediaRecord): Option[MediaMeta] = {
+    val p = r.payload
+    def magic(off: Int, bytes: Int*): Boolean =
+      p.length >= off + bytes.length &&
+        bytes.zipWithIndex.forall { case (b, i) => (p(off + i) & 0xff) == b }
+    val sniffed: Option[String] =
+      if (magic(0, 0x89, 'P', 'N', 'G')) Some("png")
+      else if (magic(0, 0xff, 0xd8, 0xff)) Some("jpeg")
+      else if (magic(0, 'G', 'I', 'F', '8')) Some("gif")
+      else if (magic(0, 'B', 'M')) Some("bmp")
+      else if (magic(0, 'R', 'I', 'F', 'F') && magic(8, 'W', 'A', 'V', 'E')) Some("wav")
+      else None
+    try sniffed.flatMap {
+      case "wav" =>
+        val aff = javax.sound.sampled.AudioSystem
+          .getAudioFileFormat(new java.io.ByteArrayInputStream(p))
+        Some(MediaMeta(r.doc_id, r.media_type, p.length.toLong,
+          aff.getFormat.getSampleRate.toLong, aff.getFormat.getChannels.toLong,
+          aff.getFrameLength.toLong, "wav"))
+      case fmt =>
+        Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p)))
+          .map(img => MediaMeta(r.doc_id, r.media_type, p.length.toLong,
+            img.getWidth.toLong, img.getHeight.toLong, 1L, fmt))
+    } catch { case _: Exception => None }
+  }
+
+  /** Real-first decode with the deterministic stub as fallback. */
+  def decode(r: MediaRecord): MediaMeta = realDecode(r).getOrElse(fakeDecode(r))
+
   /** Partition-wise decode: one decoder "instance" per partition. */
   def decodeMeta(media: Dataset[MediaRecord]): Dataset[MediaMeta] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       // real codecs init here, once per partition, then stream the batch
-      it.map(fakeDecode)
+      it.map(decode)
     }
   }
 
