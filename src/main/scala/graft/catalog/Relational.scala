@@ -391,9 +391,90 @@ object Relational {
       .orderBy("month_epoch")
   }
 
+  // TPC-H Q3 shape: unshipped-revenue top-k over the 3-way
+  // customer⋈orders⋈lineitem join. All three single-table predicates
+  // (mktsegment, orderdate, shipdate) push to the parquet scans BEFORE
+  // any join; customer and orders are SF-scaled so join strategy is
+  // left to AQE (same policy as q_region_revenue). The final top-10 is
+  // orderBy+limit → TakeOrderedAndProject: each partition keeps 10 rows
+  // and the driver merges k·parts rows — no global sort materializes,
+  // which is what makes a top-k over a 100 TB fact join feasible.
+  val shipPriority: QueryDef = QueryDef.sql("q_ship_priority")(
+    """SELECT l_orderkey,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |           (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |  CAST(epoch(o_orderdate) AS BIGINT) AS orderdate_epoch, o_orderpriority
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin) { (s, dir) =>
+    val cut = lit("1998-06-01 00:00:00").cast("timestamp")
+    val cust = Tables.customer(s, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val ords = Tables.orders(s, dir)
+      .filter(col("o_orderdate") < cut)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val items = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") > cut)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    cust.join(ords, col("c_custkey") === col("o_custkey"))
+      .join(items, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"),
+        unix_timestamp(col("o_orderdate")).as("orderdate_epoch"),
+        col("o_orderpriority"))
+      .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+          (lit(1) - col("l_discount").cast(DecimalType(18, 2))))
+        .cast("double").as("revenue"))
+      .select("l_orderkey", "revenue", "orderdate_epoch", "o_orderpriority")
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  // TPC-H Q18 shape: a HAVING aggregate that then joins BACK to the
+  // dimension side — the "large orders" pattern (aggregate-filter as a
+  // join input) the catalog otherwise lacks. The quantity sum is exact
+  // (integer-valued doubles, |sum| ≪ 2^53) so the >250 cut and the
+  // BIGINT surface are deterministic on both engines; after the cut the
+  // qualifying set is ~1% of orders, so AQE picks broadcast for the
+  // joins back to orders/customer at bench scale and degrades to
+  // shuffle joins beyond the threshold. o_totalprice passes through as
+  // the raw stored double (no re-rounding — identical bits on both
+  // engines); top-100 is again TakeOrderedAndProject.
+  val largeOrders: QueryDef = QueryDef.sql("q_large_orders")(
+    """WITH big AS (
+      |  SELECT l_orderkey AS bkey, CAST(SUM(l_quantity) AS BIGINT) AS total_qty
+      |  FROM lineitem GROUP BY 1 HAVING SUM(l_quantity) > 250)
+      |SELECT c_name, c_custkey, o_orderkey,
+      |  CAST(epoch(o_orderdate) AS BIGINT) AS orderdate_epoch,
+      |  o_totalprice, total_qty
+      |FROM big
+      |JOIN orders ON o_orderkey = bkey
+      |JOIN customer ON c_custkey = o_custkey
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin) { (s, dir) =>
+    val big = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey").as("bkey"))
+      .agg(sum(col("l_quantity")).as("qty_sum"))
+      .filter(col("qty_sum") > 250)
+      .select(col("bkey"), col("qty_sum").cast("long").as("total_qty"))
+    big.join(Tables.orders(s, dir)
+          .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"),
+        col("o_orderkey") === col("bkey"))
+      .join(Tables.customer(s, dir).select("c_custkey", "c_name"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        unix_timestamp(col("o_orderdate")).as("orderdate_epoch"),
+        col("o_totalprice"), col("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
   val all: Seq[QueryDef] = Seq(
     scanFilterProject, dropCols, dropNa, litTag, jsonFlatten, dsvEncode,
     multiwayJoin, groupAvgMinute, hourlyStats, unionAll, timeFuncs,
     shuffleDet, upsertLastWins, topkHourly, pivotTypeHour, anomalyFilter,
-    topRevenue, regionRevenue, promoRevenue)
+    topRevenue, regionRevenue, promoRevenue, shipPriority, largeOrders)
 }
