@@ -1,5 +1,6 @@
 package graft.catalog
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.{QueryDef, Tables}
@@ -355,7 +356,131 @@ object Advanced {
       graft.core.Spill.materialize(res) { tc.unpersist(blocking = false) }
     }
 
+  // Interval-OVERLAP join — the interval×interval sibling of
+  // q_range_join_bucketed's value-band join: which user sessions
+  // intersect which error incidents. Two scale decisions:
+  //  1. Incident (burst) detection runs on the per-MINUTE error-count
+  //     aggregate, not the raw error rows — the global gap-walk window
+  //     that stitches minutes into bursts sees O(minutes-with-errors)
+  //     rows (cardinality bounded by wall-clock time, independent of
+  //     SF), so the single-partition window is over a relation that
+  //     CANNOT grow with the data. Sessionization stays partitioned by
+  //     user, as in q_sessionize.
+  //  2. The overlap theta-join never executes as a theta-join: both
+  //     interval sets explode into the HOUR buckets they cover
+  //     (sessions ≤ a few buckets by the 30-min gap rule; bursts
+  //     bounded by incident length), candidates come from the hour
+  //     equi-join, pairs dedup, and the exact overlap predicate
+  //     verifies — same candidate→verify contract as the band join.
+  // All bounds are integer epoch-micros, so overlap arithmetic is
+  // bit-identical on both engines.
+  val intervalOverlap: QueryDef = QueryDef.sql("q_interval_overlap")(
+    """WITH g AS (
+      |  SELECT user_id, epoch_us(ts) AS t,
+      |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+      |         OR lag(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sid AS (
+      |  SELECT user_id, t, SUM(brk) OVER (PARTITION BY user_id ORDER BY t
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM g),
+      |sess AS (SELECT user_id, sid, MIN(t) AS s_start, MAX(t) AS s_end
+      |         FROM sid GROUP BY 1, 2),
+      |em AS (
+      |  SELECT CAST(epoch(date_trunc('minute', ts)) AS BIGINT) * 1000000 AS m,
+      |    COUNT(*) AS n
+      |  FROM events WHERE event_type = 'error' GROUP BY 1),
+      |egap AS (
+      |  SELECT m, n, CASE WHEN m - lag(m) OVER (ORDER BY m) > 600000000
+      |    OR lag(m) OVER (ORDER BY m) IS NULL THEN 1 ELSE 0 END AS brk FROM em),
+      |eid AS (SELECT m, n, SUM(brk) OVER (ORDER BY m
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bid FROM egap),
+      |burst AS (
+      |  SELECT bid, MIN(m) AS b_start, MAX(m) + 60000000 AS b_end,
+      |    CAST(SUM(n) AS BIGINT) AS n_err
+      |  FROM eid GROUP BY 1 HAVING SUM(n) >= 3)
+      |SELECT user_id, s_start, s_end, b_start, b_end, n_err,
+      |  LEAST(s_end, b_end) - GREATEST(s_start, b_start) AS overlap_us
+      |FROM sess JOIN burst ON s_start <= b_end AND b_start <= s_end
+      |ORDER BY user_id, s_start, b_start""".stripMargin) { (s, dir) =>
+    val hourUs = 3600000000L
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val wRun = Window.partitionBy("user_id").orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ev = Tables.events(s, dir)
+    val prev = lag(unix_micros(col("ts")), 1).over(w)
+    val sess = ev
+      .select(col("user_id"), col("ts"), col("event_id"),
+        unix_micros(col("ts")).as("t"),
+        when(unix_micros(col("ts")) - prev > 1800000000L || prev.isNull, 1)
+          .otherwise(0).as("brk"))
+      .withColumn("sid", sum(col("brk")).over(wRun))
+      .groupBy("user_id", "sid")
+      .agg(min(col("t")).as("s_start"), max(col("t")).as("s_end"))
+    // O(minutes-with-errors) relation; the global gap window below is
+    // over THIS aggregate, never the raw rows.
+    val mins = ev.filter(col("event_type") === "error")
+      .groupBy((unix_timestamp(date_trunc("minute", col("ts"))) * 1000000L).as("m"))
+      .agg(count(lit(1)).as("n"))
+    val wm = Window.orderBy("m")
+    val wmRun = wm.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prevM = lag(col("m"), 1).over(wm)
+    val burst = mins
+      .withColumn("brk",
+        when(col("m") - prevM > 600000000L || prevM.isNull, 1).otherwise(0))
+      .withColumn("bid", sum(col("brk")).over(wmRun))
+      .groupBy("bid")
+      .agg(min(col("m")).as("b_start"),
+        (max(col("m")) + 60000000L).as("b_end"),
+        sum(col("n")).as("n_err"))
+      .filter(col("n_err") >= 3)
+    val sessH = sess.select(col("user_id"), col("s_start"), col("s_end"),
+      explode(sequence(floor(col("s_start") / hourUs),
+        floor(col("s_end") / hourUs))).as("h"))
+    val burstH = burst.select(col("b_start"), col("b_end"), col("n_err"),
+      explode(sequence(floor(col("b_start") / hourUs),
+        floor(col("b_end") / hourUs))).as("h"))
+    sessH.join(burstH, Seq("h"))
+      .select("user_id", "s_start", "s_end", "b_start", "b_end", "n_err")
+      .distinct()
+      .filter(col("s_start") <= col("b_end") && col("b_start") <= col("s_end"))
+      .select(col("user_id"), col("s_start"), col("s_end"),
+        col("b_start"), col("b_end"), col("n_err"),
+        (least(col("s_end"), col("b_end")) -
+          greatest(col("s_start"), col("b_start"))).as("overlap_us"))
+      .orderBy("user_id", "s_start", "b_start")
+  }
+
+  // Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM) — joining a
+  // grouped aggregate BACK to its input when the group key is nullable,
+  // the case where a plain `===` silently drops every NULL-group row.
+  // Spark plans EqualNullSafe as a hash-join key (nulls coalesce into
+  // one shuffle partition like any other key value), so the shape is a
+  // plain shuffled equi-join, not a theta join. Segment derivation is
+  // integer arithmetic on the JSON payload; rows with k ≥ 80 carry a
+  // NULL segment and must still pick up their (NULL-group) count.
+  val nullsafeJoin: QueryDef = QueryDef.sql("q_nullsafe_join")(
+    """WITH seg AS (
+      |  SELECT event_id, user_id,
+      |    CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) < 80
+      |         THEN CAST(json_extract(props, '$.k') AS BIGINT) // 10 END AS segment
+      |  FROM events),
+      |cnt AS (SELECT segment, COUNT(*) AS seg_n FROM seg GROUP BY 1)
+      |SELECT event_id, user_id, seg.segment, seg_n
+      |FROM seg JOIN cnt ON seg.segment IS NOT DISTINCT FROM cnt.segment
+      |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val k = get_json_object(col("props"), "$.k").cast("long")
+    val seg = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"),
+        when(k < 80, floor(k / 10).cast("long")).as("segment"))
+    val cnt = seg.groupBy("segment").agg(count(lit(1)).as("seg_n"))
+      .withColumnRenamed("segment", "cseg")
+    seg.join(cnt, col("segment") <=> col("cseg"))
+      .select("event_id", "user_id", "segment", "seg_n")
+      .orderBy("event_id")
+  }
+
   val all: Seq[QueryDef] = Seq(asofJoin, asofJoinNative, asofForward,
-    streamStatefulCount, topkTokens, rangeJoinBucketed, asofTolerance,
+    streamStatefulCount, topkTokens, rangeJoinBucketed, intervalOverlap,
+    nullsafeJoin, asofTolerance,
     trajectorySim.audit, trajectorySimBlocked)
 }
