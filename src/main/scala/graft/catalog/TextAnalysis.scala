@@ -1786,7 +1786,66 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  // Winnowing (the MOSS local fingerprinting algorithm): of every
+  // window of w=4 consecutive 4-token-gram hashes, keep the minimal
+  // hash, rightmost on ties — guaranteeing any shared run of ≥ k+w-1 =
+  // 7 tokens between two documents shares at least one selected
+  // fingerprint, while sampling ~2/(w+1) of the grams. Determinism
+  // trick: (hash, rightmost-position) packs into ONE int64 —
+  // 36-bit hash (the top 9 md5 hex chars = hash60 div 2^24) × 2^24 +
+  // (2^24-1 − pos) — so a single MIN window aggregate picks the
+  // rightmost minimal gram identically on both engines with no
+  // engine-defined struct/arg-min tie-breaking. Bound: doc positions
+  // < 2^24 grams (≈16M tokens/doc); a corpus beyond that widens the
+  // key to DECIMAL. Scale shape: everything is windowed PER DOCUMENT
+  // (partition by doc_id) — no global ordering, shuffle carries
+  // (doc_id, int64) only; docs shorter than w grams keep their one
+  // whole-doc fingerprint via the GREATEST(1, m-3) window clamp.
+  val winnowFingerprint: QueryDef = QueryDef.sql("q_winnow_fingerprint")(
+    s"""WITH base AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |g AS (
+       |  SELECT doc_id, i AS pos,
+       |    CAST(('0x' || substr(md5(CASE WHEN len(toks) >= 4
+       |      THEN array_to_string(toks[i:i+3], ' ')
+       |      ELSE array_to_string(toks, ' ') END), 1, 9)) AS BIGINT) AS gh
+       |  FROM base, UNNEST(CASE WHEN len(toks) >= 4
+       |    THEN range(1, len(toks) - 2) ELSE [CAST(1 AS BIGINT)] END) AS u(i)),
+       |c AS (
+       |  SELECT doc_id, pos, gh * 16777216 + (16777215 - pos) AS combo,
+       |    COUNT(*) OVER (PARTITION BY doc_id) AS m
+       |  FROM g),
+       |w AS (
+       |  SELECT doc_id, pos, m,
+       |    MIN(combo) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+       |  FROM c),
+       |sel AS (
+       |  SELECT DISTINCT doc_id, wmin FROM w WHERE pos <= GREATEST(1, m - 3))
+       |SELECT doc_id, 16777215 - (wmin % 16777216) AS pos, wmin // 16777216 AS gh
+       |FROM sel ORDER BY doc_id, pos""".stripMargin) { (s, dir) =>
+    graft.functions.ShingleHash60.register(s)
+    val wFrame = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+    val wDoc = Window.partitionBy("doc_id")
+    docs(s, dir)
+      .select(col("doc_id"),
+        posexplode(graft.functions.ShingleHash60
+          .shingleHash60(Text.tokens(col("text")), 4)).as(Seq("pos0", "gh60")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"),
+        expr("gh60 div 16777216").as("gh"))
+      .select(col("doc_id"), col("pos"),
+        (col("gh") * 16777216L + (lit(16777215L) - col("pos"))).as("combo"))
+      .withColumn("m", count(lit(1)).over(wDoc))
+      .withColumn("wmin", min(col("combo")).over(wFrame))
+      .filter(col("pos") <= greatest(lit(1L), col("m") - 3))
+      .select("doc_id", "wmin").distinct()
+      .select(col("doc_id"),
+        (lit(16777215L) - pmod(col("wmin"), lit(16777216L))).as("pos"),
+        expr("wmin div 16777216").as("gh"))
+      .orderBy("doc_id", "pos")
+  }
+
   val all: Seq[QueryDef] = Seq(
+    winnowFingerprint,
     tokenCount, langId, qualityScore, fingerprint, dedupExact,
     minhashSig, minhashPairs, minhashVerified, ngramJaccard, simhash,
     simhashNearDup, simhash60, simhash60NearDup, levenshteinPairs,
