@@ -1065,6 +1065,40 @@ object TextAnalysis {
     materialized(result, h)
   }
 
+  // Cross-SOURCE overlap matrix — the "how much does dump A repeat
+  // dump B" statistic corpus-curation reports lead with, at the same
+  // 8-gram granularity as q_dup_ngram_spans. Scale shape: the
+  // per-(source, gh) DISTINCT collapses within-source repetition
+  // BEFORE the self-join, so the join input carries each source at
+  // most once per gram; per-gram join fanout is then bounded by the
+  // SOURCE-count squared — sources are a bounded metadata dimension
+  // (dumps/crawls, O(100s)), not an SF-scaled one — and the shuffle
+  // carries (int64, short string) rows only. Output cardinality is
+  // ≤ source-pairs, tiny at any SF.
+  val sourceOverlap: QueryDef = QueryDef.sql("q_source_overlap")(
+    s"""WITH base AS (SELECT doc_id, source, $toksSql AS toks FROM documents),
+       |g AS (SELECT source, UNNEST($shingles8Sql) AS g FROM base),
+       |h AS (SELECT DISTINCT source,
+       |        CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) AS gh FROM g),
+       |p AS (SELECT a.source AS src_a, b.source AS src_b, a.gh
+       |      FROM h a JOIN h b ON a.gh = b.gh AND a.source < b.source)
+       |SELECT src_a, src_b, COUNT(DISTINCT gh) AS n_shared
+       |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    graft.functions.ShingleHash60.register(s)
+    val h = docs(s, dir)
+      .select(col("source"),
+        explode(graft.functions.ShingleHash60
+          .shingleHash60(Text.tokens(col("text")), 8)).as("gh"))
+      .distinct()
+    val a = h.select(col("source").as("src_a"), col("gh"))
+    val b = h.select(col("source").as("src_b"), col("gh"))
+    a.join(b, Seq("gh"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(count_distinct(col("gh")).as("n_shared"))
+      .orderBy("src_a", "src_b")
+  }
+
   // Sparse lexical retrieval through an INVERTED INDEX — the BM25-family
   // pattern without dense vectors: score(q,d) = Σ_t tf_q·tf_d / df_t²
   // (a rational idf² weight — exact integer arithmetic plus one IEEE
@@ -1850,7 +1884,8 @@ object TextAnalysis {
     minhashSig, minhashPairs, minhashVerified, ngramJaccard, simhash,
     simhashNearDup, simhash60, simhash60NearDup, levenshteinPairs,
     minhashJaccardEst, tokenEntropy, bpePairs, dedupIncremental,
-    dupNgramSpans, tfidfRetrieval, bm25Retrieval, bigramLm, perplexityBuckets,
+    dupNgramSpans, sourceOverlap, tfidfRetrieval, bm25Retrieval, bigramLm,
+    perplexityBuckets,
     qualityLogit, zipfFit, streamDedupLsh, bpeMergeRound, bpeMergeRound2,
     substringScrub, pmiCollocations, klDrift, sentiment, containment,
     containmentScrub, oovRate, datasetCard)
