@@ -236,5 +236,80 @@ object Graph {
     }
   }
 
-  val all: Seq[QueryDef] = Seq(pagerank, triangleCount, degreeDist, labelProp)
+  // K-core peel, two unrolled rounds (the BPE/Lloyd/PageRank unrolled-
+  // driver-loop precedent) over the same bipartite trade graph: drop
+  // every node with degree < k, recompute degrees on the induced
+  // subgraph, drop again. k is DATA-ADAPTIVE — the exact median degree
+  // — computed scale-safely from the integer degree HISTOGRAM: the
+  // running-sum window walks one row per DISTINCT degree value (a
+  // relation that grows with max-degree, not node count), never a
+  // global rank over the SF-scaled node table. k then rides along as a
+  // 1-row broadcast. Each round is two left-semi equi-joins (edges ×
+  // alive set) + one hash aggregate — no iteration-private shuffle
+  // shape, and lineage is cut per round like the PageRank loop.
+  val kcoreRounds: QueryDef = QueryDef.sql("q_kcore_rounds")(
+    """WITH cs AS (
+      |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |edges0 AS (SELECT src, dst FROM cs UNION ALL SELECT dst, src FROM cs),
+      |deg0 AS (SELECT src AS node, COUNT(*) AS deg FROM edges0 GROUP BY 1),
+      |hist AS (SELECT deg, COUNT(*) AS c FROM deg0 GROUP BY deg),
+      |cum AS (SELECT deg, SUM(c) OVER (ORDER BY deg ROWS UNBOUNDED PRECEDING) AS cum,
+      |               SUM(c) OVER () AS n FROM hist),
+      |kv AS (SELECT MIN(deg) AS k FROM cum WHERE cum >= (n + 1) // 2),
+      |alive1 AS (SELECT node FROM deg0, kv WHERE deg >= k),
+      |edges1 AS (SELECT e.src, e.dst FROM edges0 e
+      |           JOIN alive1 a ON a.node = e.src JOIN alive1 b ON b.node = e.dst),
+      |deg1 AS (SELECT src AS node, COUNT(*) AS deg FROM edges1 GROUP BY 1),
+      |alive2 AS (SELECT node FROM deg1, kv WHERE deg >= k),
+      |edges2 AS (SELECT e.src, e.dst FROM edges1 e
+      |           JOIN alive2 a ON a.node = e.src JOIN alive2 b ON b.node = e.dst),
+      |deg2 AS (SELECT src AS node, COUNT(*) AS deg FROM edges2 GROUP BY 1)
+      |SELECT node, deg AS deg_r2, (SELECT k FROM kv) AS k
+      |FROM deg2 ORDER BY node""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val preexisting = s.sparkContext.getPersistentRDDs.keySet
+    val cs = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey")
+      .join(Tables.orders(s, dir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    val edges0 = cs.unionByName(cs.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    val deg0 = edges0.groupBy("src").agg(count(lit(1)).as("deg"))
+      .select(col("src").as("node"), col("deg")).localCheckpoint()
+    // histogram cardinality = distinct degree values — the window is tiny
+    val hist = deg0.groupBy("deg").agg(count(lit(1)).as("c"))
+    val cum = hist.select(col("deg"),
+      sum(col("c")).over(Window.orderBy("deg")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("cum"),
+      sum(col("c")).over(Window.partitionBy()).as("n"))
+    val kv = cum.filter(col("cum") >= expr("(n + 1) div 2"))
+      .agg(min(col("deg")).as("k"))
+    def peel(edges: org.apache.spark.sql.DataFrame, deg: org.apache.spark.sql.DataFrame)
+        : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+      val alive = deg.crossJoin(broadcast(kv))
+        .filter(col("deg") >= col("k")).select("node")
+      val e2 = edges
+        .join(alive.select(col("node").as("src")), Seq("src"), "left_semi")
+        .join(alive.select(col("node").as("dst")), Seq("dst"), "left_semi")
+        .select("src", "dst").localCheckpoint()
+      val d2 = e2.groupBy("src").agg(count(lit(1)).as("deg"))
+        .select(col("src").as("node"), col("deg"))
+      (e2, d2)
+    }
+    val (e1, d1) = peel(edges0, deg0)
+    val (_, d2) = peel(e1, d1)
+    val result = d2.crossJoin(broadcast(kv))
+      .select(col("node"), col("deg").as("deg_r2"), col("k"))
+      .orderBy("node")
+    graft.core.Spill.materialize(result) {
+      s.sparkContext.getPersistentRDDs
+        .filterNot { case (id, _) => preexisting.contains(id) }
+        .values.foreach(_.unpersist(false))
+    }
+  }
+
+  val all: Seq[QueryDef] = Seq(pagerank, triangleCount, degreeDist, labelProp,
+    kcoreRounds)
 }

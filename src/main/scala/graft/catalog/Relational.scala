@@ -434,6 +434,49 @@ object Relational {
       .limit(10)
   }
 
+  // TPC-H Q1, the canonical pricing summary: one scan, six wide
+  // aggregates per (returnflag, linestatus) — the benchmark's test of
+  // raw partial→final aggregate throughput (map-side combine collapses
+  // everything before the 6-group shuffle). All sums in exact DECIMAL
+  // (the 3-factor charge product is exact at scale 6), averages are one
+  // IEEE division of the exact sum by the count, and the date filter
+  // pushes to the scan.
+  val pricingSummary: QueryDef = QueryDef.sql("q_pricing_summary")(
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |           (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |           (1 - CAST(l_discount AS DECIMAL(18,2))) *
+      |           (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+      |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+    val d = (c: String) => col(c).cast(DecimalType(18, 2))
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit("2001-09-02 00:00:00").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(d("l_quantity")).cast("double").as("sum_qty"),
+        sum(d("l_extendedprice")).cast("double").as("sum_base_price"),
+        sum(d("l_extendedprice") * (lit(1) - d("l_discount")))
+          .cast("double").as("sum_disc_price"),
+        sum(d("l_extendedprice") * (lit(1) - d("l_discount")) *
+            (lit(1) + d("l_tax")))
+          .cast("double").as("sum_charge"),
+        (sum(d("l_quantity")).cast("double") / count(lit(1))).as("avg_qty"),
+        (sum(d("l_extendedprice")).cast("double") / count(lit(1))).as("avg_price"),
+        (sum(d("l_discount")).cast("double") / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
   // TPC-H Q18 shape: a HAVING aggregate that then joins BACK to the
   // dimension side — the "large orders" pattern (aggregate-filter as a
   // join input) the catalog otherwise lacks. The quantity sum is exact
@@ -476,5 +519,6 @@ object Relational {
     scanFilterProject, dropCols, dropNa, litTag, jsonFlatten, dsvEncode,
     multiwayJoin, groupAvgMinute, hourlyStats, unionAll, timeFuncs,
     shuffleDet, upsertLastWins, topkHourly, pivotTypeHour, anomalyFilter,
-    topRevenue, regionRevenue, promoRevenue, shipPriority, largeOrders)
+    topRevenue, regionRevenue, promoRevenue, shipPriority, largeOrders,
+    pricingSummary)
 }
