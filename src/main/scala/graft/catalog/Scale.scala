@@ -739,9 +739,52 @@ object Scale {
       .orderBy("user_id", "version")
   }
 
+  // DYNAMIC partition pruning — the join-driven pruning a 100 TB
+  // date/type-partitioned fact lives or dies by: the dim side's
+  // qualifying keys are only known at RUNTIME (here: event types whose
+  // corpus-wide mean value exceeds 50 — deliberately a near-50/50 cut
+  // that selects a different subset per SF, so no static filter could
+  // do this), and Catalyst turns the broadcast dim into a
+  // DynamicPruningSubquery on the fact scan's PARTITION column, so
+  // non-qualifying partitions are never read. The fact table is written
+  // type-partitioned to scratch first (same unique-path discipline as
+  // q_source_orc); `ScaleRound7Spec` asserts the executed fact scan
+  // carries a dynamicpruning partition filter rather than reading all
+  // five partitions. The dim's mean is the exact-decimal-sum / count
+  // division, so the >50 cut is bit-identical on both engines.
+  val dppPrune: QueryDef = QueryDef.sql("q_dpp_prune")(
+    """WITH m AS (
+      |  SELECT event_type,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_v
+      |  FROM events GROUP BY 1),
+      |dim AS (SELECT event_type FROM m WHERE avg_v > 50),
+      |f AS (SELECT e.event_type, e.value FROM events e
+      |      JOIN dim d ON e.event_type = d.event_type)
+      |SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+      |FROM f GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val path = s"target/tmp/q_dpp_prune-${java.util.UUID.randomUUID().toString.take(8)}"
+    graft.core.Spill.track(path)
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .write.mode("overwrite").partitionBy("event_type").parquet(path)
+    val fact = s.read.parquet(path)
+    val dim = Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg((sum(col("value").cast("decimal(18,2)")).cast("double") /
+        count(lit(1))).as("avg_v"))
+      .filter(col("avg_v") > 50d)
+      .select(col("event_type").as("d_type"))
+    fact.join(dim, col("event_type") === col("d_type"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_v"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[QueryDef] = Seq(
     globalRownum, saltedJoin, sourceOrc, sourceJson, windowFuncs2, bitwiseAgg,
     corrExact, snapshotDiff, zorder, skewReport, incrAggMerge, bucketedJoin,
     dqChecks, partitionBackfill, bloomPrune, columnProfile, ivmJoin,
-    scd2History)
+    scd2History, dppPrune)
 }
