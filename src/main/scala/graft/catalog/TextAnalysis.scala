@@ -1099,6 +1099,72 @@ object TextAnalysis {
       .orderBy("src_a", "src_b")
   }
 
+  // DSIR-style importance weighting (Xie et al., "Data Selection for
+  // Language Models via Importance Resampling"): per-doc log-likelihood
+  // ratio under an add-1-smoothed TARGET unigram LM (here: the English
+  // slice) vs the CORPUS LM — the score importance-resampling pipelines
+  // draw against when skewing a pretraining mix toward a target domain.
+  // Scale shape: ONE tokenization feeds tf, both LM dictionaries, and
+  // the three corpus scalars (single 1-row broadcast); the per-doc sum
+  // is the token-ordered fold (bit-stable), rounded to 6 before any
+  // consumer cuts on it — the same ln/ROUND discipline as BM25. The
+  // dictionaries join by token (AQE broadcasts them at small SF,
+  // shuffle-joins beyond the threshold — LM vocabularies grow
+  // sublinearly, so either is fine).
+  val importanceWeights: QueryDef = QueryDef.sql("q_importance_weights")(
+    s"""WITH base AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+       |tok AS (SELECT doc_id, lang, UNNEST(toks) AS t FROM base),
+       |tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+       |tgt AS (SELECT t, COUNT(*) AS ct FROM tok WHERE lang = 'en' GROUP BY t),
+       |corp AS (SELECT t, COUNT(*) AS cc FROM tok GROUP BY t),
+       |tot AS (SELECT
+       |  (SELECT COUNT(*) FROM tok WHERE lang = 'en') AS nt,
+       |  (SELECT COUNT(*) FROM tok) AS nc,
+       |  (SELECT COUNT(DISTINCT t) FROM tok) AS v),
+       |term AS (
+       |  SELECT tf.doc_id, tf.t,
+       |    tf.tf * (ln((COALESCE(tgt.ct, 0) + 1.0) / (tot.nt + tot.v)) -
+       |             ln((corp.cc + 1.0) / (tot.nc + tot.v))) AS w
+       |  FROM tf JOIN corp ON tf.t = corp.t LEFT JOIN tgt ON tf.t = tgt.t, tot),
+       |sc AS (
+       |  SELECT doc_id,
+       |    ROUND(list_reduce(list_prepend(0.0, list(w ORDER BY t)),
+       |      (a, b) -> a + b), 6) AS weight
+       |  FROM term GROUP BY doc_id)
+       |SELECT b.doc_id, b.lang, sc.weight
+       |FROM sc JOIN base b ON b.doc_id = sc.doc_id
+       |ORDER BY b.doc_id""".stripMargin) { (s, dir) =>
+    val base = docs(s, dir).select(col("doc_id"), col("lang"),
+      Text.tokens(col("text")).as("toks"))
+    val tok = base.select(col("doc_id"), col("lang"), explode(col("toks")).as("t"))
+      .persist()
+    val tf = tok.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+    val tgt = tok.filter(col("lang") === "en")
+      .groupBy(col("t").as("tt")).agg(count(lit(1)).as("ct"))
+    val corp = tok.groupBy(col("t").as("ct_t")).agg(count(lit(1)).as("cc"))
+    val tot = tok.agg(
+      count(when(col("lang") === "en", 1)).as("nt"),
+      count(lit(1)).as("nc"),
+      count_distinct(col("t")).as("v"))
+    val term = tf
+      .join(corp, col("t") === col("ct_t"))
+      .join(tgt, col("t") === col("tt"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("t"),
+        (col("tf") * (log((coalesce(col("ct"), lit(0L)) + 1.0) /
+            (col("nt") + col("v"))) -
+          log((col("cc") + 1.0) / (col("nc") + col("v"))))).as("w"))
+    val sc = term.groupBy("doc_id")
+      .agg(round(aggregate(
+        transform(sort_array(collect_list(struct(col("t"), col("w")))),
+          p => p.getField("w")),
+        lit(0.0), (a, x) => a + x), 6).as("weight"))
+    val result = sc.join(base.select("doc_id", "lang"), Seq("doc_id"))
+      .select("doc_id", "lang", "weight")
+      .orderBy("doc_id")
+    materialized(result, tok)
+  }
+
   // Sparse lexical retrieval through an INVERTED INDEX — the BM25-family
   // pattern without dense vectors: score(q,d) = Σ_t tf_q·tf_d / df_t²
   // (a rational idf² weight — exact integer arithmetic plus one IEEE
@@ -1884,8 +1950,8 @@ object TextAnalysis {
     minhashSig, minhashPairs, minhashVerified, ngramJaccard, simhash,
     simhashNearDup, simhash60, simhash60NearDup, levenshteinPairs,
     minhashJaccardEst, tokenEntropy, bpePairs, dedupIncremental,
-    dupNgramSpans, sourceOverlap, tfidfRetrieval, bm25Retrieval, bigramLm,
-    perplexityBuckets,
+    dupNgramSpans, sourceOverlap, importanceWeights, tfidfRetrieval,
+    bm25Retrieval, bigramLm, perplexityBuckets,
     qualityLogit, zipfFit, streamDedupLsh, bpeMergeRound, bpeMergeRound2,
     substringScrub, pmiCollocations, klDrift, sentiment, containment,
     containmentScrub, oovRate, datasetCard)
