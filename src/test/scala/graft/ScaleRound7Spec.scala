@@ -24,6 +24,30 @@ class ScaleRound7Spec extends AnyFunSuite {
       "dim cut selected ALL five types — pruning is vacuous at this SF")
   }
 
+  test("streaming observe() surfaces per-batch metrics in query progress") {
+    import org.apache.spark.sql.streaming.Trigger
+    val src = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "obs_src_").toString
+    val chk = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "obs_chk_").toString
+    import spark.implicits._
+    Seq((1L, 5.0), (2L, 9.0), (3L, 450.0)).toDF("id", "v")
+      .coalesce(1).write.mode("overwrite").parquet(src)
+    val q = spark.readStream.schema("id LONG, v DOUBLE").parquet(src)
+      .observe("dq_stream", count(lit(1)).as("n_in"),
+        count(when(col("v") > 400, 1)).as("n_outliers"))
+      .writeStream.format("memory").queryName("obs_out")
+      .option("checkpointLocation", chk)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val observed = q.recentProgress.flatMap(p =>
+      Option(p.observedMetrics.get("dq_stream"))).lastOption
+    assert(observed.isDefined, "no observed metrics in any progress event")
+    assert(observed.get.getLong(0) == 3L)
+    assert(observed.get.getLong(1) == 1L)
+    assert(spark.table("obs_out").count() == 3L)
+  }
+
   test("observe() reports the same totals the query computes") {
     val obs = new org.apache.spark.sql.Observation("dq")
     val out = spark.read.parquet(s"$dir/events.parquet")
