@@ -376,12 +376,12 @@ object Advanced {
   // bit-identical on both engines.
   val intervalOverlap: QueryDef = QueryDef.sql("q_interval_overlap")(
     """WITH g AS (
-      |  SELECT user_id, epoch_us(ts) AS t,
+      |  SELECT user_id, event_id, epoch_us(ts) AS t,
       |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
       |         OR lag(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS brk
       |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       |sid AS (
-      |  SELECT user_id, t, SUM(brk) OVER (PARTITION BY user_id ORDER BY t
+      |  SELECT user_id, t, SUM(brk) OVER (PARTITION BY user_id ORDER BY t, event_id
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM g),
       |sess AS (SELECT user_id, sid, MIN(t) AS s_start, MAX(t) AS s_end
       |         FROM sid GROUP BY 1, 2),
@@ -403,8 +403,11 @@ object Advanced {
       |FROM sess JOIN burst ON s_start <= b_end AND b_start <= s_end
       |ORDER BY user_id, s_start, b_start""".stripMargin) { (s, dir) =>
     val hourUs = 3600000000L
+    // the running sum orders by (t, event_id) — t alone ties under
+    // duplicate timestamps and the two engines would tie-break
+    // differently, splitting a boundary session differently
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    val wRun = Window.partitionBy("user_id").orderBy("t")
+    val wRun = Window.partitionBy("user_id").orderBy("t", "event_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val ev = Tables.events(s, dir)
     val prev = lag(unix_micros(col("ts")), 1).over(w)
