@@ -1901,8 +1901,13 @@ object TextAnalysis {
   // (partition by doc_id) — no global ordering, shuffle carries
   // (doc_id, int64) only; docs shorter than w grams keep their one
   // whole-doc fingerprint via the GREATEST(1, m-3) window clamp.
-  val winnowFingerprint: QueryDef = QueryDef.sql("q_winnow_fingerprint")(
-    s"""WITH base AS (SELECT doc_id, $toksSql AS toks FROM documents),
+  /** Shared winnow-selection SQL prefix (through `sel`: DISTINCT
+    * (doc_id, packed wmin)) — both winnow queries append to THIS, so
+    * the selection rule cannot drift between the fingerprint dump and
+    * the near-dup consumer.
+    */
+  private val winnowSelSql =
+    s"""base AS (SELECT doc_id, $toksSql AS toks FROM documents),
        |g AS (
        |  SELECT doc_id, i AS pos,
        |    CAST(('0x' || substr(md5(CASE WHEN len(toks) >= 4
@@ -1920,9 +1925,10 @@ object TextAnalysis {
        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
        |  FROM c),
        |sel AS (
-       |  SELECT DISTINCT doc_id, wmin FROM w WHERE pos <= GREATEST(1, m - 3))
-       |SELECT doc_id, 16777215 - (wmin % 16777216) AS pos, wmin // 16777216 AS gh
-       |FROM sel ORDER BY doc_id, pos""".stripMargin) { (s, dir) =>
+       |  SELECT DISTINCT doc_id, wmin FROM w WHERE pos <= GREATEST(1, m - 3))""".stripMargin
+
+  /** Shared winnow-selection builder: DISTINCT (doc_id, wmin). */
+  private def winnowSelection(s: SparkSession, dir: String): DataFrame = {
     graft.functions.ShingleHash60.register(s)
     val wFrame = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
     val wDoc = Window.partitionBy("doc_id")
@@ -1938,14 +1944,58 @@ object TextAnalysis {
       .withColumn("wmin", min(col("combo")).over(wFrame))
       .filter(col("pos") <= greatest(lit(1L), col("m") - 3))
       .select("doc_id", "wmin").distinct()
+  }
+
+  val winnowFingerprint: QueryDef = QueryDef.sql("q_winnow_fingerprint")(
+    s"""WITH $winnowSelSql
+       |SELECT doc_id, 16777215 - (wmin % 16777216) AS pos, wmin // 16777216 AS gh
+       |FROM sel ORDER BY doc_id, pos""".stripMargin) { (s, dir) =>
+    winnowSelection(s, dir)
       .select(col("doc_id"),
         (lit(16777215L) - pmod(col("wmin"), lit(16777216L))).as("pos"),
         expr("wmin div 16777216").as("gh"))
       .orderBy("doc_id", "pos")
   }
 
+  // The MOSS use of the selection above: candidate near-dup pairs =
+  // documents sharing ≥3 selected fingerprint HASHES. The pair join is
+  // an equi-join on the 36-bit fingerprint (shuffle carries (doc, int64)
+  // only); per-hash fanout is what winnowing bounds by construction —
+  // only ~2/(w+1) of grams are ever selected. Shares `winnowSelection` /
+  // `winnowSelSql` with q_winnow_fingerprint, so detector and dump
+  // cannot drift. Fingerprint-set sizes ride along for a containment
+  // denominator downstream.
+  val winnowNearDup: QueryDef = QueryDef.sql("q_winnow_neardup")(
+    s"""WITH $winnowSelSql,
+       |fp AS (SELECT DISTINCT doc_id, wmin // 16777216 AS gh FROM sel),
+       |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |      FROM fp a JOIN fp b ON a.gh = b.gh AND a.doc_id < b.doc_id),
+       |np AS (SELECT doc_a, doc_b, COUNT(*) AS n_shared FROM p GROUP BY 1, 2),
+       |sz AS (SELECT doc_id, COUNT(*) AS n_fp FROM fp GROUP BY 1)
+       |SELECT doc_a, doc_b, n_shared, sa.n_fp AS n_a, sb.n_fp AS n_b
+       |FROM np JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+       |WHERE n_shared >= 3
+       |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+    val fp = winnowSelection(s, dir)
+      .select(col("doc_id"), expr("wmin div 16777216").as("gh"))
+      .distinct().persist()
+    val a = fp.select(col("doc_id").as("doc_a"), col("gh"))
+    val b = fp.select(col("doc_id").as("doc_b"), col("gh"))
+    val np = a.join(b, Seq("gh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 3)
+    val sz = fp.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
+    val result = np
+      .join(sz.select(col("doc_id").as("doc_a"), col("n_fp").as("n_a")), Seq("doc_a"))
+      .join(sz.select(col("doc_id").as("doc_b"), col("n_fp").as("n_b")), Seq("doc_b"))
+      .select("doc_a", "doc_b", "n_shared", "n_a", "n_b")
+      .orderBy("doc_a", "doc_b")
+    materialized(result, fp)
+  }
+
   val all: Seq[QueryDef] = Seq(
-    winnowFingerprint,
+    winnowFingerprint, winnowNearDup,
     tokenCount, langId, qualityScore, fingerprint, dedupExact,
     minhashSig, minhashPairs, minhashVerified, ngramJaccard, simhash,
     simhashNearDup, simhash60, simhash60NearDup, levenshteinPairs,
