@@ -168,10 +168,22 @@ object StreamMain {
           store.fold(
             // wire ts (epoch long from the decode DDL) doubles as the
             // external version — monotone per key, so replays and
-            // concurrent partitions converge
-            es => es.upsert(
-              b.toDF().withColumn("__ver",
-                org.apache.spark.sql.functions.col("ts")), id),
+            // concurrent partitions converge. The nano-grain ts leaves
+            // no 64-bit headroom to pack the (ts, event_id) tie-break
+            // the parquet twin orders by, so the ES path REQUIRES
+            // tie-free (key, ts) feeds — enforced here per batch
+            // rather than silently converging first-arrival-wins
+            es => {
+              import org.apache.spark.sql.functions.{col, min, max}
+              val df = b.toDF()
+              val tie = df.groupBy(col(keyCol), col("ts"))
+                .agg(min(col("event_id")).as("lo"), max(col("event_id")).as("hi"))
+                .filter(col("lo") =!= col("hi")).take(1)
+              require(tie.isEmpty, s"ES sink contract violated: batch $id has " +
+                s"distinct event_ids sharing ($keyCol, ts)=${tie.headOption}; " +
+                "the external-version wire cannot order such ties — dedupe upstream")
+              es.upsert(df.withColumn("__ver", col("ts")), id)
+            },
             parquet => parquet.upsert(b.toDF(), id)))
         .option("checkpointLocation",
           java.nio.file.Files.createTempDirectory("chk_stream_").toString)

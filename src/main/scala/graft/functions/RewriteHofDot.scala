@@ -56,7 +56,10 @@ object RewriteHofDot extends Rule[LogicalPlan] {
             Add(aa: NamedLambdaVariable, ae: NamedLambdaVariable, _),
             Seq(la: NamedLambdaVariable, le: NamedLambdaVariable), _),
           LambdaFunction(fb: NamedLambdaVariable, Seq(fa: NamedLambdaVariable), _))
-        if zero == 0.0 &&
+        // raw-bits match: -0.0 == 0.0 under IEEE, but an empty array
+        // returns the seed, so rewriting a -0.0 seed would flip its
+        // sign bit — only +0.0 preserves bit-exactness
+        if java.lang.Double.doubleToRawLongBits(zero.asInstanceOf[Double]) == 0L &&
           Set(mx.exprId, my.exprId) == Set(zx.exprId, zy.exprId) &&
           Set(aa.exprId, ae.exprId) == Set(la.exprId, le.exprId) &&
           fb.exprId == fa.exprId &&

@@ -46,6 +46,14 @@ final class EsStub {
   val bulkRequests = new AtomicLong(0L)
   @volatile var failNextBulks: Int = 0
 
+  /** Atomically claim one injected failure — check and decrement under
+    * one lock so N configured failures yield exactly N 429s even when
+    * concurrent partitions POST simultaneously.
+    */
+  private def claimInjectedFailure(): Boolean = synchronized {
+    if (failNextBulks > 0) { failNextBulks -= 1; true } else false
+  }
+
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
   // daemon threads + explicit shutdown in stop(): a leaked stub must
   // never pin the JVM open after the owning query finishes
@@ -83,8 +91,7 @@ final class EsStub {
       case ("GET", "_cluster/health") =>
         respond(ex, 200, """{"status":"yellow"}""")
       case ("POST", "_bulk") =>
-        if (failNextBulks > 0) {
-          synchronized { failNextBulks -= 1 }
+        if (claimInjectedFailure()) {
           respond(ex, 429, """{"error":"rejected_execution_exception"}""")
         } else {
           bulkRequests.incrementAndGet()

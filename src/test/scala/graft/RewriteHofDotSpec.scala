@@ -66,6 +66,24 @@ class RewriteHofDotSpec extends AnyFunSuite {
     }
   }
 
+  test("a -0.0 seed is NOT rewritten: empty arrays must return the seed bit-exactly") {
+    withRule {
+      def fold(seed: Double) = aggregate(
+        zip_with(col("a"), col("b"), (x, y) => x * y), lit(seed), (acc, x) => acc + x)
+      val df = viaParquet(Seq((1L, Array.empty[Double], Array.empty[Double]))
+        .toDF("id", "a", "b"))
+        .select(fold(-0.0).as("neg"), fold(0.0).as("pos"))
+      // -0.0 == 0.0 under IEEE, so assert on raw bits
+      assert(df.queryExecution.optimizedPlan.expressions.flatMap(_.collect {
+        case d: ArrayDotProduct => d
+      }).size == 1, "only the +0.0 seed may rewrite")
+      val r = df.collect()(0)
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToRawLongBits(-0.0))
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(1)) == 0L)
+    }
+  }
+
   test("only the exact dot pattern rewrites — a squared-difference fold is untouched") {
     withRule {
       val df = vecs
