@@ -822,6 +822,60 @@ object Streaming {
       .orderBy("purchase_id")
   }
 
+  // S5/K2 EXECUTED: the same producer→wire→consumer pipeline as
+  // q_stream_ingest_json, but the wire is real Kafka protocol bytes —
+  // record-batch v2 over TCP through the in-process stub broker
+  // (`spark_streaming_kafka.py:13-18` / `dataframe_to_kafka.py:85-113`
+  // with the connector jar replaced by graft.kafka's own client).
+  // Executors produce key-partitioned batches and consume one Spark
+  // partition per Kafka partition; the result must hash-match the same
+  // batch oracle as the file-wire twin.
+  val kafkaWireIngest: QueryDef = QueryDef.sql("q_kafka_wire_ingest")(
+    """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value,
+      |  CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS INTEGER) AS prop_k
+      |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val broker = new graft.kafka.KafkaStubBroker(3)
+    broker.start()
+    try {
+      val exchange = new graft.kafka.KafkaWireExchange("127.0.0.1", broker.port)
+      val wire = Ingest.toJsonWire(graft.core.Tables.events(s, dir), "event_id")
+      exchange.publish(wire,
+        graft.replay.Replay.ReplayConfig(input = "", topic = "events"))
+      val decoded = Ingest.decodeJsonWire(exchange.read(s, "events"))
+        .select(col("event_id"), col("ts_us"), col("user_id"), col("event_type"),
+          col("value"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k")
+            .as("prop_k"))
+        .orderBy("event_id")
+      // materialize before the broker dies: the consumer scan is lazy
+      graft.core.Spill.materialize(decoded)(())
+    } finally broker.stop()
+  }
+
+  // At-least-once replay discipline over the real wire: publish TWICE
+  // (the reference producer re-run / retry case), then restore
+  // exactly-once downstream with the standard consumer-side dedup on
+  // the event key — converging to the same oracle as a single publish.
+  val kafkaWireRedelivery: QueryDef = QueryDef.sql("q_kafka_wire_redelivery")(
+    """SELECT event_id, user_id, event_type, value
+      |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val broker = new graft.kafka.KafkaStubBroker(3)
+    broker.start()
+    try {
+      val exchange = new graft.kafka.KafkaWireExchange("127.0.0.1", broker.port)
+      val wire = Ingest.toJsonWire(graft.core.Tables.events(s, dir), "event_id")
+      exchange.publish(wire,
+        graft.replay.Replay.ReplayConfig(input = "", topic = "events", repeat = 2))
+      val consumed = exchange.read(s, "events")
+      val decoded = Ingest.decodeJsonWire(consumed)
+        .dropDuplicates("event_id")
+        .select("event_id", "user_id", "event_type", "value")
+        .orderBy("event_id")
+      graft.core.Spill.materialize(decoded)(())
+    } finally broker.stop()
+  }
+
   val all: Seq[QueryDef] = Seq(
     streamIngestJson, streamIngestDsv, streamWindowHourly, sinkUpsert,
     sinkUpsertDelta, sinkRoute, streamStreamJoin, streamDedup,
@@ -829,5 +883,6 @@ object Streaming {
     streamChainedAgg,
     streamLateDrop, streamStaticJoin, streamSessionTimers, streamMapStateCounts,
     streamIncremental, streamSemiJoin, sinkUpsertDeltaAsof, streamAsofJoin,
-    sinkUpsertEs, sinkRouteEs, streamTopkTypes)
+    sinkUpsertEs, sinkRouteEs, streamTopkTypes,
+    kafkaWireIngest, kafkaWireRedelivery)
 }

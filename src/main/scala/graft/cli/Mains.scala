@@ -71,9 +71,9 @@ object CollectorMain {
 object ReplayMain {
   private val Usage = "usage: ReplayMain -i <input> [-s ,] [-e csv] " +
     "[-ks ,] [-rst 0.5] [-t topic] [-b host:9092] [-r 1] [-shf true] " +
-    "[-k keyCol] [-exc c1,c2] [-x exchangeRoot] [-wf dsv|json]"
+    "[-k keyCol] [-exc c1,c2] [-x exchangeRoot] [-kw host:port] [-wf dsv|json]"
   private val Flags = Set("-i", "-s", "-e", "-ks", "-rst", "-t", "-b", "-r",
-    "-shf", "-k", "-exc", "-x", "-wf")
+    "-shf", "-k", "-exc", "-x", "-kw", "-wf")
 
   def main(args: Array[String]): Unit = {
     // every flag takes a value (matching the reference CLI); validate
@@ -98,9 +98,15 @@ object ReplayMain {
       excluded = a.get("-exc").map(_.split(",").toSeq).getOrElse(Nil),
       wireFormat = a.getOrElse("-wf", "dsv"))
     Mains.withSession("graft-replay") { spark =>
-      a.get("-x") match {
-        case Some(root) => Replay.run(spark, cfg, new FileExchange(root))
-        case None =>
+      (a.get("-x"), a.get("-kw")) match {
+        case (Some(root), _) => Replay.run(spark, cfg, new FileExchange(root))
+        // -kw host:port: graft's own wire-protocol producer — real
+        // Kafka bytes with no connector jar on the classpath
+        case (None, Some(hp)) =>
+          val (host, port) = hp.span(_ != ':')
+          Replay.run(spark, cfg,
+            new graft.kafka.KafkaWireExchange(host, port.drop(1).toInt))
+        case (None, None) =>
           val wire = Replay.encode(Replay.transform(Replay.readSource(spark, cfg), cfg), cfg)
           Replay.toKafka(wire, cfg)
       }

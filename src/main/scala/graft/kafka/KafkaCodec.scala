@@ -1,0 +1,305 @@
+package graft.kafka
+
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets
+import java.util.zip.CRC32C
+
+/** Byte-level codec for the public Apache Kafka wire protocol — the
+  * executed-transport half of S5/K2 that `format("kafka")` config alone
+  * could never prove (the connector jar is absent in this zero-egress
+  * environment, so we speak the broker's TCP protocol directly, the
+  * same playbook as the round-7 ES `_bulk` client).
+  *
+  * Everything here is from the published protocol guide
+  * (kafka.apache.org/protocol) and KIP-98's record batch v2 layout:
+  *
+  * {{{
+  * RecordBatch =>
+  *   baseOffset: int64
+  *   batchLength: int32            // bytes after this field
+  *   partitionLeaderEpoch: int32
+  *   magic: int8 (= 2)
+  *   crc: uint32                   // CRC32C of attributes..end
+  *   attributes: int16
+  *   lastOffsetDelta: int32
+  *   baseTimestamp: int64
+  *   maxTimestamp: int64
+  *   producerId: int64
+  *   producerEpoch: int16
+  *   baseSequence: int32
+  *   numRecords: int32
+  *   records: Record*              // zigzag-varint encoded
+  * }}}
+  *
+  * Non-flexible (pre-tagged-field) API versions are used throughout the
+  * client/broker pair, so primitives are the classic fixed-width +
+  * int16-length strings + int32-length arrays/bytes.
+  *
+  * Reference behavior being reproduced: `dataframe_to_kafka.py:85-113`
+  * (keyed produce) and `spark_streaming_kafka.py:13-18` (earliest-offset
+  * consume).
+  */
+object KafkaCodec {
+
+  /** One decoded record on the wire: null key/value are real protocol
+    * states (tombstones), carried as null arrays.
+    */
+  final case class WireRecord(
+      offset: Long,
+      timestampMs: Long,
+      key: Array[Byte],
+      value: Array[Byte])
+
+  // ---- zigzag varints (record v2 body encoding) ----
+
+  def writeVarLong(buf: ByteBuffer, v: Long): Unit = {
+    var z = (v << 1) ^ (v >> 63)
+    while ((z & ~0x7fL) != 0L) {
+      buf.put(((z & 0x7f) | 0x80).toByte)
+      z >>>= 7
+    }
+    buf.put(z.toByte)
+  }
+
+  def writeVarInt(buf: ByteBuffer, v: Int): Unit = writeVarLong(buf, v.toLong)
+
+  def readVarLong(buf: ByteBuffer): Long = {
+    var z = 0L; var shift = 0
+    var b = buf.get()
+    while ((b & 0x80) != 0) {
+      z |= (b & 0x7fL) << shift
+      shift += 7
+      b = buf.get()
+    }
+    z |= (b & 0x7fL) << shift
+    (z >>> 1) ^ -(z & 1) // un-zigzag
+  }
+
+  def readVarInt(buf: ByteBuffer): Int = readVarLong(buf).toInt
+
+  def varLongSize(v: Long): Int = {
+    var z = (v << 1) ^ (v >> 63); var n = 1
+    while ((z & ~0x7fL) != 0L) { n += 1; z >>>= 7 }
+    n
+  }
+
+  // ---- classic protocol primitives ----
+
+  def writeString(buf: ByteBuffer, s: String): Unit = {
+    val b = s.getBytes(StandardCharsets.UTF_8)
+    buf.putShort(b.length.toShort).put(b)
+  }
+
+  def writeNullableString(buf: ByteBuffer, s: String): Unit =
+    if (s == null) buf.putShort(-1) else writeString(buf, s)
+
+  def readString(buf: ByteBuffer): String = {
+    val n = buf.getShort.toInt
+    require(n >= 0, "non-nullable string was null")
+    val b = new Array[Byte](n); buf.get(b)
+    new String(b, StandardCharsets.UTF_8)
+  }
+
+  def readNullableString(buf: ByteBuffer): String = {
+    val n = buf.getShort.toInt
+    if (n < 0) null
+    else { val b = new Array[Byte](n); buf.get(b); new String(b, StandardCharsets.UTF_8) }
+  }
+
+  def writeNullableBytes(buf: ByteBuffer, b: Array[Byte]): Unit =
+    if (b == null) buf.putInt(-1) else { buf.putInt(b.length); buf.put(b) }
+
+  def readNullableBytes(buf: ByteBuffer): Array[Byte] = {
+    val n = buf.getInt
+    if (n < 0) null else { val b = new Array[Byte](n); buf.get(b); b }
+  }
+
+  // ---- record batch v2 ----
+
+  private val BatchHeaderLen = 61 // baseOffset..numRecords inclusive
+  private val AttributesOffsetInBatch = 21 // CRC covers attributes..end
+
+  private def recordSize(timestampDelta: Long, offsetDelta: Int,
+      key: Array[Byte], value: Array[Byte]): Int = {
+    var n = 1 // attributes int8
+    n += varLongSize(timestampDelta)
+    n += varLongSize(offsetDelta.toLong)
+    n += (if (key == null) varLongSize(-1L) else varLongSize(key.length.toLong) + key.length)
+    n += (if (value == null) varLongSize(-1L) else varLongSize(value.length.toLong) + value.length)
+    n += varLongSize(0L) // headers count
+    n
+  }
+
+  /** Encode one v2 record batch. Offsets inside are `baseOffset + i`;
+    * timestamps are per-record CreateTime.
+    */
+  def encodeBatch(baseOffset: Long,
+      records: Seq[(Long, Array[Byte], Array[Byte])]): Array[Byte] = {
+    require(records.nonEmpty, "empty record batch")
+    val baseTs = records.head._1
+    val maxTs = records.map(_._1).max
+    val bodySizes = records.zipWithIndex.map { case ((ts, k, v), i) =>
+      val sz = recordSize(ts - baseTs, i, k, v)
+      sz + varLongSize(sz.toLong)
+    }
+    val total = BatchHeaderLen + bodySizes.sum
+    val buf = ByteBuffer.allocate(total)
+    buf.putLong(baseOffset)
+    buf.putInt(total - 12) // batchLength: everything after that field
+    buf.putInt(0) // partitionLeaderEpoch
+    buf.put(2.toByte) // magic
+    val crcPos = buf.position()
+    buf.putInt(0) // crc placeholder
+    buf.putShort(0) // attributes: no compression, CreateTime
+    buf.putInt(records.size - 1) // lastOffsetDelta
+    buf.putLong(baseTs)
+    buf.putLong(maxTs)
+    buf.putLong(-1L) // producerId
+    buf.putShort(-1) // producerEpoch
+    buf.putInt(-1) // baseSequence
+    buf.putInt(records.size)
+    records.zipWithIndex.foreach { case ((ts, k, v), i) =>
+      writeVarLong(buf, recordSize(ts - baseTs, i, k, v).toLong)
+      buf.put(0.toByte) // record attributes
+      writeVarLong(buf, ts - baseTs)
+      writeVarLong(buf, i.toLong)
+      if (k == null) writeVarLong(buf, -1L)
+      else { writeVarLong(buf, k.length.toLong); buf.put(k) }
+      if (v == null) writeVarLong(buf, -1L)
+      else { writeVarLong(buf, v.length.toLong); buf.put(v) }
+      writeVarLong(buf, 0L) // no headers
+    }
+    val arr = buf.array()
+    val crc = new CRC32C
+    crc.update(arr, AttributesOffsetInBatch, total - AttributesOffsetInBatch)
+    buf.putInt(crcPos, crc.getValue.toInt)
+    arr
+  }
+
+  /** Decode a record set (zero or more concatenated v2 batches),
+    * validating each batch's CRC32C — a torn or corrupted batch fails
+    * loudly rather than yielding garbage rows.
+    */
+  def decodeBatches(recordSet: Array[Byte]): Seq[WireRecord] = {
+    if (recordSet == null) return Nil
+    val out = Seq.newBuilder[WireRecord]
+    val buf = ByteBuffer.wrap(recordSet)
+    while (buf.remaining() >= 12) {
+      val baseOffset = buf.getLong
+      val batchLength = buf.getInt
+      if (buf.remaining() < batchLength) {
+        // partial trailing batch: a real broker may return one at the
+        // fetch byte limit; consumers skip it and refetch
+        buf.position(buf.limit())
+      } else {
+        val batchStart = buf.position() - 12
+        buf.getInt // partitionLeaderEpoch
+        val magic = buf.get()
+        require(magic == 2, s"unsupported magic $magic (only record batch v2)")
+        val crcStored = buf.getInt
+        val crc = new CRC32C
+        crc.update(recordSet, batchStart + AttributesOffsetInBatch,
+          batchLength - (AttributesOffsetInBatch - 12))
+        require(crc.getValue.toInt == crcStored,
+          f"record batch CRC mismatch at offset $baseOffset: " +
+            f"stored 0x$crcStored%08x != computed 0x${crc.getValue.toInt}%08x")
+        buf.getShort // attributes
+        buf.getInt // lastOffsetDelta
+        val baseTs = buf.getLong
+        buf.getLong // maxTimestamp
+        buf.getLong // producerId
+        buf.getShort // producerEpoch
+        buf.getInt // baseSequence
+        val n = buf.getInt
+        var i = 0
+        while (i < n) {
+          readVarLong(buf) // record length
+          buf.get() // attributes
+          val tsDelta = readVarLong(buf)
+          val offDelta = readVarLong(buf)
+          val kLen = readVarInt(buf)
+          val k = if (kLen < 0) null else { val a = new Array[Byte](kLen); buf.get(a); a }
+          val vLen = readVarInt(buf)
+          val v = if (vLen < 0) null else { val a = new Array[Byte](vLen); buf.get(a); a }
+          val nHeaders = readVarInt(buf)
+          var h = 0
+          while (h < nHeaders) { // skip headers: keyLen+key, valLen+val
+            val hk = readVarInt(buf); buf.position(buf.position() + math.max(hk, 0))
+            val hv = readVarInt(buf); buf.position(buf.position() + math.max(hv, 0))
+            h += 1
+          }
+          out += WireRecord(baseOffset + offDelta, baseTs + tsDelta, k, v)
+          i += 1
+        }
+      }
+    }
+    out.result()
+  }
+
+  /** Kafka's default-partitioner hash (murmur2 over the key bytes,
+    * masked positive, modulo partition count) — the published algorithm
+    * every client implements so a keyed topic lands the same key on the
+    * same partition regardless of producer language
+    * (`dataframe_to_kafka.py:94-100` relies on exactly this for its
+    * per-key ordering).
+    */
+  def murmur2(data: Array[Byte]): Int = {
+    val seed = 0x9747b28c
+    val m = 0x5bd1e995
+    val r = 24
+    var h = seed ^ data.length
+    val n4 = data.length / 4
+    var i = 0
+    while (i < n4) {
+      val i4 = i * 4
+      var k = (data(i4) & 0xff) | ((data(i4 + 1) & 0xff) << 8) |
+        ((data(i4 + 2) & 0xff) << 16) | ((data(i4 + 3) & 0xff) << 24)
+      k *= m
+      k ^= k >>> r
+      k *= m
+      h *= m
+      h ^= k
+      i += 1
+    }
+    (data.length % 4) match {
+      case 3 =>
+        h ^= (data((n4 * 4) + 2) & 0xff) << 16
+        h ^= (data((n4 * 4) + 1) & 0xff) << 8
+        h ^= data(n4 * 4) & 0xff
+        h *= m
+      case 2 =>
+        h ^= (data((n4 * 4) + 1) & 0xff) << 8
+        h ^= data(n4 * 4) & 0xff
+        h *= m
+      case 1 =>
+        h ^= data(n4 * 4) & 0xff
+        h *= m
+      case _ =>
+    }
+    h ^= h >>> 13
+    h *= m
+    h ^= h >>> 15
+    h
+  }
+
+  /** Default-partitioner placement for a non-null key. */
+  def partitionFor(key: Array[Byte], numPartitions: Int): Int =
+    (murmur2(key) & 0x7fffffff) % numPartitions
+
+  // ---- api keys + error codes (the subset this pair speaks) ----
+
+  object Api {
+    val Produce = 0
+    val Fetch = 1
+    val ListOffsets = 2
+    val Metadata = 3
+    val ApiVersions = 18
+  }
+
+  object Err {
+    val None = 0
+    val OffsetOutOfRange = 1
+    val CorruptMessage = 2
+    val UnknownTopicOrPartition = 3
+  }
+}

@@ -1,0 +1,207 @@
+package graft.kafka
+
+import java.io.{DataInputStream, DataOutputStream}
+import java.net.Socket
+import java.nio.ByteBuffer
+
+import KafkaCodec._
+
+/** Minimal blocking Kafka protocol client (plain TCP, no external jar)
+  * — the producer/consumer half of the executed S5/K2 path. One socket,
+  * correlation-id-checked request/response, the same five APIs the
+  * stub broker speaks; a real broker with these versions enabled would
+  * accept the identical bytes.
+  *
+  * Not thread-safe: one client per task/thread (exactly how
+  * [[KafkaWireExchange]] uses it from `foreachPartition`).
+  */
+final class KafkaWireClient(host: String, port: Int,
+    clientId: String = "graft") extends AutoCloseable {
+
+  private val socket = new Socket(host, port)
+  socket.setTcpNoDelay(true)
+  private val out = new DataOutputStream(socket.getOutputStream)
+  private val in = new DataInputStream(socket.getInputStream)
+  private var correlation = 0
+
+  override def close(): Unit = socket.close()
+
+  private def send(apiKey: Int, apiVersion: Int, body: ByteBuffer): ByteBuffer = {
+    correlation += 1
+    val header = ByteBuffer.allocate(10 + clientId.length * 4)
+    header.putShort(apiKey.toShort)
+    header.putShort(apiVersion.toShort)
+    header.putInt(correlation)
+    writeNullableString(header, clientId)
+    header.flip()
+    body.flip()
+    out.writeInt(header.remaining() + body.remaining())
+    out.write(header.array(), header.arrayOffset(), header.remaining())
+    out.write(body.array(), body.arrayOffset() + body.position(), body.remaining())
+    out.flush()
+    val size = in.readInt()
+    val resp = new Array[Byte](size)
+    in.readFully(resp)
+    val buf = ByteBuffer.wrap(resp)
+    val cid = buf.getInt
+    require(cid == correlation, s"correlation mismatch: sent $correlation got $cid")
+    buf
+  }
+
+  /** ApiVersions v0 → api key → (min, max) supported version. */
+  def apiVersions(): Map[Int, (Int, Int)] = {
+    val resp = send(Api.ApiVersions, 0, ByteBuffer.allocate(0))
+    val err = resp.getShort.toInt
+    require(err == Err.None, s"ApiVersions error $err")
+    val n = resp.getInt
+    (0 until n).map { _ =>
+      (resp.getShort.toInt, (resp.getShort.toInt, resp.getShort.toInt))
+    }.toMap
+  }
+
+  import KafkaWireClient.{FetchResult, PartitionMeta, TopicMeta}
+
+  /** Metadata v1 for the given topics (auto-creates on the stub). */
+  def metadata(topics: Seq[String]): Seq[TopicMeta] = {
+    val body = ByteBuffer.allocate(4 + topics.map(_.length * 4 + 2).sum)
+    body.putInt(topics.size)
+    topics.foreach(writeString(body, _))
+    val resp = send(Api.Metadata, 1, body)
+    val nBrokers = resp.getInt
+    (0 until nBrokers).foreach { _ =>
+      resp.getInt; readString(resp); resp.getInt; readNullableString(resp)
+    }
+    resp.getInt // controller_id
+    val nTopics = resp.getInt
+    (0 until nTopics).map { _ =>
+      val err = resp.getShort.toInt
+      val name = readString(resp)
+      require(err == Err.None, s"Metadata error $err for topic $name")
+      resp.get() // is_internal
+      val nParts = resp.getInt
+      val parts = (0 until nParts).map { _ =>
+        val pErr = resp.getShort.toInt
+        val p = resp.getInt
+        val leader = resp.getInt
+        require(pErr == Err.None, s"Metadata partition error $pErr")
+        val nReplicas = resp.getInt; (0 until nReplicas).foreach(_ => resp.getInt)
+        val nIsr = resp.getInt; (0 until nIsr).foreach(_ => resp.getInt)
+        PartitionMeta(p, leader)
+      }
+      TopicMeta(name, parts)
+    }
+  }
+
+  /** Produce v3 (acks=-1): one record batch to one partition. Returns
+    * the assigned base offset.
+    */
+  def produce(topic: String, partition: Int,
+      records: Seq[(Long, Array[Byte], Array[Byte])]): Long = {
+    val recordSet = encodeBatch(0L, records) // broker assigns real base
+    val body = ByteBuffer.allocate(64 + topic.length * 4 + recordSet.length)
+    writeNullableString(body, null) // transactional_id
+    body.putShort(-1) // acks: all
+    body.putInt(30000) // timeout_ms
+    body.putInt(1) // one topic
+    writeString(body, topic)
+    body.putInt(1) // one partition
+    body.putInt(partition)
+    writeNullableBytes(body, recordSet)
+    val resp = send(Api.Produce, 3, body)
+    val nTopics = resp.getInt
+    require(nTopics == 1, s"produce: expected 1 topic response, got $nTopics")
+    readString(resp)
+    val nParts = resp.getInt
+    require(nParts == 1, s"produce: expected 1 partition response, got $nParts")
+    resp.getInt // partition
+    val err = resp.getShort.toInt
+    val baseOffset = resp.getLong
+    resp.getLong // log_append_time
+    require(err == Err.None, s"Produce error $err on $topic/$partition")
+    baseOffset
+  }
+
+  /** Fetch v4 from one partition at the given offset. */
+  def fetch(topic: String, partition: Int, offset: Long,
+      maxBytes: Int = 4 * 1024 * 1024): FetchResult = {
+    val body = ByteBuffer.allocate(64 + topic.length * 4)
+    body.putInt(-1) // replica_id: consumer
+    body.putInt(0) // max_wait_ms: don't block (AvailableNow-style poll)
+    body.putInt(0) // min_bytes
+    body.putInt(maxBytes)
+    body.put(0.toByte) // isolation_level: read_uncommitted
+    body.putInt(1)
+    writeString(body, topic)
+    body.putInt(1)
+    body.putInt(partition)
+    body.putLong(offset)
+    body.putInt(maxBytes)
+    val resp = send(Api.Fetch, 4, body)
+    resp.getInt // throttle
+    val nTopics = resp.getInt
+    require(nTopics == 1, s"fetch: expected 1 topic response, got $nTopics")
+    readString(resp)
+    val nParts = resp.getInt
+    require(nParts == 1, s"fetch: expected 1 partition response, got $nParts")
+    resp.getInt // partition
+    val err = resp.getShort.toInt
+    val hw = resp.getLong
+    resp.getLong // last_stable_offset
+    val nAborted = resp.getInt
+    (0 until nAborted).foreach(_ => { resp.getLong; resp.getLong })
+    val recordSet = readNullableBytes(resp)
+    val records = if (err == Err.None) decodeBatches(recordSet) else Nil
+    FetchResult(hw, records, err)
+  }
+
+  /** Consume a partition end-to-end: repeated fetches from `offset`
+    * until the high watermark observed on the FIRST fetch is reached —
+    * a bounded, AvailableNow-style drain.
+    */
+  def fetchAll(topic: String, partition: Int, offset: Long = 0L): Seq[WireRecord] = {
+    val first = fetch(topic, partition, offset)
+    require(first.errorCode == Err.None,
+      s"fetch error ${first.errorCode} on $topic/$partition@$offset")
+    val target = first.highWatermark
+    val acc = Seq.newBuilder[WireRecord]
+    acc ++= first.records
+    var next = first.records.lastOption.map(_.offset + 1).getOrElse(offset)
+    while (next < target) {
+      val r = fetch(topic, partition, next)
+      require(r.errorCode == Err.None, s"fetch error ${r.errorCode} at $next")
+      require(r.records.nonEmpty, s"stalled fetch at $next < hw $target")
+      acc ++= r.records
+      next = r.records.last.offset + 1
+    }
+    acc.result()
+  }
+
+  /** ListOffsets v1: earliest (-2) or latest (-1) offset. */
+  def listOffset(topic: String, partition: Int, timestamp: Long): Long = {
+    val body = ByteBuffer.allocate(64 + topic.length * 4)
+    body.putInt(-1) // replica_id
+    body.putInt(1)
+    writeString(body, topic)
+    body.putInt(1)
+    body.putInt(partition)
+    body.putLong(timestamp)
+    val resp = send(Api.ListOffsets, 1, body)
+    val nTopics = resp.getInt
+    require(nTopics == 1)
+    readString(resp)
+    val nParts = resp.getInt
+    require(nParts == 1)
+    resp.getInt // partition
+    val err = resp.getShort.toInt
+    require(err == Err.None, s"ListOffsets error $err")
+    resp.getLong // timestamp
+    resp.getLong
+  }
+}
+
+object KafkaWireClient {
+  final case class PartitionMeta(partition: Int, leader: Int)
+  final case class TopicMeta(topic: String, partitions: Seq[PartitionMeta])
+  final case class FetchResult(highWatermark: Long,
+      records: Seq[KafkaCodec.WireRecord], errorCode: Int)
+}

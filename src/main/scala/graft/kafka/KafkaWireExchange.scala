@@ -1,0 +1,111 @@
+package graft.kafka
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+
+import graft.replay.Replay.{Exchange, ReplayConfig}
+
+/** The Kafka-backed [[graft.replay.Replay.Exchange]]: real record-batch
+  * bytes over real TCP, produced from the executors and consumed back
+  * one Spark partition per Kafka partition — the executed form of
+  * S5/K2 that `FileExchange` only stands in for.
+  *
+  * Scale shape: `publish` opens ONE client per Spark task and groups
+  * rows by the default-partitioner placement (murmur2 of the key, the
+  * contract `dataframe_to_kafka.py:94-100` relies on for per-key
+  * ordering), so a 1000-executor produce fans out naturally and no
+  * data crosses the driver. `read` maps Kafka partitions 1:1 onto
+  * Spark partitions — the same parallelism a real connector plans.
+  *
+  * Delivery is at-least-once, exactly like the reference's producer:
+  * a re-run appends again (no file-marker idempotence — that is the
+  * FileExchange twin's exactly-once variant).
+  */
+final class KafkaWireExchange(host: String, port: Int) extends Exchange {
+  import KafkaWireExchange.bytes
+
+  /** Producer: key-partitioned, chunked produce requests from each
+    * task. Null keys fall back to the task's partition index (sticky
+    * round-robin, the modern default partitioner's behavior per batch).
+    */
+  override def publish(wire: DataFrame, cfg: ReplayConfig,
+      afterWrite: Int => Unit = _ => ()): Unit = {
+    val t0 = System.nanoTime()
+    val (h, p, topic) = (host, port, cfg.topic)
+    // metadata auto-creates the topic and fixes the partition count
+    // before any executor produces
+    val nParts = {
+      val c = new KafkaWireClient(h, p)
+      try c.metadata(Seq(topic)).head.partitions.size finally c.close()
+    }
+    (1 to cfg.repeat).foreach { r =>
+      wire.foreachPartition { (rows: Iterator[Row]) =>
+        if (rows.hasNext) {
+          val c = new KafkaWireClient(h, p)
+          try {
+            val sticky = org.apache.spark.TaskContext.getPartitionId() % nParts
+            rows.grouped(500).foreach { chunk =>
+              chunk
+                .map { row =>
+                  val k = bytes(row.get(row.fieldIndex("key")))
+                  val v = bytes(row.get(row.fieldIndex("value")))
+                  val part =
+                    if (k == null) sticky else KafkaCodec.partitionFor(k, nParts)
+                  (part, k, v)
+                }
+                .groupBy(_._1)
+                .foreach { case (part, rs) =>
+                  // CreateTime 0L: the wire carries event time in the
+                  // payload (ts_us), not the broker timestamp
+                  c.produce(topic, part, rs.map { case (_, k, v) => (0L, k, v) })
+                }
+            }
+          } finally c.close()
+        }
+      }
+      afterWrite(r)
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      val eta = elapsed / r * (cfg.repeat - r)
+      System.err.println(
+        f"[replay-kafka] batch $r/${cfg.repeat} (${100.0 * r / cfg.repeat}%.0f%%) eta ${eta}%.1fs")
+      if (cfg.batchSleepMs > 0 && r < cfg.repeat) Thread.sleep(cfg.batchSleepMs)
+    }
+  }
+
+  /** Consumer: earliest→high-watermark drain, one Spark partition per
+    * Kafka partition. Returns the FileExchange-compatible (key, value)
+    * frame plus the Kafka coordinates (partition, offset) so ordering
+    * assertions are expressible downstream.
+    */
+  override def read(spark: SparkSession, topic: String): DataFrame = {
+    val (h, p) = (host, port)
+    val nParts = {
+      val c = new KafkaWireClient(h, p)
+      try c.metadata(Seq(topic)).head.partitions.size finally c.close()
+    }
+    val rdd = spark.sparkContext
+      .parallelize(0 until nParts, math.max(nParts, 1))
+      .flatMap { part =>
+        val c = new KafkaWireClient(h, p)
+        try {
+          c.fetchAll(topic, part).map { r =>
+            (if (r.key == null) null else new String(r.key, StandardCharsets.UTF_8),
+              if (r.value == null) null else new String(r.value, StandardCharsets.UTF_8),
+              part, r.offset)
+          }
+        } finally c.close()
+      }
+    spark.createDataFrame(rdd).toDF("key", "value", "partition", "offset")
+  }
+}
+
+object KafkaWireExchange {
+  // companion-level so executor closures capture no exchange instance
+  private def bytes(v: Any): Array[Byte] = v match {
+    case null => null
+    case b: Array[Byte] => b
+    case s: String => s.getBytes(StandardCharsets.UTF_8)
+    case other => other.toString.getBytes(StandardCharsets.UTF_8)
+  }
+}

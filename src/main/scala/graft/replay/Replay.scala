@@ -88,6 +88,20 @@ object Replay {
       .option("topic", cfg.topic)
       .save()
 
+  /** Pluggable wire transport: the producer publishes the (key, value)
+    * frame, a consumer reads it back. Two implementations — the
+    * file-backed stand-in ([[FileExchange]]) and the real-bytes Kafka
+    * protocol path ([[graft.kafka.KafkaWireExchange]]).
+    */
+  trait Exchange {
+    /** @param afterWrite test seam after each repeat's write — crash
+      *                   injection models the torn/duplicate window
+      */
+    def publish(wire: DataFrame, cfg: ReplayConfig,
+        afterWrite: Int => Unit = _ => ()): Unit
+    def read(spark: SparkSession, topic: String): DataFrame
+  }
+
   /** Local transport: repeat `r` lands as partition dir
     * `root/topic=<topic>/batch=<r>`. Batch-level pacing + progress/ETA
     * reporting (the reference's `-rst` and progress lines,
@@ -101,7 +115,7 @@ object Replay {
     * committed batches and re-overwrites a torn one, so readers never
     * see a duplicate or partial batch.
     */
-  final class FileExchange(root: String) {
+  final class FileExchange(root: String) extends Exchange {
     def topicDir(topic: String) = s"$root/topic=$topic"
 
     private def marker(topic: String, r: Int) =
@@ -111,7 +125,7 @@ object Replay {
       *                   commit marker — a crash injected there models
       *                   the torn-batch window
       */
-    def publish(wire: DataFrame, cfg: ReplayConfig,
+    override def publish(wire: DataFrame, cfg: ReplayConfig,
         afterWrite: Int => Unit = _ => ()): Unit = {
       val t0 = System.nanoTime()
       java.nio.file.Files.createDirectories(
@@ -137,7 +151,7 @@ object Replay {
       }
     }
 
-    def read(spark: SparkSession, topic: String): DataFrame =
+    override def read(spark: SparkSession, topic: String): DataFrame =
       spark.read.parquet(topicDir(topic))
   }
 
@@ -146,7 +160,7 @@ object Replay {
     * publish has materialized every batch, so a borrowed session's
     * later parquet reads keep their normal timestamp decoding.
     */
-  def run(spark: SparkSession, cfg: ReplayConfig, exchange: FileExchange): Unit = {
+  def run(spark: SparkSession, cfg: ReplayConfig, exchange: Exchange): Unit = {
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     val prev = spark.conf.getOption(key)
     try exchange.publish(encode(transform(readSource(spark, cfg), cfg), cfg), cfg)

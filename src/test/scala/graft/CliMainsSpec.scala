@@ -71,6 +71,20 @@ class CliMainsSpec extends AnyFunSuite {
       assert(stub.snapshot("events").size ==
         events.select("user_id").distinct().count())
     } finally stub.stop()
+
+    // -kw host:port: the producer speaks the REAL Kafka protocol to the
+    // in-process broker instead of writing exchange files
+    val broker = new graft.kafka.KafkaStubBroker(3)
+    broker.start()
+    try {
+      graft.cli.ReplayMain.main(Array(
+        "-i", "/root/testdata/sf0.001/events.parquet", "-e", "parquet",
+        "-t", "events", "-k", "event_id", "-wf", "json",
+        "-kw", s"127.0.0.1:${broker.port}"))
+      val consumed = new graft.kafka.KafkaWireExchange("127.0.0.1", broker.port)
+        .read(spark, "events")
+      assert(consumed.count() == nEvents)
+    } finally broker.stop()
   }
 
   test("CurateMain: corpus in, deduplicated corpus + report out") {

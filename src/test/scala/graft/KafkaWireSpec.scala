@@ -1,0 +1,236 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.kafka.{KafkaCodec, KafkaStubBroker, KafkaWireClient, KafkaWireExchange}
+import graft.kafka.KafkaCodec.WireRecord
+import graft.replay.Replay
+import graft.replay.Replay.ReplayConfig
+
+/** The executed Kafka path (S5/K2): real record-batch-v2 bytes over
+  * real TCP between the wire client and the stub broker, plus the
+  * partition/key-ordering contract the reference producer
+  * (`dataframe_to_kafka.py:94-100`) depends on.
+  */
+class KafkaWireSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def b(s: String): Array[Byte] = s.getBytes(StandardCharsets.UTF_8)
+  private def s(a: Array[Byte]): String = new String(a, StandardCharsets.UTF_8)
+
+  private def withBroker[A](numPartitions: Int = 3)(f: KafkaStubBroker => A): A = {
+    val broker = new KafkaStubBroker(numPartitions)
+    broker.start()
+    try f(broker) finally broker.stop()
+  }
+
+  private def withClient[A](broker: KafkaStubBroker)(f: KafkaWireClient => A): A = {
+    val c = new KafkaWireClient("127.0.0.1", broker.port)
+    try f(c) finally c.close()
+  }
+
+  // ---- codec ----
+
+  test("record batch v2 round-trips keys, values, nulls, timestamps, offsets") {
+    val records = Seq(
+      (1000L, b("k1"), b("v1")),
+      (999L, null, b("v2")),            // null key
+      (1002L, b("k3"), null),           // tombstone
+      (1001L, b(""), b("")),            // empty ≠ null
+      (1000L, b("k5"), b("payload with β unicode and \n newline")))
+    val encoded = KafkaCodec.encodeBatch(42L, records)
+    val decoded = KafkaCodec.decodeBatches(encoded)
+    assert(decoded.size == 5)
+    decoded.zipWithIndex.foreach { case (r, i) =>
+      assert(r.offset == 42L + i)
+      assert(r.timestampMs == records(i)._1)
+      assert((r.key == null) == (records(i)._2 == null))
+      if (r.key != null) assert(r.key.sameElements(records(i)._2))
+      assert((r.value == null) == (records(i)._3 == null))
+      if (r.value != null) assert(r.value.sameElements(records(i)._3))
+    }
+    // concatenated batches decode as one stream (a fetch response shape)
+    val two = encoded ++ KafkaCodec.encodeBatch(47L, Seq((5L, b("x"), b("y"))))
+    assert(KafkaCodec.decodeBatches(two).map(_.offset) == Seq(42L, 43L, 44L, 45L, 46L, 47L))
+  }
+
+  test("a corrupted batch fails CRC validation loudly") {
+    val encoded = KafkaCodec.encodeBatch(0L, Seq((1L, b("k"), b("v"))))
+    encoded(encoded.length - 1) = (encoded(encoded.length - 1) ^ 0x01).toByte
+    val e = intercept[IllegalArgumentException](KafkaCodec.decodeBatches(encoded))
+    assert(e.getMessage.contains("CRC"))
+  }
+
+  test("varint zigzag round-trips the full long range") {
+    val cases = Seq(0L, 1L, -1L, 63L, 64L, -64L, -65L, 300L, Int.MaxValue.toLong,
+      Int.MinValue.toLong, Long.MaxValue, Long.MinValue)
+    val buf = java.nio.ByteBuffer.allocate(cases.size * 10)
+    cases.foreach(KafkaCodec.writeVarLong(buf, _))
+    buf.flip()
+    cases.foreach(v => assert(KafkaCodec.readVarLong(buf) == v))
+  }
+
+  test("murmur2 matches Kafka's published test vectors") {
+    // the values every Kafka client library pins (public test suite
+    // vectors for the default partitioner's hash)
+    assert(KafkaCodec.murmur2("21".getBytes) == -973932308)
+    assert(KafkaCodec.murmur2("foobar".getBytes) == -790332482)
+    assert(KafkaCodec.murmur2("a-little-bit-long-string".getBytes) == -985981536)
+    assert(KafkaCodec.murmur2(
+      "a-little-bit-longer-string".getBytes) == -1486304829)
+    assert(KafkaCodec.murmur2(
+      "lkjh234lh9fiuh90y23oiuhsafujhadof229phr9h19h89h8".getBytes) == -58897971)
+    assert(KafkaCodec.murmur2(Array[Byte]('a', 'b', 'c')) == 479470107)
+  }
+
+  // ---- client ↔ broker over TCP ----
+
+  test("ApiVersions advertises the five spoken APIs") {
+    withBroker() { broker =>
+      withClient(broker) { c =>
+        val v = c.apiVersions()
+        assert(v.keySet == Set(0, 1, 2, 3, 18))
+        assert(v(0) == (3, 3) && v(1) == (4, 4))
+      }
+    }
+  }
+
+  test("produce assigns dense offsets; fetch returns the same bytes") {
+    withBroker() { broker =>
+      withClient(broker) { c =>
+        assert(c.metadata(Seq("t1")).head.partitions.map(_.partition) == Seq(0, 1, 2))
+        val base0 = c.produce("t1", 0, Seq((10L, b("a"), b("v0")), (11L, b("a"), b("v1"))))
+        val base1 = c.produce("t1", 0, Seq((12L, null, b("v2"))))
+        assert(base0 == 0L && base1 == 2L)
+        val r = c.fetch("t1", 0, 0L)
+        assert(r.errorCode == 0 && r.highWatermark == 3L)
+        assert(r.records.map(_.offset) == Seq(0L, 1L, 2L))
+        assert(r.records.map(x => Option(x.value).map(s)) ==
+          Seq(Some("v0"), Some("v1"), Some("v2")))
+        assert(r.records.map(_.timestampMs) == Seq(10L, 11L, 12L))
+      }
+    }
+  }
+
+  test("offset semantics: mid-offset fetch, empty-at-hw, out-of-range beyond") {
+    withBroker() { broker =>
+      withClient(broker) { c =>
+        c.metadata(Seq("t2"))
+        c.produce("t2", 1, (0 until 10).map(i => (i.toLong, b(s"k$i"), b(s"v$i"))))
+        val mid = c.fetch("t2", 1, 7L)
+        assert(mid.records.map(_.offset) == Seq(7L, 8L, 9L))
+        val atHw = c.fetch("t2", 1, 10L)
+        assert(atHw.errorCode == 0 && atHw.records.isEmpty && atHw.highWatermark == 10L)
+        val beyond = c.fetch("t2", 1, 11L)
+        assert(beyond.errorCode == KafkaCodec.Err.OffsetOutOfRange)
+        assert(c.listOffset("t2", 1, -2L) == 0L)  // earliest
+        assert(c.listOffset("t2", 1, -1L) == 10L) // latest
+        assert(c.listOffset("t2", 0, -1L) == 0L)  // untouched partition
+      }
+    }
+  }
+
+  test("fetchAll drains a partition across byte-limited multi-batch fetches") {
+    withBroker() { broker =>
+      withClient(broker) { c =>
+        c.metadata(Seq("t3"))
+        // two produces → two stored spans; small maxBytes forces the
+        // broker's batch-budget path and the client's refetch loop
+        c.produce("t3", 0, (0 until 600).map(i => (i.toLong, b(s"k$i"), b("x" * 50))))
+        c.produce("t3", 0, (0 until 600).map(i => (i.toLong, b(s"k$i"), b("y" * 50))))
+        val all = c.fetchAll("t3", 0)
+        assert(all.size == 1200)
+        assert(all.map(_.offset) == (0L until 1200L))
+        val limited = c.fetch("t3", 0, 0L, maxBytes = 1)
+        assert(limited.records.nonEmpty && limited.records.size < 1200,
+          "at least one batch returns under any budget, but not the whole log")
+      }
+    }
+  }
+
+  test("unknown partition errors instead of silently creating a log") {
+    withBroker(numPartitions = 2) { broker =>
+      withClient(broker) { c =>
+        c.metadata(Seq("t4"))
+        val e = intercept[IllegalArgumentException](
+          c.produce("t4", 7, Seq((0L, b("k"), b("v")))))
+        assert(e.getMessage.contains(s"error ${KafkaCodec.Err.UnknownTopicOrPartition}"))
+        assert(c.fetch("t4", 7, 0L).errorCode == KafkaCodec.Err.UnknownTopicOrPartition)
+      }
+    }
+  }
+
+  // ---- the reference producer's partition/key ordering contract ----
+
+  test("same key lands on the same partition and keeps produce order (F8/T6 contract)") {
+    withBroker() { broker =>
+      val exchange = new KafkaWireExchange("127.0.0.1", broker.port)
+      import spark.implicits._
+      // interleaved keys across many Spark partitions
+      val wire = (0 until 500)
+        .map(i => (s"user${i % 7}", s"seq$i"))
+        .toDF("key", "value").repartition(8)
+      exchange.publish(wire, ReplayConfig(input = "", topic = "keyed"))
+      val got = exchange.read(spark, "keyed")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getLong(3)))
+      assert(got.length == 500)
+      // same key → exactly one partition (murmur2 placement)
+      val partsPerKey = got.groupBy(_._1).map { case (k, rs) => k -> rs.map(_._3).toSet }
+      assert(partsPerKey.values.forall(_.size == 1), s"key split across partitions: $partsPerKey")
+      // placement equals the default partitioner's published algorithm
+      partsPerKey.foreach { case (k, ps) =>
+        assert(ps.head == KafkaCodec.partitionFor(b(k), 3))
+      }
+    }
+  }
+
+  test("a single producer task preserves per-key order end-to-end") {
+    // concurrent tasks may legally interleave; the Kafka ordering
+    // guarantee is per-producer per-partition — pin it with one task
+    withBroker() { broker =>
+      val exchange = new KafkaWireExchange("127.0.0.1", broker.port)
+      import spark.implicits._
+      val wire = (0 until 300)
+        .map(i => (s"user${i % 5}", f"seq$i%05d"))
+        .toDF("key", "value").coalesce(1)
+      exchange.publish(wire, ReplayConfig(input = "", topic = "ordered"))
+      val got = exchange.read(spark, "ordered")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(3)))
+      assert(got.length == 300)
+      got.groupBy(_._1).foreach { case (k, rs) =>
+        val seqsByOffset = rs.sortBy(_._3).map(_._2).toSeq
+        assert(seqsByOffset == seqsByOffset.sorted,
+          s"offsets reordered key $k: $seqsByOffset")
+      }
+    }
+  }
+
+  // ---- end-to-end through Replay's transport seam ----
+
+  test("Replay over the Kafka wire matches the FileExchange result") {
+    withBroker() { broker =>
+      val tmp = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get("target"), "kwire_").toString
+      val csv = s"$tmp/in.csv"
+      val rows = (0 until 100).map(i => s"$i,room${i % 4},${20.0 + i % 10}")
+      java.nio.file.Files.write(java.nio.file.Paths.get(csv),
+        (Seq("id,room,temp") ++ rows).mkString("\n").getBytes(StandardCharsets.UTF_8))
+      val cfg = ReplayConfig(input = csv, topic = "replay", repeat = 2,
+        keyCol = Some("room"), wireFormat = "dsv")
+      val kafkaEx = new KafkaWireExchange("127.0.0.1", broker.port)
+      Replay.run(spark, cfg, kafkaEx)
+      val fileEx = new Replay.FileExchange(s"$tmp/exchange")
+      Replay.run(spark, cfg, fileEx)
+      val viaKafka = kafkaEx.read(spark, "replay")
+        .select("key", "value").collect().map(r => (r.getString(0), r.getString(1)))
+        .sorted.toSeq
+      val viaFile = fileEx.read(spark, "replay")
+        .select("key", "value").collect().map(r => (r.getString(0), r.getString(1)))
+        .sorted.toSeq
+      assert(viaKafka == viaFile)
+      assert(viaKafka.size == 200) // repeat=2, at-least-once append
+    }
+  }
+}
