@@ -140,19 +140,32 @@ object Relational {
       .orderBy("ts_min_epoch", "event_type")
   }
 
+  /** A2 generalized: the Kibana date-histogram panel at a caller-chosen
+    * interval (`README.md:187-195` — the interval dropdown a dashboard
+    * issues with every refresh). One partial→final hash aggregate at
+    * any grain; the bucket column is `bucket_epoch`.
+    * `q_hourly_stats` is exactly this at "hour", which keeps the serve
+    * layer's interval selection pinned to an oracle-gated query.
+    */
+  def dateHistogram(s: SparkSession, dir: String, grain: String): DataFrame = {
+    require(Set("minute", "hour", "day", "week", "month")(grain),
+      s"unsupported interval: $grain")
+    Tables.events(s, dir)
+      .groupBy(
+        unix_timestamp(date_trunc(grain, col("ts"))).as("bucket_epoch"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"), sumExact(col("value")).as("sum_value"))
+      .orderBy("bucket_epoch", "event_type")
+  }
+
   // A2: Kibana-style hourly metric aggregations (`README.md:187-195`).
   val hourlyStats: QueryDef = QueryDef.sql("q_hourly_stats")(
     """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
       |  event_type, COUNT(*) AS n, MIN(value) AS min_value, MAX(value) AS max_value,
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
-    Tables.events(s, dir)
-      .groupBy(
-        unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"),
-        col("event_type"))
-      .agg(count(lit(1)).as("n"), min(col("value")).as("min_value"),
-        max(col("value")).as("max_value"), sumExact(col("value")).as("sum_value"))
-      .orderBy("hour_epoch", "event_type")
+    dateHistogram(s, dir, "hour").withColumnRenamed("bucket_epoch", "hour_epoch")
   }
 
   // O1: union-all of per-source frames (`data_collector.py:46`).

@@ -50,4 +50,63 @@ class ServeSpec extends AnyFunSuite {
       assert(st == 404 && body.contains("unknown query"))
     }
   }
+
+  /** Split a JSON array of flat objects into object strings. */
+  private def objects(body: String): Seq[String] = {
+    assert(body.startsWith("[") && body.endsWith("]"), body.take(80))
+    if (body == "[]") Nil
+    else body.stripPrefix("[").stripSuffix("]").split("(?<=\\}),(?=\\{)").toSeq
+  }
+
+  private def field(obj: String, name: String): String = {
+    val m = ("\"" + name + "\":(\"[^\"]*\"|[^,}]+)").r.findFirstMatchIn(obj)
+    m.get.group(1).stripPrefix("\"").stripSuffix("\"")
+  }
+
+  test("search_after pagination walks to exactly the unpaged result") {
+    withServer { srv =>
+      val (_, whole) = get(
+        s"${srv.baseUrl}/query/q_hourly_stats?limit=10000")
+      val expected = objects(whole)
+      assert(expected.size > 20, "fixture too small to exercise paging")
+      // cursor-walk in pages of 7 over the composite (hour_epoch, event_type)
+      var acc = Seq.empty[String]
+      var after = Option.empty[(String, String)]
+      var pages = 0
+      var done = false
+      while (!done) {
+        val cursor = after.fold("")(c => s"&after=${c._1},${c._2}")
+        val (st, body) = get(s"${srv.baseUrl}/query/q_hourly_stats" +
+          s"?limit=7&sort=hour_epoch,event_type$cursor")
+        assert(st == 200)
+        val page = objects(body)
+        acc ++= page
+        pages += 1
+        assert(pages < 1000, "cursor failed to advance")
+        if (page.size < 7) done = true
+        else after = Some((field(page.last, "hour_epoch"), field(page.last, "event_type")))
+      }
+      // page concatenation reproduces the unpaged oracle-gated result
+      assert(acc == expected)
+      // an exact-multiple total costs one extra (empty) probe page
+      val extraProbe = if (expected.size % 7 == 0) 1 else 0
+      assert(pages == (expected.size + 6) / 7 + extraProbe)
+    }
+  }
+
+  test("date-histogram interval selection: hour equals q_hourly_stats; minute is finer") {
+    withServer { srv =>
+      val (st, hourly) = get(s"${srv.baseUrl}/histogram?interval=hour&limit=10000")
+      assert(st == 200)
+      val (_, oracle) = get(s"${srv.baseUrl}/query/q_hourly_stats?limit=10000")
+      // identical modulo the generic bucket column name
+      assert(hourly.replace("\"bucket_epoch\"", "\"hour_epoch\"") == oracle)
+      val (_, minutely) = get(s"${srv.baseUrl}/histogram?interval=minute&limit=10000")
+      assert(objects(minutely).size > objects(hourly).size,
+        "minute grain must produce more buckets than hour grain")
+      // an unknown interval is a clean client error, not a 500 with a scan
+      val (bad, _) = get(s"${srv.baseUrl}/histogram?interval=fortnight")
+      assert(bad == 500)
+    }
+  }
 }
