@@ -109,6 +109,59 @@ class EsBulkSpec extends AnyFunSuite {
     }
   }
 
+  test("retry-storm property: random duplicate batches + conflicts + injected 429s always converge") {
+    // 100 seeded scenarios: a feed with deliberate version conflicts is
+    // split into batches, random batches are DUPLICATED (at-least-once
+    // redelivery), batch order is shuffled across 1-3 concurrent
+    // writers, and 429s are injected mid-stream. Under external
+    // versioning the store must always converge to the q_sink_upsert
+    // oracle semantics: per key, the doc with the highest version —
+    // independent of interleaving, duplication, or retries.
+    (0 until 100).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      withStub { stub =>
+        val url = stub.baseUrl
+        val writes = (0 until 40).map { _ =>
+          val k = rnd.nextInt(6)
+          val ver = rnd.nextInt(20).toLong
+          // payload is a function of (key, version): duplicated
+          // redeliveries are bit-identical, as a replayed wire would be
+          EsDoc("storm", Some(s"k$k"), Some(ver), s"""{"k":$k,"v":"k$k-$ver"}""")
+        }
+        val expected = writes.groupBy(_.id.get)
+          .map { case (id, ds) => id -> ds.maxBy(_.version.get) }
+        val once = writes.grouped(1 + rnd.nextInt(7)).toSeq
+        val batches = rnd.shuffle(once ++ once.filter(_ => rnd.nextDouble() < 0.3))
+        val nWriters = 1 + rnd.nextInt(3)
+        val perWriter = batches.zipWithIndex.groupMap(_._2 % nWriters)(_._1)
+        val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+        val threads = perWriter.values.toSeq.map { bs =>
+          new Thread(() => {
+            try {
+              // deep retry budget: concurrent injections can hit one
+              // chunk repeatedly and must still drain, never flake
+              val c = new EsBulkClient(url, maxDocsPerRequest = 5, maxRetries = 10)
+              bs.foreach { b =>
+                if (rnd.nextDouble() < 0.25) stub.failNextBulks = 1
+                c.bulk(b.iterator)
+                ()
+              }
+            } catch { case t: Throwable => errs.add(t) }
+          })
+        }
+        threads.foreach(_.start())
+        threads.foreach(_.join())
+        assert(errs.isEmpty, s"seed $seed writer failed: ${errs.peek()}")
+        val fin = stub.snapshot("storm").map { case (_, id, src) => id -> src }.toMap
+        assert(fin.keySet == expected.keySet, s"seed $seed key drift")
+        expected.foreach { case (id, winner) =>
+          assert(fin(id) == winner.source,
+            s"seed $seed key $id: ${fin(id)} != ${winner.source}")
+        }
+      }
+    }
+  }
+
   test("K4 over the wire: per-row index routing with auto ids keeps duplicates") {
     withStub { stub =>
       val store = new EsHttpStore(stub.baseUrl, "", "k", Seq("k"), "k", docSchema)
