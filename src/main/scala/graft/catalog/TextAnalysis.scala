@@ -328,6 +328,78 @@ object TextAnalysis {
     materialized(pairs, sig)
   }
 
+  // Frequent-bucket skew guard for the LSH band join. A corpus with one
+  // viral document duplicated B times puts B rows under one
+  // (band_idx, band_hash) key: the plain q_minhash_pairs self-join
+  // emits B²/2 pairs from that single key — quadratic in exactly the
+  // documents a dedup pass most needs to handle. Cap semantics
+  // (ops/Text.cappedBandEdges): buckets ≤ cap join all-pairs exactly;
+  // buckets > cap emit star edges to the bucket-min representative —
+  // O(B), connectivity-preserving for the CC clustering that consumes
+  // these candidates, and the hot bucket never enters a join.
+  //
+  // The catalog pins cap=2 — deliberately tiny so sf0.01 (max bucket 3)
+  // exercises BOTH branches under the DuckDB oracle; a deployment sets
+  // the cap to the verify budget (e.g. 256: ≤32k verify pairs per
+  // bucket). LshSkewSpec pins the guard on a 300×-viral fixture.
+  val BandBucketCap = 2
+
+  private val bandExSql: String =
+    s"""base AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |sh AS (SELECT doc_id, $shinglesSql AS sh FROM base),
+       |sig AS (SELECT doc_id, ${sigSqls.mkString(", ")} FROM sh),
+       |bands AS (SELECT doc_id, ${bandSqls.mkString(", ")} FROM sig),
+       |ex AS (
+       |  ${(0 until K / 2).map(b => s"SELECT doc_id, $b AS band_idx, band_$b AS band_hash FROM bands")
+            .mkString("\n  UNION ALL\n  ")}),
+       |sz AS (SELECT band_idx, band_hash, COUNT(*) AS bucket_n, MIN(doc_id) AS rep_doc
+       |       FROM ex GROUP BY 1, 2)""".stripMargin
+
+  val minhashPairsCapped: QueryDef = QueryDef.sql("q_minhash_pairs_capped")(
+    s"""WITH $bandExSql,
+       |exn AS (
+       |  SELECT ex.doc_id, ex.band_idx, ex.band_hash, sz.bucket_n, sz.rep_doc
+       |  FROM ex JOIN sz USING (band_idx, band_hash))
+       |SELECT DISTINCT doc_a, doc_b FROM (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM exn a JOIN exn b
+       |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       |    AND a.doc_id < b.doc_id
+       |  WHERE a.bucket_n <= $BandBucketCap
+       |  UNION ALL
+       |  SELECT rep_doc AS doc_a, doc_id AS doc_b FROM exn
+       |  WHERE bucket_n > $BandBucketCap AND doc_id != rep_doc)
+       |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+    val sig = Text.minhashSigDF(Tables.documents(s, dir), "doc_id", "text", 3, K)
+      .persist()
+    val banded = sig
+      .select(col("doc_id"), array(Text.lshBandCols(2, K): _*).as("bands"))
+      .select(col("doc_id"), posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
+    val out = Text.cappedBandEdges(banded, "doc_id", BandBucketCap)
+      .orderBy("doc_a", "doc_b")
+    materialized(out, sig)
+  }
+
+  // Observability twin — "no silent caps": the buckets the guard
+  // star-compressed, with their sizes and representatives. A deployment
+  // alerts on this relation; at sf0.01 it is the four 3-doc buckets.
+  val minhashHotBuckets: QueryDef = QueryDef.sql("q_minhash_hot_buckets")(
+    s"""WITH $bandExSql
+       |SELECT band_idx, band_hash, bucket_n, rep_doc FROM sz
+       |WHERE bucket_n > $BandBucketCap
+       |ORDER BY band_idx, band_hash""".stripMargin) { (s, dir) =>
+    val sig = Text.minhashSigDF(Tables.documents(s, dir), "doc_id", "text", 3, K)
+      .persist()
+    val banded = sig
+      .select(col("doc_id"), array(Text.lshBandCols(2, K): _*).as("bands"))
+      .select(col("doc_id"), posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
+    val out = banded.groupBy("band_idx", "band_hash")
+      .agg(count(lit(1)).as("bucket_n"), min(col("doc_id")).as("rep_doc"))
+      .filter(col("bucket_n") > lit(BandBucketCap))
+      .orderBy("band_idx", "band_hash")
+    materialized(out, sig)
+  }
+
   // N-gram (unigram-set) Jaccard near-dup, blocked by (lang, n_chars):
   // explode distinct tokens, equi-join within blocks, count
   // intersections, Jaccard = |A∩B| / (|A|+|B|-|A∩B|).
@@ -1997,7 +2069,8 @@ object TextAnalysis {
   val all: Seq[QueryDef] = Seq(
     winnowFingerprint, winnowNearDup,
     tokenCount, langId, qualityScore, fingerprint, dedupExact,
-    minhashSig, minhashPairs, minhashVerified, ngramJaccard, simhash,
+    minhashSig, minhashPairs, minhashPairsCapped, minhashHotBuckets,
+    minhashVerified, ngramJaccard, simhash,
     simhashNearDup, simhash60, simhash60NearDup, levenshteinPairs,
     minhashJaccardEst, tokenEntropy, bpePairs, dedupIncremental,
     dupNgramSpans, sourceOverlap, importanceWeights, tfidfRetrieval,

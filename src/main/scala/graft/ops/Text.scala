@@ -114,6 +114,44 @@ object Text {
         .as(s"band_$b")
     }
 
+  /** Skew-guarded LSH candidate edges over an exploded band relation
+    * `(idCol, band_idx, band_hash)`.
+    *
+    * The plain band self-join is quadratic in the bucket: one viral
+    * document duplicated B times puts B rows under one
+    * (band_idx, band_hash) key and emits B²/2 candidate pairs from a
+    * single join key — the classic LSH skew cliff at corpus scale.
+    * Guard: per-bucket size + representative (min id) computed with one
+    * hash aggregate (partial aggregation collapses the hot key
+    * map-side, so no single-task sort — deliberately NOT a window);
+    * buckets of ≤ cap rows take the exact all-pairs join, buckets
+    * above the cap emit star edges (representative → member) straight
+    * off a projection — O(B) edges, the hot bucket never enters the
+    * self-join. Star edges preserve connectivity for downstream
+    * connected-components clustering, which is what candidate pairs
+    * feed; pairs from sub-cap buckets are emitted exactly (pinned by
+    * LshSkewSpec's subset property).
+    *
+    * Output: distinct (doc_a, doc_b) with doc_a < doc_b (the star
+    * representative is the bucket minimum, so the invariant holds on
+    * both branches).
+    */
+  def cappedBandEdges(banded: DataFrame, idCol: String, cap: Int): DataFrame = {
+    val sz = banded.groupBy("band_idx", "band_hash")
+      .agg(count(lit(1)).as("bucket_n"), min(col(idCol)).as("rep_doc"))
+    val exn = banded.join(sz, Seq("band_idx", "band_hash"))
+    val small = exn.filter(col("bucket_n") <= lit(cap))
+    val pairs = small.as("a").join(small.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+    val star = exn
+      .filter(col("bucket_n") > lit(cap) && col(idCol) =!= col("rep_doc"))
+      .select(col("rep_doc").as("doc_a"), col(idCol).as("doc_b"))
+    pairs.union(star).distinct()
+  }
+
   /** LSH band keys: adjacent signature components pair-wise re-hashed.
     * Docs sharing any band key are near-dup candidates; band count =
     * k / rowsPerBand.
