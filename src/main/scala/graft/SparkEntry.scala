@@ -17,6 +17,7 @@ object SparkEntry {
     */
   def catalog: Seq[QueryDef] =
     graft.catalog.Relational.all ++
+      graft.catalog.Tpch.all ++
       graft.catalog.Analytics.all ++
       graft.catalog.TextAnalysis.all ++
       graft.catalog.SimilaritySearch.all ++
