@@ -120,6 +120,43 @@ object Scale {
       .orderBy("event_type")
   }
 
+  // Schema evolution across file epochs: a 100 TB corpus is written over
+  // months, and later files carry columns earlier files lack. Epoch 0
+  // (even doc_ids) is written with the legacy (doc_id, lang) schema;
+  // epoch 1 (odd) with the full (doc_id, lang, source, n_chars) schema
+  // into the SAME directory. mergeSchema=true unions by name — legacy
+  // rows surface NULL for the added columns — and the aggregate proves
+  // the merge: per-lang totals, non-null counts of the new columns, and
+  // a legacy-row census (n_chars IS NULL ⇔ epoch 0; the base table has
+  // no NULL n_chars, so the equivalence is exact). The oracle recomputes
+  // the same facts from the unsplit table via the doc_id parity that
+  // defined the epochs. At scale, mergeSchema's footer-union cost is
+  // per-FILE (schema metadata only, no data read) — the read itself
+  // still prunes columns per file.
+  val schemaEvolution: QueryDef = QueryDef.sql("q_schema_evolution")(
+    """SELECT lang, COUNT(*) AS n,
+      |  CAST(COUNT(CASE WHEN doc_id % 2 = 1 THEN source END) AS BIGINT) AS n_source,
+      |  CAST(COUNT(CASE WHEN doc_id % 2 = 0 THEN 1 END) AS BIGINT) AS n_legacy,
+      |  CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS BIGINT) AS chars_new
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val path = s"target/tmp/q_schema_evolution-${java.util.UUID.randomUUID().toString.take(8)}"
+    graft.core.Spill.track(path)
+    val docs = Tables.documents(s, dir)
+    docs.filter(col("doc_id") % 2 === 0)
+      .select("doc_id", "lang")
+      .write.mode("overwrite").parquet(s"$path/epoch=0")
+    docs.filter(col("doc_id") % 2 === 1)
+      .select("doc_id", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$path/epoch=1")
+    s.read.option("mergeSchema", "true").parquet(s"$path/epoch=0", s"$path/epoch=1")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        count(col("source")).as("n_source"),
+        count(when(col("n_chars").isNull, lit(1))).as("n_legacy"),
+        sum(col("n_chars")).as("chars_new"))
+      .orderBy("lang")
+  }
+
   // Distribution-position window family: percent_rank / cume_dist plus
   // the frame-sensitive value pickers (nth/first/last over the full
   // partition frame — the default RANGE frame would stop at CURRENT ROW
@@ -783,7 +820,8 @@ object Scale {
   }
 
   val all: Seq[QueryDef] = Seq(
-    globalRownum, saltedJoin, sourceOrc, sourceJson, windowFuncs2, bitwiseAgg,
+    globalRownum, saltedJoin, sourceOrc, sourceJson, schemaEvolution,
+    windowFuncs2, bitwiseAgg,
     corrExact, snapshotDiff, zorder, skewReport, incrAggMerge, bucketedJoin,
     dqChecks, partitionBackfill, bloomPrune, columnProfile, ivmJoin,
     scd2History, dppPrune)
