@@ -876,6 +876,42 @@ object Streaming {
     } finally broker.stop()
   }
 
+  // S5 as a REAL Structured Streaming source: the DSv2 micro-batch
+  // connector (`format("kafka-wire")`, graft.kafka.KafkaWireSource)
+  // reading protocol bytes from the stub broker through planInput-
+  // Partitions/PartitionReader — offset tracking, checkpointing and
+  // Trigger.AvailableNow admission control all engaged, where
+  // q_kafka_wire_ingest's consumer is a batch RDD drain. Same decode
+  // chain, same oracle: the reference's `readStream.format("kafka")`
+  // pipeline with only the wire implementation swapped.
+  val streamKafkaWire: QueryDef = QueryDef.sql("q_stream_kafka_wire")(
+    """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value,
+      |  CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS INTEGER) AS prop_k
+      |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val broker = new graft.kafka.KafkaStubBroker(3)
+    broker.start()
+    try {
+      val exchange = new graft.kafka.KafkaWireExchange("127.0.0.1", broker.port)
+      val wire = Ingest.toJsonWire(graft.core.Tables.events(s, dir), "event_id")
+      exchange.publish(wire,
+        graft.replay.Replay.ReplayConfig(input = "", topic = "events"))
+      val stream = s.readStream.format("kafka-wire")
+        .option("host", "127.0.0.1").option("port", broker.port.toString)
+        .option("topic", "events")
+        .load()
+      val decoded = Ingest.decodeJsonWire(stream)
+        .select(col("event_id"), col("ts_us"), col("user_id"), col("event_type"),
+          col("value"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k")
+            .as("prop_k"))
+      val out = Ingest.runToMemory(decoded).orderBy("event_id")
+      // materialize before the broker dies: the memory-sink table read
+      // is eager, but keep the same discipline as the batch wire twins
+      graft.core.Spill.materialize(out)(())
+    } finally broker.stop()
+  }
+
   val all: Seq[QueryDef] = Seq(
     streamIngestJson, streamIngestDsv, streamWindowHourly, sinkUpsert,
     sinkUpsertDelta, sinkRoute, streamStreamJoin, streamDedup,
@@ -884,5 +920,5 @@ object Streaming {
     streamLateDrop, streamStaticJoin, streamSessionTimers, streamMapStateCounts,
     streamIncremental, streamSemiJoin, sinkUpsertDeltaAsof, streamAsofJoin,
     sinkUpsertEs, sinkRouteEs, streamTopkTypes,
-    kafkaWireIngest, kafkaWireRedelivery)
+    kafkaWireIngest, kafkaWireRedelivery, streamKafkaWire)
 }

@@ -1,0 +1,244 @@
+package graft.kafka
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 Kafka source over [[KafkaWireClient]] — the
+  * `readStream.format("kafka")` role (reference
+  * `spark_streaming_kafka.py:13-18`) with the connector jar replaced by
+  * the in-repo protocol client: `spark.readStream.format("kafka-wire")
+  * .option("host", h).option("port", p).option("topic", t).load()`.
+  *
+  * Surface parity: the output schema is the standard Kafka connector
+  * relation (key/value BINARY, topic, partition, offset, timestamp,
+  * timestampType), so the decode chain (`CAST(value AS STRING)` →
+  * `from_json` → flatten) is byte-for-byte the one a real connector
+  * feeds.
+  *
+  * Streaming semantics:
+  *  - offsets are per-Kafka-partition next-fetch positions, serialized
+  *    into the checkpoint as sorted JSON (`{"0":12,"1":7}`) — a resumed
+  *    query replans `[committed, latest)` and never re-emits, which
+  *    `KafkaWireStreamSpec` pins with a two-wave shared-checkpoint run;
+  *  - `initialOffset` = earliest (ListOffsets -2), `latestOffset` =
+  *    live high watermark (ListOffsets -1);
+  *  - Trigger.AvailableNow is honored via
+  *    [[SupportsTriggerAvailableNow]]: the target watermark is captured
+  *    once at prepare time, so producers racing the drain don't extend
+  *    the run unboundedly.
+  *
+  * Scale shape: the driver touches only METADATA (partition list +
+  * offsets — O(partitions) longs per batch); record bytes flow directly
+  * from the broker to executor tasks, one Spark partition per Kafka
+  * partition ([[KafkaWirePartitionReader]] opens its own socket), which
+  * is exactly the parallelism the real connector plans. Batch reads
+  * (`spark.read.format("kafka-wire")`) plan the same partitions over
+  * the full `[earliest, latest)` range.
+  */
+final class KafkaWireSourceProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "kafka-wire"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    KafkaWireSource.Schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    new KafkaWireTable(
+      opts.get("host"),
+      Integer.parseInt(opts.get("port")),
+      Option(opts.get("topic")).getOrElse(opts.get("subscribe")))
+  }
+}
+
+object KafkaWireSource {
+  /** The standard Kafka connector relation schema. */
+  val Schema: StructType = StructType(Seq(
+    StructField("key", BinaryType),
+    StructField("value", BinaryType),
+    StructField("topic", StringType),
+    StructField("partition", IntegerType),
+    StructField("offset", LongType),
+    StructField("timestamp", TimestampType),
+    StructField("timestampType", IntegerType)))
+
+  /** Per-partition offsets ↔ the checkpoint's JSON line. Keys sorted so
+    * the serialization is canonical (offset equality is string
+    * equality inside Structured Streaming).
+    */
+  def toJson(offsets: Map[Int, Long]): String =
+    offsets.toSeq.sortBy(_._1)
+      .map { case (p, o) => s""""$p":$o""" }
+      .mkString("{", ",", "}")
+
+  def fromJson(json: String): Map[Int, Long] = {
+    val body = json.trim.stripPrefix("{").stripSuffix("}").trim
+    if (body.isEmpty) Map.empty
+    else body.split(",").map { kv =>
+      val Array(k, v) = kv.split(":")
+      k.trim.stripPrefix("\"").stripSuffix("\"").toInt -> v.trim.toLong
+    }.toMap
+  }
+}
+
+final case class KafkaWireOffset(offsets: Map[Int, Long]) extends Offset {
+  override def json(): String = KafkaWireSource.toJson(offsets)
+}
+
+final class KafkaWireTable(host: String, port: Int, topic: String)
+    extends Table with SupportsRead {
+  require(topic != null, "kafka-wire: 'topic' (or 'subscribe') option is required")
+
+  override def name(): String = s"kafka-wire:$topic@$host:$port"
+  override def schema(): StructType = KafkaWireSource.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new KafkaWireScan(host, port, topic)
+    }
+}
+
+final class KafkaWireScan(host: String, port: Int, topic: String) extends Scan {
+  override def readSchema(): StructType = KafkaWireSource.Schema
+  override def description(): String = s"kafka-wire $topic"
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new KafkaWireMicroBatchStream(host, port, topic)
+
+  /** Batch scan: the full [earliest, latest) range at plan time. */
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] = {
+      val c = new KafkaWireClient(host, port)
+      try {
+        c.metadata(Seq(topic)).head.partitions.map { pm =>
+          val p = pm.partition
+          KafkaWireInputPartition(host, port, topic, p,
+            c.listOffset(topic, p, -2L), c.listOffset(topic, p, -1L))
+            : InputPartition
+        }.toArray
+      } finally c.close()
+    }
+    override def createReaderFactory(): PartitionReaderFactory =
+      KafkaWireReaderFactory
+  }
+}
+
+final class KafkaWireMicroBatchStream(host: String, port: Int, topic: String)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  // Driver-side metadata client, opened lazily and reused across the
+  // per-batch offset polls (metadata only — record bytes never touch it).
+  @transient private lazy val client = new KafkaWireClient(host, port)
+  @transient private lazy val partitions: Seq[Int] = {
+    // metadata auto-creates the topic on the stub, fixing the partition
+    // count before the first offset poll
+    client.metadata(Seq(topic)).head.partitions.map(_.partition)
+  }
+  // AvailableNow target: captured once at prepare time so a producer
+  // racing the drain can't extend the run past the trigger's snapshot.
+  @transient private var availableNowTarget: Option[KafkaWireOffset] = None
+
+  private def offsetsAt(timestamp: Long): KafkaWireOffset =
+    KafkaWireOffset(partitions.map(p => p -> client.listOffset(topic, p, timestamp)).toMap)
+
+  override def initialOffset(): Offset = offsetsAt(-2L) // earliest
+
+  // Admission-control form: the engine calls this one when the source
+  // implements SupportsAdmissionControl; the read limit is always
+  // allAvailable() here, so the batch end is the prepared AvailableNow
+  // target (if set) or the live high watermark.
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    availableNowTarget.getOrElse(offsetsAt(-1L))
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "kafka-wire implements SupportsAdmissionControl: use latestOffset(start, limit)")
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(offsetsAt(-1L))
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def reportLatestOffset(): Offset = offsetsAt(-1L)
+
+  override def deserializeOffset(json: String): Offset =
+    KafkaWireOffset(KafkaWireSource.fromJson(json))
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[KafkaWireOffset].offsets
+    val e = end.asInstanceOf[KafkaWireOffset].offsets
+    e.toSeq.sortBy(_._1).flatMap { case (p, endOff) =>
+      val startOff = s.getOrElse(p, 0L)
+      if (endOff > startOff)
+        Some(KafkaWireInputPartition(host, port, topic, p, startOff, endOff): InputPartition)
+      else None
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = KafkaWireReaderFactory
+
+  override def commit(end: Offset): Unit = () // checkpoint log is the commit
+
+  override def stop(): Unit =
+    try client.close() catch { case _: Exception => () }
+}
+
+/** One Kafka partition's [start, end) slice — the unit of executor work. */
+final case class KafkaWireInputPartition(host: String, port: Int, topic: String,
+    partition: Int, startOffset: Long, endOffset: Long) extends InputPartition
+
+object KafkaWireReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new KafkaWirePartitionReader(partition.asInstanceOf[KafkaWireInputPartition])
+}
+
+/** Executor-side reader: its own socket, repeated fetches across the
+  * assigned range (a fetch response is bounded by maxBytes, so one call
+  * may cover only a prefix), rows surfaced in offset order. Records at
+  * or past `endOffset` — appended after the batch was planned — are cut,
+  * which is what makes a planned batch deterministic under concurrent
+  * producers and replays exact on checkpoint resume.
+  */
+final class KafkaWirePartitionReader(p: KafkaWireInputPartition)
+    extends PartitionReader[InternalRow] {
+
+  private val client = new KafkaWireClient(p.host, p.port)
+  private var nextOff = p.startOffset
+  private var buffer: Iterator[KafkaCodec.WireRecord] = Iterator.empty
+  private var current: KafkaCodec.WireRecord = _
+  private val topicUtf8 = UTF8String.fromString(p.topic)
+
+  override def next(): Boolean = {
+    while (!buffer.hasNext && nextOff < p.endOffset) {
+      val r = client.fetch(p.topic, p.partition, nextOff)
+      require(r.errorCode == KafkaCodec.Err.None,
+        s"fetch error ${r.errorCode} on ${p.topic}/${p.partition}@$nextOff")
+      val got = r.records.filter(rec => rec.offset >= nextOff && rec.offset < p.endOffset)
+      require(r.records.nonEmpty,
+        s"stalled fetch at $nextOff < planned end ${p.endOffset} (${p.topic}/${p.partition})")
+      nextOff = r.records.last.offset + 1
+      buffer = got.iterator
+    }
+    if (buffer.hasNext) { current = buffer.next(); true } else false
+  }
+
+  override def get(): InternalRow = new GenericInternalRow(Array[Any](
+    current.key, current.value, topicUtf8, p.partition, current.offset,
+    current.timestampMs * 1000L, 0))
+
+  override def close(): Unit = client.close()
+}

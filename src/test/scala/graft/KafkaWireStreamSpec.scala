@@ -1,0 +1,143 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.kafka.{KafkaStubBroker, KafkaWireClient, KafkaWireSource}
+
+/** The DSv2 streaming source over the Kafka wire
+  * ([[graft.kafka.KafkaWireMicroBatchStream]], `format("kafka-wire")`):
+  * connector-schema parity, offset-checkpoint exactly-once across two
+  * produce waves, batch-read parity, and offset JSON canonicality.
+  */
+class KafkaWireStreamSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def b(s: String): Array[Byte] = s.getBytes(StandardCharsets.UTF_8)
+
+  private def withBroker[A](numPartitions: Int = 3)(f: KafkaStubBroker => A): A = {
+    val broker = new KafkaStubBroker(numPartitions)
+    broker.start()
+    try f(broker) finally broker.stop()
+  }
+
+  private def produce(broker: KafkaStubBroker, topic: String,
+      ids: Range): Unit = {
+    val c = new KafkaWireClient("127.0.0.1", broker.port)
+    try {
+      val nParts = c.metadata(Seq(topic)).head.partitions.size
+      ids.groupBy(_ % nParts).foreach { case (part, ps) =>
+        c.produce(topic, part,
+          ps.map(i => (1000L + i, b(s"k$i"), b(s"""{"id":$i}"""))))
+      }
+    } finally c.close()
+  }
+
+  private def tmp(prefix: String): String = {
+    val root = java.nio.file.Paths.get("target", "stores")
+    java.nio.file.Files.createDirectories(root)
+    java.nio.file.Files.createTempDirectory(root, prefix).toString
+  }
+
+  /** Drain the stream AvailableNow through a recoverable foreachBatch
+    * parquet sink (the memory sink refuses checkpoint recovery), return
+    * the ids THIS call emitted.
+    */
+  private def drain(broker: KafkaStubBroker, topic: String,
+      checkpoint: String): Seq[Int] = {
+    val outDir = tmp("kw_out_")
+    val q = spark.readStream.format("kafka-wire")
+      .option("host", "127.0.0.1").option("port", broker.port.toString)
+      .option("topic", topic)
+      .load()
+      .selectExpr("CAST(value AS STRING) AS v")
+      .select(get_json_object(col("v"), "$.id").cast("int").as("id"))
+      .writeStream
+      .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        b.write.mode("append").parquet(outDir))
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val files = new java.io.File(outDir).listFiles()
+    if (files == null || !files.exists(_.getName.endsWith(".parquet"))) Seq.empty
+    else spark.read.parquet(outDir).collect().map(_.getInt(0)).toSeq.sorted
+  }
+
+  test("streaming read surfaces the standard Kafka connector schema") {
+    withBroker() { broker =>
+      produce(broker, "schema_t", 0 until 5)
+      val df = spark.readStream.format("kafka-wire")
+        .option("host", "127.0.0.1").option("port", broker.port.toString)
+        .option("topic", "schema_t").load()
+      assert(df.schema == KafkaWireSource.Schema)
+      assert(df.isStreaming)
+    }
+  }
+
+  test("AvailableNow drains everything once, with kafka coordinates intact") {
+    withBroker() { broker =>
+      produce(broker, "drain_t", 0 until 100)
+      val name = "kwc_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = spark.readStream.format("kafka-wire")
+        .option("host", "127.0.0.1").option("port", broker.port.toString)
+        .option("topic", "drain_t").load()
+        .selectExpr("CAST(key AS STRING) AS key", "partition", "offset", "topic")
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", tmp("chk_kw_"))
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val rows = spark.table(name).collect()
+      assert(rows.length == 100)
+      assert(rows.map(_.getString(0)).toSet == (0 until 100).map(i => s"k$i").toSet)
+      assert(rows.map(_.getString(3)).toSet == Set("drain_t"))
+      // offsets are dense per partition, starting at 0
+      rows.groupBy(_.getInt(1)).foreach { case (_, rs) =>
+        val offs = rs.map(_.getLong(2)).sorted
+        assert(offs.head == 0L && offs.last == offs.length - 1L)
+      }
+    }
+  }
+
+  test("checkpoint resume is exactly-once across two produce waves") {
+    withBroker() { broker =>
+      val chk = tmp("chk_kw2_")
+      produce(broker, "waves_t", 0 until 40)
+      assert(drain(broker, "waves_t", chk) == (0 until 40))
+      produce(broker, "waves_t", 40 until 70)
+      // same checkpoint, fresh sink: only the new wave may appear
+      assert(drain(broker, "waves_t", chk) == (40 until 70))
+      // nothing new: an empty run, not a re-emission
+      assert(drain(broker, "waves_t", chk).isEmpty)
+    }
+  }
+
+  test("batch read plans the full range and matches the streamed rows") {
+    withBroker() { broker =>
+      produce(broker, "batch_t", 0 until 64)
+      val df = spark.read.format("kafka-wire")
+        .option("host", "127.0.0.1").option("port", broker.port.toString)
+        .option("topic", "batch_t").load()
+      assert(df.schema == KafkaWireSource.Schema)
+      assert(df.count() == 64)
+      // one Spark partition per Kafka partition
+      assert(df.rdd.getNumPartitions == 3)
+      val ids = df.selectExpr("CAST(value AS STRING) AS v")
+        .select(get_json_object(col("v"), "$.id").cast("int")).collect()
+        .map(_.getInt(0)).sorted
+      assert(ids.toSeq == (0 until 64))
+    }
+  }
+
+  test("offset JSON round-trips canonically") {
+    val o = Map(2 -> 17L, 0 -> 3L, 1 -> 0L)
+    val json = KafkaWireSource.toJson(o)
+    assert(json == """{"0":3,"1":0,"2":17}""")
+    assert(KafkaWireSource.fromJson(json) == o)
+    assert(KafkaWireSource.fromJson("{}") == Map.empty[Int, Long])
+  }
+}
