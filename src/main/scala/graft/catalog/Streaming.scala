@@ -912,6 +912,45 @@ object Streaming {
     } finally broker.stop()
   }
 
+  // K2 as a REAL writeStream sink: the reference producer's role
+  // (`dataframe_to_kafka.py:85-113`) through the DSv2 StreamingWrite —
+  // micro-batched rows buffered per Kafka partition (murmur2 key
+  // placement) and produced as record batches from the executors, then
+  // consumed back over the same wire and decoded to the shared ingest
+  // oracle. The write is at-least-once (non-transactional, like the
+  // stock connector); this single-run pipeline is duplicate-free by
+  // construction, and q_kafka_wire_redelivery pins the replay story.
+  val streamKafkaSink: QueryDef = QueryDef.sql("q_stream_kafka_sink")(
+    """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value,
+      |  CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS INTEGER) AS prop_k
+      |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val broker = new graft.kafka.KafkaStubBroker(3)
+    broker.start()
+    try {
+      val wire = Ingest.toJsonWire(Ingest.eventsStream(s, dir), "event_id")
+      val q = wire.writeStream.format("kafka-wire")
+        .option("host", "127.0.0.1").option("port", broker.port.toString)
+        .option("topic", "events")
+        .option("checkpointLocation", uniqueDir("chk_kwsink_"))
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val consumed = s.read.format("kafka-wire")
+        .option("host", "127.0.0.1").option("port", broker.port.toString)
+        .option("topic", "events")
+        .load()
+      val decoded = Ingest.decodeJsonWire(consumed)
+        .select(col("event_id"), col("ts_us"), col("user_id"), col("event_type"),
+          col("value"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k")
+            .as("prop_k"))
+        .orderBy("event_id")
+      // materialize before the broker dies: the batch wire scan is lazy
+      graft.core.Spill.materialize(decoded)(())
+    } finally broker.stop()
+  }
+
   val all: Seq[QueryDef] = Seq(
     streamIngestJson, streamIngestDsv, streamWindowHourly, sinkUpsert,
     sinkUpsertDelta, sinkRoute, streamStreamJoin, streamDedup,
@@ -920,5 +959,5 @@ object Streaming {
     streamLateDrop, streamStaticJoin, streamSessionTimers, streamMapStateCounts,
     streamIncremental, streamSemiJoin, sinkUpsertDeltaAsof, streamAsofJoin,
     sinkUpsertEs, sinkRouteEs, streamTopkTypes,
-    kafkaWireIngest, kafkaWireRedelivery, streamKafkaWire)
+    kafkaWireIngest, kafkaWireRedelivery, streamKafkaWire, streamKafkaSink)
 }

@@ -6,10 +6,12 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -98,18 +100,133 @@ final case class KafkaWireOffset(offsets: Map[Int, Long]) extends Offset {
 }
 
 final class KafkaWireTable(host: String, port: Int, topic: String)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   require(topic != null, "kafka-wire: 'topic' (or 'subscribe') option is required")
 
   override def name(): String = s"kafka-wire:$topic@$host:$port"
   override def schema(): StructType = KafkaWireSource.Schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ,
+      TableCapability.STREAMING_WRITE, TableCapability.BATCH_WRITE,
+      TableCapability.ACCEPT_ANY_SCHEMA)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = new KafkaWireScan(host, port, topic)
     }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new KafkaWireWrite(host, port, topic, info.schema())
+    }
+}
+
+/** Producer side of the connector (`df.write` / `df.writeStream`
+  * `.format("kafka-wire")`): rows need a `value` column and optionally a
+  * `key` (binary or string, like the real Kafka sink). Placement is the
+  * default partitioner's — murmur2(key) when keyed, sticky per Spark
+  * task otherwise. Delivery is at-least-once per produce request
+  * (acks=-1, no transactions — the real connector's non-transactional
+  * contract); a replayed epoch appends again, and the consumer-side
+  * dedup twin (`q_kafka_wire_redelivery`) is the documented recovery.
+  */
+final class KafkaWireWrite(host: String, port: Int, topic: String,
+    schema: StructType) extends Write {
+
+  private def factoryParams: KafkaWireWriterParams = {
+    val keyIdx = schema.fieldNames.indexOf("key")
+    val valueIdx = schema.fieldNames.indexOf("value")
+    require(valueIdx >= 0, "kafka-wire write: a 'value' column is required")
+    val keyIsString = keyIdx >= 0 && schema(keyIdx).dataType == StringType
+    val valueIsString = schema(valueIdx).dataType == StringType
+    // partition count fixed once at the driver (metadata auto-creates)
+    val nParts = {
+      val c = new KafkaWireClient(host, port)
+      try c.metadata(Seq(topic)).head.partitions.size finally c.close()
+    }
+    KafkaWireWriterParams(host, port, topic, nParts,
+      keyIdx, keyIsString, valueIdx, valueIsString)
+  }
+
+  override def toBatch: BatchWrite = {
+    val params = factoryParams
+    new BatchWrite {
+      override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+        KafkaWireWriterFactory(params)
+      override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+      override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+    }
+  }
+
+  override def toStreaming: StreamingWrite = {
+    val params = factoryParams
+    new StreamingWrite {
+      override def createStreamingWriterFactory(
+          info: PhysicalWriteInfo): StreamingDataWriterFactory =
+        KafkaWireWriterFactory(params)
+      override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+      override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+    }
+  }
+}
+
+final case class KafkaWireWriterParams(host: String, port: Int, topic: String,
+    nParts: Int, keyIdx: Int, keyIsString: Boolean,
+    valueIdx: Int, valueIsString: Boolean)
+
+final case class KafkaWireWriterFactory(params: KafkaWireWriterParams)
+    extends DataWriterFactory with StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new KafkaWireDataWriter(params, partitionId)
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new KafkaWireDataWriter(params, partitionId)
+}
+
+/** One producer socket per task; rows buffered per Kafka partition and
+  * flushed as record batches (500-record chunks, mirroring
+  * [[KafkaWireExchange.publish]]), remainder flushed at commit — so a
+  * failed task produces at most its flushed prefix (at-least-once after
+  * Spark's retry), never a half-written record.
+  */
+final class KafkaWireDataWriter(params: KafkaWireWriterParams, sparkPartition: Int)
+    extends DataWriter[InternalRow] {
+  import params._
+
+  private val client = new KafkaWireClient(host, port)
+  private val sticky = sparkPartition % math.max(nParts, 1)
+  private val buffers =
+    Array.fill(nParts)(Vector.newBuilder[(Long, Array[Byte], Array[Byte])])
+  private val buffered = Array.fill(nParts)(0)
+
+  private def bytesAt(row: InternalRow, idx: Int, isString: Boolean): Array[Byte] =
+    if (idx < 0 || row.isNullAt(idx)) null
+    else if (isString) row.getUTF8String(idx).getBytes
+    else row.getBinary(idx)
+
+  override def write(row: InternalRow): Unit = {
+    val k = bytesAt(row, keyIdx, keyIsString)
+    val v = bytesAt(row, valueIdx, valueIsString)
+    val part = if (k == null) sticky else KafkaCodec.partitionFor(k, nParts)
+    buffers(part) += ((0L, k, v))
+    buffered(part) += 1
+    if (buffered(part) >= 500) flush(part)
+  }
+
+  private def flush(part: Int): Unit = {
+    val records = buffers(part).result()
+    if (records.nonEmpty) client.produce(topic, part, records)
+    buffers(part) = Vector.newBuilder
+    buffered(part) = 0
+  }
+
+  override def commit(): WriterCommitMessage = {
+    (0 until nParts).foreach(flush)
+    new WriterCommitMessage {}
+  }
+
+  override def abort(): Unit = ()
+  override def close(): Unit = client.close()
 }
 
 final class KafkaWireScan(host: String, port: Int, topic: String) extends Scan {

@@ -133,6 +133,70 @@ class KafkaWireStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("batch write round-trips through the broker with murmur2 placement") {
+    withBroker() { broker =>
+      import spark.implicits._
+      val df = (0 until 50)
+        .map(i => (s"user${i % 7}", s"""{"id":$i}""")).toDF("key", "value")
+      df.write.format("kafka-wire")
+        .option("host", "127.0.0.1").option("port", broker.port.toString)
+        .option("topic", "sink_b").mode("append").save()
+      val c = new KafkaWireClient("127.0.0.1", broker.port)
+      try {
+        val byPart = (0 until 3).map(p => p -> c.fetchAll("sink_b", p)).toMap
+        assert(byPart.values.map(_.size).sum == 50)
+        // default-partitioner contract: a key's records all land on
+        // murmur2(key) mod nParts — the per-key ordering the reference
+        // producer relies on
+        byPart.foreach { case (p, recs) =>
+          recs.foreach { r =>
+            assert(graft.kafka.KafkaCodec.partitionFor(r.key, 3) == p)
+          }
+        }
+      } finally c.close()
+    }
+  }
+
+  test("writeStream format(kafka-wire) produces every micro-batch row once") {
+    withBroker() { broker =>
+      import spark.implicits._
+      val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, String)](spark)
+      src.addData((0 until 30).map(i => (s"k${i % 5}", s"v$i")): _*)
+      val q = src.toDF().toDF("key", "value")
+        .writeStream.format("kafka-wire")
+        .option("host", "127.0.0.1").option("port", broker.port.toString)
+        .option("topic", "sink_s")
+        .option("checkpointLocation", tmp("chk_kws_"))
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val c = new KafkaWireClient("127.0.0.1", broker.port)
+      try {
+        val all = (0 until 3).flatMap(p => c.fetchAll("sink_s", p))
+        assert(all.size == 30)
+        assert(all.map(r => new String(r.value, StandardCharsets.UTF_8)).toSet ==
+          (0 until 30).map(i => s"v$i").toSet)
+      } finally c.close()
+    }
+  }
+
+  test("null keys take sticky per-task placement without error") {
+    withBroker() { broker =>
+      import spark.implicits._
+      val df = (0 until 20).map(i => (Option.empty[String], s"v$i"))
+        .toDF("key", "value")
+      df.write.format("kafka-wire")
+        .option("host", "127.0.0.1").option("port", broker.port.toString)
+        .option("topic", "sink_n").mode("append").save()
+      val c = new KafkaWireClient("127.0.0.1", broker.port)
+      try {
+        val all = (0 until 3).flatMap(p => c.fetchAll("sink_n", p))
+        assert(all.size == 20)
+        assert(all.forall(_.key == null))
+      } finally c.close()
+    }
+  }
+
   test("offset JSON round-trips canonically") {
     val o = Map(2 -> 17L, 0 -> 3L, 1 -> 0L)
     val json = KafkaWireSource.toJson(o)
