@@ -951,6 +951,84 @@ object Streaming {
     } finally broker.stop()
   }
 
+  // CAPSTONE — the reference's entire topology in ONE executed chain
+  // with BOTH wires real: producer encodes events as JSON onto Kafka
+  // protocol bytes (`dataframe_to_kafka.py` → DSv2 batch write, murmur2
+  // key placement), Structured Streaming consumes them through the
+  // kafka-wire connector WITH backpressure (maxOffsetsPerTrigger caps
+  // each micro-batch, so the preloaded backlog drains as ~6 bounded
+  // batches — `spark_streaming_kafka.py:13-18` plus the scale knob the
+  // reference never had), a watermarked hourly window aggregates in
+  // update mode, and each batch's changed windows upsert into the ES
+  // `_bulk` wire (`kafka_to_es.py` / es.mapping.id) with the window's
+  // own count as the external version — strictly monotone per key (a
+  // window only re-emits when new rows landed in it, and every new row
+  // increments n), so replayed batches converge instead of colliding.
+  // Final store state must equal the one-shot batch aggregate.
+  //
+  // The watermark here is wider than the corpus' 30-day span, because
+  // wire order is key-partitioned, not time-ordered — so no row can
+  // ever be late relative to it and the result is deterministic under
+  // any partition interleaving. Eviction-under-lateness semantics are
+  // pinned separately by q_stream_window_hourly / q_stream_late_drop;
+  // THIS query pins the end-to-end composition.
+  val e2eKafkaEs: QueryDef = QueryDef.sql("q_e2e_kafka_es")(
+    """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+      |  event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    val broker = new graft.kafka.KafkaStubBroker(3)
+    broker.start()
+    val stub = new EsStub()
+    stub.start()
+    try {
+      val events = graft.core.Tables.events(s, dir)
+      // parquet footer count (metadata-only): size the cap for ~6
+      // capped micro-batches at ANY scale factor
+      val cap = math.max(1L, events.count() / 6L + 1L)
+      Ingest.toJsonWire(events, "event_id")
+        .write.format("kafka-wire")
+        .option("host", "127.0.0.1").option("port", broker.port.toString)
+        .option("topic", "events").mode("append").save()
+
+      val stream = s.readStream.format("kafka-wire")
+        .option("host", "127.0.0.1").option("port", broker.port.toString)
+        .option("topic", "events")
+        .option("maxOffsetsPerTrigger", cap.toString)
+        .load()
+      val agg = Ingest.decodeJsonWire(stream)
+        .withWatermark("ts", "35 days")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+        .select(unix_timestamp(col("window.start")).as("hour_epoch"),
+          col("event_type"), col("n"), col("sum_value"))
+        .withColumn("doc_key",
+          concat(col("hour_epoch"), lit(":"), col("event_type")))
+
+      val docSchema = org.apache.spark.sql.types.StructType.fromDDL(
+        "hour_epoch BIGINT, event_type STRING, n BIGINT, sum_value DOUBLE")
+      val store = new EsHttpStore(stub.baseUrl, "hourly", "doc_key",
+        Seq("n"), "n", docSchema)
+      require(store.healthCheck(), "sink preflight failed") // K5
+      val q = agg.writeStream
+        .outputMode("update")
+        .foreachBatch((b: org.apache.spark.sql.Dataset[Row], id: Long) =>
+          store.upsert(b.toDF(), id))
+        .option("checkpointLocation", uniqueDir("chk_e2e_"))
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val out = store.read(s)
+        .select("hour_epoch", "event_type", "n", "sum_value")
+        .orderBy("hour_epoch", "event_type")
+      graft.core.Spill.materialize(out)(())
+    } finally {
+      broker.stop()
+      stub.stop()
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     streamIngestJson, streamIngestDsv, streamWindowHourly, sinkUpsert,
     sinkUpsertDelta, sinkRoute, streamStreamJoin, streamDedup,
@@ -959,5 +1037,6 @@ object Streaming {
     streamLateDrop, streamStaticJoin, streamSessionTimers, streamMapStateCounts,
     streamIncremental, streamSemiJoin, sinkUpsertDeltaAsof, streamAsofJoin,
     sinkUpsertEs, sinkRouteEs, streamTopkTypes,
-    kafkaWireIngest, kafkaWireRedelivery, streamKafkaWire, streamKafkaSink)
+    kafkaWireIngest, kafkaWireRedelivery, streamKafkaWire, streamKafkaSink,
+    e2eKafkaEs)
 }

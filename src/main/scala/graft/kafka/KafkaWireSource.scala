@@ -58,12 +58,37 @@ final class KafkaWireSourceProvider extends TableProvider with DataSourceRegiste
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
-    new KafkaWireTable(
+    val maxPerTrigger = Option(opts.get("maxOffsetsPerTrigger")).map { v =>
+      val n = java.lang.Long.parseLong(v)
+      require(n > 0, s"maxOffsetsPerTrigger must be positive, got $n")
+      n
+    }
+    new KafkaWireTable(KafkaWireConf(
       opts.get("host"),
       Integer.parseInt(opts.get("port")),
-      Option(opts.get("topic")).getOrElse(opts.get("subscribe")))
+      Option(opts.get("topic")).getOrElse(opts.get("subscribe")),
+      maxPerTrigger,
+      Option(opts.get("startingOffsets")).getOrElse("earliest"),
+      Option(opts.get("endingOffsets")).getOrElse("latest")))
   }
 }
+
+/** Connector options (the stock Kafka connector's names):
+  *  - `maxOffsetsPerTrigger`: cap on records admitted per micro-batch,
+  *    allotted across partitions proportionally to backlog — the
+  *    backpressure knob that keeps one trigger's state/shuffle bounded
+  *    when a 100 TB-scale topic has hours of lag;
+  *  - `startingOffsets` / `endingOffsets`: `earliest` | `latest` | a
+  *    per-partition JSON map (`{"0":12,"1":7}`; -2 = earliest,
+  *    -1 = latest per entry). Divergence from the stock connector,
+  *    documented: the JSON is single-topic (no topic nesting) and the
+  *    streaming default is `earliest` (the drain-a-preloaded-topic
+  *    pattern every catalog pipeline uses; the stock default is
+  *    `latest`, and pipelines wanting it pass it explicitly).
+  */
+final case class KafkaWireConf(host: String, port: Int, topic: String,
+    maxOffsetsPerTrigger: Option[Long], startingOffsets: String,
+    endingOffsets: String)
 
 object KafkaWireSource {
   /** The standard Kafka connector relation schema. */
@@ -93,17 +118,47 @@ object KafkaWireSource {
       k.trim.stripPrefix("\"").stripSuffix("\"").toInt -> v.trim.toLong
     }.toMap
   }
+
+  /** Resolve a `startingOffsets`/`endingOffsets` spec to concrete
+    * per-partition offsets: `earliest` | `latest` | a per-partition
+    * JSON map, where an entry of -2/-1 (or a missing partition, via
+    * `defaultTs`) means that partition's earliest/latest. Explicit
+    * offsets are validated against the log range — a position outside
+    * `[earliest, latest]` fails the plan loudly rather than silently
+    * reading from somewhere else (the stock connector's
+    * `failOnDataLoss` posture).
+    */
+  def resolveSpec(client: KafkaWireClient, topic: String, partitions: Seq[Int],
+      spec: String, defaultTs: Long): Map[Int, Long] = spec.trim match {
+    case "earliest" => partitions.map(p => p -> client.listOffset(topic, p, -2L)).toMap
+    case "latest" => partitions.map(p => p -> client.listOffset(topic, p, -1L)).toMap
+    case json =>
+      val explicit = fromJson(json)
+      partitions.map { p =>
+        val v = explicit.getOrElse(p, defaultTs)
+        val resolved =
+          if (v < 0) client.listOffset(topic, p, v)
+          else {
+            val lo = client.listOffset(topic, p, -2L)
+            val hi = client.listOffset(topic, p, -1L)
+            require(v >= lo && v <= hi,
+              s"offset $v out of range [$lo,$hi] for $topic/$p")
+            v
+          }
+        p -> resolved
+      }.toMap
+  }
 }
 
 final case class KafkaWireOffset(offsets: Map[Int, Long]) extends Offset {
   override def json(): String = KafkaWireSource.toJson(offsets)
 }
 
-final class KafkaWireTable(host: String, port: Int, topic: String)
+final class KafkaWireTable(conf: KafkaWireConf)
     extends Table with SupportsRead with SupportsWrite {
-  require(topic != null, "kafka-wire: 'topic' (or 'subscribe') option is required")
+  require(conf.topic != null, "kafka-wire: 'topic' (or 'subscribe') option is required")
 
-  override def name(): String = s"kafka-wire:$topic@$host:$port"
+  override def name(): String = s"kafka-wire:${conf.topic}@${conf.host}:${conf.port}"
   override def schema(): StructType = KafkaWireSource.Schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ,
@@ -112,12 +167,13 @@ final class KafkaWireTable(host: String, port: Int, topic: String)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
-      override def build(): Scan = new KafkaWireScan(host, port, topic)
+      override def build(): Scan = new KafkaWireScan(conf)
     }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
-      override def build(): Write = new KafkaWireWrite(host, port, topic, info.schema())
+      override def build(): Write =
+        new KafkaWireWrite(conf.host, conf.port, conf.topic, info.schema())
     }
 }
 
@@ -229,22 +285,29 @@ final class KafkaWireDataWriter(params: KafkaWireWriterParams, sparkPartition: I
   override def close(): Unit = client.close()
 }
 
-final class KafkaWireScan(host: String, port: Int, topic: String) extends Scan {
+final class KafkaWireScan(conf: KafkaWireConf) extends Scan {
+  import conf.{host, port, topic}
+
   override def readSchema(): StructType = KafkaWireSource.Schema
   override def description(): String = s"kafka-wire $topic"
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new KafkaWireMicroBatchStream(host, port, topic)
+    new KafkaWireMicroBatchStream(conf)
 
-  /** Batch scan: the full [earliest, latest) range at plan time. */
+  /** Batch scan: the `[startingOffsets, endingOffsets)` range resolved
+    * once at plan time (defaults: the full earliest→latest log).
+    */
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] = {
       val c = new KafkaWireClient(host, port)
       try {
-        c.metadata(Seq(topic)).head.partitions.map { pm =>
-          val p = pm.partition
-          KafkaWireInputPartition(host, port, topic, p,
-            c.listOffset(topic, p, -2L), c.listOffset(topic, p, -1L))
+        val parts = c.metadata(Seq(topic)).head.partitions.map(_.partition)
+        val starts = KafkaWireSource.resolveSpec(c, topic, parts,
+          conf.startingOffsets, defaultTs = -2L)
+        val ends = KafkaWireSource.resolveSpec(c, topic, parts,
+          conf.endingOffsets, defaultTs = -1L)
+        parts.map { p =>
+          KafkaWireInputPartition(host, port, topic, p, starts(p), ends(p))
             : InputPartition
         }.toArray
       } finally c.close()
@@ -254,8 +317,9 @@ final class KafkaWireScan(host: String, port: Int, topic: String) extends Scan {
   }
 }
 
-final class KafkaWireMicroBatchStream(host: String, port: Int, topic: String)
+final class KafkaWireMicroBatchStream(conf: KafkaWireConf)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
+  import conf.{host, port, topic}
 
   // Driver-side metadata client, opened lazily and reused across the
   // per-batch offset polls (metadata only — record bytes never touch it).
@@ -272,14 +336,56 @@ final class KafkaWireMicroBatchStream(host: String, port: Int, topic: String)
   private def offsetsAt(timestamp: Long): KafkaWireOffset =
     KafkaWireOffset(partitions.map(p => p -> client.listOffset(topic, p, timestamp)).toMap)
 
-  override def initialOffset(): Offset = offsetsAt(-2L) // earliest
+  override def initialOffset(): Offset =
+    KafkaWireOffset(KafkaWireSource.resolveSpec(client, topic, partitions,
+      conf.startingOffsets, defaultTs = -2L))
+
+  /** Proportional admission control: cap this batch at `max` records
+    * total, allotted across partitions proportionally to their backlog
+    * (exact integer math — BigInt so a 100 TB-scale backlog times the
+    * cap can't overflow), deterministic remainder to the lowest
+    * partition ids. A capped batch ends strictly between `start` and
+    * the live watermark, so a deep backlog drains as a sequence of
+    * bounded batches instead of one unbounded state/shuffle spike.
+    */
+  private def capped(start: Map[Int, Long], end: Map[Int, Long],
+      max: Long): KafkaWireOffset = {
+    val backlog = end.map { case (p, e) =>
+      p -> math.max(0L, e - start.getOrElse(p, 0L))
+    }
+    val total = backlog.values.sum
+    if (total <= max) KafkaWireOffset(end)
+    else {
+      var allot = backlog.map { case (p, d) =>
+        p -> (BigInt(d) * max / total).toLong
+      }
+      var rem = max - allot.values.sum
+      for (p <- allot.keys.toSeq.sorted if rem > 0) {
+        val add = math.min(backlog(p) - allot(p), rem)
+        allot += p -> (allot(p) + add)
+        rem -= add
+      }
+      KafkaWireOffset(end.map { case (p, _) =>
+        p -> (start.getOrElse(p, 0L) + allot(p))
+      })
+    }
+  }
 
   // Admission-control form: the engine calls this one when the source
-  // implements SupportsAdmissionControl; the read limit is always
-  // allAvailable() here, so the batch end is the prepared AvailableNow
-  // target (if set) or the live high watermark.
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
-    availableNowTarget.getOrElse(offsetsAt(-1L))
+  // implements SupportsAdmissionControl. The uncapped end is the
+  // prepared AvailableNow target (if set) or the live high watermark;
+  // a maxRows limit (maxOffsetsPerTrigger) then bounds the batch, and
+  // under Trigger.AvailableNow the engine keeps issuing batches until
+  // the monotone capped ends reach the prepared target.
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val target = availableNowTarget.getOrElse(offsetsAt(-1L))
+    limit match {
+      case rl: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
+        capped(start.asInstanceOf[KafkaWireOffset].offsets, target.offsets,
+          rl.maxRows())
+      case _ => target
+    }
+  }
 
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(
@@ -288,7 +394,10 @@ final class KafkaWireMicroBatchStream(host: String, port: Int, topic: String)
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowTarget = Some(offsetsAt(-1L))
 
-  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def getDefaultReadLimit: ReadLimit =
+    conf.maxOffsetsPerTrigger
+      .map(ReadLimit.maxRows)
+      .getOrElse(ReadLimit.allAvailable())
 
   override def reportLatestOffset(): Offset = offsetsAt(-1L)
 

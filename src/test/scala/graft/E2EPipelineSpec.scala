@@ -74,4 +74,20 @@ class E2EPipelineSpec extends AnyFunSuite {
         .orderBy("room").collect().toSeq
     assert(roomAvg(streamed).map(_.toSeq) == roomAvg(merged).map(_.toSeq))
   }
+
+  test("capstone q_e2e_kafka_es: real-wire topology equals the batch aggregate") {
+    val dir = "/root/testdata/sf0.001"
+    val viaWire = graft.catalog.Streaming.e2eKafkaEs
+      .build(spark, dir).collect().toSeq
+    val batch = graft.core.Tables.events(spark, dir)
+      .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("sum_value"))
+      .orderBy("hour_epoch", "event_type")
+      .collect().toSeq
+    assert(viaWire.nonEmpty)
+    assert(viaWire.map(_.toSeq) == batch.map(_.toSeq))
+  }
 }

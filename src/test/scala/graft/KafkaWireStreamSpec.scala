@@ -197,6 +197,104 @@ class KafkaWireStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("maxOffsetsPerTrigger splits the backlog into capped micro-batches") {
+    withBroker() { broker =>
+      produce(broker, "cap_t", 0 until 90)
+      val name = "kwcap_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = spark.readStream.format("kafka-wire")
+        .option("host", "127.0.0.1").option("port", broker.port.toString)
+        .option("topic", "cap_t")
+        .option("maxOffsetsPerTrigger", "25")
+        .load()
+        .selectExpr("CAST(value AS STRING) AS v")
+        .select(get_json_object(col("v"), "$.id").cast("int").as("id"))
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", tmp("chk_kwcap_"))
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // exactly-once union across the capped batches
+      val ids = spark.table(name).collect().map(_.getInt(0)).sorted.toSeq
+      assert(ids == (0 until 90))
+      // admission control really split the drain: ≥4 non-empty batches
+      // (ceil(90/25)), none above the cap
+      val sizes = q.recentProgress.map(_.numInputRows).filter(_ > 0)
+      assert(sizes.length >= 4, s"expected >=4 capped batches, got ${sizes.toSeq}")
+      assert(sizes.forall(_ <= 25), s"batch over cap: ${sizes.toSeq}")
+    }
+  }
+
+  test("startingOffsets=latest skips the preloaded backlog") {
+    withBroker() { broker =>
+      val chk = tmp("chk_kwlate_")
+      produce(broker, "late_t", 0 until 30)
+      val outDir = tmp("kw_late_out_")
+      def drainLatest(): Seq[Int] = {
+        val q = spark.readStream.format("kafka-wire")
+          .option("host", "127.0.0.1").option("port", broker.port.toString)
+          .option("topic", "late_t")
+          .option("startingOffsets", "latest")
+          .load()
+          .selectExpr("CAST(value AS STRING) AS v")
+          .select(get_json_object(col("v"), "$.id").cast("int").as("id"))
+          .writeStream
+          .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            b.write.mode("append").parquet(outDir))
+          .option("checkpointLocation", chk)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val files = new java.io.File(outDir).listFiles()
+        if (files == null || !files.exists(_.getName.endsWith(".parquet"))) Seq.empty
+        else spark.read.parquet(outDir).collect().map(_.getInt(0)).toSeq.sorted
+      }
+      // first run: initial offset = live high watermark → nothing
+      assert(drainLatest().isEmpty)
+      // the option only governs the FIRST offset; a resumed checkpoint
+      // picks up everything after it
+      produce(broker, "late_t", 30 until 45)
+      assert(drainLatest() == (30 until 45))
+    }
+  }
+
+  test("batch read honors startingOffsets/endingOffsets JSON ranges") {
+    withBroker() { broker =>
+      produce(broker, "range_t", 0 until 60)
+      // skip the first record of partitions 0 and 1; partition 2 and the
+      // missing end default to earliest/latest sentinels
+      val df = spark.read.format("kafka-wire")
+        .option("host", "127.0.0.1").option("port", broker.port.toString)
+        .option("topic", "range_t")
+        .option("startingOffsets", """{"0":1,"1":1,"2":-2}""")
+        .load()
+      assert(df.count() == 58)
+      val capped = spark.read.format("kafka-wire")
+        .option("host", "127.0.0.1").option("port", broker.port.toString)
+        .option("topic", "range_t")
+        .option("endingOffsets", """{"0":5,"1":5,"2":5}""")
+        .load()
+      assert(capped.count() == 15)
+      assert(capped.selectExpr("max(offset)").collect()(0).getLong(0) == 4L)
+    }
+  }
+
+  test("an explicit offset outside the log range fails the plan loudly") {
+    withBroker() { broker =>
+      produce(broker, "oob_t", 0 until 9)
+      val ex = intercept[Exception] {
+        spark.read.format("kafka-wire")
+          .option("host", "127.0.0.1").option("port", broker.port.toString)
+          .option("topic", "oob_t")
+          .option("startingOffsets", """{"0":999}""")
+          .load().count()
+      }
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Seq.empty else t +: causes(t.getCause)
+      assert(causes(ex).exists(_.getMessage != null) &&
+        causes(ex).exists(c => c.getMessage != null && c.getMessage.contains("out of range")))
+    }
+  }
+
   test("offset JSON round-trips canonically") {
     val o = Map(2 -> 17L, 0 -> 3L, 1 -> 0L)
     val json = KafkaWireSource.toJson(o)
