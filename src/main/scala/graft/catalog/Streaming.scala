@@ -1029,6 +1029,63 @@ object Streaming {
     }
   }
 
+  // Topic-to-topic streaming transform — the "Kafka Streams" topology:
+  // ONE streaming query whose source AND sink are both the kafka-wire
+  // connector. Raw events stream in from `raw`, a curation filter keeps
+  // the conversion types, rows are RE-KEYED by user (murmur2 placement
+  // on the output topic now groups a user's events on one partition —
+  // the repartition-by-key a downstream per-user consumer needs), and
+  // the re-encoded JSON is produced to `curated`. A batch wire read of
+  // the output topic must decode to the plain filtered table. Scale
+  // shape: stateless row transform — no shuffle anywhere; bytes flow
+  // broker→executor→broker, bounded per micro-batch by the source cap.
+  val kafkaTopicTransform: QueryDef = QueryDef.sql("q_kafka_topic_transform")(
+    """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
+      |FROM events WHERE event_type IN ('purchase', 'signup')
+      |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val broker = new graft.kafka.KafkaStubBroker(3)
+    broker.start()
+    try {
+      val events = graft.core.Tables.events(s, dir)
+      val cap = math.max(1L, events.count() / 4L + 1L)
+      Ingest.toJsonWire(events, "event_id")
+        .write.format("kafka-wire")
+        .option("host", "127.0.0.1").option("port", broker.port.toString)
+        .option("topic", "raw").mode("append").save()
+
+      val transformed = Ingest.decodeJsonWire(
+          s.readStream.format("kafka-wire")
+            .option("host", "127.0.0.1").option("port", broker.port.toString)
+            .option("topic", "raw")
+            .option("maxOffsetsPerTrigger", cap.toString)
+            .load())
+        .filter(col("event_type").isin("purchase", "signup"))
+        .select(col("user_id").cast("string").as("key"),
+          to_json(struct(col("event_id"), col("ts_us"), col("user_id"),
+            col("event_type"), col("value"))).as("value"))
+      val q = transformed.writeStream.format("kafka-wire")
+        .option("host", "127.0.0.1").option("port", broker.port.toString)
+        .option("topic", "curated")
+        .option("checkpointLocation", uniqueDir("chk_t2t_"))
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+
+      val out = s.read.format("kafka-wire")
+        .option("host", "127.0.0.1").option("port", broker.port.toString)
+        .option("topic", "curated")
+        .load()
+        .selectExpr("CAST(value AS STRING) AS json")
+        .select(from_json(col("json"),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "event_id BIGINT, ts_us BIGINT, user_id BIGINT, event_type STRING, value DOUBLE"))
+          .as("d"))
+        .select(col("d.*"))
+        .orderBy("event_id")
+      graft.core.Spill.materialize(out)(())
+    } finally broker.stop()
+  }
+
   val all: Seq[QueryDef] = Seq(
     streamIngestJson, streamIngestDsv, streamWindowHourly, sinkUpsert,
     sinkUpsertDelta, sinkRoute, streamStreamJoin, streamDedup,
@@ -1038,5 +1095,5 @@ object Streaming {
     streamIncremental, streamSemiJoin, sinkUpsertDeltaAsof, streamAsofJoin,
     sinkUpsertEs, sinkRouteEs, streamTopkTypes,
     kafkaWireIngest, kafkaWireRedelivery, streamKafkaWire, streamKafkaSink,
-    e2eKafkaEs)
+    e2eKafkaEs, kafkaTopicTransform)
 }

@@ -86,6 +86,11 @@ final class KafkaStubBroker(val numPartitions: Int = 3) {
 
   private def serve(sock: Socket): Unit = {
     try {
+      // mirror the client's TCP_NODELAY: without it the kernel's
+      // Nagle/delayed-ACK interaction stalls each request-response
+      // round-trip ~40ms, which dominates a multi-hundred-round-trip
+      // produce/fetch session
+      sock.setTcpNoDelay(true)
       val in = new DataInputStream(sock.getInputStream)
       val out = new DataOutputStream(sock.getOutputStream)
       while (running.get()) {
