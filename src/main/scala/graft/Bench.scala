@@ -24,7 +24,8 @@ object Bench {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel(
+      sys.env.getOrElse("SPARK_GRAFT_LOGLEVEL", "WARN"))
     // untimed warm-up: absorb one-time session costs (codegen + JIT
     // compilation of the hot operator paths, shuffle service, parquet
     // reader, page cache for the input tables, noop sink classloading)
