@@ -739,6 +739,129 @@ object Analytics {
     graft.core.Spill.materialize(res) { w.unpersist(blocking = false) }
   }
 
+  // Per-group closed-form linear regression (trend fitting): value ~
+  // day-of-corpus per event_type, slope/intercept/r² from the five
+  // moment sums — the grouped `regr_slope` family re-expressed as ONE
+  // partial→final hash aggregate. The q_corr_exact discipline: every
+  // sum is exact (x is an integer day index, y an exact DECIMAL(18,2)),
+  // IEEE arithmetic appears only in the per-group closed-form formula
+  // evaluated ONCE on the six exact scalars, so the result is
+  // partition-order independent by construction. x is offset to day 0 =
+  // 2024-01-01 (epoch day 19723) to keep the moment magnitudes small;
+  // at 100 TB this is the canonical "fit a trend per key" shape — no
+  // window, no sort, shuffle carries 6 numbers per group.
+  val olsTrend: QueryDef = QueryDef.sql("q_ols_trend")(
+    """WITH p AS (
+      |  SELECT event_type,
+      |    epoch_us(ts) // 86400000000 - 19723 AS x,
+      |    CAST(value AS DECIMAL(18,2)) AS y
+      |  FROM events),
+      |m AS (
+      |  SELECT event_type, COUNT(*) AS n,
+      |    SUM(CAST(x AS DECIMAL(18,0))) AS sx,
+      |    SUM(y) AS sy,
+      |    SUM(CAST(x AS DECIMAL(18,0)) * CAST(x AS DECIMAL(18,0))) AS sxx,
+      |    SUM(CAST(x AS DECIMAL(18,0)) * y) AS sxy,
+      |    SUM(y * y) AS syy
+      |  FROM p GROUP BY event_type)
+      |SELECT event_type, n,
+      |  round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |    / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 12)
+      |    AS slope_per_day,
+      |  round((CAST(sy AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sxy AS DOUBLE))
+      |    / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 12)
+      |    AS intercept,
+      |  round(pow(n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE), 2)
+      |    / ((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |       * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 12)
+      |    AS r2
+      |FROM m ORDER BY event_type""".stripMargin) { (s, dir) =>
+    val x = expr("unix_micros(ts) div 86400000000 - 19723")
+      .cast(DecimalType(18, 0))
+    val y = col("value").cast(DecimalType(18, 2))
+    val m = Tables.events(s, dir)
+      .select(col("event_type"), x.as("x"), y.as("y"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("y") * col("y")).as("syy"))
+    val (n, sx, sy, sxx, sxy, syy) = (col("n"),
+      col("sx").cast("double"), col("sy").cast("double"),
+      col("sxx").cast("double"), col("sxy").cast("double"),
+      col("syy").cast("double"))
+    m.select(col("event_type"), n,
+        round((n * sxy - sx * sy) / (n * sxx - sx * sx), 12).as("slope_per_day"),
+        round((sy * sxx - sx * sxy) / (n * sxx - sx * sx), 12).as("intercept"),
+        round(pow(n * sxy - sx * sy, 2)
+          / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 12).as("r2"))
+      .orderBy("event_type")
+  }
+
+  // Robust outlier detection: per-type exact median + MAD (median
+  // absolute deviation), flag events with |x − med| > 3·MAD. The whole
+  // query runs in INTEGER CENTS (values are 2-decimal by construction),
+  // so both medians come out of the q_percentiles_hist histogram-CDF
+  // shape EXACT — per-(type, cent) counts are one partial→final
+  // aggregate, the cumulative window only ever sees the tiny bin
+  // table, and the nearest-rank pick is integer arithmetic. The
+  // per-type (median, MAD) relation is a handful of rows, so both
+  // join-backs broadcast; nothing in the plan sorts the corpus. The
+  // classic z-score filter breaks on heavy tails — MAD is the
+  // data-cleaning gate a 100 TB ingest actually wants.
+  val madOutliers: QueryDef = QueryDef.sql("q_mad_outliers")(
+    """WITH c AS (SELECT event_id, event_type, value,
+      |             CAST(round(value * 100, 0) AS BIGINT) AS cent
+      |           FROM events),
+      |h1 AS (SELECT event_type, cent, CAST(COUNT(*) AS BIGINT) AS k
+      |       FROM c GROUP BY 1, 2),
+      |cdf1 AS (SELECT event_type, cent,
+      |           CAST(SUM(k) OVER (PARTITION BY event_type ORDER BY cent) AS BIGINT) AS cum,
+      |           CAST(SUM(k) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      |         FROM h1),
+      |med AS (SELECT event_type,
+      |          MIN(CASE WHEN 2 * cum >= n THEN cent END) AS med_c
+      |        FROM cdf1 GROUP BY event_type),
+      |d AS (SELECT c.event_id, c.event_type, c.value, c.cent,
+      |        abs(c.cent - m.med_c) AS dev_c, m.med_c
+      |      FROM c JOIN med m ON c.event_type = m.event_type),
+      |h2 AS (SELECT event_type, dev_c, CAST(COUNT(*) AS BIGINT) AS k
+      |       FROM d GROUP BY 1, 2),
+      |cdf2 AS (SELECT event_type, dev_c,
+      |           CAST(SUM(k) OVER (PARTITION BY event_type ORDER BY dev_c) AS BIGINT) AS cum,
+      |           CAST(SUM(k) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      |         FROM h2),
+      |mad AS (SELECT event_type,
+      |          MIN(CASE WHEN 2 * cum >= n THEN dev_c END) AS mad_c
+      |        FROM cdf2 GROUP BY event_type)
+      |SELECT d.event_id, d.event_type, d.value, d.med_c, d.dev_c, mad.mad_c
+      |FROM d JOIN mad ON d.event_type = mad.event_type
+      |WHERE d.dev_c > 3 * mad.mad_c
+      |ORDER BY d.event_id""".stripMargin) { (s, dir) =>
+    // nearest-rank pick shared by both medians: smallest bin with
+    // 2·cum ≥ n (integer form of cum ≥ ceil(n/2) — no float rank)
+    def histMedian(binned: org.apache.spark.sql.DataFrame, bin: String, out: String) = {
+      val h = binned.groupBy("event_type", bin).agg(count(lit(1)).as("k"))
+      h.withColumn("cum",
+          sum(col("k")).over(Window.partitionBy("event_type").orderBy(bin)))
+        .withColumn("n", sum(col("k")).over(Window.partitionBy("event_type")))
+        .groupBy("event_type")
+        .agg(min(when(lit(2) * col("cum") >= col("n"), col(bin))).as(out))
+    }
+    val c = Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"), col("value"),
+        round(col("value") * 100, 0).cast("long").as("cent"))
+    val med = histMedian(c, "cent", "med_c")
+    val d = c.join(broadcast(med), "event_type")
+      .withColumn("dev_c", abs(col("cent") - col("med_c")))
+    val mad = histMedian(d.select(col("event_type"), col("dev_c")), "dev_c", "mad_c")
+    d.join(broadcast(mad), "event_type")
+      .filter(col("dev_c") > lit(3) * col("mad_c"))
+      .select("event_id", "event_type", "value", "med_c", "dev_c", "mad_c")
+      .orderBy("event_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     semiJoin, antiJoin, outerJoin, distinctUsers, rollupCounts, occupancyRate,
     runningSum, eventGaps, sessionize, valueQuartiles.audit, valueQuartilesHist,
@@ -746,5 +869,5 @@ object Analytics {
     trailingWindow, dashboardTiles, percentiles.audit, percentilesHist,
     groupingSets, gapFill,
     rankFuncs, rangeFrame, ewma, eventFunnel, cohortRetention, ohlcHourly,
-    rollingMedian, tsSimilarity, attribution)
+    rollingMedian, tsSimilarity, attribution, olsTrend, madOutliers)
 }
