@@ -127,7 +127,7 @@ object ReplayMain {
   * (`-wf json`, ts as raw nanos).
   */
 object StreamMain {
-  private val EventsDdl = "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
+  private val EventsDdl = "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
     "event_type STRING, value DOUBLE, props STRING"
 
   def main(args: Array[String]): Unit = {
@@ -172,15 +172,15 @@ object StreamMain {
       val q = decoded.writeStream
         .foreachBatch((b: org.apache.spark.sql.Dataset[Row], id: Long) =>
           store.fold(
-            // wire ts (epoch long from the decode DDL) doubles as the
-            // external version — monotone per key, so replays and
-            // concurrent partitions converge. The nano-grain ts leaves
-            // no 64-bit headroom to pack the (ts, event_id) tie-break
+            // the wire ts's epoch micros double as the external
+            // version — monotone per key, so replays and concurrent
+            // partitions converge. Micro-grain ts leaves no clean
+            // 64-bit headroom to pack the (ts, event_id) tie-break
             // the parquet twin orders by, so the ES path REQUIRES
             // tie-free (key, ts) feeds — enforced here per batch
             // rather than silently converging first-arrival-wins
             es => {
-              import org.apache.spark.sql.functions.{col, min, max}
+              import org.apache.spark.sql.functions.{col, min, max, unix_micros}
               val df = b.toDF()
               val tie = df.groupBy(col(keyCol), col("ts"))
                 .agg(min(col("event_id")).as("lo"), max(col("event_id")).as("hi"))
@@ -188,7 +188,7 @@ object StreamMain {
               require(tie.isEmpty, s"ES sink contract violated: batch $id has " +
                 s"distinct event_ids sharing ($keyCol, ts)=${tie.headOption}; " +
                 "the external-version wire cannot order such ties — dedupe upstream")
-              es.upsert(df.withColumn("__ver", col("ts")), id)
+              es.upsert(df.withColumn("__ver", unix_micros(col("ts"))), id)
             },
             parquet => parquet.upsert(b.toDF(), id)))
         .option("checkpointLocation",

@@ -18,16 +18,28 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** Spark 4 refuses parquet TIMESTAMP(NANOS) columns outright; the
-    * events table uses them. Read nanos as LONG and convert to a
-    * microsecond TimestampType column (floor-division — matches DuckDB's
-    * ns→us truncation for the post-1970 data). Runtime conf, safe to set
-    * per-call even on a driver-owned session.
+  /** Normalize the events `ts` column to a microsecond TimestampType
+    * regardless of how the generator wrote it — testdata generations
+    * have shipped it as parquet TIMESTAMP(NANOS) (which Spark 4 refuses
+    * outright; read nanos as LONG, floor-divide to micros — matches
+    * DuckDB's ns→us truncation for the post-1970 data) and as
+    * TIMESTAMP(MICROS) without UTC adjustment (which Spark reads as
+    * TIMESTAMP_NTZ; cast — session tz is UTC so the instant is
+    * unchanged). Downstream code and oracles see one stable type.
+    * Runtime conf, safe to set per-call even on a driver-owned session.
     */
   private def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val df = load(spark, dir, "events")
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType => // nanos-as-long generation
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case TimestampType => df
+      case _ => // TIMESTAMP_NTZ generation
+        df.withColumn("ts", df.col("ts").cast(TimestampType))
+    }
   }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")

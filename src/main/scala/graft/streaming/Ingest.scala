@@ -20,13 +20,14 @@ import org.apache.spark.sql.types._
   */
 object Ingest {
 
-  /** The `events` table's file-stream schema (ts read as raw nanos
-    * long; converted to a microsecond timestamp immediately after —
-    * same convention as `graft.core.Tables.events`).
+  /** The `events` table's file-stream schema (ts declared as the
+    * parquet file's TIMESTAMP(MICROS, isAdjustedToUTC=false) →
+    * TIMESTAMP_NTZ; cast to a session-tz TimestampType immediately
+    * after — same convention as `graft.core.Tables.events`).
     */
   val eventsFileSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", TimestampNTZType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -51,7 +52,7 @@ object Ingest {
     spark.conf.getOption("spark.graft.stream.maxFilesPerTrigger")
       .foreach(reader.option("maxFilesPerTrigger", _))
     reader.parquet(sfDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts", col("ts").cast("timestamp"))
   }
 
   /** Streaming source over the documents parquet — "today's crawl"
