@@ -119,6 +119,34 @@ object KafkaCodec {
   private val BatchHeaderLen = 61 // baseOffset..numRecords inclusive
   private val AttributesOffsetInBatch = 21 // CRC covers attributes..end
 
+  /** Compression codec ids (attributes bits 0-2, per the protocol
+    * guide). This pair speaks none and gzip — gzip is the one codec
+    * whose implementation ships in the JDK, so it needs no external
+    * jar; snappy/lz4/zstd would. An unknown codec fails loudly.
+    */
+  object Codec {
+    val None = 0
+    val Gzip = 1
+  }
+
+  def gzipCompress(bytes: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(math.max(bytes.length / 4, 64))
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(bytes); gz.close()
+    bos.toByteArray
+  }
+
+  def gzipDecompress(bytes: Array[Byte]): Array[Byte] = {
+    val gz = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val out = new java.io.ByteArrayOutputStream(math.max(bytes.length * 4, 64))
+    val buf = new Array[Byte](8192)
+    var n = gz.read(buf)
+    while (n >= 0) { out.write(buf, 0, n); n = gz.read(buf) }
+    gz.close()
+    out.toByteArray
+  }
+
   private def recordSize(timestampDelta: Long, offsetDelta: Int,
       key: Array[Byte], value: Array[Byte]): Int = {
     var n = 1 // attributes int8
@@ -131,10 +159,16 @@ object KafkaCodec {
   }
 
   /** Encode one v2 record batch. Offsets inside are `baseOffset + i`;
-    * timestamps are per-record CreateTime.
+    * timestamps are per-record CreateTime. With `gzip = true` the
+    * records section (everything after the numRecords field) is
+    * gzip-deflated and the attributes codec bits say so — numRecords
+    * still states the uncompressed record count, and the CRC covers
+    * the bytes on the wire (i.e. the compressed payload), exactly as
+    * the protocol guide specifies.
     */
   def encodeBatch(baseOffset: Long,
-      records: Seq[(Long, Array[Byte], Array[Byte])]): Array[Byte] = {
+      records: Seq[(Long, Array[Byte], Array[Byte])],
+      gzip: Boolean = false): Array[Byte] = {
     require(records.nonEmpty, "empty record batch")
     val baseTs = records.head._1
     val maxTs = records.map(_._1).max
@@ -142,7 +176,20 @@ object KafkaCodec {
       val sz = recordSize(ts - baseTs, i, k, v)
       sz + varLongSize(sz.toLong)
     }
-    val total = BatchHeaderLen + bodySizes.sum
+    val body = ByteBuffer.allocate(bodySizes.sum)
+    records.zipWithIndex.foreach { case ((ts, k, v), i) =>
+      writeVarLong(body, recordSize(ts - baseTs, i, k, v).toLong)
+      body.put(0.toByte) // record attributes
+      writeVarLong(body, ts - baseTs)
+      writeVarLong(body, i.toLong)
+      if (k == null) writeVarLong(body, -1L)
+      else { writeVarLong(body, k.length.toLong); body.put(k) }
+      if (v == null) writeVarLong(body, -1L)
+      else { writeVarLong(body, v.length.toLong); body.put(v) }
+      writeVarLong(body, 0L) // no headers
+    }
+    val payload = if (gzip) gzipCompress(body.array()) else body.array()
+    val total = BatchHeaderLen + payload.length
     val buf = ByteBuffer.allocate(total)
     buf.putLong(baseOffset)
     buf.putInt(total - 12) // batchLength: everything after that field
@@ -150,7 +197,7 @@ object KafkaCodec {
     buf.put(2.toByte) // magic
     val crcPos = buf.position()
     buf.putInt(0) // crc placeholder
-    buf.putShort(0) // attributes: no compression, CreateTime
+    buf.putShort((if (gzip) Codec.Gzip else Codec.None).toShort) // attributes, CreateTime
     buf.putInt(records.size - 1) // lastOffsetDelta
     buf.putLong(baseTs)
     buf.putLong(maxTs)
@@ -158,17 +205,7 @@ object KafkaCodec {
     buf.putShort(-1) // producerEpoch
     buf.putInt(-1) // baseSequence
     buf.putInt(records.size)
-    records.zipWithIndex.foreach { case ((ts, k, v), i) =>
-      writeVarLong(buf, recordSize(ts - baseTs, i, k, v).toLong)
-      buf.put(0.toByte) // record attributes
-      writeVarLong(buf, ts - baseTs)
-      writeVarLong(buf, i.toLong)
-      if (k == null) writeVarLong(buf, -1L)
-      else { writeVarLong(buf, k.length.toLong); buf.put(k) }
-      if (v == null) writeVarLong(buf, -1L)
-      else { writeVarLong(buf, v.length.toLong); buf.put(v) }
-      writeVarLong(buf, 0L) // no headers
-    }
+    buf.put(payload)
     val arr = buf.array()
     val crc = new CRC32C
     crc.update(arr, AttributesOffsetInBatch, total - AttributesOffsetInBatch)
@@ -203,7 +240,7 @@ object KafkaCodec {
         require(crc.getValue.toInt == crcStored,
           f"record batch CRC mismatch at offset $baseOffset: " +
             f"stored 0x$crcStored%08x != computed 0x${crc.getValue.toInt}%08x")
-        buf.getShort // attributes
+        val attributes = buf.getShort
         buf.getInt // lastOffsetDelta
         val baseTs = buf.getLong
         buf.getLong // maxTimestamp
@@ -211,21 +248,34 @@ object KafkaCodec {
         buf.getShort // producerEpoch
         buf.getInt // baseSequence
         val n = buf.getInt
+        // records section spans to the batch end; slice it so a
+        // compressed payload can be inflated before parsing
+        val recordsEnd = batchStart + 12 + batchLength
+        val payload = new Array[Byte](recordsEnd - buf.position())
+        buf.get(payload)
+        val codec = attributes & 0x07
+        val recBuf = codec match {
+          case Codec.None => ByteBuffer.wrap(payload)
+          case Codec.Gzip => ByteBuffer.wrap(gzipDecompress(payload))
+          case other =>
+            throw new IllegalArgumentException(
+              s"unsupported compression codec $other (this pair speaks none/gzip)")
+        }
         var i = 0
         while (i < n) {
-          readVarLong(buf) // record length
-          buf.get() // attributes
-          val tsDelta = readVarLong(buf)
-          val offDelta = readVarLong(buf)
-          val kLen = readVarInt(buf)
-          val k = if (kLen < 0) null else { val a = new Array[Byte](kLen); buf.get(a); a }
-          val vLen = readVarInt(buf)
-          val v = if (vLen < 0) null else { val a = new Array[Byte](vLen); buf.get(a); a }
-          val nHeaders = readVarInt(buf)
+          readVarLong(recBuf) // record length
+          recBuf.get() // attributes
+          val tsDelta = readVarLong(recBuf)
+          val offDelta = readVarLong(recBuf)
+          val kLen = readVarInt(recBuf)
+          val k = if (kLen < 0) null else { val a = new Array[Byte](kLen); recBuf.get(a); a }
+          val vLen = readVarInt(recBuf)
+          val v = if (vLen < 0) null else { val a = new Array[Byte](vLen); recBuf.get(a); a }
+          val nHeaders = readVarInt(recBuf)
           var h = 0
           while (h < nHeaders) { // skip headers: keyLen+key, valLen+val
-            val hk = readVarInt(buf); buf.position(buf.position() + math.max(hk, 0))
-            val hv = readVarInt(buf); buf.position(buf.position() + math.max(hv, 0))
+            val hk = readVarInt(recBuf); recBuf.position(recBuf.position() + math.max(hk, 0))
+            val hv = readVarInt(recBuf); recBuf.position(recBuf.position() + math.max(hv, 0))
             h += 1
           }
           out += WireRecord(baseOffset + offDelta, baseTs + tsDelta, k, v)

@@ -29,8 +29,21 @@ import KafkaCodec._
   *   - offsets are dense and immutable once assigned
   *   - fetch(o) returns [o, hw); fetch(hw) is empty-not-error;
   *     fetch(>hw) errors OFFSET_OUT_OF_RANGE
+  *
+  * `compressionType` models the broker-side `compression.type` topic
+  * config: `"gzip"` re-encodes every fetch response batch with the
+  * gzip codec bits (consumers must inflate), `"none"` (default) sends
+  * plain batches. Produce accepts either codec regardless — the log
+  * stores decoded records, so this stub always recompresses on fetch
+  * rather than keeping producer batches byte-identical (a real broker
+  * with `compression.type=producer` would; documented divergence,
+  * irrelevant to consumers, which see only records).
   */
-final class KafkaStubBroker(val numPartitions: Int = 3) {
+final class KafkaStubBroker(val numPartitions: Int = 3,
+    val compressionType: String = "none") {
+  require(compressionType == "none" || compressionType == "gzip",
+    s"unsupported compression.type '$compressionType' (none|gzip)")
+  private val fetchGzip = compressionType == "gzip"
 
   private final case class StoredRecord(
       offset: Long, timestampMs: Long, key: Array[Byte], value: Array[Byte])
@@ -261,7 +274,7 @@ final class KafkaStubBroker(val numPartitions: Int = 3) {
           while (i < slice.length && budget > 0) {
             val chunk = slice.slice(i, math.min(i + 500, slice.length))
             val encoded = encodeBatch(slice(i).offset,
-              chunk.map(r => (r.timestampMs, r.key, r.value)))
+              chunk.map(r => (r.timestampMs, r.key, r.value)), fetchGzip)
             batches += encoded
             budget -= encoded.length
             i += chunk.length

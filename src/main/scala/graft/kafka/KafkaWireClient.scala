@@ -93,11 +93,13 @@ final class KafkaWireClient(host: String, port: Int,
   }
 
   /** Produce v3 (acks=-1): one record batch to one partition. Returns
-    * the assigned base offset.
+    * the assigned base offset. `gzip = true` sends the batch with the
+    * gzip codec bits set (the producer `compression.type=gzip` config).
     */
   def produce(topic: String, partition: Int,
-      records: Seq[(Long, Array[Byte], Array[Byte])]): Long = {
-    val recordSet = encodeBatch(0L, records) // broker assigns real base
+      records: Seq[(Long, Array[Byte], Array[Byte])],
+      gzip: Boolean = false): Long = {
+    val recordSet = encodeBatch(0L, records, gzip) // broker assigns real base
     val body = ByteBuffer.allocate(64 + topic.length * 4 + recordSet.length)
     writeNullableString(body, null) // transactional_id
     body.putShort(-1) // acks: all

@@ -63,13 +63,18 @@ final class KafkaWireSourceProvider extends TableProvider with DataSourceRegiste
       require(n > 0, s"maxOffsetsPerTrigger must be positive, got $n")
       n
     }
+    val compression = Option(opts.get("kafka.compression.type"))
+      .orElse(Option(opts.get("compression.type"))).getOrElse("none")
+    require(compression == "none" || compression == "gzip",
+      s"kafka-wire: unsupported compression.type '$compression' (none|gzip)")
     new KafkaWireTable(KafkaWireConf(
       opts.get("host"),
       Integer.parseInt(opts.get("port")),
       Option(opts.get("topic")).getOrElse(opts.get("subscribe")),
       maxPerTrigger,
       Option(opts.get("startingOffsets")).getOrElse("earliest"),
-      Option(opts.get("endingOffsets")).getOrElse("latest")))
+      Option(opts.get("endingOffsets")).getOrElse("latest"),
+      compression == "gzip"))
   }
 }
 
@@ -84,11 +89,15 @@ final class KafkaWireSourceProvider extends TableProvider with DataSourceRegiste
   *    documented: the JSON is single-topic (no topic nesting) and the
   *    streaming default is `earliest` (the drain-a-preloaded-topic
   *    pattern every catalog pipeline uses; the stock default is
-  *    `latest`, and pipelines wanting it pass it explicitly).
+  *    `latest`, and pipelines wanting it pass it explicitly);
+  *  - `compression.type` (or the stock `kafka.compression.type`):
+  *    `none` | `gzip` — producer-side batch compression; the read
+  *    side inflates any codec transparently from the attribute bits,
+  *    so it needs no option.
   */
 final case class KafkaWireConf(host: String, port: Int, topic: String,
     maxOffsetsPerTrigger: Option[Long], startingOffsets: String,
-    endingOffsets: String)
+    endingOffsets: String, gzip: Boolean = false)
 
 object KafkaWireSource {
   /** The standard Kafka connector relation schema. */
@@ -173,7 +182,7 @@ final class KafkaWireTable(conf: KafkaWireConf)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): Write =
-        new KafkaWireWrite(conf.host, conf.port, conf.topic, info.schema())
+        new KafkaWireWrite(conf.host, conf.port, conf.topic, info.schema(), conf.gzip)
     }
 }
 
@@ -187,7 +196,7 @@ final class KafkaWireTable(conf: KafkaWireConf)
   * dedup twin (`q_kafka_wire_redelivery`) is the documented recovery.
   */
 final class KafkaWireWrite(host: String, port: Int, topic: String,
-    schema: StructType) extends Write {
+    schema: StructType, gzip: Boolean = false) extends Write {
 
   private def factoryParams: KafkaWireWriterParams = {
     val keyIdx = schema.fieldNames.indexOf("key")
@@ -201,7 +210,7 @@ final class KafkaWireWrite(host: String, port: Int, topic: String,
       try c.metadata(Seq(topic)).head.partitions.size finally c.close()
     }
     KafkaWireWriterParams(host, port, topic, nParts,
-      keyIdx, keyIsString, valueIdx, valueIsString)
+      keyIdx, keyIsString, valueIdx, valueIsString, gzip)
   }
 
   override def toBatch: BatchWrite = {
@@ -228,7 +237,7 @@ final class KafkaWireWrite(host: String, port: Int, topic: String,
 
 final case class KafkaWireWriterParams(host: String, port: Int, topic: String,
     nParts: Int, keyIdx: Int, keyIsString: Boolean,
-    valueIdx: Int, valueIsString: Boolean)
+    valueIdx: Int, valueIsString: Boolean, gzip: Boolean = false)
 
 final case class KafkaWireWriterFactory(params: KafkaWireWriterParams)
     extends DataWriterFactory with StreamingDataWriterFactory {
@@ -271,7 +280,7 @@ final class KafkaWireDataWriter(params: KafkaWireWriterParams, sparkPartition: I
 
   private def flush(part: Int): Unit = {
     val records = buffers(part).result()
-    if (records.nonEmpty) client.produce(topic, part, records)
+    if (records.nonEmpty) client.produce(topic, part, records, gzip)
     buffers(part) = Vector.newBuilder
     buffered(part) = 0
   }

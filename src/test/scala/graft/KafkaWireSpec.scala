@@ -56,6 +56,49 @@ class KafkaWireSpec extends AnyFunSuite {
     assert(KafkaCodec.decodeBatches(two).map(_.offset) == Seq(42L, 43L, 44L, 45L, 46L, 47L))
   }
 
+  test("gzip batches round-trip, set the codec bits, and actually shrink") {
+    val records = (0 until 200).map(i =>
+      (1000L + i, b(s"k$i"), b("repetitive payload text " * 10)))
+    val plain = KafkaCodec.encodeBatch(7L, records)
+    val gz = KafkaCodec.encodeBatch(7L, records, gzip = true)
+    // attributes int16 big-endian at batch offset 21-22: codec bits 0-2
+    assert((gz(22) & 0x07) == KafkaCodec.Codec.Gzip)
+    assert((plain(22) & 0x07) == KafkaCodec.Codec.None)
+    assert(gz.length < plain.length / 5,
+      s"highly repetitive payload should deflate hard: ${gz.length} vs ${plain.length}")
+    val decoded = KafkaCodec.decodeBatches(gz)
+    assert(decoded.size == 200)
+    decoded.zipWithIndex.foreach { case (r, i) =>
+      assert(r.offset == 7L + i && r.timestampMs == 1000L + i)
+      assert(s(r.key) == s"k$i" && r.value.sameElements(records(i)._3))
+    }
+    // null key / tombstone / empty survive compression too
+    val edge = Seq((1L, null, b("v")), (2L, b("k"), null), (3L, b(""), b("")))
+    val back = KafkaCodec.decodeBatches(KafkaCodec.encodeBatch(0L, edge, gzip = true))
+    assert(back.map(r => (Option(r.key).map(s), Option(r.value).map(s))) ==
+      Seq((None, Some("v")), (Some("k"), None), (Some(""), Some(""))))
+    // a fetch response may concatenate batches of different codecs
+    val mixed = gz ++ KafkaCodec.encodeBatch(207L, Seq((5L, b("x"), b("y"))))
+    assert(KafkaCodec.decodeBatches(mixed).size == 201)
+  }
+
+  test("a corrupted gzip batch fails CRC before inflate; unknown codec fails loudly") {
+    val gz = KafkaCodec.encodeBatch(0L, Seq((1L, b("k"), b("v" * 100))), gzip = true)
+    val torn = gz.clone()
+    torn(torn.length - 1) = (torn(torn.length - 1) ^ 0x01).toByte
+    assert(intercept[IllegalArgumentException](
+      KafkaCodec.decodeBatches(torn)).getMessage.contains("CRC"))
+    // flip codec bits to an unspoken codec (zstd=4) and re-CRC: the
+    // decoder must refuse rather than misparse compressed bytes
+    val zstd = gz.clone()
+    zstd(22) = ((zstd(22) & ~0x07) | 4).toByte
+    val crc = new java.util.zip.CRC32C
+    crc.update(zstd, 21, zstd.length - 21)
+    java.nio.ByteBuffer.wrap(zstd).putInt(17, crc.getValue.toInt)
+    assert(intercept[IllegalArgumentException](
+      KafkaCodec.decodeBatches(zstd)).getMessage.contains("codec"))
+  }
+
   test("a corrupted batch fails CRC validation loudly") {
     val encoded = KafkaCodec.encodeBatch(0L, Seq((1L, b("k"), b("v"))))
     encoded(encoded.length - 1) = (encoded(encoded.length - 1) ^ 0x01).toByte
@@ -148,6 +191,32 @@ class KafkaWireSpec extends AnyFunSuite {
           "at least one batch returns under any budget, but not the whole log")
       }
     }
+  }
+
+  test("compressed produce and broker-side compression.type=gzip round-trip over TCP") {
+    // producer-side gzip into a plain broker
+    withBroker() { broker =>
+      withClient(broker) { c =>
+        c.metadata(Seq("tz"))
+        c.produce("tz", 0, (0 until 50).map(i => (i.toLong, b(s"k$i"), b(s"v$i"))),
+          gzip = true)
+        val r = c.fetch("tz", 0, 0L)
+        assert(r.records.size == 50)
+        assert(r.records.map(x => s(x.value)) == (0 until 50).map(i => s"v$i"))
+      }
+    }
+    // broker-side recompression: every fetch response batch carries the
+    // gzip codec bits; the consumer inflates from the attributes alone
+    val gzBroker = new KafkaStubBroker(3, compressionType = "gzip")
+    gzBroker.start()
+    try {
+      withClient(gzBroker) { c =>
+        c.metadata(Seq("tz2"))
+        c.produce("tz2", 1, (0 until 700).map(i => (i.toLong, b(s"k$i"), b("z" * 40))))
+        val all = c.fetchAll("tz2", 1)
+        assert(all.size == 700 && all.map(_.offset) == (0L until 700L))
+      }
+    } finally gzBroker.stop()
   }
 
   test("unknown partition errors instead of silently creating a log") {

@@ -67,6 +67,26 @@ class KafkaWireStreamSpec extends AnyFunSuite {
     else spark.read.parquet(outDir).collect().map(_.getInt(0)).toSeq.sorted
   }
 
+  test("gzip on both wire directions: compression.type=gzip write, gzip-broker stream read") {
+    val broker = new KafkaStubBroker(3, compressionType = "gzip")
+    broker.start()
+    try {
+      import spark.implicits._
+      // producer leg: the connector's compression.type option deflates
+      // every produced batch (stock connector knob)
+      (0 until 400).map(i => (s"k${i % 7}", s"""{"id":$i}"""))
+        .toDF("key", "value")
+        .write.format("kafka-wire")
+        .option("host", "127.0.0.1").option("port", broker.port.toString)
+        .option("topic", "gz").option("compression.type", "gzip")
+        .mode("append").save()
+      // consumer leg: the broker recompresses fetch responses; the
+      // streaming source inflates from the batch attribute bits alone
+      val got = drain(broker, "gz", tmp("chk_gz_"))
+      assert(got == (0 until 400))
+    } finally broker.stop()
+  }
+
   test("streaming read surfaces the standard Kafka connector schema") {
     withBroker() { broker =>
       produce(broker, "schema_t", 0 until 5)
