@@ -156,6 +156,44 @@ object Streaming {
       .orderBy("user_id")
   }
 
+  // Delete-by-key over the log-structured store (the GDPR
+  // right-to-be-forgotten path): upsert the full feed, then append ONE
+  // tombstone segment for every 7th user positioned at an event-time
+  // cutoff — O(keys) appended, no store rewrite — and compact, which
+  // physically erases the tombstoned rows from disk. The event-time
+  // contract matches the store's upsert merge: a tombstone removes a
+  // key only while it is the key's orderCols maximum, so users whose
+  // LAST event is newer than the cutoff survive (they "came back"),
+  // and the oracle encodes exactly that predicate. At 100 TB this is
+  // the delete shape that works: tombstone append + deferred compaction,
+  // never a synchronous scan-and-rewrite of the corpus.
+  val sinkUpsertDeltaDelete: QueryDef = QueryDef.sql("q_sink_upsert_delta_delete")(
+    """SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+      |  value AS last_value
+      |FROM (SELECT *, row_number() OVER
+      |        (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |      FROM events) t
+      |WHERE rn = 1
+      |  AND NOT (user_id % 7 = 0 AND ts <= TIMESTAMP '2024-01-20 00:00:00')
+      |ORDER BY user_id""".stripMargin) { (s, dir) =>
+    val store = new DeltaUpsertStore(uniqueDir("upsert_del_"), "user_id",
+      Seq("ts", "event_id"))
+    require(store.healthCheck(), "sink preflight failed")  // K5
+    val ev = graft.core.Tables.events(s, dir)
+    store.upsert(ev, 0)
+    val cutoff = lit("2024-01-20 00:00:00").cast("timestamp")
+    store.delete(ev.select("user_id").distinct()
+      .filter(col("user_id") % 7 === 0)
+      .withColumn("ts", cutoff)
+      // tombstone out-orders any event at the cutoff instant itself
+      .withColumn("event_id", lit(Long.MaxValue)), 1)
+    store.compact(s)
+    store.read(s)
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("event_type").as("last_event_type"), col("value").as("last_value"))
+      .orderBy("user_id")
+  }
+
   // Streaming windowed TOP-K: the "trending event types per hour"
   // dashboard tile. The unbounded side runs as a real watermarked
   // streaming aggregation (hour window × type — state bounded by the
@@ -1092,7 +1130,8 @@ object Streaming {
     streamSessionWindow, streamTwsSummary, streamLeftOuter, streamFullOuter,
     streamChainedAgg,
     streamLateDrop, streamStaticJoin, streamSessionTimers, streamMapStateCounts,
-    streamIncremental, streamSemiJoin, sinkUpsertDeltaAsof, streamAsofJoin,
+    streamIncremental, streamSemiJoin, sinkUpsertDeltaAsof,
+    sinkUpsertDeltaDelete, streamAsofJoin,
     sinkUpsertEs, sinkRouteEs, streamTopkTypes,
     kafkaWireIngest, kafkaWireRedelivery, streamKafkaWire, streamKafkaSink,
     e2eKafkaEs, kafkaTopicTransform)

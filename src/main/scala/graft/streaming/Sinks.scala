@@ -196,6 +196,29 @@ final class DeltaUpsertStore(root: String, keyCol: String, orderCols: Seq[String
     commit(manifest() :+ seg)
   }
 
+  /** Delete-by-key (the GDPR right-to-be-forgotten path): append one
+    * tombstone segment — O(keys), no store rewrite. `keys` must carry
+    * `keyCol` plus the orderCols giving each tombstone's position in
+    * event-time order: a key is gone from [[read]] while the tombstone
+    * is its orderCols maximum, and an upsert NEWER than the tombstone
+    * resurrects it — the same global event-time contract the upsert
+    * merge keeps (deleting "as of now" = tombstone at wall-clock now,
+    * which out-orders everything stored). [[compact]] then physically
+    * erases tombstoned rows from disk: delete + compact is the actual
+    * forget. Caveat, same as Cassandra's gc_grace / Delta's VACUUM
+    * retention: compaction also drops the tombstone itself, so
+    * late-arriving data OLDER than a compacted-away tombstone would
+    * resurrect its key — only compact once no writer can still deliver
+    * events from before the tombstone's position.
+    */
+  def delete(keys: DataFrame, batchId: Long): Unit = synchronized {
+    val seg = nextSegment("t")
+    latestPerKey(keys.select((keyCol +: orderCols).map(col): _*), segOrdered = false)
+      .withColumn("__tomb", lit(true))
+      .write.mode(SaveMode.Overwrite).parquet(s"$root/$seg")
+    commit(manifest() :+ seg)
+  }
+
   /** Merged view: global orderCols max per key across segments. */
   override def read(spark: SparkSession): DataFrame =
     mergedView(spark, manifest())
@@ -227,7 +250,16 @@ final class DeltaUpsertStore(root: String, keyCol: String, orderCols: Seq[String
       val tagged = segs.zipWithIndex.map { case (seg, i) =>
         spark.read.parquet(s"$root/$seg").withColumn("__seg", lit(i.toLong))
       }
-      latestPerKey(tagged.reduce(_ unionByName _), segOrdered = true)
+      // allowMissingColumns: tombstone segments carry only key +
+      // orderCols + __tomb; data segments lack __tomb — both sides
+      // null-fill. A key whose orderCols winner is a tombstone is
+      // filtered from the view (and thus from the next compaction's
+      // base — that is the physical erasure).
+      val union = tagged.reduce(_.unionByName(_, allowMissingColumns = true))
+      val merged = latestPerKey(union, segOrdered = true)
+      if (merged.columns.contains("__tomb"))
+        merged.filter(!coalesce(col("__tomb"), lit(false))).drop("__tomb")
+      else merged
     }
   }
 
@@ -237,15 +269,21 @@ final class DeltaUpsertStore(root: String, keyCol: String, orderCols: Seq[String
     */
   def compact(spark: SparkSession): Unit = synchronized {
     val old = manifest()
-    if (old.size > 1) {
-      val base = nextSegment("b")
-      read(spark).write.mode(SaveMode.Overwrite).parquet(s"$root/$base")
-      commit(Seq(base))
-      val keep = (old :+ base).toSet
-      Option(dir.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isDirectory && !keep.contains(f.getName))
-        .foreach(deleteRecursively)
-    }
+    val current =
+      if (old.size > 1) {
+        val base = nextSegment("b")
+        read(spark).write.mode(SaveMode.Overwrite).parquet(s"$root/$base")
+        commit(Seq(base))
+        Seq(base)
+      } else old
+    // GC runs even when there was nothing to fold: segments superseded
+    // by the PREVIOUS compaction (one full round of in-flight-reader
+    // grace) must still be reclaimed, or a fold-to-one store would keep
+    // tombstoned rows on disk forever — the erasure would never finish
+    val keep = (old ++ current).toSet
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && !keep.contains(f.getName))
+      .foreach(deleteRecursively)
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {

@@ -66,6 +66,51 @@ class SinksSpec extends AnyFunSuite {
     assert(state() == Seq(("413", "b"), ("644", "d"), ("999", "z")))
   }
 
+  test("K3 delta store: tombstone delete hides, resurrects, and compacts to physical erasure") {
+    val root = tmp("delta_del_")
+    val store = new DeltaUpsertStore(root, "room", Seq("ts"))
+    store.upsert(Seq(("413", 5L, "secret"), ("644", 3L, "keep"))
+      .toDF("room", "ts", "v"), 0)
+    def state() = store.read(spark).orderBy("room")
+      .collect().map(r => (r.getString(0), r.getString(2))).toSeq
+    // delete 413 as of ts=7 (newer than its stored row): key gone
+    store.delete(Seq(("413", 7L)).toDF("room", "ts"), 1)
+    assert(state() == Seq(("644", "keep")))
+    // a stale upsert OLDER than the tombstone stays deleted
+    store.upsert(Seq(("413", 6L, "stale")).toDF("room", "ts", "v"), 2)
+    assert(state() == Seq(("644", "keep")))
+    // an upsert NEWER than the tombstone resurrects the key
+    store.upsert(Seq(("413", 9L, "back")).toDF("room", "ts", "v"), 3)
+    assert(state() == Seq(("413", "back"), ("644", "keep")))
+    // time travel still sees the pre-delete state (version 1 = first upsert)
+    val v1 = store.readAt(spark, 1).orderBy("room")
+      .collect().map(r => (r.getString(0), r.getString(2))).toSeq
+    assert(v1 == Seq(("413", "secret"), ("644", "keep")))
+    // two compactions: fold + GC. The erased value must appear in NO
+    // surviving parquet byte on disk — the actual right-to-be-forgotten
+    store.compact(spark)
+    store.compact(spark)
+    assert(state() == Seq(("413", "back"), ("644", "keep")))
+    val leaked = new java.io.File(root).listFiles.filter(_.isDirectory)
+      .flatMap(_.listFiles).filter(_.getName.endsWith(".parquet"))
+      .exists(f => new String(Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.ISO_8859_1).contains("secret"))
+    assert(!leaked, "deleted value still present in live segment bytes")
+    // and the pre-delete version is now honestly unreadable (GC'd), not partial
+    intercept[IllegalArgumentException](store.readAt(spark, 1))
+  }
+
+  test("K3 delta store: a delete on an absent key is a no-op for readers") {
+    val store = new DeltaUpsertStore(tmp("delta_del2_"), "room", Seq("ts"))
+    store.upsert(Seq(("644", 3L, "keep")).toDF("room", "ts", "v"), 0)
+    store.delete(Seq(("nosuch", 9L)).toDF("room", "ts"), 1)
+    val out = store.read(spark).collect().map(r => (r.getString(0), r.getString(2)))
+    assert(out.toSeq == Seq(("644", "keep")))
+    // and stays a no-op through compaction
+    store.compact(spark)
+    assert(store.read(spark).count() == 1)
+  }
+
   test("K3 delta store: time travel reads each committed version until GC") {
     val store = new DeltaUpsertStore(tmp("delta_tt_"), "room", Seq("ts"))
     assert(store.healthCheck())
