@@ -307,6 +307,73 @@ object Curation {
   }
 
   // -------------------------------------------------------------------
+  // LEAKAGE-SAFE split: q_hash_split hashes the doc id, so two near-
+  // duplicate documents can land one in train and one in test — the
+  // eval then scores memorization, not generalization (the classic
+  // train/test contamination failure). This variant hashes the NEAR-DUP
+  // CLUSTER id instead: connected components over the verified Jaccard
+  // pairs label every document with its cluster minimum (docs with no
+  // near-dup keep their own id), and the split decision is a function
+  // of that label alone — by construction no cluster ever straddles
+  // splits. Scale shape: the CC label relation is near-dup-subset-
+  // sized; the corpus joins it once on doc_id (plain shuffled equi-
+  // join), and the split expression stays a codegen'd projection, so
+  // the only cost over q_hash_split is the one join against a relation
+  // that dedup already computes. The oracle recomputes the clustering
+  // via a recursive CTE and the same salted hash — a single doc in the
+  // wrong split breaks the hash.
+  val splitLeakageSafe: QueryDef = QueryDef.sql("q_split_leakage_safe")(
+    s"""WITH RECURSIVE $pairsSql,
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(src, dst) AS (
+       |  SELECT src, src FROM (SELECT DISTINCT src FROM edges) t
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |lbl AS (SELECT src AS doc_id, MIN(dst) AS cluster_id
+       |        FROM reach GROUP BY src),
+       |c AS (SELECT d.doc_id, d.lang, d.n_chars,
+       |        COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+       |      FROM documents d LEFT JOIN lbl l ON d.doc_id = l.doc_id),
+       |s AS (SELECT lang, n_chars, cluster_id,
+       |        ('0x' || substr(md5('split:' || CAST(cluster_id AS VARCHAR)), 1, 15))::BIGINT % 100
+       |          AS bucket
+       |      FROM c),
+       |t AS (SELECT CASE WHEN bucket < 80 THEN 'train'
+       |                  WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+       |             lang, n_chars, cluster_id FROM s)
+       |SELECT split, lang, COUNT(*) AS n_docs,
+       |  COUNT(DISTINCT cluster_id) AS n_clusters,
+       |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+       |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    val preexisting = s.sparkContext.getPersistentRDDs.keySet
+    val (pairs, tokenEx) = jaccardPairs(s, dir)
+    val pairsCk = pairs.localCheckpoint()
+    tokenEx.unpersist(blocking = false)
+    val labels = ccLabels(pairsCk)
+      .select(col("doc").as("doc_id"), col("lbl"))
+    val result = Tables.documents(s, dir)
+      .select("doc_id", "lang", "n_chars")
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("lbl"), col("doc_id")))
+      .withColumn("bucket",
+        Text.hash60(concat(lit("split:"), col("cluster_id").cast("string"))) % 100)
+      .withColumn("split",
+        when(col("bucket") < 80, "train").when(col("bucket") < 90, "val")
+          .otherwise("test"))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("cluster_id")).as("n_clusters"),
+        sum(col("n_chars")).as("total_chars"))
+      .orderBy("split", "lang")
+    graft.core.Spill.materialize(result) {
+      s.sparkContext.getPersistentRDDs
+        .filterNot { case (id, _) => preexisting.contains(id) }
+        .values.foreach(_.unpersist(false))
+    }
+  }
+
+  // -------------------------------------------------------------------
   // Stratified deterministic sampling: 10% per language stratum, ranked
   // by a salted hash so the sample is reproducible. The window is
   // per-stratum — at scale the rank shuffle partitions by lang (few
@@ -1159,6 +1226,7 @@ object Curation {
 
   val all: Seq[QueryDef] = Seq(
     dedupClusters, dedupClustersTwoStar, repetitionFilter, hashSplit,
+    splitLeakageSafe,
     sampleStratified, docChunks, piiRedact, idfQuality, contamination,
     filterFunnel, domainMix, domainMixTemp, upsampleRepeat, chunkDedup,
     corpusDedup, sampleWeighted, packSequences, shardBalance,

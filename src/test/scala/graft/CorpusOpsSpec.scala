@@ -12,6 +12,44 @@ class CorpusOpsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   private val sf = "/root/testdata/sf0.01"
 
+  test("leakage-safe split: clusters never straddle splits, totals conserve, and doc-hash would leak") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.core.Tables.documents(spark, dir)
+      .select("doc_id", "lang", "n_chars")
+    val clusters = SparkEntry.queries("q_dedup_clusters")(spark, dir)
+      .select(col("doc_id"), col("cluster_id"))
+    // doc-level reconstruction of the split the aggregate query reports
+    def splitOf(c: org.apache.spark.sql.Column) =
+      when(graft.ops.Text.hash60(concat(lit("split:"), c.cast("string"))) % 100 < 80, "train")
+        .when(graft.ops.Text.hash60(concat(lit("split:"), c.cast("string"))) % 100 < 90, "val")
+        .otherwise("test")
+    val perDoc = docs.join(clusters, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("split", splitOf(col("cluster_id")))
+    // 1. the aggregate catalog query equals the doc-level reconstruction
+    val agg = SparkEntry.queries("q_split_leakage_safe")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val rebuilt = perDoc.groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("cluster_id")).as("n_clusters"),
+        sum(col("n_chars")).as("total_chars"))
+      .orderBy("split", "lang").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(agg.toSeq == rebuilt.toSeq)
+    assert(agg.map(_._3).sum == docs.count())
+    // 2. no near-dup cluster straddles splits (the operator's contract)
+    val straddling = perDoc.groupBy("cluster_id")
+      .agg(countDistinct(col("split")).as("k")).filter(col("k") > 1).count()
+    assert(straddling == 0L)
+    // 3. the doc-id hash (q_hash_split) WOULD straddle some multi-doc
+    //    cluster — the leakage this operator exists to prevent is real
+    //    in this corpus, not vacuously absent
+    val wouldLeak = perDoc.withColumn("doc_split", splitOf(col("doc_id")))
+      .groupBy("cluster_id").agg(countDistinct(col("doc_split")).as("k"))
+      .filter(col("k") > 1).count()
+    assert(wouldLeak > 0L,
+      "fixture has no multi-doc cluster split by doc-id hashing; property 3 is vacuous")
+  }
+
   test("corpus dedup keeps every unique doc and exactly one canonical per cluster") {
     val total = graft.core.Tables.documents(spark, sf).count()
     val kept = graft.catalog.Curation.corpusDedup.build(spark, sf)
