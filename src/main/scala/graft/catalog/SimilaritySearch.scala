@@ -990,9 +990,76 @@ object SimilaritySearch {
       .orderBy("label")
   }
 
+  // Binary (sign) quantization ANN: each 64-dim vector collapses to 64
+  // SIGN BITS packed as two 32-bit words — 16 bytes of signature
+  // instead of 512 bytes of doubles, a 32× smaller scan. Candidate
+  // generation is hamming distance over the signatures (two XOR + two
+  // POPCNT per pair — codegen'd integer ops, no float math), top-20
+  // per query by (hamming, id); only those 20 candidates pay the exact
+  // cosine rerank. This is the memory-bound regime's ANN: at 100 TB
+  // the signature relation is what stays resident (16 B/vector), the
+  // full vectors are fetched for the k'-bounded rerank only. Both
+  // engines compute the signatures from the same 1-based component
+  // sign tests, so the candidate cut is bit-identical; hamming is
+  // emitted alongside cosine to pin the signature math itself.
+  private def sigSqlWord(lo: Int): String =
+    (0 until 32).map(j =>
+      s"(CASE WHEN v[${lo + j + 1}] > 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")
+
+  private def sigColWord(lo: Int) =
+    (0 until 32).map(j =>
+      when(element_at(col("v"), lo + j + 1) > 0d, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+
+  val annBinaryQuant: QueryDef = QueryDef.sql("q_ann_binary_quant")(
+    s"""WITH n AS ($normedSql),
+       |sg AS (SELECT vec_id, v, nrm,
+       |         ${sigSqlWord(0)} AS sig_lo, ${sigSqlWord(32)} AS sig_hi
+       |       FROM n),
+       |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm,
+       |        sig_lo AS q_lo, sig_hi AS q_hi
+       |      FROM sg WHERE vec_id < 20),
+       |ham AS (SELECT query_id, sg.vec_id AS neighbor_id, qv, qnrm, v, nrm,
+       |          bit_count(xor(q_lo, sig_lo)) + bit_count(xor(q_hi, sig_hi)) AS hamming
+       |        FROM q CROSS JOIN sg WHERE sg.vec_id <> query_id),
+       |cand AS (SELECT *, ROW_NUMBER() OVER
+       |  (PARTITION BY query_id ORDER BY hamming, neighbor_id) AS hrnk FROM ham),
+       |rerank AS (SELECT query_id, neighbor_id, CAST(hamming AS BIGINT) AS hamming,
+       |             list_dot_product(qv, v) / (qnrm * nrm) AS cosine
+       |           FROM cand WHERE hrnk <= 20),
+       |ranked AS (SELECT *, ROW_NUMBER() OVER
+       |  (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk FROM rerank)
+       |SELECT query_id, neighbor_id, hamming, cosine, rnk FROM ranked
+       |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin) { (s, dir) =>
+    val sg = normed(s, dir)
+      .withColumn("sig_lo", sigColWord(0))
+      .withColumn("sig_hi", sigColWord(32))
+    val q = sg.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"), col("sig_lo").as("q_lo"), col("sig_hi").as("q_hi"))
+    val ham = broadcast(q).crossJoin(sg)
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("qv"), col("qnrm"), col("v"), col("nrm"),
+        (bit_count(col("q_lo").bitwiseXOR(col("sig_lo"))) +
+          bit_count(col("q_hi").bitwiseXOR(col("sig_hi")))).as("hamming"))
+    val hw = Window.partitionBy("query_id").orderBy(col("hamming"), col("neighbor_id"))
+    val rerank = ham.withColumn("hrnk", row_number().over(hw))
+      .filter(col("hrnk") <= 20)
+      .select(col("query_id"), col("neighbor_id"),
+        col("hamming").cast("long").as("hamming"),
+        Vectors.cosine(col("qv"), col("v"), col("qnrm"), col("nrm")).as("cosine"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    rerank.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select("query_id", "neighbor_id", "hamming", "cosine", "rnk")
+      .orderBy("query_id", "rnk")
+  }
+
   val all: Seq[QueryDef] = Seq(
     embedNorm, embedTopk, embedNearDup, annIvf, annIvfProbe2, annIvfKmeans, annLsh,
     embedNearDupLsh, embedOutlier, vecQuantize, pqCodes, semanticDedup,
     embedTruncatedRecall, rrfFusion, annTopkRefine, mmrRerank, hardNegatives,
-    embedDrift)
+    embedDrift, annBinaryQuant)
 }
