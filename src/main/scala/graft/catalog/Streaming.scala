@@ -268,6 +268,47 @@ object Streaming {
     } finally stub.stop()
   }
 
+  // The GDPR delete over the REAL wire: external-versioned `_bulk`
+  // delete actions against the ES store — the `_bulk` twin of
+  // q_sink_upsert_delta_delete, sharing its oracle. Upsert the full
+  // feed (version = event-time micros), then delete every 7th user at
+  // the cutoff instant's version: users whose last event out-versions
+  // the tombstone survive as 409 stale deletes, everyone else is
+  // tombstoned — the same event-time predicate, enforced by the
+  // engine's optimistic concurrency rule instead of a merge window.
+  // O(keys) delete actions cross the wire from the executors.
+  val sinkUpsertEsDelete: QueryDef = QueryDef.sql("q_sink_upsert_es_delete")(
+    """SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+      |  value AS last_value
+      |FROM (SELECT *, row_number() OVER
+      |        (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |      FROM events) t
+      |WHERE rn = 1
+      |  AND NOT (user_id % 7 = 0 AND ts <= TIMESTAMP '2024-01-20 00:00:00')
+      |ORDER BY user_id""".stripMargin) { (s, dir) =>
+    val stub = new EsStub()
+    stub.start()
+    try {
+      val docSchema = org.apache.spark.sql.types.StructType.fromDDL(
+        "user_id BIGINT, event_id BIGINT, event_type STRING, value DOUBLE")
+      val store = new EsHttpStore(stub.baseUrl, "events", "user_id",
+        Seq("_ver"), "_ver", docSchema)
+      require(store.healthCheck(), "sink preflight failed") // K5 over the wire
+      val ev = graft.core.Tables.events(s, dir)
+        .withColumn("_ver", unix_micros(col("ts")))
+      store.upsert(ev, 0)
+      val cutoff = lit("2024-01-20 00:00:00").cast("timestamp")
+      store.delete(ev.select("user_id").distinct()
+        .filter(col("user_id") % 7 === 0)
+        .withColumn("_ver", unix_micros(cutoff)), 1)
+      val out = store.read(s)
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("event_type").as("last_event_type"), col("value").as("last_value"))
+        .orderBy("user_id")
+      graft.core.Spill.materialize(out)(())
+    } finally stub.stop()
+  }
+
   // K4 over the REAL wire: dynamic per-row index routing
   // (`room-{room}` → `type-{event_type}`) as auto-id `_bulk` appends
   // from the executors — the reference's per-row `es.index(...)` loop
@@ -1132,7 +1173,7 @@ object Streaming {
     streamLateDrop, streamStaticJoin, streamSessionTimers, streamMapStateCounts,
     streamIncremental, streamSemiJoin, sinkUpsertDeltaAsof,
     sinkUpsertDeltaDelete, streamAsofJoin,
-    sinkUpsertEs, sinkRouteEs, streamTopkTypes,
+    sinkUpsertEs, sinkUpsertEsDelete, sinkRouteEs, streamTopkTypes,
     kafkaWireIngest, kafkaWireRedelivery, streamKafkaWire, streamKafkaSink,
     e2eKafkaEs, kafkaTopicTransform)
 }

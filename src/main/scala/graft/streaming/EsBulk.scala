@@ -28,9 +28,15 @@ import org.apache.spark.sql.types.StructType
   *  - `id = None`: auto-id append (the reference's per-row
   *    `es.index(index=...)` loop, `kafka_to_es.py:55-71`) —
   *    at-least-once: a retried request can duplicate docs.
+  *  - `delete = true` (requires an id): a `delete` action — with
+  *    `version = Some(...)` it is an external-versioned delete (wins
+  *    iff strictly newer than the stored doc; the engine keeps the
+  *    tombstone's version so later stale writes still 409 — the wire
+  *    twin of [[DeltaUpsertStore.delete]]'s event-time contract).
+  *    `source` is ignored (delete actions carry no source line).
   */
 final case class EsDoc(index: String, id: Option[String],
-    version: Option[Long], source: String)
+    version: Option[Long], source: String, delete: Boolean = false)
 
 final case class EsBulkStats(indexed: Long, conflicts: Long, requests: Long) {
   def +(o: EsBulkStats): EsBulkStats =
@@ -77,15 +83,17 @@ final class EsBulkClient(baseUrl: String, maxDocsPerRequest: Int = 1000,
     val body = new StringBuilder
     chunk.foreach { d =>
       val meta = mapper.createObjectNode()
-      val idx = meta.putObject("index")
+      val op = if (d.delete) "delete" else "index"
+      val idx = meta.putObject(op)
       idx.put("_index", d.index)
       d.id.foreach(idx.put("_id", _))
       d.version.foreach { v =>
         idx.put("version", v)
         idx.put("version_type", "external")
       }
+      if (d.delete) require(d.id.nonEmpty, "bulk delete action requires an _id")
       body.append(mapper.writeValueAsString(meta)).append('\n')
-        .append(d.source).append('\n')
+      if (!d.delete) body.append(d.source).append('\n')
     }
     val req = HttpRequest.newBuilder(URI.create(s"$baseUrl/_bulk"))
       .timeout(Duration.ofSeconds(60))
@@ -103,10 +111,12 @@ final class EsBulkClient(baseUrl: String, maxDocsPerRequest: Int = 1000,
           var conflicts = 0L
           val items = mapper.readTree(r.body()).path("items")
           items.elements().asScala.foreach { item =>
+            val isDelete = item.has("delete")
             val op = item.elements().asScala.next()
             val status = op.path("status").asInt(0)
             if (status == 200 || status == 201) indexed += 1
             else if (status == 409) conflicts += 1 // stale under external versioning: fine
+            else if (status == 404 && isDelete) indexed += 1 // deleting an absent doc: fine
             else throw new IllegalStateException(
               s"bulk item failed (status $status): ${op.toString.take(500)}")
           }
@@ -187,6 +197,32 @@ final class EsHttpStore(baseUrl: String, index: String, idCol: String,
         val c = new EsBulkClient(url)
         c.bulk(rows.map(r =>
           EsDoc(idx, Some(r.getString(0)), Some(r.getLong(1)), r.getString(2))))
+        ()
+      }
+    }
+  }
+
+  /** Delete-by-id over the wire (the GDPR path's `_bulk` twin):
+    * external-versioned `delete` actions — a delete wins only against
+    * docs whose version is strictly older, the engine holds the
+    * tombstone's version so stale late writes still 409, and a NEWER
+    * upsert resurrects the id — the same event-time contract as
+    * [[DeltaUpsertStore.delete]]. O(keys) actions cross the wire from
+    * the executors; stale deletes surface as 409 conflicts, absent ids
+    * as 404s, both expected outcomes.
+    */
+  def delete(keys: DataFrame, batchId: Long): Unit = {
+    val w = Window.partitionBy(idCol).orderBy(orderCols.map(col(_).desc): _*)
+    val reduced = keys
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(col(idCol).cast("string").as("_id"),
+        col(versionCol).cast("long").as("_v"))
+    val (url, idx) = (baseUrl, index)
+    reduced.foreachPartition { (rows: Iterator[Row]) =>
+      if (rows.hasNext) {
+        val c = new EsBulkClient(url)
+        c.bulk(rows.map(r =>
+          EsDoc(idx, Some(r.getString(0)), Some(r.getLong(1)), null, delete = true)))
         ()
       }
     }

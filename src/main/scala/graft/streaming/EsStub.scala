@@ -38,7 +38,11 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   */
 final class EsStub {
 
-  private final case class Entry(version: Long, source: String)
+  // deleted = tombstone: invisible to search/snapshot, but the version
+  // still gates later external-versioned writes (real ES keeps deleted
+  // doc versions for index.gc_deletes for exactly this)
+  private final case class Entry(version: Long, source: String,
+      deleted: Boolean = false)
 
   private val mapper = new ObjectMapper()
   private val docs = new ConcurrentHashMap[(String, String), Entry]()
@@ -73,7 +77,7 @@ final class EsStub {
   /** Docs currently held for `index` ("" = all): (index, id, source). */
   def snapshot(index: String): Seq[(String, String, String)] =
     docs.asScala.toSeq
-      .filter { case ((i, _), _) => index.isEmpty || i == index }
+      .filter { case ((i, _), e) => !e.deleted && (index.isEmpty || i == index) }
       .map { case ((i, id), e) => (i, id, e.source) }
 
   server.createContext("/", (ex: HttpExchange) => {
@@ -106,8 +110,8 @@ final class EsStub {
     }
   }
 
-  /** Apply an NDJSON bulk body; only `index` actions are implemented
-    * (the one op the sink layer emits).
+  /** Apply an NDJSON bulk body; `index` and `delete` actions are
+    * implemented (the two ops the sink layer emits).
     */
   private def applyBulk(body: String): String = {
     val lines = body.split('\n').iterator.filter(_.nonEmpty)
@@ -115,35 +119,54 @@ final class EsStub {
     var anyError = false
     while (lines.hasNext) {
       val action = mapper.readTree(lines.next())
-      require(action.has("index"), s"unsupported bulk op: ${action.toString.take(100)}")
-      val meta = action.get("index")
+      val isDelete = action.has("delete")
+      require(isDelete || action.has("index"),
+        s"unsupported bulk op: ${action.toString.take(100)}")
+      val meta = action.get(if (isDelete) "delete" else "index")
       val index = meta.path("_index").asText()
-      require(index.nonEmpty, "bulk index action without _index")
-      val source = lines.next() // index ops carry a source line
+      require(index.nonEmpty, "bulk action without _index")
+      val source = if (isDelete) null else lines.next() // only index ops carry a source line
       val external = meta.path("version_type").asText("") == "external"
       val id = Option(meta.get("_id")).map(_.asText())
-        .getOrElse(s"_auto_${autoId.incrementAndGet()}")
+        .getOrElse {
+          require(!isDelete, "bulk delete action without _id")
+          s"_auto_${autoId.incrementAndGet()}"
+        }
       val status =
         if (external) {
           val v = meta.path("version").asLong()
           // atomic highest-version-wins per key; ties conflict (real
           // external-versioning rule: new must be STRICTLY greater, so
-          // an exact replay of an already-applied write also 409s)
+          // an exact replay of an already-applied write also 409s).
+          // Deletes leave a TOMBSTONE entry whose version keeps gating
+          // later writes (real ES: index.gc_deletes retention); a
+          // delete of an absent id records the tombstone and reports
+          // 404 not_found, the real engine's response.
           val won = new java.util.concurrent.atomic.AtomicBoolean(false)
-          docs.compute((index, id), (_, cur) =>
-            if (cur == null || v > cur.version) { won.set(true); Entry(v, source) }
-            else { won.set(false); cur })
-          if (won.get) 201 else 409
+          val existed = new java.util.concurrent.atomic.AtomicBoolean(false)
+          docs.compute((index, id), (_, cur) => {
+            existed.set(cur != null && !cur.deleted)
+            if (cur == null || v > cur.version) {
+              won.set(true); Entry(v, source, isDelete)
+            } else { won.set(false); cur }
+          })
+          if (!won.get) 409
+          else if (isDelete) { if (existed.get) 200 else 404 }
+          else 201
+        } else if (isDelete) {
+          val existed = docs.remove((index, id)) != null
+          if (existed) 200 else 404
         } else {
           docs.compute((index, id), (_, cur) =>
             Entry(if (cur == null) 1L else cur.version + 1L, source))
           201
         }
       if (status == 409) anyError = true
-      val item = items.addObject().putObject("index")
+      val item = items.addObject().putObject(if (isDelete) "delete" else "index")
       item.put("_index", index)
       item.put("_id", id)
       item.put("status", status)
+      if (status == 404) item.put("result", "not_found")
       if (status == 409) item.putObject("error")
         .put("type", "version_conflict_engine_exception")
     }

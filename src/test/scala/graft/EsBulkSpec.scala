@@ -51,6 +51,52 @@ class EsBulkSpec extends AnyFunSuite {
     }
   }
 
+  test("versioned delete actions: hide, gate stale writes via the tombstone, resurrect, 404 on absent") {
+    withStub { stub =>
+      val c = new EsBulkClient(stub.baseUrl)
+      c.bulk(Iterator(
+        EsDoc("t", Some("a"), Some(5L), """{"k":1,"v":"secret"}"""),
+        EsDoc("t", Some("b"), Some(3L), """{"k":2,"v":"keep"}""")))
+      // delete a at version 7 (> 5): gone from search
+      val d1 = c.bulk(Iterator(EsDoc("t", Some("a"), Some(7L), null, delete = true)))
+      assert(d1 == EsBulkStats(1, 0, 1))
+      assert(stub.snapshot("t").map(_._2) == Seq("b"))
+      // a stale write older than the tombstone must NOT resurrect (the
+      // gc_deletes version gate)
+      val s1 = c.bulk(Iterator(EsDoc("t", Some("a"), Some(6L), """{"k":1,"v":"late"}""")))
+      assert(s1 == EsBulkStats(0, 1, 1))
+      assert(stub.snapshot("t").map(_._2) == Seq("b"))
+      // a write NEWER than the tombstone resurrects
+      val s2 = c.bulk(Iterator(EsDoc("t", Some("a"), Some(9L), """{"k":1,"v":"back"}""")))
+      assert(s2 == EsBulkStats(1, 0, 1))
+      assert(stub.snapshot("t").sortBy(_._2).map(_._2) == Seq("a", "b"))
+      // a stale DELETE older than the live doc is a conflict, not a delete
+      val d2 = c.bulk(Iterator(EsDoc("t", Some("a"), Some(8L), null, delete = true)))
+      assert(d2 == EsBulkStats(0, 1, 1))
+      assert(stub.snapshot("t").sortBy(_._2).map(_._2) == Seq("a", "b"))
+      // deleting an absent id reports not_found (treated as success) and
+      // still plants the version gate
+      val d3 = c.bulk(Iterator(EsDoc("t", Some("ghost"), Some(10L), null, delete = true)))
+      assert(d3 == EsBulkStats(1, 0, 1))
+      val s3 = c.bulk(Iterator(EsDoc("t", Some("ghost"), Some(4L), """{"k":9,"v":"no"}""")))
+      assert(s3 == EsBulkStats(0, 1, 1))
+      assert(stub.snapshot("t").sortBy(_._2).map(_._2) == Seq("a", "b"))
+    }
+  }
+
+  test("EsHttpStore.delete matches the delta store's tombstone semantics on the same feed") {
+    withStub { stub =>
+      val store = new EsHttpStore(stub.baseUrl, "t", "k", Seq("ver"), "ver", docSchema)
+      val batch = Seq((1L, "one", 10L), (2L, "two", 10L), (3L, "three", 30L))
+        .toDF("k", "v", "ver")
+      store.upsert(batch, 0)
+      // delete keys 1 and 3 at version 20: 1 is older (goes), 3 newer (survives)
+      store.delete(Seq((1L, 20L), (3L, 20L)).toDF("k", "ver"), 1)
+      val out = store.read(spark).orderBy("k").collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(out.toSeq == Seq((2L, "two"), (3L, "three")))
+    }
+  }
+
   test("bulk requests chunk by doc count and retry transparently on 429") {
     withStub { stub =>
       val c = new EsBulkClient(stub.baseUrl, maxDocsPerRequest = 100)
