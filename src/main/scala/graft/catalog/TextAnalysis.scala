@@ -2066,7 +2066,8 @@ object TextAnalysis {
     materialized(result, fp)
   }
 
-  val all: Seq[QueryDef] = Seq(
+  lazy val all: Seq[QueryDef] = Seq(
+    significantTerms,
     winnowFingerprint, winnowNearDup,
     tokenCount, langId, qualityScore, fingerprint, dedupExact,
     minhashSig, minhashPairs, minhashPairsCapped, minhashHotBuckets,
@@ -2078,4 +2079,79 @@ object TextAnalysis {
     qualityLogit, zipfFit, streamDedupLsh, bpeMergeRound, bpeMergeRound2,
     substringScrub, pmiCollocations, klDrift, sentiment, containment,
     containmentScrub, oovRate, datasetCard)
+
+  // Kibana's significant_terms aggregation: which tokens are
+  // OVERREPRESENTED in a foreground document set (here lang='zh')
+  // relative to the rest of the corpus, scored by the signed G²
+  // log-likelihood ratio over the 2×2 doc-frequency contingency table
+  // (Dunning 1993 — the statistic ES uses for its default heuristics).
+  // Doc-frequency grain like the real aggregation (distinct tokens per
+  // doc), min_doc_count=3, direction-filtered to fg_rate > bg_rate.
+  // Scale shape: one distinct-token explode → one hash-aggregate per
+  // token carrying both margin counts (conditional sums, no second
+  // pass), totals broadcast as a 1-row relation; the final rank window
+  // sits above the (min-doc-count + direction)-filtered candidate
+  // relation, the same bounded-candidate discipline as every other
+  // top-k here (a production shard_size cap bounds it explicitly).
+  // G² uses ln(); the last-ulp cross-engine wobble is absorbed by
+  // round(6) computed BEFORE the rank window, so the cut is identical
+  // on both engines (ties break by token).
+  val significantTerms: QueryDef = QueryDef.sql("q_significant_terms")(
+    s"""WITH base AS (
+       |  SELECT doc_id, lang, list_distinct($toksSql) AS dtok FROM documents),
+       |ex AS (SELECT lang, UNNEST(dtok) AS t FROM base),
+       |tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_all,
+       |          CAST(SUM(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS DOUBLE) AS n_fg
+       |        FROM documents),
+       |df AS (SELECT t,
+       |         CAST(SUM(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS DOUBLE) AS k11,
+       |         CAST(SUM(CASE WHEN lang <> 'zh' THEN 1 ELSE 0 END) AS DOUBLE) AS k12
+       |       FROM ex GROUP BY t),
+       |cells AS (SELECT t, k11, k12, n_fg - k11 AS k21,
+       |            (n_all - n_fg) - k12 AS k22, n_all AS n FROM df, tot),
+       |g AS (SELECT t, k11, k12,
+       |  2.0 * ((CASE WHEN k11 > 0 THEN k11 * ln(k11 * n / ((k11 + k12) * (k11 + k21))) ELSE 0.0 END)
+       |       + (CASE WHEN k12 > 0 THEN k12 * ln(k12 * n / ((k11 + k12) * (k12 + k22))) ELSE 0.0 END)
+       |       + (CASE WHEN k21 > 0 THEN k21 * ln(k21 * n / ((k21 + k22) * (k11 + k21))) ELSE 0.0 END)
+       |       + (CASE WHEN k22 > 0 THEN k22 * ln(k22 * n / ((k21 + k22) * (k12 + k22))) ELSE 0.0 END)) AS g2,
+       |  k11 / (k11 + k21) AS fg_rate, k12 / (k12 + k22) AS bg_rate FROM cells),
+       |sig AS (SELECT t AS token, CAST(k11 AS BIGINT) AS fg_docs,
+       |          CAST(k12 AS BIGINT) AS bg_docs, round(g2, 6) AS score
+       |        FROM g WHERE k11 >= 3 AND fg_rate > bg_rate),
+       |ranked AS (SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, token) AS rnk
+       |           FROM sig)
+       |SELECT token, fg_docs, bg_docs, score, rnk FROM ranked
+       |WHERE rnk <= 15 ORDER BY rnk""".stripMargin) { (s, dir) =>
+    val d = docs(s, dir)
+    val ex = d.select(col("lang"),
+        explode(array_distinct(Text.tokens(col("text")))).as("t"))
+    val tot = d.agg(
+      count(lit(1)).cast("double").as("n_all"),
+      sum(when(col("lang") === "zh", 1).otherwise(0)).cast("double").as("n_fg"))
+    val df = ex.groupBy("t").agg(
+      sum(when(col("lang") === "zh", 1).otherwise(0)).cast("double").as("k11"),
+      sum(when(col("lang") =!= "zh", 1).otherwise(0)).cast("double").as("k12"))
+    val cells = df.crossJoin(broadcast(tot))
+      .select(col("t"), col("k11"), col("k12"),
+        (col("n_fg") - col("k11")).as("k21"),
+        (col("n_all") - col("n_fg") - col("k12")).as("k22"),
+        col("n_all").as("n"))
+    def term(o: org.apache.spark.sql.Column, rowTot: org.apache.spark.sql.Column,
+        colTot: org.apache.spark.sql.Column) =
+      when(o > 0, o * log(o * col("n") / (rowTot * colTot))).otherwise(lit(0.0))
+    val g = cells.select(col("t"), col("k11"), col("k12"),
+      (lit(2.0) * (term(col("k11"), col("k11") + col("k12"), col("k11") + col("k21"))
+        + term(col("k12"), col("k11") + col("k12"), col("k12") + col("k22"))
+        + term(col("k21"), col("k21") + col("k22"), col("k11") + col("k21"))
+        + term(col("k22"), col("k21") + col("k22"), col("k12") + col("k22")))).as("g2"),
+      (col("k11") / (col("k11") + col("k21"))).as("fg_rate"),
+      (col("k12") / (col("k12") + col("k22"))).as("bg_rate"))
+    val sig = g.filter(col("k11") >= 3 && col("fg_rate") > col("bg_rate"))
+      .select(col("t").as("token"), col("k11").cast("long").as("fg_docs"),
+        col("k12").cast("long").as("bg_docs"), round(col("g2"), 6).as("score"))
+    val w = Window.orderBy(col("score").desc, col("token"))
+    sig.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 15)
+      .orderBy("rnk")
+  }
 }
