@@ -1030,6 +1030,43 @@ object Streaming {
     } finally broker.stop()
   }
 
+  // The gzip wire under the correctness gate: same pipeline as
+  // q_stream_kafka_sink but with compression on BOTH directions —
+  // the producer's compression.type=gzip deflates every record batch,
+  // and the broker (compression.type=gzip topic config) recompresses
+  // fetch responses so the consumer must inflate from the batch
+  // attribute bits. Shares the ingest oracle: identical rows through
+  // compressed bytes or the hash breaks.
+  val streamKafkaGzip: QueryDef = QueryDef.sql("q_stream_kafka_gzip")(
+    """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value,
+      |  CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS INTEGER) AS prop_k
+      |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val broker = new graft.kafka.KafkaStubBroker(3, compressionType = "gzip")
+    broker.start()
+    try {
+      val wire = Ingest.toJsonWire(Ingest.eventsStream(s, dir), "event_id")
+      val q = wire.writeStream.format("kafka-wire")
+        .option("host", "127.0.0.1").option("port", broker.port.toString)
+        .option("topic", "events")
+        .option("compression.type", "gzip")
+        .option("checkpointLocation", uniqueDir("chk_kwgz_"))
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val consumed = s.read.format("kafka-wire")
+        .option("host", "127.0.0.1").option("port", broker.port.toString)
+        .option("topic", "events")
+        .load()
+      val decoded = Ingest.decodeJsonWire(consumed)
+        .select(col("event_id"), col("ts_us"), col("user_id"), col("event_type"),
+          col("value"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k")
+            .as("prop_k"))
+      graft.core.Spill.materialize(decoded.orderBy("event_id"))(())
+    } finally broker.stop()
+  }
+
   // CAPSTONE — the reference's entire topology in ONE executed chain
   // with BOTH wires real: producer encodes events as JSON onto Kafka
   // protocol bytes (`dataframe_to_kafka.py` → DSv2 batch write, murmur2
@@ -1175,5 +1212,6 @@ object Streaming {
     sinkUpsertDeltaDelete, streamAsofJoin,
     sinkUpsertEs, sinkUpsertEsDelete, sinkRouteEs, streamTopkTypes,
     kafkaWireIngest, kafkaWireRedelivery, streamKafkaWire, streamKafkaSink,
+    streamKafkaGzip,
     e2eKafkaEs, kafkaTopicTransform)
 }
