@@ -82,6 +82,32 @@ class KafkaWireSpec extends AnyFunSuite {
     assert(KafkaCodec.decodeBatches(mixed).size == 201)
   }
 
+  test("codec property: random batches round-trip under both codecs (seeded scalacheck)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val bytesGen: Gen[Array[Byte]] = Gen.frequency(
+      1 -> Gen.const(null: Array[Byte]),
+      1 -> Gen.const(Array.empty[Byte]),
+      6 -> Gen.chooseNum(1, 300).flatMap(n =>
+        Gen.listOfN(n, Gen.chooseNum(Byte.MinValue, Byte.MaxValue)).map(_.toArray)))
+    val recGen = Gen.zip(Gen.chooseNum(0L, 1L << 41), bytesGen, bytesGen)
+    val batchGen = Gen.nonEmptyListOf(recGen)
+    (0 until 40).foreach { i =>
+      val records = batchGen.apply(Gen.Parameters.default, Seed(i.toLong)).get
+      val base = (i * 1000).toLong
+      Seq(false, true).foreach { gz =>
+        val decoded = KafkaCodec.decodeBatches(
+          KafkaCodec.encodeBatch(base, records, gz))
+        assert(decoded.size == records.size, s"seed $i gzip=$gz")
+        decoded.zip(records).zipWithIndex.foreach { case ((r, (ts, k, v)), j) =>
+          assert(r.offset == base + j && r.timestampMs == ts)
+          assert(java.util.Arrays.equals(r.key, k), s"key mismatch seed $i rec $j")
+          assert(java.util.Arrays.equals(r.value, v), s"value mismatch seed $i rec $j")
+        }
+      }
+    }
+  }
+
   test("a corrupted gzip batch fails CRC before inflate; unknown codec fails loudly") {
     val gz = KafkaCodec.encodeBatch(0L, Seq((1L, b("k"), b("v" * 100))), gzip = true)
     val torn = gz.clone()
