@@ -97,6 +97,26 @@ object Analytics {
       .orderBy("user_id", "hour_epoch")
   }
 
+  // Kibana's percentile_ranks metric agg (the inverse of percentiles:
+  // "what fraction of the data sits at or below these values") — fixed
+  // thresholds over events.value per type, one partial→final aggregate
+  // pass with all three CASE counters riding the same shuffle, and the
+  // rank itself an exact int/int division like q_occupancy_rate.
+  val percentileRanks: QueryDef = QueryDef.sql("q_percentile_ranks")(
+    """SELECT event_type, COUNT(*) AS n,
+      |  SUM(CASE WHEN value <= 10 THEN 1 ELSE 0 END) / COUNT(*) AS pr_10,
+      |  SUM(CASE WHEN value <= 50 THEN 1 ELSE 0 END) / COUNT(*) AS pr_50,
+      |  SUM(CASE WHEN value <= 100 THEN 1 ELSE 0 END) / COUNT(*) AS pr_100
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+    def le(t: Int) = sum(when(col("value") <= t, 1).otherwise(0))
+    Tables.events(s, dir).groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        (le(10) / count(lit(1))).as("pr_10"),
+        (le(50) / count(lit(1))).as("pr_50"),
+        (le(100) / count(lit(1))).as("pr_100"))
+      .orderBy("event_type")
+  }
+
   // Running (cumulative) sum per key — exact decimal arithmetic so every
   // prefix is bit-identical.
   val runningSum: QueryDef = QueryDef.sql("q_running_sum")(
@@ -869,5 +889,6 @@ object Analytics {
     trailingWindow, dashboardTiles, percentiles.audit, percentilesHist,
     groupingSets, gapFill,
     rankFuncs, rangeFrame, ewma, eventFunnel, cohortRetention, ohlcHourly,
-    rollingMedian, tsSimilarity, attribution, olsTrend, madOutliers)
+    rollingMedian, tsSimilarity, attribution, olsTrend, madOutliers,
+    percentileRanks)
 }

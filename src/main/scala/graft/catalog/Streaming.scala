@@ -1202,6 +1202,157 @@ object Streaming {
     } finally broker.stop()
   }
 
+  // Conditional MERGE INTO over the log-structured store (the Delta/
+  // Iceberg MERGE statement, the lakehouse CDC-apply primitive): upsert
+  // the full feed, then merge one corrections source carrying all three
+  // clause kinds — delete every 7th user, rewrite every 5th (surviving)
+  // user's latest row (value doubled, re-typed 'corrected', stamped 1h
+  // after their last event so it out-orders the stored row), and import
+  // clones of every 11th user under a fresh key space. Both new segments
+  // (upserts + tombstones) land in ONE manifest commit — a reader sees
+  // the merge entirely or not at all — and the oracle is the three-way
+  // partition of the batch latest-per-key state, so a wrong clause
+  // precedence (delete vs update on a user divisible by 35) or a
+  // half-applied commit breaks the hash. Scale: one key-partitioned
+  // equi-join of source vs snapshot + O(source) segment appends; the
+  // store is never rewritten.
+  val deltaMerge: QueryDef = QueryDef.sql("q_delta_merge")(
+    """WITH latest AS (
+      |  SELECT * FROM (SELECT *, row_number() OVER
+      |      (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM events) t WHERE rn = 1)
+      |SELECT user_id, last_event_id, last_event_type, last_value FROM (
+      |  SELECT user_id, event_id AS last_event_id,
+      |    event_type AS last_event_type, value AS last_value
+      |  FROM latest WHERE user_id % 7 <> 0 AND user_id % 5 <> 0
+      |  UNION ALL
+      |  SELECT user_id, event_id, 'corrected', value * 2
+      |  FROM latest WHERE user_id % 7 <> 0 AND user_id % 5 = 0
+      |  UNION ALL
+      |  SELECT user_id + 1000000, event_id, 'imported', 0.0
+      |  FROM latest WHERE user_id % 11 = 0
+      |) u ORDER BY user_id""".stripMargin) { (s, dir) =>
+    val store = new DeltaUpsertStore(uniqueDir("merge_"), "user_id",
+      Seq("ts", "event_id"))
+    require(store.healthCheck(), "sink preflight failed")  // K5
+    val ev = graft.core.Tables.events(s, dir)
+    store.upsert(ev, 0)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val latest = ev.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val updatesSrc = latest
+      .filter(col("user_id") % 7 =!= 0 && col("user_id") % 5 === 0)
+      .withColumn("ts", col("ts") + expr("INTERVAL 1 HOUR"))
+      .withColumn("event_type", lit("corrected"))
+      .withColumn("value", col("value") * 2)
+    val deletesSrc = latest.filter(col("user_id") % 7 === 0)
+    val insertsSrc = latest.filter(col("user_id") % 11 === 0)
+      .withColumn("user_id", col("user_id") + 1000000)
+      .withColumn("event_type", lit("imported"))
+      .withColumn("value", lit(0.0))
+    store.merge(updatesSrc.unionByName(deletesSrc).unionByName(insertsSrc),
+      whenMatchedDelete = Some(col("user_id") % 7 === 0),
+      whenMatchedUpdate = Some(col("user_id") % 5 === 0),
+      whenNotMatchedInsert = Some(lit(true)))
+    store.read(s)
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("event_type").as("last_event_type"), col("value").as("last_value"))
+      .orderBy("user_id")
+  }
+
+  // Change data feed over the log-structured store (Delta CDF): three
+  // commits — a partial first load (even events from users not divisible
+  // by 4), the complementary remainder, then a delete of every 9th user
+  // — and `changes(v1, v3)` must emit exactly the per-key diff: 'insert'
+  // for users absent from v1, 'update' for users whose winning row moved,
+  // 'delete' (null post-image) for tombstoned users, and NOTHING for
+  // users whose v1 row still wins (they re-appear in commit 2's segment,
+  // so a naive new-segment scan would over-report them) or for users
+  // inserted then deleted inside the window. Scale: candidate keys come
+  // from the ADDED segments only, then two semi-join-pruned snapshot
+  // reads and one key-partitioned full-outer join — O(changed keys), not
+  // O(store).
+  val deltaCdf: QueryDef = QueryDef.sql("q_delta_cdf")(
+    """WITH v1 AS (
+      |  SELECT * FROM (SELECT *, row_number() OVER
+      |      (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM events WHERE event_id % 2 = 0 AND user_id % 4 <> 0) t
+      |  WHERE rn = 1),
+      |v3 AS (
+      |  SELECT * FROM (SELECT *, row_number() OVER
+      |      (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM events) t WHERE rn = 1 AND user_id % 9 <> 0)
+      |SELECT user_id, op, event_id, event_type, value FROM (
+      |  SELECT v1.user_id AS user_id, 'delete' AS op,
+      |    CAST(NULL AS BIGINT) AS event_id, CAST(NULL AS VARCHAR) AS event_type,
+      |    CAST(NULL AS DOUBLE) AS value
+      |  FROM v1 WHERE v1.user_id % 9 = 0
+      |  UNION ALL
+      |  SELECT v3.user_id, 'insert', v3.event_id, v3.event_type, v3.value
+      |  FROM v3 LEFT JOIN v1 ON v3.user_id = v1.user_id
+      |  WHERE v1.user_id IS NULL
+      |  UNION ALL
+      |  SELECT v3.user_id, 'update', v3.event_id, v3.event_type, v3.value
+      |  FROM v3 JOIN v1 ON v3.user_id = v1.user_id
+      |  WHERE v3.event_id <> v1.event_id
+      |) u ORDER BY user_id""".stripMargin) { (s, dir) =>
+    val store = new DeltaUpsertStore(uniqueDir("cdf_"), "user_id",
+      Seq("ts", "event_id"))
+    require(store.healthCheck(), "sink preflight failed")  // K5
+    val ev = graft.core.Tables.events(s, dir)
+    val firstLoad = col("event_id") % 2 === 0 && col("user_id") % 4 =!= 0
+    store.upsert(ev.filter(firstLoad), 0)   // → version 1
+    store.upsert(ev.filter(!firstLoad), 1)  // → version 2
+    store.delete(ev.select("user_id").distinct()
+      .filter(col("user_id") % 9 === 0)
+      // tombstone out-orders every stored event
+      .withColumn("ts", lit("2030-01-01 00:00:00").cast("timestamp"))
+      .withColumn("event_id", lit(Long.MaxValue)), 2)  // → version 3
+    store.changes(s, 1, 3)
+      .select(col("user_id"), col("op"), col("event_id"), col("event_type"),
+        col("value"))
+      .orderBy("user_id")
+  }
+
+  // MERGE as the streaming CDC-apply step — the pattern the merge()
+  // scaladoc promises: each micro-batch folds into the store through the
+  // conditional MERGE with a strictly-newer guard that reads the matched
+  // TARGET row ((ts, event_id) must advance), so stale/replayed change
+  // rows never even land in a segment — the store's segments hold only
+  // rows that actually won, and the final state is the batch
+  // last-write-wins answer (q_sink_upsert's oracle). This is the
+  // foreachBatch + MERGE idiom every Delta/Iceberg CDC pipeline runs;
+  // per batch it costs one key-partitioned join against the merged view
+  // plus an O(batch) append.
+  val streamCdcApply: QueryDef = QueryDef.sql("q_stream_cdc_apply")(
+    """SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+      |  value AS last_value
+      |FROM (SELECT *, row_number() OVER
+      |        (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |      FROM events) t
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin) { (s, dir) =>
+    val store = new DeltaUpsertStore(uniqueDir("cdc_"), "user_id",
+      Seq("ts", "event_id"))
+    require(store.healthCheck(), "sink preflight failed")  // K5
+    val q = Ingest.eventsStream(s, dir).writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Row], id: Long) =>
+        store.merge(b.toDF(),
+          whenMatchedUpdate = Some(
+            struct(col("ts"), col("event_id")) >
+              struct(col("__target.ts"), col("__target.event_id"))),
+          whenNotMatchedInsert = Some(lit(true)))
+      }
+      .option("checkpointLocation", uniqueDir("chk_cdc_"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    store.read(s)
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("event_type").as("last_event_type"), col("value").as("last_value"))
+      .orderBy("user_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     streamIngestJson, streamIngestDsv, streamWindowHourly, sinkUpsert,
     sinkUpsertDelta, sinkRoute, streamStreamJoin, streamDedup,
@@ -1213,5 +1364,5 @@ object Streaming {
     sinkUpsertEs, sinkUpsertEsDelete, sinkRouteEs, streamTopkTypes,
     kafkaWireIngest, kafkaWireRedelivery, streamKafkaWire, streamKafkaSink,
     streamKafkaGzip,
-    e2eKafkaEs, kafkaTopicTransform)
+    e2eKafkaEs, kafkaTopicTransform, deltaMerge, deltaCdf, streamCdcApply)
 }

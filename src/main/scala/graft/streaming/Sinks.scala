@@ -230,7 +230,13 @@ final class DeltaUpsertStore(root: String, keyCol: String, orderCols: Seq[String
     * than that is gone, VACUUM-style; a stale version fails loudly here
     * rather than returning a partial state.
     */
-  def readAt(spark: SparkSession, version: Long): DataFrame = {
+  def readAt(spark: SparkSession, version: Long): DataFrame =
+    mergedView(spark, versionSegments(version))
+
+  /** The segment list a committed version's immutable manifest twin
+    * records, with the compaction-GC liveness check.
+    */
+  private def versionSegments(version: Long): Seq[String] = {
     val p = versionPath(version)
     require(java.nio.file.Files.exists(p),
       s"unknown version $version (have: ${versions().mkString(",")})")
@@ -241,7 +247,131 @@ final class DeltaUpsertStore(root: String, keyCol: String, orderCols: Seq[String
         s"version $version references segment $seg, GC'd by compaction — " +
           "history beyond the retention window is not readable")
     }
-    mergedView(spark, segs)
+    segs
+  }
+
+  /** Conditional MERGE INTO (the Delta/Iceberg `MERGE` statement) against
+    * the current snapshot, committed ATOMICALLY: the update/insert delta
+    * segment and the delete tombstone segment land in ONE manifest flip,
+    * so a reader sees either the pre-merge or the post-merge state, never
+    * a half-applied merge — the all-or-nothing contract that makes MERGE
+    * usable as a CDC apply step.
+    *
+    * Clause semantics (first match wins, like the SQL statement):
+    *  - `whenMatchedDelete`: source rows whose key exists in the snapshot
+    *    and satisfy the condition → tombstone at the TARGET row's
+    *    orderCols position (so the store's event-time contract holds: a
+    *    later genuine event still resurrects the key).
+    *  - `whenMatchedUpdate`: matched rows NOT claimed by the delete
+    *    clause → upserted with the SOURCE row's orderCols (the source
+    *    must out-order the stored row for the update to surface, the
+    *    same global contract as [[upsert]]; ties break toward the newer
+    *    segment, i.e. the merge).
+    *  - `whenNotMatchedInsert`: unmatched source rows → upserted.
+    *
+    * Conditions are evaluated over the source row joined with its target
+    * match exposed as a `__target` struct column (e.g.
+    * `col("__target.value") < col("value")`), mirroring
+    * `MERGE ... ON t.key = s.key WHEN MATCHED AND <cond>`.
+    *
+    * Scale shape: ONE equi-join of the (deduplicated) source against the
+    * merged view on the store key — both sides shuffle on keyCol once —
+    * then O(source) segment appends; the store is never rewritten. A
+    * multi-row-per-key source is reduced latest-per-key first (the SQL
+    * statement errors on duplicate matches; a CDC feed wants
+    * newest-change-wins, which is what this picks).
+    */
+  def merge(source: DataFrame,
+      whenMatchedDelete: Option[org.apache.spark.sql.Column] = None,
+      whenMatchedUpdate: Option[org.apache.spark.sql.Column] = None,
+      whenNotMatchedInsert: Option[org.apache.spark.sql.Column] = None): Unit = synchronized {
+    val spark = source.sparkSession
+    val src = latestPerKey(source, segOrdered = false)
+    val cur = read(spark)
+    val joined =
+      if (cur.columns.isEmpty) // empty store: everything is unmatched
+        src.withColumn("__target", lit(null))
+      else {
+        val tgt = cur.select(col(keyCol).as("__tkey"),
+          struct(cur.columns.map(col): _*).as("__target"))
+        src.join(tgt, src(keyCol) === tgt("__tkey"), "left").drop("__tkey")
+      }
+    val matched = joined.filter(col("__target").isNotNull)
+    val unmatched = joined.filter(col("__target").isNull)
+    // delete has first-match precedence: a row it claims never updates
+    val notDeleted =
+      !coalesce(whenMatchedDelete.getOrElse(lit(false)), lit(false))
+    val upserts = (whenMatchedUpdate.map(c => matched.filter(notDeleted && c)).toSeq ++
+        whenNotMatchedInsert.map(c => unmatched.filter(c)).toSeq) match {
+      case Seq() => None
+      case dfs   => Some(dfs.reduce(_ unionByName _).drop("__target"))
+    }
+    val deletes = whenMatchedDelete.map { c =>
+      matched.filter(c)
+        .select(col(keyCol) +: orderCols.map(oc => col("__target." + oc).as(oc)): _*)
+        .withColumn("__tomb", lit(true))
+    }
+    var segs = manifest()
+    upserts.foreach { u =>
+      val seg = nextSegment("d")
+      u.write.mode(SaveMode.Overwrite).parquet(s"$root/$seg")
+      segs :+= seg
+    }
+    deletes.foreach { d =>
+      val seg = nextSegment("t")
+      d.write.mode(SaveMode.Overwrite).parquet(s"$root/$seg")
+      segs :+= seg
+    }
+    commit(segs)
+  }
+
+  /** Change data feed between two committed versions: one row per key
+    * whose last-write-wins state differs, `op` ∈ insert | update | delete
+    * with the post-image data columns (null for delete) — the
+    * Delta-CDF-style diff a downstream incremental consumer reads
+    * instead of re-scanning the store.
+    *
+    * Scale shape: candidate keys are bounded by the segments the later
+    * version ADDED (a key absent from every new segment cannot have
+    * changed — its winner row and every contender were already present
+    * at `fromVersion`), so the snapshot diff is two semi-join-pruned
+    * reads plus one full-outer join, all shuffling on keyCol — O(changed
+    * keys) join work, not O(store). If a compaction rewrote the base in
+    * between, the new base segment honestly degrades candidates to the
+    * full store (compaction erases the provenance the bound relies on).
+    */
+  def changes(spark: SparkSession, fromVersion: Long, toVersion: Long): DataFrame = {
+    val fromSegs = versionSegments(fromVersion)
+    val toSegs = versionSegments(toVersion)
+    val newSegs = toSegs.filterNot(fromSegs.toSet)
+    val pre0 = mergedView(spark, fromSegs)
+    val post0 = mergedView(spark, toSegs)
+    val dataCols = post0.columns.filterNot(_ == keyCol).toSeq
+    if (newSegs.isEmpty) // nothing committed in between: empty feed
+      post0.withColumn("op", lit("")).limit(0)
+        .select(col(keyCol) +: col("op") +: dataCols.map(col): _*)
+    else {
+        val candidates = newSegs
+          .map(seg => spark.read.parquet(s"$root/$seg").select(col(keyCol)))
+          .reduce(_ union _).distinct()
+        val pre = pre0.join(candidates, Seq(keyCol), "left_semi")
+          .select(col(keyCol).as("__pkey"),
+            struct(orderCols.map(col): _*).as("__pord"))
+        val post = post0.join(candidates, Seq(keyCol), "left_semi")
+          .select(col(keyCol).as("__qkey"),
+            struct(orderCols.map(col): _*).as("__qord"),
+            struct(dataCols.map(col): _*).as("__post"))
+        pre.join(post, col("__pkey") === col("__qkey"), "full_outer")
+          .select(
+            coalesce(col("__qkey"), col("__pkey")).as(keyCol) +:
+              when(col("__pkey").isNull, "insert")
+                .when(col("__qkey").isNull, "delete")
+                // both present: changed iff the winning row moved (the
+                // orderCols tuple is the row's identity in this store)
+                .when(col("__pord") =!= col("__qord"), "update").as("op") +:
+              dataCols.map(c => col("__post." + c).as(c)): _*)
+          .filter(col("op").isNotNull)
+      }
   }
 
   private def mergedView(spark: SparkSession, segs: Seq[String]): DataFrame = {

@@ -137,4 +137,74 @@ class SinksSpec extends AnyFunSuite {
     store.compact(spark)
     intercept[IllegalArgumentException] { store.readAt(spark, 1) }
   }
+
+  test("K3 delta store: MERGE applies all three clauses in ONE atomic commit") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val store = new DeltaUpsertStore(tmp("delta_merge_"), "room", Seq("ts"))
+    store.upsert(Seq(("413", 1L, "a"), ("644", 1L, "c"), ("656", 1L, "e"))
+      .toDF("room", "ts", "v"), 0)
+    val before = store.versions().size
+    // one source carrying a delete (413), an update (644), an insert
+    // (999), and a non-qualifying matched row (656: neither clause fires)
+    store.merge(
+      Seq(("413", 2L, "gone"), ("644", 2L, "C2"), ("999", 2L, "new"),
+        ("656", 2L, "ignored")).toDF("room", "ts", "v"),
+      whenMatchedDelete = Some(col("v") === "gone"),
+      whenMatchedUpdate = Some(col("v") === "C2"),
+      whenNotMatchedInsert = Some(lit(true)))
+    // atomicity: both the upsert segment and the tombstone segment land
+    // under ONE version flip
+    assert(store.versions().size == before + 1)
+    val out = store.read(spark).orderBy("room")
+      .collect().map(r => (r.getString(0), r.getString(2))).toSeq
+    assert(out == Seq(("644", "C2"), ("656", "e"), ("999", "new")))
+    // a later genuine event resurrects the merged-away key (the
+    // tombstone sits at the TARGET row's position, not the far future)
+    store.upsert(Seq(("413", 9L, "back")).toDF("room", "ts", "v"), 9)
+    assert(store.read(spark).filter(col("room") === "413").count() == 1)
+  }
+
+  test("K3 delta store: MERGE conditions can read the matched target row") {
+    import org.apache.spark.sql.functions.col
+    val store = new DeltaUpsertStore(tmp("delta_merge2_"), "room", Seq("ts"))
+    store.upsert(Seq(("413", 5L, "a"), ("644", 1L, "c")).toDF("room", "ts", "v"), 0)
+    // CDC-style guard: update only when the source is strictly newer
+    // than the stored row — 413's source (ts=3) is stale and must lose
+    store.merge(Seq(("413", 3L, "stale"), ("644", 2L, "C2")).toDF("room", "ts", "v"),
+      whenMatchedUpdate = Some(col("ts") > col("__target.ts")))
+    val out = store.read(spark).orderBy("room")
+      .collect().map(r => (r.getString(0), r.getString(2))).toSeq
+    assert(out == Seq(("413", "a"), ("644", "C2")))
+  }
+
+  test("K3 delta store: MERGE into an empty store inserts everything") {
+    import org.apache.spark.sql.functions.lit
+    val store = new DeltaUpsertStore(tmp("delta_merge3_"), "room", Seq("ts"))
+    assert(store.healthCheck())
+    store.merge(Seq(("413", 1L, "a")).toDF("room", "ts", "v"),
+      whenNotMatchedInsert = Some(lit(true)))
+    assert(store.read(spark).count() == 1)
+  }
+
+  test("K3 delta store: change feed classifies insert/update/delete and skips no-ops") {
+    val store = new DeltaUpsertStore(tmp("delta_cdf_"), "room", Seq("ts"))
+    store.upsert(Seq(("413", 5L, "a"), ("644", 1L, "c")).toDF("room", "ts", "v"), 0)
+    // 413 re-appears with an OLDER row (no-op for the merged view), 644
+    // advances, 999 is new
+    store.upsert(Seq(("413", 2L, "old"), ("644", 2L, "C2"), ("999", 1L, "n"))
+      .toDF("room", "ts", "v"), 1)
+    store.delete(Seq(("644", 9L)).toDF("room", "ts"), 2)
+    val ops = store.changes(spark, 1, 3).orderBy("room")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    // 413 is ABSENT: its winning row never moved even though a new
+    // segment mentions the key
+    assert(ops == Seq(("644", "delete"), ("999", "insert")))
+    val upd = store.changes(spark, 1, 2).orderBy("room")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(upd == Seq(("644", "update"), ("999", "insert")))
+    // identical versions → empty feed with the full output schema
+    val none = store.changes(spark, 2, 2)
+    assert(none.count() == 0 &&
+      none.columns.toSeq == Seq("room", "op", "ts", "v"))
+  }
 }
