@@ -293,6 +293,44 @@ object Functions {
       .orderBy("event_id")
   }
 
+  // The VARIANT path through the same nested docs as q_json_path:
+  // parse_json once into Spark 4's binary semi-structured type, then
+  // typed variant_get extractions. Against string re-parsing (one full
+  // JSON parse per get_json_object call), the variant is decoded once
+  // per row and each path is an O(path) walk of the binary encoding —
+  // the open-schema ingestion shape (and the parquet "shredding" story)
+  // for semi-structured corpora at scale. Same oracle semantics as
+  // q_json_path: the two representations must extract identical values.
+  val variantExtract: QueryDef = QueryDef.sql("q_variant_extract")(
+    """WITH j AS (
+      |  SELECT event_id,
+      |    '{"meta": {"type": "' || event_type || '", "uid": ' ||
+      |    CAST(user_id AS VARCHAR) || '}, "vals": [' || CAST(event_id AS VARCHAR) ||
+      |    ', ' || CAST(user_id AS VARCHAR) || '], "k": ' ||
+      |    CAST(json_extract(props, '$.k') AS VARCHAR) || '}' AS doc
+      |  FROM events)
+      |SELECT event_id,
+      |  json_extract_string(doc, '$.meta.type') AS mtype,
+      |  CAST(json_extract(doc, '$.meta.uid') AS BIGINT) AS muid,
+      |  CAST(json_extract(doc, '$.vals[1]') AS BIGINT) AS val1,
+      |  CAST(json_extract(doc, '$.k') AS INTEGER) AS k
+      |FROM j ORDER BY event_id""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .select(col("event_id"),
+        concat(lit("{\"meta\": {\"type\": \""), col("event_type"),
+          lit("\", \"uid\": "), col("user_id").cast("string"),
+          lit("}, \"vals\": ["), col("event_id").cast("string"),
+          lit(", "), col("user_id").cast("string"), lit("], \"k\": "),
+          get_json_object(col("props"), "$.k"), lit("}")).as("doc"))
+      .select(col("event_id"), parse_json(col("doc")).as("v"))
+      .select(col("event_id"),
+        variant_get(col("v"), "$.meta.type", "string").as("mtype"),
+        variant_get(col("v"), "$.meta.uid", "bigint").as("muid"),
+        variant_get(col("v"), "$.vals[1]", "bigint").as("val1"),
+        variant_get(col("v"), "$.k", "int").as("k"))
+      .orderBy("event_id")
+  }
+
   // Array/list operator family over token arrays, surfaced as sorted
   // joined strings (never raw array columns — hash-safe on both
   // engines). Set semantics pinned by explicit distinct + sort.
@@ -335,5 +373,5 @@ object Functions {
   val all: Seq[QueryDef] = Seq(
     stringFuncs, regexExtract, mathFuncs, setOps, cubeCounts, medianValue,
     rollingHash, unpivot, argExtremes, dateParts, statsExact, collectFuncs,
-    jsonPath, arrayOps)
+    jsonPath, arrayOps, variantExtract)
 }

@@ -819,10 +819,33 @@ object Scale {
       .orderBy("event_type")
   }
 
+  // Aggregate pushdown INTO the parquet scan: global COUNT/MIN/MAX
+  // answered from row-group footer statistics — the scan emits one
+  // pre-aggregated row per file split and never materializes a data
+  // page, so the query cost is metadata I/O regardless of table bytes
+  // (the "how big is this 100 TB table" query that must not scan 100
+  // TB). Needs the DSv2 parquet reader (`useV1SourceList=""`) plus
+  // `parquet.aggregatePushdown`; both are scoped to a child session so
+  // the catalog's other plans keep the default reader. The executed
+  // plan's `PushedAggregation: [COUNT(*), MIN(...), ...]` is asserted
+  // in ScaleRound8Spec; the oracle pins the answers themselves.
+  val aggPushdown: QueryDef = QueryDef.sql("q_agg_pushdown")(
+    """SELECT COUNT(*) AS n, MIN(event_id) AS min_id, MAX(event_id) AS max_id,
+      |  MIN(value) AS min_value, MAX(value) AS max_value
+      |FROM events""".stripMargin) { (s, dir) =>
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    s2.conf.set("spark.sql.sources.useV1SourceList", "")
+    s2.read.parquet(s"$dir/events.parquet")
+      .agg(count(lit(1)).as("n"),
+        min("event_id").as("min_id"), max("event_id").as("max_id"),
+        min("value").as("min_value"), max("value").as("max_value"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     globalRownum, saltedJoin, sourceOrc, sourceJson, schemaEvolution,
     windowFuncs2, bitwiseAgg,
     corrExact, snapshotDiff, zorder, skewReport, incrAggMerge, bucketedJoin,
     dqChecks, partitionBackfill, bloomPrune, columnProfile, ivmJoin,
-    scd2History, dppPrune)
+    scd2History, dppPrune, aggPushdown)
 }
