@@ -932,6 +932,36 @@ object Streaming {
     } finally broker.stop()
   }
 
+  // The BINARY codec leg of the wire: Avro-encoded values (the
+  // schema-registry serialization a production Kafka feed carries,
+  // where the reference ships JSON strings) produced through the real
+  // protocol client and consumed back via the DSv2 connector's
+  // standard binary `value` column — proving the wire, the broker, and
+  // the connector surface are all 8-bit clean, not UTF-8-string-typed.
+  // Same oracle as the JSON twin: the codec swap must be invisible in
+  // the decoded result.
+  val kafkaWireAvro: QueryDef = QueryDef.sql("q_kafka_wire_avro")(
+    """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value,
+      |  CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS INTEGER) AS prop_k
+      |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val broker = new graft.kafka.KafkaStubBroker(3)
+    broker.start()
+    try {
+      val exchange = new graft.kafka.KafkaWireExchange("127.0.0.1", broker.port)
+      val wire = graft.core.AvroCodec.encodeEvents(graft.core.Tables.events(s, dir))
+      exchange.publish(wire,
+        graft.replay.Replay.ReplayConfig(input = "", topic = "events-avro"))
+      val consumed = s.read.format("kafka-wire")
+        .option("host", "127.0.0.1").option("port", broker.port.toString)
+        .option("topic", "events-avro")
+        .load()
+      val decoded = graft.core.AvroCodec.decodeEvents(consumed)
+        .orderBy("event_id")
+      // materialize before the broker dies: the consumer scan is lazy
+      graft.core.Spill.materialize(decoded)(())
+    } finally broker.stop()
+  }
+
   // At-least-once replay discipline over the real wire: publish TWICE
   // (the reference producer re-run / retry case), then restore
   // exactly-once downstream with the standard consumer-side dedup on
@@ -1363,6 +1393,6 @@ object Streaming {
     sinkUpsertDeltaDelete, streamAsofJoin,
     sinkUpsertEs, sinkUpsertEsDelete, sinkRouteEs, streamTopkTypes,
     kafkaWireIngest, kafkaWireRedelivery, streamKafkaWire, streamKafkaSink,
-    streamKafkaGzip,
+    streamKafkaGzip, kafkaWireAvro,
     e2eKafkaEs, kafkaTopicTransform, deltaMerge, deltaCdf, streamCdcApply)
 }

@@ -288,29 +288,35 @@ final class DeltaUpsertStore(root: String, keyCol: String, orderCols: Seq[String
     val spark = source.sparkSession
     val src = latestPerKey(source, segOrdered = false)
     val cur = read(spark)
-    val joined =
-      if (cur.columns.isEmpty) // empty store: everything is unmatched
-        src.withColumn("__target", lit(null))
-      else {
+    val (upserts, deletes) =
+      if (cur.columns.isEmpty) {
+        // empty store: nothing can match, so the matched clauses are
+        // skipped WITHOUT analyzing their conditions — a condition
+        // reading `__target` fields must not fail the very first
+        // micro-batch of a streaming CDC apply
+        (whenNotMatchedInsert.map(c => src.filter(c)), None)
+      } else {
         val tgt = cur.select(col(keyCol).as("__tkey"),
           struct(cur.columns.map(col): _*).as("__target"))
-        src.join(tgt, src(keyCol) === tgt("__tkey"), "left").drop("__tkey")
+        val joined = src.join(tgt, src(keyCol) === tgt("__tkey"), "left")
+          .drop("__tkey")
+        val matched = joined.filter(col("__target").isNotNull)
+        val unmatched = joined.filter(col("__target").isNull)
+        // delete has first-match precedence: a row it claims never updates
+        val notDeleted =
+          !coalesce(whenMatchedDelete.getOrElse(lit(false)), lit(false))
+        val ups = (whenMatchedUpdate.map(c => matched.filter(notDeleted && c)).toSeq ++
+            whenNotMatchedInsert.map(c => unmatched.filter(c)).toSeq) match {
+          case Seq() => None
+          case dfs   => Some(dfs.reduce(_ unionByName _).drop("__target"))
+        }
+        val dels = whenMatchedDelete.map { c =>
+          matched.filter(c)
+            .select(col(keyCol) +: orderCols.map(oc => col("__target." + oc).as(oc)): _*)
+            .withColumn("__tomb", lit(true))
+        }
+        (ups, dels)
       }
-    val matched = joined.filter(col("__target").isNotNull)
-    val unmatched = joined.filter(col("__target").isNull)
-    // delete has first-match precedence: a row it claims never updates
-    val notDeleted =
-      !coalesce(whenMatchedDelete.getOrElse(lit(false)), lit(false))
-    val upserts = (whenMatchedUpdate.map(c => matched.filter(notDeleted && c)).toSeq ++
-        whenNotMatchedInsert.map(c => unmatched.filter(c)).toSeq) match {
-      case Seq() => None
-      case dfs   => Some(dfs.reduce(_ unionByName _).drop("__target"))
-    }
-    val deletes = whenMatchedDelete.map { c =>
-      matched.filter(c)
-        .select(col(keyCol) +: orderCols.map(oc => col("__target." + oc).as(oc)): _*)
-        .withColumn("__tomb", lit(true))
-    }
     var segs = manifest()
     upserts.foreach { u =>
       val seg = nextSegment("d")

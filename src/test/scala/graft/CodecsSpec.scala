@@ -69,4 +69,29 @@ class CodecsSpec extends AnyFunSuite {
     assert(Schemas.wireSchemaExtended.fieldNames.contains("event_ts_min"))
     assert(Schemas.mergedSchema.fieldNames.length == 9)
   }
+
+  test("Avro wire round-trip is the identity, including the optional field") {
+    // events-shaped feed with a null prop_k (the ["null","int"] union leg)
+    val df = Seq(
+      (1L, "2024-01-15 10:00:00", 7L, "click", 12.5, """{"k": 42}"""),
+      (2L, "2024-01-15 10:00:01", 8L, "view", -0.25, """{"j": 1}"""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val wire = graft.core.AvroCodec.encodeEvents(df)
+    assert(wire.schema("value").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+    val back = graft.core.AvroCodec.decodeEvents(wire)
+      .orderBy("event_id").collect()
+    assert(back.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(back(0).getInt(5) == 42 && back(1).isNullAt(5))
+    assert(back.map(r => (r.getString(3), r.getDouble(4))).toSeq ==
+      Seq(("click", 12.5), ("view", -0.25)))
+    // binary framing: substantially tighter than the JSON twin (field
+    // names travel out-of-band with the schema)
+    val avroBytes = wire.select(length(col("value"))).as[Int].collect().sum
+    val jsonBytes = graft.streaming.Ingest.toJsonWire(df, "event_id")
+      .select(length(col("value"))).as[Int].collect().sum
+    assert(avroBytes * 2 < jsonBytes,
+      s"avro $avroBytes bytes vs json $jsonBytes — framing regression")
+  }
 }

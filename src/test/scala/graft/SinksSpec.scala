@@ -178,10 +178,15 @@ class SinksSpec extends AnyFunSuite {
   }
 
   test("K3 delta store: MERGE into an empty store inserts everything") {
-    import org.apache.spark.sql.functions.lit
+    import org.apache.spark.sql.functions.{col, lit}
     val store = new DeltaUpsertStore(tmp("delta_merge3_"), "room", Seq("ts"))
     assert(store.healthCheck())
+    // matched clauses reference __target fields — on an empty store they
+    // must be SKIPPED unanalyzed, not fail the first streaming batch
+    // (the q_stream_cdc_apply batch-0 regression)
     store.merge(Seq(("413", 1L, "a")).toDF("room", "ts", "v"),
+      whenMatchedDelete = Some(col("__target.v") === "x"),
+      whenMatchedUpdate = Some(col("ts") > col("__target.ts")),
       whenNotMatchedInsert = Some(lit(true)))
     assert(store.read(spark).count() == 1)
   }
