@@ -932,6 +932,34 @@ object Streaming {
     } finally broker.stop()
   }
 
+  // The exactly-once produce leg: the SAME double-publish as
+  // q_kafka_wire_redelivery, but with `enable.idempotence=true`
+  // semantics spoken at the protocol level (KIP-98: InitProducerId
+  // handshake, per-partition monotone sequences stamped in the record
+  // batch header, broker-side producer-state fencing) — so the retry
+  // never lands in the log and the consumer needs NO dedup. This is
+  // the modern Kafka producer's default; the redelivery twin keeps the
+  // legacy at-least-once + consumer-dedup discipline. A broker that
+  // failed to fence would double every row and break rows_match.
+  val kafkaWireIdempotent: QueryDef = QueryDef.sql("q_kafka_wire_idempotent")(
+    """SELECT event_id, user_id, event_type, value
+      |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val broker = new graft.kafka.KafkaStubBroker(3)
+    broker.start()
+    try {
+      val exchange = new graft.kafka.KafkaWireExchange("127.0.0.1", broker.port,
+        idempotent = true)
+      val wire = Ingest.toJsonWire(graft.core.Tables.events(s, dir), "event_id")
+      exchange.publish(wire,
+        graft.replay.Replay.ReplayConfig(input = "", topic = "events-idem",
+          repeat = 2))
+      val decoded = Ingest.decodeJsonWire(exchange.read(s, "events-idem"))
+        .select("event_id", "user_id", "event_type", "value")
+        .orderBy("event_id")
+      graft.core.Spill.materialize(decoded)(())
+    } finally broker.stop()
+  }
+
   // The BINARY codec leg of the wire: Avro-encoded values (the
   // schema-registry serialization a production Kafka feed carries,
   // where the reference ships JSON strings) produced through the real
@@ -1393,6 +1421,6 @@ object Streaming {
     sinkUpsertDeltaDelete, streamAsofJoin,
     sinkUpsertEs, sinkUpsertEsDelete, sinkRouteEs, streamTopkTypes,
     kafkaWireIngest, kafkaWireRedelivery, streamKafkaWire, streamKafkaSink,
-    streamKafkaGzip, kafkaWireAvro,
+    streamKafkaGzip, kafkaWireAvro, kafkaWireIdempotent,
     e2eKafkaEs, kafkaTopicTransform, deltaMerge, deltaCdf, streamCdcApply)
 }

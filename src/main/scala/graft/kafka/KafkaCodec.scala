@@ -50,6 +50,18 @@ object KafkaCodec {
       key: Array[Byte],
       value: Array[Byte])
 
+  /** Batch-level producer state (KIP-98 idempotence fields): all -1 on
+    * a non-idempotent produce, set by a producer running with
+    * `enable.idempotence=true` so the broker can fence duplicates.
+    */
+  final case class BatchMeta(
+      producerId: Long,
+      producerEpoch: Short,
+      baseSequence: Int,
+      numRecords: Int) {
+    def idempotent: Boolean = producerId >= 0L
+  }
+
   // ---- zigzag varints (record v2 body encoding) ----
 
   def writeVarLong(buf: ByteBuffer, v: Long): Unit = {
@@ -168,7 +180,10 @@ object KafkaCodec {
     */
   def encodeBatch(baseOffset: Long,
       records: Seq[(Long, Array[Byte], Array[Byte])],
-      gzip: Boolean = false): Array[Byte] = {
+      gzip: Boolean = false,
+      producerId: Long = -1L,
+      producerEpoch: Short = -1,
+      baseSequence: Int = -1): Array[Byte] = {
     require(records.nonEmpty, "empty record batch")
     val baseTs = records.head._1
     val maxTs = records.map(_._1).max
@@ -201,9 +216,9 @@ object KafkaCodec {
     buf.putInt(records.size - 1) // lastOffsetDelta
     buf.putLong(baseTs)
     buf.putLong(maxTs)
-    buf.putLong(-1L) // producerId
-    buf.putShort(-1) // producerEpoch
-    buf.putInt(-1) // baseSequence
+    buf.putLong(producerId)
+    buf.putShort(producerEpoch)
+    buf.putInt(baseSequence)
     buf.putInt(records.size)
     buf.put(payload)
     val arr = buf.array()
@@ -217,9 +232,16 @@ object KafkaCodec {
     * validating each batch's CRC32C — a torn or corrupted batch fails
     * loudly rather than yielding garbage rows.
     */
-  def decodeBatches(recordSet: Array[Byte]): Seq[WireRecord] = {
+  def decodeBatches(recordSet: Array[Byte]): Seq[WireRecord] =
+    decodeBatchesWithMeta(recordSet).flatMap(_._2)
+
+  /** [[decodeBatches]] preserving each batch's producer-state header —
+    * what a broker needs to enforce KIP-98 idempotence on Produce.
+    */
+  def decodeBatchesWithMeta(
+      recordSet: Array[Byte]): Seq[(BatchMeta, Seq[WireRecord])] = {
     if (recordSet == null) return Nil
-    val out = Seq.newBuilder[WireRecord]
+    val out = Seq.newBuilder[(BatchMeta, Seq[WireRecord])]
     val buf = ByteBuffer.wrap(recordSet)
     while (buf.remaining() >= 12) {
       val baseOffset = buf.getLong
@@ -244,9 +266,9 @@ object KafkaCodec {
         buf.getInt // lastOffsetDelta
         val baseTs = buf.getLong
         buf.getLong // maxTimestamp
-        buf.getLong // producerId
-        buf.getShort // producerEpoch
-        buf.getInt // baseSequence
+        val producerId = buf.getLong
+        val producerEpoch = buf.getShort
+        val baseSequence = buf.getInt
         val n = buf.getInt
         // records section spans to the batch end; slice it so a
         // compressed payload can be inflated before parsing
@@ -261,6 +283,7 @@ object KafkaCodec {
             throw new IllegalArgumentException(
               s"unsupported compression codec $other (this pair speaks none/gzip)")
         }
+        val recs = Seq.newBuilder[WireRecord]
         var i = 0
         while (i < n) {
           readVarLong(recBuf) // record length
@@ -278,9 +301,11 @@ object KafkaCodec {
             val hv = readVarInt(recBuf); recBuf.position(recBuf.position() + math.max(hv, 0))
             h += 1
           }
-          out += WireRecord(baseOffset + offDelta, baseTs + tsDelta, k, v)
+          recs += WireRecord(baseOffset + offDelta, baseTs + tsDelta, k, v)
           i += 1
         }
+        out += ((BatchMeta(producerId, producerEpoch, baseSequence, n),
+          recs.result()))
       }
     }
     out.result()
@@ -344,6 +369,7 @@ object KafkaCodec {
     val ListOffsets = 2
     val Metadata = 3
     val ApiVersions = 18
+    val InitProducerId = 22
   }
 
   object Err {
@@ -351,5 +377,6 @@ object KafkaCodec {
     val OffsetOutOfRange = 1
     val CorruptMessage = 2
     val UnknownTopicOrPartition = 3
+    val OutOfOrderSequenceNumber = 45
   }
 }

@@ -50,6 +50,17 @@ final class KafkaStubBroker(val numPartitions: Int = 3,
 
   // partition log: append-only; all access synchronized on the buffer
   private val logs = new ConcurrentHashMap[(String, Int), ArrayBuffer[StoredRecord]]()
+
+  // KIP-98 idempotence: PID allocation (InitProducerId) plus per
+  // (topic, partition, pid) producer state — the last 5 accepted batch
+  // sequence ranges with their assigned base offsets, exactly the
+  // window a real broker's ProducerStateManager keeps. A duplicate
+  // range re-acks the original offset WITHOUT appending; a sequence
+  // gap fails with OUT_OF_ORDER_SEQUENCE_NUMBER.
+  private val nextPid = new java.util.concurrent.atomic.AtomicLong(1000L)
+  private final case class SeqRange(baseSeq: Int, count: Int, baseOffset: Long)
+  private val producerState =
+    new ConcurrentHashMap[(String, Int, Long), List[SeqRange]]()
   private val running = new AtomicBoolean(false)
   @volatile private var server: ServerSocket = _
   @volatile private var acceptor: Thread = _
@@ -121,6 +132,7 @@ final class KafkaStubBroker(val numPartitions: Int = 3,
           case Api.Produce     => produceResponse(buf)
           case Api.Fetch       => fetchResponse(buf)
           case Api.ListOffsets => listOffsetsResponse(buf)
+          case Api.InitProducerId => initProducerIdResponse(buf)
           case other =>
             throw new IllegalArgumentException(s"unsupported api key $other v$apiVersion")
         }
@@ -140,7 +152,8 @@ final class KafkaStubBroker(val numPartitions: Int = 3,
   private def apiVersionsResponse(): Array[Byte] = {
     val apis = Seq(
       (Api.Produce, 3, 3), (Api.Fetch, 4, 4), (Api.ListOffsets, 1, 1),
-      (Api.Metadata, 1, 1), (Api.ApiVersions, 0, 0))
+      (Api.Metadata, 1, 1), (Api.ApiVersions, 0, 0),
+      (Api.InitProducerId, 0, 0))
     val buf = ByteBuffer.allocate(2 + 4 + apis.size * 6)
     buf.putShort(Err.None.toShort)
     buf.putInt(apis.size)
@@ -200,16 +213,51 @@ final class KafkaStubBroker(val numPartitions: Int = 3,
           (topic, partition, Err.UnknownTopicOrPartition, -1L)
         else {
           try {
-            val records = decodeBatches(recordSet) // CRC-validated
+            val batches = decodeBatchesWithMeta(recordSet) // CRC-validated
             val log = logFor(topic, partition)
-            val baseOffset = log.synchronized {
-              val base = log.length.toLong
-              records.zipWithIndex.foreach { case (r, i) =>
-                log += StoredRecord(base + i, r.timestampMs, r.key, r.value)
+            // synchronized over the log so the sequence check and the
+            // append are one atomic step even under concurrent
+            // producers — the same single-writer-per-partition section
+            // a real broker's log append runs in
+            val result = log.synchronized {
+              var firstBase = -1L
+              var err = Err.None
+              batches.foreach { case (meta, records) =>
+                if (err == Err.None) {
+                  val stateKey = (topic, partition, meta.producerId)
+                  val ranges =
+                    if (meta.idempotent)
+                      producerState.getOrDefault(stateKey, Nil)
+                    else Nil
+                  val dup = if (meta.idempotent)
+                    ranges.find(r => r.baseSeq == meta.baseSequence &&
+                      r.count == meta.numRecords)
+                  else None
+                  dup match {
+                    case Some(r) => // retry of an accepted batch: re-ack
+                      if (firstBase < 0) firstBase = r.baseOffset
+                    case None =>
+                      val lastSeqEnd = ranges.headOption
+                        .map(r => r.baseSeq + r.count).getOrElse(0)
+                      if (meta.idempotent && meta.baseSequence != lastSeqEnd)
+                        err = Err.OutOfOrderSequenceNumber
+                      else {
+                        val base = log.length.toLong
+                        records.zipWithIndex.foreach { case (r, i) =>
+                          log += StoredRecord(base + i, r.timestampMs, r.key, r.value)
+                        }
+                        if (meta.idempotent)
+                          producerState.put(stateKey,
+                            (SeqRange(meta.baseSequence, meta.numRecords, base) ::
+                              ranges).take(5))
+                        if (firstBase < 0) firstBase = base
+                      }
+                  }
+                }
               }
-              base
+              (err, firstBase)
             }
-            (topic, partition, Err.None, baseOffset)
+            (topic, partition, result._1, result._2)
           } catch {
             case _: IllegalArgumentException =>
               (topic, partition, Err.CorruptMessage, -1L)
@@ -302,6 +350,27 @@ final class KafkaStubBroker(val numPartitions: Int = 3,
         writeNullableBytes(buf, recordSet)
       }
     }
+    buf.flip()
+    val arr = new Array[Byte](buf.remaining()); buf.get(arr); arr
+  }
+
+  /** InitProducerId v0: allocate a fresh (pid, epoch 0) — the handshake
+    * an `enable.idempotence=true` producer performs before its first
+    * produce (KIP-98). Transactional ids are not spoken (this pair
+    * models idempotence, not transactions); a non-null one is rejected
+    * the way a broker without the transaction coordinator would be
+    * wrong to accept silently.
+    */
+  private def initProducerIdResponse(req: ByteBuffer): Array[Byte] = {
+    val txnId = readNullableString(req)
+    req.getInt // transaction_timeout_ms
+    require(txnId == null,
+      "transactional producers not supported by this stub (idempotence only)")
+    val buf = ByteBuffer.allocate(16)
+    buf.putInt(0) // throttle_time_ms
+    buf.putShort(Err.None.toShort)
+    buf.putLong(nextPid.getAndIncrement())
+    buf.putShort(0) // producer_epoch
     buf.flip()
     val arr = new Array[Byte](buf.remaining()); buf.get(arr); arr
   }

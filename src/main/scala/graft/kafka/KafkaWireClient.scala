@@ -92,14 +92,36 @@ final class KafkaWireClient(host: String, port: Int,
     }
   }
 
+  /** InitProducerId v0: the `enable.idempotence=true` handshake —
+    * returns the (producerId, epoch) this producer stamps on every
+    * batch so the broker can fence retried duplicates.
+    */
+  def initProducerId(): (Long, Short) = {
+    val body = ByteBuffer.allocate(8)
+    writeNullableString(body, null) // transactional_id: idempotence only
+    body.putInt(60000) // transaction_timeout_ms
+    val resp = send(Api.InitProducerId, 0, body)
+    resp.getInt // throttle_time_ms
+    val err = resp.getShort.toInt
+    require(err == Err.None, s"InitProducerId error $err")
+    (resp.getLong, resp.getShort)
+  }
+
   /** Produce v3 (acks=-1): one record batch to one partition. Returns
     * the assigned base offset. `gzip = true` sends the batch with the
     * gzip codec bits set (the producer `compression.type=gzip` config).
+    * A non-negative `producerId` (from [[initProducerId]]) plus
+    * `baseSequence` makes the batch idempotent: the broker accepts it
+    * once and re-acks retries without re-appending.
     */
   def produce(topic: String, partition: Int,
       records: Seq[(Long, Array[Byte], Array[Byte])],
-      gzip: Boolean = false): Long = {
-    val recordSet = encodeBatch(0L, records, gzip) // broker assigns real base
+      gzip: Boolean = false,
+      producerId: Long = -1L,
+      producerEpoch: Short = -1,
+      baseSequence: Int = -1): Long = {
+    val recordSet = encodeBatch(0L, records, gzip, // broker assigns real base
+      producerId, producerEpoch, baseSequence)
     val body = ByteBuffer.allocate(64 + topic.length * 4 + recordSet.length)
     writeNullableString(body, null) // transactional_id
     body.putShort(-1) // acks: all

@@ -22,7 +22,8 @@ import graft.replay.Replay.{Exchange, ReplayConfig}
   * a re-run appends again (no file-marker idempotence — that is the
   * FileExchange twin's exactly-once variant).
   */
-final class KafkaWireExchange(host: String, port: Int) extends Exchange {
+final class KafkaWireExchange(host: String, port: Int,
+    idempotent: Boolean = false) extends Exchange {
   import KafkaWireExchange.bytes
 
   /** Producer: key-partitioned, chunked produce requests from each
@@ -39,7 +40,50 @@ final class KafkaWireExchange(host: String, port: Int) extends Exchange {
       val c = new KafkaWireClient(h, p)
       try c.metadata(Seq(topic)).head.partitions.size finally c.close()
     }
-    (1 to cfg.repeat).foreach { r =>
+    if (idempotent) {
+      // enable.idempotence=true model (KIP-98): each task is ONE
+      // producer session — one InitProducerId handshake, monotone
+      // per-partition sequences stamped in each batch header — and
+      // cfg.repeat plays the RETRY loop at BATCH granularity: every
+      // batch is sent repeat times back-to-back with byte-identical
+      // (pid, sequence), the broker re-acks the duplicates and appends
+      // exactly once. Retrying per batch (not the whole task) is the
+      // protocol's own constraint: the broker's producer-state window
+      // holds the last 5 sequence ranges per (pid, partition) — the
+      // very reason Kafka caps max.in.flight at 5 when idempotence is
+      // on — so a duplicate must arrive while its range is still
+      // cached. Streaming chunk-by-chunk, nothing materialized.
+      wire.foreachPartition { (rows: Iterator[Row]) =>
+        if (rows.hasNext) {
+          val c = new KafkaWireClient(h, p)
+          try {
+            val (pid, epoch) = c.initProducerId()
+            val sticky = org.apache.spark.TaskContext.getPartitionId() % nParts
+            val nextSeq = scala.collection.mutable.Map.empty[Int, Int]
+            rows.grouped(500).foreach { chunk =>
+              chunk
+                .map { row =>
+                  val k = bytes(row.get(row.fieldIndex("key")))
+                  val v = bytes(row.get(row.fieldIndex("value")))
+                  val part =
+                    if (k == null) sticky else KafkaCodec.partitionFor(k, nParts)
+                  (part, k, v)
+                }
+                .groupBy(_._1)
+                .foreach { case (part, rs) =>
+                  val recs = rs.map { case (_, k, v) => (0L, k, v) }
+                  val seq = nextSeq.getOrElse(part, 0)
+                  (1 to cfg.repeat).foreach { _ =>
+                    c.produce(topic, part, recs, gzip = false, pid, epoch, seq)
+                  }
+                  nextSeq(part) = seq + recs.size
+                }
+            }
+          } finally c.close()
+        }
+      }
+      (1 to cfg.repeat).foreach(afterWrite)
+    } else (1 to cfg.repeat).foreach { r =>
       wire.foreachPartition { (rows: Iterator[Row]) =>
         if (rows.hasNext) {
           val c = new KafkaWireClient(h, p)

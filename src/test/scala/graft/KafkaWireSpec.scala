@@ -156,11 +156,11 @@ class KafkaWireSpec extends AnyFunSuite {
 
   // ---- client ↔ broker over TCP ----
 
-  test("ApiVersions advertises the five spoken APIs") {
+  test("ApiVersions advertises the six spoken APIs") {
     withBroker() { broker =>
       withClient(broker) { c =>
         val v = c.apiVersions()
-        assert(v.keySet == Set(0, 1, 2, 3, 18))
+        assert(v.keySet == Set(0, 1, 2, 3, 18, 22))
         assert(v(0) == (3, 3) && v(1) == (4, 4))
       }
     }
@@ -326,6 +326,77 @@ class KafkaWireSpec extends AnyFunSuite {
         .sorted.toSeq
       assert(viaKafka == viaFile)
       assert(viaKafka.size == 200) // repeat=2, at-least-once append
+    }
+  }
+
+  // ---- KIP-98 idempotent producer ----
+
+  test("idempotence: a retried (pid, sequence) batch re-acks without re-appending") {
+    withBroker() { broker =>
+      withClient(broker) { c =>
+        c.metadata(Seq("idem"))
+        val (pid, epoch) = c.initProducerId()
+        val recs = Seq((1L, b("k"), b("v1")), (2L, b("k"), b("v2")))
+        val base1 = c.produce("idem", 0, recs, gzip = false, pid, epoch, 0)
+        // the retry: byte-identical batch, same sequence
+        val base2 = c.produce("idem", 0, recs, gzip = false, pid, epoch, 0)
+        assert(base1 == base2, "retry must re-ack the ORIGINAL base offset")
+        assert(broker.highWatermark("idem", 0) == 2L, "retry must not append")
+        // the next real batch continues the sequence and appends
+        val base3 = c.produce("idem", 0, Seq((3L, b("k"), b("v3"))),
+          gzip = false, pid, epoch, 2)
+        assert(base3 == 2L && broker.highWatermark("idem", 0) == 3L)
+      }
+    }
+  }
+
+  test("idempotence: a sequence gap fails with OUT_OF_ORDER_SEQUENCE_NUMBER") {
+    withBroker() { broker =>
+      withClient(broker) { c =>
+        c.metadata(Seq("gap"))
+        val (pid, epoch) = c.initProducerId()
+        c.produce("gap", 0, Seq((1L, b("k"), b("v1"))), gzip = false, pid, epoch, 0)
+        val e = intercept[IllegalArgumentException] {
+          c.produce("gap", 0, Seq((2L, b("k"), b("v2"))), gzip = false, pid, epoch, 5)
+        }
+        assert(e.getMessage.contains("45"), s"expected error 45, got: ${e.getMessage}")
+        assert(broker.highWatermark("gap", 0) == 1L)
+      }
+    }
+  }
+
+  test("idempotence: distinct producers never fence each other; non-idempotent appends freely") {
+    withBroker() { broker =>
+      withClient(broker) { c =>
+        c.metadata(Seq("multi"))
+        val (pid1, e1) = c.initProducerId()
+        val (pid2, e2) = c.initProducerId()
+        assert(pid1 != pid2)
+        c.produce("multi", 0, Seq((1L, b("a"), b("v"))), gzip = false, pid1, e1, 0)
+        c.produce("multi", 0, Seq((1L, b("b"), b("v"))), gzip = false, pid2, e2, 0)
+        // legacy producer (-1 pid) bypasses producer state entirely
+        c.produce("multi", 0, Seq((1L, b("c"), b("v"))))
+        c.produce("multi", 0, Seq((1L, b("c"), b("v"))))
+        assert(broker.highWatermark("multi", 0) == 4L)
+      }
+    }
+  }
+
+  test("idempotent exchange: publish with repeat=2 converges to exactly-once on the log") {
+    import org.apache.spark.sql.functions.col
+    withBroker() { broker =>
+      import spark.implicits._
+      // > 500 rows per task partition forces multiple chunks → many
+      // batches per (pid, partition), far past the broker's 5-range
+      // producer-state window — pinning that retries happen at BATCH
+      // granularity (a whole-task replay would trip error 45 here)
+      val wire = (0 until 3000).map(i => (s"k$i", s"v$i"))
+        .toDF("key", "value").repartition(2)
+      val ex = new KafkaWireExchange("127.0.0.1", broker.port, idempotent = true)
+      ex.publish(wire, ReplayConfig(input = "", topic = "once", repeat = 2))
+      val consumed = ex.read(spark, "once")
+      assert(consumed.count() == 3000, "broker must fence the repeat")
+      assert(consumed.select(col("key")).distinct().count() == 3000)
     }
   }
 }
