@@ -68,6 +68,9 @@ final class KafkaStubBroker(val numPartitions: Int = 3,
   /** Total produce requests served (test hook, chunking assertions). */
   val produceRequests = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Producer sessions handed out by InitProducerId (test hook). */
+  def producersInitialized: Long = nextPid.get() - 1000L
+
   def port: Int = server.getLocalPort
   def bootstrap: String = s"127.0.0.1:$port"
 

@@ -67,6 +67,9 @@ final class KafkaWireSourceProvider extends TableProvider with DataSourceRegiste
       .orElse(Option(opts.get("compression.type"))).getOrElse("none")
     require(compression == "none" || compression == "gzip",
       s"kafka-wire: unsupported compression.type '$compression' (none|gzip)")
+    val idempotence = Option(opts.get("kafka.enable.idempotence"))
+      .orElse(Option(opts.get("enable.idempotence")))
+      .exists(_.toBoolean)
     new KafkaWireTable(KafkaWireConf(
       opts.get("host"),
       Integer.parseInt(opts.get("port")),
@@ -74,7 +77,8 @@ final class KafkaWireSourceProvider extends TableProvider with DataSourceRegiste
       maxPerTrigger,
       Option(opts.get("startingOffsets")).getOrElse("earliest"),
       Option(opts.get("endingOffsets")).getOrElse("latest"),
-      compression == "gzip"))
+      compression == "gzip",
+      idempotence))
   }
 }
 
@@ -93,11 +97,18 @@ final class KafkaWireSourceProvider extends TableProvider with DataSourceRegiste
   *  - `compression.type` (or the stock `kafka.compression.type`):
   *    `none` | `gzip` — producer-side batch compression; the read
   *    side inflates any codec transparently from the attribute bits,
-  *    so it needs no option.
+  *    so it needs no option;
+  *  - `enable.idempotence` (or `kafka.enable.idempotence`): each write
+  *    task runs the KIP-98 handshake and stamps per-partition
+  *    sequences, so NETWORK-level produce retries cannot duplicate.
+  *    Spark-level task/epoch replays still re-append under a fresh
+  *    pid — the stock connector's non-transactional contract is
+  *    unchanged; this hardens the wire hop, not the job retry.
   */
 final case class KafkaWireConf(host: String, port: Int, topic: String,
     maxOffsetsPerTrigger: Option[Long], startingOffsets: String,
-    endingOffsets: String, gzip: Boolean = false)
+    endingOffsets: String, gzip: Boolean = false,
+    idempotence: Boolean = false)
 
 object KafkaWireSource {
   /** The standard Kafka connector relation schema. */
@@ -182,7 +193,8 @@ final class KafkaWireTable(conf: KafkaWireConf)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): Write =
-        new KafkaWireWrite(conf.host, conf.port, conf.topic, info.schema(), conf.gzip)
+        new KafkaWireWrite(conf.host, conf.port, conf.topic, info.schema(),
+          conf.gzip, conf.idempotence)
     }
 }
 
@@ -196,7 +208,8 @@ final class KafkaWireTable(conf: KafkaWireConf)
   * dedup twin (`q_kafka_wire_redelivery`) is the documented recovery.
   */
 final class KafkaWireWrite(host: String, port: Int, topic: String,
-    schema: StructType, gzip: Boolean = false) extends Write {
+    schema: StructType, gzip: Boolean = false,
+    idempotence: Boolean = false) extends Write {
 
   private def factoryParams: KafkaWireWriterParams = {
     val keyIdx = schema.fieldNames.indexOf("key")
@@ -210,7 +223,7 @@ final class KafkaWireWrite(host: String, port: Int, topic: String,
       try c.metadata(Seq(topic)).head.partitions.size finally c.close()
     }
     KafkaWireWriterParams(host, port, topic, nParts,
-      keyIdx, keyIsString, valueIdx, valueIsString, gzip)
+      keyIdx, keyIsString, valueIdx, valueIsString, gzip, idempotence)
   }
 
   override def toBatch: BatchWrite = {
@@ -237,7 +250,8 @@ final class KafkaWireWrite(host: String, port: Int, topic: String,
 
 final case class KafkaWireWriterParams(host: String, port: Int, topic: String,
     nParts: Int, keyIdx: Int, keyIsString: Boolean,
-    valueIdx: Int, valueIsString: Boolean, gzip: Boolean = false)
+    valueIdx: Int, valueIsString: Boolean, gzip: Boolean = false,
+    idempotence: Boolean = false)
 
 final case class KafkaWireWriterFactory(params: KafkaWireWriterParams)
     extends DataWriterFactory with StreamingDataWriterFactory {
@@ -259,6 +273,12 @@ final class KafkaWireDataWriter(params: KafkaWireWriterParams, sparkPartition: I
   import params._
 
   private val client = new KafkaWireClient(host, port)
+  // enable.idempotence: one producer session per task — the handshake
+  // runs once and every flushed batch carries (pid, epoch, seq), so a
+  // network-level produce retry re-acks instead of re-appending
+  private val producer: Option[(Long, Short)] =
+    if (idempotence) Some(client.initProducerId()) else None
+  private val nextSeq = Array.fill(nParts)(0)
   private val sticky = sparkPartition % math.max(nParts, 1)
   private val buffers =
     Array.fill(nParts)(Vector.newBuilder[(Long, Array[Byte], Array[Byte])])
@@ -280,7 +300,12 @@ final class KafkaWireDataWriter(params: KafkaWireWriterParams, sparkPartition: I
 
   private def flush(part: Int): Unit = {
     val records = buffers(part).result()
-    if (records.nonEmpty) client.produce(topic, part, records, gzip)
+    if (records.nonEmpty) producer match {
+      case Some((pid, epoch)) =>
+        client.produce(topic, part, records, gzip, pid, epoch, nextSeq(part))
+        nextSeq(part) += records.size
+      case None => client.produce(topic, part, records, gzip)
+    }
     buffers(part) = Vector.newBuilder
     buffered(part) = 0
   }

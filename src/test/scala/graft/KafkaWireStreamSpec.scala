@@ -177,6 +177,29 @@ class KafkaWireStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("batch write with enable.idempotence runs the KIP-98 handshake and lands rows once") {
+    withBroker() { broker =>
+      import spark.implicits._
+      val before = broker.producersInitialized
+      val df = (0 until 1200)
+        .map(i => (s"user${i % 7}", s"""{"id":$i}""")).toDF("key", "value")
+        .repartition(2)
+      df.write.format("kafka-wire")
+        .option("host", "127.0.0.1").option("port", broker.port.toString)
+        .option("topic", "sink_idem")
+        .option("enable.idempotence", "true")
+        .mode("append").save()
+      // one producer session per write task
+      assert(broker.producersInitialized - before == 2)
+      val c = new KafkaWireClient("127.0.0.1", broker.port)
+      try {
+        // > 500 rows per task → multiple sequenced batches per
+        // (pid, partition); all must have appended exactly once
+        assert((0 until 3).map(p => c.fetchAll("sink_idem", p).size).sum == 1200)
+      } finally c.close()
+    }
+  }
+
   test("writeStream format(kafka-wire) produces every micro-batch row once") {
     withBroker() { broker =>
       import spark.implicits._
