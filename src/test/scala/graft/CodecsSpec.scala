@@ -94,4 +94,30 @@ class CodecsSpec extends AnyFunSuite {
     assert(avroBytes * 2 < jsonBytes,
       s"avro $avroBytes bytes vs json $jsonBytes — framing regression")
   }
+
+  test("Avro wire round-trip is the identity on random feeds (seeded property)") {
+    val typGen = Gen.oneOf("click", "view", "purchase", "ärger-β") // unicode leg
+    val rowGen = Gen.zip(Gen.chooseNum(0L, 1L << 40), typGen,
+      doubleGen, Gen.option(Gen.chooseNum(-1000, 1000)))
+    val feedGen = Gen.nonEmptyListOf(rowGen)
+    (0 until 15).flatMap(i => feedGen.apply(Gen.Parameters.default, Seed(100L + i)))
+      .foreach { rows =>
+        val df = rows.zipWithIndex.map { case ((id, typ, v, k), i) =>
+          (id, "2024-01-15 10:00:00", i.toLong, typ, v,
+            k.map(n => s"""{"k": $n}""").getOrElse("{}"))
+        }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .withColumn("ts", col("ts").cast("timestamp"))
+        val back = graft.core.AvroCodec.decodeEvents(
+            graft.core.AvroCodec.encodeEvents(df))
+          .select("event_id", "user_id", "event_type", "value", "prop_k")
+        val expected = rows.zipWithIndex.map { case ((id, typ, v, k), i) =>
+          (id, i.toLong, typ, v, k)
+        }.sortBy(_.toString)
+        val got = back.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3),
+            if (r.isNullAt(4)) None else Some(r.getInt(4))))
+          .sortBy(_.toString).toSeq
+        assert(got == expected)
+      }
+  }
 }
