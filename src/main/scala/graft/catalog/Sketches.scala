@@ -250,6 +250,57 @@ object Sketches {
       .orderBy("event_type")
   }
 
+  // The quantile twin of q_hll_merge_rollup: per-(type, day) GK
+  // sketches (functions.QuantileSketch over Spark's own
+  // QuantileSummaries, serialized to a binary column — the stored
+  // nightly artifact) union into per-type monthly quantiles WITHOUT
+  // revisiting raw rows. Verified the strong way: the merged p50/p90
+  // estimates' EXACT ranks (recomputed from the raw data, tie-safe via
+  // strict/inclusive rank brackets) must sit within 3× the sketch's
+  // ε=0.01 rank guarantee — booleans under the hash oracle, the
+  // `_bound` discipline.
+  val quantileMergeRollup: QueryDef = QueryDef.sql("q_quantile_merge_rollup")(
+    """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(COUNT(DISTINCT epoch_us(ts) // 86400000000) AS BIGINT) AS n_days,
+      |  TRUE AS p50_ok, TRUE AS p90_ok
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    import graft.functions.{QuantileSketchBuild, QuantileSketchMerge}
+    val ev = Tables.events(s, dir)
+    // nightly build: one sketch row per (type, day)
+    val daily = ev
+      .select(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"),
+        col("value"))
+      .as[(String, Long, Double)]
+      .groupByKey { case (t, d, _) => (t, d) }
+      .agg(new QuantileSketchBuild[(String, Long, Double)](_._3).toColumn
+        .name("sketch"))
+      .map { case ((t, d), sk) => (t, d, sk) }
+    // rollup read: union day sketches per type, query p50/p90
+    val ests = daily
+      .groupByKey(_._1)
+      .agg(new QuantileSketchMerge[(String, Long, Array[Byte])](_._3,
+        Seq(0.5, 0.9)).toColumn.name("qs"))
+      .map { case (t, qs) => (t, qs.head, qs(1)) }
+      .toDF("event_type", "est50", "est90")
+    // exact rank brackets of the estimates, from the raw data
+    ev.join(broadcast(ests), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        count_distinct(expr("unix_micros(ts) div 86400000000")).as("n_days"),
+        sum(when(col("value") < col("est50"), 1).otherwise(0)).as("__lo50"),
+        sum(when(col("value") <= col("est50"), 1).otherwise(0)).as("__hi50"),
+        sum(when(col("value") < col("est90"), 1).otherwise(0)).as("__lo90"),
+        sum(when(col("value") <= col("est90"), 1).otherwise(0)).as("__hi90"))
+      .select(col("event_type"), col("n"), col("n_days"),
+        (col("__hi50") >= col("n") * 0.5 - col("n") * 0.03 &&
+          col("__lo50") <= col("n") * 0.5 + col("n") * 0.03).as("p50_ok"),
+        (col("__hi90") >= col("n") * 0.9 - col("n") * 0.03 &&
+          col("__lo90") <= col("n") * 0.9 + col("n") * 0.03).as("p90_ok"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[QueryDef] = Seq(approxDistinct, heavyHitters, approxQuantiles, kmeansFit,
-    approxDistinctBound, heavyHittersBound, approxQuantilesBound, hllMergeRollup)
+    approxDistinctBound, heavyHittersBound, approxQuantilesBound, hllMergeRollup,
+    quantileMergeRollup)
 }
