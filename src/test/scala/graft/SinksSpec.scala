@@ -212,4 +212,17 @@ class SinksSpec extends AnyFunSuite {
     assert(none.count() == 0 &&
       none.columns.toSeq == Seq("room", "op", "ts", "v"))
   }
+
+  test("K3 delta store: change feed stays correct across a compaction in the window") {
+    val store = new DeltaUpsertStore(tmp("delta_cdf2_"), "room", Seq("ts"))
+    store.upsert(Seq(("413", 1L, "a"), ("644", 1L, "c")).toDF("room", "ts", "v"), 0)
+    store.upsert(Seq(("644", 2L, "C2"), ("999", 1L, "n")).toDF("room", "ts", "v"), 1)
+    store.compact(spark) // → version 3: base rewrite erases provenance
+    // candidates honestly degrade to the full store (the new base
+    // mentions every key) — the DIFF must still be exact: 413 unchanged
+    // and therefore absent
+    val ops = store.changes(spark, 1, 3).orderBy("room")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(ops == Seq(("644", "update"), ("999", "insert")))
+  }
 }
