@@ -398,13 +398,22 @@ final class KafkaStubBroker(val numPartitions: Int = 3,
       buf.putInt(ps.size)
       ps.foreach { case (_, p, ts) =>
         val hw = highWatermark(topic, p)
-        val offset = ts match {
-          case -2L => 0L // earliest
-          case _   => hw // latest (and any timestamp ≥ all: log end)
+        // real ListOffsets semantics: a non-negative timestamp resolves
+        // to the FIRST offset whose record timestamp is >= it (log end
+        // when none qualifies — "start from new data only")
+        val (offset, matchedTs) = ts match {
+          case -2L => (0L, 0L) // earliest
+          case -1L => (hw, -1L) // latest
+          case t =>
+            val log = logFor(topic, p)
+            log.synchronized(log.find(_.timestampMs >= t)) match {
+              case Some(r) => (r.offset, r.timestampMs)
+              case None    => (hw, -1L)
+            }
         }
         buf.putInt(p)
         buf.putShort(Err.None.toShort)
-        buf.putLong(if (ts == -2L) 0L else -1L) // matched timestamp
+        buf.putLong(matchedTs)
         buf.putLong(offset)
       }
     }

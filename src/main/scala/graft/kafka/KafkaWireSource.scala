@@ -70,6 +70,11 @@ final class KafkaWireSourceProvider extends TableProvider with DataSourceRegiste
     val idempotence = Option(opts.get("kafka.enable.idempotence"))
       .orElse(Option(opts.get("enable.idempotence")))
       .exists(_.toBoolean)
+    val startingTimestamp =
+      Option(opts.get("startingTimestamp")).map(java.lang.Long.parseLong)
+    require(startingTimestamp.isEmpty ||
+        Option(opts.get("startingOffsets")).isEmpty,
+      "kafka-wire: startingTimestamp and startingOffsets are mutually exclusive")
     new KafkaWireTable(KafkaWireConf(
       opts.get("host"),
       Integer.parseInt(opts.get("port")),
@@ -78,7 +83,8 @@ final class KafkaWireSourceProvider extends TableProvider with DataSourceRegiste
       Option(opts.get("startingOffsets")).getOrElse("earliest"),
       Option(opts.get("endingOffsets")).getOrElse("latest"),
       compression == "gzip",
-      idempotence))
+      idempotence,
+      startingTimestamp))
   }
 }
 
@@ -98,6 +104,11 @@ final class KafkaWireSourceProvider extends TableProvider with DataSourceRegiste
   *    `none` | `gzip` — producer-side batch compression; the read
   *    side inflates any codec transparently from the attribute bits,
   *    so it needs no option;
+  *  - `startingTimestamp`: epoch-millis start position — every
+  *    partition begins at its first record with CreateTime ≥ the
+  *    timestamp (ListOffsets by time, the stock connector's
+  *    `startingTimestamp`); partitions with no such record start at
+  *    the log end. Mutually exclusive with `startingOffsets`;
   *  - `enable.idempotence` (or `kafka.enable.idempotence`): each write
   *    task runs the KIP-98 handshake and stamps per-partition
   *    sequences, so NETWORK-level produce retries cannot duplicate.
@@ -108,7 +119,8 @@ final class KafkaWireSourceProvider extends TableProvider with DataSourceRegiste
 final case class KafkaWireConf(host: String, port: Int, topic: String,
     maxOffsetsPerTrigger: Option[Long], startingOffsets: String,
     endingOffsets: String, gzip: Boolean = false,
-    idempotence: Boolean = false)
+    idempotence: Boolean = false,
+    startingTimestamp: Option[Long] = None)
 
 object KafkaWireSource {
   /** The standard Kafka connector relation schema. */
@@ -148,6 +160,18 @@ object KafkaWireSource {
     * reading from somewhere else (the stock connector's
     * `failOnDataLoss` posture).
     */
+  /** Start positions: `startingTimestamp` (ListOffsets by time) wins
+    * over the `startingOffsets` spec when configured.
+    */
+  def resolveStart(client: KafkaWireClient, topic: String,
+      partitions: Seq[Int], conf: KafkaWireConf): Map[Int, Long] =
+    conf.startingTimestamp match {
+      case Some(ts) =>
+        partitions.map(p => p -> client.listOffset(topic, p, ts)).toMap
+      case None =>
+        resolveSpec(client, topic, partitions, conf.startingOffsets, defaultTs = -2L)
+    }
+
   def resolveSpec(client: KafkaWireClient, topic: String, partitions: Seq[Int],
       spec: String, defaultTs: Long): Map[Int, Long] = spec.trim match {
     case "earliest" => partitions.map(p => p -> client.listOffset(topic, p, -2L)).toMap
@@ -336,8 +360,7 @@ final class KafkaWireScan(conf: KafkaWireConf) extends Scan {
       val c = new KafkaWireClient(host, port)
       try {
         val parts = c.metadata(Seq(topic)).head.partitions.map(_.partition)
-        val starts = KafkaWireSource.resolveSpec(c, topic, parts,
-          conf.startingOffsets, defaultTs = -2L)
+        val starts = KafkaWireSource.resolveStart(c, topic, parts, conf)
         val ends = KafkaWireSource.resolveSpec(c, topic, parts,
           conf.endingOffsets, defaultTs = -1L)
         parts.map { p =>
@@ -371,8 +394,7 @@ final class KafkaWireMicroBatchStream(conf: KafkaWireConf)
     KafkaWireOffset(partitions.map(p => p -> client.listOffset(topic, p, timestamp)).toMap)
 
   override def initialOffset(): Offset =
-    KafkaWireOffset(KafkaWireSource.resolveSpec(client, topic, partitions,
-      conf.startingOffsets, defaultTs = -2L))
+    KafkaWireOffset(KafkaWireSource.resolveStart(client, topic, partitions, conf))
 
   /** Proportional admission control: cap this batch at `max` records
     * total, allotted across partitions proportionally to their backlog

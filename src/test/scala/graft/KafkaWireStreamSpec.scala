@@ -177,6 +177,44 @@ class KafkaWireStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("startingTimestamp resolves ListOffsets by time and skips older records") {
+    withBroker() { broker =>
+      val c = new KafkaWireClient("127.0.0.1", broker.port)
+      try {
+        c.metadata(Seq("timed"))
+        // CreateTime-stamped records: 3 eras per partition
+        (0 until 3).foreach { p =>
+          c.produce("timed", p, Seq(
+            (1000L, s"p$p-old".getBytes, "v".getBytes),
+            (2000L, s"p$p-mid".getBytes, "v".getBytes),
+            (3000L, s"p$p-new".getBytes, "v".getBytes)))
+        }
+        // protocol level: first-offset-with-ts>=t, log end when none
+        assert(c.listOffset("timed", 0, 2000L) == 1L)
+        assert(c.listOffset("timed", 0, 2001L) == 2L)
+        assert(c.listOffset("timed", 0, 9999L) == 3L) // no match → log end
+      } finally c.close()
+      val rows = spark.read.format("kafka-wire")
+        .option("host", "127.0.0.1").option("port", broker.port.toString)
+        .option("topic", "timed")
+        .option("startingTimestamp", "2000")
+        .load()
+        .selectExpr("CAST(key AS STRING) AS k").collect().map(_.getString(0)).toSet
+      assert(rows == (0 until 3).flatMap(p => Seq(s"p$p-mid", s"p$p-new")).toSet,
+        s"expected mid+new eras only, got $rows")
+      // mutual exclusion with startingOffsets is rejected loudly
+      val e = intercept[Exception] {
+        spark.read.format("kafka-wire")
+          .option("host", "127.0.0.1").option("port", broker.port.toString)
+          .option("topic", "timed")
+          .option("startingTimestamp", "2000")
+          .option("startingOffsets", "earliest")
+          .load().collect()
+      }
+      assert(e.getMessage.contains("mutually exclusive"))
+    }
+  }
+
   test("batch write with enable.idempotence runs the KIP-98 handshake and lands rows once") {
     withBroker() { broker =>
       import spark.implicits._
