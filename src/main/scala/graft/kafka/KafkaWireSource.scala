@@ -241,13 +241,19 @@ final class KafkaWireWrite(host: String, port: Int, topic: String,
     require(valueIdx >= 0, "kafka-wire write: a 'value' column is required")
     val keyIsString = keyIdx >= 0 && schema(keyIdx).dataType == StringType
     val valueIsString = schema(valueIdx).dataType == StringType
+    // stock-connector parity: an optional 'timestamp' input column
+    // (TimestampType) becomes each record's CreateTime on the wire
+    val tsIdx = schema.fieldNames.indexOf("timestamp")
+    require(tsIdx < 0 ||
+        schema(tsIdx).dataType == org.apache.spark.sql.types.TimestampType,
+      "kafka-wire write: 'timestamp' column must be TIMESTAMP")
     // partition count fixed once at the driver (metadata auto-creates)
     val nParts = {
       val c = new KafkaWireClient(host, port)
       try c.metadata(Seq(topic)).head.partitions.size finally c.close()
     }
     KafkaWireWriterParams(host, port, topic, nParts,
-      keyIdx, keyIsString, valueIdx, valueIsString, gzip, idempotence)
+      keyIdx, keyIsString, valueIdx, valueIsString, gzip, idempotence, tsIdx)
   }
 
   override def toBatch: BatchWrite = {
@@ -275,7 +281,7 @@ final class KafkaWireWrite(host: String, port: Int, topic: String,
 final case class KafkaWireWriterParams(host: String, port: Int, topic: String,
     nParts: Int, keyIdx: Int, keyIsString: Boolean,
     valueIdx: Int, valueIsString: Boolean, gzip: Boolean = false,
-    idempotence: Boolean = false)
+    idempotence: Boolean = false, tsIdx: Int = -1)
 
 final case class KafkaWireWriterFactory(params: KafkaWireWriterParams)
     extends DataWriterFactory with StreamingDataWriterFactory {
@@ -316,8 +322,13 @@ final class KafkaWireDataWriter(params: KafkaWireWriterParams, sparkPartition: I
   override def write(row: InternalRow): Unit = {
     val k = bytesAt(row, keyIdx, keyIsString)
     val v = bytesAt(row, valueIdx, valueIsString)
+    // CreateTime from the optional timestamp column (micros → millis,
+    // the wire's grain); 0L otherwise — event time then travels in the
+    // payload, the catalog pipelines' default
+    val ts = if (tsIdx >= 0 && !row.isNullAt(tsIdx)) row.getLong(tsIdx) / 1000L
+      else 0L
     val part = if (k == null) sticky else KafkaCodec.partitionFor(k, nParts)
-    buffers(part) += ((0L, k, v))
+    buffers(part) += ((ts, k, v))
     buffered(part) += 1
     if (buffered(part) >= 500) flush(part)
   }

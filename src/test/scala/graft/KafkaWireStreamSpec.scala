@@ -215,6 +215,40 @@ class KafkaWireStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("an input timestamp column becomes CreateTime and drives timestamp reads") {
+    withBroker() { broker =>
+      import spark.implicits._
+      val df = Seq(
+        ("a", "v1", "2024-01-15 10:00:00"),
+        ("b", "v2", "2024-01-15 11:00:00"),
+        ("c", "v3", "2024-01-15 12:00:00"))
+        .toDF("key", "value", "timestamp")
+        .withColumn("timestamp",
+          org.apache.spark.sql.functions.col("timestamp").cast("timestamp"))
+      df.write.format("kafka-wire")
+        .option("host", "127.0.0.1").option("port", broker.port.toString)
+        .option("topic", "stamped").mode("append").save()
+      // the wire round-trips the CreateTime into the reader's
+      // timestamp column...
+      val back = spark.read.format("kafka-wire")
+        .option("host", "127.0.0.1").option("port", broker.port.toString)
+        .option("topic", "stamped").load()
+        .selectExpr("CAST(key AS STRING) AS k", "timestamp")
+      assert(back.selectExpr("min(unix_timestamp(timestamp))").head.getLong(0) ==
+        java.time.Instant.parse("2024-01-15T10:00:00Z").getEpochSecond)
+      // ...and a startingTimestamp read honors it across eras
+      val late = spark.read.format("kafka-wire")
+        .option("host", "127.0.0.1").option("port", broker.port.toString)
+        .option("topic", "stamped")
+        .option("startingTimestamp",
+          java.time.Instant.parse("2024-01-15T11:00:00Z").toEpochMilli.toString)
+        .load()
+        .selectExpr("CAST(key AS STRING) AS k")
+        .collect().map(_.getString(0)).toSet
+      assert(late == Set("b", "c"), s"got $late")
+    }
+  }
+
   test("batch write with enable.idempotence runs the KIP-98 handshake and lands rows once") {
     withBroker() { broker =>
       import spark.implicits._
