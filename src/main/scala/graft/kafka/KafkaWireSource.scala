@@ -75,6 +75,11 @@ final class KafkaWireSourceProvider extends TableProvider with DataSourceRegiste
     require(startingTimestamp.isEmpty ||
         Option(opts.get("startingOffsets")).isEmpty,
       "kafka-wire: startingTimestamp and startingOffsets are mutually exclusive")
+    val endingTimestamp =
+      Option(opts.get("endingTimestamp")).map(java.lang.Long.parseLong)
+    require(endingTimestamp.isEmpty ||
+        Option(opts.get("endingOffsets")).isEmpty,
+      "kafka-wire: endingTimestamp and endingOffsets are mutually exclusive")
     new KafkaWireTable(KafkaWireConf(
       opts.get("host"),
       Integer.parseInt(opts.get("port")),
@@ -84,7 +89,8 @@ final class KafkaWireSourceProvider extends TableProvider with DataSourceRegiste
       Option(opts.get("endingOffsets")).getOrElse("latest"),
       compression == "gzip",
       idempotence,
-      startingTimestamp))
+      startingTimestamp,
+      endingTimestamp))
   }
 }
 
@@ -108,7 +114,10 @@ final class KafkaWireSourceProvider extends TableProvider with DataSourceRegiste
   *    partition begins at its first record with CreateTime ≥ the
   *    timestamp (ListOffsets by time, the stock connector's
   *    `startingTimestamp`); partitions with no such record start at
-  *    the log end. Mutually exclusive with `startingOffsets`;
+  *    the log end. Mutually exclusive with `startingOffsets`.
+  *    `endingTimestamp` (batch reads) is the EXCLUSIVE twin: records
+  *    with CreateTime ≥ it are excluded, mutually exclusive with
+  *    `endingOffsets`;
   *  - `enable.idempotence` (or `kafka.enable.idempotence`): each write
   *    task runs the KIP-98 handshake and stamps per-partition
   *    sequences, so NETWORK-level produce retries cannot duplicate.
@@ -120,7 +129,8 @@ final case class KafkaWireConf(host: String, port: Int, topic: String,
     maxOffsetsPerTrigger: Option[Long], startingOffsets: String,
     endingOffsets: String, gzip: Boolean = false,
     idempotence: Boolean = false,
-    startingTimestamp: Option[Long] = None)
+    startingTimestamp: Option[Long] = None,
+    endingTimestamp: Option[Long] = None)
 
 object KafkaWireSource {
   /** The standard Kafka connector relation schema. */
@@ -170,6 +180,19 @@ object KafkaWireSource {
         partitions.map(p => p -> client.listOffset(topic, p, ts)).toMap
       case None =>
         resolveSpec(client, topic, partitions, conf.startingOffsets, defaultTs = -2L)
+    }
+
+  /** Batch end positions: `endingTimestamp` excludes records at or past
+    * it (ListOffsets by time is the first such offset — an exclusive
+    * end bound); otherwise the `endingOffsets` spec.
+    */
+  def resolveEnd(client: KafkaWireClient, topic: String,
+      partitions: Seq[Int], conf: KafkaWireConf): Map[Int, Long] =
+    conf.endingTimestamp match {
+      case Some(ts) =>
+        partitions.map(p => p -> client.listOffset(topic, p, ts)).toMap
+      case None =>
+        resolveSpec(client, topic, partitions, conf.endingOffsets, defaultTs = -1L)
     }
 
   def resolveSpec(client: KafkaWireClient, topic: String, partitions: Seq[Int],
@@ -372,8 +395,7 @@ final class KafkaWireScan(conf: KafkaWireConf) extends Scan {
       try {
         val parts = c.metadata(Seq(topic)).head.partitions.map(_.partition)
         val starts = KafkaWireSource.resolveStart(c, topic, parts, conf)
-        val ends = KafkaWireSource.resolveSpec(c, topic, parts,
-          conf.endingOffsets, defaultTs = -1L)
+        val ends = KafkaWireSource.resolveEnd(c, topic, parts, conf)
         parts.map { p =>
           KafkaWireInputPartition(host, port, topic, p, starts(p), ends(p))
             : InputPartition

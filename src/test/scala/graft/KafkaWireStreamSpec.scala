@@ -202,6 +202,17 @@ class KafkaWireStreamSpec extends AnyFunSuite {
         .selectExpr("CAST(key AS STRING) AS k").collect().map(_.getString(0)).toSet
       assert(rows == (0 until 3).flatMap(p => Seq(s"p$p-mid", s"p$p-new")).toSet,
         s"expected mid+new eras only, got $rows")
+      // the exclusive end twin: a [start, end) time window per partition
+      val windowed = spark.read.format("kafka-wire")
+        .option("host", "127.0.0.1").option("port", broker.port.toString)
+        .option("topic", "timed")
+        .option("startingTimestamp", "2000")
+        .option("endingTimestamp", "3000")
+        .load()
+        .selectExpr("CAST(key AS STRING) AS k")
+        .collect().map(_.getString(0)).toSet
+      assert(windowed == (0 until 3).map(p => s"p$p-mid").toSet,
+        s"expected the mid era only, got $windowed")
       // mutual exclusion with startingOffsets is rejected loudly
       val e = intercept[Exception] {
         spark.read.format("kafka-wire")
@@ -225,6 +236,11 @@ class KafkaWireStreamSpec extends AnyFunSuite {
         .toDF("key", "value", "timestamp")
         .withColumn("timestamp",
           org.apache.spark.sql.functions.col("timestamp").cast("timestamp"))
+        // single task: per-partition CreateTimes stay monotone, which
+        // ListOffsets-by-time assumes (real Kafka scans for the FIRST
+        // qualifying offset — out-of-order producer timestamps give it
+        // the same surprises)
+        .coalesce(1)
       df.write.format("kafka-wire")
         .option("host", "127.0.0.1").option("port", broker.port.toString)
         .option("topic", "stamped").mode("append").save()
