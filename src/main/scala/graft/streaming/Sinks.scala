@@ -347,6 +347,10 @@ final class DeltaUpsertStore(root: String, keyCol: String, orderCols: Seq[String
     * full store (compaction erases the provenance the bound relies on).
     */
   def changes(spark: SparkSession, fromVersion: Long, toVersion: Long): DataFrame = {
+    // reversed bounds would make newSegs empty and read as a silently
+    // empty feed — fail loudly like readAt does for bad versions
+    require(fromVersion <= toVersion,
+      s"changes: fromVersion $fromVersion > toVersion $toVersion")
     val fromSegs = versionSegments(fromVersion)
     val toSegs = versionSegments(toVersion)
     val newSegs = toSegs.filterNot(fromSegs.toSet)

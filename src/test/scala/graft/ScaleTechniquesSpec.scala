@@ -61,6 +61,13 @@ class ScaleTechniquesSpec extends AnyFunSuite {
       assert(math.abs(approx(k) - n) <= math.max(1, n * 0.05),
         s"$k: approx ${approx(k)} vs exact $n")
     }
+    // benched rsd 0.05 twin: 3x its rsd (15%) — the same 3σ discipline
+    val rsd5 = graft.catalog.Sketches.approxDistinctRsd5.build(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      assert(math.abs(rsd5(k) - n) <= math.max(1, n * 0.15),
+        s"$k: rsd5 approx ${rsd5(k)} vs exact $n")
+    }
     val cms = graft.catalog.Sketches.heavyHitters.build(spark, dir).collect()
     cms.foreach { r =>
       assert(r.getAs[Long]("estimated_n") >= r.getAs[Long]("exact_n"))

@@ -5,10 +5,17 @@ Usage: check_bench.py <BENCH_json> [BASELINE_BENCH.json]
 
 <BENCH_json> is either graft.Bench's own one-line JSON (BENCH_FULL.json)
 or a driver round file whose 'tail' embeds that line. Reports, per
-query: time, baseline, ratio; flags ratios > 2.0. Cross-boot single
-samples on this box swing 3-4x for identical binaries, so a flagged
-query is a LEAD, not a verdict — confirm with isolated same-boot runs
-(SPARK_GRAFT_ONLY) before calling it a regression.
+query: time, baseline, ratio; flags ratios > 2.0.
+
+Since round 9, graft.Bench self-adjudicates: each reported time is
+already the min over up to SPARK_GRAFT_PASSES (default 3) same-boot
+runs — pass 1 runs alphabetically, then queries over 1.5x baseline are
+re-run in reversed order and the min wins (samples recorded under
+'reruns' in BENCH_FULL.json). So a >2x flag from a round-9+ bench
+survived min-of-N isolated attempts and IS a regression verdict, not a
+lead. For pre-round-9 single-pass files the old caveat applies:
+cross-boot single samples swing 3-4x; confirm with isolated
+SPARK_GRAFT_ONLY runs before calling a flag a regression.
 
 Exit code: 0 always (reporting tool, not a gate); the judge applies the
 gate to confirmed numbers.
