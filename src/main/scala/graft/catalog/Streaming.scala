@@ -960,6 +960,45 @@ object Streaming {
     } finally broker.stop()
   }
 
+  // The TRANSACTIONAL produce leg (KIP-98 EOS half, beyond-parity —
+  // the reference producer is at-least-once): the publish runs TWICE,
+  // with the first attempt KILLED between its last produce and its
+  // commit (no EndTxn), exactly the crash window that makes
+  // at-least-once duplicate. The retry re-initializes the same
+  // transactional.id — same pid, bumped epoch — which FENCES the dead
+  // attempt and aborts its open transaction, then produces and
+  // commits. A read_committed consumer therefore sees EXACTLY ONE copy
+  // with zero consumer-side dedup (contrast: q_kafka_wire_redelivery
+  // dedups in the consumer, q_kafka_wire_idempotent fences duplicate
+  // batches but not whole-attempt replays). The builder also pins the
+  // isolation contrast in-line: the read_uncommitted view of the same
+  // log holds BOTH attempts' records.
+  val kafkaWireTxn: QueryDef = QueryDef.sql("q_kafka_wire_txn")(
+    """SELECT event_id, user_id, event_type, value
+      |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val broker = new graft.kafka.KafkaStubBroker(3)
+    broker.start()
+    try {
+      val exchange = new graft.kafka.KafkaWireExchange("127.0.0.1", broker.port,
+        transactionalId = Some("graft-eos"))
+      val wire = Ingest.toJsonWire(graft.core.Tables.events(s, dir), "event_id")
+      exchange.publish(wire,
+        graft.replay.Replay.ReplayConfig(input = "", topic = "events-txn",
+          repeat = 2))
+      // isolation contrast: both attempts' records are ON the log...
+      val uncommitted = exchange.read(s, "events-txn").count()
+      val committed = exchange.readCommitted(s, "events-txn")
+      val committedN = committed.count()
+      require(uncommitted == 2 * committedN,
+        s"read_uncommitted must see both attempts ($uncommitted vs $committedN)")
+      // ...but committed-only visibility is the single-publish oracle
+      val decoded = Ingest.decodeJsonWire(committed)
+        .select("event_id", "user_id", "event_type", "value")
+        .orderBy("event_id")
+      graft.core.Spill.materialize(decoded)(())
+    } finally broker.stop()
+  }
+
   // The BINARY codec leg of the wire: Avro-encoded values (the
   // schema-registry serialization a production Kafka feed carries,
   // where the reference ships JSON strings) produced through the real
@@ -1213,6 +1252,14 @@ object Streaming {
   // the output topic must decode to the plain filtered table. Scale
   // shape: stateless row transform — no shuffle anywhere; bytes flow
   // broker→executor→broker, bounded per micro-batch by the source cap.
+  //
+  // Since round 9 the sink runs TRANSACTIONAL (kafka.transactional.id):
+  // each task's micro-batch output commits atomically under a stable
+  // per-task transactional identity, so a task retried mid-produce
+  // leaves only aborted ranges behind and the read_committed output
+  // read sees each row exactly once — the Kafka Streams EOS contract
+  // (epoch replays past a checkpoint commit remain at-least-once,
+  // as they do there; KafkaTxnSpec pins the retry/fencing mechanics).
   val kafkaTopicTransform: QueryDef = QueryDef.sql("q_kafka_topic_transform")(
     """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
       |FROM events WHERE event_type IN ('purchase', 'signup')
@@ -1240,6 +1287,7 @@ object Streaming {
       val q = transformed.writeStream.format("kafka-wire")
         .option("host", "127.0.0.1").option("port", broker.port.toString)
         .option("topic", "curated")
+        .option("kafka.transactional.id", "t2t")
         .option("checkpointLocation", uniqueDir("chk_t2t_"))
         .trigger(Trigger.AvailableNow())
         .start()
@@ -1248,6 +1296,7 @@ object Streaming {
       val out = s.read.format("kafka-wire")
         .option("host", "127.0.0.1").option("port", broker.port.toString)
         .option("topic", "curated")
+        .option("isolation.level", "read_committed")
         .load()
         .selectExpr("CAST(value AS STRING) AS json")
         .select(from_json(col("json"),
@@ -1421,6 +1470,6 @@ object Streaming {
     sinkUpsertDeltaDelete, streamAsofJoin,
     sinkUpsertEs, sinkUpsertEsDelete, sinkRouteEs, streamTopkTypes,
     kafkaWireIngest, kafkaWireRedelivery, streamKafkaWire, streamKafkaSink,
-    streamKafkaGzip, kafkaWireAvro, kafkaWireIdempotent,
+    streamKafkaGzip, kafkaWireAvro, kafkaWireIdempotent, kafkaWireTxn,
     e2eKafkaEs, kafkaTopicTransform, deltaMerge, deltaCdf, streamCdcApply)
 }

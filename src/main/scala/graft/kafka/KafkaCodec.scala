@@ -42,24 +42,67 @@ import java.util.zip.CRC32C
 object KafkaCodec {
 
   /** One decoded record on the wire: null key/value are real protocol
-    * states (tombstones), carried as null arrays.
+    * states (tombstones), carried as null arrays. `control` marks a
+    * record from a control batch (a transaction COMMIT/ABORT marker) —
+    * it occupies a log offset like any record (consumers must count it
+    * when advancing) but is never surfaced as data; `producerId` is
+    * the batch-level producer id (-1 when non-idempotent), carried
+    * per-record so a read_committed consumer can match records against
+    * aborted-transaction ranges.
     */
   final case class WireRecord(
       offset: Long,
       timestampMs: Long,
       key: Array[Byte],
-      value: Array[Byte])
+      value: Array[Byte],
+      control: Boolean = false,
+      producerId: Long = -1L)
 
-  /** Batch-level producer state (KIP-98 idempotence fields): all -1 on
-    * a non-idempotent produce, set by a producer running with
-    * `enable.idempotence=true` so the broker can fence duplicates.
+  /** Batch-level producer state (KIP-98 fields): pid/epoch/sequence
+    * all -1 on a plain produce; set by `enable.idempotence=true`
+    * producers so the broker can fence duplicates. `transactional` /
+    * `control` are the attribute bits 4/5 of record batch v2 — a
+    * transactional data batch belongs to an open transaction, a
+    * control batch carries its COMMIT/ABORT marker.
     */
   final case class BatchMeta(
       producerId: Long,
       producerEpoch: Short,
       baseSequence: Int,
-      numRecords: Int) {
+      numRecords: Int,
+      transactional: Boolean = false,
+      control: Boolean = false) {
     def idempotent: Boolean = producerId >= 0L
+  }
+
+  /** Control-record payloads (KIP-98): the marker record's KEY is
+    * (version int16, type int16) with type 0 = ABORT, 1 = COMMIT; the
+    * VALUE is (version int16, coordinator_epoch int32). These are the
+    * bytes a real broker writes when the transaction coordinator
+    * completes a transaction.
+    */
+  object ControlMarker {
+    val Abort = 0
+    val Commit = 1
+
+    def key(markerType: Int): Array[Byte] = {
+      val b = ByteBuffer.allocate(4)
+      b.putShort(0) // version
+      b.putShort(markerType.toShort)
+      b.array()
+    }
+
+    def value(): Array[Byte] = {
+      val b = ByteBuffer.allocate(6)
+      b.putShort(0) // version
+      b.putInt(0) // coordinator_epoch
+      b.array()
+    }
+
+    /** Marker type from a control record's key (-1 if malformed). */
+    def typeOf(key: Array[Byte]): Int =
+      if (key == null || key.length < 4) -1
+      else ((key(2) & 0xff) << 8) | (key(3) & 0xff)
   }
 
   // ---- zigzag varints (record v2 body encoding) ----
@@ -183,7 +226,9 @@ object KafkaCodec {
       gzip: Boolean = false,
       producerId: Long = -1L,
       producerEpoch: Short = -1,
-      baseSequence: Int = -1): Array[Byte] = {
+      baseSequence: Int = -1,
+      transactional: Boolean = false,
+      control: Boolean = false): Array[Byte] = {
     require(records.nonEmpty, "empty record batch")
     val baseTs = records.head._1
     val maxTs = records.map(_._1).max
@@ -212,7 +257,11 @@ object KafkaCodec {
     buf.put(2.toByte) // magic
     val crcPos = buf.position()
     buf.putInt(0) // crc placeholder
-    buf.putShort((if (gzip) Codec.Gzip else Codec.None).toShort) // attributes, CreateTime
+    // attributes: codec bits 0-2, CreateTime (bit 3 clear),
+    // isTransactional bit 4, isControlBatch bit 5
+    val attributes = (if (gzip) Codec.Gzip else Codec.None) |
+      (if (transactional) 0x10 else 0) | (if (control) 0x20 else 0)
+    buf.putShort(attributes.toShort)
     buf.putInt(records.size - 1) // lastOffsetDelta
     buf.putLong(baseTs)
     buf.putLong(maxTs)
@@ -301,10 +350,13 @@ object KafkaCodec {
             val hv = readVarInt(recBuf); recBuf.position(recBuf.position() + math.max(hv, 0))
             h += 1
           }
-          recs += WireRecord(baseOffset + offDelta, baseTs + tsDelta, k, v)
+          recs += WireRecord(baseOffset + offDelta, baseTs + tsDelta, k, v,
+            control = (attributes & 0x20) != 0, producerId = producerId)
           i += 1
         }
-        out += ((BatchMeta(producerId, producerEpoch, baseSequence, n),
+        out += ((BatchMeta(producerId, producerEpoch, baseSequence, n,
+          transactional = (attributes & 0x10) != 0,
+          control = (attributes & 0x20) != 0),
           recs.result()))
       }
     }
@@ -370,6 +422,8 @@ object KafkaCodec {
     val Metadata = 3
     val ApiVersions = 18
     val InitProducerId = 22
+    val AddPartitionsToTxn = 24
+    val EndTxn = 26
   }
 
   object Err {
@@ -378,5 +432,7 @@ object KafkaCodec {
     val CorruptMessage = 2
     val UnknownTopicOrPartition = 3
     val OutOfOrderSequenceNumber = 45
+    val InvalidProducerEpoch = 47 // a newer producer with the same transactional.id fenced this one
+    val InvalidTxnState = 48 // e.g. transactional produce to a partition never added to the txn
   }
 }

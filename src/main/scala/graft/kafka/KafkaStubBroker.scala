@@ -19,9 +19,16 @@ import KafkaCodec._
   * Speaks (non-flexible versions, header v1 in / v0 out):
   *   - ApiVersions v0
   *   - Metadata v1 (auto-creates topics with [[numPartitions]])
-  *   - Produce v3 (record batch v2, CRC-checked on ingest)
-  *   - Fetch v4 (earliest..high-watermark, OFFSET_OUT_OF_RANGE beyond)
+  *   - Produce v3 (record batch v2, CRC-checked on ingest; KIP-98
+  *     idempotent AND transactional batches validated/fenced)
+  *   - Fetch v4 (earliest..high-watermark, OFFSET_OUT_OF_RANGE beyond;
+  *     isolation_level=read_committed caps at the last stable offset
+  *     and reports aborted-transaction ranges)
   *   - ListOffsets v1 (-2 earliest / -1 latest)
+  *   - InitProducerId v0 (idempotent pid allocation; transactional.id
+  *     epoch bump + fencing + auto-abort of the stale open txn)
+  *   - AddPartitionsToTxn v0 / EndTxn v0 (commit/abort control
+  *     markers written per registered partition)
   *
   * Offset semantics enforced (what `spark_streaming_kafka.py:13-18`'s
   * `startingOffsets=earliest` consumer depends on):
@@ -46,7 +53,9 @@ final class KafkaStubBroker(val numPartitions: Int = 3,
   private val fetchGzip = compressionType == "gzip"
 
   private final case class StoredRecord(
-      offset: Long, timestampMs: Long, key: Array[Byte], value: Array[Byte])
+      offset: Long, timestampMs: Long, key: Array[Byte], value: Array[Byte],
+      pid: Long = -1L, epoch: Short = -1, transactional: Boolean = false,
+      control: Boolean = false)
 
   // partition log: append-only; all access synchronized on the buffer
   private val logs = new ConcurrentHashMap[(String, Int), ArrayBuffer[StoredRecord]]()
@@ -59,8 +68,33 @@ final class KafkaStubBroker(val numPartitions: Int = 3,
   // gap fails with OUT_OF_ORDER_SEQUENCE_NUMBER.
   private val nextPid = new java.util.concurrent.atomic.AtomicLong(1000L)
   private final case class SeqRange(baseSeq: Int, count: Int, baseOffset: Long)
+  // per-partition producer state is EPOCH-aware: a bumped epoch resets
+  // the sequence space (the retried transactional producer starts at
+  // seq 0 again), a stale epoch is fenced — real ProducerStateManager
+  // semantics
+  private final case class PidState(epoch: Short, ranges: List[SeqRange])
   private val producerState =
-    new ConcurrentHashMap[(String, Int, Long), List[SeqRange]]()
+    new ConcurrentHashMap[(String, Int, Long), PidState]()
+
+  // KIP-98 transactions (the coordinator's durable state, in-memory):
+  //  - txnProducers: transactional.id -> (pid, epoch). Re-initializing
+  //    the same id returns the SAME pid with epoch+1 — the fencing
+  //    handshake — and ABORTS any transaction the old epoch left open
+  //    (exactly what a real coordinator does on InitProducerId).
+  //  - txnPartitions: transactional.id -> partitions registered via
+  //    AddPartitionsToTxn for the CURRENT transaction.
+  //  - openTxns: per partition, pid -> first offset of its open
+  //    transaction (feeds the last-stable-offset: read_committed
+  //    consumers cannot see past min(open first offsets)).
+  //  - abortedTxns: per partition, completed ABORTED ranges
+  //    (pid, firstOffset, markerOffset) a read_committed fetch reports
+  //    so consumers drop those records.
+  private final case class TxnProducer(pid: Long, epoch: Short)
+  private val txnProducers = new ConcurrentHashMap[String, TxnProducer]()
+  private val txnPartitions = new ConcurrentHashMap[String, Set[(String, Int)]]()
+  private val openTxns = new ConcurrentHashMap[(String, Int), Map[Long, Long]]()
+  private val abortedTxns =
+    new ConcurrentHashMap[(String, Int), List[(Long, Long, Long)]]()
   private val running = new AtomicBoolean(false)
   @volatile private var server: ServerSocket = _
   @volatile private var acceptor: Thread = _
@@ -136,6 +170,8 @@ final class KafkaStubBroker(val numPartitions: Int = 3,
           case Api.Fetch       => fetchResponse(buf)
           case Api.ListOffsets => listOffsetsResponse(buf)
           case Api.InitProducerId => initProducerIdResponse(buf)
+          case Api.AddPartitionsToTxn => addPartitionsToTxnResponse(buf)
+          case Api.EndTxn => endTxnResponse(buf)
           case other =>
             throw new IllegalArgumentException(s"unsupported api key $other v$apiVersion")
         }
@@ -156,7 +192,8 @@ final class KafkaStubBroker(val numPartitions: Int = 3,
     val apis = Seq(
       (Api.Produce, 3, 3), (Api.Fetch, 4, 4), (Api.ListOffsets, 1, 1),
       (Api.Metadata, 1, 1), (Api.ApiVersions, 0, 0),
-      (Api.InitProducerId, 0, 0))
+      (Api.InitProducerId, 0, 0), (Api.AddPartitionsToTxn, 0, 0),
+      (Api.EndTxn, 0, 0))
     val buf = ByteBuffer.allocate(2 + 4 + apis.size * 6)
     buf.putShort(Err.None.toShort)
     buf.putInt(apis.size)
@@ -202,7 +239,7 @@ final class KafkaStubBroker(val numPartitions: Int = 3,
 
   private def produceResponse(req: ByteBuffer): Array[Byte] = {
     produceRequests.incrementAndGet()
-    readNullableString(req) // transactional_id
+    val txnId = readNullableString(req)
     req.getShort // acks
     req.getInt // timeout_ms
     val nTopics = req.getInt
@@ -221,42 +258,103 @@ final class KafkaStubBroker(val numPartitions: Int = 3,
             // synchronized over the log so the sequence check and the
             // append are one atomic step even under concurrent
             // producers — the same single-writer-per-partition section
-            // a real broker's log append runs in
+            // a real broker's log append runs in. Two-phase: every
+            // batch in the request validates against a SIMULATED
+            // producer state first, and nothing is appended unless all
+            // of them pass — a later batch tripping
+            // OUT_OF_ORDER_SEQUENCE_NUMBER must not leave an earlier
+            // batch's append behind (partial application within one
+            // request would be unrecoverable for the producer, which
+            // retries the whole request).
             val result = log.synchronized {
               var firstBase = -1L
               var err = Err.None
+              var simLen = log.length.toLong
+              var simState = Map.empty[Long, PidState]
+              // planned effects: Left(base) = dup re-ack, Right = append
+              val plan = ArrayBuffer
+                .empty[Either[Long, (BatchMeta, Vector[WireRecord], Long)]]
               batches.foreach { case (meta, records) =>
                 if (err == Err.None) {
                   val stateKey = (topic, partition, meta.producerId)
-                  val ranges =
+                  // transactional validation: only the coordinator
+                  // writes control batches; a transactional data batch
+                  // must carry the CURRENT (pid, epoch) of its
+                  // transactional.id (stale epoch = fenced, error 47)
+                  // and target a partition registered via
+                  // AddPartitionsToTxn (error 48 otherwise)
+                  if (meta.control) err = Err.InvalidTxnState
+                  else if (meta.transactional) {
+                    val current =
+                      if (txnId == null) None else Option(txnProducers.get(txnId))
+                    if (!current.exists(p =>
+                        p.pid == meta.producerId && p.epoch == meta.producerEpoch))
+                      err = Err.InvalidProducerEpoch
+                    else if (!txnPartitions.getOrDefault(txnId, Set.empty)
+                        .contains((topic, partition)))
+                      err = Err.InvalidTxnState
+                  }
+                  val st =
                     if (meta.idempotent)
-                      producerState.getOrDefault(stateKey, Nil)
-                    else Nil
+                      simState.getOrElse(meta.producerId,
+                        producerState.getOrDefault(stateKey,
+                          PidState((-1).toShort, Nil)))
+                    else PidState((-1).toShort, Nil)
+                  // epoch rules: newer epoch RESETS the sequence space
+                  // (a fenced-and-retried transactional producer starts
+                  // at 0 again); a stale epoch is fenced
+                  val ranges =
+                    if (!meta.idempotent) Nil
+                    else if (meta.producerEpoch > st.epoch) Nil
+                    else if (meta.producerEpoch < st.epoch) {
+                      if (err == Err.None) err = Err.InvalidProducerEpoch
+                      Nil
+                    } else st.ranges
                   val dup = if (meta.idempotent)
                     ranges.find(r => r.baseSeq == meta.baseSequence &&
                       r.count == meta.numRecords)
                   else None
-                  dup match {
+                  if (err != Err.None) () else dup match {
                     case Some(r) => // retry of an accepted batch: re-ack
-                      if (firstBase < 0) firstBase = r.baseOffset
+                      plan += Left(r.baseOffset)
                     case None =>
                       val lastSeqEnd = ranges.headOption
                         .map(r => r.baseSeq + r.count).getOrElse(0)
                       if (meta.idempotent && meta.baseSequence != lastSeqEnd)
                         err = Err.OutOfOrderSequenceNumber
                       else {
-                        val base = log.length.toLong
-                        records.zipWithIndex.foreach { case (r, i) =>
-                          log += StoredRecord(base + i, r.timestampMs, r.key, r.value)
-                        }
+                        plan += Right((meta, records.toVector, simLen))
                         if (meta.idempotent)
-                          producerState.put(stateKey,
-                            (SeqRange(meta.baseSequence, meta.numRecords, base) ::
+                          simState += meta.producerId -> PidState(
+                            meta.producerEpoch,
+                            (SeqRange(meta.baseSequence, meta.numRecords, simLen) ::
                               ranges).take(5))
-                        if (firstBase < 0) firstBase = base
+                        simLen += records.size
                       }
                   }
                 }
+              }
+              if (err == Err.None) plan.foreach {
+                case Left(base) =>
+                  if (firstBase < 0) firstBase = base
+                case Right((meta, records, base)) =>
+                  records.zipWithIndex.foreach { case (r, i) =>
+                    log += StoredRecord(base + i, r.timestampMs, r.key, r.value,
+                      meta.producerId, meta.producerEpoch, meta.transactional)
+                  }
+                  if (meta.idempotent)
+                    producerState.put((topic, partition, meta.producerId),
+                      simState(meta.producerId))
+                  if (meta.transactional) {
+                    // first transactional append opens the txn on this
+                    // partition: its base offset pins the LSO until the
+                    // marker lands
+                    val key = (topic, partition)
+                    val open = openTxns.getOrDefault(key, Map.empty)
+                    if (!open.contains(meta.producerId))
+                      openTxns.put(key, open + (meta.producerId -> base))
+                  }
+                  if (firstBase < 0) firstBase = base
               }
               (err, firstBase)
             }
@@ -286,12 +384,15 @@ final class KafkaStubBroker(val numPartitions: Int = 3,
     val arr = new Array[Byte](buf.remaining()); buf.get(arr); arr
   }
 
+  private final case class FetchPart(topic: String, partition: Int, err: Int,
+      hw: Long, lso: Long, aborted: Seq[(Long, Long)], recordSet: Array[Byte])
+
   private def fetchResponse(req: ByteBuffer): Array[Byte] = {
     req.getInt // replica_id
     req.getInt // max_wait_ms
     req.getInt // min_bytes
     req.getInt // max_bytes
-    req.get() // isolation_level
+    val readCommitted = req.get() == 1 // isolation_level
     val nTopics = req.getInt
     val parts = (0 until nTopics).flatMap { _ =>
       val topic = readString(req)
@@ -305,75 +406,211 @@ final class KafkaStubBroker(val numPartitions: Int = 3,
     }
     val responses = parts.map { case (topic, partition, fetchOffset, partMaxBytes) =>
       if (partition < 0 || partition >= numPartitions)
-        (topic, partition, Err.UnknownTopicOrPartition, 0L, null: Array[Byte])
+        FetchPart(topic, partition, Err.UnknownTopicOrPartition, 0L, 0L, Nil, null)
       else {
         val log = logFor(topic, partition)
-        val (hw, slice) = log.synchronized {
-          (log.length.toLong, log.drop(fetchOffset.toInt).toVector)
+        // read_committed: records are visible only up to the last
+        // stable offset (min first-offset of any OPEN transaction) —
+        // plus the completed aborted ranges overlapping the slice, so
+        // the consumer can drop them
+        val (hw, lso, slice, aborted) = log.synchronized {
+          val hwL = log.length.toLong
+          val open = openTxns.getOrDefault((topic, partition), Map.empty)
+          val lsoL = if (open.isEmpty) hwL else math.min(hwL, open.values.min)
+          val limit = if (readCommitted) lsoL else hwL
+          val sl = log.slice(fetchOffset.toInt, limit.toInt).toVector
+          val ab = if (readCommitted)
+            abortedTxns.getOrDefault((topic, partition), Nil)
+              .collect { case (pid, first, marker)
+                  if marker >= fetchOffset && first < limit => (pid, first) }
+          else Nil
+          (hwL, lsoL, sl, ab)
         }
         if (fetchOffset > hw)
-          (topic, partition, Err.OffsetOutOfRange, hw, null: Array[Byte])
+          FetchPart(topic, partition, Err.OffsetOutOfRange, hw, lso, Nil, null)
         else if (slice.isEmpty)
-          (topic, partition, Err.None, hw, Array.empty[Byte])
+          FetchPart(topic, partition, Err.None, hw, lso, aborted, Array.empty[Byte])
         else {
           // honor the per-partition byte budget batch-wise: at least
           // one batch is always returned (Kafka's own guarantee so a
-          // consumer never starves on a large first record)
+          // consumer never starves on a large first record). Runs are
+          // split where the producer identity or the control/
+          // transactional bits change, so re-encoded batches preserve
+          // the (pid, epoch, txn, control) header a read_committed
+          // consumer filters on.
           var budget = math.max(partMaxBytes, 1)
           val batches = ArrayBuffer.empty[Array[Byte]]
           var i = 0
           while (i < slice.length && budget > 0) {
-            val chunk = slice.slice(i, math.min(i + 500, slice.length))
-            val encoded = encodeBatch(slice(i).offset,
-              chunk.map(r => (r.timestampMs, r.key, r.value)), fetchGzip)
+            val head = slice(i)
+            var j = i + 1
+            while (j < slice.length && j - i < 500 &&
+                slice(j).pid == head.pid && slice(j).epoch == head.epoch &&
+                slice(j).transactional == head.transactional &&
+                slice(j).control == head.control) j += 1
+            val chunk = slice.slice(i, j)
+            val encoded = encodeBatch(head.offset,
+              chunk.map(r => (r.timestampMs, r.key, r.value)),
+              fetchGzip && !head.control, head.pid, head.epoch, -1,
+              transactional = head.transactional, control = head.control)
             batches += encoded
             budget -= encoded.length
-            i += chunk.length
+            i = j
           }
-          (topic, partition, Err.None, hw, batches.flatten.toArray)
+          FetchPart(topic, partition, Err.None, hw, lso, aborted,
+            batches.flatten.toArray)
         }
       }
     }
-    val totalBytes = responses.map { case (_, _, _, _, rs) =>
-      if (rs == null) 0 else rs.length
+    val totalBytes = responses.map { r =>
+      if (r.recordSet == null) 0 else r.recordSet.length
     }.sum
     val buf = ByteBuffer.allocate(64 * 1024 + totalBytes)
     buf.putInt(0) // throttle_time_ms
-    val byTopic = responses.groupBy(_._1)
+    val byTopic = responses.groupBy(_.topic)
     buf.putInt(byTopic.size)
     byTopic.foreach { case (topic, ps) =>
       writeString(buf, topic)
       buf.putInt(ps.size)
-      ps.foreach { case (_, p, err, hw, recordSet) =>
-        buf.putInt(p)
-        buf.putShort(err.toShort)
-        buf.putLong(hw)
-        buf.putLong(hw) // last_stable_offset
-        buf.putInt(0) // aborted_transactions: empty
-        writeNullableBytes(buf, recordSet)
+      ps.foreach { r =>
+        buf.putInt(r.partition)
+        buf.putShort(r.err.toShort)
+        buf.putLong(r.hw)
+        buf.putLong(r.lso) // last_stable_offset
+        buf.putInt(r.aborted.size)
+        r.aborted.foreach { case (pid, firstOffset) =>
+          buf.putLong(pid); buf.putLong(firstOffset)
+        }
+        writeNullableBytes(buf, r.recordSet)
       }
     }
     buf.flip()
     val arr = new Array[Byte](buf.remaining()); buf.get(arr); arr
   }
 
-  /** InitProducerId v0: allocate a fresh (pid, epoch 0) — the handshake
-    * an `enable.idempotence=true` producer performs before its first
-    * produce (KIP-98). Transactional ids are not spoken (this pair
-    * models idempotence, not transactions); a non-null one is rejected
-    * the way a broker without the transaction coordinator would be
-    * wrong to accept silently.
+  /** InitProducerId v0: the KIP-98 handshake. A null transactional.id
+    * allocates a fresh (pid, epoch 0) — the `enable.idempotence=true`
+    * producer session. A non-null transactional.id is the TRANSACTIONS
+    * half: the first init allocates (pid, epoch 0); re-initializing
+    * the SAME id returns the same pid with epoch+1 — fencing every
+    * in-flight producer of the old epoch — and aborts any transaction
+    * the old epoch left open (abort markers written to its
+    * partitions), which is exactly how a crashed transactional
+    * producer's retry cleans up after itself.
     */
   private def initProducerIdResponse(req: ByteBuffer): Array[Byte] = {
     val txnId = readNullableString(req)
     req.getInt // transaction_timeout_ms
-    require(txnId == null,
-      "transactional producers not supported by this stub (idempotence only)")
+    val TxnProducer(pid, epoch) =
+      if (txnId == null) TxnProducer(nextPid.getAndIncrement(), 0)
+      else txnProducers.synchronized {
+        val next = Option(txnProducers.get(txnId)) match {
+          case None => TxnProducer(nextPid.getAndIncrement(), 0)
+          case Some(prev) =>
+            // fence the old epoch; abort whatever it left open
+            completeTxn(txnId, prev, commit = false)
+            TxnProducer(prev.pid, (prev.epoch + 1).toShort)
+        }
+        txnProducers.put(txnId, next)
+        next
+      }
     val buf = ByteBuffer.allocate(16)
     buf.putInt(0) // throttle_time_ms
     buf.putShort(Err.None.toShort)
-    buf.putLong(nextPid.getAndIncrement())
-    buf.putShort(0) // producer_epoch
+    buf.putLong(pid)
+    buf.putShort(epoch)
+    buf.flip()
+    val arr = new Array[Byte](buf.remaining()); buf.get(arr); arr
+  }
+
+  /** Write COMMIT/ABORT control markers for every partition registered
+    * in `txnId`'s current transaction and retire its open-txn state.
+    * No-op for partitions with nothing produced (a marker is only
+    * meaningful after a first transactional append).
+    */
+  private def completeTxn(txnId: String, producer: TxnProducer,
+      commit: Boolean): Unit = {
+    val parts = txnPartitions.getOrDefault(txnId, Set.empty)
+    parts.foreach { case (topic, partition) =>
+      val log = logFor(topic, partition)
+      log.synchronized {
+        val key = (topic, partition)
+        val open = openTxns.getOrDefault(key, Map.empty)
+        open.get(producer.pid).foreach { firstOffset =>
+          val markerOffset = log.length.toLong
+          log += StoredRecord(markerOffset, 0L,
+            ControlMarker.key(if (commit) ControlMarker.Commit else ControlMarker.Abort),
+            ControlMarker.value(), producer.pid, producer.epoch,
+            transactional = true, control = true)
+          if (!commit)
+            abortedTxns.merge(key, List((producer.pid, firstOffset, markerOffset)),
+              (a, b) => a ++ b)
+          openTxns.put(key, open - producer.pid)
+        }
+      }
+    }
+    txnPartitions.remove(txnId)
+  }
+
+  /** AddPartitionsToTxn v0: register the partitions the producer will
+    * write in this transaction — the coordinator must know them so
+    * EndTxn can place a marker in each. A stale epoch is fenced with
+    * INVALID_PRODUCER_EPOCH per partition.
+    */
+  private def addPartitionsToTxnResponse(req: ByteBuffer): Array[Byte] = {
+    val txnId = readString(req)
+    val pid = req.getLong
+    val epoch = req.getShort
+    val nTopics = req.getInt
+    val parts = (0 until nTopics).flatMap { _ =>
+      val topic = readString(req)
+      val n = req.getInt
+      (0 until n).map(_ => (topic, req.getInt))
+    }
+    val current = Option(txnProducers.get(txnId))
+    val err =
+      if (!current.exists(p => p.pid == pid && p.epoch == epoch))
+        Err.InvalidProducerEpoch
+      else {
+        txnPartitions.merge(txnId, parts.toSet, (a, b) => a ++ b)
+        Err.None
+      }
+    val buf = ByteBuffer.allocate(64 * 1024)
+    buf.putInt(0) // throttle_time_ms
+    val byTopic = parts.groupBy(_._1)
+    buf.putInt(byTopic.size)
+    byTopic.foreach { case (topic, ps) =>
+      writeString(buf, topic)
+      buf.putInt(ps.size)
+      ps.foreach { case (_, p) =>
+        buf.putInt(p)
+        buf.putShort(err.toShort)
+      }
+    }
+    buf.flip()
+    val arr = new Array[Byte](buf.remaining()); buf.get(arr); arr
+  }
+
+  /** EndTxn v0: commit or abort the current transaction — writes the
+    * control markers and (on abort) records the aborted range every
+    * read_committed fetch will report.
+    */
+  private def endTxnResponse(req: ByteBuffer): Array[Byte] = {
+    val txnId = readString(req)
+    val pid = req.getLong
+    val epoch = req.getShort
+    val commit = req.get() != 0
+    val err = txnProducers.synchronized {
+      Option(txnProducers.get(txnId)) match {
+        case Some(p) if p.pid == pid && p.epoch == epoch =>
+          completeTxn(txnId, p, commit)
+          Err.None
+        case _ => Err.InvalidProducerEpoch
+      }
+    }
+    val buf = ByteBuffer.allocate(8)
+    buf.putInt(0) // throttle_time_ms
+    buf.putShort(err.toShort)
     buf.flip()
     val arr = new Array[Byte](buf.remaining()); buf.get(arr); arr
   }
@@ -399,8 +636,12 @@ final class KafkaStubBroker(val numPartitions: Int = 3,
       ps.foreach { case (_, p, ts) =>
         val hw = highWatermark(topic, p)
         // real ListOffsets semantics: a non-negative timestamp resolves
-        // to the FIRST offset whose record timestamp is >= it (log end
-        // when none qualifies — "start from new data only")
+        // to the FIRST offset whose record timestamp is >= it. When no
+        // record qualifies this resolves to the log end ("start from
+        // new data only") — i.e. the stock connector's
+        // startingOffsetsByTimestampStrategy=latest, chosen over its
+        // default (error) deliberately; a strategy option would be the
+        // parity path if stricter behavior is ever needed.
         val (offset, matchedTs) = ts match {
           case -2L => (0L, 0L) // earliest
           case -1L => (hw, -1L) // latest

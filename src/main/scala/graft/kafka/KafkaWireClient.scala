@@ -94,17 +94,69 @@ final class KafkaWireClient(host: String, port: Int,
 
   /** InitProducerId v0: the `enable.idempotence=true` handshake —
     * returns the (producerId, epoch) this producer stamps on every
-    * batch so the broker can fence retried duplicates.
+    * batch so the broker can fence retried duplicates. With a non-null
+    * `transactionalId` this is the TRANSACTIONAL handshake (KIP-98):
+    * the same id always maps to the same pid with a bumped epoch, so a
+    * restarted producer fences its predecessor and the broker aborts
+    * whatever the old epoch left open.
     */
-  def initProducerId(): (Long, Short) = {
-    val body = ByteBuffer.allocate(8)
-    writeNullableString(body, null) // transactional_id: idempotence only
+  def initProducerId(transactionalId: String = null): (Long, Short) = {
+    val body = ByteBuffer.allocate(
+      8 + (if (transactionalId == null) 0 else transactionalId.length * 4))
+    writeNullableString(body, transactionalId)
     body.putInt(60000) // transaction_timeout_ms
     val resp = send(Api.InitProducerId, 0, body)
     resp.getInt // throttle_time_ms
     val err = resp.getShort.toInt
     require(err == Err.None, s"InitProducerId error $err")
     (resp.getLong, resp.getShort)
+  }
+
+  /** AddPartitionsToTxn v0: register partitions in the current
+    * transaction (required before any transactional produce to them —
+    * the coordinator must know where to write markers at EndTxn).
+    */
+  def addPartitionsToTxn(transactionalId: String, pid: Long, epoch: Short,
+      topic: String, partitions: Seq[Int]): Unit = {
+    val body = ByteBuffer.allocate(
+      64 + transactionalId.length * 4 + topic.length * 4 + partitions.size * 4)
+    writeString(body, transactionalId)
+    body.putLong(pid)
+    body.putShort(epoch)
+    body.putInt(1) // one topic
+    writeString(body, topic)
+    body.putInt(partitions.size)
+    partitions.foreach(body.putInt)
+    val resp = send(Api.AddPartitionsToTxn, 0, body)
+    resp.getInt // throttle_time_ms
+    val nTopics = resp.getInt
+    (0 until nTopics).foreach { _ =>
+      readString(resp)
+      val n = resp.getInt
+      (0 until n).foreach { _ =>
+        resp.getInt // partition
+        val err = resp.getShort.toInt
+        require(err == Err.None, s"AddPartitionsToTxn error $err")
+      }
+    }
+  }
+
+  /** EndTxn v0: commit (`commit = true`) or abort the current
+    * transaction. The broker writes a control marker to every
+    * registered partition; on abort it also records the aborted range
+    * read_committed fetches report.
+    */
+  def endTxn(transactionalId: String, pid: Long, epoch: Short,
+      commit: Boolean): Unit = {
+    val body = ByteBuffer.allocate(16 + transactionalId.length * 4)
+    writeString(body, transactionalId)
+    body.putLong(pid)
+    body.putShort(epoch)
+    body.put((if (commit) 1 else 0).toByte)
+    val resp = send(Api.EndTxn, 0, body)
+    resp.getInt // throttle_time_ms
+    val err = resp.getShort.toInt
+    require(err == Err.None, s"EndTxn error $err")
   }
 
   /** Produce v3 (acks=-1): one record batch to one partition. Returns
@@ -119,11 +171,14 @@ final class KafkaWireClient(host: String, port: Int,
       gzip: Boolean = false,
       producerId: Long = -1L,
       producerEpoch: Short = -1,
-      baseSequence: Int = -1): Long = {
+      baseSequence: Int = -1,
+      transactionalId: String = null): Long = {
     val recordSet = encodeBatch(0L, records, gzip, // broker assigns real base
-      producerId, producerEpoch, baseSequence)
-    val body = ByteBuffer.allocate(64 + topic.length * 4 + recordSet.length)
-    writeNullableString(body, null) // transactional_id
+      producerId, producerEpoch, baseSequence,
+      transactional = transactionalId != null)
+    val body = ByteBuffer.allocate(64 + topic.length * 4 + recordSet.length +
+      (if (transactionalId == null) 0 else transactionalId.length * 4))
+    writeNullableString(body, transactionalId)
     body.putShort(-1) // acks: all
     body.putInt(30000) // timeout_ms
     body.putInt(1) // one topic
@@ -145,15 +200,26 @@ final class KafkaWireClient(host: String, port: Int,
     baseOffset
   }
 
-  /** Fetch v4 from one partition at the given offset. */
+  /** Fetch v4 from one partition at the given offset.
+    *
+    * `readCommitted = true` sends isolation_level=1: the broker caps
+    * the response at the last stable offset and reports aborted
+    * transaction ranges, and this client drops the DATA records of
+    * those ranges (from the range's first offset up to its ABORT
+    * marker, or the end of the chunk when the marker is beyond it —
+    * the standard consumer algorithm). Control (marker) records are
+    * KEPT in the returned sequence, flagged `control = true`, so
+    * callers can advance offsets past them; they are never data.
+    */
   def fetch(topic: String, partition: Int, offset: Long,
-      maxBytes: Int = 4 * 1024 * 1024): FetchResult = {
+      maxBytes: Int = 4 * 1024 * 1024,
+      readCommitted: Boolean = false): FetchResult = {
     val body = ByteBuffer.allocate(64 + topic.length * 4)
     body.putInt(-1) // replica_id: consumer
     body.putInt(0) // max_wait_ms: don't block (AvailableNow-style poll)
     body.putInt(0) // min_bytes
     body.putInt(maxBytes)
-    body.put(0.toByte) // isolation_level: read_uncommitted
+    body.put((if (readCommitted) 1 else 0).toByte) // isolation_level
     body.putInt(1)
     writeString(body, topic)
     body.putInt(1)
@@ -170,35 +236,64 @@ final class KafkaWireClient(host: String, port: Int,
     resp.getInt // partition
     val err = resp.getShort.toInt
     val hw = resp.getLong
-    resp.getLong // last_stable_offset
+    val lso = resp.getLong // last_stable_offset
     val nAborted = resp.getInt
-    (0 until nAborted).foreach(_ => { resp.getLong; resp.getLong })
+    val aborted = (0 until nAborted).map(_ => (resp.getLong, resp.getLong))
     val recordSet = readNullableBytes(resp)
-    val records = if (err == Err.None) decodeBatches(recordSet) else Nil
-    FetchResult(hw, records, err)
+    val raw = if (err == Err.None) decodeBatches(recordSet) else Nil
+    val records =
+      if (!readCommitted || aborted.isEmpty) raw
+      else {
+        val abortMarkers: Map[Long, Seq[Long]] = raw
+          .filter(r => r.control && ControlMarker.typeOf(r.key) == ControlMarker.Abort)
+          .groupBy(_.producerId)
+          .view.mapValues(_.map(_.offset).sorted).toMap
+        raw.filter { r =>
+          r.control || !aborted.exists { case (pid, first) =>
+            pid == r.producerId && r.offset >= first &&
+              abortMarkers.getOrElse(pid, Nil).find(_ >= first)
+                .forall(marker => r.offset < marker)
+          }
+        }
+      }
+    FetchResult(hw, records, err, lso, aborted,
+      raw.lastOption.map(_.offset + 1).getOrElse(-1L))
   }
 
   /** Consume a partition end-to-end: repeated fetches from `offset`
     * until the high watermark observed on the FIRST fetch is reached —
-    * a bounded, AvailableNow-style drain.
+    * a bounded, AvailableNow-style drain. With `readCommitted` the
+    * target is the first fetch's LAST STABLE offset instead, and only
+    * committed data records come back. Control markers are consumed
+    * for offset accounting but excluded from the result either way.
     */
-  def fetchAll(topic: String, partition: Int, offset: Long = 0L): Seq[WireRecord] = {
-    val first = fetch(topic, partition, offset)
+  def fetchAll(topic: String, partition: Int, offset: Long = 0L,
+      readCommitted: Boolean = false): Seq[WireRecord] = {
+    val first = fetch(topic, partition, offset, readCommitted = readCommitted)
     require(first.errorCode == Err.None,
       s"fetch error ${first.errorCode} on $topic/$partition@$offset")
-    val target = first.highWatermark
+    val target = if (readCommitted) first.lastStableOffset else first.highWatermark
     val acc = Seq.newBuilder[WireRecord]
     acc ++= first.records
-    var next = first.records.lastOption.map(_.offset + 1).getOrElse(offset)
+    var next = if (first.nextOffset >= 0) first.nextOffset else offset
     while (next < target) {
-      val r = fetch(topic, partition, next)
+      val r = fetch(topic, partition, next, readCommitted = readCommitted)
       require(r.errorCode == Err.None, s"fetch error ${r.errorCode} at $next")
-      require(r.records.nonEmpty, s"stalled fetch at $next < hw $target")
+      require(r.nextOffset > next, s"stalled fetch at $next < target $target")
       acc ++= r.records
-      next = r.records.last.offset + 1
+      next = r.nextOffset
     }
-    acc.result()
+    acc.result().filterNot(_.control)
   }
+
+  /** The partition's last stable offset (read_committed visibility
+    * horizon): one bounded probe fetch. Planning helper for
+    * read_committed reads — the LSO is the end bound a committed-only
+    * batch can safely take.
+    */
+  def lastStableOffset(topic: String, partition: Int): Long =
+    fetch(topic, partition, 0L, maxBytes = 1, readCommitted = true)
+      .lastStableOffset
 
   /** ListOffsets v1: earliest (-2) or latest (-1) offset. */
   def listOffset(topic: String, partition: Int, timestamp: Long): Long = {
@@ -226,6 +321,15 @@ final class KafkaWireClient(host: String, port: Int,
 object KafkaWireClient {
   final case class PartitionMeta(partition: Int, leader: Int)
   final case class TopicMeta(topic: String, partitions: Seq[PartitionMeta])
+  /** `nextOffset` is the advance cursor: one past the last RAW record
+    * in the response (aborted-range records are dropped from `records`
+    * under read_committed, so `records.last.offset` alone could stall
+    * a consumer on a chunk that was entirely aborted data). -1 when the
+    * response carried no records.
+    */
   final case class FetchResult(highWatermark: Long,
-      records: Seq[KafkaCodec.WireRecord], errorCode: Int)
+      records: Seq[KafkaCodec.WireRecord], errorCode: Int,
+      lastStableOffset: Long = -1L,
+      abortedTxns: Seq[(Long, Long)] = Nil,
+      nextOffset: Long = -1L)
 }

@@ -23,7 +23,8 @@ import graft.replay.Replay.{Exchange, ReplayConfig}
   * FileExchange twin's exactly-once variant).
   */
 final class KafkaWireExchange(host: String, port: Int,
-    idempotent: Boolean = false) extends Exchange {
+    idempotent: Boolean = false,
+    transactionalId: Option[String] = None) extends Exchange {
   import KafkaWireExchange.bytes
 
   /** Producer: key-partitioned, chunked produce requests from each
@@ -40,7 +41,63 @@ final class KafkaWireExchange(host: String, port: Int,
       val c = new KafkaWireClient(h, p)
       try c.metadata(Seq(topic)).head.partitions.size finally c.close()
     }
-    if (idempotent) {
+    if (transactionalId.isDefined) {
+      // Transactional (EOS) model — the KIP-98 TRANSACTIONS half. Each
+      // task is one transactional producer with a STABLE id (derived
+      // from the Spark partition, not the attempt), and cfg.repeat
+      // plays ATTEMPTS of the whole publish: attempts 1..repeat-1 are
+      // KILLED after producing (no EndTxn — the crash a task dies from
+      // between its last produce and its commit), the final attempt
+      // commits. Every attempt's InitProducerId returns the same pid
+      // with a bumped epoch, FENCING the previous attempt and aborting
+      // whatever it left open — so the killed attempts' records sit in
+      // aborted ranges on the log and a read_committed consumer sees
+      // EXACTLY ONE copy, with zero consumer-side dedup. (The
+      // idempotent branch below fences duplicate BATCHES of one
+      // attempt; this branch fences whole ATTEMPTS.)
+      val base = transactionalId.get
+      (1 to cfg.repeat).foreach { attempt =>
+        val commit = attempt == cfg.repeat
+        wire.foreachPartition { (rows: Iterator[Row]) =>
+          if (rows.hasNext) {
+            val c = new KafkaWireClient(h, p)
+            try {
+              val taskTxn = s"$base-p${org.apache.spark.TaskContext.getPartitionId()}"
+              val (pid, epoch) = c.initProducerId(taskTxn)
+              val sticky = org.apache.spark.TaskContext.getPartitionId() % nParts
+              val nextSeq = scala.collection.mutable.Map.empty[Int, Int]
+              val added = scala.collection.mutable.Set.empty[Int]
+              rows.grouped(500).foreach { chunk =>
+                chunk
+                  .map { row =>
+                    val k = bytes(row.get(row.fieldIndex("key")))
+                    val v = bytes(row.get(row.fieldIndex("value")))
+                    val part =
+                      if (k == null) sticky else KafkaCodec.partitionFor(k, nParts)
+                    (part, k, v)
+                  }
+                  .groupBy(_._1)
+                  .foreach { case (part, rs) =>
+                    if (!added(part)) {
+                      c.addPartitionsToTxn(taskTxn, pid, epoch, topic, Seq(part))
+                      added += part
+                    }
+                    val recs = rs.map { case (_, k, v) => (0L, k, v) }
+                    val seq = nextSeq.getOrElse(part, 0)
+                    c.produce(topic, part, recs, gzip = false, pid, epoch, seq,
+                      transactionalId = taskTxn)
+                    nextSeq(part) = seq + recs.size
+                  }
+              }
+              // the kill: attempts before the last never commit — their
+              // open transaction is aborted by the next attempt's init
+              if (commit && added.nonEmpty) c.endTxn(taskTxn, pid, epoch, commit = true)
+            } finally c.close()
+          }
+        }
+        afterWrite(attempt)
+      }
+    } else if (idempotent) {
       // enable.idempotence=true model (KIP-98): each task is ONE
       // producer session — one InitProducerId handshake, monotone
       // per-partition sequences stamped in each batch header — and
@@ -82,7 +139,11 @@ final class KafkaWireExchange(host: String, port: Int,
           } finally c.close()
         }
       }
-      (1 to cfg.repeat).foreach(afterWrite)
+      // On this path cfg.repeat is a PER-BATCH retry count (every batch
+      // already went out repeat times above), not a pass count, so the
+      // test seam fires once for the single logical pass — crash
+      // injection between passes belongs to the at-least-once branch.
+      afterWrite(1)
     } else (1 to cfg.repeat).foreach { r =>
       wire.foreachPartition { (rows: Iterator[Row]) =>
         if (rows.hasNext) {
@@ -122,7 +183,19 @@ final class KafkaWireExchange(host: String, port: Int,
     * frame plus the Kafka coordinates (partition, offset) so ordering
     * assertions are expressible downstream.
     */
-  override def read(spark: SparkSession, topic: String): DataFrame = {
+  override def read(spark: SparkSession, topic: String): DataFrame =
+    readIsolation(spark, topic, committed = false)
+
+  /** The read_committed twin of [[read]]: only records of COMMITTED
+    * transactions (plus plain non-transactional records) come back —
+    * aborted attempts' records and control markers are skipped at the
+    * protocol level, not deduplicated afterwards.
+    */
+  def readCommitted(spark: SparkSession, topic: String): DataFrame =
+    readIsolation(spark, topic, committed = true)
+
+  private def readIsolation(spark: SparkSession, topic: String,
+      committed: Boolean): DataFrame = {
     val (h, p) = (host, port)
     val nParts = {
       val c = new KafkaWireClient(h, p)
@@ -133,7 +206,7 @@ final class KafkaWireExchange(host: String, port: Int,
       .flatMap { part =>
         val c = new KafkaWireClient(h, p)
         try {
-          c.fetchAll(topic, part).map { r =>
+          c.fetchAll(topic, part, readCommitted = committed).map { r =>
             (if (r.key == null) null else new String(r.key, StandardCharsets.UTF_8),
               if (r.value == null) null else new String(r.value, StandardCharsets.UTF_8),
               part, r.offset)

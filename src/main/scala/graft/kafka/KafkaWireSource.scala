@@ -80,6 +80,13 @@ final class KafkaWireSourceProvider extends TableProvider with DataSourceRegiste
     require(endingTimestamp.isEmpty ||
         Option(opts.get("endingOffsets")).isEmpty,
       "kafka-wire: endingTimestamp and endingOffsets are mutually exclusive")
+    val isolation = Option(opts.get("kafka.isolation.level"))
+      .orElse(Option(opts.get("isolation.level")))
+      .getOrElse("read_uncommitted")
+    require(isolation == "read_uncommitted" || isolation == "read_committed",
+      s"kafka-wire: unsupported isolation.level '$isolation'")
+    val transactionalId = Option(opts.get("kafka.transactional.id"))
+      .orElse(Option(opts.get("transactional.id")))
     new KafkaWireTable(KafkaWireConf(
       opts.get("host"),
       Integer.parseInt(opts.get("port")),
@@ -90,7 +97,9 @@ final class KafkaWireSourceProvider extends TableProvider with DataSourceRegiste
       compression == "gzip",
       idempotence,
       startingTimestamp,
-      endingTimestamp))
+      endingTimestamp,
+      isolation == "read_committed",
+      transactionalId))
   }
 }
 
@@ -123,14 +132,32 @@ final class KafkaWireSourceProvider extends TableProvider with DataSourceRegiste
   *    sequences, so NETWORK-level produce retries cannot duplicate.
   *    Spark-level task/epoch replays still re-append under a fresh
   *    pid — the stock connector's non-transactional contract is
-  *    unchanged; this hardens the wire hop, not the job retry.
+  *    unchanged; this hardens the wire hop, not the job retry;
+  *  - `isolation.level` (or `kafka.isolation.level`), reads:
+  *    `read_uncommitted` (default, stock parity) | `read_committed` —
+  *    committed-only visibility: batch/stream ends resolve to the last
+  *    stable offset, fetches skip aborted-transaction ranges, and
+  *    control markers are consumed for offset accounting but never
+  *    surfaced as rows;
+  *  - `transactional.id` (or `kafka.transactional.id`), writes: each
+  *    task wraps its output in a KIP-98 TRANSACTION under the stable
+  *    id `<transactional.id>-p<sparkPartition>` — init (which fences
+  *    and aborts any earlier attempt of the SAME task), produce with
+  *    sequences, and COMMIT at task-commit / ABORT at task-abort. A
+  *    task retried by Spark therefore leaves at most one committed
+  *    copy visible to read_committed consumers: the failed attempt's
+  *    records sit in aborted ranges. (Epoch-level replays past a
+  *    checkpoint commit remain at-least-once — the per-task-txn
+  *    contract Kafka Streams EOS also settles for.)
   */
 final case class KafkaWireConf(host: String, port: Int, topic: String,
     maxOffsetsPerTrigger: Option[Long], startingOffsets: String,
     endingOffsets: String, gzip: Boolean = false,
     idempotence: Boolean = false,
     startingTimestamp: Option[Long] = None,
-    endingTimestamp: Option[Long] = None)
+    endingTimestamp: Option[Long] = None,
+    readCommitted: Boolean = false,
+    transactionalId: Option[String] = None)
 
 object KafkaWireSource {
   /** The standard Kafka connector relation schema. */
@@ -241,7 +268,7 @@ final class KafkaWireTable(conf: KafkaWireConf)
     new WriteBuilder {
       override def build(): Write =
         new KafkaWireWrite(conf.host, conf.port, conf.topic, info.schema(),
-          conf.gzip, conf.idempotence)
+          conf.gzip, conf.idempotence, conf.transactionalId)
     }
 }
 
@@ -256,7 +283,8 @@ final class KafkaWireTable(conf: KafkaWireConf)
   */
 final class KafkaWireWrite(host: String, port: Int, topic: String,
     schema: StructType, gzip: Boolean = false,
-    idempotence: Boolean = false) extends Write {
+    idempotence: Boolean = false,
+    transactionalId: Option[String] = None) extends Write {
 
   private def factoryParams: KafkaWireWriterParams = {
     val keyIdx = schema.fieldNames.indexOf("key")
@@ -276,7 +304,8 @@ final class KafkaWireWrite(host: String, port: Int, topic: String,
       try c.metadata(Seq(topic)).head.partitions.size finally c.close()
     }
     KafkaWireWriterParams(host, port, topic, nParts,
-      keyIdx, keyIsString, valueIdx, valueIsString, gzip, idempotence, tsIdx)
+      keyIdx, keyIsString, valueIdx, valueIsString, gzip, idempotence, tsIdx,
+      transactionalId)
   }
 
   override def toBatch: BatchWrite = {
@@ -304,7 +333,8 @@ final class KafkaWireWrite(host: String, port: Int, topic: String,
 final case class KafkaWireWriterParams(host: String, port: Int, topic: String,
     nParts: Int, keyIdx: Int, keyIsString: Boolean,
     valueIdx: Int, valueIsString: Boolean, gzip: Boolean = false,
-    idempotence: Boolean = false, tsIdx: Int = -1)
+    idempotence: Boolean = false, tsIdx: Int = -1,
+    transactionalId: Option[String] = None)
 
 final case class KafkaWireWriterFactory(params: KafkaWireWriterParams)
     extends DataWriterFactory with StreamingDataWriterFactory {
@@ -326,11 +356,23 @@ final class KafkaWireDataWriter(params: KafkaWireWriterParams, sparkPartition: I
   import params._
 
   private val client = new KafkaWireClient(host, port)
-  // enable.idempotence: one producer session per task — the handshake
-  // runs once and every flushed batch carries (pid, epoch, seq), so a
-  // network-level produce retry re-acks instead of re-appending
+  // transactional.id: this task's transaction identity is STABLE across
+  // task retries (it derives from the Spark partition id, not the
+  // attempt), so a retry's InitProducerId fences the failed attempt and
+  // the broker aborts whatever it left open — the Kafka Streams
+  // task-transaction pattern
+  private val txnId: Option[String] =
+    transactionalId.map(base => s"$base-p$sparkPartition")
+  // enable.idempotence / transactions: one producer session per task —
+  // the handshake runs once and every flushed batch carries
+  // (pid, epoch, seq), so a network-level produce retry re-acks
+  // instead of re-appending
   private val producer: Option[(Long, Short)] =
-    if (idempotence) Some(client.initProducerId()) else None
+    if (txnId.isDefined || idempotence)
+      Some(client.initProducerId(txnId.orNull))
+    else None
+  // partitions already registered in the current transaction
+  private val txnAdded = scala.collection.mutable.Set.empty[Int]
   private val nextSeq = Array.fill(nParts)(0)
   private val sticky = sparkPartition % math.max(nParts, 1)
   private val buffers =
@@ -360,7 +402,14 @@ final class KafkaWireDataWriter(params: KafkaWireWriterParams, sparkPartition: I
     val records = buffers(part).result()
     if (records.nonEmpty) producer match {
       case Some((pid, epoch)) =>
-        client.produce(topic, part, records, gzip, pid, epoch, nextSeq(part))
+        txnId.foreach { t =>
+          if (!txnAdded(part)) {
+            client.addPartitionsToTxn(t, pid, epoch, topic, Seq(part))
+            txnAdded += part
+          }
+        }
+        client.produce(topic, part, records, gzip, pid, epoch, nextSeq(part),
+          transactionalId = txnId.orNull)
         nextSeq(part) += records.size
       case None => client.produce(topic, part, records, gzip)
     }
@@ -370,10 +419,21 @@ final class KafkaWireDataWriter(params: KafkaWireWriterParams, sparkPartition: I
 
   override def commit(): WriterCommitMessage = {
     (0 until nParts).foreach(flush)
+    // transactional task-commit: the COMMIT marker is what makes this
+    // task's records visible to read_committed consumers
+    for (t <- txnId; (pid, epoch) <- producer if txnAdded.nonEmpty)
+      client.endTxn(t, pid, epoch, commit = true)
     new WriterCommitMessage {}
   }
 
-  override def abort(): Unit = ()
+  override def abort(): Unit =
+    // transactional task-abort: mark the attempt's records aborted now
+    // (a retry's InitProducerId would also fence+abort, but an explicit
+    // marker releases the LSO immediately)
+    for (t <- txnId; (pid, epoch) <- producer if txnAdded.nonEmpty)
+      try client.endTxn(t, pid, epoch, commit = false)
+      catch { case _: Exception => () } // fenced by a newer attempt: fine
+
   override def close(): Unit = client.close()
 }
 
@@ -395,10 +455,16 @@ final class KafkaWireScan(conf: KafkaWireConf) extends Scan {
       try {
         val parts = c.metadata(Seq(topic)).head.partitions.map(_.partition)
         val starts = KafkaWireSource.resolveStart(c, topic, parts, conf)
-        val ends = KafkaWireSource.resolveEnd(c, topic, parts, conf)
+        val ends0 = KafkaWireSource.resolveEnd(c, topic, parts, conf)
+        // read_committed: the visibility horizon is the last stable
+        // offset, not the high watermark — a batch planned past an open
+        // transaction would block on records it may never see
+        val ends = if (conf.readCommitted)
+          ends0.map { case (p, e) => p -> math.min(e, c.lastStableOffset(topic, p)) }
+        else ends0
         parts.map { p =>
-          KafkaWireInputPartition(host, port, topic, p, starts(p), ends(p))
-            : InputPartition
+          KafkaWireInputPartition(host, port, topic, p, starts(p), ends(p),
+            conf.readCommitted): InputPartition
         }.toArray
       } finally c.close()
     }
@@ -410,6 +476,18 @@ final class KafkaWireScan(conf: KafkaWireConf) extends Scan {
 final class KafkaWireMicroBatchStream(conf: KafkaWireConf)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
   import conf.{host, port, topic}
+
+  // End bounds are batch-read options: a streaming read is unbounded by
+  // contract (drain-and-stop is Trigger.AvailableNow's job), so a
+  // configured end must fail the plan loudly rather than be silently
+  // ignored — the stock connector rejects ending offsets in streaming
+  // queries the same way.
+  require(conf.endingTimestamp.isEmpty,
+    "kafka-wire: endingTimestamp cannot bound a streaming read " +
+      "(batch-read option; use Trigger.AvailableNow to drain-and-stop)")
+  require(conf.endingOffsets == "latest",
+    "kafka-wire: endingOffsets cannot bound a streaming read " +
+      "(batch-read option; use Trigger.AvailableNow to drain-and-stop)")
 
   // Driver-side metadata client, opened lazily and reused across the
   // per-batch offset polls (metadata only — record bytes never touch it).
@@ -424,7 +502,12 @@ final class KafkaWireMicroBatchStream(conf: KafkaWireConf)
   @transient private var availableNowTarget: Option[KafkaWireOffset] = None
 
   private def offsetsAt(timestamp: Long): KafkaWireOffset =
-    KafkaWireOffset(partitions.map(p => p -> client.listOffset(topic, p, timestamp)).toMap)
+    KafkaWireOffset(partitions.map { p =>
+      val o = client.listOffset(topic, p, timestamp)
+      // read_committed: never plan past the last stable offset
+      p -> (if (conf.readCommitted && timestamp == -1L)
+        math.min(o, client.lastStableOffset(topic, p)) else o)
+    }.toMap)
 
   override def initialOffset(): Offset =
     KafkaWireOffset(KafkaWireSource.resolveStart(client, topic, partitions, conf))
@@ -499,7 +582,8 @@ final class KafkaWireMicroBatchStream(conf: KafkaWireConf)
     e.toSeq.sortBy(_._1).flatMap { case (p, endOff) =>
       val startOff = s.getOrElse(p, 0L)
       if (endOff > startOff)
-        Some(KafkaWireInputPartition(host, port, topic, p, startOff, endOff): InputPartition)
+        Some(KafkaWireInputPartition(host, port, topic, p, startOff, endOff,
+          conf.readCommitted): InputPartition)
       else None
     }.toArray
   }
@@ -514,7 +598,8 @@ final class KafkaWireMicroBatchStream(conf: KafkaWireConf)
 
 /** One Kafka partition's [start, end) slice — the unit of executor work. */
 final case class KafkaWireInputPartition(host: String, port: Int, topic: String,
-    partition: Int, startOffset: Long, endOffset: Long) extends InputPartition
+    partition: Int, startOffset: Long, endOffset: Long,
+    readCommitted: Boolean = false) extends InputPartition
 
 object KafkaWireReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
@@ -539,13 +624,17 @@ final class KafkaWirePartitionReader(p: KafkaWireInputPartition)
 
   override def next(): Boolean = {
     while (!buffer.hasNext && nextOff < p.endOffset) {
-      val r = client.fetch(p.topic, p.partition, nextOff)
+      val r = client.fetch(p.topic, p.partition, nextOff,
+        readCommitted = p.readCommitted)
       require(r.errorCode == KafkaCodec.Err.None,
         s"fetch error ${r.errorCode} on ${p.topic}/${p.partition}@$nextOff")
-      val got = r.records.filter(rec => rec.offset >= nextOff && rec.offset < p.endOffset)
-      require(r.records.nonEmpty,
+      // control markers advance the offset cursor but are never rows;
+      // aborted-range records were already dropped client-side
+      val got = r.records.filter(rec =>
+        !rec.control && rec.offset >= nextOff && rec.offset < p.endOffset)
+      require(r.nextOffset > nextOff,
         s"stalled fetch at $nextOff < planned end ${p.endOffset} (${p.topic}/${p.partition})")
-      nextOff = r.records.last.offset + 1
+      nextOff = r.nextOffset
       buffer = got.iterator
     }
     if (buffer.hasNext) { current = buffer.next(); true } else false

@@ -132,11 +132,18 @@ final class DeltaUpsertStore(root: String, keyCol: String, orderCols: Seq[String
       .drop("__rn", "__seg")
   }
 
+  /** Current segment list. Source of truth is the IMMUTABLE version
+    * log (`MANIFEST.v<n>`, highest n), not the `MANIFEST` pointer file:
+    * the version twin's non-replacing atomic rename is the single
+    * commit point, so reading "max version, then its file" is one
+    * consistent snapshot — whereas pointer + version read separately
+    * can tear under a concurrent writer (commit landed between the two
+    * reads). The pointer file is still maintained for debuggability
+    * and as the plain-readers' old-or-new view.
+    */
   private def manifest(): Seq[String] = {
-    val p = java.nio.file.Paths.get(s"$root/MANIFEST")
-    if (java.nio.file.Files.exists(p))
-      java.nio.file.Files.readAllLines(p).toArray(Array.empty[String]).toSeq
-        .filter(_.nonEmpty)
+    val vs = versions()
+    if (vs.nonEmpty) versionSegments(vs.max)
     else Seq.empty
   }
 
@@ -150,27 +157,65 @@ final class DeltaUpsertStore(root: String, keyCol: String, orderCols: Seq[String
       .flatMap(_.drop("MANIFEST.v".length).toLongOption)
       .sorted.toSeq
 
-  private var verCounter = -1L
-
-  private def nextVersion(): Long = synchronized {
-    if (verCounter < 0) verCounter = versions().foldLeft(0L)(math.max)
-    verCounter += 1
-    verCounter
+  /** The current committed state as one consistent read: (segment
+    * list, version) both derived from the SAME version-log entry (the
+    * highest `MANIFEST.v<n>`, which is immutable once renamed in).
+    * Writers build their commit on this pair; [[commit]] then uses the
+    * version as the optimistic-concurrency token — so a commit that
+    * landed between "list versions" and "read the entry" is impossible
+    * to miss: the entry read IS the snapshot.
+    */
+  private def currentState(): (Seq[String], Long) = {
+    val vs = versions()
+    if (vs.isEmpty) (Seq.empty, 0L)
+    else (versionSegments(vs.max), vs.max)
   }
 
-  private def commit(segments: Seq[String]): Unit = {
-    // versioned twin FIRST (time-travel history is complete even if the
-    // flip below is lost to a crash — an orphan version that never
-    // became current is harmless), then the atomic current-pointer flip.
-    // Both writes go through tmp + ATOMIC_MOVE: a direct write could be
-    // cut mid-stream, and a truncated version file is a valid PREFIX of
-    // the segment list — readAt would silently serve a partial state
-    // instead of failing loudly.
-    val tmp = java.nio.file.Paths.get(s"$root/MANIFEST.tmp")
+  /** Commit `segments` as version `baseVersion + 1`.
+    *
+    * Concurrency protocol (the Delta-Lake commit-log arbitration): the
+    * versioned twin `MANIFEST.v<n>` is created with an atomic
+    * create-if-absent (hard link), so of two writers that both built
+    * on `baseVersion`, exactly ONE wins; the loser throws and the
+    * commit aborts LOUDLY (ConcurrentModificationException) with the
+    * store untouched — its caller re-reads and retries, or surfaces
+    * the conflict. Never a torn manifest: a reader sees the old or the
+    * new list, and a lost race is an exception, not a silent clobber
+    * (SinksSpec's two-writer interleaving property pins this).
+    *
+    * Versioned twin FIRST (time-travel history is complete even if the
+    * flip below is lost to a crash — an orphan version that never
+    * became current is harmless: the next commit arbitrates against
+    * its number and builds on the still-current MANIFEST), then the
+    * atomic current-pointer flip. Both writes go through a
+    * commit-unique tmp + ATOMIC_MOVE: a direct write could be cut
+    * mid-stream, and a truncated version file is a valid PREFIX of the
+    * segment list — readAt would silently serve a partial state
+    * instead of failing loudly; a SHARED tmp name would let two
+    * writers interleave write/move and publish each other's content.
+    */
+  private def commit(segments: Seq[String], baseVersion: Long): Unit = {
+    val tmp = java.nio.file.Paths.get(
+      s"$root/MANIFEST.tmp.${java.util.UUID.randomUUID()}")
     java.nio.file.Files.writeString(tmp, segments.mkString("\n"))
-    java.nio.file.Files.move(tmp, versionPath(nextVersion()),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    java.nio.file.Files.writeString(tmp, segments.mkString("\n"))
+    // createLink, NOT a rename: POSIX rename(2) silently REPLACES an
+    // existing target (ATOMIC_MOVE inherits that), so a rename race
+    // would let the second writer clobber the first's version entry
+    // with both reporting success. link(2) fails EEXIST atomically —
+    // the only loser outcome is the loud conflict below.
+    try
+      java.nio.file.Files.createLink(versionPath(baseVersion + 1), tmp)
+    catch {
+      case e: java.nio.file.FileAlreadyExistsException =>
+        java.nio.file.Files.deleteIfExists(tmp)
+        throw new java.util.ConcurrentModificationException(
+          s"concurrent commit to $root: version ${baseVersion + 1} was " +
+            "taken by another writer; this commit was aborted (re-read " +
+            "and retry)", e)
+    }
+    // the version entry IS the commit; the pointer flip below is the
+    // plain-readers' convenience view (rename replace is fine here —
+    // old-or-new, and manifest() derives from the version log anyway)
     java.nio.file.Files.move(tmp, java.nio.file.Paths.get(s"$root/MANIFEST"),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
@@ -178,22 +223,32 @@ final class DeltaUpsertStore(root: String, keyCol: String, orderCols: Seq[String
 
   private var segCounter = -1L
 
+  // writer-unique segment namespace: two store instances on the same
+  // root can never collide on a segment PATH (a shared path would let
+  // concurrent parquet overwrites corrupt each other's data before the
+  // manifest arbitration even runs); which segment LIST becomes
+  // current is then solely [[commit]]'s optimistic-concurrency call
+  private val writerTag = java.lang.Long.toHexString(
+    java.util.concurrent.ThreadLocalRandom.current().nextLong() & 0xffffffffffffL)
+
   private def nextSegment(prefix: String): String = synchronized {
     if (segCounter < 0)
       segCounter = Option(dir.listFiles()).getOrElse(Array.empty)
-        .flatMap(f => f.getName.drop(1).toLongOption).foldLeft(-1L)(math.max)
+        .flatMap(f => f.getName.drop(1).takeWhile(_.isDigit).toLongOption)
+        .foldLeft(-1L)(math.max)
     segCounter += 1
-    s"$prefix$segCounter"
+    s"$prefix$segCounter-$writerTag"
   }
 
   /** O(batch): reduce to latest-per-key and append one delta segment. */
   def upsert(batch: DataFrame, batchId: Long): Unit = synchronized {
+    val (segs, v) = currentState()
     val seg = nextSegment("d")
     // drop("__seg") inside latestPerKey is a no-op here (drop ignores
     // missing columns) — no synthetic column needed on the batch path
     latestPerKey(batch, segOrdered = false)
       .write.mode(SaveMode.Overwrite).parquet(s"$root/$seg")
-    commit(manifest() :+ seg)
+    commit(segs :+ seg, v)
   }
 
   /** Delete-by-key (the GDPR right-to-be-forgotten path): append one
@@ -212,11 +267,12 @@ final class DeltaUpsertStore(root: String, keyCol: String, orderCols: Seq[String
     * events from before the tombstone's position.
     */
   def delete(keys: DataFrame, batchId: Long): Unit = synchronized {
+    val (segs, v) = currentState()
     val seg = nextSegment("t")
     latestPerKey(keys.select((keyCol +: orderCols).map(col): _*), segOrdered = false)
       .withColumn("__tomb", lit(true))
       .write.mode(SaveMode.Overwrite).parquet(s"$root/$seg")
-    commit(manifest() :+ seg)
+    commit(segs :+ seg, v)
   }
 
   /** Merged view: global orderCols max per key across segments. */
@@ -317,7 +373,8 @@ final class DeltaUpsertStore(root: String, keyCol: String, orderCols: Seq[String
         }
         (ups, dels)
       }
-    var segs = manifest()
+    val (base, v) = currentState()
+    var segs = base
     upserts.foreach { u =>
       val seg = nextSegment("d")
       u.write.mode(SaveMode.Overwrite).parquet(s"$root/$seg")
@@ -328,7 +385,7 @@ final class DeltaUpsertStore(root: String, keyCol: String, orderCols: Seq[String
       d.write.mode(SaveMode.Overwrite).parquet(s"$root/$seg")
       segs :+= seg
     }
-    commit(segs)
+    commit(segs, v)
   }
 
   /** Change data feed between two committed versions: one row per key
@@ -408,12 +465,12 @@ final class DeltaUpsertStore(root: String, keyCol: String, orderCols: Seq[String
     * [[UpsertParquetStore]]).
     */
   def compact(spark: SparkSession): Unit = synchronized {
-    val old = manifest()
+    val (old, v) = currentState()
     val current =
       if (old.size > 1) {
         val base = nextSegment("b")
         read(spark).write.mode(SaveMode.Overwrite).parquet(s"$root/$base")
-        commit(Seq(base))
+        commit(Seq(base), v)
         Seq(base)
       } else old
     // GC runs even when there was nothing to fold: segments superseded

@@ -1,0 +1,269 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.kafka.{KafkaCodec, KafkaStubBroker, KafkaWireClient, KafkaWireExchange}
+import graft.kafka.KafkaCodec.{ControlMarker, Err}
+import graft.replay.Replay.ReplayConfig
+
+/** KIP-98 transactions on the wire pair (the EOS half): commit/abort
+  * visibility under read_committed, LSO capping while a transaction is
+  * open, producer fencing on re-init, atomic multi-batch produce, and
+  * the exactly-once publish contract under killed-and-retried attempts
+  * (reference `dataframe_to_kafka.py` is at-least-once; this is the
+  * beyond-parity upgrade a real pipeline asks for first).
+  */
+class KafkaTxnSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def b(s: String): Array[Byte] = s.getBytes(StandardCharsets.UTF_8)
+  private def s(a: Array[Byte]): String = new String(a, StandardCharsets.UTF_8)
+
+  private def withBroker[A](numPartitions: Int = 3)(f: KafkaStubBroker => A): A = {
+    val broker = new KafkaStubBroker(numPartitions)
+    broker.start()
+    try f(broker) finally broker.stop()
+  }
+
+  private def withClient[A](broker: KafkaStubBroker)(f: KafkaWireClient => A): A = {
+    val c = new KafkaWireClient("127.0.0.1", broker.port)
+    try f(c) finally c.close()
+  }
+
+  test("committed transaction: invisible until EndTxn, then visible; marker never a row") {
+    withBroker(1) { broker =>
+      withClient(broker) { c =>
+        c.metadata(Seq("t"))
+        val (pid, epoch) = c.initProducerId("txn-a")
+        c.addPartitionsToTxn("txn-a", pid, epoch, "t", Seq(0))
+        c.produce("t", 0, Seq((1L, b("k1"), b("v1")), (2L, b("k2"), b("v2"))),
+          gzip = false, pid, epoch, 0, transactionalId = "txn-a")
+        // open txn: uncommitted read sees the data, committed read sees NOTHING
+        assert(c.fetchAll("t", 0).map(r => s(r.value)) == Seq("v1", "v2"))
+        assert(c.fetchAll("t", 0, readCommitted = true).isEmpty)
+        assert(c.lastStableOffset("t", 0) == 0L)
+        c.endTxn("txn-a", pid, epoch, commit = true)
+        // committed: both isolation levels see exactly the data records;
+        // the COMMIT marker holds offset 2 but is never surfaced
+        assert(broker.highWatermark("t", 0) == 3L) // 2 data + 1 marker
+        assert(c.fetchAll("t", 0).map(r => s(r.value)) == Seq("v1", "v2"))
+        assert(c.fetchAll("t", 0, readCommitted = true).map(r => s(r.value)) ==
+          Seq("v1", "v2"))
+        assert(c.lastStableOffset("t", 0) == 3L)
+      }
+    }
+  }
+
+  test("aborted transaction: records stay on the log but read_committed skips them") {
+    withBroker(1) { broker =>
+      withClient(broker) { c =>
+        c.metadata(Seq("t"))
+        val (pid, epoch) = c.initProducerId("txn-b")
+        c.addPartitionsToTxn("txn-b", pid, epoch, "t", Seq(0))
+        c.produce("t", 0, Seq((1L, b("k"), b("aborted-1"))),
+          gzip = false, pid, epoch, 0, transactionalId = "txn-b")
+        c.endTxn("txn-b", pid, epoch, commit = false)
+        // a second, committed txn of the SAME producer after the abort
+        c.addPartitionsToTxn("txn-b", pid, epoch, "t", Seq(0))
+        c.produce("t", 0, Seq((2L, b("k"), b("kept"))),
+          gzip = false, pid, epoch, 1, transactionalId = "txn-b")
+        c.endTxn("txn-b", pid, epoch, commit = true)
+        // plain (non-transactional, different client identity) record too
+        c.produce("t", 0, Seq((3L, b("k"), b("plain"))))
+        assert(c.fetchAll("t", 0).map(r => s(r.value)) ==
+          Seq("aborted-1", "kept", "plain"))
+        assert(c.fetchAll("t", 0, readCommitted = true).map(r => s(r.value)) ==
+          Seq("kept", "plain"))
+      }
+    }
+  }
+
+  test("re-initializing a transactional.id fences the old epoch and aborts its open txn") {
+    withBroker(1) { broker =>
+      withClient(broker) { c =>
+        c.metadata(Seq("t"))
+        val (pid1, epoch1) = c.initProducerId("txn-c")
+        c.addPartitionsToTxn("txn-c", pid1, epoch1, "t", Seq(0))
+        c.produce("t", 0, Seq((1L, b("k"), b("stale"))),
+          gzip = false, pid1, epoch1, 0, transactionalId = "txn-c")
+        // crash: no EndTxn. The retry re-inits the SAME id...
+        val (pid2, epoch2) = c.initProducerId("txn-c")
+        assert(pid2 == pid1, "same transactional.id must map to the same pid")
+        assert(epoch2 == epoch1 + 1, "re-init must bump the epoch")
+        // ...which aborted the stale open txn: LSO released, record dead
+        assert(c.fetchAll("t", 0, readCommitted = true).isEmpty)
+        assert(c.lastStableOffset("t", 0) == broker.highWatermark("t", 0))
+        // the fenced old epoch can no longer produce (INVALID_PRODUCER_EPOCH)
+        c.addPartitionsToTxn("txn-c", pid2, epoch2, "t", Seq(0))
+        val fenced = intercept[IllegalArgumentException] {
+          c.produce("t", 0, Seq((2L, b("k"), b("zombie"))),
+            gzip = false, pid1, epoch1, 1, transactionalId = "txn-c")
+        }
+        assert(fenced.getMessage.contains(Err.InvalidProducerEpoch.toString))
+        // the new epoch commits normally
+        c.produce("t", 0, Seq((3L, b("k"), b("fresh"))),
+          gzip = false, pid2, epoch2, 0, transactionalId = "txn-c")
+        c.endTxn("txn-c", pid2, epoch2, commit = true)
+        assert(c.fetchAll("t", 0, readCommitted = true).map(r => s(r.value)) ==
+          Seq("fresh"))
+      }
+    }
+  }
+
+  test("transactional produce without AddPartitionsToTxn is rejected (INVALID_TXN_STATE)") {
+    withBroker(1) { broker =>
+      withClient(broker) { c =>
+        c.metadata(Seq("t"))
+        val (pid, epoch) = c.initProducerId("txn-d")
+        val e = intercept[IllegalArgumentException] {
+          c.produce("t", 0, Seq((1L, b("k"), b("v"))),
+            gzip = false, pid, epoch, 0, transactionalId = "txn-d")
+        }
+        assert(e.getMessage.contains(Err.InvalidTxnState.toString))
+        assert(broker.highWatermark("t", 0) == 0L)
+      }
+    }
+  }
+
+  test("multi-batch produce request applies atomically: a bad later sequence appends nothing") {
+    withBroker(1) { broker =>
+      withClient(broker) { c =>
+        c.metadata(Seq("t"))
+        val (pid, epoch) = c.initProducerId()
+        // two batches in ONE produce request: the first is valid
+        // (seq 0), the second has a sequence gap (seq 7) — the broker
+        // must reject the request WITHOUT appending the first batch
+        // (ADVICE r8: partial application within one request)
+        val good = KafkaCodec.encodeBatch(0L, Seq((1L, b("k"), b("first"))),
+          gzip = false, pid, epoch, 0)
+        val bad = KafkaCodec.encodeBatch(0L, Seq((2L, b("k"), b("gap"))),
+          gzip = false, pid, epoch, 7)
+        val recordSet = good ++ bad
+        val sock = new java.net.Socket("127.0.0.1", broker.port)
+        try {
+          sock.setTcpNoDelay(true)
+          val out = new java.io.DataOutputStream(sock.getOutputStream)
+          val in = new java.io.DataInputStream(sock.getInputStream)
+          val body = java.nio.ByteBuffer.allocate(128 + recordSet.length)
+          body.putShort(KafkaCodec.Api.Produce.toShort)
+          body.putShort(3) // api version
+          body.putInt(99) // correlation id
+          KafkaCodec.writeNullableString(body, "raw") // client id
+          KafkaCodec.writeNullableString(body, null) // transactional_id
+          body.putShort(-1) // acks
+          body.putInt(30000) // timeout
+          body.putInt(1) // one topic
+          KafkaCodec.writeString(body, "t")
+          body.putInt(1) // one partition
+          body.putInt(0)
+          KafkaCodec.writeNullableBytes(body, recordSet)
+          body.flip()
+          out.writeInt(body.remaining())
+          out.write(body.array(), 0, body.remaining())
+          out.flush()
+          val size = in.readInt()
+          val resp = new Array[Byte](size)
+          in.readFully(resp)
+          val buf = java.nio.ByteBuffer.wrap(resp)
+          assert(buf.getInt == 99) // correlation
+          buf.getInt // topic count (1)
+          KafkaCodec.readString(buf)
+          buf.getInt // partition count (1)
+          buf.getInt // partition index
+          assert(buf.getShort.toInt == Err.OutOfOrderSequenceNumber)
+        } finally sock.close()
+        // the valid first batch must NOT have been applied
+        assert(broker.highWatermark("t", 0) == 0L)
+        // and the producer state is untouched: seq 0 still accepted
+        c.produce("t", 0, Seq((1L, b("k"), b("first"))),
+          gzip = false, pid, epoch, 0)
+        assert(broker.highWatermark("t", 0) == 1L)
+      }
+    }
+  }
+
+  test("transactional exchange: killed-and-retried publish is exactly-once under read_committed") {
+    import org.apache.spark.sql.functions.col
+    withBroker() { broker =>
+      import spark.implicits._
+      val wire = (0 until 1200).map(i => (s"k$i", s"v$i"))
+        .toDF("key", "value").repartition(2)
+      val ex = new KafkaWireExchange("127.0.0.1", broker.port,
+        transactionalId = Some("eos"))
+      // repeat=3 → attempts 1 and 2 produce everything and DIE before
+      // EndTxn; attempt 3 commits. Three full copies hit the log...
+      ex.publish(wire, ReplayConfig(input = "", topic = "eos", repeat = 3))
+      val uncommitted = ex.read(spark, "eos")
+      assert(uncommitted.count() == 3600L,
+        "read_uncommitted must see every attempt's records")
+      // ...but committed-only visibility is EXACTLY ONE copy, with no
+      // consumer-side dedup anywhere
+      val committed = ex.readCommitted(spark, "eos")
+      assert(committed.count() == 1200L)
+      assert(committed.select(col("key")).distinct().count() == 1200L)
+    }
+  }
+
+  test("DSv2 transactional writer: task abort + retry leaves one committed copy") {
+    withBroker(1) { broker =>
+      import graft.kafka.{KafkaWireDataWriter, KafkaWireWriterParams}
+      import org.apache.spark.sql.catalyst.InternalRow
+      import org.apache.spark.unsafe.types.UTF8String
+      withClient(broker)(_.metadata(Seq("t"))) // fix partition count
+      val params = KafkaWireWriterParams("127.0.0.1", broker.port, "t",
+        nParts = 1, keyIdx = -1, keyIsString = false, valueIdx = 0,
+        valueIsString = true, transactionalId = Some("dsv2"))
+      def row(v: String): InternalRow =
+        InternalRow(UTF8String.fromString(v))
+      // attempt 1: writes, then Spark calls abort() (task failure path)
+      val w1 = new KafkaWireDataWriter(params, sparkPartition = 0)
+      w1.write(row("attempt1-a")); w1.write(row("attempt1-b"))
+      // flush happens at commit; force it through the 500-row path by
+      // committing nothing — instead abort after an explicit write of
+      // the buffered rows via commit-less close is NOT possible, so
+      // drive the failure as Spark does: abort() after write()
+      w1.abort(); w1.close()
+      // attempt 2 (same Spark partition → same transactional identity)
+      val w2 = new KafkaWireDataWriter(params, sparkPartition = 0)
+      w2.write(row("attempt2-a")); w2.write(row("attempt2-b"))
+      w2.commit(); w2.close()
+      withClient(broker) { c =>
+        val committed = c.fetchAll("t", 0, readCommitted = true).map(r => s(r.value))
+        assert(committed == Seq("attempt2-a", "attempt2-b"))
+      }
+    }
+  }
+
+  test("DSv2 transactional writer: a crashed attempt (no abort) is fenced by the retry") {
+    withBroker(1) { broker =>
+      import graft.kafka.{KafkaWireDataWriter, KafkaWireWriterParams}
+      import org.apache.spark.sql.catalyst.InternalRow
+      import org.apache.spark.unsafe.types.UTF8String
+      withClient(broker)(_.metadata(Seq("t"))) // fix partition count
+      val params = KafkaWireWriterParams("127.0.0.1", broker.port, "t",
+        nParts = 1, keyIdx = -1, keyIsString = false, valueIdx = 0,
+        valueIsString = true, transactionalId = Some("crash"))
+      def row(v: String): InternalRow = InternalRow(UTF8String.fromString(v))
+      // attempt 1 floods past the 500-row buffer so bytes are ON the
+      // log, then hard-crashes: no commit, no abort, socket just dies
+      val w1 = new KafkaWireDataWriter(params, sparkPartition = 0)
+      (0 until 600).foreach(i => w1.write(row(s"dead-$i")))
+      w1.close() // crash: open transaction pins the LSO
+      withClient(broker) { c =>
+        assert(c.fetchAll("t", 0, readCommitted = true).isEmpty,
+          "open txn must hide the crashed attempt")
+      }
+      // the retry (same partition → same txn identity) fences + commits
+      val w2 = new KafkaWireDataWriter(params, sparkPartition = 0)
+      (0 until 600).foreach(i => w2.write(row(s"live-$i")))
+      w2.commit(); w2.close()
+      withClient(broker) { c =>
+        val vals = c.fetchAll("t", 0, readCommitted = true).map(r => s(r.value))
+        assert(vals.size == 600 && vals.forall(_.startsWith("live-")),
+          "exactly the retry's copy must be committed-visible")
+      }
+    }
+  }
+}

@@ -156,11 +156,11 @@ class KafkaWireSpec extends AnyFunSuite {
 
   // ---- client ↔ broker over TCP ----
 
-  test("ApiVersions advertises the six spoken APIs") {
+  test("ApiVersions advertises the eight spoken APIs") {
     withBroker() { broker =>
       withClient(broker) { c =>
         val v = c.apiVersions()
-        assert(v.keySet == Set(0, 1, 2, 3, 18, 22))
+        assert(v.keySet == Set(0, 1, 2, 3, 18, 22, 24, 26))
         assert(v(0) == (3, 3) && v(1) == (4, 4))
       }
     }
