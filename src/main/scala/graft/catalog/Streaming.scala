@@ -156,6 +156,43 @@ object Streaming {
       .orderBy("user_id")
   }
 
+  // Data skipping over the log-structured store: three range-batched
+  // upserts (a monotone-id ingest, the natural arrival order of
+  // assigned ids) leave three segments with disjoint key ranges, each
+  // carrying Iceberg-style per-file key min/max stats collected at
+  // write time. A point lookup of {min, min+1, max} must then read
+  // ONLY the first and last segments — candidateSegments proving the
+  // middle one pruned is required in-line, because at 100 TB this is
+  // the difference between "fetch these ids" touching O(matching
+  // segments) and O(store). The residual IN filter still pushes
+  // through the merge window to the kept segments' parquet scans, so
+  // row-group stats prune a second time within them.
+  val deltaPointLookup: QueryDef = QueryDef.sql("q_delta_point_lookup")(
+    """SELECT event_id, user_id, event_type, value FROM events
+      |WHERE event_id IN (SELECT min(event_id) FROM events)
+      |   OR event_id IN (SELECT min(event_id) + 1 FROM events)
+      |   OR event_id IN (SELECT max(event_id) FROM events)
+      |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val store = new DeltaUpsertStore(uniqueDir("lookup_"), "event_id", Seq("ts"))
+    require(store.healthCheck(), "sink preflight failed")  // K5
+    val ev = graft.core.Tables.events(s, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val r = ev.agg(min("event_id"), max("event_id")).head
+    val (lo, hi) = (r.getLong(0), r.getLong(1))
+    val cut1 = lo + (hi - lo) / 3
+    val cut2 = lo + 2 * (hi - lo) / 3
+    store.upsert(ev.filter(col("event_id") <= cut1), 0)
+    store.upsert(ev.filter(col("event_id") > cut1 && col("event_id") <= cut2), 1)
+    store.upsert(ev.filter(col("event_id") > cut2), 2)
+    val keys = Seq(lo, lo + 1, hi)
+    val hit = store.candidateSegments(keys)
+    require(hit.size == 2,
+      s"stats must prune the middle segment (kept: ${hit.mkString(",")})")
+    store.lookup(s, keys)
+      .select("event_id", "user_id", "event_type", "value")
+      .orderBy("event_id")
+  }
+
   // Delete-by-key over the log-structured store (the GDPR
   // right-to-be-forgotten path): upsert the full feed, then append ONE
   // tombstone segment for every 7th user positioned at an event-time
@@ -999,6 +1036,79 @@ object Streaming {
     } finally broker.stop()
   }
 
+  // The CONSUMER-GROUP leg of the wire (beyond-parity — the reference
+  // relies on checkpoints alone): wave 1 drains the topic through the
+  // DSv2 stream with `kafka.group.id` set, so each micro-batch the
+  // engine marks durable ALSO commits its end offsets to the group
+  // (OffsetCommit, simple-consumer mode — the mode Spark's own
+  // consumers run in, since the stock connector assigns partitions
+  // itself and never joins a rebalance). Wave 2 then starts with a
+  // FRESH checkpoint and `startingOffsets=group`: its start resolves
+  // from the group's committed positions (OffsetFetch), the
+  // checkpoint-free handover path from ANY group-committing consumer.
+  // The engine signals batch N durable only when constructing batch
+  // N+1, so a drain-and-stop leaves exactly the final batch
+  // uncommitted — the handover is AT-LEAST-ONCE (real Kafka's own
+  // group-commit contract; a crashed consumer re-reads from its last
+  // commit), asserted tightly in-line: wave 2 re-reads at most one
+  // batch and never the committed prefix. The standard idempotent-
+  // consumer key dedup then restores exactly-once, hash-matching the
+  // single-publish oracle. Lag observability (the Burrow/
+  // kafka-consumer-groups relation, from the same OffsetFetch +
+  // ListOffsets pair) is asserted between the waves.
+  val kafkaWireGroupResume: QueryDef = QueryDef.sql("q_kafka_wire_group_resume")(
+    """SELECT event_id, user_id, event_type, value
+      |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val broker = new graft.kafka.KafkaStubBroker(3)
+    broker.start()
+    try {
+      val topic = "events-group"
+      val group = "graft-handover"
+      val exchange = new graft.kafka.KafkaWireExchange("127.0.0.1", broker.port)
+      val events = graft.core.Tables.events(s, dir)
+      val first = events.filter(col("event_id") % 2 === 0)
+      val second = events.filter(col("event_id") % 2 =!= 0)
+      val firstN = first.count()
+      val secondN = second.count()
+      // ~4 batches per drain: enough to exercise mid-run group commits
+      // without paying per-trigger overhead hundreds of times
+      val cap = math.max(1L, firstN / 4)
+      def readWithGroup(): org.apache.spark.sql.DataFrame = {
+        val stream = s.readStream.format("kafka-wire")
+          .option("host", "127.0.0.1").option("port", broker.port.toString)
+          .option("topic", topic)
+          .option("kafka.group.id", group)
+          .option("startingOffsets", "group")
+          .option("maxOffsetsPerTrigger", cap.toString)
+          .load()
+        Ingest.runToMemory(Ingest.decodeJsonWire(stream)
+          .select("event_id", "user_id", "event_type", "value"))
+      }
+      val admin = new graft.kafka.KafkaWireClient("127.0.0.1", broker.port)
+      try {
+        val parts = admin.metadata(Seq(topic)).head.partitions.map(_.partition)
+        exchange.publish(Ingest.toJsonWire(first, "event_id"),
+          graft.replay.Replay.ReplayConfig(input = "", topic = topic))
+        val wave1 = readWithGroup()
+        // all but the final (not-yet-signaled-durable) batch committed
+        val tail = admin.groupLag(group, topic, parts).map(_._4).sum
+        require(tail <= cap && tail < firstN,
+          s"group must hold all but the final batch (tail=$tail, cap=$cap)")
+        exchange.publish(Ingest.toJsonWire(second, "event_id"),
+          graft.replay.Replay.ReplayConfig(input = "", topic = topic))
+        val backlog = admin.groupLag(group, topic, parts).map(_._4).sum
+        require(backlog == tail + secondN,
+          s"lag must be the uncommitted tail + the new backlog, got $backlog")
+        val wave2 = readWithGroup()
+        val w2 = wave2.count()
+        require(w2 >= secondN && w2 <= secondN + tail,
+          s"handover must re-read at most the uncommitted tail ($w2 vs $secondN+$tail)")
+        graft.core.Spill.materialize(
+          wave1.union(wave2).dropDuplicates("event_id").orderBy("event_id"))(())
+      } finally admin.close()
+    } finally broker.stop()
+  }
+
   // The BINARY codec leg of the wire: Avro-encoded values (the
   // schema-registry serialization a production Kafka feed carries,
   // where the reference ships JSON strings) produced through the real
@@ -1466,10 +1576,11 @@ object Streaming {
     streamSessionWindow, streamTwsSummary, streamLeftOuter, streamFullOuter,
     streamChainedAgg,
     streamLateDrop, streamStaticJoin, streamSessionTimers, streamMapStateCounts,
-    streamIncremental, streamSemiJoin, sinkUpsertDeltaAsof,
+    streamIncremental, streamSemiJoin, sinkUpsertDeltaAsof, deltaPointLookup,
     sinkUpsertDeltaDelete, streamAsofJoin,
     sinkUpsertEs, sinkUpsertEsDelete, sinkRouteEs, streamTopkTypes,
     kafkaWireIngest, kafkaWireRedelivery, streamKafkaWire, streamKafkaSink,
     streamKafkaGzip, kafkaWireAvro, kafkaWireIdempotent, kafkaWireTxn,
+    kafkaWireGroupResume,
     e2eKafkaEs, kafkaTopicTransform, deltaMerge, deltaCdf, streamCdcApply)
 }

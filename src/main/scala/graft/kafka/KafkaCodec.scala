@@ -420,6 +420,9 @@ object KafkaCodec {
     val Fetch = 1
     val ListOffsets = 2
     val Metadata = 3
+    val OffsetCommit = 8
+    val OffsetFetch = 9
+    val FindCoordinator = 10
     val ApiVersions = 18
     val InitProducerId = 22
     val AddPartitionsToTxn = 24
@@ -431,6 +434,7 @@ object KafkaCodec {
     val OffsetOutOfRange = 1
     val CorruptMessage = 2
     val UnknownTopicOrPartition = 3
+    val IllegalGeneration = 22 // member-protocol generation on a group with no active members
     val OutOfOrderSequenceNumber = 45
     val InvalidProducerEpoch = 47 // a newer producer with the same transactional.id fenced this one
     val InvalidTxnState = 48 // e.g. transactional produce to a partition never added to the txn

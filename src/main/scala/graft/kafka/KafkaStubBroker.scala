@@ -29,6 +29,10 @@ import KafkaCodec._
   *     epoch bump + fencing + auto-abort of the stale open txn)
   *   - AddPartitionsToTxn v0 / EndTxn v0 (commit/abort control
   *     markers written per registered partition)
+  *   - FindCoordinator v0 / OffsetCommit v2 / OffsetFetch v1 (the
+  *     group-offset surface: simple-consumer commits stored per
+  *     (group, topic, partition); membership generations rejected —
+  *     no rebalance protocol, see COVERAGE.md non-goals)
   *
   * Offset semantics enforced (what `spark_streaming_kafka.py:13-18`'s
   * `startingOffsets=earliest` consumer depends on):
@@ -91,6 +95,17 @@ final class KafkaStubBroker(val numPartitions: Int = 3,
   //    so consumers drop those records.
   private final case class TxnProducer(pid: Long, epoch: Short)
   private val txnProducers = new ConcurrentHashMap[String, TxnProducer]()
+
+  // Consumer-group OFFSET state (the __consumer_offsets role): committed
+  // position + metadata per (group, topic, partition). Only the simple-
+  // consumer commit path exists — generation -1 / empty member id, the
+  // manual-assignment mode Spark itself uses (the stock connector calls
+  // consumer.assign(), never subscribe(), so it never joins a group) —
+  // and a member-protocol commit (generation >= 0) is rejected with
+  // ILLEGAL_GENERATION exactly as a real broker rejects it for a group
+  // with no active members.
+  private val groupOffsets =
+    new ConcurrentHashMap[(String, String, Int), (Long, String)]()
   private val txnPartitions = new ConcurrentHashMap[String, Set[(String, Int)]]()
   private val openTxns = new ConcurrentHashMap[(String, Int), Map[Long, Long]]()
   private val abortedTxns =
@@ -172,6 +187,9 @@ final class KafkaStubBroker(val numPartitions: Int = 3,
           case Api.InitProducerId => initProducerIdResponse(buf)
           case Api.AddPartitionsToTxn => addPartitionsToTxnResponse(buf)
           case Api.EndTxn => endTxnResponse(buf)
+          case Api.FindCoordinator => findCoordinatorResponse(buf)
+          case Api.OffsetCommit => offsetCommitResponse(buf)
+          case Api.OffsetFetch => offsetFetchResponse(buf)
           case other =>
             throw new IllegalArgumentException(s"unsupported api key $other v$apiVersion")
         }
@@ -193,7 +211,8 @@ final class KafkaStubBroker(val numPartitions: Int = 3,
       (Api.Produce, 3, 3), (Api.Fetch, 4, 4), (Api.ListOffsets, 1, 1),
       (Api.Metadata, 1, 1), (Api.ApiVersions, 0, 0),
       (Api.InitProducerId, 0, 0), (Api.AddPartitionsToTxn, 0, 0),
-      (Api.EndTxn, 0, 0))
+      (Api.EndTxn, 0, 0), (Api.FindCoordinator, 0, 0),
+      (Api.OffsetCommit, 2, 2), (Api.OffsetFetch, 1, 1))
     val buf = ByteBuffer.allocate(2 + 4 + apis.size * 6)
     buf.putShort(Err.None.toShort)
     buf.putInt(apis.size)
@@ -611,6 +630,110 @@ final class KafkaStubBroker(val numPartitions: Int = 3,
     val buf = ByteBuffer.allocate(8)
     buf.putInt(0) // throttle_time_ms
     buf.putShort(err.toShort)
+    buf.flip()
+    val arr = new Array[Byte](buf.remaining()); buf.get(arr); arr
+  }
+
+  /** Committed group offset (test hook). */
+  def committedOffset(group: String, topic: String, partition: Int): Option[Long] =
+    Option(groupOffsets.get((group, topic, partition))).map(_._1)
+
+  /** FindCoordinator v0: the group-coordinator discovery handshake a
+    * real consumer runs before any OffsetCommit/OffsetFetch. This
+    * single-node stub is every group's coordinator (the same collapse
+    * as its transaction-coordinator role), so the answer is itself.
+    */
+  private def findCoordinatorResponse(req: ByteBuffer): Array[Byte] = {
+    readString(req) // coordinator_key (group id) — any group maps here
+    val buf = ByteBuffer.allocate(32)
+    buf.putShort(Err.None.toShort)
+    buf.putInt(0) // node_id
+    writeString(buf, "127.0.0.1")
+    buf.putInt(port)
+    buf.flip()
+    val arr = new Array[Byte](buf.remaining()); buf.get(arr); arr
+  }
+
+  /** OffsetCommit v2 (simple-consumer path): store the committed
+    * position per (group, topic, partition). A generation >= 0 claims
+    * membership in a rebalance-protocol group — this broker hosts no
+    * group members (Spark assigns partitions itself), so such a commit
+    * is rejected with ILLEGAL_GENERATION, the real broker's answer for
+    * a group with no active generation. Offsets for unknown partitions
+    * fail per-partition with UNKNOWN_TOPIC_OR_PARTITION; the rest of
+    * the request still commits (per-partition error contract).
+    */
+  private def offsetCommitResponse(req: ByteBuffer): Array[Byte] = {
+    val group = readString(req)
+    val generation = req.getInt
+    readString(req) // member_id (empty for simple consumers)
+    req.getLong // retention_time_ms (-1 = broker default)
+    val nTopics = req.getInt
+    val results = (0 until nTopics).flatMap { _ =>
+      val topic = readString(req)
+      val nParts = req.getInt
+      (0 until nParts).map { _ =>
+        val partition = req.getInt
+        val offset = req.getLong
+        val metadata = readNullableString(req)
+        val err =
+          if (generation >= 0) Err.IllegalGeneration
+          else if (partition < 0 || partition >= numPartitions)
+            Err.UnknownTopicOrPartition
+          else {
+            groupOffsets.put((group, topic, partition),
+              (offset, if (metadata == null) "" else metadata))
+            Err.None
+          }
+        (topic, partition, err)
+      }
+    }
+    val buf = ByteBuffer.allocate(64 * 1024)
+    val byTopic = results.groupBy(_._1)
+    buf.putInt(byTopic.size)
+    byTopic.foreach { case (topic, ps) =>
+      writeString(buf, topic)
+      buf.putInt(ps.size)
+      ps.foreach { case (_, p, err) =>
+        buf.putInt(p)
+        buf.putShort(err.toShort)
+      }
+    }
+    buf.flip()
+    val arr = new Array[Byte](buf.remaining()); buf.get(arr); arr
+  }
+
+  /** OffsetFetch v1: read back the group's committed positions. An
+    * uncommitted partition answers offset -1 with empty metadata and no
+    * error — the "no committed offset" sentinel consumers translate to
+    * their auto.offset.reset policy (this source's: earliest).
+    */
+  private def offsetFetchResponse(req: ByteBuffer): Array[Byte] = {
+    val group = readString(req)
+    val nTopics = req.getInt
+    val results = (0 until nTopics).flatMap { _ =>
+      val topic = readString(req)
+      val nParts = req.getInt
+      (0 until nParts).map { _ =>
+        val partition = req.getInt
+        val (offset, metadata) =
+          groupOffsets.getOrDefault((group, topic, partition), (-1L, ""))
+        (topic, partition, offset, metadata)
+      }
+    }
+    val buf = ByteBuffer.allocate(64 * 1024)
+    val byTopic = results.groupBy(_._1)
+    buf.putInt(byTopic.size)
+    byTopic.foreach { case (topic, ps) =>
+      writeString(buf, topic)
+      buf.putInt(ps.size)
+      ps.foreach { case (_, p, offset, metadata) =>
+        buf.putInt(p)
+        buf.putLong(offset)
+        writeNullableString(buf, metadata)
+        buf.putShort(Err.None.toShort)
+      }
+    }
     buf.flip()
     val arr = new Array[Byte](buf.remaining()); buf.get(arr); arr
   }

@@ -8,8 +8,8 @@ import KafkaCodec._
 
 /** Minimal blocking Kafka protocol client (plain TCP, no external jar)
   * — the producer/consumer half of the executed S5/K2 path. One socket,
-  * correlation-id-checked request/response, the same five APIs the
-  * stub broker speaks; a real broker with these versions enabled would
+  * correlation-id-checked request/response, the same APIs the stub
+  * broker speaks; a real broker with these versions enabled would
   * accept the identical bytes.
   *
   * Not thread-safe: one client per task/thread (exactly how
@@ -315,6 +315,106 @@ final class KafkaWireClient(host: String, port: Int,
     require(err == Err.None, s"ListOffsets error $err")
     resp.getLong // timestamp
     resp.getLong
+  }
+
+  /** FindCoordinator v0: discover the group coordinator — the broker a
+    * consumer must address OffsetCommit/OffsetFetch to. Returns
+    * (nodeId, host, port).
+    */
+  def findCoordinator(group: String): (Int, String, Int) = {
+    val body = ByteBuffer.allocate(2 + group.length * 4)
+    writeString(body, group)
+    val resp = send(Api.FindCoordinator, 0, body)
+    val err = resp.getShort.toInt
+    require(err == Err.None, s"FindCoordinator error $err for group $group")
+    val nodeId = resp.getInt
+    val host = readString(resp)
+    val port = resp.getInt
+    (nodeId, host, port)
+  }
+
+  /** OffsetCommit v2 in simple-consumer mode (generation -1, empty
+    * member id — manual partition assignment, exactly the mode Spark's
+    * stock connector runs its consumers in): store `offsets` (next
+    * position to read, i.e. last processed + 1, the Kafka convention)
+    * for `group`. Fails loudly on any per-partition error.
+    */
+  def commitOffsets(group: String, topic: String, offsets: Map[Int, Long],
+      metadata: String = null, generation: Int = -1): Unit = {
+    if (offsets.isEmpty) return
+    val metaLen = if (metadata == null) 0 else metadata.length * 4
+    val body = ByteBuffer.allocate(64 + group.length * 4 + topic.length * 4 +
+      offsets.size * (16 + metaLen))
+    writeString(body, group)
+    body.putInt(generation) // -1 = simple consumer (manual assignment)
+    writeString(body, "") // member_id
+    body.putLong(-1L) // retention_time_ms: broker default
+    body.putInt(1) // one topic
+    writeString(body, topic)
+    body.putInt(offsets.size)
+    offsets.toSeq.sortBy(_._1).foreach { case (p, o) =>
+      body.putInt(p)
+      body.putLong(o)
+      writeNullableString(body, metadata)
+    }
+    val resp = send(Api.OffsetCommit, 2, body)
+    val nTopics = resp.getInt
+    (0 until nTopics).foreach { _ =>
+      readString(resp)
+      val n = resp.getInt
+      (0 until n).foreach { _ =>
+        val p = resp.getInt
+        val err = resp.getShort.toInt
+        require(err == Err.None, s"OffsetCommit error $err on $topic/$p")
+      }
+    }
+  }
+
+  /** OffsetFetch v1: the group's committed positions for `partitions`.
+    * Partitions with no committed offset are ABSENT from the result
+    * (the broker's -1 sentinel translated to "apply your reset
+    * policy").
+    */
+  def committedOffsets(group: String, topic: String,
+      partitions: Seq[Int]): Map[Int, Long] = {
+    val body = ByteBuffer.allocate(
+      64 + group.length * 4 + topic.length * 4 + partitions.size * 4)
+    writeString(body, group)
+    body.putInt(1)
+    writeString(body, topic)
+    body.putInt(partitions.size)
+    partitions.foreach(body.putInt)
+    val resp = send(Api.OffsetFetch, 1, body)
+    val out = Map.newBuilder[Int, Long]
+    val nTopics = resp.getInt
+    (0 until nTopics).foreach { _ =>
+      readString(resp)
+      val n = resp.getInt
+      (0 until n).foreach { _ =>
+        val p = resp.getInt
+        val offset = resp.getLong
+        readNullableString(resp) // metadata
+        val err = resp.getShort.toInt
+        require(err == Err.None, s"OffsetFetch error $err on $topic/$p")
+        if (offset >= 0) out += p -> offset
+      }
+    }
+    out.result()
+  }
+
+  /** Per-partition consumer lag for `group` on `topic`: committed
+    * position (0 when none) vs the latest log offset — the relation a
+    * lag monitor (Burrow, kafka-consumer-groups) derives from the same
+    * two APIs. O(partitions) metadata round trips, no record reads.
+    */
+  def groupLag(group: String, topic: String,
+      partitions: Seq[Int]): Seq[(Int, Long, Long, Long)] = {
+    val committed = committedOffsets(group, topic, partitions)
+    partitions.sorted.map { p =>
+      val c = committed.getOrElse(p, 0L)
+      val end = listOffset(topic, p, -1L)
+      (p, c, end, math.max(0L, end - c))
+    }
   }
 }
 

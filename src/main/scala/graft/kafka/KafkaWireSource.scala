@@ -87,6 +87,11 @@ final class KafkaWireSourceProvider extends TableProvider with DataSourceRegiste
       s"kafka-wire: unsupported isolation.level '$isolation'")
     val transactionalId = Option(opts.get("kafka.transactional.id"))
       .orElse(Option(opts.get("transactional.id")))
+    val groupId = Option(opts.get("kafka.group.id"))
+      .orElse(Option(opts.get("group.id")))
+    require(Option(opts.get("startingOffsets")).forall(_.trim != "group") ||
+        groupId.isDefined,
+      "kafka-wire: startingOffsets=group requires kafka.group.id")
     new KafkaWireTable(KafkaWireConf(
       opts.get("host"),
       Integer.parseInt(opts.get("port")),
@@ -99,7 +104,8 @@ final class KafkaWireSourceProvider extends TableProvider with DataSourceRegiste
       startingTimestamp,
       endingTimestamp,
       isolation == "read_committed",
-      transactionalId))
+      transactionalId,
+      groupId))
   }
 }
 
@@ -139,6 +145,21 @@ final class KafkaWireSourceProvider extends TableProvider with DataSourceRegiste
   *    stable offset, fetches skip aborted-transaction ranges, and
   *    control markers are consumed for offset accounting but never
   *    surfaced as rows;
+  *  - `kafka.group.id` (or `group.id`), reads: a consumer-group
+  *    identity. Streaming: each micro-batch the engine signals durable
+  *    commits its end offsets to the group (OffsetCommit, simple-
+  *    consumer mode) so external lag monitors track the query. The
+  *    engine signals batch N durable when constructing batch N+1, so
+  *    the group trails the checkpoint by at most one batch and a
+  *    drain-and-stop leaves the final batch uncommitted — the real
+  *    group-commit contract (at-least-once); the CHECKPOINT remains
+  *    the restart source of truth, same as the stock connector's
+  *    `kafka.group.id`. With `startingOffsets=group`, the first offset
+  *    instead resolves from the group's committed positions
+  *    (OffsetFetch; uncommitted partitions fall back to earliest) —
+  *    the checkpoint-free handover path from any group-committing
+  *    consumer, exactly-once after the standard idempotent-consumer
+  *    key dedup;
   *  - `transactional.id` (or `kafka.transactional.id`), writes: each
   *    task wraps its output in a KIP-98 TRANSACTION under the stable
   *    id `<transactional.id>-p<sparkPartition>` — init (which fences
@@ -157,7 +178,8 @@ final case class KafkaWireConf(host: String, port: Int, topic: String,
     startingTimestamp: Option[Long] = None,
     endingTimestamp: Option[Long] = None,
     readCommitted: Boolean = false,
-    transactionalId: Option[String] = None)
+    transactionalId: Option[String] = None,
+    groupId: Option[String] = None)
 
 object KafkaWireSource {
   /** The standard Kafka connector relation schema. */
@@ -205,6 +227,17 @@ object KafkaWireSource {
     conf.startingTimestamp match {
       case Some(ts) =>
         partitions.map(p => p -> client.listOffset(topic, p, ts)).toMap
+      case None if conf.startingOffsets.trim == "group" =>
+        // resume from the consumer group's committed positions
+        // (OffsetFetch) — the checkpoint-free handover path from any
+        // group-committing consumer, Spark or not. Partitions the group
+        // never committed fall back to earliest (auto.offset.reset).
+        val group = conf.groupId.getOrElse(throw new IllegalArgumentException(
+          "kafka-wire: startingOffsets=group requires kafka.group.id"))
+        val committed = client.committedOffsets(group, topic, partitions)
+        partitions.map { p =>
+          p -> committed.getOrElse(p, client.listOffset(topic, p, -2L))
+        }.toMap
       case None =>
         resolveSpec(client, topic, partitions, conf.startingOffsets, defaultTs = -2L)
     }
@@ -590,7 +623,20 @@ final class KafkaWireMicroBatchStream(conf: KafkaWireConf)
 
   override def createReaderFactory(): PartitionReaderFactory = KafkaWireReaderFactory
 
-  override def commit(end: Offset): Unit = () // checkpoint log is the commit
+  // The CHECKPOINT is the source of truth for restart (exactly the
+  // stock connector's contract) — but with kafka.group.id set, each
+  // completed batch's end offsets are ALSO committed to the group, so
+  // external lag monitors (and a later startingOffsets=group read) see
+  // the query's progress. Commit failures only log: group offsets are
+  // observability/handover state, never allowed to fail the query.
+  override def commit(end: Offset): Unit = conf.groupId.foreach { g =>
+    try client.commitOffsets(g, topic,
+      end.asInstanceOf[KafkaWireOffset].offsets, metadata = "graft-stream")
+    catch {
+      case e: Exception =>
+        System.err.println(s"[kafka-wire] group offset commit failed: ${e.getMessage}")
+    }
+  }
 
   override def stop(): Unit =
     try client.close() catch { case _: Exception => () }

@@ -248,6 +248,7 @@ final class DeltaUpsertStore(root: String, keyCol: String, orderCols: Seq[String
     // missing columns) — no synthetic column needed on the batch path
     latestPerKey(batch, segOrdered = false)
       .write.mode(SaveMode.Overwrite).parquet(s"$root/$seg")
+    writeKeyStats(batch.sparkSession, seg)
     commit(segs :+ seg, v)
   }
 
@@ -272,6 +273,7 @@ final class DeltaUpsertStore(root: String, keyCol: String, orderCols: Seq[String
     latestPerKey(keys.select((keyCol +: orderCols).map(col): _*), segOrdered = false)
       .withColumn("__tomb", lit(true))
       .write.mode(SaveMode.Overwrite).parquet(s"$root/$seg")
+    writeKeyStats(keys.sparkSession, seg)
     commit(segs :+ seg, v)
   }
 
@@ -304,6 +306,103 @@ final class DeltaUpsertStore(root: String, keyCol: String, orderCols: Seq[String
           "history beyond the retention window is not readable")
     }
     segs
+  }
+
+  // ---- data skipping: per-segment key-range stats ----
+
+  /** Key-range stats of one immutable segment — the per-file metadata
+    * Iceberg keeps in its manifest files and Delta in its commit log.
+    * Stored as a `_KEYSTATS` sidecar INSIDE the segment directory
+    * (underscore-prefixed, so parquet readers ignore it; immutable
+    * because segments are; GC'd with the segment), which keeps the
+    * manifest commit protocol untouched — a production table format
+    * would inline these in the manifest to make pruning one metadata
+    * read instead of O(segments) tiny ones, but compaction bounds the
+    * segment count here and the PRUNING contract is identical.
+    * `mayContain` is conservative: an unknown type tag, a type
+    * mismatch, or a missing sidecar (legacy segment) never prunes.
+    */
+  private final case class KeyStats(typ: Char, lo: String, hi: String) {
+    def mayContain(k: Any): Boolean = typ match {
+      case 'L' => k match {
+        case n: Long => n >= lo.toLong && n <= hi.toLong
+        case n: Int  => n >= lo.toLong && n <= hi.toLong
+        case _       => true
+      }
+      case 'S' => k match {
+        case s: String => s >= lo && s <= hi
+        case _         => true
+      }
+      case _ => true
+    }
+  }
+
+  /** Compute and persist the just-written segment's keyCol min/max.
+    * Integral and (tab/control-free) string keys get stats; any other
+    * type writes no sidecar and the segment is simply never pruned.
+    * One tiny single-column agg over the segment — O(segment), paid
+    * once at write time, exactly when table formats collect file stats.
+    */
+  private def writeKeyStats(spark: SparkSession, seg: String): Unit = {
+    val df = spark.read.parquet(s"$root/$seg").select(col(keyCol))
+    val tag = df.schema.head.dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType => Some('L')
+      case org.apache.spark.sql.types.StringType => Some('S')
+      case _ => None
+    }
+    tag.foreach { t =>
+      val r = df.agg(min(col(keyCol)).cast("string"),
+        max(col(keyCol)).cast("string")).head
+      if (!r.isNullAt(0)) {
+        val (lo, hi) = (r.getString(0), r.getString(1))
+        if (t == 'L' || (lo + hi).forall(_ >= ' ')) // no tab/control chars in the sidecar
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(s"$root/$seg/_KEYSTATS"), s"$t\t$lo\t$hi")
+      }
+    }
+  }
+
+  private def readKeyStats(seg: String): Option[KeyStats] = {
+    val p = java.nio.file.Paths.get(s"$root/$seg/_KEYSTATS")
+    if (!java.nio.file.Files.exists(p)) None
+    else java.nio.file.Files.readString(p).split('\t') match {
+      case Array(t, lo, hi) if t.length == 1 => Some(KeyStats(t.head, lo, hi))
+      case _ => None
+    }
+  }
+
+  /** The current segments that may hold any of `keys` — the data-
+    * skipping decision, exposed for pruning assertions. A segment is
+    * kept unless its stats PROVE no requested key falls in its range.
+    */
+  private[graft] def candidateSegments(keys: Seq[Any]): Seq[String] =
+    manifest().filter { seg =>
+      readKeyStats(seg).forall(st => keys.exists(st.mayContain))
+    }
+
+  /** Point lookup of `keys` in the current snapshot with segment
+    * skipping: only segments whose key-range stats may contain a
+    * requested key are read and merged — at 100 TB the difference
+    * between touching O(matching segments) and O(store) for the "fetch
+    * these ids" query every serving layer runs. Correct under the
+    * last-write-wins merge because a key's winner and every contender
+    * live only in segments whose range covers it (tombstone segments
+    * included — they carry the key column and their own sidecar). The
+    * residual `IN` filter pushes through the merge window to the
+    * pruned parquet scans (partition-column predicates cross Window
+    * operators), so row-group stats prune again WITHIN each kept
+    * segment.
+    */
+  def lookup(spark: SparkSession, keys: Seq[Any]): DataFrame = {
+    val hit = candidateSegments(keys)
+    if (hit.isEmpty)
+      // schema-stable empty result: no segment can hold any key
+      mergedView(spark, manifest().take(1)).filter(lit(false))
+    else
+      mergedView(spark, hit).filter(col(keyCol).isin(keys: _*))
   }
 
   /** Conditional MERGE INTO (the Delta/Iceberg `MERGE` statement) against
@@ -378,11 +477,13 @@ final class DeltaUpsertStore(root: String, keyCol: String, orderCols: Seq[String
     upserts.foreach { u =>
       val seg = nextSegment("d")
       u.write.mode(SaveMode.Overwrite).parquet(s"$root/$seg")
+      writeKeyStats(spark, seg)
       segs :+= seg
     }
     deletes.foreach { d =>
       val seg = nextSegment("t")
       d.write.mode(SaveMode.Overwrite).parquet(s"$root/$seg")
+      writeKeyStats(spark, seg)
       segs :+= seg
     }
     commit(segs, v)
@@ -470,6 +571,7 @@ final class DeltaUpsertStore(root: String, keyCol: String, orderCols: Seq[String
       if (old.size > 1) {
         val base = nextSegment("b")
         read(spark).write.mode(SaveMode.Overwrite).parquet(s"$root/$base")
+        writeKeyStats(spark, base)
         commit(Seq(base), v)
         Seq(base)
       } else old

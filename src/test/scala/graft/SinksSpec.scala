@@ -301,4 +301,70 @@ class SinksSpec extends AnyFunSuite {
     info(s"two-writer race: $bothCommitted rounds serialized cleanly, " +
       s"$conflicts rounds arbitrated by conflict")
   }
+
+  test("K3 delta store: point lookup prunes segments by key-range stats") {
+    val store = new DeltaUpsertStore(tmp("delta_lookup_"), "id", Seq("ts"))
+    store.upsert(Seq((1L, 1L, "a"), (5L, 1L, "b")).toDF("id", "ts", "v"), 0)
+    store.upsert(Seq((10L, 1L, "c"), (15L, 1L, "d")).toDF("id", "ts", "v"), 1)
+    store.upsert(Seq((20L, 1L, "e"), (25L, 1L, "f")).toDF("id", "ts", "v"), 2)
+    // a key set touching only the outer ranges must skip the middle segment
+    assert(store.candidateSegments(Seq(5L, 20L)).size == 2)
+    assert(store.candidateSegments(Seq(12L)).size == 1)
+    // range gaps prune everything even when min < key < max of the store
+    assert(store.candidateSegments(Seq(7L)).isEmpty)
+    assert(store.lookup(spark, Seq(7L)).count() == 0)
+    val out = store.lookup(spark, Seq(5L, 20L)).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(2)))
+    assert(out.toSeq == Seq((5L, "b"), (20L, "e")))
+    // pruned lookup ≡ unpruned filter on the full merged view
+    val full = store.read(spark).filter($"id".isin(5L, 20L)).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(2)))
+    assert(out.toSeq == full.toSeq)
+  }
+
+  test("K3 delta store: lookup respects last-write-wins and tombstones across pruned segments") {
+    val store = new DeltaUpsertStore(tmp("delta_lookup2_"), "id", Seq("ts"))
+    store.upsert(Seq((1L, 1L, "old"), (2L, 1L, "x")).toDF("id", "ts", "v"), 0)
+    store.upsert(Seq((1L, 5L, "new")).toDF("id", "ts", "v"), 1)
+    // the winner row lives in the second segment; both cover key 1
+    assert(store.lookup(spark, Seq(1L)).collect().map(_.getString(2)).toSeq ==
+      Seq("new"))
+    store.delete(Seq((2L, 9L)).toDF("id", "ts"), 2)
+    assert(store.lookup(spark, Seq(2L)).count() == 0)
+    // and the un-deleted neighbor still resolves
+    assert(store.lookup(spark, Seq(1L, 2L)).count() == 1)
+  }
+
+  test("K3 delta store: a segment without a stats sidecar is never pruned") {
+    val root = tmp("delta_legacy_")
+    val store = new DeltaUpsertStore(root, "id", Seq("ts"))
+    store.upsert(Seq((1L, 1L, "a")).toDF("id", "ts", "v"), 0)
+    store.upsert(Seq((50L, 1L, "z")).toDF("id", "ts", "v"), 1)
+    // simulate a legacy segment written before stats existed
+    new java.io.File(root).listFiles().filter(_.isDirectory).foreach { seg =>
+      Files.deleteIfExists(Paths.get(seg.getPath, "_KEYSTATS"))
+    }
+    assert(store.candidateSegments(Seq(1L)).size == 2) // conservative: read both
+    assert(store.lookup(spark, Seq(1L)).collect().map(_.getString(2)).toSeq ==
+      Seq("a"))
+  }
+
+  test("K3 delta store: string keys get stats and prune lexicographically") {
+    val store = new DeltaUpsertStore(tmp("delta_lookup3_"), "room", Seq("ts"))
+    store.upsert(Seq(("alpha", 1L, "a"), ("delta", 1L, "b")).toDF("room", "ts", "v"), 0)
+    store.upsert(Seq(("mike", 1L, "c"), ("zulu", 1L, "d")).toDF("room", "ts", "v"), 1)
+    assert(store.candidateSegments(Seq("zulu")).size == 1)
+    assert(store.candidateSegments(Seq("echo")).isEmpty) // in the gap
+    assert(store.lookup(spark, Seq("alpha", "zulu")).count() == 2)
+  }
+
+  test("K3 delta store: compaction folds stats into the base segment") {
+    val store = new DeltaUpsertStore(tmp("delta_lookup4_"), "id", Seq("ts"))
+    store.upsert(Seq((1L, 1L, "a")).toDF("id", "ts", "v"), 0)
+    store.upsert(Seq((9L, 1L, "b")).toDF("id", "ts", "v"), 1)
+    store.compact(spark)
+    assert(store.candidateSegments(Seq(5L)).size == 1) // base covers [1,9]
+    assert(store.candidateSegments(Seq(99L)).isEmpty)
+    assert(store.lookup(spark, Seq(9L)).count() == 1)
+  }
 }
