@@ -1109,6 +1109,51 @@ object Streaming {
     } finally broker.stop()
   }
 
+  // MULTI-TOPIC subscription over the wire (stock-connector parity:
+  // `subscribe` takes a topic list and the checkpoint holds the nested
+  // per-topic offset map): events are routed into one topic per event
+  // type — the per-entity-topic layout real Kafka estates use — by two
+  // DSv2 batch writes, then ONE stream subscribes to both topics and
+  // drains them through a single checkpoint. The oracle is the plain
+  // two-type filter: any cross-topic loss, duplication, or offset
+  // mix-up between the interleaved partitions breaks the hash. The
+  // `topic` column must also survive (it keys the union's provenance
+  // check in-line).
+  val kafkaWireMultiTopic: QueryDef = QueryDef.sql("q_kafka_wire_multi_topic")(
+    """SELECT event_id, user_id, event_type, value
+      |FROM events WHERE event_type IN ('click', 'purchase')
+      |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val broker = new graft.kafka.KafkaStubBroker(3)
+    broker.start()
+    try {
+      val events = graft.core.Tables.events(s, dir)
+      Seq("click", "purchase").foreach { t =>
+        Ingest.toJsonWire(events.filter(col("event_type") === t), "event_id")
+          .write.format("kafka-wire")
+          .option("host", "127.0.0.1").option("port", broker.port.toString)
+          .option("topic", s"events-$t").mode("append").save()
+      }
+      val stream = s.readStream.format("kafka-wire")
+        .option("host", "127.0.0.1").option("port", broker.port.toString)
+        .option("subscribe", "events-click,events-purchase")
+        .load()
+      val out = Ingest.runToMemory(
+        stream.select(col("topic").as("__topic"),
+            from_json(col("value").cast("string"), Ingest.jsonWireSchema)
+              .as("data"))
+          .select(col("data.event_id").as("event_id"),
+            col("data.user_id").as("user_id"),
+            col("data.event_type").as("event_type"),
+            col("data.value").as("value"), col("__topic")))
+      // provenance: every row must sit in its type's topic
+      require(out.filter(col("__topic") =!=
+          concat(lit("events-"), col("event_type"))).isEmpty,
+        "a row surfaced from the wrong topic")
+      graft.core.Spill.materialize(
+        out.drop("__topic").orderBy("event_id"))(())
+    } finally broker.stop()
+  }
+
   // The BINARY codec leg of the wire: Avro-encoded values (the
   // schema-registry serialization a production Kafka feed carries,
   // where the reference ships JSON strings) produced through the real
@@ -1581,6 +1626,6 @@ object Streaming {
     sinkUpsertEs, sinkUpsertEsDelete, sinkRouteEs, streamTopkTypes,
     kafkaWireIngest, kafkaWireRedelivery, streamKafkaWire, streamKafkaSink,
     streamKafkaGzip, kafkaWireAvro, kafkaWireIdempotent, kafkaWireTxn,
-    kafkaWireGroupResume,
+    kafkaWireGroupResume, kafkaWireMultiTopic,
     e2eKafkaEs, kafkaTopicTransform, deltaMerge, deltaCdf, streamCdcApply)
 }

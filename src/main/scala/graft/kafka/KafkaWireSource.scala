@@ -30,9 +30,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * feeds.
   *
   * Streaming semantics:
-  *  - offsets are per-Kafka-partition next-fetch positions, serialized
-  *    into the checkpoint as sorted JSON (`{"0":12,"1":7}`) — a resumed
-  *    query replans `[committed, latest)` and never re-emits, which
+  *  - offsets are per-(topic, partition) next-fetch positions,
+  *    serialized into the checkpoint as the stock connector's sorted
+  *    nested JSON (`{"t":{"0":12,"1":7}}`; legacy flat single-topic
+  *    checkpoints still parse) — a resumed query replans
+  *    `[committed, latest)` and never re-emits, which
   *    `KafkaWireStreamSpec` pins with a two-wave shared-checkpoint run;
   *  - `initialOffset` = earliest (ListOffsets -2), `latestOffset` =
   *    live high watermark (ListOffsets -1);
@@ -114,13 +116,18 @@ final class KafkaWireSourceProvider extends TableProvider with DataSourceRegiste
   *    allotted across partitions proportionally to backlog — the
   *    backpressure knob that keeps one trigger's state/shuffle bounded
   *    when a 100 TB-scale topic has hours of lag;
+  *  - `subscribe` (or `topic`): a comma-separated topic LIST — the
+  *    stock connector's multi-topic subscription; one stream plans
+  *    every partition of every listed topic and the checkpoint holds
+  *    the nested per-topic offset map. Writes take exactly one topic;
   *  - `startingOffsets` / `endingOffsets`: `earliest` | `latest` | a
-  *    per-partition JSON map (`{"0":12,"1":7}`; -2 = earliest,
-  *    -1 = latest per entry). Divergence from the stock connector,
-  *    documented: the JSON is single-topic (no topic nesting) and the
-  *    streaming default is `earliest` (the drain-a-preloaded-topic
-  *    pattern every catalog pipeline uses; the stock default is
-  *    `latest`, and pipelines wanting it pass it explicitly);
+  *    JSON map (-2 = earliest, -1 = latest per entry) in the stock
+  *    nested form `{"topic":{"0":12,"1":7}}`, or the flat shorthand
+  *    `{"0":12,"1":7}` when exactly one topic is subscribed.
+  *    Divergence from the stock connector, documented: the streaming
+  *    default is `earliest` (the drain-a-preloaded-topic pattern every
+  *    catalog pipeline uses; the stock default is `latest`, and
+  *    pipelines wanting it pass it explicitly);
   *  - `compression.type` (or the stock `kafka.compression.type`):
   *    `none` | `gzip` — producer-side batch compression; the read
   *    side inflates any codec transparently from the attribute bits,
@@ -179,7 +186,14 @@ final case class KafkaWireConf(host: String, port: Int, topic: String,
     endingTimestamp: Option[Long] = None,
     readCommitted: Boolean = false,
     transactionalId: Option[String] = None,
-    groupId: Option[String] = None)
+    groupId: Option[String] = None) {
+  /** `subscribe` takes a comma-separated topic LIST (stock-connector
+    * contract); reads plan every partition of every listed topic.
+    * Writes require exactly one.
+    */
+  def topics: Seq[String] =
+    Option(topic).toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+}
 
 object KafkaWireSource {
   /** The standard Kafka connector relation schema. */
@@ -192,16 +206,38 @@ object KafkaWireSource {
     StructField("timestamp", TimestampType),
     StructField("timestampType", IntegerType)))
 
-  /** Per-partition offsets ↔ the checkpoint's JSON line. Keys sorted so
-    * the serialization is canonical (offset equality is string
-    * equality inside Structured Streaming).
-    */
-  def toJson(offsets: Map[Int, Long]): String =
-    offsets.toSeq.sortBy(_._1)
-      .map { case (p, o) => s""""$p":$o""" }
-      .mkString("{", ",", "}")
+  /** Per-(topic, partition) offsets. */
+  type TopicOffsets = Map[(String, Int), Long]
 
-  def fromJson(json: String): Map[Int, Long] = {
+  /** Offsets ↔ the checkpoint's JSON line, in the STOCK connector's
+    * nested format: `{"t1":{"0":12,"1":7},"t2":{"0":3}}`. Topics and
+    * partitions sorted so the serialization is canonical (offset
+    * equality is string equality inside Structured Streaming).
+    */
+  def toJson(offsets: TopicOffsets): String =
+    offsets.groupBy(_._1._1).toSeq.sortBy(_._1).map { case (t, m) =>
+      s""""$t":""" + m.toSeq.sortBy(_._1._2)
+        .map { case ((_, p), o) => s""""$p":$o""" }.mkString("{", ",", "}")
+    }.mkString("{", ",", "}")
+
+  /** Parse the nested stock format, or — back-compat with this
+    * connector's pre-multi-topic checkpoints and the flat
+    * user-spec shorthand — a flat `{"0":12,"1":7}` map attributed to
+    * `defaultTopic`.
+    */
+  def fromJson(json: String, defaultTopic: String): TopicOffsets = {
+    val t = json.trim
+    if (t.contains(":{")) {
+      val block = """"((?:[^"\\]|\\.)+)"\s*:\s*\{([^{}]*)\}""".r
+      block.findAllMatchIn(t).flatMap { m =>
+        val topic = m.group(1)
+        flatFromJson("{" + m.group(2) + "}")
+          .map { case (p, o) => (topic, p) -> o }
+      }.toMap
+    } else flatFromJson(t).map { case (p, o) => (defaultTopic, p) -> o }
+  }
+
+  def flatFromJson(json: String): Map[Int, Long] = {
     val body = json.trim.stripPrefix("{").stripSuffix("}").trim
     if (body.isEmpty) Map.empty
     else body.split(",").map { kv =>
@@ -211,22 +247,25 @@ object KafkaWireSource {
   }
 
   /** Resolve a `startingOffsets`/`endingOffsets` spec to concrete
-    * per-partition offsets: `earliest` | `latest` | a per-partition
-    * JSON map, where an entry of -2/-1 (or a missing partition, via
-    * `defaultTs`) means that partition's earliest/latest. Explicit
-    * offsets are validated against the log range — a position outside
-    * `[earliest, latest]` fails the plan loudly rather than silently
-    * reading from somewhere else (the stock connector's
-    * `failOnDataLoss` posture).
+    * per-(topic, partition) offsets: `earliest` | `latest` | a JSON
+    * map — nested stock format for any subscription, flat shorthand
+    * when exactly one topic is subscribed — where an entry of -2/-1
+    * (or a missing partition, via `defaultTs`) means that partition's
+    * earliest/latest. Explicit offsets are validated against the log
+    * range — a position outside `[earliest, latest]` fails the plan
+    * loudly rather than silently reading from somewhere else (the
+    * stock connector's `failOnDataLoss` posture).
     */
   /** Start positions: `startingTimestamp` (ListOffsets by time) wins
     * over the `startingOffsets` spec when configured.
     */
-  def resolveStart(client: KafkaWireClient, topic: String,
-      partitions: Seq[Int], conf: KafkaWireConf): Map[Int, Long] =
+  def resolveStart(client: KafkaWireClient,
+      partsByTopic: Map[String, Seq[Int]], conf: KafkaWireConf): TopicOffsets =
     conf.startingTimestamp match {
       case Some(ts) =>
-        partitions.map(p => p -> client.listOffset(topic, p, ts)).toMap
+        partsByTopic.flatMap { case (t, ps) =>
+          ps.map(p => (t, p) -> client.listOffset(t, p, ts))
+        }
       case None if conf.startingOffsets.trim == "group" =>
         // resume from the consumer group's committed positions
         // (OffsetFetch) — the checkpoint-free handover path from any
@@ -234,56 +273,71 @@ object KafkaWireSource {
         // never committed fall back to earliest (auto.offset.reset).
         val group = conf.groupId.getOrElse(throw new IllegalArgumentException(
           "kafka-wire: startingOffsets=group requires kafka.group.id"))
-        val committed = client.committedOffsets(group, topic, partitions)
-        partitions.map { p =>
-          p -> committed.getOrElse(p, client.listOffset(topic, p, -2L))
-        }.toMap
+        partsByTopic.flatMap { case (t, ps) =>
+          val committed = client.committedOffsets(group, t, ps)
+          ps.map { p =>
+            (t, p) -> committed.getOrElse(p, client.listOffset(t, p, -2L))
+          }
+        }
       case None =>
-        resolveSpec(client, topic, partitions, conf.startingOffsets, defaultTs = -2L)
+        resolveSpec(client, partsByTopic, conf.startingOffsets, defaultTs = -2L)
     }
 
   /** Batch end positions: `endingTimestamp` excludes records at or past
     * it (ListOffsets by time is the first such offset — an exclusive
     * end bound); otherwise the `endingOffsets` spec.
     */
-  def resolveEnd(client: KafkaWireClient, topic: String,
-      partitions: Seq[Int], conf: KafkaWireConf): Map[Int, Long] =
+  def resolveEnd(client: KafkaWireClient,
+      partsByTopic: Map[String, Seq[Int]], conf: KafkaWireConf): TopicOffsets =
     conf.endingTimestamp match {
       case Some(ts) =>
-        partitions.map(p => p -> client.listOffset(topic, p, ts)).toMap
+        partsByTopic.flatMap { case (t, ps) =>
+          ps.map(p => (t, p) -> client.listOffset(t, p, ts))
+        }
       case None =>
-        resolveSpec(client, topic, partitions, conf.endingOffsets, defaultTs = -1L)
+        resolveSpec(client, partsByTopic, conf.endingOffsets, defaultTs = -1L)
     }
 
-  def resolveSpec(client: KafkaWireClient, topic: String, partitions: Seq[Int],
-      spec: String, defaultTs: Long): Map[Int, Long] = spec.trim match {
-    case "earliest" => partitions.map(p => p -> client.listOffset(topic, p, -2L)).toMap
-    case "latest" => partitions.map(p => p -> client.listOffset(topic, p, -1L)).toMap
+  def resolveSpec(client: KafkaWireClient, partsByTopic: Map[String, Seq[Int]],
+      spec: String, defaultTs: Long): TopicOffsets = spec.trim match {
+    case "earliest" => partsByTopic.flatMap { case (t, ps) =>
+      ps.map(p => (t, p) -> client.listOffset(t, p, -2L))
+    }
+    case "latest" => partsByTopic.flatMap { case (t, ps) =>
+      ps.map(p => (t, p) -> client.listOffset(t, p, -1L))
+    }
     case json =>
-      val explicit = fromJson(json)
-      partitions.map { p =>
-        val v = explicit.getOrElse(p, defaultTs)
-        val resolved =
-          if (v < 0) client.listOffset(topic, p, v)
-          else {
-            val lo = client.listOffset(topic, p, -2L)
-            val hi = client.listOffset(topic, p, -1L)
-            require(v >= lo && v <= hi,
-              s"offset $v out of range [$lo,$hi] for $topic/$p")
-            v
-          }
-        p -> resolved
-      }.toMap
+      require(json.contains(":{") || partsByTopic.size == 1,
+        "kafka-wire: a flat offsets JSON map needs a single subscribed " +
+          "topic; use the nested {\"topic\":{\"0\":...}} form for a list")
+      val explicit = fromJson(json, partsByTopic.keys.head)
+      partsByTopic.flatMap { case (t, ps) =>
+        ps.map { p =>
+          val v = explicit.getOrElse((t, p), defaultTs)
+          val resolved =
+            if (v < 0) client.listOffset(t, p, v)
+            else {
+              val lo = client.listOffset(t, p, -2L)
+              val hi = client.listOffset(t, p, -1L)
+              require(v >= lo && v <= hi,
+                s"offset $v out of range [$lo,$hi] for $t/$p")
+              v
+            }
+          (t, p) -> resolved
+        }
+      }
   }
 }
 
-final case class KafkaWireOffset(offsets: Map[Int, Long]) extends Offset {
+final case class KafkaWireOffset(offsets: KafkaWireSource.TopicOffsets)
+    extends Offset {
   override def json(): String = KafkaWireSource.toJson(offsets)
 }
 
 final class KafkaWireTable(conf: KafkaWireConf)
     extends Table with SupportsRead with SupportsWrite {
-  require(conf.topic != null, "kafka-wire: 'topic' (or 'subscribe') option is required")
+  require(conf.topics.nonEmpty,
+    "kafka-wire: 'topic' (or 'subscribe') option is required")
 
   override def name(): String = s"kafka-wire:${conf.topic}@${conf.host}:${conf.port}"
   override def schema(): StructType = KafkaWireSource.Schema
@@ -299,9 +353,12 @@ final class KafkaWireTable(conf: KafkaWireConf)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
-      override def build(): Write =
-        new KafkaWireWrite(conf.host, conf.port, conf.topic, info.schema(),
+      override def build(): Write = {
+        require(conf.topics.size == 1,
+          s"kafka-wire write: exactly one topic (got '${conf.topic}')")
+        new KafkaWireWrite(conf.host, conf.port, conf.topics.head, info.schema(),
           conf.gzip, conf.idempotence, conf.transactionalId)
+      }
     }
 }
 
@@ -480,23 +537,27 @@ final class KafkaWireScan(conf: KafkaWireConf) extends Scan {
     new KafkaWireMicroBatchStream(conf)
 
   /** Batch scan: the `[startingOffsets, endingOffsets)` range resolved
-    * once at plan time (defaults: the full earliest→latest log).
+    * once at plan time (defaults: the full earliest→latest log of
+    * every subscribed topic).
     */
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] = {
       val c = new KafkaWireClient(host, port)
       try {
-        val parts = c.metadata(Seq(topic)).head.partitions.map(_.partition)
-        val starts = KafkaWireSource.resolveStart(c, topic, parts, conf)
-        val ends0 = KafkaWireSource.resolveEnd(c, topic, parts, conf)
+        val partsByTopic = c.metadata(conf.topics)
+          .map(tm => tm.topic -> tm.partitions.map(_.partition)).toMap
+        val starts = KafkaWireSource.resolveStart(c, partsByTopic, conf)
+        val ends0 = KafkaWireSource.resolveEnd(c, partsByTopic, conf)
         // read_committed: the visibility horizon is the last stable
         // offset, not the high watermark — a batch planned past an open
         // transaction would block on records it may never see
         val ends = if (conf.readCommitted)
-          ends0.map { case (p, e) => p -> math.min(e, c.lastStableOffset(topic, p)) }
+          ends0.map { case ((t, p), e) =>
+            (t, p) -> math.min(e, c.lastStableOffset(t, p))
+          }
         else ends0
-        parts.map { p =>
-          KafkaWireInputPartition(host, port, topic, p, starts(p), ends(p),
+        starts.keys.toSeq.sorted.map { case (t, p) =>
+          KafkaWireInputPartition(host, port, t, p, starts((t, p)), ends((t, p)),
             conf.readCommitted): InputPartition
         }.toArray
       } finally c.close()
@@ -508,7 +569,7 @@ final class KafkaWireScan(conf: KafkaWireConf) extends Scan {
 
 final class KafkaWireMicroBatchStream(conf: KafkaWireConf)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
-  import conf.{host, port, topic}
+  import conf.{host, port}
 
   // End bounds are batch-read options: a streaming read is unbounded by
   // contract (drain-and-stop is Trigger.AvailableNow's job), so a
@@ -525,25 +586,28 @@ final class KafkaWireMicroBatchStream(conf: KafkaWireConf)
   // Driver-side metadata client, opened lazily and reused across the
   // per-batch offset polls (metadata only — record bytes never touch it).
   @transient private lazy val client = new KafkaWireClient(host, port)
-  @transient private lazy val partitions: Seq[Int] = {
-    // metadata auto-creates the topic on the stub, fixing the partition
-    // count before the first offset poll
-    client.metadata(Seq(topic)).head.partitions.map(_.partition)
+  @transient private lazy val partsByTopic: Map[String, Seq[Int]] = {
+    // metadata auto-creates the topics on the stub, fixing partition
+    // counts before the first offset poll
+    client.metadata(conf.topics)
+      .map(tm => tm.topic -> tm.partitions.map(_.partition)).toMap
   }
   // AvailableNow target: captured once at prepare time so a producer
   // racing the drain can't extend the run past the trigger's snapshot.
   @transient private var availableNowTarget: Option[KafkaWireOffset] = None
 
   private def offsetsAt(timestamp: Long): KafkaWireOffset =
-    KafkaWireOffset(partitions.map { p =>
-      val o = client.listOffset(topic, p, timestamp)
-      // read_committed: never plan past the last stable offset
-      p -> (if (conf.readCommitted && timestamp == -1L)
-        math.min(o, client.lastStableOffset(topic, p)) else o)
-    }.toMap)
+    KafkaWireOffset(partsByTopic.flatMap { case (t, ps) =>
+      ps.map { p =>
+        val o = client.listOffset(t, p, timestamp)
+        // read_committed: never plan past the last stable offset
+        (t, p) -> (if (conf.readCommitted && timestamp == -1L)
+          math.min(o, client.lastStableOffset(t, p)) else o)
+      }
+    })
 
   override def initialOffset(): Offset =
-    KafkaWireOffset(KafkaWireSource.resolveStart(client, topic, partitions, conf))
+    KafkaWireOffset(KafkaWireSource.resolveStart(client, partsByTopic, conf))
 
   /** Proportional admission control: cap this batch at `max` records
     * total, allotted across partitions proportionally to their backlog
@@ -553,25 +617,25 @@ final class KafkaWireMicroBatchStream(conf: KafkaWireConf)
     * the live watermark, so a deep backlog drains as a sequence of
     * bounded batches instead of one unbounded state/shuffle spike.
     */
-  private def capped(start: Map[Int, Long], end: Map[Int, Long],
-      max: Long): KafkaWireOffset = {
-    val backlog = end.map { case (p, e) =>
-      p -> math.max(0L, e - start.getOrElse(p, 0L))
+  private def capped(start: KafkaWireSource.TopicOffsets,
+      end: KafkaWireSource.TopicOffsets, max: Long): KafkaWireOffset = {
+    val backlog = end.map { case (tp, e) =>
+      tp -> math.max(0L, e - start.getOrElse(tp, 0L))
     }
     val total = backlog.values.sum
     if (total <= max) KafkaWireOffset(end)
     else {
-      var allot = backlog.map { case (p, d) =>
-        p -> (BigInt(d) * max / total).toLong
+      var allot = backlog.map { case (tp, d) =>
+        tp -> (BigInt(d) * max / total).toLong
       }
       var rem = max - allot.values.sum
-      for (p <- allot.keys.toSeq.sorted if rem > 0) {
-        val add = math.min(backlog(p) - allot(p), rem)
-        allot += p -> (allot(p) + add)
+      for (tp <- allot.keys.toSeq.sorted if rem > 0) {
+        val add = math.min(backlog(tp) - allot(tp), rem)
+        allot += tp -> (allot(tp) + add)
         rem -= add
       }
-      KafkaWireOffset(end.map { case (p, _) =>
-        p -> (start.getOrElse(p, 0L) + allot(p))
+      KafkaWireOffset(end.map { case (tp, _) =>
+        tp -> (start.getOrElse(tp, 0L) + allot(tp))
       })
     }
   }
@@ -607,15 +671,17 @@ final class KafkaWireMicroBatchStream(conf: KafkaWireConf)
   override def reportLatestOffset(): Offset = offsetsAt(-1L)
 
   override def deserializeOffset(json: String): Offset =
-    KafkaWireOffset(KafkaWireSource.fromJson(json))
+    // flat legacy checkpoints (pre-multi-topic) attribute to the sole
+    // subscribed topic; current serialization is always nested
+    KafkaWireOffset(KafkaWireSource.fromJson(json, conf.topics.head))
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[KafkaWireOffset].offsets
     val e = end.asInstanceOf[KafkaWireOffset].offsets
-    e.toSeq.sortBy(_._1).flatMap { case (p, endOff) =>
-      val startOff = s.getOrElse(p, 0L)
+    e.toSeq.sortBy(_._1).flatMap { case ((t, p), endOff) =>
+      val startOff = s.getOrElse((t, p), 0L)
       if (endOff > startOff)
-        Some(KafkaWireInputPartition(host, port, topic, p, startOff, endOff,
+        Some(KafkaWireInputPartition(host, port, t, p, startOff, endOff,
           conf.readCommitted): InputPartition)
       else None
     }.toArray
@@ -630,8 +696,11 @@ final class KafkaWireMicroBatchStream(conf: KafkaWireConf)
   // the query's progress. Commit failures only log: group offsets are
   // observability/handover state, never allowed to fail the query.
   override def commit(end: Offset): Unit = conf.groupId.foreach { g =>
-    try client.commitOffsets(g, topic,
-      end.asInstanceOf[KafkaWireOffset].offsets, metadata = "graft-stream")
+    try end.asInstanceOf[KafkaWireOffset].offsets
+      .groupBy(_._1._1).foreach { case (t, m) =>
+        client.commitOffsets(g, t,
+          m.map { case ((_, p), o) => p -> o }, metadata = "graft-stream")
+      }
     catch {
       case e: Exception =>
         System.err.println(s"[kafka-wire] group offset commit failed: ${e.getMessage}")

@@ -156,12 +156,15 @@ class KafkaWireSpec extends AnyFunSuite {
 
   // ---- client ↔ broker over TCP ----
 
-  test("ApiVersions advertises the eight spoken APIs") {
+  test("ApiVersions advertises the eleven spoken APIs") {
     withBroker() { broker =>
       withClient(broker) { c =>
         val v = c.apiVersions()
-        assert(v.keySet == Set(0, 1, 2, 3, 18, 22, 24, 26))
+        // produce/fetch/listOffsets/metadata, the group-offset trio,
+        // apiVersions, and the KIP-98 idempotence+transactions trio
+        assert(v.keySet == Set(0, 1, 2, 3, 8, 9, 10, 18, 22, 24, 26))
         assert(v(0) == (3, 3) && v(1) == (4, 4))
+        assert(v(8) == (2, 2) && v(9) == (1, 1) && v(10) == (0, 0))
       }
     }
   }

@@ -426,11 +426,128 @@ class KafkaWireStreamSpec extends AnyFunSuite {
     }
   }
 
-  test("offset JSON round-trips canonically") {
-    val o = Map(2 -> 17L, 0 -> 3L, 1 -> 0L)
+  /** Drain a SUBSCRIPTION (comma topic list) AvailableNow through a
+    * recoverable foreachBatch parquet sink (the memory sink refuses
+    * checkpoint recovery), returning the (topic, id) pairs THIS call
+    * emitted — the multi-topic twin of [[drain]].
+    */
+  private def drainMulti(broker: KafkaStubBroker, subscribe: String,
+      checkpoint: String, extra: Map[String, String] = Map.empty): Seq[(String, Int)] = {
+    val outDir = tmp("kwm_out_")
+    val base = spark.readStream.format("kafka-wire")
+      .option("host", "127.0.0.1").option("port", broker.port.toString)
+      .option("subscribe", subscribe)
+    val q = extra.foldLeft(base) { case (r, (k, v)) => r.option(k, v) }
+      .load()
+      .selectExpr("topic", "CAST(value AS STRING) AS v")
+      .select(col("topic"), get_json_object(col("v"), "$.id").cast("int").as("id"))
+      .writeStream
+      .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        b.write.mode("append").parquet(outDir))
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val files = new java.io.File(outDir).listFiles()
+    if (files == null || !files.exists(_.getName.endsWith(".parquet"))) Seq.empty
+    else spark.read.parquet(outDir).collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSeq
+  }
+
+  test("subscribe: one stream drains a topic list, coordinates intact") {
+    withBroker() { broker =>
+      produce(broker, "ta", 0 until 30)
+      produce(broker, "tb", 100 until 120)
+      val got = drainMulti(broker, "ta,tb", tmp("chk_multi_"))
+      assert(got.filter(_._1 == "ta").map(_._2).sorted == (0 until 30))
+      assert(got.filter(_._1 == "tb").map(_._2).sorted == (100 until 120))
+    }
+  }
+
+  test("subscribe: checkpoint resume is exactly-once per topic across waves") {
+    withBroker() { broker =>
+      val chk = tmp("chk_multi2_")
+      produce(broker, "wa", 0 until 20)
+      produce(broker, "wb", 100 until 110)
+      assert(drainMulti(broker, "wa,wb", chk).size == 30)
+      // wave 2 lands on ONE topic only; the other must stay silent
+      produce(broker, "wb", 110 until 125)
+      val second = drainMulti(broker, "wa,wb", chk)
+      assert(second.map(_._2).sorted == (110 until 125))
+      assert(second.forall(_._1 == "wb"))
+    }
+  }
+
+  test("subscribe: maxOffsetsPerTrigger caps the COMBINED multi-topic batch") {
+    withBroker() { broker =>
+      produce(broker, "ca", 0 until 60)
+      produce(broker, "cb", 100 until 140)
+      // drains 100 records through <=25-record batches across BOTH
+      // topics; the memory sink sees them all exactly once
+      val got = drainMulti(broker, "ca,cb", tmp("chk_multi3_"),
+        Map("maxOffsetsPerTrigger" -> "25"))
+      assert(got.size == 100)
+      assert(got.map(_._2).toSet == ((0 until 60) ++ (100 until 140)).toSet)
+    }
+  }
+
+  test("subscribe: batch read takes nested per-topic offset JSON bounds") {
+    withBroker() { broker =>
+      produce(broker, "ba", 0 until 30)
+      produce(broker, "bb", 0 until 30)
+      val df = spark.read.format("kafka-wire")
+        .option("host", "127.0.0.1").option("port", broker.port.toString)
+        .option("subscribe", "ba,bb")
+        // ba: full range; bb: partition 0 only from offset 2 (others
+        // default to earliest via the missing-partition -2 rule)
+        .option("startingOffsets", """{"ba":{"0":-2,"1":-2,"2":-2},"bb":{"0":2}}""")
+        .load()
+      val full = spark.read.format("kafka-wire")
+        .option("host", "127.0.0.1").option("port", broker.port.toString)
+        .option("subscribe", "ba,bb").load()
+      assert(full.count() == 60)
+      assert(df.count() == 58) // bb/p0 skipped its first two records
+      // a flat map with a topic LIST is ambiguous and must fail loudly
+      val ex = intercept[Exception] {
+        spark.read.format("kafka-wire")
+          .option("host", "127.0.0.1").option("port", broker.port.toString)
+          .option("subscribe", "ba,bb")
+          .option("startingOffsets", """{"0":1}""")
+          .load().count()
+      }
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Seq.empty else t +: causes(t.getCause)
+      assert(causes(ex).exists(c => c.getMessage != null &&
+        c.getMessage.contains("single subscribed")))
+    }
+  }
+
+  test("subscribe: writes require exactly one topic") {
+    withBroker() { broker =>
+      import spark.implicits._
+      val ex = intercept[Exception] {
+        Seq(("k", "v")).toDF("key", "value")
+          .write.format("kafka-wire")
+          .option("host", "127.0.0.1").option("port", broker.port.toString)
+          .option("topic", "wa,wb").mode("append").save()
+      }
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Seq.empty else t +: causes(t.getCause)
+      assert(causes(ex).exists(c => c.getMessage != null &&
+        c.getMessage.contains("exactly one topic")))
+    }
+  }
+
+  test("offset JSON round-trips canonically in the stock nested format") {
+    val o: KafkaWireSource.TopicOffsets =
+      Map(("t", 2) -> 17L, ("t", 0) -> 3L, ("a", 1) -> 0L)
     val json = KafkaWireSource.toJson(o)
-    assert(json == """{"0":3,"1":0,"2":17}""")
-    assert(KafkaWireSource.fromJson(json) == o)
-    assert(KafkaWireSource.fromJson("{}") == Map.empty[Int, Long])
+    assert(json == """{"a":{"1":0},"t":{"0":3,"2":17}}""")
+    assert(KafkaWireSource.fromJson(json, "t") == o)
+    // legacy flat single-topic checkpoints attribute to the default topic
+    assert(KafkaWireSource.fromJson("""{"0":3,"2":17}""", "t") ==
+      Map(("t", 0) -> 3L, ("t", 2) -> 17L))
+    assert(KafkaWireSource.fromJson("{}", "t") ==
+      Map.empty[(String, Int), Long])
   }
 }
