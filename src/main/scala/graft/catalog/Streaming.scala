@@ -1154,6 +1154,50 @@ object Streaming {
     } finally broker.stop()
   }
 
+  // TOPIC-COLUMN routing + PATTERN subscription, both under the oracle
+  // gate: ONE batch write with NO topic option fans rows out to a
+  // topic per event type from each row's `topic` column (the stock
+  // sink's routing contract — the wire twin of the ES dynamic-index
+  // sink K4), and the consumer subscribes by REGEX (`subscribePattern`
+  // resolved against the broker's topic list at plan time). Same
+  // oracle as the explicit-list twin: the routing + pattern round trip
+  // must be invisible in the decoded result, and provenance is pinned
+  // in-line (each row read back from exactly its type's topic).
+  val kafkaWireTopicRouting: QueryDef = QueryDef.sql("q_kafka_wire_topic_routing")(
+    """SELECT event_id, user_id, event_type, value
+      |FROM events WHERE event_type IN ('click', 'purchase')
+      |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val broker = new graft.kafka.KafkaStubBroker(3)
+    broker.start()
+    try {
+      val routed = graft.core.Tables.events(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+      val payload = routed.withColumn("ts_us", unix_micros(col("ts"))).drop("ts")
+      payload.select(
+          concat(lit("route-"), col("event_type")).as("topic"),
+          graft.core.Codecs.kafkaKey(Some("event_id")).as("key"),
+          graft.core.Codecs.jsonEncode(payload.drop("topic")).as("value"))
+        .write.format("kafka-wire")
+        .option("host", "127.0.0.1").option("port", broker.port.toString)
+        .mode("append").save()
+      val consumed = s.read.format("kafka-wire")
+        .option("host", "127.0.0.1").option("port", broker.port.toString)
+        .option("subscribePattern", "route-.*")
+        .load()
+      val decoded = consumed.select(col("topic").as("__topic"),
+          from_json(col("value").cast("string"), Ingest.jsonWireSchema).as("data"))
+        .select(col("data.event_id").as("event_id"),
+          col("data.user_id").as("user_id"),
+          col("data.event_type").as("event_type"),
+          col("data.value").as("value"), col("__topic"))
+      require(decoded.filter(col("__topic") =!=
+          concat(lit("route-"), col("event_type"))).isEmpty,
+        "a row surfaced from the wrong topic")
+      graft.core.Spill.materialize(
+        decoded.drop("__topic").orderBy("event_id"))(())
+    } finally broker.stop()
+  }
+
   // The BINARY codec leg of the wire: Avro-encoded values (the
   // schema-registry serialization a production Kafka feed carries,
   // where the reference ships JSON strings) produced through the real
@@ -1626,6 +1670,6 @@ object Streaming {
     sinkUpsertEs, sinkUpsertEsDelete, sinkRouteEs, streamTopkTypes,
     kafkaWireIngest, kafkaWireRedelivery, streamKafkaWire, streamKafkaSink,
     streamKafkaGzip, kafkaWireAvro, kafkaWireIdempotent, kafkaWireTxn,
-    kafkaWireGroupResume, kafkaWireMultiTopic,
+    kafkaWireGroupResume, kafkaWireMultiTopic, kafkaWireTopicRouting,
     e2eKafkaEs, kafkaTopicTransform, deltaMerge, deltaCdf, streamCdcApply)
 }

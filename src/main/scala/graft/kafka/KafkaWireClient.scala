@@ -61,12 +61,25 @@ final class KafkaWireClient(host: String, port: Int,
 
   import KafkaWireClient.{FetchResult, PartitionMeta, TopicMeta}
 
+  /** Metadata v1 for ALL broker topics (topic array length -1 — the
+    * protocol's "everything" request a subscribePattern resolves
+    * against). Does not auto-create anything.
+    */
+  def allTopics(): Seq[String] = {
+    val body = ByteBuffer.allocate(4)
+    body.putInt(-1)
+    metadataFrom(send(Api.Metadata, 1, body)).map(_.topic)
+  }
+
   /** Metadata v1 for the given topics (auto-creates on the stub). */
   def metadata(topics: Seq[String]): Seq[TopicMeta] = {
     val body = ByteBuffer.allocate(4 + topics.map(_.length * 4 + 2).sum)
     body.putInt(topics.size)
     topics.foreach(writeString(body, _))
-    val resp = send(Api.Metadata, 1, body)
+    metadataFrom(send(Api.Metadata, 1, body))
+  }
+
+  private def metadataFrom(resp: ByteBuffer): Seq[TopicMeta] = {
     val nBrokers = resp.getInt
     (0 until nBrokers).foreach { _ =>
       resp.getInt; readString(resp); resp.getInt; readNullableString(resp)

@@ -94,6 +94,10 @@ final class KafkaWireSourceProvider extends TableProvider with DataSourceRegiste
     require(Option(opts.get("startingOffsets")).forall(_.trim != "group") ||
         groupId.isDefined,
       "kafka-wire: startingOffsets=group requires kafka.group.id")
+    val subscribePattern = Option(opts.get("subscribePattern"))
+    require(subscribePattern.isEmpty ||
+        (Option(opts.get("topic")).isEmpty && Option(opts.get("subscribe")).isEmpty),
+      "kafka-wire: subscribePattern and topic/subscribe are mutually exclusive")
     new KafkaWireTable(KafkaWireConf(
       opts.get("host"),
       Integer.parseInt(opts.get("port")),
@@ -107,7 +111,8 @@ final class KafkaWireSourceProvider extends TableProvider with DataSourceRegiste
       endingTimestamp,
       isolation == "read_committed",
       transactionalId,
-      groupId))
+      groupId,
+      subscribePattern))
   }
 }
 
@@ -119,7 +124,15 @@ final class KafkaWireSourceProvider extends TableProvider with DataSourceRegiste
   *  - `subscribe` (or `topic`): a comma-separated topic LIST — the
   *    stock connector's multi-topic subscription; one stream plans
   *    every partition of every listed topic and the checkpoint holds
-  *    the nested per-topic offset map. Writes take exactly one topic;
+  *    the nested per-topic offset map. Writes take exactly one topic —
+  *    or NONE, in which case each row's `topic` STRING column routes it
+  *    (the stock contract; the option, when present, overrides the
+  *    column);
+  *  - `subscribePattern`: a regex subscription — resolved against the
+  *    broker's topic list at plan/query-start time (topics created
+  *    later join on the next start, like the stock connector's
+  *    `subscribePattern` between restarts); zero matches fail loudly.
+  *    Mutually exclusive with `topic`/`subscribe`;
   *  - `startingOffsets` / `endingOffsets`: `earliest` | `latest` | a
   *    JSON map (-2 = earliest, -1 = latest per entry) in the stock
   *    nested form `{"topic":{"0":12,"1":7}}`, or the flat shorthand
@@ -186,13 +199,32 @@ final case class KafkaWireConf(host: String, port: Int, topic: String,
     endingTimestamp: Option[Long] = None,
     readCommitted: Boolean = false,
     transactionalId: Option[String] = None,
-    groupId: Option[String] = None) {
+    groupId: Option[String] = None,
+    subscribePattern: Option[String] = None) {
   /** `subscribe` takes a comma-separated topic LIST (stock-connector
     * contract); reads plan every partition of every listed topic.
-    * Writes require exactly one.
+    * Writes take exactly one — or none, routing on the `topic` column.
     */
   def topics: Seq[String] =
     Option(topic).toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+
+  /** The concrete subscription: the listed topics, or — under
+    * `subscribePattern` — every broker topic matching the regex at
+    * PLAN time (like the stock connector, pattern matching happens
+    * against the broker's current topic list; topics created later
+    * join on the next query start). Zero matches fail loudly rather
+    * than planning an empty silent stream.
+    */
+  def resolveTopics(client: KafkaWireClient): Seq[String] =
+    subscribePattern match {
+      case None => topics
+      case Some(pat) =>
+        val re = pat.r
+        val matched = client.allTopics().filter(re.matches(_)).sorted
+        require(matched.nonEmpty,
+          s"kafka-wire: subscribePattern '$pat' matches no topic")
+        matched
+    }
 }
 
 object KafkaWireSource {
@@ -336,10 +368,10 @@ final case class KafkaWireOffset(offsets: KafkaWireSource.TopicOffsets)
 
 final class KafkaWireTable(conf: KafkaWireConf)
     extends Table with SupportsRead with SupportsWrite {
-  require(conf.topics.nonEmpty,
-    "kafka-wire: 'topic' (or 'subscribe') option is required")
 
-  override def name(): String = s"kafka-wire:${conf.topic}@${conf.host}:${conf.port}"
+  override def name(): String =
+    s"kafka-wire:${Option(conf.topic).orElse(conf.subscribePattern).getOrElse("<topic column>")}" +
+      s"@${conf.host}:${conf.port}"
   override def schema(): StructType = KafkaWireSource.Schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ,
@@ -348,28 +380,35 @@ final class KafkaWireTable(conf: KafkaWireConf)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
-      override def build(): Scan = new KafkaWireScan(conf)
+      override def build(): Scan = {
+        require(conf.topics.nonEmpty || conf.subscribePattern.isDefined,
+          "kafka-wire read: 'topic'/'subscribe' (or 'subscribePattern') is required")
+        new KafkaWireScan(conf)
+      }
     }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): Write = {
-        require(conf.topics.size == 1,
-          s"kafka-wire write: exactly one topic (got '${conf.topic}')")
-        new KafkaWireWrite(conf.host, conf.port, conf.topics.head, info.schema(),
-          conf.gzip, conf.idempotence, conf.transactionalId)
+        require(conf.topics.size <= 1 && conf.subscribePattern.isEmpty,
+          s"kafka-wire write: exactly one topic option, or none with a " +
+            s"'topic' column (got '${conf.topic}')")
+        new KafkaWireWrite(conf.host, conf.port, conf.topics.headOption.orNull,
+          info.schema(), conf.gzip, conf.idempotence, conf.transactionalId)
       }
     }
 }
 
 /** Producer side of the connector (`df.write` / `df.writeStream`
   * `.format("kafka-wire")`): rows need a `value` column and optionally a
-  * `key` (binary or string, like the real Kafka sink). Placement is the
-  * default partitioner's — murmur2(key) when keyed, sticky per Spark
-  * task otherwise. Delivery is at-least-once per produce request
-  * (acks=-1, no transactions — the real connector's non-transactional
-  * contract); a replayed epoch appends again, and the consumer-side
-  * dedup twin (`q_kafka_wire_redelivery`) is the documented recovery.
+  * `key` (binary or string, like the real Kafka sink); with no `topic`
+  * OPTION, each row's `topic` STRING column routes it (stock contract).
+  * Placement is the default partitioner's — murmur2(key) when keyed,
+  * sticky per Spark task otherwise. Delivery is at-least-once per
+  * produce request (acks=-1, no transactions — the real connector's
+  * non-transactional contract); a replayed epoch appends again, and the
+  * consumer-side dedup twin (`q_kafka_wire_redelivery`) is the
+  * documented recovery.
   */
 final class KafkaWireWrite(host: String, port: Int, topic: String,
     schema: StructType, gzip: Boolean = false,
@@ -388,12 +427,24 @@ final class KafkaWireWrite(host: String, port: Int, topic: String,
     require(tsIdx < 0 ||
         schema(tsIdx).dataType == org.apache.spark.sql.types.TimestampType,
       "kafka-wire write: 'timestamp' column must be TIMESTAMP")
-    // partition count fixed once at the driver (metadata auto-creates)
-    val nParts = {
-      val c = new KafkaWireClient(host, port)
-      try c.metadata(Seq(topic)).head.partitions.size finally c.close()
-    }
-    KafkaWireWriterParams(host, port, topic, nParts,
+    // stock-connector topic resolution: the `topic` option names every
+    // row's destination; without it, each row's `topic` STRING column
+    // routes it (and the option, when present, overrides the column)
+    val topicIdx = schema.fieldNames.indexOf("topic")
+    require(topic != null || topicIdx >= 0,
+      "kafka-wire write: set the 'topic' option or provide a 'topic' column")
+    require(topic != null || schema(topicIdx).dataType == StringType,
+      "kafka-wire write: 'topic' column must be STRING")
+    // fixed-topic partition count resolved once at the driver (metadata
+    // auto-creates); column-routed topics resolve lazily per task
+    val nPartsFixed =
+      if (topic == null) -1
+      else {
+        val c = new KafkaWireClient(host, port)
+        try c.metadata(Seq(topic)).head.partitions.size finally c.close()
+      }
+    KafkaWireWriterParams(host, port, Option(topic),
+      if (topic == null) topicIdx else -1, nPartsFixed,
       keyIdx, keyIsString, valueIdx, valueIsString, gzip, idempotence, tsIdx,
       transactionalId)
   }
@@ -420,7 +471,8 @@ final class KafkaWireWrite(host: String, port: Int, topic: String,
   }
 }
 
-final case class KafkaWireWriterParams(host: String, port: Int, topic: String,
+final case class KafkaWireWriterParams(host: String, port: Int,
+    topic: Option[String], topicIdx: Int,
     nParts: Int, keyIdx: Int, keyIsString: Boolean,
     valueIdx: Int, valueIsString: Boolean, gzip: Boolean = false,
     idempotence: Boolean = false, tsIdx: Int = -1,
@@ -435,11 +487,14 @@ final case class KafkaWireWriterFactory(params: KafkaWireWriterParams)
     new KafkaWireDataWriter(params, partitionId)
 }
 
-/** One producer socket per task; rows buffered per Kafka partition and
-  * flushed as record batches (500-record chunks, mirroring
-  * [[KafkaWireExchange.publish]]), remainder flushed at commit — so a
-  * failed task produces at most its flushed prefix (at-least-once after
-  * Spark's retry), never a half-written record.
+/** One producer socket per task; rows buffered per (topic, Kafka
+  * partition) and flushed as record batches (500-record chunks,
+  * mirroring [[KafkaWireExchange.publish]]), remainder flushed at
+  * commit — so a failed task produces at most its flushed prefix
+  * (at-least-once after Spark's retry), never a half-written record.
+  * Column-routed topics (no `topic` option) resolve their partition
+  * count lazily on first sight, one metadata round trip per distinct
+  * topic per task.
   */
 final class KafkaWireDataWriter(params: KafkaWireWriterParams, sparkPartition: Int)
     extends DataWriter[InternalRow] {
@@ -461,13 +516,17 @@ final class KafkaWireDataWriter(params: KafkaWireWriterParams, sparkPartition: I
     if (txnId.isDefined || idempotence)
       Some(client.initProducerId(txnId.orNull))
     else None
-  // partitions already registered in the current transaction
-  private val txnAdded = scala.collection.mutable.Set.empty[Int]
-  private val nextSeq = Array.fill(nParts)(0)
-  private val sticky = sparkPartition % math.max(nParts, 1)
-  private val buffers =
-    Array.fill(nParts)(Vector.newBuilder[(Long, Array[Byte], Array[Byte])])
-  private val buffered = Array.fill(nParts)(0)
+  // (topic, partition)s already registered in the current transaction
+  private val txnAdded = scala.collection.mutable.Set.empty[(String, Int)]
+  private val nPartsByTopic = scala.collection.mutable.Map.empty[String, Int]
+  params.topic.foreach(t => nPartsByTopic(t) = nParts)
+  private def nPartsOf(t: String): Int =
+    nPartsByTopic.getOrElseUpdate(t, client.metadata(Seq(t)).head.partitions.size)
+  private val nextSeq = scala.collection.mutable.Map.empty[(String, Int), Int]
+  private val buffers = scala.collection.mutable.Map
+    .empty[(String, Int), scala.collection.mutable.Builder[
+      (Long, Array[Byte], Array[Byte]), Vector[(Long, Array[Byte], Array[Byte])]]]
+  private val buffered = scala.collection.mutable.Map.empty[(String, Int), Int]
 
   private def bytesAt(row: InternalRow, idx: Int, isString: Boolean): Array[Byte] =
     if (idx < 0 || row.isNullAt(idx)) null
@@ -475,6 +534,11 @@ final class KafkaWireDataWriter(params: KafkaWireWriterParams, sparkPartition: I
     else row.getBinary(idx)
 
   override def write(row: InternalRow): Unit = {
+    val t = params.topic.getOrElse {
+      require(!row.isNullAt(topicIdx),
+        "kafka-wire write: null in the 'topic' routing column")
+      row.getUTF8String(topicIdx).toString
+    }
     val k = bytesAt(row, keyIdx, keyIsString)
     val v = bytesAt(row, valueIdx, valueIsString)
     // CreateTime from the optional timestamp column (micros → millis,
@@ -482,33 +546,40 @@ final class KafkaWireDataWriter(params: KafkaWireWriterParams, sparkPartition: I
     // payload, the catalog pipelines' default
     val ts = if (tsIdx >= 0 && !row.isNullAt(tsIdx)) row.getLong(tsIdx) / 1000L
       else 0L
-    val part = if (k == null) sticky else KafkaCodec.partitionFor(k, nParts)
-    buffers(part) += ((ts, k, v))
-    buffered(part) += 1
-    if (buffered(part) >= 500) flush(part)
+    val n = nPartsOf(t)
+    // sticky per task when unkeyed, murmur2 placement otherwise —
+    // evaluated against the ROW's topic's partition count
+    val part =
+      if (k == null) sparkPartition % math.max(n, 1)
+      else KafkaCodec.partitionFor(k, n)
+    val tp = (t, part)
+    buffers.getOrElseUpdate(tp, Vector.newBuilder) += ((ts, k, v))
+    buffered(tp) = buffered.getOrElse(tp, 0) + 1
+    if (buffered(tp) >= 500) flush(tp)
   }
 
-  private def flush(part: Int): Unit = {
-    val records = buffers(part).result()
+  private def flush(tp: (String, Int)): Unit = {
+    val (t, part) = tp
+    val records = buffers.get(tp).map(_.result()).getOrElse(Vector.empty)
     if (records.nonEmpty) producer match {
       case Some((pid, epoch)) =>
-        txnId.foreach { t =>
-          if (!txnAdded(part)) {
-            client.addPartitionsToTxn(t, pid, epoch, topic, Seq(part))
-            txnAdded += part
+        txnId.foreach { tx =>
+          if (!txnAdded(tp)) {
+            client.addPartitionsToTxn(tx, pid, epoch, t, Seq(part))
+            txnAdded += tp
           }
         }
-        client.produce(topic, part, records, gzip, pid, epoch, nextSeq(part),
-          transactionalId = txnId.orNull)
-        nextSeq(part) += records.size
-      case None => client.produce(topic, part, records, gzip)
+        client.produce(t, part, records, gzip, pid, epoch,
+          nextSeq.getOrElse(tp, 0), transactionalId = txnId.orNull)
+        nextSeq(tp) = nextSeq.getOrElse(tp, 0) + records.size
+      case None => client.produce(t, part, records, gzip)
     }
-    buffers(part) = Vector.newBuilder
-    buffered(part) = 0
+    buffers(tp) = Vector.newBuilder
+    buffered(tp) = 0
   }
 
   override def commit(): WriterCommitMessage = {
-    (0 until nParts).foreach(flush)
+    buffers.keys.toSeq.sorted.foreach(flush)
     // transactional task-commit: the COMMIT marker is what makes this
     // task's records visible to read_committed consumers
     for (t <- txnId; (pid, epoch) <- producer if txnAdded.nonEmpty)
@@ -544,7 +615,7 @@ final class KafkaWireScan(conf: KafkaWireConf) extends Scan {
     override def planInputPartitions(): Array[InputPartition] = {
       val c = new KafkaWireClient(host, port)
       try {
-        val partsByTopic = c.metadata(conf.topics)
+        val partsByTopic = c.metadata(conf.resolveTopics(c))
           .map(tm => tm.topic -> tm.partitions.map(_.partition)).toMap
         val starts = KafkaWireSource.resolveStart(c, partsByTopic, conf)
         val ends0 = KafkaWireSource.resolveEnd(c, partsByTopic, conf)
@@ -588,8 +659,9 @@ final class KafkaWireMicroBatchStream(conf: KafkaWireConf)
   @transient private lazy val client = new KafkaWireClient(host, port)
   @transient private lazy val partsByTopic: Map[String, Seq[Int]] = {
     // metadata auto-creates the topics on the stub, fixing partition
-    // counts before the first offset poll
-    client.metadata(conf.topics)
+    // counts before the first offset poll; a subscribePattern resolves
+    // against the broker's topic list here (query start)
+    client.metadata(conf.resolveTopics(client))
       .map(tm => tm.topic -> tm.partitions.map(_.partition)).toMap
   }
   // AvailableNow target: captured once at prepare time so a producer
@@ -673,7 +745,8 @@ final class KafkaWireMicroBatchStream(conf: KafkaWireConf)
   override def deserializeOffset(json: String): Offset =
     // flat legacy checkpoints (pre-multi-topic) attribute to the sole
     // subscribed topic; current serialization is always nested
-    KafkaWireOffset(KafkaWireSource.fromJson(json, conf.topics.head))
+    KafkaWireOffset(KafkaWireSource.fromJson(json,
+      conf.topics.headOption.getOrElse("")))
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[KafkaWireOffset].offsets

@@ -212,8 +212,8 @@ class KafkaTxnSpec extends AnyFunSuite {
       import org.apache.spark.sql.catalyst.InternalRow
       import org.apache.spark.unsafe.types.UTF8String
       withClient(broker)(_.metadata(Seq("t"))) // fix partition count
-      val params = KafkaWireWriterParams("127.0.0.1", broker.port, "t",
-        nParts = 1, keyIdx = -1, keyIsString = false, valueIdx = 0,
+      val params = KafkaWireWriterParams("127.0.0.1", broker.port, Some("t"),
+        topicIdx = -1, nParts = 1, keyIdx = -1, keyIsString = false, valueIdx = 0,
         valueIsString = true, transactionalId = Some("dsv2"))
       def row(v: String): InternalRow =
         InternalRow(UTF8String.fromString(v))
@@ -242,8 +242,8 @@ class KafkaTxnSpec extends AnyFunSuite {
       import org.apache.spark.sql.catalyst.InternalRow
       import org.apache.spark.unsafe.types.UTF8String
       withClient(broker)(_.metadata(Seq("t"))) // fix partition count
-      val params = KafkaWireWriterParams("127.0.0.1", broker.port, "t",
-        nParts = 1, keyIdx = -1, keyIsString = false, valueIdx = 0,
+      val params = KafkaWireWriterParams("127.0.0.1", broker.port, Some("t"),
+        topicIdx = -1, nParts = 1, keyIdx = -1, keyIsString = false, valueIdx = 0,
         valueIsString = true, transactionalId = Some("crash"))
       def row(v: String): InternalRow = InternalRow(UTF8String.fromString(v))
       // attempt 1 floods past the 500-row buffer so bytes are ON the

@@ -538,6 +538,88 @@ class KafkaWireStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("topic-column routing: a write with no topic option fans rows out per row") {
+    withBroker() { broker =>
+      import spark.implicits._
+      (0 until 40)
+        .map(i => (s"t${i % 2}", s"k$i", s"""{"id":$i}"""))
+        .toDF("topic", "key", "value")
+        .write.format("kafka-wire")
+        .option("host", "127.0.0.1").option("port", broker.port.toString)
+        .mode("append").save()
+      val back = spark.read.format("kafka-wire")
+        .option("host", "127.0.0.1").option("port", broker.port.toString)
+        .option("subscribe", "t0,t1").load()
+        .selectExpr("topic", "CAST(value AS STRING) AS v")
+        .select(col("topic"), get_json_object(col("v"), "$.id").cast("int").as("id"))
+        .collect().map(r => (r.getString(0), r.getInt(1)))
+      assert(back.length == 40)
+      // every row landed in ITS topic
+      assert(back.forall { case (t, id) => t == s"t${id % 2}" })
+      // the topic OPTION overrides the column (stock precedence)
+      (100 until 105).map(i => (s"t${i % 2}", s"""{"id":$i}"""))
+        .toDF("topic", "value")
+        .write.format("kafka-wire")
+        .option("host", "127.0.0.1").option("port", broker.port.toString)
+        .option("topic", "override_t").mode("append").save()
+      val over = spark.read.format("kafka-wire")
+        .option("host", "127.0.0.1").option("port", broker.port.toString)
+        .option("topic", "override_t").load()
+      assert(over.count() == 5)
+    }
+  }
+
+  test("topic-column routing: idempotent multi-topic write fences per (topic, partition)") {
+    withBroker() { broker =>
+      import spark.implicits._
+      (0 until 30)
+        .map(i => (s"i${i % 3}", s"k$i", s"""{"id":$i}"""))
+        .toDF("topic", "key", "value")
+        .repartition(2) // a task writes several topics, interleaved
+        .write.format("kafka-wire")
+        .option("host", "127.0.0.1").option("port", broker.port.toString)
+        .option("enable.idempotence", "true")
+        .mode("append").save()
+      val n = spark.read.format("kafka-wire")
+        .option("host", "127.0.0.1").option("port", broker.port.toString)
+        .option("subscribe", "i0,i1,i2").load().count()
+      assert(n == 30)
+    }
+  }
+
+  test("subscribePattern: regex resolves against the broker topic list at plan time") {
+    withBroker() { broker =>
+      produce(broker, "logs_a", 0 until 10)
+      produce(broker, "logs_b", 10 until 20)
+      produce(broker, "metrics_c", 100 until 110)
+      val df = spark.read.format("kafka-wire")
+        .option("host", "127.0.0.1").option("port", broker.port.toString)
+        .option("subscribePattern", "logs_.*").load()
+      val got = df.selectExpr("topic", "CAST(value AS STRING) AS v")
+        .select(col("topic"), get_json_object(col("v"), "$.id").cast("int").as("id"))
+        .collect().map(r => (r.getString(0), r.getInt(1)))
+      assert(got.map(_._2).sorted.toSeq == (0 until 20))
+      assert(got.map(_._1).toSet == Set("logs_a", "logs_b"))
+      // zero matches fail loudly, not an empty silent plan
+      val ex = intercept[Exception] {
+        spark.read.format("kafka-wire")
+          .option("host", "127.0.0.1").option("port", broker.port.toString)
+          .option("subscribePattern", "nothing_.*").load().count()
+      }
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Seq.empty else t +: causes(t.getCause)
+      assert(causes(ex).exists(c => c.getMessage != null &&
+        c.getMessage.contains("matches no topic")))
+      // pattern + explicit list is ambiguous
+      intercept[Exception] {
+        spark.read.format("kafka-wire")
+          .option("host", "127.0.0.1").option("port", broker.port.toString)
+          .option("subscribe", "logs_a")
+          .option("subscribePattern", "logs_.*").load()
+      }
+    }
+  }
+
   test("offset JSON round-trips canonically in the stock nested format") {
     val o: KafkaWireSource.TopicOffsets =
       Map(("t", 2) -> 17L, ("t", 0) -> 3L, ("a", 1) -> 0L)
