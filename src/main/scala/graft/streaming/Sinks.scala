@@ -570,7 +570,17 @@ final class DeltaUpsertStore(root: String, keyCol: String, orderCols: Seq[String
     val current =
       if (old.size > 1) {
         val base = nextSegment("b")
-        read(spark).write.mode(SaveMode.Overwrite).parquet(s"$root/$base")
+        // CLUSTER the base by key: range-partition + in-partition sort
+        // make each parquet file's key range tight and disjoint, so
+        // lookup()'s pushed IN filter skips whole files/row-groups
+        // inside the base — compaction is the rewrite anyway, and this
+        // is the Z-order-lite layout every table format applies when
+        // it rewrites (OPTIMIZE ... ZORDER/SORT BY). Semantics are
+        // unchanged: row order never affects the last-write-wins merge.
+        read(spark)
+          .repartitionByRange(col(keyCol))
+          .sortWithinPartitions(keyCol)
+          .write.mode(SaveMode.Overwrite).parquet(s"$root/$base")
         writeKeyStats(spark, base)
         commit(Seq(base), v)
         Seq(base)

@@ -358,6 +358,25 @@ class SinksSpec extends AnyFunSuite {
     assert(store.lookup(spark, Seq("alpha", "zulu")).count() == 2)
   }
 
+  test("K3 delta store: schema evolves across segments — new columns null-fill old rows") {
+    val store = new DeltaUpsertStore(tmp("delta_evolve_"), "id", Seq("ts"))
+    store.upsert(Seq((1L, 1L, "a"), (2L, 1L, "b")).toDF("id", "ts", "v"), 0)
+    // a later batch carries a NEW column (and updates one key)
+    store.upsert(Seq((2L, 5L, "b2", "extra"), (3L, 1L, "c", "x"))
+      .toDF("id", "ts", "v", "tag"), 1)
+    def state() = store.read(spark).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(2),
+        if (r.schema.fieldNames.contains("tag") && !r.isNullAt(r.fieldIndex("tag")))
+          r.getString(r.fieldIndex("tag")) else null)).toSeq
+    assert(state() == Seq((1L, "a", null), (2L, "b2", "extra"), (3L, "c", "x")))
+    // compaction folds the union schema into the base and preserves it
+    store.compact(spark)
+    assert(state() == Seq((1L, "a", null), (2L, "b2", "extra"), (3L, "c", "x")))
+    // lookups see the evolved schema too
+    assert(store.lookup(spark, Seq(3L)).select("tag")
+      .collect().map(_.getString(0)).toSeq == Seq("x"))
+  }
+
   test("K3 delta store: compaction folds stats into the base segment") {
     val store = new DeltaUpsertStore(tmp("delta_lookup4_"), "id", Seq("ts"))
     store.upsert(Seq((1L, 1L, "a")).toDF("id", "ts", "v"), 0)
