@@ -1198,6 +1198,52 @@ object Streaming {
     } finally broker.stop()
   }
 
+  // The MULTI-BROKER leg of the wire: the same produce→consume
+  // pipeline over a 3-BROKER cluster — partition leadership split
+  // p % 3, one bootstrap endpoint, the DSv2 writer flushing each
+  // (topic, partition) to its LEADER and the planner handing every
+  // read slice its leader's endpoint, so record bytes never funnel
+  // through one broker (the bandwidth-scaling shape; single-broker is
+  // the degenerate case). The physical split is asserted in-line —
+  // each broker holds bytes ONLY for partitions it leads — and the
+  // result must hash-match the same single-broker ingest oracle: the
+  // cluster must be invisible in the rows.
+  val kafkaWireCluster: QueryDef = QueryDef.sql("q_kafka_wire_cluster")(
+    """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value,
+      |  CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS INTEGER) AS prop_k
+      |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val cluster = new graft.kafka.KafkaStubCluster(3, 3)
+    cluster.start()
+    try {
+      val wire = Ingest.toJsonWire(graft.core.Tables.events(s, dir), "event_id")
+      wire.write.format("kafka-wire")
+        .option("host", "127.0.0.1")
+        .option("port", cluster.bootstrapPort.toString)
+        .option("topic", "events-dist").mode("append").save()
+      // leadership is physical: a broker stores only what it leads
+      cluster.brokers.foreach { broker =>
+        (0 until 3).foreach { p =>
+          val owns = cluster.leaderOf(p) == broker.brokerId
+          require((broker.highWatermark("events-dist", p) > 0) == owns,
+            s"broker ${broker.brokerId} must hold partition $p iff it leads it")
+        }
+      }
+      val consumed = s.read.format("kafka-wire")
+        .option("host", "127.0.0.1")
+        .option("port", cluster.bootstrapPort.toString)
+        .option("topic", "events-dist")
+        .load()
+      val decoded = Ingest.decodeJsonWire(consumed)
+        .select(col("event_id"), col("ts_us"), col("user_id"), col("event_type"),
+          col("value"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k")
+            .as("prop_k"))
+        .orderBy("event_id")
+      graft.core.Spill.materialize(decoded)(())
+    } finally cluster.stop()
+  }
+
   // The BINARY codec leg of the wire: Avro-encoded values (the
   // schema-registry serialization a production Kafka feed carries,
   // where the reference ships JSON strings) produced through the real
@@ -1671,5 +1717,6 @@ object Streaming {
     kafkaWireIngest, kafkaWireRedelivery, streamKafkaWire, streamKafkaSink,
     streamKafkaGzip, kafkaWireAvro, kafkaWireIdempotent, kafkaWireTxn,
     kafkaWireGroupResume, kafkaWireMultiTopic, kafkaWireTopicRouting,
+    kafkaWireCluster,
     e2eKafkaEs, kafkaTopicTransform, deltaMerge, deltaCdf, streamCdcApply)
 }

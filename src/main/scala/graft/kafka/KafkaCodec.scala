@@ -434,6 +434,8 @@ object KafkaCodec {
     val OffsetOutOfRange = 1
     val CorruptMessage = 2
     val UnknownTopicOrPartition = 3
+    val NotLeaderForPartition = 6 // partition is led by another broker: refresh metadata and re-route
+    val NotCoordinator = 16 // group/txn key is coordinated by another broker
     val IllegalGeneration = 22 // member-protocol generation on a group with no active members
     val OutOfOrderSequenceNumber = 45
     val InvalidProducerEpoch = 47 // a newer producer with the same transactional.id fenced this one

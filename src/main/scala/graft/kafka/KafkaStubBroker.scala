@@ -51,10 +51,26 @@ import KafkaCodec._
   * irrelevant to consumers, which see only records).
   */
 final class KafkaStubBroker(val numPartitions: Int = 3,
-    val compressionType: String = "none") {
+    val compressionType: String = "none",
+    val brokerId: Int = 0,
+    cluster: KafkaStubCluster = null) {
   require(compressionType == "none" || compressionType == "gzip",
     s"unsupported compression.type '$compressionType' (none|gzip)")
   private val fetchGzip = compressionType == "gzip"
+
+  // ---- multi-broker roles (single-broker mode: this broker is all) ----
+  private def clusterOpt: Option[KafkaStubCluster] = Option(cluster)
+  /** Does THIS broker lead `partition`? Real brokers answer data APIs
+    * only for partitions they lead; everything else is
+    * NOT_LEADER_FOR_PARTITION and the client must refresh metadata and
+    * re-route — the error/retry loop that makes bandwidth scale with
+    * brokers instead of funneling through one endpoint.
+    */
+  private def leads(partition: Int): Boolean =
+    clusterOpt.forall(_.leaderOf(partition) == brokerId)
+  /** Does THIS broker coordinate `key` (a group id or transactional.id)? */
+  private def coordinates(key: String): Boolean =
+    clusterOpt.forall(_.coordinatorOf(key) == brokerId)
 
   private final case class StoredRecord(
       offset: Long, timestampMs: Long, key: Array[Byte], value: Array[Byte],
@@ -70,7 +86,10 @@ final class KafkaStubBroker(val numPartitions: Int = 3,
   // window a real broker's ProducerStateManager keeps. A duplicate
   // range re-acks the original offset WITHOUT appending; a sequence
   // gap fails with OUT_OF_ORDER_SEQUENCE_NUMBER.
-  private val nextPid = new java.util.concurrent.atomic.AtomicLong(1000L)
+  // pid namespace disjoint per broker, so two coordinators can never
+  // hand out the same producer id
+  private val basePid = 1000L + brokerId * 1000000L
+  private val nextPid = new java.util.concurrent.atomic.AtomicLong(basePid)
   private final case class SeqRange(baseSeq: Int, count: Int, baseOffset: Long)
   // per-partition producer state is EPOCH-aware: a bumped epoch resets
   // the sequence space (the retried transactional producer starts at
@@ -93,8 +112,16 @@ final class KafkaStubBroker(val numPartitions: Int = 3,
   //  - abortedTxns: per partition, completed ABORTED ranges
   //    (pid, firstOffset, markerOffset) a read_committed fetch reports
   //    so consumers drop those records.
-  private final case class TxnProducer(pid: Long, epoch: Short)
+  private[kafka] final case class TxnProducer(pid: Long, epoch: Short)
   private val txnProducers = new ConcurrentHashMap[String, TxnProducer]()
+
+  /** Coordinator-state lookups for a partition leader's transactional
+    * produce validation (in-process coordinator→leader visibility).
+    */
+  private[kafka] def txnProducerOf(txnId: String): Option[TxnProducer] =
+    Option(txnProducers.get(txnId))
+  private[kafka] def txnHasPartition(txnId: String, tp: (String, Int)): Boolean =
+    txnPartitions.getOrDefault(txnId, Set.empty).contains(tp)
 
   // Consumer-group OFFSET state (the __consumer_offsets role): committed
   // position + metadata per (group, topic, partition). Only the simple-
@@ -118,7 +145,7 @@ final class KafkaStubBroker(val numPartitions: Int = 3,
   val produceRequests = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Producer sessions handed out by InitProducerId (test hook). */
-  def producersInitialized: Long = nextPid.get() - 1000L
+  def producersInitialized: Long = nextPid.get() - basePid
 
   def port: Int = server.getLocalPort
   def bootstrap: String = s"127.0.0.1:$port"
@@ -231,13 +258,19 @@ final class KafkaStubBroker(val numPartitions: Int = 3,
     // partitions, like a broker with auto.create.topics.enable=true
     requested.foreach(t => (0 until numPartitions).foreach(p => logFor(t, p)))
     val buf = ByteBuffer.allocate(64 * 1024)
-    // brokers
-    buf.putInt(1)
-    buf.putInt(0) // node_id
-    writeString(buf, "127.0.0.1")
-    buf.putInt(port)
-    writeNullableString(buf, null) // rack
-    buf.putInt(0) // controller_id
+    // brokers: the whole cluster (any broker serves full metadata —
+    // that is what makes one bootstrap endpoint enough)
+    val nodes = clusterOpt
+      .map(_.brokers.map(b => (b.brokerId, "127.0.0.1", b.port)))
+      .getOrElse(Seq((brokerId, "127.0.0.1", port)))
+    buf.putInt(nodes.size)
+    nodes.foreach { case (id, host, p) =>
+      buf.putInt(id)
+      writeString(buf, host)
+      buf.putInt(p)
+      writeNullableString(buf, null) // rack
+    }
+    buf.putInt(nodes.head._1) // controller_id
     buf.putInt(requested.size)
     requested.foreach { t =>
       buf.putShort(Err.None.toShort)
@@ -245,11 +278,12 @@ final class KafkaStubBroker(val numPartitions: Int = 3,
       buf.put(0.toByte) // is_internal
       buf.putInt(numPartitions)
       (0 until numPartitions).foreach { p =>
+        val leader = clusterOpt.map(_.leaderOf(p)).getOrElse(brokerId)
         buf.putShort(Err.None.toShort)
         buf.putInt(p)
-        buf.putInt(0) // leader = node 0
-        buf.putInt(1); buf.putInt(0) // replicas [0]
-        buf.putInt(1); buf.putInt(0) // isr [0]
+        buf.putInt(leader)
+        buf.putInt(1); buf.putInt(leader) // replicas [leader]
+        buf.putInt(1); buf.putInt(leader) // isr [leader]
       }
     }
     buf.flip()
@@ -270,6 +304,8 @@ final class KafkaStubBroker(val numPartitions: Int = 3,
         val recordSet = readNullableBytes(req)
         if (partition < 0 || partition >= numPartitions)
           (topic, partition, Err.UnknownTopicOrPartition, -1L)
+        else if (!leads(partition))
+          (topic, partition, Err.NotLeaderForPartition, -1L)
         else {
           try {
             val batches = decodeBatchesWithMeta(recordSet) // CRC-validated
@@ -304,13 +340,23 @@ final class KafkaStubBroker(val numPartitions: Int = 3,
                   // AddPartitionsToTxn (error 48 otherwise)
                   if (meta.control) err = Err.InvalidTxnState
                   else if (meta.transactional) {
+                    // transactional state lives on the txn COORDINATOR —
+                    // a different broker than this leader in cluster
+                    // mode; consult it in-process (a real leader learns
+                    // the epoch from the batch and the coordinator's
+                    // AddPartitionsToTxn; checking the coordinator's
+                    // state directly is strictly stricter)
+                    val coordB =
+                      if (txnId == null) this
+                      else clusterOpt
+                        .map(c => c.brokerAt(c.coordinatorOf(txnId)))
+                        .getOrElse(this)
                     val current =
-                      if (txnId == null) None else Option(txnProducers.get(txnId))
+                      if (txnId == null) None else coordB.txnProducerOf(txnId)
                     if (!current.exists(p =>
                         p.pid == meta.producerId && p.epoch == meta.producerEpoch))
                       err = Err.InvalidProducerEpoch
-                    else if (!txnPartitions.getOrDefault(txnId, Set.empty)
-                        .contains((topic, partition)))
+                    else if (!coordB.txnHasPartition(txnId, (topic, partition)))
                       err = Err.InvalidTxnState
                   }
                   val st =
@@ -426,6 +472,8 @@ final class KafkaStubBroker(val numPartitions: Int = 3,
     val responses = parts.map { case (topic, partition, fetchOffset, partMaxBytes) =>
       if (partition < 0 || partition >= numPartitions)
         FetchPart(topic, partition, Err.UnknownTopicOrPartition, 0L, 0L, Nil, null)
+      else if (!leads(partition))
+        FetchPart(topic, partition, Err.NotLeaderForPartition, 0L, 0L, Nil, null)
       else {
         val log = logFor(topic, partition)
         // read_committed: records are visible only up to the last
@@ -520,6 +568,15 @@ final class KafkaStubBroker(val numPartitions: Int = 3,
   private def initProducerIdResponse(req: ByteBuffer): Array[Byte] = {
     val txnId = readNullableString(req)
     req.getInt // transaction_timeout_ms
+    if (txnId != null && !coordinates(txnId)) {
+      val buf = ByteBuffer.allocate(16)
+      buf.putInt(0) // throttle_time_ms
+      buf.putShort(Err.NotCoordinator.toShort)
+      buf.putLong(-1L)
+      buf.putShort(-1)
+      buf.flip()
+      val arr = new Array[Byte](buf.remaining()); buf.get(arr); return arr
+    }
     val TxnProducer(pid, epoch) =
       if (txnId == null) TxnProducer(nextPid.getAndIncrement(), 0)
       else txnProducers.synchronized {
@@ -551,22 +608,12 @@ final class KafkaStubBroker(val numPartitions: Int = 3,
       commit: Boolean): Unit = {
     val parts = txnPartitions.getOrDefault(txnId, Set.empty)
     parts.foreach { case (topic, partition) =>
-      val log = logFor(topic, partition)
-      log.synchronized {
-        val key = (topic, partition)
-        val open = openTxns.getOrDefault(key, Map.empty)
-        open.get(producer.pid).foreach { firstOffset =>
-          val markerOffset = log.length.toLong
-          log += StoredRecord(markerOffset, 0L,
-            ControlMarker.key(if (commit) ControlMarker.Commit else ControlMarker.Abort),
-            ControlMarker.value(), producer.pid, producer.epoch,
-            transactional = true, control = true)
-          if (!commit)
-            abortedTxns.merge(key, List((producer.pid, firstOffset, markerOffset)),
-              (a, b) => a ++ b)
-          openTxns.put(key, open - producer.pid)
-        }
-      }
+      // the marker lands on the partition's LEADER (the coordinator→
+      // leader WriteTxnMarkers hop; self in single-broker mode)
+      val leader = clusterOpt
+        .map(c => c.brokerAt(c.leaderOf(partition))).getOrElse(this)
+      leader.appendControlMarker(topic, partition,
+        producer.pid, producer.epoch, commit)
     }
     txnPartitions.remove(txnId)
   }
@@ -588,7 +635,8 @@ final class KafkaStubBroker(val numPartitions: Int = 3,
     }
     val current = Option(txnProducers.get(txnId))
     val err =
-      if (!current.exists(p => p.pid == pid && p.epoch == epoch))
+      if (!coordinates(txnId)) Err.NotCoordinator
+      else if (!current.exists(p => p.pid == pid && p.epoch == epoch))
         Err.InvalidProducerEpoch
       else {
         txnPartitions.merge(txnId, parts.toSet, (a, b) => a ++ b)
@@ -619,14 +667,16 @@ final class KafkaStubBroker(val numPartitions: Int = 3,
     val pid = req.getLong
     val epoch = req.getShort
     val commit = req.get() != 0
-    val err = txnProducers.synchronized {
-      Option(txnProducers.get(txnId)) match {
-        case Some(p) if p.pid == pid && p.epoch == epoch =>
-          completeTxn(txnId, p, commit)
-          Err.None
-        case _ => Err.InvalidProducerEpoch
+    val err =
+      if (!coordinates(txnId)) Err.NotCoordinator
+      else txnProducers.synchronized {
+        Option(txnProducers.get(txnId)) match {
+          case Some(p) if p.pid == pid && p.epoch == epoch =>
+            completeTxn(txnId, p, commit)
+            Err.None
+          case _ => Err.InvalidProducerEpoch
+        }
       }
-    }
     val buf = ByteBuffer.allocate(8)
     buf.putInt(0) // throttle_time_ms
     buf.putShort(err.toShort)
@@ -644,12 +694,14 @@ final class KafkaStubBroker(val numPartitions: Int = 3,
     * as its transaction-coordinator role), so the answer is itself.
     */
   private def findCoordinatorResponse(req: ByteBuffer): Array[Byte] = {
-    readString(req) // coordinator_key (group id) — any group maps here
+    val key = readString(req) // coordinator_key (group / transactional id)
+    val coord = clusterOpt
+      .map(c => c.brokerAt(c.coordinatorOf(key))).getOrElse(this)
     val buf = ByteBuffer.allocate(32)
     buf.putShort(Err.None.toShort)
-    buf.putInt(0) // node_id
+    buf.putInt(coord.brokerId)
     writeString(buf, "127.0.0.1")
-    buf.putInt(port)
+    buf.putInt(coord.port)
     buf.flip()
     val arr = new Array[Byte](buf.remaining()); buf.get(arr); arr
   }
@@ -677,7 +729,8 @@ final class KafkaStubBroker(val numPartitions: Int = 3,
         val offset = req.getLong
         val metadata = readNullableString(req)
         val err =
-          if (generation >= 0) Err.IllegalGeneration
+          if (!coordinates(group)) Err.NotCoordinator
+          else if (generation >= 0) Err.IllegalGeneration
           else if (partition < 0 || partition >= numPartitions)
             Err.UnknownTopicOrPartition
           else {
@@ -721,6 +774,8 @@ final class KafkaStubBroker(val numPartitions: Int = 3,
         (topic, partition, offset, metadata)
       }
     }
+    val err =
+      if (coordinates(group)) Err.None else Err.NotCoordinator
     val buf = ByteBuffer.allocate(64 * 1024)
     val byTopic = results.groupBy(_._1)
     buf.putInt(byTopic.size)
@@ -731,7 +786,7 @@ final class KafkaStubBroker(val numPartitions: Int = 3,
         buf.putInt(p)
         buf.putLong(offset)
         writeNullableString(buf, metadata)
-        buf.putShort(Err.None.toShort)
+        buf.putShort(err.toShort)
       }
     }
     buf.flip()
@@ -757,6 +812,12 @@ final class KafkaStubBroker(val numPartitions: Int = 3,
       writeString(buf, topic)
       buf.putInt(ps.size)
       ps.foreach { case (_, p, ts) =>
+        if (!leads(p)) {
+          buf.putInt(p)
+          buf.putShort(Err.NotLeaderForPartition.toShort)
+          buf.putLong(-1L)
+          buf.putLong(-1L)
+        } else {
         val hw = highWatermark(topic, p)
         // real ListOffsets semantics: a non-negative timestamp resolves
         // to the FIRST offset whose record timestamp is >= it. When no
@@ -779,9 +840,74 @@ final class KafkaStubBroker(val numPartitions: Int = 3,
         buf.putShort(Err.None.toShort)
         buf.putLong(matchedTs)
         buf.putLong(offset)
+        }
       }
     }
     buf.flip()
     val arr = new Array[Byte](buf.remaining()); buf.get(arr); arr
   }
+
+  /** Append a transaction control marker to a partition THIS broker
+    * leads, retiring the producer's open-txn state — the internal
+    * coordinator→leader WriteTxnMarkers hop (in-process here; a real
+    * cluster sends it broker-to-broker). Package-private: only the
+    * transaction coordinator calls it.
+    */
+  private[kafka] def appendControlMarker(topic: String, partition: Int,
+      pid: Long, epoch: Short, commit: Boolean): Unit = {
+    val log = logFor(topic, partition)
+    log.synchronized {
+      val key = (topic, partition)
+      val open = openTxns.getOrDefault(key, Map.empty)
+      open.get(pid).foreach { firstOffset =>
+        val markerOffset = log.length.toLong
+        log += StoredRecord(markerOffset, 0L,
+          ControlMarker.key(if (commit) ControlMarker.Commit else ControlMarker.Abort),
+          ControlMarker.value(), pid, epoch,
+          transactional = true, control = true)
+        if (!commit)
+          abortedTxns.merge(key, List((pid, firstOffset, markerOffset)),
+            (a, b) => a ++ b)
+        openTxns.put(key, open - pid)
+      }
+    }
+  }
+}
+
+/** An in-process multi-broker Kafka cluster: `nBrokers` stub brokers
+  * sharing nothing but the static role assignment — partition `p` of
+  * every topic is led by broker `p % nBrokers`, and group /
+  * transactional key `k` is coordinated by broker
+  * `floorMod(k.hashCode, nBrokers)`. Each broker stores only the
+  * partitions it leads and answers data APIs for anything else with
+  * NOT_LEADER_FOR_PARTITION / NOT_COORDINATOR, exactly the errors that
+  * drive a real client's metadata-refresh-and-re-route loop. Any
+  * broker serves full cluster metadata, so one bootstrap endpoint is
+  * enough — the property `format("kafka-wire")`'s planner relies on.
+  *
+  * What this proves at scale: record bytes flow executor↔leader, so
+  * aggregate produce/fetch bandwidth grows with the broker count
+  * instead of funneling through a single endpoint. Deliberately NOT
+  * modeled (COVERAGE.md non-goals): replication (each partition has
+  * one replica, its leader), leader failover/epochs, and rack
+  * awareness.
+  */
+final class KafkaStubCluster(nBrokers: Int, numPartitions: Int = 3,
+    compressionType: String = "none") {
+  require(nBrokers >= 1, s"nBrokers must be >= 1, got $nBrokers")
+
+  val brokers: Seq[KafkaStubBroker] = (0 until nBrokers).map { id =>
+    new KafkaStubBroker(numPartitions, compressionType, id, this)
+  }
+
+  def leaderOf(partition: Int): Int = math.floorMod(partition, nBrokers)
+  def coordinatorOf(key: String): Int = math.floorMod(key.hashCode, nBrokers)
+  def brokerAt(id: Int): KafkaStubBroker = brokers(id)
+
+  /** Any broker bootstraps the whole cluster; use the first. */
+  def bootstrap: String = brokers.head.bootstrap
+  def bootstrapPort: Int = brokers.head.port
+
+  def start(): Unit = brokers.foreach(_.start())
+  def stop(): Unit = brokers.foreach(_.stop())
 }

@@ -16,7 +16,7 @@ import KafkaCodec._
   * [[KafkaWireExchange]] uses it from `foreachPartition`).
   */
 final class KafkaWireClient(host: String, port: Int,
-    clientId: String = "graft") extends AutoCloseable {
+    clientId: String = "graft") extends KafkaOffsetClient with AutoCloseable {
 
   private val socket = new Socket(host, port)
   socket.setTcpNoDelay(true)
@@ -68,25 +68,35 @@ final class KafkaWireClient(host: String, port: Int,
   def allTopics(): Seq[String] = {
     val body = ByteBuffer.allocate(4)
     body.putInt(-1)
-    metadataFrom(send(Api.Metadata, 1, body)).map(_.topic)
+    metadataFrom(send(Api.Metadata, 1, body)).topics.map(_.topic)
   }
 
   /** Metadata v1 for the given topics (auto-creates on the stub). */
-  def metadata(topics: Seq[String]): Seq[TopicMeta] = {
+  def metadata(topics: Seq[String]): Seq[TopicMeta] =
+    metadataFull(topics).topics
+
+  /** Metadata v1 including the BROKER list — what a cluster-aware
+    * client routes leaders from.
+    */
+  def metadataFull(topics: Seq[String]): KafkaWireClient.ClusterMeta = {
     val body = ByteBuffer.allocate(4 + topics.map(_.length * 4 + 2).sum)
     body.putInt(topics.size)
     topics.foreach(writeString(body, _))
     metadataFrom(send(Api.Metadata, 1, body))
   }
 
-  private def metadataFrom(resp: ByteBuffer): Seq[TopicMeta] = {
+  private def metadataFrom(resp: ByteBuffer): KafkaWireClient.ClusterMeta = {
     val nBrokers = resp.getInt
-    (0 until nBrokers).foreach { _ =>
-      resp.getInt; readString(resp); resp.getInt; readNullableString(resp)
+    val brokers = (0 until nBrokers).map { _ =>
+      val id = resp.getInt
+      val host = readString(resp)
+      val port = resp.getInt
+      readNullableString(resp) // rack
+      KafkaWireClient.BrokerMeta(id, host, port)
     }
     resp.getInt // controller_id
     val nTopics = resp.getInt
-    (0 until nTopics).map { _ =>
+    val topics = (0 until nTopics).map { _ =>
       val err = resp.getShort.toInt
       val name = readString(resp)
       require(err == Err.None, s"Metadata error $err for topic $name")
@@ -103,6 +113,7 @@ final class KafkaWireClient(host: String, port: Int,
       }
       TopicMeta(name, parts)
     }
+    KafkaWireClient.ClusterMeta(brokers, topics)
   }
 
   /** InitProducerId v0: the `enable.idempotence=true` handshake —
@@ -431,9 +442,27 @@ final class KafkaWireClient(host: String, port: Int,
   }
 }
 
+/** The metadata/offset surface the DSv2 planner drives — implemented
+  * by the single-socket [[KafkaWireClient]] (one broker is everything)
+  * and the leader-routing [[KafkaClusterClient]] (each call lands on
+  * the partition leader / group coordinator that owns it).
+  */
+trait KafkaOffsetClient extends AutoCloseable {
+  def metadata(topics: Seq[String]): Seq[KafkaWireClient.TopicMeta]
+  def allTopics(): Seq[String]
+  def listOffset(topic: String, partition: Int, timestamp: Long): Long
+  def lastStableOffset(topic: String, partition: Int): Long
+  def commitOffsets(group: String, topic: String, offsets: Map[Int, Long],
+      metadata: String, generation: Int): Unit
+  def committedOffsets(group: String, topic: String,
+      partitions: Seq[Int]): Map[Int, Long]
+}
+
 object KafkaWireClient {
   final case class PartitionMeta(partition: Int, leader: Int)
   final case class TopicMeta(topic: String, partitions: Seq[PartitionMeta])
+  final case class BrokerMeta(nodeId: Int, host: String, port: Int)
+  final case class ClusterMeta(brokers: Seq[BrokerMeta], topics: Seq[TopicMeta])
   /** `nextOffset` is the advance cursor: one past the last RAW record
     * in the response (aborted-range records are dropped from `records`
     * under read_committed, so `records.last.offset` alone could stall

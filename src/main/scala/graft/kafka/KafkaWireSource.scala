@@ -215,7 +215,7 @@ final case class KafkaWireConf(host: String, port: Int, topic: String,
     * join on the next query start). Zero matches fail loudly rather
     * than planning an empty silent stream.
     */
-  def resolveTopics(client: KafkaWireClient): Seq[String] =
+  def resolveTopics(client: KafkaOffsetClient): Seq[String] =
     subscribePattern match {
       case None => topics
       case Some(pat) =>
@@ -291,7 +291,7 @@ object KafkaWireSource {
   /** Start positions: `startingTimestamp` (ListOffsets by time) wins
     * over the `startingOffsets` spec when configured.
     */
-  def resolveStart(client: KafkaWireClient,
+  def resolveStart(client: KafkaOffsetClient,
       partsByTopic: Map[String, Seq[Int]], conf: KafkaWireConf): TopicOffsets =
     conf.startingTimestamp match {
       case Some(ts) =>
@@ -319,7 +319,7 @@ object KafkaWireSource {
     * it (ListOffsets by time is the first such offset — an exclusive
     * end bound); otherwise the `endingOffsets` spec.
     */
-  def resolveEnd(client: KafkaWireClient,
+  def resolveEnd(client: KafkaOffsetClient,
       partsByTopic: Map[String, Seq[Int]], conf: KafkaWireConf): TopicOffsets =
     conf.endingTimestamp match {
       case Some(ts) =>
@@ -330,7 +330,7 @@ object KafkaWireSource {
         resolveSpec(client, partsByTopic, conf.endingOffsets, defaultTs = -1L)
     }
 
-  def resolveSpec(client: KafkaWireClient, partsByTopic: Map[String, Seq[Int]],
+  def resolveSpec(client: KafkaOffsetClient, partsByTopic: Map[String, Seq[Int]],
       spec: String, defaultTs: Long): TopicOffsets = spec.trim match {
     case "earliest" => partsByTopic.flatMap { case (t, ps) =>
       ps.map(p => (t, p) -> client.listOffset(t, p, -2L))
@@ -500,7 +500,10 @@ final class KafkaWireDataWriter(params: KafkaWireWriterParams, sparkPartition: I
     extends DataWriter[InternalRow] {
   import params._
 
-  private val client = new KafkaWireClient(host, port)
+  // cluster-aware: each (topic, partition) flush lands on its LEADER,
+  // transaction APIs on the id's coordinator; one socket per broker
+  // actually touched (single-broker mode degenerates to one socket)
+  private val client = new KafkaClusterClient(host, port)
   // transactional.id: this task's transaction identity is STABLE across
   // task retries (it derives from the Spark partition id, not the
   // attempt), so a retry's InitProducerId fences the failed attempt and
@@ -613,7 +616,7 @@ final class KafkaWireScan(conf: KafkaWireConf) extends Scan {
     */
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] = {
-      val c = new KafkaWireClient(host, port)
+      val c = new KafkaClusterClient(host, port)
       try {
         val partsByTopic = c.metadata(conf.resolveTopics(c))
           .map(tm => tm.topic -> tm.partitions.map(_.partition)).toMap
@@ -628,7 +631,11 @@ final class KafkaWireScan(conf: KafkaWireConf) extends Scan {
           }
         else ends0
         starts.keys.toSeq.sorted.map { case (t, p) =>
-          KafkaWireInputPartition(host, port, t, p, starts((t, p)), ends((t, p)),
+          // each slice is planned AT its partition's leader — the
+          // executor's socket goes straight to the broker holding the
+          // data (preferred-location thinking, minus the locality hint)
+          val (lh, lp) = c.leaderFor(t, p)
+          KafkaWireInputPartition(lh, lp, t, p, starts((t, p)), ends((t, p)),
             conf.readCommitted): InputPartition
         }.toArray
       } finally c.close()
@@ -655,8 +662,10 @@ final class KafkaWireMicroBatchStream(conf: KafkaWireConf)
       "(batch-read option; use Trigger.AvailableNow to drain-and-stop)")
 
   // Driver-side metadata client, opened lazily and reused across the
-  // per-batch offset polls (metadata only — record bytes never touch it).
-  @transient private lazy val client = new KafkaWireClient(host, port)
+  // per-batch offset polls (metadata only — record bytes never touch
+  // it). Cluster-aware: ListOffsets route to partition leaders, group
+  // commits to the coordinator.
+  @transient private lazy val client = new KafkaClusterClient(host, port)
   @transient private lazy val partsByTopic: Map[String, Seq[Int]] = {
     // metadata auto-creates the topics on the stub, fixing partition
     // counts before the first offset poll; a subscribePattern resolves
@@ -753,10 +762,13 @@ final class KafkaWireMicroBatchStream(conf: KafkaWireConf)
     val e = end.asInstanceOf[KafkaWireOffset].offsets
     e.toSeq.sortBy(_._1).flatMap { case ((t, p), endOff) =>
       val startOff = s.getOrElse((t, p), 0L)
-      if (endOff > startOff)
-        Some(KafkaWireInputPartition(host, port, t, p, startOff, endOff,
+      if (endOff > startOff) {
+        // plan the slice at its partition's leader (executor sockets go
+        // straight to the broker holding the data)
+        val (lh, lp) = client.leaderFor(t, p)
+        Some(KafkaWireInputPartition(lh, lp, t, p, startOff, endOff,
           conf.readCommitted): InputPartition)
-      else None
+      } else None
     }.toArray
   }
 
