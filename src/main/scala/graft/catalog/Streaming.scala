@@ -1244,6 +1244,50 @@ object Streaming {
     } finally cluster.stop()
   }
 
+  // The AUTHENTICATED leg of the wire: the same DSv2 produce→consume
+  // pipeline over a broker whose listener requires SASL/PLAIN — the
+  // SaslHandshake/SaslAuthenticate session setup (RFC 4616 token) runs
+  // on EVERY socket the connector opens (driver metadata polls,
+  // executor writers, executor readers), configured through the stock
+  // connector's `kafka.sasl.mechanism` + `kafka.sasl.jaas.config`
+  // options. Same single-broker ingest oracle: authentication must be
+  // invisible in the rows. An unauthenticated socket on this listener
+  // is disconnected at its first data request (pinned in
+  // KafkaSaslSpec), so a hash-green result proves every hop authed.
+  val kafkaWireSasl: QueryDef = QueryDef.sql("q_kafka_wire_sasl")(
+    """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value,
+      |  CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS INTEGER) AS prop_k
+      |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val broker = new graft.kafka.KafkaStubBroker(3,
+      saslUsers = Map("pipeline" -> "s3cret"))
+    broker.start()
+    try {
+      val jaas = "org.apache.kafka.common.security.plain.PlainLoginModule " +
+        "required username=\"pipeline\" password=\"s3cret\";"
+      val wire = Ingest.toJsonWire(graft.core.Tables.events(s, dir), "event_id")
+      wire.write.format("kafka-wire")
+        .option("host", "127.0.0.1").option("port", broker.port.toString)
+        .option("topic", "events-sasl")
+        .option("kafka.sasl.mechanism", "PLAIN")
+        .option("kafka.sasl.jaas.config", jaas)
+        .mode("append").save()
+      val consumed = s.read.format("kafka-wire")
+        .option("host", "127.0.0.1").option("port", broker.port.toString)
+        .option("topic", "events-sasl")
+        .option("kafka.sasl.mechanism", "PLAIN")
+        .option("kafka.sasl.jaas.config", jaas)
+        .load()
+      val decoded = Ingest.decodeJsonWire(consumed)
+        .select(col("event_id"), col("ts_us"), col("user_id"), col("event_type"),
+          col("value"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k")
+            .as("prop_k"))
+        .orderBy("event_id")
+      graft.core.Spill.materialize(decoded)(())
+    } finally broker.stop()
+  }
+
   // The BINARY codec leg of the wire: Avro-encoded values (the
   // schema-registry serialization a production Kafka feed carries,
   // where the reference ships JSON strings) produced through the real
@@ -1717,6 +1761,6 @@ object Streaming {
     kafkaWireIngest, kafkaWireRedelivery, streamKafkaWire, streamKafkaSink,
     streamKafkaGzip, kafkaWireAvro, kafkaWireIdempotent, kafkaWireTxn,
     kafkaWireGroupResume, kafkaWireMultiTopic, kafkaWireTopicRouting,
-    kafkaWireCluster,
+    kafkaWireCluster, kafkaWireSasl,
     e2eKafkaEs, kafkaTopicTransform, deltaMerge, deltaCdf, streamCdcApply)
 }

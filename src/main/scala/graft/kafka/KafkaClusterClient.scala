@@ -23,15 +23,18 @@ import KafkaWireClient.{ClusterMeta, TopicMeta}
   * single-broker client.
   */
 final class KafkaClusterClient(bootstrapHost: String, bootstrapPort: Int,
-    clientId: String = "graft") extends KafkaOffsetClient {
+    clientId: String = "graft",
+    sasl: Option[KafkaWireClient.SaslPlain] = None) extends KafkaOffsetClient {
 
   private val clients =
     scala.collection.mutable.Map.empty[(String, Int), KafkaWireClient]
   private var leaders = Map.empty[(String, Int), (String, Int)]
 
+  // every broker connection authenticates with the same credentials —
+  // the real client's model (one jaas config per client, N sockets)
   private def clientAt(host: String, port: Int): KafkaWireClient =
     clients.getOrElseUpdate((host, port),
-      new KafkaWireClient(host, port, clientId))
+      new KafkaWireClient(host, port, clientId, sasl))
 
   private def bootstrap: KafkaWireClient =
     clientAt(bootstrapHost, bootstrapPort)

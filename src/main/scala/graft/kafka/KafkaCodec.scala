@@ -423,10 +423,12 @@ object KafkaCodec {
     val OffsetCommit = 8
     val OffsetFetch = 9
     val FindCoordinator = 10
+    val SaslHandshake = 17
     val ApiVersions = 18
     val InitProducerId = 22
     val AddPartitionsToTxn = 24
     val EndTxn = 26
+    val SaslAuthenticate = 36
   }
 
   object Err {
@@ -437,8 +439,11 @@ object KafkaCodec {
     val NotLeaderForPartition = 6 // partition is led by another broker: refresh metadata and re-route
     val NotCoordinator = 16 // group/txn key is coordinated by another broker
     val IllegalGeneration = 22 // member-protocol generation on a group with no active members
+    val UnsupportedSaslMechanism = 33 // handshake named a mechanism the broker doesn't enable
+    val IllegalSaslState = 34 // SASL request out of sequence (e.g. authenticate before handshake)
     val OutOfOrderSequenceNumber = 45
     val InvalidProducerEpoch = 47 // a newer producer with the same transactional.id fenced this one
     val InvalidTxnState = 48 // e.g. transactional produce to a partition never added to the txn
+    val SaslAuthenticationFailed = 58 // credentials rejected; the broker closes the connection after responding
   }
 }

@@ -53,7 +53,8 @@ import KafkaCodec._
 final class KafkaStubBroker(val numPartitions: Int = 3,
     val compressionType: String = "none",
     val brokerId: Int = 0,
-    cluster: KafkaStubCluster = null) {
+    cluster: KafkaStubCluster = null,
+    saslUsers: Map[String, String] = Map.empty) {
   require(compressionType == "none" || compressionType == "gzip",
     s"unsupported compression.type '$compressionType' (none|gzip)")
   private val fetchGzip = compressionType == "gzip"
@@ -196,6 +197,15 @@ final class KafkaStubBroker(val numPartitions: Int = 3,
       sock.setTcpNoDelay(true)
       val in = new DataInputStream(sock.getInputStream)
       val out = new DataOutputStream(sock.getOutputStream)
+      // SASL listener state machine, per connection: with credentials
+      // configured, the session must complete SaslHandshake then
+      // SaslAuthenticate before anything but ApiVersions (the one API a
+      // real broker answers pre-auth, so clients can discover the
+      // handshake version). Any other early request, or a failed
+      // authentication, closes the connection — the real listener's
+      // response to a client that skips or flunks auth.
+      var handshaken = false
+      var authenticated = saslUsers.isEmpty
       while (running.get()) {
         val size = in.readInt()
         val req = new Array[Byte](size)
@@ -205,8 +215,21 @@ final class KafkaStubBroker(val numPartitions: Int = 3,
         val apiVersion = buf.getShort.toInt
         val correlationId = buf.getInt
         readNullableString(buf) // client_id
+        var closeAfterResponse = false
         val body = apiKey match {
           case Api.ApiVersions => apiVersionsResponse()
+          case Api.SaslHandshake =>
+            val (resp, ok) = saslHandshakeResponse(buf)
+            handshaken = ok
+            resp
+          case Api.SaslAuthenticate =>
+            val (resp, ok) = saslAuthenticateResponse(buf, handshaken)
+            authenticated = ok
+            closeAfterResponse = !ok
+            resp
+          case _ if !authenticated =>
+            // pre-auth data request on a SASL listener: disconnect
+            throw new java.io.EOFException("unauthenticated request")
           case Api.Metadata    => metadataResponse(buf)
           case Api.Produce     => produceResponse(buf)
           case Api.Fetch       => fetchResponse(buf)
@@ -224,6 +247,7 @@ final class KafkaStubBroker(val numPartitions: Int = 3,
         out.writeInt(correlationId)
         out.write(body)
         out.flush()
+        if (closeAfterResponse) return
       }
     } catch {
       case _: java.io.EOFException => // client closed
@@ -233,10 +257,58 @@ final class KafkaStubBroker(val numPartitions: Int = 3,
     } finally sock.close()
   }
 
+  /** SaslHandshake v1: agree on a mechanism. Only PLAIN is enabled (and
+    * only on a listener with configured credentials); anything else is
+    * UNSUPPORTED_SASL_MECHANISM with the enabled list in the response —
+    * exactly what lets a real client print "mechanism X not enabled,
+    * broker offers [PLAIN]".
+    */
+  private def saslHandshakeResponse(req: ByteBuffer): (Array[Byte], Boolean) = {
+    val mechanism = readString(req)
+    val enabled = if (saslUsers.isEmpty) Nil else Seq("PLAIN")
+    val ok = enabled.contains(mechanism)
+    val buf = ByteBuffer.allocate(16 + enabled.map(_.length + 2).sum)
+    buf.putShort((if (ok) Err.None else Err.UnsupportedSaslMechanism).toShort)
+    buf.putInt(enabled.size)
+    enabled.foreach(writeString(buf, _))
+    buf.flip()
+    val arr = new Array[Byte](buf.remaining()); buf.get(arr)
+    (arr, ok)
+  }
+
+  /** SaslAuthenticate v0 carrying the RFC 4616 PLAIN token
+    * (`authzid NUL authcid NUL passwd`). Out-of-sequence (no handshake
+    * first) is ILLEGAL_SASL_STATE; bad credentials are
+    * SASL_AUTHENTICATION_FAILED and the caller closes the connection
+    * after the response goes out, like a real listener.
+    */
+  private def saslAuthenticateResponse(req: ByteBuffer,
+      handshaken: Boolean): (Array[Byte], Boolean) = {
+    val token = readNullableBytes(req)
+    val (err, msg) =
+      if (!handshaken) (Err.IllegalSaslState, "SaslHandshake must precede SaslAuthenticate")
+      else {
+        val parts = new String(token, java.nio.charset.StandardCharsets.UTF_8)
+          .split("\u0000", -1)
+        if (parts.length != 3) (Err.SaslAuthenticationFailed, "malformed PLAIN token")
+        else if (saslUsers.get(parts(1)).contains(parts(2))) (Err.None, null)
+        else (Err.SaslAuthenticationFailed,
+          s"authentication failed for user '${parts(1)}'")
+      }
+    val buf = ByteBuffer.allocate(64 + (if (msg == null) 0 else msg.length * 4))
+    buf.putShort(err.toShort)
+    writeNullableString(buf, msg)
+    writeNullableBytes(buf, Array.empty[Byte]) // auth_bytes (PLAIN: no server token)
+    buf.flip()
+    val arr = new Array[Byte](buf.remaining()); buf.get(arr)
+    (arr, err == Err.None)
+  }
+
   private def apiVersionsResponse(): Array[Byte] = {
     val apis = Seq(
       (Api.Produce, 3, 3), (Api.Fetch, 4, 4), (Api.ListOffsets, 1, 1),
       (Api.Metadata, 1, 1), (Api.ApiVersions, 0, 0),
+      (Api.SaslHandshake, 1, 1), (Api.SaslAuthenticate, 0, 0),
       (Api.InitProducerId, 0, 0), (Api.AddPartitionsToTxn, 0, 0),
       (Api.EndTxn, 0, 0), (Api.FindCoordinator, 0, 0),
       (Api.OffsetCommit, 2, 2), (Api.OffsetFetch, 1, 1))
@@ -893,11 +965,12 @@ final class KafkaStubBroker(val numPartitions: Int = 3,
   * awareness.
   */
 final class KafkaStubCluster(nBrokers: Int, numPartitions: Int = 3,
-    compressionType: String = "none") {
+    compressionType: String = "none",
+    saslUsers: Map[String, String] = Map.empty) {
   require(nBrokers >= 1, s"nBrokers must be >= 1, got $nBrokers")
 
   val brokers: Seq[KafkaStubBroker] = (0 until nBrokers).map { id =>
-    new KafkaStubBroker(numPartitions, compressionType, id, this)
+    new KafkaStubBroker(numPartitions, compressionType, id, this, saslUsers)
   }
 
   def leaderOf(partition: Int): Int = math.floorMod(partition, nBrokers)

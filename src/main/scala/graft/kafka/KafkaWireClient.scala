@@ -16,7 +16,9 @@ import KafkaCodec._
   * [[KafkaWireExchange]] uses it from `foreachPartition`).
   */
 final class KafkaWireClient(host: String, port: Int,
-    clientId: String = "graft") extends KafkaOffsetClient with AutoCloseable {
+    clientId: String = "graft",
+    sasl: Option[KafkaWireClient.SaslPlain] = None)
+    extends KafkaOffsetClient with AutoCloseable {
 
   private val socket = new Socket(host, port)
   socket.setTcpNoDelay(true)
@@ -24,7 +26,43 @@ final class KafkaWireClient(host: String, port: Int,
   private val in = new DataInputStream(socket.getInputStream)
   private var correlation = 0
 
+  // SASL/PLAIN session setup, before any other request: SaslHandshake
+  // v1 names the mechanism, then the RFC 4616 token rides inside a
+  // SaslAuthenticate request (the v1-handshake framing; v0 would send
+  // the bare token as an opaque frame). An unauthenticated client on a
+  // SASL listener gets its first data request answered with a closed
+  // socket, so this runs in the constructor — the session either
+  // authenticates or never exists.
+  sasl.foreach(authenticate)
+
   override def close(): Unit = socket.close()
+
+  private def authenticate(cred: KafkaWireClient.SaslPlain): Unit = {
+    val mech = "PLAIN"
+    val hs = ByteBuffer.allocate(2 + mech.length)
+    writeString(hs, mech)
+    val hsResp = send(Api.SaslHandshake, 1, hs)
+    val hsErr = hsResp.getShort.toInt
+    val nMechs = hsResp.getInt
+    val enabled = (0 until math.max(nMechs, 0)).map(_ => readString(hsResp))
+    require(hsErr == Err.None,
+      s"SaslHandshake error $hsErr (broker mechanisms: ${enabled.mkString(",")})")
+    val user = cred.username.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val pass = cred.password.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val token = new Array[Byte](2 + user.length + pass.length)
+    System.arraycopy(user, 0, token, 1, user.length) // [0]=NUL authzid
+    System.arraycopy(pass, 0, token, 2 + user.length, pass.length)
+    val auth = ByteBuffer.allocate(4 + token.length)
+    writeNullableBytes(auth, token)
+    val resp = send(Api.SaslAuthenticate, 0, auth)
+    val err = resp.getShort.toInt
+    val msg = readNullableString(resp)
+    if (err != Err.None) {
+      socket.close()
+      throw new SecurityException(
+        s"SASL authentication failed (error $err): ${Option(msg).getOrElse("")}")
+    }
+  }
 
   private def send(apiKey: Int, apiVersion: Int, body: ByteBuffer): ByteBuffer = {
     correlation += 1
@@ -459,6 +497,32 @@ trait KafkaOffsetClient extends AutoCloseable {
 }
 
 object KafkaWireClient {
+  /** SASL/PLAIN credentials (RFC 4616). Carried in connector conf and
+    * task binaries exactly like the stock connector carries
+    * `kafka.sasl.jaas.config` — a deployment secret, not a wire secret
+    * (PLAIN sends it in the clear; real clusters pair it with TLS,
+    * which this plaintext-TCP stack deliberately does not speak — see
+    * COVERAGE.md non-goals).
+    */
+  final case class SaslPlain(username: String, password: String)
+
+  object SaslPlain {
+    private val JaasField = """(username|password)\s*=\s*"((?:[^"\\]|\\.)*)"""".r
+
+    /** Parse the STOCK connector's `kafka.sasl.jaas.config` value —
+      * `org.apache...PlainLoginModule required username="u" password="p";`
+      * — accepting any login-module class name (only the two fields
+      * matter to a PLAIN client) and JAAS's backslash escapes.
+      */
+    def fromJaas(config: String): SaslPlain = {
+      val fields = JaasField.findAllMatchIn(config)
+        .map(m => m.group(1) -> m.group(2).replaceAll("""\\(.)""", "$1")).toMap
+      require(fields.contains("username") && fields.contains("password"),
+        "sasl.jaas.config must carry username=\"...\" and password=\"...\"")
+      SaslPlain(fields("username"), fields("password"))
+    }
+  }
+
   final case class PartitionMeta(partition: Int, leader: Int)
   final case class TopicMeta(topic: String, partitions: Seq[PartitionMeta])
   final case class BrokerMeta(nodeId: Int, host: String, port: Int)

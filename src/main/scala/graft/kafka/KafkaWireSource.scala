@@ -98,6 +98,21 @@ final class KafkaWireSourceProvider extends TableProvider with DataSourceRegiste
     require(subscribePattern.isEmpty ||
         (Option(opts.get("topic")).isEmpty && Option(opts.get("subscribe")).isEmpty),
       "kafka-wire: subscribePattern and topic/subscribe are mutually exclusive")
+    // SASL/PLAIN, the stock connector's config surface: mechanism +
+    // jaas config (username/password extracted from the standard
+    // PlainLoginModule string). Only PLAIN is speakable on this
+    // plaintext-TCP stack.
+    val saslMechanism = Option(opts.get("kafka.sasl.mechanism"))
+      .orElse(Option(opts.get("sasl.mechanism")))
+    require(saslMechanism.forall(_ == "PLAIN"),
+      s"kafka-wire: unsupported sasl.mechanism '${saslMechanism.orNull}' (PLAIN)")
+    val saslJaas = Option(opts.get("kafka.sasl.jaas.config"))
+      .orElse(Option(opts.get("sasl.jaas.config")))
+    require(saslJaas.isEmpty || saslMechanism.isDefined,
+      "kafka-wire: sasl.jaas.config requires sasl.mechanism=PLAIN")
+    require(saslMechanism.isEmpty || saslJaas.isDefined,
+      "kafka-wire: sasl.mechanism=PLAIN requires sasl.jaas.config")
+    val sasl = saslJaas.map(KafkaWireClient.SaslPlain.fromJaas)
     new KafkaWireTable(KafkaWireConf(
       opts.get("host"),
       Integer.parseInt(opts.get("port")),
@@ -112,7 +127,8 @@ final class KafkaWireSourceProvider extends TableProvider with DataSourceRegiste
       isolation == "read_committed",
       transactionalId,
       groupId,
-      subscribePattern))
+      subscribePattern,
+      sasl))
   }
 }
 
@@ -190,6 +206,13 @@ final class KafkaWireSourceProvider extends TableProvider with DataSourceRegiste
   *    records sit in aborted ranges. (Epoch-level replays past a
   *    checkpoint commit remain at-least-once — the per-task-txn
   *    contract Kafka Streams EOS also settles for.)
+  *  - `kafka.sasl.mechanism` + `kafka.sasl.jaas.config` (or the
+  *    un-prefixed names): SASL/PLAIN authentication, the stock
+  *    connector's config surface — the jaas string's
+  *    username/password authenticate EVERY socket the connector opens
+  *    (driver metadata polls and executor record readers/writers
+  *    alike) before any other request. PLAIN only; see COVERAGE.md
+  *    non-goals for the TLS boundary.
   */
 final case class KafkaWireConf(host: String, port: Int, topic: String,
     maxOffsetsPerTrigger: Option[Long], startingOffsets: String,
@@ -200,7 +223,8 @@ final case class KafkaWireConf(host: String, port: Int, topic: String,
     readCommitted: Boolean = false,
     transactionalId: Option[String] = None,
     groupId: Option[String] = None,
-    subscribePattern: Option[String] = None) {
+    subscribePattern: Option[String] = None,
+    sasl: Option[KafkaWireClient.SaslPlain] = None) {
   /** `subscribe` takes a comma-separated topic LIST (stock-connector
     * contract); reads plan every partition of every listed topic.
     * Writes take exactly one — or none, routing on the `topic` column.
@@ -394,7 +418,8 @@ final class KafkaWireTable(conf: KafkaWireConf)
           s"kafka-wire write: exactly one topic option, or none with a " +
             s"'topic' column (got '${conf.topic}')")
         new KafkaWireWrite(conf.host, conf.port, conf.topics.headOption.orNull,
-          info.schema(), conf.gzip, conf.idempotence, conf.transactionalId)
+          info.schema(), conf.gzip, conf.idempotence, conf.transactionalId,
+          conf.sasl)
       }
     }
 }
@@ -413,7 +438,8 @@ final class KafkaWireTable(conf: KafkaWireConf)
 final class KafkaWireWrite(host: String, port: Int, topic: String,
     schema: StructType, gzip: Boolean = false,
     idempotence: Boolean = false,
-    transactionalId: Option[String] = None) extends Write {
+    transactionalId: Option[String] = None,
+    sasl: Option[KafkaWireClient.SaslPlain] = None) extends Write {
 
   private def factoryParams: KafkaWireWriterParams = {
     val keyIdx = schema.fieldNames.indexOf("key")
@@ -440,13 +466,13 @@ final class KafkaWireWrite(host: String, port: Int, topic: String,
     val nPartsFixed =
       if (topic == null) -1
       else {
-        val c = new KafkaWireClient(host, port)
+        val c = new KafkaWireClient(host, port, sasl = sasl)
         try c.metadata(Seq(topic)).head.partitions.size finally c.close()
       }
     KafkaWireWriterParams(host, port, Option(topic),
       if (topic == null) topicIdx else -1, nPartsFixed,
       keyIdx, keyIsString, valueIdx, valueIsString, gzip, idempotence, tsIdx,
-      transactionalId)
+      transactionalId, sasl)
   }
 
   override def toBatch: BatchWrite = {
@@ -476,7 +502,8 @@ final case class KafkaWireWriterParams(host: String, port: Int,
     nParts: Int, keyIdx: Int, keyIsString: Boolean,
     valueIdx: Int, valueIsString: Boolean, gzip: Boolean = false,
     idempotence: Boolean = false, tsIdx: Int = -1,
-    transactionalId: Option[String] = None)
+    transactionalId: Option[String] = None,
+    sasl: Option[KafkaWireClient.SaslPlain] = None)
 
 final case class KafkaWireWriterFactory(params: KafkaWireWriterParams)
     extends DataWriterFactory with StreamingDataWriterFactory {
@@ -503,7 +530,7 @@ final class KafkaWireDataWriter(params: KafkaWireWriterParams, sparkPartition: I
   // cluster-aware: each (topic, partition) flush lands on its LEADER,
   // transaction APIs on the id's coordinator; one socket per broker
   // actually touched (single-broker mode degenerates to one socket)
-  private val client = new KafkaClusterClient(host, port)
+  private val client = new KafkaClusterClient(host, port, sasl = params.sasl)
   // transactional.id: this task's transaction identity is STABLE across
   // task retries (it derives from the Spark partition id, not the
   // attempt), so a retry's InitProducerId fences the failed attempt and
@@ -616,7 +643,7 @@ final class KafkaWireScan(conf: KafkaWireConf) extends Scan {
     */
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] = {
-      val c = new KafkaClusterClient(host, port)
+      val c = new KafkaClusterClient(host, port, sasl = conf.sasl)
       try {
         val partsByTopic = c.metadata(conf.resolveTopics(c))
           .map(tm => tm.topic -> tm.partitions.map(_.partition)).toMap
@@ -636,7 +663,7 @@ final class KafkaWireScan(conf: KafkaWireConf) extends Scan {
           // data (preferred-location thinking, minus the locality hint)
           val (lh, lp) = c.leaderFor(t, p)
           KafkaWireInputPartition(lh, lp, t, p, starts((t, p)), ends((t, p)),
-            conf.readCommitted): InputPartition
+            conf.readCommitted, conf.sasl): InputPartition
         }.toArray
       } finally c.close()
     }
@@ -665,7 +692,8 @@ final class KafkaWireMicroBatchStream(conf: KafkaWireConf)
   // per-batch offset polls (metadata only — record bytes never touch
   // it). Cluster-aware: ListOffsets route to partition leaders, group
   // commits to the coordinator.
-  @transient private lazy val client = new KafkaClusterClient(host, port)
+  @transient private lazy val client =
+    new KafkaClusterClient(host, port, sasl = conf.sasl)
   @transient private lazy val partsByTopic: Map[String, Seq[Int]] = {
     // metadata auto-creates the topics on the stub, fixing partition
     // counts before the first offset poll; a subscribePattern resolves
@@ -767,7 +795,7 @@ final class KafkaWireMicroBatchStream(conf: KafkaWireConf)
         // straight to the broker holding the data)
         val (lh, lp) = client.leaderFor(t, p)
         Some(KafkaWireInputPartition(lh, lp, t, p, startOff, endOff,
-          conf.readCommitted): InputPartition)
+          conf.readCommitted, conf.sasl): InputPartition)
       } else None
     }.toArray
   }
@@ -799,7 +827,8 @@ final class KafkaWireMicroBatchStream(conf: KafkaWireConf)
 /** One Kafka partition's [start, end) slice — the unit of executor work. */
 final case class KafkaWireInputPartition(host: String, port: Int, topic: String,
     partition: Int, startOffset: Long, endOffset: Long,
-    readCommitted: Boolean = false) extends InputPartition
+    readCommitted: Boolean = false,
+    sasl: Option[KafkaWireClient.SaslPlain] = None) extends InputPartition
 
 object KafkaWireReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
@@ -816,7 +845,7 @@ object KafkaWireReaderFactory extends PartitionReaderFactory {
 final class KafkaWirePartitionReader(p: KafkaWireInputPartition)
     extends PartitionReader[InternalRow] {
 
-  private val client = new KafkaWireClient(p.host, p.port)
+  private val client = new KafkaWireClient(p.host, p.port, sasl = p.sasl)
   private var nextOff = p.startOffset
   private var buffer: Iterator[KafkaCodec.WireRecord] = Iterator.empty
   private var current: KafkaCodec.WireRecord = _

@@ -1,0 +1,179 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+
+import graft.kafka.{KafkaClusterClient, KafkaStubBroker, KafkaStubCluster, KafkaWireClient}
+import graft.kafka.KafkaWireClient.SaslPlain
+
+/** SASL/PLAIN on the wire pair: the SaslHandshake v1 → SaslAuthenticate
+  * v0 session setup (RFC 4616 token), the broker-side listener state
+  * machine (ApiVersions allowed pre-auth, everything else disconnected;
+  * bad credentials answered with SASL_AUTHENTICATION_FAILED then
+  * closed), the stock connector's `kafka.sasl.jaas.config` parsing, and
+  * the DSv2 connector authenticating every socket it opens — driver
+  * metadata polls and executor readers/writers alike.
+  */
+class KafkaSaslSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val users = Map("alice" -> "wonder", "bob" -> "builder")
+
+  private def b(s: String): Array[Byte] = s.getBytes(StandardCharsets.UTF_8)
+  private def str(a: Array[Byte]): String = new String(a, StandardCharsets.UTF_8)
+
+  private def withBroker[A](f: KafkaStubBroker => A): A = {
+    val broker = new KafkaStubBroker(3, saslUsers = users)
+    broker.start()
+    try f(broker) finally broker.stop()
+  }
+
+  test("authenticated session: full produce/fetch round trip") {
+    withBroker { broker =>
+      val c = new KafkaWireClient("127.0.0.1", broker.port,
+        sasl = Some(SaslPlain("alice", "wonder")))
+      try {
+        c.metadata(Seq("sasl-t"))
+        c.produce("sasl-t", 0, Seq((1L, b("k"), b("v1")), (2L, b("k"), b("v2"))))
+        val got = c.fetchAll("sasl-t", 0)
+        assert(got.map(r => str(r.value)) == Seq("v1", "v2"))
+      } finally c.close()
+    }
+  }
+
+  test("wrong password: SASL_AUTHENTICATION_FAILED, connection closed") {
+    withBroker { broker =>
+      val e = intercept[SecurityException] {
+        new KafkaWireClient("127.0.0.1", broker.port,
+          sasl = Some(SaslPlain("alice", "nope")))
+      }
+      assert(e.getMessage.contains("error 58"))
+      assert(e.getMessage.contains("alice"))
+    }
+  }
+
+  test("unknown user: rejected like a wrong password (no user oracle)") {
+    withBroker { broker =>
+      val e = intercept[SecurityException] {
+        new KafkaWireClient("127.0.0.1", broker.port,
+          sasl = Some(SaslPlain("mallory", "wonder")))
+      }
+      assert(e.getMessage.contains("error 58"))
+    }
+  }
+
+  test("unauthenticated data request on a SASL listener: disconnected") {
+    withBroker { broker =>
+      val c = new KafkaWireClient("127.0.0.1", broker.port) // no creds
+      try {
+        // ApiVersions is the one API a real broker answers pre-auth
+        val versions = c.apiVersions()
+        assert(versions.contains(graft.kafka.KafkaCodec.Api.SaslHandshake))
+        intercept[java.io.IOException](c.metadata(Seq("t")))
+      } finally c.close()
+    }
+  }
+
+  test("SASL handshake against a non-SASL listener: UNSUPPORTED_SASL_MECHANISM") {
+    val plain = new KafkaStubBroker(3) // no saslUsers
+    plain.start()
+    try {
+      val e = intercept[IllegalArgumentException] {
+        new KafkaWireClient("127.0.0.1", plain.port,
+          sasl = Some(SaslPlain("alice", "wonder")))
+      }
+      assert(e.getMessage.contains("SaslHandshake error 33"))
+    } finally plain.stop()
+  }
+
+  test("jaas config parsing: stock PlainLoginModule string, with escapes") {
+    val jaas = """org.apache.kafka.common.security.plain.PlainLoginModule """ +
+      """required username="alice" password="w\"on\\der";"""
+    assert(SaslPlain.fromJaas(jaas) == SaslPlain("alice", """w"on\der"""))
+    intercept[IllegalArgumentException](SaslPlain.fromJaas("required;"))
+  }
+
+  test("DSv2 round trip: every connector socket authenticates") {
+    withBroker { broker =>
+      val jaas = "org.apache.kafka.common.security.plain.PlainLoginModule " +
+        "required username=\"bob\" password=\"builder\";"
+      import spark.implicits._
+      val df = Seq(("k1", "a"), ("k2", "b"), ("k3", "c"))
+        .toDF("key", "value")
+      df.write.format("kafka-wire")
+        .option("host", "127.0.0.1").option("port", broker.port.toString)
+        .option("topic", "sasl-dsv2")
+        .option("kafka.sasl.mechanism", "PLAIN")
+        .option("kafka.sasl.jaas.config", jaas)
+        .mode("append").save()
+      val got = spark.read.format("kafka-wire")
+        .option("host", "127.0.0.1").option("port", broker.port.toString)
+        .option("topic", "sasl-dsv2")
+        .option("kafka.sasl.mechanism", "PLAIN")
+        .option("kafka.sasl.jaas.config", jaas)
+        .load()
+        .select(col("value").cast("string"))
+        .as[String].collect().sorted
+      assert(got.toSeq == Seq("a", "b", "c"))
+    }
+  }
+
+  test("DSv2 without credentials against a SASL listener fails loudly") {
+    withBroker { broker =>
+      import spark.implicits._
+      val e = intercept[Exception] {
+        Seq(("k", "v")).toDF("key", "value")
+          .write.format("kafka-wire")
+          .option("host", "127.0.0.1").option("port", broker.port.toString)
+          .option("topic", "sasl-noauth")
+          .mode("append").save()
+      }
+      // the first driver-side metadata call dies on the closed socket
+      assert(Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+        .exists(_.isInstanceOf[java.io.IOException]))
+    }
+  }
+
+  test("mechanism/jaas option validation in the provider") {
+    import spark.implicits._
+    val df = Seq(("k", "v")).toDF("key", "value")
+    val e1 = intercept[IllegalArgumentException] {
+      df.write.format("kafka-wire")
+        .option("host", "127.0.0.1").option("port", "1")
+        .option("topic", "t").option("kafka.sasl.mechanism", "SCRAM-SHA-256")
+        .option("kafka.sasl.jaas.config", "x username=\"u\" password=\"p\";")
+        .mode("append").save()
+    }
+    assert(e1.getMessage.contains("unsupported sasl.mechanism"))
+    val e2 = intercept[IllegalArgumentException] {
+      df.write.format("kafka-wire")
+        .option("host", "127.0.0.1").option("port", "1")
+        .option("topic", "t").option("kafka.sasl.mechanism", "PLAIN")
+        .mode("append").save()
+    }
+    assert(e2.getMessage.contains("requires sasl.jaas.config"))
+  }
+
+  test("multi-broker cluster: one credential set authenticates every socket") {
+    val cluster = new KafkaStubCluster(3, 3, saslUsers = users)
+    cluster.start()
+    try {
+      val c = new KafkaClusterClient("127.0.0.1", cluster.bootstrapPort,
+        sasl = Some(SaslPlain("alice", "wonder")))
+      try {
+        c.metadata(Seq("sasl-cluster"))
+        // three partitions led by three different brokers: produce to
+        // each forces a fresh authenticated socket per leader
+        (0 until 3).foreach { p =>
+          c.produce("sasl-cluster", p, Seq((1L, null, b(s"v$p"))))
+        }
+        (0 until 3).foreach { p =>
+          assert(c.fetchAll("sasl-cluster", p).map(r => str(r.value)) == Seq(s"v$p"))
+        }
+      } finally c.close()
+    } finally cluster.stop()
+  }
+}
