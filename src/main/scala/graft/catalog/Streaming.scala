@@ -1288,6 +1288,46 @@ object Streaming {
     } finally broker.stop()
   }
 
+  // The FAILOVER leg of the wire: produce the full feed into a 3-broker
+  // cluster with replicationFactor=2 (every acked append mirrored to
+  // its follower before the ack — acks=all), then KILL broker 0 — the
+  // original bootstrap endpoint AND the leader of partition 0 — and
+  // read everything back through the DSv2 connector with a bootstrap
+  // LIST that still leads with the dead endpoint. The planner must dial
+  // past the corpse, route every slice to a promoted or surviving
+  // leader, and the rows must hash-match the same single-broker ingest
+  // oracle: a broker loss must cost availability of nothing that was
+  // acked. This is the durability contract a 1000-executor pipeline
+  // assumes of a real cluster, executed at the protocol level.
+  val kafkaWireFailover: QueryDef = QueryDef.sql("q_kafka_wire_failover")(
+    """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value,
+      |  CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS INTEGER) AS prop_k
+      |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val cluster = new graft.kafka.KafkaStubCluster(3, 3, replicationFactor = 2)
+    cluster.start()
+    try {
+      val deadPort = cluster.brokers(0).port
+      val wire = Ingest.toJsonWire(graft.core.Tables.events(s, dir), "event_id")
+      wire.write.format("kafka-wire")
+        .option("kafka.bootstrap.servers", s"127.0.0.1:$deadPort")
+        .option("topic", "events-fo").mode("append").save()
+      cluster.failBroker(0)
+      val consumed = s.read.format("kafka-wire")
+        .option("kafka.bootstrap.servers",
+          s"127.0.0.1:$deadPort,127.0.0.1:${cluster.brokers(1).port}")
+        .option("topic", "events-fo")
+        .load()
+      val decoded = Ingest.decodeJsonWire(consumed)
+        .select(col("event_id"), col("ts_us"), col("user_id"), col("event_type"),
+          col("value"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k")
+            .as("prop_k"))
+        .orderBy("event_id")
+      graft.core.Spill.materialize(decoded)(())
+    } finally cluster.stop()
+  }
+
   // The BINARY codec leg of the wire: Avro-encoded values (the
   // schema-registry serialization a production Kafka feed carries,
   // where the reference ships JSON strings) produced through the real
@@ -1761,6 +1801,6 @@ object Streaming {
     kafkaWireIngest, kafkaWireRedelivery, streamKafkaWire, streamKafkaSink,
     streamKafkaGzip, kafkaWireAvro, kafkaWireIdempotent, kafkaWireTxn,
     kafkaWireGroupResume, kafkaWireMultiTopic, kafkaWireTopicRouting,
-    kafkaWireCluster, kafkaWireSasl,
+    kafkaWireCluster, kafkaWireSasl, kafkaWireFailover,
     e2eKafkaEs, kafkaTopicTransform, deltaMerge, deltaCdf, streamCdcApply)
 }

@@ -12,23 +12,37 @@ import KafkaWireClient.{ClusterMeta, TopicMeta}
   * one endpoint, and exactly what the real client library does behind
   * `bootstrap.servers`.
   *
-  * Leadership in [[KafkaStubCluster]] is static (no failover —
-  * COVERAGE.md non-goals), so the stale-leader
-  * NOT_LEADER_FOR_PARTITION → refresh-metadata → re-route loop is
-  * unreachable from a correctly-routed client; the error surface
-  * itself is pinned broker-side in KafkaClusterSpec by addressing the
-  * wrong broker directly.
+  * Leadership is DYNAMIC: a dead socket or a NOT_LEADER_FOR_PARTITION
+  * answer triggers the refresh-metadata → re-route retry loop
+  * ([[onLeader]]), and coordinator calls re-discover via
+  * FindCoordinator the same way ([[onCoordinator]]) — the failover
+  * behavior KafkaFailoverSpec drives end to end against
+  * [[KafkaStubCluster.failBroker]]. Transaction RPCs
+  * (AddPartitionsToTxn / EndTxn) deliberately do NOT retry across a
+  * coordinator loss: txn-coordinator state is not replicated
+  * (COVERAGE.md non-goals), so the in-flight transaction fails loudly
+  * and the producer restarts it under the successor.
   *
   * Not thread-safe: one instance per task/thread, like the
   * single-broker client.
   */
 final class KafkaClusterClient(bootstrapHost: String, bootstrapPort: Int,
     clientId: String = "graft",
-    sasl: Option[KafkaWireClient.SaslPlain] = None) extends KafkaOffsetClient {
+    sasl: Option[KafkaWireClient.SaslPlain] = None,
+    extraBootstrap: Seq[(String, Int)] = Nil) extends KafkaOffsetClient {
 
   private val clients =
     scala.collection.mutable.Map.empty[(String, Int), KafkaWireClient]
   private var leaders = Map.empty[(String, Int), (String, Int)]
+  // every endpoint this client has ever learned (the bootstrap LIST +
+  // metadata broker lists): after one metadata refresh, losing the
+  // first bootstrap broker no longer strands the client — any survivor
+  // serves metadata. `extraBootstrap` carries the rest of a
+  // comma-separated bootstrap.servers list, the stock safety net for a
+  // FRESH client whose first endpoint is already down.
+  private val seedEndpoints: Vector[(String, Int)] =
+    (Vector((bootstrapHost, bootstrapPort)) ++ extraBootstrap).distinct
+  private var knownEndpoints: Vector[(String, Int)] = seedEndpoints
 
   // every broker connection authenticates with the same credentials —
   // the real client's model (one jaas config per client, N sockets)
@@ -36,17 +50,41 @@ final class KafkaClusterClient(bootstrapHost: String, bootstrapPort: Int,
     clients.getOrElseUpdate((host, port),
       new KafkaWireClient(host, port, clientId, sasl))
 
-  private def bootstrap: KafkaWireClient =
-    clientAt(bootstrapHost, bootstrapPort)
+  /** Forget (and close) a connection after an I/O failure, so the next
+    * call re-dials instead of reusing a dead socket.
+    */
+  private def dropClient(endpoint: (String, Int)): Unit =
+    clients.remove(endpoint).foreach(c =>
+      try c.close() catch { case _: Exception => () })
 
-  /** Fetch metadata for `topics` from the bootstrap broker and refresh
-    * the leader map.
+  /** Run `f` against the first REACHABLE known endpoint (metadata-class
+    * calls — any alive broker can answer them). Dead endpoints are
+    * skipped after their connect/request fails; all-dead rethrows the
+    * last failure.
+    */
+  private def anyReachable[A](f: KafkaWireClient => A): A = {
+    var last: Throwable = null
+    knownEndpoints.foreach { ep =>
+      try return f(clientAt(ep._1, ep._2))
+      catch {
+        case e: java.io.IOException => dropClient(ep); last = e
+      }
+    }
+    throw last
+  }
+
+  /** Fetch metadata for `topics` from any reachable broker; refresh the
+    * leader map and the known-endpoint list (bootstrap first, then the
+    * returned ALIVE brokers — a failed broker drops out of broker
+    * lists, so it ages out of the dial order after one refresh).
     */
   def refreshMetadata(topics: Seq[String]): ClusterMeta = {
-    val m = bootstrap.metadataFull(topics)
+    val m = anyReachable(_.metadataFull(topics))
     val byId = m.brokers.map(b => b.nodeId -> ((b.host, b.port))).toMap
     leaders ++= (for (t <- m.topics; p <- t.partitions)
       yield (t.topic, p.partition) -> byId(p.leader))
+    knownEndpoints =
+      (seedEndpoints ++ m.brokers.map(b => (b.host, b.port))).distinct
     m
   }
 
@@ -59,21 +97,75 @@ final class KafkaClusterClient(bootstrapHost: String, bootstrapPort: Int,
       leaders((topic, partition))
     })
 
+  /** Route a data call to the partition's leader, surviving failover:
+    * a dead socket (the leader crashed mid-session) or a
+    * NOT_LEADER_FOR_PARTITION answer (leadership moved) drops the
+    * cached route, refreshes metadata from any survivor, and retries
+    * against the promoted leader — the standard client loop. Delivery
+    * on the retried path is at-least-once (the lost request may have
+    * been applied before the socket died); idempotent/transactional
+    * producers fence the duplicate, exactly the real contract.
+    */
   private def onLeader[A](topic: String, partition: Int)(
       f: KafkaWireClient => A): A = {
-    val (h, p) = leaderFor(topic, partition)
-    f(clientAt(h, p))
+    val maxAttempts = 4
+    var attempt = 1
+    while (true) {
+      val ep = leaderFor(topic, partition)
+      try return f(clientAt(ep._1, ep._2))
+      catch {
+        case e @ (_: java.io.IOException | _: KafkaCodec.KafkaWireException)
+            if attempt < maxAttempts &&
+              (e match {
+                case w: KafkaCodec.KafkaWireException => w.retriable
+                case _ => true
+              }) =>
+          dropClient(ep)
+          leaders -= ((topic, partition))
+          refreshMetadata(Seq(topic))
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   private def coordinator(key: String): KafkaWireClient = {
-    val (_, h, p) = bootstrap.findCoordinator(key)
+    val (_, h, p) = anyReachable(_.findCoordinator(key))
     clientAt(h, p)
+  }
+
+  /** Coordinator calls survive failover the same way data calls do:
+    * re-discover via FindCoordinator (which any survivor answers) and
+    * retry on the successor, which holds the mirrored offset state.
+    */
+  private def onCoordinator[A](key: String)(f: KafkaWireClient => A): A = {
+    val maxAttempts = 4
+    var attempt = 1
+    while (true) {
+      try return f(coordinator(key))
+      catch {
+        case e @ (_: java.io.IOException | _: KafkaCodec.KafkaWireException)
+            if attempt < maxAttempts &&
+              (e match {
+                case w: KafkaCodec.KafkaWireException => w.retriable
+                case _ => true
+              }) =>
+          clients.keys.toSeq.foreach { ep =>
+            // a dead coordinator's socket may be any cached one; drop
+            // them all and let live endpoints re-dial (cheap: sockets
+            // re-open lazily, metadata-only)
+            if (e.isInstanceOf[java.io.IOException]) dropClient(ep)
+          }
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   override def metadata(topics: Seq[String]): Seq[TopicMeta] =
     refreshMetadata(topics).topics
 
-  override def allTopics(): Seq[String] = bootstrap.allTopics()
+  override def allTopics(): Seq[String] = anyReachable(_.allTopics())
 
   override def listOffset(topic: String, partition: Int, timestamp: Long): Long =
     onLeader(topic, partition)(_.listOffset(topic, partition, timestamp))
@@ -107,8 +199,8 @@ final class KafkaClusterClient(bootstrapHost: String, bootstrapPort: Int,
     * allocation is served by any broker.
     */
   def initProducerId(transactionalId: String = null): (Long, Short) =
-    if (transactionalId == null) bootstrap.initProducerId()
-    else coordinator(transactionalId).initProducerId(transactionalId)
+    if (transactionalId == null) anyReachable(_.initProducerId())
+    else onCoordinator(transactionalId)(_.initProducerId(transactionalId))
 
   def addPartitionsToTxn(transactionalId: String, pid: Long, epoch: Short,
       topic: String, partitions: Seq[Int]): Unit =
@@ -122,11 +214,12 @@ final class KafkaClusterClient(bootstrapHost: String, bootstrapPort: Int,
   override def commitOffsets(group: String, topic: String,
       offsets: Map[Int, Long], metadata: String = null,
       generation: Int = -1): Unit =
-    coordinator(group).commitOffsets(group, topic, offsets, metadata, generation)
+    onCoordinator(group)(
+      _.commitOffsets(group, topic, offsets, metadata, generation))
 
   override def committedOffsets(group: String, topic: String,
       partitions: Seq[Int]): Map[Int, Long] =
-    coordinator(group).committedOffsets(group, topic, partitions)
+    onCoordinator(group)(_.committedOffsets(group, topic, partitions))
 
   /** Per-partition lag: committed (coordinator) vs log end (leaders). */
   def groupLag(group: String, topic: String,

@@ -41,6 +41,20 @@ import java.util.zip.CRC32C
   */
 object KafkaCodec {
 
+  /** A broker-reported protocol error, carrying its numeric code so
+    * routing layers can react to the RETRIABLE subset
+    * (NOT_LEADER_FOR_PARTITION / NOT_COORDINATOR → refresh metadata and
+    * re-route, the loop a real client runs on leader failover) instead
+    * of string-matching a require() message.
+    */
+  // extends IllegalArgumentException so it substitutes for the
+  // require()-based failures it replaces (specs pin that type)
+  final class KafkaWireException(val code: Int, message: String)
+      extends IllegalArgumentException(message) {
+    def retriable: Boolean =
+      code == Err.NotLeaderForPartition || code == Err.NotCoordinator
+  }
+
   /** One decoded record on the wire: null key/value are real protocol
     * states (tombstones), carried as null arrays. `control` marks a
     * record from a control batch (a transaction COMMIT/ABORT marker) —

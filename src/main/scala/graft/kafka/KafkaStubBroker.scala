@@ -141,6 +141,10 @@ final class KafkaStubBroker(val numPartitions: Int = 3,
   private val running = new AtomicBoolean(false)
   @volatile private var server: ServerSocket = _
   @volatile private var acceptor: Thread = _
+  // live accepted sockets: a FAILED broker must kill in-flight
+  // connections too (clients see a reset mid-request, the real crash
+  // signature), not just refuse new ones
+  private val liveConns = ConcurrentHashMap.newKeySet[Socket]()
 
   /** Total produce requests served (test hook, chunking assertions). */
   val produceRequests = new java.util.concurrent.atomic.AtomicLong(0L)
@@ -169,6 +173,8 @@ final class KafkaStubBroker(val numPartitions: Int = 3,
   def stop(): Unit = {
     running.set(false)
     if (server != null) server.close()
+    liveConns.forEach(s => try s.close() catch { case _: Exception => () })
+    liveConns.clear()
   }
 
   /** Partition high watermark (test hook). */
@@ -189,6 +195,7 @@ final class KafkaStubBroker(val numPartitions: Int = 3,
     logs.computeIfAbsent((topic, partition), _ => new ArrayBuffer[StoredRecord]())
 
   private def serve(sock: Socket): Unit = {
+    liveConns.add(sock)
     try {
       // mirror the client's TCP_NODELAY: without it the kernel's
       // Nagle/delayed-ACK interaction stalls each request-response
@@ -254,7 +261,10 @@ final class KafkaStubBroker(val numPartitions: Int = 3,
       case _: java.net.SocketException => // client/server closed
       case e: Exception =>
         System.err.println(s"[KafkaStub] ${e.getClass.getName}: ${e.getMessage}")
-    } finally sock.close()
+    } finally {
+      liveConns.remove(sock)
+      sock.close()
+    }
   }
 
   /** SaslHandshake v1: agree on a mechanism. Only PLAIN is enabled (and
@@ -330,10 +340,12 @@ final class KafkaStubBroker(val numPartitions: Int = 3,
     // partitions, like a broker with auto.create.topics.enable=true
     requested.foreach(t => (0 until numPartitions).foreach(p => logFor(t, p)))
     val buf = ByteBuffer.allocate(64 * 1024)
-    // brokers: the whole cluster (any broker serves full metadata —
-    // that is what makes one bootstrap endpoint enough)
+    // brokers: the ALIVE cluster members (any alive broker serves full
+    // metadata — that is what makes one bootstrap endpoint enough; a
+    // failed broker drops out of the list, so routing clients stop
+    // dialing it after one refresh)
     val nodes = clusterOpt
-      .map(_.brokers.map(b => (b.brokerId, "127.0.0.1", b.port)))
+      .map(_.aliveBrokers.map(b => (b.brokerId, "127.0.0.1", b.port)))
       .getOrElse(Seq((brokerId, "127.0.0.1", port)))
     buf.putInt(nodes.size)
     nodes.foreach { case (id, host, p) =>
@@ -351,11 +363,16 @@ final class KafkaStubBroker(val numPartitions: Int = 3,
       buf.putInt(numPartitions)
       (0 until numPartitions).foreach { p =>
         val leader = clusterOpt.map(_.leaderOf(p)).getOrElse(brokerId)
+        // replicas = the ASSIGNMENT (dead members included, like real
+        // metadata); isr = the alive subset still in sync
+        val replicas = clusterOpt.map(_.replicasOf(p)).getOrElse(Seq(brokerId))
+        val isr = clusterOpt
+          .map(c => replicas.filter(c.isAlive)).getOrElse(replicas)
         buf.putShort(Err.None.toShort)
         buf.putInt(p)
         buf.putInt(leader)
-        buf.putInt(1); buf.putInt(leader) // replicas [leader]
-        buf.putInt(1); buf.putInt(leader) // isr [leader]
+        buf.putInt(replicas.size); replicas.foreach(buf.putInt)
+        buf.putInt(isr.size); isr.foreach(buf.putInt)
       }
     }
     buf.flip()
@@ -491,6 +508,15 @@ final class KafkaStubBroker(val numPartitions: Int = 3,
                     if (!open.contains(meta.producerId))
                       openTxns.put(key, open + (meta.producerId -> base))
                   }
+                  // acks=all: forward the committed append to every
+                  // alive follower BEFORE the ack leaves (synchronous
+                  // inside the leader's log section, so per-partition
+                  // replication order equals append order). Lock order
+                  // is always leader-log → follower-log for one
+                  // partition, and a partition has exactly one leader —
+                  // no cycle.
+                  clusterOpt.foreach(_.onFollowers(partition, brokerId)(
+                    _.applyReplicatedData(topic, partition, meta, records, base)))
                   if (firstBase < 0) firstBase = base
               }
               (err, firstBase)
@@ -806,8 +832,18 @@ final class KafkaStubBroker(val numPartitions: Int = 3,
           else if (partition < 0 || partition >= numPartitions)
             Err.UnknownTopicOrPartition
           else {
-            groupOffsets.put((group, topic, partition),
-              (offset, if (metadata == null) "" else metadata))
+            val stored = (offset, if (metadata == null) "" else metadata)
+            groupOffsets.put((group, topic, partition), stored)
+            // replicate across the group's standby coordinators so a
+            // coordinator loss doesn't lose committed positions (the
+            // __consumer_offsets topic's replication, collapsed)
+            clusterOpt.foreach { c =>
+              c.coordinatorReplicas(group).foreach { id =>
+                if (id != brokerId && c.isAlive(id))
+                  c.brokerAt(id).mirrorGroupOffset(group, topic, partition,
+                    stored._1, stored._2)
+              }
+            }
             Err.None
           }
         (topic, partition, err)
@@ -922,10 +958,20 @@ final class KafkaStubBroker(val numPartitions: Int = 3,
   /** Append a transaction control marker to a partition THIS broker
     * leads, retiring the producer's open-txn state — the internal
     * coordinator→leader WriteTxnMarkers hop (in-process here; a real
-    * cluster sends it broker-to-broker). Package-private: only the
-    * transaction coordinator calls it.
+    * cluster sends it broker-to-broker) — then replicate the marker to
+    * the partition's alive followers (who hold the same open-txn state
+    * from replicated data batches, so they derive the same
+    * aborted-range bookkeeping). Package-private: only the transaction
+    * coordinator calls it.
     */
   private[kafka] def appendControlMarker(topic: String, partition: Int,
+      pid: Long, epoch: Short, commit: Boolean): Unit = {
+    appendMarkerLocal(topic, partition, pid, epoch, commit)
+    clusterOpt.foreach(_.onFollowers(partition, brokerId)(
+      _.appendMarkerLocal(topic, partition, pid, epoch, commit)))
+  }
+
+  private def appendMarkerLocal(topic: String, partition: Int,
       pid: Long, epoch: Short, commit: Boolean): Unit = {
     val log = logFor(topic, partition)
     log.synchronized {
@@ -944,43 +990,176 @@ final class KafkaStubBroker(val numPartitions: Int = 3,
       }
     }
   }
+
+  /** Follower-side apply of a leader's committed append — the
+    * replication hop behind acks=all (leader-push; a real follower
+    * pulls). The log must be exactly at the leader's base offset
+    * (per-partition replication is serialized inside the leader's
+    * append section), and producer/transaction state is REBUILT from
+    * the replicated batch the way a real follower's
+    * ProducerStateManager rebuilds from its log — so a promoted leader
+    * keeps fencing retried idempotent batches seamlessly.
+    */
+  private[kafka] def applyReplicatedData(topic: String, partition: Int,
+      meta: BatchMeta, records: Vector[WireRecord], base: Long): Unit = {
+    val log = logFor(topic, partition)
+    log.synchronized {
+      require(log.length.toLong == base,
+        s"replica divergence on $topic/$partition: follower log at " +
+          s"${log.length}, leader appended at $base")
+      records.zipWithIndex.foreach { case (r, i) =>
+        log += StoredRecord(base + i, r.timestampMs, r.key, r.value,
+          meta.producerId, meta.producerEpoch, meta.transactional)
+      }
+      if (meta.idempotent) {
+        val stateKey = (topic, partition, meta.producerId)
+        val st = producerState.getOrDefault(stateKey, PidState((-1).toShort, Nil))
+        val ranges = if (meta.producerEpoch > st.epoch) Nil else st.ranges
+        producerState.put(stateKey, PidState(meta.producerEpoch,
+          (SeqRange(meta.baseSequence, meta.numRecords, base) :: ranges).take(5)))
+      }
+      if (meta.transactional) {
+        val key = (topic, partition)
+        val open = openTxns.getOrDefault(key, Map.empty)
+        if (!open.contains(meta.producerId))
+          openTxns.put(key, open + (meta.producerId -> base))
+      }
+    }
+  }
+
+  /** Standby-coordinator mirror of a group-offset commit (the
+    * __consumer_offsets topic's replication, collapsed to a direct
+    * put). Package-private: only the active coordinator calls it.
+    */
+  private[kafka] def mirrorGroupOffset(group: String, topic: String,
+      partition: Int, offset: Long, metadata: String): Unit =
+    groupOffsets.put((group, topic, partition), (offset, metadata))
 }
 
 /** An in-process multi-broker Kafka cluster: `nBrokers` stub brokers
-  * sharing nothing but the static role assignment — partition `p` of
-  * every topic is led by broker `p % nBrokers`, and group /
-  * transactional key `k` is coordinated by broker
-  * `floorMod(k.hashCode, nBrokers)`. Each broker stores only the
-  * partitions it leads and answers data APIs for anything else with
-  * NOT_LEADER_FOR_PARTITION / NOT_COORDINATOR, exactly the errors that
-  * drive a real client's metadata-refresh-and-re-route loop. Any
-  * broker serves full cluster metadata, so one bootstrap endpoint is
-  * enough — the property `format("kafka-wire")`'s planner relies on.
+  * sharing nothing but role assignment — partition `p` of every topic
+  * is assigned the replica set `[p % n, (p+1) % n, ...]`
+  * (`replicationFactor` entries, preferred leader first), and group /
+  * transactional key `k` is coordinated by the first ALIVE broker of
+  * `[floorMod(hash(k), n), +1, ...]`. Each broker stores only the
+  * partitions it replicates and answers data APIs only for partitions
+  * it LEADS — anything else is NOT_LEADER_FOR_PARTITION /
+  * NOT_COORDINATOR, exactly the errors that drive a real client's
+  * metadata-refresh-and-re-route loop. Any alive broker serves full
+  * cluster metadata, so one bootstrap endpoint is enough — the
+  * property `format("kafka-wire")`'s planner relies on.
+  *
+  * REPLICATION (`replicationFactor` > 1): a leader forwards every
+  * committed append — data batches and transaction control markers —
+  * synchronously to its alive followers before acking, the acks=all +
+  * min.insync.replicas contract (leader-push here where a real
+  * follower pulls; same durability, documented simplification).
+  * Followers rebuild producer/transaction state from the replicated
+  * log exactly like a real ProducerStateManager, so a promoted leader
+  * keeps fencing retried idempotent batches. Group-offset commits
+  * replicate across the coordinator's standby set (the
+  * __consumer_offsets topic's own replication, collapsed).
+  *
+  * FAILOVER: [[failBroker]] kills a broker (server socket AND live
+  * connections — clients see resets, not clean request errors),
+  * promotes the next alive replica of every partition it led with a
+  * bumped leader epoch, and re-routes coordination to each key's next
+  * alive standby. Acked records survive the loss — the replication
+  * guarantee a 1000-executor pipeline banks on.
   *
   * What this proves at scale: record bytes flow executor↔leader, so
   * aggregate produce/fetch bandwidth grows with the broker count
-  * instead of funneling through a single endpoint. Deliberately NOT
-  * modeled (COVERAGE.md non-goals): replication (each partition has
-  * one replica, its leader), leader failover/epochs, and rack
-  * awareness.
+  * instead of funneling through a single endpoint, and a broker loss
+  * moves traffic to promoted replicas without losing acked data.
+  * Deliberately NOT modeled (COVERAGE.md non-goals): follower-pull
+  * replication lag / ISR shrink-expand, transaction-coordinator state
+  * failover (a txn through a dead coordinator restarts under its
+  * successor), and rack awareness.
   */
 final class KafkaStubCluster(nBrokers: Int, numPartitions: Int = 3,
     compressionType: String = "none",
-    saslUsers: Map[String, String] = Map.empty) {
+    saslUsers: Map[String, String] = Map.empty,
+    replicationFactor: Int = 1) {
   require(nBrokers >= 1, s"nBrokers must be >= 1, got $nBrokers")
+  require(replicationFactor >= 1 && replicationFactor <= nBrokers,
+    s"replicationFactor must be in [1, $nBrokers], got $replicationFactor")
 
   val brokers: Seq[KafkaStubBroker] = (0 until nBrokers).map { id =>
     new KafkaStubBroker(numPartitions, compressionType, id, this, saslUsers)
   }
 
-  def leaderOf(partition: Int): Int = math.floorMod(partition, nBrokers)
-  def coordinatorOf(key: String): Int = math.floorMod(key.hashCode, nBrokers)
+  private val aliveArr: Array[Boolean] = Array.fill(nBrokers)(true)
+  // partition -> current leader (preferred initially) and leader epoch,
+  // bumped on every promotion; transitions serialized by leaderLock
+  private val leaderLock = new Object
+  @volatile private var leaderMap: Map[Int, Int] =
+    (0 until numPartitions).map(p => p -> math.floorMod(p, nBrokers)).toMap
+  @volatile private var leaderEpochs: Map[Int, Int] =
+    (0 until numPartitions).map(_ -> 0).toMap
+
+  /** The partition's replica set, preferred leader first. */
+  def replicasOf(partition: Int): Seq[Int] =
+    (0 until replicationFactor)
+      .map(i => math.floorMod(partition + i, nBrokers))
+
+  def isAlive(id: Int): Boolean = aliveArr.synchronized(aliveArr(id))
+  def aliveBrokers: Seq[KafkaStubBroker] =
+    brokers.filter(b => isAlive(b.brokerId))
+
+  def leaderOf(partition: Int): Int = leaderMap(partition)
+  def leaderEpoch(partition: Int): Int = leaderEpochs(partition)
+
+  /** The key's coordinator: first ALIVE broker of its standby set. */
+  def coordinatorOf(key: String): Int =
+    coordinatorReplicas(key).find(isAlive).getOrElse(
+      throw new IllegalStateException(s"no alive coordinator replica for '$key'"))
+
+  /** The standby set group-offset commits replicate across (the
+    * __consumer_offsets replication, collapsed to a direct mirror).
+    */
+  def coordinatorReplicas(key: String): Seq[Int] =
+    (0 until replicationFactor)
+      .map(i => math.floorMod(key.hashCode + i, nBrokers))
+
   def brokerAt(id: Int): KafkaStubBroker = brokers(id)
 
-  /** Any broker bootstraps the whole cluster; use the first. */
-  def bootstrap: String = brokers.head.bootstrap
-  def bootstrapPort: Int = brokers.head.port
+  /** Leader-side replication fan-out: apply `f` to every ALIVE
+    * follower replica of `partition`, synchronously — the acks=all
+    * barrier. The caller is the leader, excluded by id.
+    */
+  private[kafka] def onFollowers(partition: Int, leaderId: Int)(
+      f: KafkaStubBroker => Unit): Unit =
+    replicasOf(partition).foreach { id =>
+      if (id != leaderId && isAlive(id)) f(brokers(id))
+    }
+
+  /** Kill broker `id`: its sockets die (live connections reset, not
+    * polite errors), every partition it led promotes the next alive
+    * replica with a bumped leader epoch, coordination moves to each
+    * key's next alive standby. Fails loudly if a led partition would
+    * be left with NO alive replica — that is acked-data loss, a test
+    * bug here (a real cluster marks the partition offline).
+    */
+  def failBroker(id: Int): Unit = leaderLock.synchronized {
+    require(isAlive(id), s"broker $id already failed")
+    aliveArr.synchronized { aliveArr(id) = false }
+    brokers(id).stop()
+    leaderMap = leaderMap.map { case (p, leader) =>
+      if (leader != id) p -> leader
+      else {
+        val promoted = replicasOf(p).find(isAlive).getOrElse(
+          throw new IllegalStateException(
+            s"partition $p lost its last replica (rf=$replicationFactor)"))
+        leaderEpochs += p -> (leaderEpochs(p) + 1)
+        p -> promoted
+      }
+    }
+  }
+
+  /** Any ALIVE broker bootstraps the whole cluster; use the first. */
+  def bootstrap: String = aliveBrokers.head.bootstrap
+  def bootstrapPort: Int = aliveBrokers.head.port
 
   def start(): Unit = brokers.foreach(_.start())
-  def stop(): Unit = brokers.foreach(_.stop())
+  def stop(): Unit = aliveBrokers.foreach(_.stop())
 }

@@ -258,7 +258,8 @@ final class KafkaWireClient(host: String, port: Int,
     val err = resp.getShort.toInt
     val baseOffset = resp.getLong
     resp.getLong // log_append_time
-    require(err == Err.None, s"Produce error $err on $topic/$partition")
+    if (err != Err.None)
+      throw new KafkaWireException(err, s"Produce error $err on $topic/$partition")
     baseOffset
   }
 
@@ -332,15 +333,17 @@ final class KafkaWireClient(host: String, port: Int,
   def fetchAll(topic: String, partition: Int, offset: Long = 0L,
       readCommitted: Boolean = false): Seq[WireRecord] = {
     val first = fetch(topic, partition, offset, readCommitted = readCommitted)
-    require(first.errorCode == Err.None,
-      s"fetch error ${first.errorCode} on $topic/$partition@$offset")
+    if (first.errorCode != Err.None)
+      throw new KafkaWireException(first.errorCode,
+        s"fetch error ${first.errorCode} on $topic/$partition@$offset")
     val target = if (readCommitted) first.lastStableOffset else first.highWatermark
     val acc = Seq.newBuilder[WireRecord]
     acc ++= first.records
     var next = if (first.nextOffset >= 0) first.nextOffset else offset
     while (next < target) {
       val r = fetch(topic, partition, next, readCommitted = readCommitted)
-      require(r.errorCode == Err.None, s"fetch error ${r.errorCode} at $next")
+      if (r.errorCode != Err.None)
+        throw new KafkaWireException(r.errorCode, s"fetch error ${r.errorCode} at $next")
       require(r.nextOffset > next, s"stalled fetch at $next < target $target")
       acc ++= r.records
       next = r.nextOffset
@@ -374,7 +377,8 @@ final class KafkaWireClient(host: String, port: Int,
     require(nParts == 1)
     resp.getInt // partition
     val err = resp.getShort.toInt
-    require(err == Err.None, s"ListOffsets error $err")
+    if (err != Err.None)
+      throw new KafkaWireException(err, s"ListOffsets error $err")
     resp.getLong // timestamp
     resp.getLong
   }
@@ -388,7 +392,8 @@ final class KafkaWireClient(host: String, port: Int,
     writeString(body, group)
     val resp = send(Api.FindCoordinator, 0, body)
     val err = resp.getShort.toInt
-    require(err == Err.None, s"FindCoordinator error $err for group $group")
+    if (err != Err.None)
+      throw new KafkaWireException(err, s"FindCoordinator error $err for group $group")
     val nodeId = resp.getInt
     val host = readString(resp)
     val port = resp.getInt
@@ -427,7 +432,8 @@ final class KafkaWireClient(host: String, port: Int,
       (0 until n).foreach { _ =>
         val p = resp.getInt
         val err = resp.getShort.toInt
-        require(err == Err.None, s"OffsetCommit error $err on $topic/$p")
+        if (err != Err.None)
+          throw new KafkaWireException(err, s"OffsetCommit error $err on $topic/$p")
       }
     }
   }
@@ -457,7 +463,8 @@ final class KafkaWireClient(host: String, port: Int,
         val offset = resp.getLong
         readNullableString(resp) // metadata
         val err = resp.getShort.toInt
-        require(err == Err.None, s"OffsetFetch error $err on $topic/$p")
+        if (err != Err.None)
+          throw new KafkaWireException(err, s"OffsetFetch error $err on $topic/$p")
         if (offset >= 0) out += p -> offset
       }
     }

@@ -113,9 +113,25 @@ final class KafkaWireSourceProvider extends TableProvider with DataSourceRegiste
     require(saslMechanism.isEmpty || saslJaas.isDefined,
       "kafka-wire: sasl.mechanism=PLAIN requires sasl.jaas.config")
     val sasl = saslJaas.map(KafkaWireClient.SaslPlain.fromJaas)
+    // the stock `kafka.bootstrap.servers` comma list, or the pair of
+    // `host`/`port` options (back-compat). With a list, the first entry
+    // is the primary dial and the rest seed the failover dial order —
+    // a fresh client survives its first bootstrap broker being down.
+    val servers = Option(opts.get("kafka.bootstrap.servers"))
+      .orElse(Option(opts.get("bootstrap.servers")))
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty).map { hp =>
+        val i = hp.lastIndexOf(':')
+        require(i > 0, s"kafka-wire: malformed bootstrap server '$hp'")
+        (hp.substring(0, i), Integer.parseInt(hp.substring(i + 1)))
+      })
+      .getOrElse {
+        require(opts.get("host") != null && opts.get("port") != null,
+          "kafka-wire: set kafka.bootstrap.servers or host+port")
+        Seq((opts.get("host"), Integer.parseInt(opts.get("port"))))
+      }
     new KafkaWireTable(KafkaWireConf(
-      opts.get("host"),
-      Integer.parseInt(opts.get("port")),
+      servers.head._1,
+      servers.head._2,
       Option(opts.get("topic")).getOrElse(opts.get("subscribe")),
       maxPerTrigger,
       Option(opts.get("startingOffsets")).getOrElse("earliest"),
@@ -128,7 +144,8 @@ final class KafkaWireSourceProvider extends TableProvider with DataSourceRegiste
       transactionalId,
       groupId,
       subscribePattern,
-      sasl))
+      sasl,
+      servers.tail))
   }
 }
 
@@ -224,7 +241,8 @@ final case class KafkaWireConf(host: String, port: Int, topic: String,
     transactionalId: Option[String] = None,
     groupId: Option[String] = None,
     subscribePattern: Option[String] = None,
-    sasl: Option[KafkaWireClient.SaslPlain] = None) {
+    sasl: Option[KafkaWireClient.SaslPlain] = None,
+    extraBootstrap: Seq[(String, Int)] = Nil) {
   /** `subscribe` takes a comma-separated topic LIST (stock-connector
     * contract); reads plan every partition of every listed topic.
     * Writes take exactly one — or none, routing on the `topic` column.
@@ -419,7 +437,7 @@ final class KafkaWireTable(conf: KafkaWireConf)
             s"'topic' column (got '${conf.topic}')")
         new KafkaWireWrite(conf.host, conf.port, conf.topics.headOption.orNull,
           info.schema(), conf.gzip, conf.idempotence, conf.transactionalId,
-          conf.sasl)
+          conf.sasl, conf.extraBootstrap)
       }
     }
 }
@@ -439,7 +457,8 @@ final class KafkaWireWrite(host: String, port: Int, topic: String,
     schema: StructType, gzip: Boolean = false,
     idempotence: Boolean = false,
     transactionalId: Option[String] = None,
-    sasl: Option[KafkaWireClient.SaslPlain] = None) extends Write {
+    sasl: Option[KafkaWireClient.SaslPlain] = None,
+    extraBootstrap: Seq[(String, Int)] = Nil) extends Write {
 
   private def factoryParams: KafkaWireWriterParams = {
     val keyIdx = schema.fieldNames.indexOf("key")
@@ -472,7 +491,7 @@ final class KafkaWireWrite(host: String, port: Int, topic: String,
     KafkaWireWriterParams(host, port, Option(topic),
       if (topic == null) topicIdx else -1, nPartsFixed,
       keyIdx, keyIsString, valueIdx, valueIsString, gzip, idempotence, tsIdx,
-      transactionalId, sasl)
+      transactionalId, sasl, extraBootstrap)
   }
 
   override def toBatch: BatchWrite = {
@@ -503,7 +522,8 @@ final case class KafkaWireWriterParams(host: String, port: Int,
     valueIdx: Int, valueIsString: Boolean, gzip: Boolean = false,
     idempotence: Boolean = false, tsIdx: Int = -1,
     transactionalId: Option[String] = None,
-    sasl: Option[KafkaWireClient.SaslPlain] = None)
+    sasl: Option[KafkaWireClient.SaslPlain] = None,
+    extraBootstrap: Seq[(String, Int)] = Nil)
 
 final case class KafkaWireWriterFactory(params: KafkaWireWriterParams)
     extends DataWriterFactory with StreamingDataWriterFactory {
@@ -530,7 +550,8 @@ final class KafkaWireDataWriter(params: KafkaWireWriterParams, sparkPartition: I
   // cluster-aware: each (topic, partition) flush lands on its LEADER,
   // transaction APIs on the id's coordinator; one socket per broker
   // actually touched (single-broker mode degenerates to one socket)
-  private val client = new KafkaClusterClient(host, port, sasl = params.sasl)
+  private val client = new KafkaClusterClient(host, port, sasl = params.sasl,
+    extraBootstrap = params.extraBootstrap)
   // transactional.id: this task's transaction identity is STABLE across
   // task retries (it derives from the Spark partition id, not the
   // attempt), so a retry's InitProducerId fences the failed attempt and
@@ -643,7 +664,8 @@ final class KafkaWireScan(conf: KafkaWireConf) extends Scan {
     */
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] = {
-      val c = new KafkaClusterClient(host, port, sasl = conf.sasl)
+      val c = new KafkaClusterClient(host, port, sasl = conf.sasl,
+        extraBootstrap = conf.extraBootstrap)
       try {
         val partsByTopic = c.metadata(conf.resolveTopics(c))
           .map(tm => tm.topic -> tm.partitions.map(_.partition)).toMap
@@ -693,7 +715,8 @@ final class KafkaWireMicroBatchStream(conf: KafkaWireConf)
   // it). Cluster-aware: ListOffsets route to partition leaders, group
   // commits to the coordinator.
   @transient private lazy val client =
-    new KafkaClusterClient(host, port, sasl = conf.sasl)
+    new KafkaClusterClient(host, port, sasl = conf.sasl,
+      extraBootstrap = conf.extraBootstrap)
   @transient private lazy val partsByTopic: Map[String, Seq[Int]] = {
     // metadata auto-creates the topics on the stub, fixing partition
     // counts before the first offset poll; a subscribePattern resolves

@@ -156,15 +156,17 @@ class KafkaWireSpec extends AnyFunSuite {
 
   // ---- client ↔ broker over TCP ----
 
-  test("ApiVersions advertises the eleven spoken APIs") {
+  test("ApiVersions advertises the thirteen spoken APIs") {
     withBroker() { broker =>
       withClient(broker) { c =>
         val v = c.apiVersions()
         // produce/fetch/listOffsets/metadata, the group-offset trio,
-        // apiVersions, and the KIP-98 idempotence+transactions trio
-        assert(v.keySet == Set(0, 1, 2, 3, 8, 9, 10, 18, 22, 24, 26))
+        // apiVersions, the SASL pair, and the KIP-98
+        // idempotence+transactions trio
+        assert(v.keySet == Set(0, 1, 2, 3, 8, 9, 10, 17, 18, 22, 24, 26, 36))
         assert(v(0) == (3, 3) && v(1) == (4, 4))
         assert(v(8) == (2, 2) && v(9) == (1, 1) && v(10) == (0, 0))
+        assert(v(17) == (1, 1) && v(36) == (0, 0))
       }
     }
   }
