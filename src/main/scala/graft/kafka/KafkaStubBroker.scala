@@ -73,10 +73,7 @@ final class KafkaStubBroker(val numPartitions: Int = 3,
   private def coordinates(key: String): Boolean =
     clusterOpt.forall(_.coordinatorOf(key) == brokerId)
 
-  private final case class StoredRecord(
-      offset: Long, timestampMs: Long, key: Array[Byte], value: Array[Byte],
-      pid: Long = -1L, epoch: Short = -1, transactional: Boolean = false,
-      control: Boolean = false)
+  import KafkaStubBroker.{PartitionSnapshot, PidState, SeqRange, StoredRecord}
 
   // partition log: append-only; all access synchronized on the buffer
   private val logs = new ConcurrentHashMap[(String, Int), ArrayBuffer[StoredRecord]]()
@@ -91,12 +88,10 @@ final class KafkaStubBroker(val numPartitions: Int = 3,
   // hand out the same producer id
   private val basePid = 1000L + brokerId * 1000000L
   private val nextPid = new java.util.concurrent.atomic.AtomicLong(basePid)
-  private final case class SeqRange(baseSeq: Int, count: Int, baseOffset: Long)
   // per-partition producer state is EPOCH-aware: a bumped epoch resets
   // the sequence space (the retried transactional producer starts at
   // seq 0 again), a stale epoch is fenced — real ProducerStateManager
   // semantics
-  private final case class PidState(epoch: Short, ranges: List[SeqRange])
   private val producerState =
     new ConcurrentHashMap[(String, Int, Long), PidState]()
 
@@ -1034,6 +1029,74 @@ final class KafkaStubBroker(val numPartitions: Int = 3,
   private[kafka] def mirrorGroupOffset(group: String, topic: String,
       partition: Int, offset: Long, metadata: String): Unit =
     groupOffsets.put((group, topic, partition), (offset, metadata))
+
+  // ---- restart catch-up (cluster-internal state transfer) ----
+
+  /** A consistent copy of one partition's full replica state — log,
+    * producer state, open transactions, aborted ranges — taken under
+    * the partition's append lock. The unit a restarted broker catches
+    * up with ([[KafkaStubCluster.restartBroker]]).
+    */
+  private[kafka] def snapshotPartition(topic: String,
+      partition: Int): PartitionSnapshot = {
+    val log = logFor(topic, partition)
+    log.synchronized {
+      PartitionSnapshot(
+        log.toVector,
+        producerState.asScala.collect {
+          case ((t, p, pid), st) if t == topic && p == partition => pid -> st
+        }.toMap,
+        openTxns.getOrDefault((topic, partition), Map.empty),
+        abortedTxns.getOrDefault((topic, partition), Nil))
+    }
+  }
+
+  /** Replace this replica's state for one partition with a leader's
+    * snapshot — idempotent full-state install (simpler than a suffix
+    * copy and equivalent for a quiesced partition).
+    */
+  private[kafka] def installSnapshot(topic: String, partition: Int,
+      snap: PartitionSnapshot): Unit = {
+    val log = logFor(topic, partition)
+    log.synchronized {
+      log.clear()
+      log ++= snap.records
+      producerState.keySet.removeIf(k => k._1 == topic && k._2 == partition)
+      snap.producers.foreach { case (pid, st) =>
+        producerState.put((topic, partition, pid), st)
+      }
+      openTxns.put((topic, partition), snap.openTxns)
+      if (snap.abortedTxns.nonEmpty)
+        abortedTxns.put((topic, partition), snap.abortedTxns)
+      else abortedTxns.remove((topic, partition))
+    }
+  }
+
+  /** Group-offset entries this broker holds (restart catch-up input). */
+  private[kafka] def groupOffsetEntries: Seq[((String, String, Int), (Long, String))] =
+    groupOffsets.asScala.toSeq
+}
+
+object KafkaStubBroker {
+  private[kafka] final case class StoredRecord(
+      offset: Long, timestampMs: Long, key: Array[Byte], value: Array[Byte],
+      pid: Long = -1L, epoch: Short = -1, transactional: Boolean = false,
+      control: Boolean = false)
+
+  private[kafka] final case class SeqRange(baseSeq: Int, count: Int,
+      baseOffset: Long)
+
+  private[kafka] final case class PidState(epoch: Short,
+      ranges: List[SeqRange])
+
+  /** One partition's full replica state, copied atomically for restart
+    * catch-up.
+    */
+  private[kafka] final case class PartitionSnapshot(
+      records: Vector[StoredRecord],
+      producers: Map[Long, PidState],
+      openTxns: Map[Long, Long],
+      abortedTxns: List[(Long, Long, Long)])
 }
 
 /** An in-process multi-broker Kafka cluster: `nBrokers` stub brokers
@@ -1154,6 +1217,39 @@ final class KafkaStubCluster(nBrokers: Int, numPartitions: Int = 3,
         p -> promoted
       }
     }
+  }
+
+  /** Restart a failed broker: it re-binds (on a fresh port — metadata
+    * propagates the new endpoint, clients re-route on refresh), CATCHES
+    * UP every partition it replicates with a full-state snapshot from
+    * the partition's current leader (log, producer state, open/aborted
+    * transactions) plus the group offsets of every group it stands by
+    * for, then rejoins the alive set — resuming follower duty and,
+    * where it is first in a standby list, coordination. Leadership does
+    * NOT move back (no preferred-leader election, like a real cluster
+    * until one is triggered). Catch-up assumes a quiesced window — a
+    * real rejoin runs the follower-pull fetch protocol to chase a live
+    * leader, which is out of scope (COVERAGE.md).
+    */
+  def restartBroker(id: Int): Unit = leaderLock.synchronized {
+    require(!isAlive(id), s"broker $id is alive; nothing to restart")
+    brokers(id).start()
+    val topics = aliveBrokers.flatMap(_.topics).toSet
+    for (p <- 0 until numPartitions if replicasOf(p).contains(id)) {
+      val leader = brokers(leaderOf(p))
+      topics.foreach { t =>
+        brokers(id).installSnapshot(t, p, leader.snapshotPartition(t, p))
+      }
+    }
+    // group offsets: merge every alive holder's entries for groups this
+    // broker stands by for (the __consumer_offsets partitions it hosts)
+    aliveBrokers.foreach { b =>
+      b.groupOffsetEntries.foreach { case ((group, topic, partition), (off, meta)) =>
+        if (coordinatorReplicas(group).contains(id))
+          brokers(id).mirrorGroupOffset(group, topic, partition, off, meta)
+      }
+    }
+    aliveArr.synchronized { aliveArr(id) = true }
   }
 
   /** Any ALIVE broker bootstraps the whole cluster; use the first. */

@@ -847,11 +847,19 @@ final class KafkaWireMicroBatchStream(conf: KafkaWireConf)
     try client.close() catch { case _: Exception => () }
 }
 
-/** One Kafka partition's [start, end) slice — the unit of executor work. */
+/** One Kafka partition's [start, end) slice — the unit of executor work.
+  * `preferredLocations` surfaces the leader's host so a cluster
+  * scheduler can co-locate the reading task with the broker holding
+  * the data (the stock connector's locality hint; a no-op on
+  * local[N], load-bearing on a 1000-executor cluster where
+  * rack/host-local fetches skip the spine).
+  */
 final case class KafkaWireInputPartition(host: String, port: Int, topic: String,
     partition: Int, startOffset: Long, endOffset: Long,
     readCommitted: Boolean = false,
-    sasl: Option[KafkaWireClient.SaslPlain] = None) extends InputPartition
+    sasl: Option[KafkaWireClient.SaslPlain] = None) extends InputPartition {
+  override def preferredLocations(): Array[String] = Array(host)
+}
 
 object KafkaWireReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =

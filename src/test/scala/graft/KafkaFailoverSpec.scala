@@ -168,6 +168,59 @@ class KafkaFailoverSpec extends AnyFunSuite {
     }
   }
 
+  test("restarted broker catches up missed appends and resumes follower duty") {
+    withCluster() { cluster =>
+      val c = new KafkaClusterClient("127.0.0.1", cluster.brokers(1).port)
+      try {
+        c.metadata(Seq("rj"))
+        (0 until 3).foreach { p =>
+          c.produce("rj", p, Seq((1L, null, b(s"pre-$p"))))
+        }
+        cluster.failBroker(0)
+        // appends broker 0 misses while down (partitions 0 and 2 — its
+        // replica set under rf=2 with 3 brokers/partitions)
+        (0 until 3).foreach { p =>
+          c.produce("rj", p, Seq((2L, null, b(s"miss-$p"))))
+        }
+        cluster.restartBroker(0)
+        assert(cluster.isAlive(0))
+        // catch-up: broker 0 holds the full log of every partition it
+        // replicates (0 and 2), nothing of partition 1
+        assert(cluster.brokers(0).highWatermark("rj", 0) == 2L)
+        assert(cluster.brokers(0).highWatermark("rj", 2) == 2L)
+        assert(cluster.brokers(0).highWatermark("rj", 1) == 0L)
+        // leadership did NOT move back (no preferred-leader election)
+        assert(cluster.leaderOf(0) == 1)
+        // follower duty resumes: a post-restart acked append mirrors in
+        c.produce("rj", 0, Seq((3L, null, b("post-rejoin"))))
+        assert(cluster.brokers(0).highWatermark("rj", 0) == 3L)
+        // and the rejoined broker serves metadata again, on a live port
+        val m = new KafkaWireClient("127.0.0.1", cluster.brokers(0).port)
+        try assert(m.metadataFull(Seq("rj")).brokers.map(_.nodeId).sorted ==
+          Seq(0, 1, 2))
+        finally m.close()
+      } finally c.close()
+    }
+  }
+
+  test("restarted coordinator standby holds offsets committed while it was down") {
+    withCluster() { cluster =>
+      val group = "rejoin-group"
+      val c = new KafkaClusterClient("127.0.0.1", cluster.brokers(1).port)
+      try {
+        c.metadata(Seq("rg"))
+        val coord = cluster.coordinatorOf(group)
+        cluster.failBroker(coord)
+        c.commitOffsets(group, "rg", Map(0 -> 11L)) // lands on the successor
+        cluster.restartBroker(coord)
+        // coordination returns to the preferred (first-in-standby)
+        // broker, which caught up the offsets committed in its absence
+        assert(cluster.coordinatorOf(group) == coord)
+        assert(c.committedOffsets(group, "rg", Seq(0, 1, 2)) == Map(0 -> 11L))
+      } finally c.close()
+    }
+  }
+
   test("checkpointed stream resumes exactly-once across a broker loss") {
     withCluster() { cluster =>
       import spark.implicits._
