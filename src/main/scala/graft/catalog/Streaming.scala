@@ -98,6 +98,51 @@ object Streaming {
       .orderBy("user_id")
   }
 
+  // K3 maintenance at scale: the MINOR-compaction twin of
+  // q_sink_upsert_delta. The stream takes one full compaction early
+  // (establishing a large base), then every subsequent maintenance pass
+  // is compactDeltas — the LSM L0→L1 fold that rewrites O(delta bytes)
+  // and leaves the base untouched, the shape a 100 TB store runs per
+  // few micro-batches where a full fold would be a full-store rewrite.
+  // Deletes interleave so the fold must carry live tombstones (hiding
+  // base keys) without erasing them. Same oracle as the full-compaction
+  // twin restricted to surviving keys: maintenance policy must be
+  // invisible in the rows.
+  val deltaCompactMinor: QueryDef = QueryDef.sql("q_delta_compact_minor")(
+    """SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+      |  value AS last_value
+      |FROM (SELECT *, row_number() OVER
+      |        (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |      FROM events) t
+      |WHERE rn = 1 AND user_id % 10 <> 3 ORDER BY user_id""".stripMargin) { (s, dir) =>
+    val store = new DeltaUpsertStore(uniqueDir("delta_minor_"), "user_id",
+      Seq("ts", "event_id"))
+    require(store.healthCheck(), "sink preflight failed") // K5
+    var first = true
+    val q = Ingest.eventsStream(s, dir).writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Row], id: Long) =>
+        store.upsert(b.toDF(), id)
+        if (first) { store.compact(b.sparkSession); first = false }
+        else store.compactDeltas(b.sparkSession)
+      }
+      .option("checkpointLocation", uniqueDir("chk_delta_minor_"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // delete one key band AS OF after the feed, then fold the deltas:
+    // the tombstones must survive the fold and keep hiding base rows
+    val doomed = store.read(s).filter(col("user_id") % 10 === 3)
+      .select(col("user_id"),
+        (col("ts") + expr("INTERVAL 1 DAY")).as("ts"),
+        (col("event_id") + 1).as("event_id"))
+    store.delete(doomed, 999L)
+    store.compactDeltas(s)
+    store.read(s)
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("event_type").as("last_event_type"), col("value").as("last_value"))
+      .orderBy("user_id")
+  }
+
   // K3 at scale: the log-structured upsert store — per-batch delta
   // segments + interleaved compaction — must converge to the same
   // last-write-wins state as the read-merge-overwrite store, so it
@@ -1802,5 +1847,6 @@ object Streaming {
     streamKafkaGzip, kafkaWireAvro, kafkaWireIdempotent, kafkaWireTxn,
     kafkaWireGroupResume, kafkaWireMultiTopic, kafkaWireTopicRouting,
     kafkaWireCluster, kafkaWireSasl, kafkaWireFailover,
-    e2eKafkaEs, kafkaTopicTransform, deltaMerge, deltaCdf, streamCdcApply)
+    e2eKafkaEs, kafkaTopicTransform, deltaMerge, deltaCdf, streamCdcApply,
+    deltaCompactMinor)
 }

@@ -595,6 +595,53 @@ final class DeltaUpsertStore(root: String, keyCol: String, orderCols: Seq[String
       .foreach(deleteRecursively)
   }
 
+  /** MINOR compaction (the LSM L0→L1 fold): collapse only the DELTA
+    * segments — everything after the first segment — into one
+    * key-clustered segment, leaving the (large) head segment untouched.
+    * This is the 100 TB maintenance shape: rewrite cost is O(delta
+    * bytes) per call instead of [[compact]]'s O(store bytes), so a
+    * store taking a delta per micro-batch can fold its tail frequently
+    * and cheap, and run the full fold rarely. Read cost drops the same
+    * way — the merge window unions 2 segments, not N.
+    *
+    * Semantics are EXACTLY [[compact]]'s view with one difference:
+    * tombstones whose key may still exist in the head segment are
+    * KEPT (as tombstone rows) in the folded segment — minor compaction
+    * HIDES deleted keys, only the full fold physically ERASES them
+    * (the GDPR path stays [[compact]]). Winner-per-key across the
+    * folded deltas uses the same (orderCols, later-segment) order the
+    * merge view uses, so folding can never change a read.
+    */
+  def compactDeltas(spark: SparkSession): Unit = synchronized {
+    val (old, v) = currentState()
+    val current =
+      if (old.size > 2) {
+        val head = old.head
+        val tagged = old.tail.zipWithIndex.map { case (seg, i) =>
+          spark.read.parquet(s"$root/$seg").withColumn("__seg", lit(i.toLong))
+        }
+        val union = tagged.reduce(_.unionByName(_, allowMissingColumns = true))
+        val seg = nextSegment("m")
+        // latestPerKey keeps a winning tombstone as a ROW (unlike the
+        // read view, which filters it) — it must keep hiding the head
+        // segment's version of the key
+        latestPerKey(union, segOrdered = true)
+          .repartitionByRange(col(keyCol))
+          .sortWithinPartitions(keyCol)
+          .write.mode(SaveMode.Overwrite).parquet(s"$root/$seg")
+        writeKeyStats(spark, seg)
+        commit(Seq(head, seg), v)
+        Seq(head, seg)
+      } else old
+    // same GC grace policy as compact(): reclaim segments superseded
+    // before this call; what this call superseded survives one round
+    // for in-flight readers
+    val keep = (old ++ current).toSet
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && !keep.contains(f.getName))
+      .foreach(deleteRecursively)
+  }
+
   private def deleteRecursively(f: java.io.File): Unit = {
     Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
     f.delete()

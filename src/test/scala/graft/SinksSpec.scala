@@ -66,6 +66,62 @@ class SinksSpec extends AnyFunSuite {
     assert(state() == Seq(("413", "b"), ("644", "d"), ("999", "z")))
   }
 
+  test("K3 delta store: MINOR compaction folds deltas only, head untouched, reads unchanged") {
+    val root = tmp("delta_minor_")
+    val store = new DeltaUpsertStore(root, "room", Seq("ts"))
+    store.upsert(Seq(("413", 1L, "a"), ("644", 1L, "c"))
+      .toDF("room", "ts", "v"), 0)
+    store.upsert(Seq(("777", 1L, "e")).toDF("room", "ts", "v"), 1)
+    store.compact(spark) // establish a base segment (folds the two deltas)
+    def segs() = new java.io.File(root).listFiles
+      .filter(_.isDirectory).map(_.getName).toSet
+    val base = segs().find(_.startsWith("b")).get
+    // three deltas: update, stale-loser, tombstone, fresh insert
+    store.upsert(Seq(("413", 5L, "b2"), ("888", 2L, "new")).toDF("room", "ts", "v"), 1)
+    store.upsert(Seq(("413", 3L, "stale"), ("644", 4L, "d2")).toDF("room", "ts", "v"), 2)
+    store.delete(Seq(("777", 9L)).toDF("room", "ts"), 3)
+    def state() = store.read(spark).orderBy("room")
+      .collect().map(r => (r.getString(0), r.getString(2))).toSeq
+    val before = state()
+    assert(before == Seq(("413", "b2"), ("644", "d2"), ("888", "new")))
+    store.compactDeltas(spark)
+    // folding must be invisible to readers
+    assert(state() == before)
+    // the base segment was NOT rewritten; the manifest is head + one
+    // folded delta
+    assert(segs().contains(base))
+    val manifest = Files.readString(Paths.get(s"$root/MANIFEST")).split("\n").toSeq
+    assert(manifest.size == 2 && manifest.head == base &&
+      manifest(1).startsWith("m"))
+    // the tombstone still HIDES 777 (whose row lives in the head): a
+    // stale write older than it stays dead, a newer one resurrects
+    store.upsert(Seq(("777", 8L, "stale")).toDF("room", "ts", "v"), 4)
+    assert(state() == before)
+    store.upsert(Seq(("777", 11L, "back")).toDF("room", "ts", "v"), 5)
+    assert(state() == Seq(("413", "b2"), ("644", "d2"), ("777", "back"), ("888", "new")))
+    // full compact afterwards still physically erases what it should
+    store.compact(spark)
+    assert(state() == Seq(("413", "b2"), ("644", "d2"), ("777", "back"), ("888", "new")))
+  }
+
+  test("K3 delta store: minor compaction preserves point-lookup skipping") {
+    val store = new DeltaUpsertStore(tmp("delta_minor_lk_"), "event_id", Seq("ts"))
+    store.upsert((0 until 100).map(i => (i.toLong, 1L, s"v$i"))
+      .toDF("event_id", "ts", "v"), 0)
+    store.compact(spark)
+    store.upsert((100 until 150).map(i => (i.toLong, 2L, s"w$i"))
+      .toDF("event_id", "ts", "v"), 1)
+    store.upsert((150 until 200).map(i => (i.toLong, 2L, s"w$i"))
+      .toDF("event_id", "ts", "v"), 2)
+    store.compactDeltas(spark)
+    // the folded segment carries a fresh stats sidecar: a lookup below
+    // the deltas' key range reads the base only
+    assert(store.candidateSegments(Seq(5L)).size == 1)
+    val got = store.lookup(spark, Seq(5L, 170L)).orderBy("event_id")
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSeq
+    assert(got == Seq((5L, "v5"), (170L, "w170")))
+  }
+
   test("K3 delta store: tombstone delete hides, resurrects, and compacts to physical erasure") {
     val root = tmp("delta_del_")
     val store = new DeltaUpsertStore(root, "room", Seq("ts"))
