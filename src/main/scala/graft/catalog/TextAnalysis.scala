@@ -141,6 +141,104 @@ object TextAnalysis {
     }
   }
 
+  // The canonical PUBLISHED rule-based quality filter (the "Gopher
+  // rules", Rae et al. 2021 §A1.1 — the ruleset C4/MassiveText-style
+  // corpus pipelines apply before any learned filter): word-count
+  // bounds, mean-word-length window, symbol-to-word ratio (#/ellipsis),
+  // bullet-start and ellipsis-end line ratios, alphabetic-word
+  // fraction, and the required-stopword presence test (≥2 of the eight
+  // canonical function words). Each rule surfaces as its measured
+  // ratio plus the conjunctive verdict, so a pipeline can audit WHICH
+  // rule rejected a document — the per-rule observability Dolma/RedPajama
+  // report. Words here are the corpus-wide normalized tokens (shared
+  // with every other text query) rather than raw whitespace words —
+  // documented adaptation, constants otherwise verbatim. Scale shape:
+  // one narrow codegen'd projection, no shuffle until the final sort.
+  val gopherRules: QueryDef = {
+    val reqWords = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    QueryDef.sql("q_gopher_rules")(
+      s"""WITH base AS (SELECT doc_id, text, $toksSql AS toks,
+         |  string_split(text, chr(10)) AS lines FROM documents),
+         |m AS (SELECT doc_id,
+         |  len(toks) AS n_words,
+         |  CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS tok_chars,
+         |  len(regexp_extract_all(text, '#|\\.\\.\\.|…')) AS symbols,
+         |  len(lines) AS n_lines,
+         |  len(list_filter(lines, l -> regexp_matches(l, '^\\s*[-*•]'))) AS bullet_lines,
+         |  len(list_filter(lines, l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$$'))) AS ellipsis_lines,
+         |  len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS alpha_words,
+         |  len(list_filter(${listLit(reqWords)}, w -> list_contains(toks, w))) AS req_stop_hits
+         |  FROM base)
+         |SELECT doc_id, n_words,
+         |  tok_chars / greatest(n_words, 1) AS mean_word_len,
+         |  symbols / greatest(n_words, 1) AS symbol_ratio,
+         |  bullet_lines / greatest(n_lines, 1) AS bullet_ratio,
+         |  ellipsis_lines / greatest(n_lines, 1) AS ellipsis_ratio,
+         |  alpha_words / greatest(n_words, 1) AS alpha_ratio,
+         |  req_stop_hits,
+         |  CAST(n_words BETWEEN 50 AND 100000 AS INTEGER)
+         |    + CAST(tok_chars / greatest(n_words, 1) BETWEEN 3 AND 10 AS INTEGER)
+         |    + CAST(symbols / greatest(n_words, 1) < 0.1 AS INTEGER)
+         |    + CAST(bullet_lines / greatest(n_lines, 1) <= 0.9 AS INTEGER)
+         |    + CAST(ellipsis_lines / greatest(n_lines, 1) <= 0.3 AS INTEGER)
+         |    + CAST(alpha_words / greatest(n_words, 1) >= 0.8 AS INTEGER)
+         |    + CAST(req_stop_hits >= 2 AS INTEGER) AS n_rules_passed,
+         |  (n_words BETWEEN 50 AND 100000)
+         |    AND (tok_chars / greatest(n_words, 1) BETWEEN 3 AND 10)
+         |    AND (symbols / greatest(n_words, 1) < 0.1)
+         |    AND (bullet_lines / greatest(n_lines, 1) <= 0.9)
+         |    AND (ellipsis_lines / greatest(n_lines, 1) <= 0.3)
+         |    AND (alpha_words / greatest(n_words, 1) >= 0.8)
+         |    AND (req_stop_hits >= 2) AS gopher_pass
+         |FROM m ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val m = docs(s, dir)
+        .select(col("doc_id"), col("text"),
+          Text.tokens(col("text")).as("toks"),
+          split(col("text"), "\n").as("lines"))
+        .select(
+          col("doc_id"),
+          size(col("toks")).as("n_words"),
+          aggregate(transform(col("toks"), t => length(t)), lit(0L),
+            (acc, x) => acc + x).as("tok_chars"),
+          regexp_count(col("text"), lit("#|\\.\\.\\.|…")).as("symbols"),
+          size(col("lines")).as("n_lines"),
+          size(filter(col("lines"),
+            l => regexp_like(l, lit("^\\s*[-*•]")))).as("bullet_lines"),
+          size(filter(col("lines"),
+            l => regexp_like(l, lit("(\\.\\.\\.|…)\\s*$")))).as("ellipsis_lines"),
+          size(filter(col("toks"),
+            t => regexp_like(t, lit("[a-z]")))).as("alpha_words"),
+          size(filter(array(reqWords.map(lit): _*),
+            w => array_contains(col("toks"), w))).as("req_stop_hits"))
+      val meanLen = col("tok_chars") / greatest(col("n_words"), lit(1))
+      val symbolR = col("symbols") / greatest(col("n_words"), lit(1))
+      val bulletR = col("bullet_lines") / greatest(col("n_lines"), lit(1))
+      val ellipsisR = col("ellipsis_lines") / greatest(col("n_lines"), lit(1))
+      val alphaR = col("alpha_words") / greatest(col("n_words"), lit(1))
+      m.select(
+          col("doc_id"), col("n_words"),
+          meanLen.as("mean_word_len"),
+          symbolR.as("symbol_ratio"),
+          bulletR.as("bullet_ratio"),
+          ellipsisR.as("ellipsis_ratio"),
+          alphaR.as("alpha_ratio"),
+          col("req_stop_hits"),
+          // per-doc rule tally: varies even on a corpus where the
+          // conjunctive verdict is uniform, which is what makes the
+          // oracle hash sensitive to every individual rule
+          (col("n_words").between(50, 100000).cast("int") +
+            meanLen.between(3, 10).cast("int") +
+            (symbolR < 0.1).cast("int") + (bulletR <= 0.9).cast("int") +
+            (ellipsisR <= 0.3).cast("int") + (alphaR >= 0.8).cast("int") +
+            (col("req_stop_hits") >= 2).cast("int")).as("n_rules_passed"),
+          (col("n_words").between(50, 100000) &&
+            meanLen.between(3, 10) &&
+            (symbolR < 0.1) && (bulletR <= 0.9) && (ellipsisR <= 0.3) &&
+            (alphaR >= 0.8) && (col("req_stop_hits") >= 2)).as("gopher_pass"))
+        .orderBy("doc_id")
+    }
+  }
+
   // Fixed-weight logistic quality classifier — the shape of every
   // learned quality filter (fastText/logreg over handcrafted features)
   // at inference time: a per-document dot product with a broadcast
@@ -2069,7 +2167,7 @@ object TextAnalysis {
   lazy val all: Seq[QueryDef] = Seq(
     significantTerms,
     winnowFingerprint, winnowNearDup,
-    tokenCount, langId, qualityScore, fingerprint, dedupExact,
+    tokenCount, langId, qualityScore, gopherRules, fingerprint, dedupExact,
     minhashSig, minhashPairs, minhashPairsCapped, minhashHotBuckets,
     minhashVerified, ngramJaccard, simhash,
     simhashNearDup, simhash60, simhash60NearDup, levenshteinPairs,
