@@ -2165,7 +2165,7 @@ object TextAnalysis {
   }
 
   lazy val all: Seq[QueryDef] = Seq(
-    significantTerms,
+    significantTerms, rareTerms,
     winnowFingerprint, winnowNearDup,
     tokenCount, langId, qualityScore, gopherRules, fingerprint, dedupExact,
     minhashSig, minhashPairs, minhashPairsCapped, minhashHotBuckets,
@@ -2251,5 +2251,30 @@ object TextAnalysis {
     sig.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 15)
       .orderBy("rnk")
+  }
+
+  // Kibana's rare_terms aggregation (the long-tail twin of terms /
+  // significant_terms): buckets for values whose count is AT MOST
+  // max_doc_count, ordered ascending — "what almost never happens",
+  // the agg dashboards use for anomaly/typo hunting. The term here is
+  // the (user, action) pair over the events stream — users who almost
+  // never perform an action — the composite-key form the runtime-field
+  // docs show. ES implements rare_terms with a bloom-filtered
+  // two-pass to bound memory; the Spark-natural form is exact:
+  // hash-aggregate counts (map-side partial agg) and a HAVING filter —
+  // one shuffle on the term, the same cost class as the terms agg
+  // itself, at any scale. Deterministic LIMIT (count, then term)
+  // keeps the oracle stable.
+  val rareTerms: QueryDef = QueryDef.sql("q_rare_terms")(
+    """SELECT CAST(user_id AS VARCHAR) || ':' || event_type AS term,
+      |  COUNT(*) AS doc_count
+      |FROM events GROUP BY 1 HAVING COUNT(*) <= 6
+      |ORDER BY doc_count, term LIMIT 100""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(concat(col("user_id").cast("string"), lit(":"),
+        col("event_type")).as("term"))
+      .agg(count(lit(1)).as("doc_count"))
+      .filter(col("doc_count") <= 6)
+      .orderBy("doc_count", "term").limit(100)
   }
 }

@@ -915,7 +915,12 @@ final class KafkaStubBroker(val numPartitions: Int = 3,
       writeString(buf, topic)
       buf.putInt(ps.size)
       ps.foreach { case (_, p, ts) =>
-        if (!leads(p)) {
+        if (p < 0 || p >= numPartitions) {
+          buf.putInt(p)
+          buf.putShort(Err.UnknownTopicOrPartition.toShort)
+          buf.putLong(-1L)
+          buf.putLong(-1L)
+        } else if (!leads(p)) {
           buf.putInt(p)
           buf.putShort(Err.NotLeaderForPartition.toShort)
           buf.putLong(-1L)
