@@ -81,21 +81,36 @@ final class KafkaClusterClient(bootstrapHost: String, bootstrapPort: Int,
   def refreshMetadata(topics: Seq[String]): ClusterMeta = {
     val m = anyReachable(_.metadataFull(topics))
     val byId = m.brokers.map(b => b.nodeId -> ((b.host, b.port))).toMap
-    leaders ++= (for (t <- m.topics; p <- t.partitions)
-      yield (t.topic, p.partition) -> byId(p.leader))
+    // a leader id absent from the broker list is a mid-failover
+    // snapshot (the broker just died and promotion is racing this
+    // refresh): skip the entry — the stale/absent cache route fails
+    // the next call, which refreshes again and sees the promoted map
+    leaders ++= (for {
+      t <- m.topics
+      p <- t.partitions
+      ep <- byId.get(p.leader)
+    } yield (t.topic, p.partition) -> ep)
+    // dial order: live brokers from THIS refresh first, configured
+    // seeds as the fallback — a dead seed must not tax every future
+    // metadata call with a failed connect
     knownEndpoints =
-      (seedEndpoints ++ m.brokers.map(b => (b.host, b.port))).distinct
+      (m.brokers.map(b => (b.host, b.port)).toVector ++ seedEndpoints).distinct
     m
   }
 
   /** The endpoint leading (topic, partition), refreshing metadata on a
-    * cache miss.
+    * cache miss — retried, because one refresh can catch a
+    * mid-failover snapshot whose leader entry was skipped above.
     */
-  def leaderFor(topic: String, partition: Int): (String, Int) =
-    leaders.getOrElse((topic, partition), {
+  def leaderFor(topic: String, partition: Int): (String, Int) = {
+    var attempt = 0
+    while (!leaders.contains((topic, partition)) && attempt < 4) {
       refreshMetadata(Seq(topic))
-      leaders((topic, partition))
-    })
+      attempt += 1
+    }
+    leaders.getOrElse((topic, partition), throw new IllegalStateException(
+      s"no leader resolvable for $topic/$partition after $attempt refreshes"))
+  }
 
   /** Route a data call to the partition's leader, surviving failover:
     * a dead socket (the leader crashed mid-session) or a
@@ -120,7 +135,11 @@ final class KafkaClusterClient(bootstrapHost: String, bootstrapPort: Int,
                 case w: KafkaCodec.KafkaWireException => w.retriable
                 case _ => true
               }) =>
-          dropClient(ep)
+          // a dead SOCKET is dropped; a NOT_LEADER answer came over a
+          // healthy connection — keep it (the broker is alive, just
+          // not the leader; a real client re-routes without re-dialing
+          // or re-running SASL)
+          if (e.isInstanceOf[java.io.IOException]) dropClient(ep)
           leaders -= ((topic, partition))
           refreshMetadata(Seq(topic))
           attempt += 1
@@ -183,11 +202,29 @@ final class KafkaClusterClient(bootstrapHost: String, bootstrapPort: Int,
     onLeader(topic, partition)(_.produce(topic, partition, records, gzip,
       producerId, producerEpoch, baseSequence, transactionalId))
 
+  /** Seed the leader cache with a planner-provided hint: the common
+    * path then skips the metadata round trip entirely, and a WRONG
+    * hint (leadership moved after planning) self-corrects through the
+    * normal NOT_LEADER / dead-socket retry loop.
+    */
+  def assumeLeader(topic: String, partition: Int, host: String,
+      port: Int): Unit =
+    leaders += ((topic, partition) -> ((host, port)))
+
   def fetch(topic: String, partition: Int, offset: Long,
       maxBytes: Int = 4 * 1024 * 1024,
       readCommitted: Boolean = false): KafkaWireClient.FetchResult =
-    onLeader(topic, partition)(
-      _.fetch(topic, partition, offset, maxBytes, readCommitted))
+    onLeader(topic, partition) { c =>
+      val r = c.fetch(topic, partition, offset, maxBytes, readCommitted)
+      // a stale-leader answer arrives as a RESULT code, not an
+      // exception — surface it as the retriable error so the routing
+      // loop refreshes and re-routes instead of handing the caller a
+      // dead end
+      if (r.errorCode == KafkaCodec.Err.NotLeaderForPartition)
+        throw new KafkaCodec.KafkaWireException(r.errorCode,
+          s"fetch error ${r.errorCode} on $topic/$partition@$offset (stale leader)")
+      r
+    }
 
   def fetchAll(topic: String, partition: Int, offset: Long = 0L,
       readCommitted: Boolean = false): Seq[KafkaCodec.WireRecord] =

@@ -292,6 +292,8 @@ final class KafkaStubBroker(val numPartitions: Int = 3,
     val token = readNullableBytes(req)
     val (err, msg) =
       if (!handshaken) (Err.IllegalSaslState, "SaslHandshake must precede SaslAuthenticate")
+      else if (token == null)
+        (Err.SaslAuthenticationFailed, "null PLAIN token")
       else {
         val parts = new String(token, java.nio.charset.StandardCharsets.UTF_8)
           .split("\u0000", -1)
@@ -966,9 +968,17 @@ final class KafkaStubBroker(val numPartitions: Int = 3,
     */
   private[kafka] def appendControlMarker(topic: String, partition: Int,
       pid: Long, epoch: Short, commit: Boolean): Unit = {
-    appendMarkerLocal(topic, partition, pid, epoch, commit)
-    clusterOpt.foreach(_.onFollowers(partition, brokerId)(
-      _.appendMarkerLocal(topic, partition, pid, epoch, commit)))
+    // hold the LEADER's log lock across local append + follower
+    // fan-out, exactly like the produce path: a produce interleaving
+    // between the two would land at the marker's offset on the
+    // follower and diverge the replicas (appendMarkerLocal re-takes
+    // the same lock — reentrant on the leader, fresh on followers)
+    val log = logFor(topic, partition)
+    log.synchronized {
+      appendMarkerLocal(topic, partition, pid, epoch, commit)
+      clusterOpt.foreach(_.onFollowers(partition, brokerId)(
+        _.appendMarkerLocal(topic, partition, pid, epoch, commit)))
+    }
   }
 
   private def appendMarkerLocal(topic: String, partition: Int,
@@ -1004,9 +1014,15 @@ final class KafkaStubBroker(val numPartitions: Int = 3,
       meta: BatchMeta, records: Vector[WireRecord], base: Long): Unit = {
     val log = logFor(topic, partition)
     log.synchronized {
-      require(log.length.toLong == base,
-        s"replica divergence on $topic/$partition: follower log at " +
-          s"${log.length}, leader appended at $base")
+      // IllegalStateException, NOT require/IllegalArgument: the produce
+      // path maps IllegalArgumentException to CorruptMessage (decode
+      // errors), which would silently mask divergence as a producer
+      // error while the leader keeps the rows — divergence must stay
+      // loud and fatal
+      if (log.length.toLong != base)
+        throw new IllegalStateException(
+          s"replica divergence on $topic/$partition: follower log at " +
+            s"${log.length}, leader appended at $base")
       records.zipWithIndex.foreach { case (r, i) =>
         log += StoredRecord(base + i, r.timestampMs, r.key, r.value,
           meta.producerId, meta.producerEpoch, meta.transactional)
@@ -1210,18 +1226,24 @@ final class KafkaStubCluster(nBrokers: Int, numPartitions: Int = 3,
     */
   def failBroker(id: Int): Unit = leaderLock.synchronized {
     require(isAlive(id), s"broker $id already failed")
-    aliveArr.synchronized { aliveArr(id) = false }
-    brokers(id).stop()
+    // publish the PROMOTED leader map FIRST, then flip alive and kill
+    // sockets: metadataResponse reads both without this lock, and the
+    // reverse order has a window where a survivor serves a broker list
+    // without `id` but a leader map still naming it — a routing
+    // client's refresh would then see a leader id absent from the
+    // broker list mid-failover
     leaderMap = leaderMap.map { case (p, leader) =>
       if (leader != id) p -> leader
       else {
-        val promoted = replicasOf(p).find(isAlive).getOrElse(
+        val promoted = replicasOf(p).find(r => r != id && isAlive(r)).getOrElse(
           throw new IllegalStateException(
             s"partition $p lost its last replica (rf=$replicationFactor)"))
         leaderEpochs += p -> (leaderEpochs(p) + 1)
         p -> promoted
       }
     }
+    aliveArr.synchronized { aliveArr(id) = false }
+    brokers(id).stop()
   }
 
   /** Restart a failed broker: it re-binds (on a fresh port — metadata

@@ -485,7 +485,11 @@ final class KafkaWireWrite(host: String, port: Int, topic: String,
     val nPartsFixed =
       if (topic == null) -1
       else {
-        val c = new KafkaWireClient(host, port, sasl = sasl)
+        // cluster client, not a raw socket: the probe must honor the
+        // bootstrap LIST like every other driver-side call (a dead
+        // first endpoint would otherwise fail the whole write job)
+        val c = new KafkaClusterClient(host, port, sasl = sasl,
+          extraBootstrap = extraBootstrap)
         try c.metadata(Seq(topic)).head.partitions.size finally c.close()
       }
     KafkaWireWriterParams(host, port, Option(topic),
@@ -685,7 +689,8 @@ final class KafkaWireScan(conf: KafkaWireConf) extends Scan {
           // data (preferred-location thinking, minus the locality hint)
           val (lh, lp) = c.leaderFor(t, p)
           KafkaWireInputPartition(lh, lp, t, p, starts((t, p)), ends((t, p)),
-            conf.readCommitted, conf.sasl): InputPartition
+            conf.readCommitted, conf.sasl,
+            (conf.host, conf.port) +: conf.extraBootstrap): InputPartition
         }.toArray
       } finally c.close()
     }
@@ -818,7 +823,8 @@ final class KafkaWireMicroBatchStream(conf: KafkaWireConf)
         // straight to the broker holding the data)
         val (lh, lp) = client.leaderFor(t, p)
         Some(KafkaWireInputPartition(lh, lp, t, p, startOff, endOff,
-          conf.readCommitted, conf.sasl): InputPartition)
+          conf.readCommitted, conf.sasl,
+          (conf.host, conf.port) +: conf.extraBootstrap): InputPartition)
       } else None
     }.toArray
   }
@@ -848,6 +854,9 @@ final class KafkaWireMicroBatchStream(conf: KafkaWireConf)
 }
 
 /** One Kafka partition's [start, end) slice — the unit of executor work.
+  * `host`/`port` pin the partition's LEADER at planning time (the fast
+  * path); `fallback` carries the bootstrap list so a task can re-route
+  * if the leader dies between planning and execution.
   * `preferredLocations` surfaces the leader's host so a cluster
   * scheduler can co-locate the reading task with the broker holding
   * the data (the stock connector's locality hint; a no-op on
@@ -857,7 +866,8 @@ final class KafkaWireMicroBatchStream(conf: KafkaWireConf)
 final case class KafkaWireInputPartition(host: String, port: Int, topic: String,
     partition: Int, startOffset: Long, endOffset: Long,
     readCommitted: Boolean = false,
-    sasl: Option[KafkaWireClient.SaslPlain] = None) extends InputPartition {
+    sasl: Option[KafkaWireClient.SaslPlain] = None,
+    fallback: Seq[(String, Int)] = Nil) extends InputPartition {
   override def preferredLocations(): Array[String] = Array(host)
 }
 
@@ -876,7 +886,15 @@ object KafkaWireReaderFactory extends PartitionReaderFactory {
 final class KafkaWirePartitionReader(p: KafkaWireInputPartition)
     extends PartitionReader[InternalRow] {
 
-  private val client = new KafkaWireClient(p.host, p.port, sasl = p.sasl)
+  // routing client, seeded with the planner's leader hint: the common
+  // path is one direct socket to the pinned leader (zero extra round
+  // trips); if that broker died after planning, the fetch re-routes
+  // through the fallback bootstrap list to the promoted replica
+  // instead of failing every task retry against a corpse
+  private val client =
+    new KafkaClusterClient(p.host, p.port, sasl = p.sasl,
+      extraBootstrap = p.fallback)
+  client.assumeLeader(p.topic, p.partition, p.host, p.port)
   private var nextOff = p.startOffset
   private var buffer: Iterator[KafkaCodec.WireRecord] = Iterator.empty
   private var current: KafkaCodec.WireRecord = _

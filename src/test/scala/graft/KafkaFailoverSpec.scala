@@ -168,6 +168,30 @@ class KafkaFailoverSpec extends AnyFunSuite {
     }
   }
 
+  test("partition reader re-routes when its pinned leader died after planning") {
+    withCluster() { cluster =>
+      val c = new KafkaClusterClient("127.0.0.1", cluster.brokers(1).port)
+      try {
+        c.metadata(Seq("prw"))
+        c.produce("prw", 0, (0 until 20).map(i => (1L + i, null, b(s"r$i"))))
+      } finally c.close()
+      // the exact window the DSv2 planner leaves open: the slice pins
+      // partition 0's leader endpoint, then that broker dies before the
+      // task opens its socket
+      val deadPort = cluster.brokers(0).port
+      cluster.failBroker(0)
+      val part = graft.kafka.KafkaWireInputPartition("127.0.0.1", deadPort,
+        "prw", 0, 0L, 20L,
+        fallback = Seq(("127.0.0.1", cluster.brokers(1).port)))
+      val reader = new graft.kafka.KafkaWirePartitionReader(part)
+      try {
+        val got = Iterator.continually(reader)
+          .takeWhile(_.next()).map(_.get().getLong(4)).toVector
+        assert(got == (0L until 20L).toVector)
+      } finally reader.close()
+    }
+  }
+
   test("restarted broker catches up missed appends and resumes follower duty") {
     withCluster() { cluster =>
       val c = new KafkaClusterClient("127.0.0.1", cluster.brokers(1).port)
