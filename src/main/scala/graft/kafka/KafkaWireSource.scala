@@ -65,6 +65,16 @@ final class KafkaWireSourceProvider extends TableProvider with DataSourceRegiste
       require(n > 0, s"maxOffsetsPerTrigger must be positive, got $n")
       n
     }
+    val minPerTrigger = Option(opts.get("minOffsetsPerTrigger")).map { v =>
+      val n = java.lang.Long.parseLong(v)
+      require(n > 0, s"minOffsetsPerTrigger must be positive, got $n")
+      n
+    }
+    require(minPerTrigger.forall(mn => maxPerTrigger.forall(_ >= mn)),
+      "kafka-wire: minOffsetsPerTrigger cannot exceed maxOffsetsPerTrigger")
+    val maxTriggerDelayMs = Option(opts.get("maxTriggerDelay"))
+      .map(KafkaWireSource.parseDurationMs)
+      .getOrElse(15L * 60 * 1000) // stock default: 15m
     val compression = Option(opts.get("kafka.compression.type"))
       .orElse(Option(opts.get("compression.type"))).getOrElse("none")
     require(compression == "none" || compression == "gzip",
@@ -145,7 +155,9 @@ final class KafkaWireSourceProvider extends TableProvider with DataSourceRegiste
       groupId,
       subscribePattern,
       sasl,
-      servers.tail))
+      servers.tail,
+      minPerTrigger,
+      maxTriggerDelayMs))
   }
 }
 
@@ -161,6 +173,13 @@ final class KafkaWireSourceProvider extends TableProvider with DataSourceRegiste
   *    or NONE, in which case each row's `topic` STRING column routes it
   *    (the stock contract; the option, when present, overrides the
   *    column);
+  *  - `minOffsetsPerTrigger` + `maxTriggerDelay` (default 15m): the
+  *    inverse backpressure knob — hold a micro-batch until at least
+  *    this many records accumulate, unless maxTriggerDelay since the
+  *    last batch expires first. Tiny micro-batches are pure overhead
+  *    at scale (per-batch planning, state commits, small output
+  *    files); this is the stock connector's suppressor for them.
+  *    Ignored under Trigger.AvailableNow (drain must finish);
   *  - `subscribePattern`: a regex subscription — resolved against the
   *    broker's topic list at plan/query-start time (topics created
   *    later join on the next start, like the stock connector's
@@ -242,7 +261,9 @@ final case class KafkaWireConf(host: String, port: Int, topic: String,
     groupId: Option[String] = None,
     subscribePattern: Option[String] = None,
     sasl: Option[KafkaWireClient.SaslPlain] = None,
-    extraBootstrap: Seq[(String, Int)] = Nil) {
+    extraBootstrap: Seq[(String, Int)] = Nil,
+    minOffsetsPerTrigger: Option[Long] = None,
+    maxTriggerDelayMs: Long = 15L * 60 * 1000) {
   /** `subscribe` takes a comma-separated topic LIST (stock-connector
     * contract); reads plan every partition of every listed topic.
     * Writes take exactly one — or none, routing on the `topic` column.
@@ -270,6 +291,22 @@ final case class KafkaWireConf(host: String, port: Int, topic: String,
 }
 
 object KafkaWireSource {
+  /** Parse the stock connector's duration-string form for
+    * `maxTriggerDelay`: bare millis, or `ms`/`s`/`m`/`h` suffixed.
+    */
+  def parseDurationMs(v: String): Long = {
+    val t = v.trim.toLowerCase
+    val (num, mult) =
+      if (t.endsWith("ms")) (t.dropRight(2), 1L)
+      else if (t.endsWith("s")) (t.dropRight(1), 1000L)
+      else if (t.endsWith("m")) (t.dropRight(1), 60L * 1000)
+      else if (t.endsWith("h")) (t.dropRight(1), 3600L * 1000)
+      else (t, 1L)
+    val n = java.lang.Long.parseLong(num.trim)
+    require(n > 0, s"maxTriggerDelay must be positive, got '$v'")
+    n * mult
+  }
+
   /** The standard Kafka connector relation schema. */
   val Schema: StructType = StructType(Seq(
     StructField("key", BinaryType),
@@ -783,13 +820,41 @@ final class KafkaWireMicroBatchStream(conf: KafkaWireConf)
   // a maxRows limit (maxOffsetsPerTrigger) then bounds the batch, and
   // under Trigger.AvailableNow the engine keeps issuing batches until
   // the monotone capped ends reach the prepared target.
+  // wall clock of the last ADMITTED batch (or the start of the current
+  // waiting period): the reference point for minOffsetsPerTrigger's
+  // maxTriggerDelay escape hatch
+  @transient private var lastTriggerMs: Long = -1L
+
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, ReadMaxRows, ReadMinRows}
+    val startOffsets = start.asInstanceOf[KafkaWireOffset].offsets
     val target = availableNowTarget.getOrElse(offsetsAt(-1L))
-    limit match {
-      case rl: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
-        capped(start.asInstanceOf[KafkaWireOffset].offsets, target.offsets,
-          rl.maxRows())
-      case _ => target
+    val limits = limit match {
+      case c: CompositeReadLimit => c.getReadLimits.toSeq
+      case l => Seq(l)
+    }
+    val backlog = target.offsets.map { case (tp, e) =>
+      math.max(0L, e - startOffsets.getOrElse(tp, 0L))
+    }.sum
+    val now = System.currentTimeMillis()
+    if (lastTriggerMs < 0) lastTriggerMs = now
+    // minOffsetsPerTrigger gate: hold the batch until enough backlog
+    // accumulates OR maxTriggerDelay since the last admitted batch
+    // expires — the stock connector's small-batch suppressor (tiny
+    // micro-batches are pure overhead at scale: per-batch planning,
+    // state-store commits, tiny output files). Ignored under
+    // Trigger.AvailableNow, which must drain-and-stop regardless.
+    val blocked = limits.collectFirst { case m: ReadMinRows => m }.exists { m =>
+      availableNowTarget.isEmpty && backlog < m.minRows() &&
+        now - lastTriggerMs < m.maxTriggerDelayMs()
+    }
+    if (blocked) KafkaWireOffset(startOffsets)
+    else {
+      if (backlog > 0) lastTriggerMs = now
+      limits.collectFirst { case m: ReadMaxRows => m } match {
+        case Some(mx) => capped(startOffsets, target.offsets, mx.maxRows())
+        case None => target
+      }
     }
   }
 
@@ -801,9 +866,13 @@ final class KafkaWireMicroBatchStream(conf: KafkaWireConf)
     availableNowTarget = Some(offsetsAt(-1L))
 
   override def getDefaultReadLimit: ReadLimit =
-    conf.maxOffsetsPerTrigger
-      .map(ReadLimit.maxRows)
-      .getOrElse(ReadLimit.allAvailable())
+    (conf.minOffsetsPerTrigger, conf.maxOffsetsPerTrigger) match {
+      case (Some(mn), Some(mx)) => ReadLimit.compositeLimit(Array(
+        ReadLimit.minRows(mn, conf.maxTriggerDelayMs), ReadLimit.maxRows(mx)))
+      case (Some(mn), None) => ReadLimit.minRows(mn, conf.maxTriggerDelayMs)
+      case (None, Some(mx)) => ReadLimit.maxRows(mx)
+      case _ => ReadLimit.allAvailable()
+    }
 
   override def reportLatestOffset(): Offset = offsetsAt(-1L)
 

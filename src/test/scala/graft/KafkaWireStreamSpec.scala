@@ -620,6 +620,87 @@ class KafkaWireStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("minOffsetsPerTrigger holds small batches until the threshold accumulates") {
+    withBroker() { broker =>
+      produce(broker, "mint", 0 until 20)
+      val batches = new java.util.concurrent.CopyOnWriteArrayList[Long]()
+      val q = spark.readStream.format("kafka-wire")
+        .option("host", "127.0.0.1").option("port", broker.port.toString)
+        .option("topic", "mint")
+        .option("minOffsetsPerTrigger", "50")
+        .option("maxTriggerDelay", "10m")
+        .load()
+        .writeStream
+        .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) => {
+          val n = b.count(); if (n > 0) batches.add(n): Unit
+        })
+        .option("checkpointLocation", tmp("chk_min_"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(100))
+        .start()
+      try {
+        // 20 < 50 and the delay is far away: the gate must hold
+        Thread.sleep(2000)
+        assert(batches.isEmpty, s"gate leaked a small batch: $batches")
+        // crossing the threshold releases ONE batch with everything
+        produce(broker, "mint", 20 until 60)
+        val deadline = System.currentTimeMillis() + 15000
+        while (batches.isEmpty && System.currentTimeMillis() < deadline)
+          Thread.sleep(100)
+        assert(batches.size == 1 && batches.get(0) == 60L,
+          s"expected one 60-row batch, got $batches")
+      } finally q.stop()
+    }
+  }
+
+  test("maxTriggerDelay releases a sub-threshold batch once it expires") {
+    withBroker() { broker =>
+      produce(broker, "mintd", 0 until 15)
+      val batches = new java.util.concurrent.CopyOnWriteArrayList[Long]()
+      val q = spark.readStream.format("kafka-wire")
+        .option("host", "127.0.0.1").option("port", broker.port.toString)
+        .option("topic", "mintd")
+        .option("minOffsetsPerTrigger", "1000")
+        .option("maxTriggerDelay", "2s")
+        .load()
+        .writeStream
+        .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) => {
+          val n = b.count(); if (n > 0) batches.add(n): Unit
+        })
+        .option("checkpointLocation", tmp("chk_mind_"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(100))
+        .start()
+      try {
+        val deadline = System.currentTimeMillis() + 20000
+        while (batches.isEmpty && System.currentTimeMillis() < deadline)
+          Thread.sleep(100)
+        assert(batches.size == 1 && batches.get(0) == 15L,
+          s"expected the delay escape to admit the 15 waiting rows, got $batches")
+      } finally q.stop()
+    }
+  }
+
+  test("Trigger.AvailableNow ignores minOffsetsPerTrigger and drains") {
+    withBroker() { broker =>
+      produce(broker, "minan", 0 until 10)
+      val outDir = tmp("minan_out_")
+      val q = spark.readStream.format("kafka-wire")
+        .option("host", "127.0.0.1").option("port", broker.port.toString)
+        .option("topic", "minan")
+        .option("minOffsetsPerTrigger", "1000")
+        .option("maxTriggerDelay", "10m")
+        .load()
+        .selectExpr("CAST(value AS STRING) AS v")
+        .writeStream
+        .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          b.write.mode("append").parquet(outDir))
+        .option("checkpointLocation", tmp("chk_minan_"))
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      assert(spark.read.parquet(outDir).count() == 10L)
+    }
+  }
+
   test("offset JSON round-trips canonically in the stock nested format") {
     val o: KafkaWireSource.TopicOffsets =
       Map(("t", 2) -> 17L, ("t", 0) -> 3L, ("a", 1) -> 0L)
