@@ -528,10 +528,57 @@ object Relational {
       .limit(100)
   }
 
+  // TPC-H Q21 shape: EXISTS + NOT EXISTS correlated on the SAME fact
+  // table — the hardest of the classic join compositions (a semi join
+  // and an anti join against two filtered self-views of lineitem).
+  // Q21's receipt/commit dates aren't in this schema, so "failed" is
+  // the returned flag; the STRUCTURE — sole-blamed supplier in a
+  // multi-supplier order — is verbatim: L1 is this supplier's returned
+  // line, the semi requires another supplier in the order, the anti
+  // requires no OTHER supplier's returned line. Both self-joins hash
+  // on l_orderkey with a residual suppkey-inequality condition, so the
+  // fact shuffles on one key and the two probes reuse that
+  // partitioning; the supplier dim is broadcast. At 100 TB this is
+  // exactly the plan you want: no correlated per-row subquery
+  // execution, two hash joins over one exchange.
+  val soleBlame: QueryDef = QueryDef.sql("q_sole_blame")(
+    """WITH l1 AS (SELECT l_orderkey, l_suppkey FROM lineitem
+      |            WHERE l_returnflag = 'R')
+      |SELECT s_name, COUNT(*) AS numwait
+      |FROM l1
+      |JOIN supplier ON s_suppkey = l1.l_suppkey
+      |WHERE EXISTS (
+      |    SELECT 1 FROM lineitem l2
+      |    WHERE l2.l_orderkey = l1.l_orderkey
+      |      AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM lineitem l3
+      |    WHERE l3.l_orderkey = l1.l_orderkey
+      |      AND l3.l_suppkey <> l1.l_suppkey
+      |      AND l3.l_returnflag = 'R')
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name LIMIT 25""".stripMargin) { (s, dir) =>
+    val li = Tables.lineitem(s, dir)
+    val l1 = li.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("o1"), col("l_suppkey").as("sp1"))
+    val l2 = li.select(col("l_orderkey").as("o2"), col("l_suppkey").as("sp2"))
+    val l3 = li.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("o3"), col("l_suppkey").as("sp3"))
+    l1.join(l2, col("o1") === col("o2") && col("sp1") =!= col("sp2"),
+        "left_semi")
+      .join(l3, col("o1") === col("o3") && col("sp1") =!= col("sp3"),
+        "left_anti")
+      .join(broadcast(Tables.supplier(s, dir).select("s_suppkey", "s_name")),
+        col("sp1") === col("s_suppkey"))
+      .groupBy("s_name").agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(25)
+  }
+
   val all: Seq[QueryDef] = Seq(
     scanFilterProject, dropCols, dropNa, litTag, jsonFlatten, dsvEncode,
     multiwayJoin, groupAvgMinute, hourlyStats, unionAll, timeFuncs,
     shuffleDet, upsertLastWins, topkHourly, pivotTypeHour, anomalyFilter,
     topRevenue, regionRevenue, promoRevenue, shipPriority, largeOrders,
-    pricingSummary)
+    pricingSummary, soleBlame)
 }
