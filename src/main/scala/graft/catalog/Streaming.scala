@@ -1373,6 +1373,56 @@ object Streaming {
     } finally cluster.stop()
   }
 
+  // The SECURED-CLUSTER capstone: every wire feature composed in ONE
+  // pipeline — a 3-broker cluster with replicationFactor=2 whose
+  // listeners require SASL/PLAIN, a TRANSACTIONAL DSv2 write (per-task
+  // KIP-98 txns, so the feed is exactly-once to read_committed
+  // consumers), then a broker KILLED (the bootstrap + a partition
+  // leader), then a read_committed batch read through a bootstrap list
+  // that still leads with the dead endpoint. Auth must hold on every
+  // re-routed socket, replication must carry both the data AND the
+  // commit markers to the promoted leaders, and the same single-broker
+  // ingest oracle must hash-match — features proven one-by-one
+  // elsewhere must also compose, which is where real systems break.
+  val kafkaWireSecuredE2e: QueryDef = QueryDef.sql("q_kafka_wire_secured_e2e")(
+    """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value,
+      |  CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS INTEGER) AS prop_k
+      |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val cluster = new graft.kafka.KafkaStubCluster(3, 3,
+      saslUsers = Map("svc" -> "pw"), replicationFactor = 2)
+    cluster.start()
+    try {
+      val jaas = "org.apache.kafka.common.security.plain.PlainLoginModule " +
+        "required username=\"svc\" password=\"pw\";"
+      val deadPort = cluster.brokers(0).port
+      val wire = Ingest.toJsonWire(graft.core.Tables.events(s, dir), "event_id")
+      wire.write.format("kafka-wire")
+        .option("kafka.bootstrap.servers", s"127.0.0.1:$deadPort")
+        .option("topic", "events-sec")
+        .option("kafka.sasl.mechanism", "PLAIN")
+        .option("kafka.sasl.jaas.config", jaas)
+        .option("kafka.transactional.id", "sec-e2e")
+        .mode("append").save()
+      cluster.failBroker(0)
+      val consumed = s.read.format("kafka-wire")
+        .option("kafka.bootstrap.servers",
+          s"127.0.0.1:$deadPort,127.0.0.1:${cluster.brokers(1).port}")
+        .option("topic", "events-sec")
+        .option("kafka.sasl.mechanism", "PLAIN")
+        .option("kafka.sasl.jaas.config", jaas)
+        .option("kafka.isolation.level", "read_committed")
+        .load()
+      val decoded = Ingest.decodeJsonWire(consumed)
+        .select(col("event_id"), col("ts_us"), col("user_id"), col("event_type"),
+          col("value"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k")
+            .as("prop_k"))
+        .orderBy("event_id")
+      graft.core.Spill.materialize(decoded)(())
+    } finally cluster.stop()
+  }
+
   // The BINARY codec leg of the wire: Avro-encoded values (the
   // schema-registry serialization a production Kafka feed carries,
   // where the reference ships JSON strings) produced through the real
@@ -1846,7 +1896,7 @@ object Streaming {
     kafkaWireIngest, kafkaWireRedelivery, streamKafkaWire, streamKafkaSink,
     streamKafkaGzip, kafkaWireAvro, kafkaWireIdempotent, kafkaWireTxn,
     kafkaWireGroupResume, kafkaWireMultiTopic, kafkaWireTopicRouting,
-    kafkaWireCluster, kafkaWireSasl, kafkaWireFailover,
+    kafkaWireCluster, kafkaWireSasl, kafkaWireFailover, kafkaWireSecuredE2e,
     e2eKafkaEs, kafkaTopicTransform, deltaMerge, deltaCdf, streamCdcApply,
     deltaCompactMinor)
 }

@@ -89,6 +89,27 @@ class KafkaSaslSpec extends AnyFunSuite {
     } finally plain.stop()
   }
 
+  test("jaas config parsing round-trips arbitrary credentials (seeded property)") {
+    val rnd = new scala.util.Random(20260814L)
+    def render(v: String): String =
+      "\"" + v.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c => c.toString
+      } + "\""
+    val alphabet = """abcXYZ019 _-./\"'!@#$%^&*()[]{}=+;:,<>?|"""
+    (1 to 200).foreach { _ =>
+      val user = (0 until 1 + rnd.nextInt(12))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      val pass = (0 until 1 + rnd.nextInt(20))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      val jaas = "org.apache.kafka.common.security.plain.PlainLoginModule " +
+        s"required username=${render(user)} password=${render(pass)};"
+      assert(SaslPlain.fromJaas(jaas) == SaslPlain(user, pass),
+        s"round-trip failed for user=$user pass=$pass jaas=$jaas")
+    }
+  }
+
   test("jaas config parsing: stock PlainLoginModule string, with escapes") {
     val jaas = """org.apache.kafka.common.security.plain.PlainLoginModule """ +
       """required username="alice" password="w\"on\\der";"""
