@@ -124,8 +124,14 @@ object Bench {
       val ordered = if (pass % 2 == 0) rerun.reverse else rerun
       ordered.foreach { case (name, fn) =>
         val (t, ok) = runOne(name, fn)
-        samples(name) = t :: samples(name)
-        okMap(name) = okMap(name) && ok
+        // a FAILED re-run contributes nothing: the query already has a
+        // valid pass-1 sample, so recording the failure would both mark
+        // a healthy query failed AND feed the failed attempt's (often
+        // artificially fast) elapsed time into the min — a transient
+        // pass-2 hiccup must not beat a real pass-1 measurement
+        if (ok) samples(name) = t :: samples(name)
+        else System.err.println(
+          s"[bench] pass $pass: $name re-run failed; keeping earlier samples")
       }
     }
     val results = entries.map { case (name, _) => (name, minOf(name), okMap(name)) }

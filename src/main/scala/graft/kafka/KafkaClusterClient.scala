@@ -258,17 +258,6 @@ final class KafkaClusterClient(bootstrapHost: String, bootstrapPort: Int,
       partitions: Seq[Int]): Map[Int, Long] =
     onCoordinator(group)(_.committedOffsets(group, topic, partitions))
 
-  /** Per-partition lag: committed (coordinator) vs log end (leaders). */
-  def groupLag(group: String, topic: String,
-      partitions: Seq[Int]): Seq[(Int, Long, Long, Long)] = {
-    val committed = committedOffsets(group, topic, partitions)
-    partitions.sorted.map { p =>
-      val c = committed.getOrElse(p, 0L)
-      val end = listOffset(topic, p, -1L)
-      (p, c, end, math.max(0L, end - c))
-    }
-  }
-
   override def close(): Unit = {
     clients.values.foreach(c => try c.close() catch { case _: Exception => () })
     clients.clear()

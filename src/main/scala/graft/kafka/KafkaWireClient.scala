@@ -352,13 +352,16 @@ final class KafkaWireClient(host: String, port: Int,
   }
 
   /** The partition's last stable offset (read_committed visibility
-    * horizon): one bounded probe fetch. Planning helper for
-    * read_committed reads — the LSO is the end bound a committed-only
-    * batch can safely take.
+    * horizon). Probed AT the high watermark, where the fetch response
+    * is header-only (empty-at-hw contract) — probing at offset 0 would
+    * make the broker re-encode and ship a full batch from the log
+    * head on every planning poll just to read one response field.
     */
-  def lastStableOffset(topic: String, partition: Int): Long =
-    fetch(topic, partition, 0L, maxBytes = 1, readCommitted = true)
+  def lastStableOffset(topic: String, partition: Int): Long = {
+    val hw = listOffset(topic, partition, -1L)
+    fetch(topic, partition, hw, maxBytes = 1, readCommitted = true)
       .lastStableOffset
+  }
 
   /** ListOffsets v1: earliest (-2) or latest (-1) offset. */
   def listOffset(topic: String, partition: Int, timestamp: Long): Long = {
@@ -471,20 +474,6 @@ final class KafkaWireClient(host: String, port: Int,
     out.result()
   }
 
-  /** Per-partition consumer lag for `group` on `topic`: committed
-    * position (0 when none) vs the latest log offset — the relation a
-    * lag monitor (Burrow, kafka-consumer-groups) derives from the same
-    * two APIs. O(partitions) metadata round trips, no record reads.
-    */
-  def groupLag(group: String, topic: String,
-      partitions: Seq[Int]): Seq[(Int, Long, Long, Long)] = {
-    val committed = committedOffsets(group, topic, partitions)
-    partitions.sorted.map { p =>
-      val c = committed.getOrElse(p, 0L)
-      val end = listOffset(topic, p, -1L)
-      (p, c, end, math.max(0L, end - c))
-    }
-  }
 }
 
 /** The metadata/offset surface the DSv2 planner drives — implemented
@@ -501,6 +490,23 @@ trait KafkaOffsetClient extends AutoCloseable {
       metadata: String, generation: Int): Unit
   def committedOffsets(group: String, topic: String,
       partitions: Seq[Int]): Map[Int, Long]
+
+  /** Per-partition consumer lag for `group` on `topic`: committed
+    * position (0 when none) vs the latest log offset — the relation a
+    * lag monitor (Burrow, kafka-consumer-groups) derives from the same
+    * two APIs. O(partitions) metadata round trips, no record reads;
+    * on a cluster-routing client the commits read from the
+    * coordinator and the ends from each leader.
+    */
+  final def groupLag(group: String, topic: String,
+      partitions: Seq[Int]): Seq[(Int, Long, Long, Long)] = {
+    val committed = committedOffsets(group, topic, partitions)
+    partitions.sorted.map { p =>
+      val c = committed.getOrElse(p, 0L)
+      val end = listOffset(topic, p, -1L)
+      (p, c, end, math.max(0L, end - c))
+    }
+  }
 }
 
 object KafkaWireClient {

@@ -336,11 +336,19 @@ object KafkaWireSource {
     * user-spec shorthand — a flat `{"0":12,"1":7}` map attributed to
     * `defaultTopic`.
     */
+  private val NestedBlock = """"((?:[^"\\]|\\.)+)"\s*:\s*\{([^{}]*)\}""".r
+
+  /** Is `json` the nested per-topic form? Detected with the same regex
+    * the parser consumes (whitespace-tolerant), NOT a substring probe —
+    * `{"t": {"0": 5}}` with standard JSON spacing is nested too.
+    */
+  def isNestedOffsets(json: String): Boolean =
+    NestedBlock.findFirstIn(json).isDefined
+
   def fromJson(json: String, defaultTopic: String): TopicOffsets = {
     val t = json.trim
-    if (t.contains(":{")) {
-      val block = """"((?:[^"\\]|\\.)+)"\s*:\s*\{([^{}]*)\}""".r
-      block.findAllMatchIn(t).flatMap { m =>
+    if (isNestedOffsets(t)) {
+      NestedBlock.findAllMatchIn(t).flatMap { m =>
         val topic = m.group(1)
         flatFromJson("{" + m.group(2) + "}")
           .map { case (p, o) => (topic, p) -> o }
@@ -418,7 +426,7 @@ object KafkaWireSource {
       ps.map(p => (t, p) -> client.listOffset(t, p, -1L))
     }
     case json =>
-      require(json.contains(":{") || partsByTopic.size == 1,
+      require(isNestedOffsets(json) || partsByTopic.size == 1,
         "kafka-wire: a flat offsets JSON map needs a single subscribed " +
           "topic; use the nested {\"topic\":{\"0\":...}} form for a list")
       val explicit = fromJson(json, partsByTopic.keys.head)

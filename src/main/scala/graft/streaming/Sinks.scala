@@ -246,9 +246,7 @@ final class DeltaUpsertStore(root: String, keyCol: String, orderCols: Seq[String
     val seg = nextSegment("d")
     // drop("__seg") inside latestPerKey is a no-op here (drop ignores
     // missing columns) — no synthetic column needed on the batch path
-    latestPerKey(batch, segOrdered = false)
-      .write.mode(SaveMode.Overwrite).parquet(s"$root/$seg")
-    writeKeyStats(batch.sparkSession, seg)
+    writeSegmentWithStats(latestPerKey(batch, segOrdered = false), seg)
     commit(segs :+ seg, v)
   }
 
@@ -270,10 +268,9 @@ final class DeltaUpsertStore(root: String, keyCol: String, orderCols: Seq[String
   def delete(keys: DataFrame, batchId: Long): Unit = synchronized {
     val (segs, v) = currentState()
     val seg = nextSegment("t")
-    latestPerKey(keys.select((keyCol +: orderCols).map(col): _*), segOrdered = false)
-      .withColumn("__tomb", lit(true))
-      .write.mode(SaveMode.Overwrite).parquet(s"$root/$seg")
-    writeKeyStats(keys.sparkSession, seg)
+    writeSegmentWithStats(
+      latestPerKey(keys.select((keyCol +: orderCols).map(col): _*),
+        segOrdered = false).withColumn("__tomb", lit(true)), seg)
     commit(segs :+ seg, v)
   }
 
@@ -295,17 +292,25 @@ final class DeltaUpsertStore(root: String, keyCol: String, orderCols: Seq[String
     * records, with the compaction-GC liveness check.
     */
   private def versionSegments(version: Long): Seq[String] = {
-    val p = versionPath(version)
-    require(java.nio.file.Files.exists(p),
-      s"unknown version $version (have: ${versions().mkString(",")})")
-    val segs = java.nio.file.Files.readAllLines(p)
-      .toArray(Array.empty[String]).toSeq.filter(_.nonEmpty)
+    val segs = versionSegmentsRaw(version)
     segs.foreach { seg =>
       require(new java.io.File(s"$root/$seg").isDirectory,
         s"version $version references segment $seg, GC'd by compaction — " +
           "history beyond the retention window is not readable")
     }
     segs
+  }
+
+  /** The raw recorded segment list, WITHOUT the liveness check —
+    * GC's ever-committed census must read versions whose segments it
+    * already reclaimed.
+    */
+  private def versionSegmentsRaw(version: Long): Seq[String] = {
+    val p = versionPath(version)
+    require(java.nio.file.Files.exists(p),
+      s"unknown version $version (have: ${versions().mkString(",")})")
+    java.nio.file.Files.readAllLines(p)
+      .toArray(Array.empty[String]).toSeq.filter(_.nonEmpty)
   }
 
   // ---- data skipping: per-segment key-range stats ----
@@ -330,38 +335,67 @@ final class DeltaUpsertStore(root: String, keyCol: String, orderCols: Seq[String
         case _       => true
       }
       case 'S' => k match {
-        case s: String => s >= lo && s <= hi
-        case _         => true
+        // compare in UTF-8 BYTE order, because the sidecar's min/max
+        // came from Spark's StringType ordering (UTF8String = unsigned
+        // UTF-8 bytes). Java's String ordering is UTF-16 code units,
+        // which DISAGREES for supplementary characters vs U+E000..FFFF
+        // — the mismatch would wrongly prune a segment and silently
+        // drop a stored key from a lookup
+        case s: String =>
+          KeyStats.utf8Cmp(s, lo) >= 0 && KeyStats.utf8Cmp(s, hi) <= 0
+        case _ => true
       }
       case _ => true
     }
   }
 
-  /** Compute and persist the just-written segment's keyCol min/max.
-    * Integral and (tab/control-free) string keys get stats; any other
-    * type writes no sidecar and the segment is simply never pruned.
-    * One tiny single-column agg over the segment — O(segment), paid
-    * once at write time, exactly when table formats collect file stats.
+  private object KeyStats {
+    def utf8Cmp(a: String, b: String): Int = {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      while (i < x.length && i < y.length) {
+        val d = (x(i) & 0xff) - (y(i) & 0xff)
+        if (d != 0) return d
+        i += 1
+      }
+      x.length - y.length
+    }
+  }
+
+  /** Write `df` as segment `seg` AND collect the keyCol min/max
+    * sidecar in the SAME Spark job via `observe()` — the write pass
+    * computes the stats as it streams rows out, so no second job
+    * re-reads what was just written (per-micro-batch upserts keep one
+    * job per batch, the stats effectively free). Integral and
+    * (tab/control-free) string keys get stats; any other type writes
+    * no sidecar and the segment is simply never pruned.
     */
-  private def writeKeyStats(spark: SparkSession, seg: String): Unit = {
-    val df = spark.read.parquet(s"$root/$seg").select(col(keyCol))
-    val tag = df.schema.head.dataType match {
-      case org.apache.spark.sql.types.LongType |
-           org.apache.spark.sql.types.IntegerType |
-           org.apache.spark.sql.types.ShortType |
-           org.apache.spark.sql.types.ByteType => Some('L')
-      case org.apache.spark.sql.types.StringType => Some('S')
+  private def writeSegmentWithStats(df: DataFrame, seg: String): Unit = {
+    val path = s"$root/$seg"
+    val tag = df.schema.find(_.name == keyCol).map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.LongType) |
+           Some(org.apache.spark.sql.types.IntegerType) |
+           Some(org.apache.spark.sql.types.ShortType) |
+           Some(org.apache.spark.sql.types.ByteType) => Some('L')
+      case Some(org.apache.spark.sql.types.StringType) => Some('S')
       case _ => None
     }
-    tag.foreach { t =>
-      val r = df.agg(min(col(keyCol)).cast("string"),
-        max(col(keyCol)).cast("string")).head
-      if (!r.isNullAt(0)) {
-        val (lo, hi) = (r.getString(0), r.getString(1))
-        if (t == 'L' || (lo + hi).forall(_ >= ' ')) // no tab/control chars in the sidecar
-          java.nio.file.Files.writeString(
-            java.nio.file.Paths.get(s"$root/$seg/_KEYSTATS"), s"$t\t$lo\t$hi")
-      }
+    tag match {
+      case None => df.write.mode(SaveMode.Overwrite).parquet(path)
+      case Some(t) =>
+        val obs = org.apache.spark.sql.Observation()
+        df.observe(obs, min(col(keyCol)).cast("string").as("lo"),
+            max(col(keyCol)).cast("string").as("hi"))
+          .write.mode(SaveMode.Overwrite).parquet(path)
+        val m = obs.get
+        (m.get("lo"), m.get("hi")) match {
+          case (Some(lo: String), Some(hi: String))
+              if t == 'L' || (lo + hi).forall(_ >= ' ') => // no tab/control chars in the sidecar
+            java.nio.file.Files.writeString(
+              java.nio.file.Paths.get(s"$path/_KEYSTATS"), s"$t\t$lo\t$hi")
+          case _ => () // empty segment (null min/max): no sidecar
+        }
     }
   }
 
@@ -399,7 +433,12 @@ final class DeltaUpsertStore(root: String, keyCol: String, orderCols: Seq[String
   def lookup(spark: SparkSession, keys: Seq[Any]): DataFrame = {
     val hit = candidateSegments(keys)
     if (hit.isEmpty)
-      // schema-stable empty result: no segment can hold any key
+      // empty result with the FIRST segment's schema when any segment
+      // exists (pruned-to-nothing lookups stay schema-stable for
+      // downstream selects). A store with NO committed segments has no
+      // schema to offer — the store is schemaless until first write —
+      // so that case degrades to a zero-column empty frame, same as
+      // read() on an empty store.
       mergedView(spark, manifest().take(1)).filter(lit(false))
     else
       mergedView(spark, hit).filter(col(keyCol).isin(keys: _*))
@@ -476,14 +515,12 @@ final class DeltaUpsertStore(root: String, keyCol: String, orderCols: Seq[String
     var segs = base
     upserts.foreach { u =>
       val seg = nextSegment("d")
-      u.write.mode(SaveMode.Overwrite).parquet(s"$root/$seg")
-      writeKeyStats(spark, seg)
+      writeSegmentWithStats(u, seg)
       segs :+= seg
     }
     deletes.foreach { d =>
       val seg = nextSegment("t")
-      d.write.mode(SaveMode.Overwrite).parquet(s"$root/$seg")
-      writeKeyStats(spark, seg)
+      writeSegmentWithStats(d, seg)
       segs :+= seg
     }
     commit(segs, v)
@@ -577,11 +614,9 @@ final class DeltaUpsertStore(root: String, keyCol: String, orderCols: Seq[String
         // is the Z-order-lite layout every table format applies when
         // it rewrites (OPTIMIZE ... ZORDER/SORT BY). Semantics are
         // unchanged: row order never affects the last-write-wins merge.
-        read(spark)
+        writeSegmentWithStats(read(spark)
           .repartitionByRange(col(keyCol))
-          .sortWithinPartitions(keyCol)
-          .write.mode(SaveMode.Overwrite).parquet(s"$root/$base")
-        writeKeyStats(spark, base)
+          .sortWithinPartitions(keyCol), base)
         commit(Seq(base), v)
         Seq(base)
       } else old
@@ -589,9 +624,30 @@ final class DeltaUpsertStore(root: String, keyCol: String, orderCols: Seq[String
     // by the PREVIOUS compaction (one full round of in-flight-reader
     // grace) must still be reclaimed, or a fold-to-one store would keep
     // tombstoned rows on disk forever — the erasure would never finish
-    val keep = (old ++ current).toSet
+    gcSuperseded((old ++ current).toSet)
+  }
+
+  /** Reclaim superseded segment directories, safely under CONCURRENT
+    * writers: a candidate must (a) have been COMMITTED at some point —
+    * it appears in a retained `MANIFEST.v` — so another writer's
+    * in-flight, not-yet-committed segment directory is never touched
+    * (its name appears in no manifest until its commit wins), and
+    * (b) be absent from BOTH the caller's keep-set and the manifest
+    * re-read HERE — so a segment another writer committed after the
+    * caller took its snapshot survives (the commit either landed
+    * before the version listing, putting the segment in the re-read
+    * current list, or after it, keeping the segment out of the
+    * ever-committed set; deletable = everCommitted minus live, which
+    * excludes it either way). Crash-orphaned never-committed
+    * directories are deliberately NOT reclaimed here (indistinguishable
+    * from in-flight writes without a lease).
+    */
+  private def gcSuperseded(keepSnapshot: Set[String]): Unit = {
+    val everCommitted: Set[String] = versions().flatMap(versionSegmentsRaw).toSet
+    val keep = keepSnapshot ++ currentState()._1
     Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && !keep.contains(f.getName))
+      .filter(f => f.isDirectory && everCommitted.contains(f.getName) &&
+        !keep.contains(f.getName))
       .foreach(deleteRecursively)
   }
 
@@ -625,21 +681,16 @@ final class DeltaUpsertStore(root: String, keyCol: String, orderCols: Seq[String
         // latestPerKey keeps a winning tombstone as a ROW (unlike the
         // read view, which filters it) — it must keep hiding the head
         // segment's version of the key
-        latestPerKey(union, segOrdered = true)
+        writeSegmentWithStats(latestPerKey(union, segOrdered = true)
           .repartitionByRange(col(keyCol))
-          .sortWithinPartitions(keyCol)
-          .write.mode(SaveMode.Overwrite).parquet(s"$root/$seg")
-        writeKeyStats(spark, seg)
+          .sortWithinPartitions(keyCol), seg)
         commit(Seq(head, seg), v)
         Seq(head, seg)
       } else old
     // same GC grace policy as compact(): reclaim segments superseded
     // before this call; what this call superseded survives one round
     // for in-flight readers
-    val keep = (old ++ current).toSet
-    Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && !keep.contains(f.getName))
-      .foreach(deleteRecursively)
+    gcSuperseded((old ++ current).toSet)
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {

@@ -66,6 +66,47 @@ class SinksSpec extends AnyFunSuite {
     assert(state() == Seq(("413", "b"), ("644", "d"), ("999", "z")))
   }
 
+  test("K3 delta store: GC spares in-flight (never-committed) segment directories") {
+    val root = tmp("delta_gc_")
+    val store = new DeltaUpsertStore(root, "room", Seq("ts"))
+    store.upsert(Seq(("413", 1L, "a")).toDF("room", "ts", "v"), 0)
+    store.upsert(Seq(("644", 1L, "b")).toDF("room", "ts", "v"), 1)
+    store.compact(spark)
+    // a concurrent writer's segment directory that has NOT yet won its
+    // commit: it appears in no manifest, so GC must never touch it —
+    // deleting it would corrupt that writer's commit the moment it
+    // lands (the multi-writer hole a keep-set from one writer's own
+    // snapshot leaves open)
+    val inflight = new java.io.File(root, "d9999-feedface")
+    inflight.mkdirs()
+    java.nio.file.Files.writeString(
+      new java.io.File(inflight, "part-00000.parquet").toPath, "x")
+    store.upsert(Seq(("777", 1L, "c")).toDF("room", "ts", "v"), 2)
+    store.compact(spark) // fold + GC round
+    store.compact(spark) // second GC round (reclaims prior superseded)
+    assert(inflight.exists, "GC reclaimed a never-committed segment dir")
+    // committed-and-superseded segments DID get reclaimed: only live
+    // segments + the one-round grace + the in-flight dir remain
+    val state = store.read(spark).orderBy("room")
+      .collect().map(r => (r.getString(0), r.getString(2))).toSeq
+    assert(state == Seq(("413", "a"), ("644", "b"), ("777", "c")))
+  }
+
+  test("K3 delta store: string-key pruning uses UTF-8 byte order, not UTF-16") {
+    val store = new DeltaUpsertStore(tmp("delta_utf8_"), "k", Seq("ts"))
+    // U+1F600 sorts ABOVE U+FFFF in UTF-8 bytes but BELOW it in Java's
+    // UTF-16 comparison (its surrogates are < ￿) — the mismatch
+    // that would wrongly prune a segment and silently lose a lookup
+    store.upsert(Seq(("a", 1L, "lo"), ("😀", 1L, "emoji"))
+      .toDF("k", "ts", "v"), 0)
+    assert(store.candidateSegments(Seq("￿")).nonEmpty,
+      "segment wrongly pruned for a key inside its UTF-8 range")
+    store.upsert(Seq(("￿", 2L, "high")).toDF("k", "ts", "v"), 1)
+    val got = store.lookup(spark, Seq("￿"))
+      .collect().map(r => (r.getString(0), r.getString(2))).toSeq
+    assert(got == Seq(("￿", "high")))
+  }
+
   test("K3 delta store: MINOR compaction folds deltas only, head untouched, reads unchanged") {
     val root = tmp("delta_minor_")
     val store = new DeltaUpsertStore(root, "room", Seq("ts"))
