@@ -1423,6 +1423,63 @@ object Streaming {
     } finally cluster.stop()
   }
 
+  // The SCHEMA-REGISTRY leg of the wire: one topic carrying records
+  // written under TWO schema versions — the evens produced in the "v1
+  // era" (no prop_k field on the wire at all), the odds under v2 —
+  // each value framed with the Confluent 5-byte prefix (magic 0x00 +
+  // int32 schema id). The registry stub enforces real BACKWARD
+  // compatibility at registration (Avro's own resolution verdict); the
+  // consumer censuses the distinct ids from the prefixes (driver-side,
+  // O(ids)), resolves writer schemas over HTTP, broadcasts the map,
+  // and decodes everything under the v2 READER schema — Avro schema
+  // resolution fills prop_k's null default for the v1-era records.
+  // The oracle pins exactly that: prop_k IS NULL for evens, the
+  // payload value for odds — schema evolution must be visible ONLY as
+  // the documented default, never as corruption or loss.
+  val kafkaWireSchemaRegistry: QueryDef = QueryDef.sql("q_kafka_wire_schema_registry")(
+    """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value,
+      |  CASE WHEN event_id % 2 = 0 THEN NULL
+      |       ELSE CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS INTEGER)
+      |  END AS prop_k
+      |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val registry = new graft.kafka.SchemaRegistryStub
+    registry.start()
+    val broker = new graft.kafka.KafkaStubBroker(3)
+    broker.start()
+    try {
+      val client = new graft.kafka.SchemaRegistryClient(registry.baseUrl)
+      val events = graft.core.Tables.events(s, dir)
+      val id1 = client.register("events-value",
+        graft.kafka.RegistryAvro.EventSchemaV1Json)
+      val id2 = client.register("events-value",
+        graft.kafka.RegistryAvro.EventSchemaV2Json)
+      def produce(df: org.apache.spark.sql.DataFrame): Unit =
+        df.write.format("kafka-wire")
+          .option("host", "127.0.0.1").option("port", broker.port.toString)
+          .option("topic", "events-sr").mode("append").save()
+      produce(graft.kafka.RegistryAvro.encodeEvents(
+        events.filter(col("event_id") % 2 === 0),
+        graft.kafka.RegistryAvro.EventSchemaV1Json, id1))
+      produce(graft.kafka.RegistryAvro.encodeEvents(
+        events.filter(col("event_id") % 2 === 1),
+        graft.kafka.RegistryAvro.EventSchemaV2Json, id2))
+      val consumed = s.read.format("kafka-wire")
+        .option("host", "127.0.0.1").option("port", broker.port.toString)
+        .option("topic", "events-sr")
+        .load()
+      val ids = graft.kafka.RegistryAvro.schemaIds(consumed)
+      val writerById = ids.map(i => i -> client.schemaById(i)).toMap
+      val decoded = graft.kafka.RegistryAvro
+        .decodeEvents(consumed, graft.kafka.RegistryAvro.EventSchemaV2Json,
+          writerById)
+        .orderBy("event_id")
+      graft.core.Spill.materialize(decoded)(())
+    } finally {
+      broker.stop()
+      registry.stop()
+    }
+  }
+
   // The BINARY codec leg of the wire: Avro-encoded values (the
   // schema-registry serialization a production Kafka feed carries,
   // where the reference ships JSON strings) produced through the real
@@ -1897,6 +1954,7 @@ object Streaming {
     streamKafkaGzip, kafkaWireAvro, kafkaWireIdempotent, kafkaWireTxn,
     kafkaWireGroupResume, kafkaWireMultiTopic, kafkaWireTopicRouting,
     kafkaWireCluster, kafkaWireSasl, kafkaWireFailover, kafkaWireSecuredE2e,
+    kafkaWireSchemaRegistry,
     e2eKafkaEs, kafkaTopicTransform, deltaMerge, deltaCdf, streamCdcApply,
     deltaCompactMinor)
 }
