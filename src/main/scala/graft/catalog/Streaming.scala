@@ -1429,10 +1429,12 @@ object Streaming {
   // each value framed with the Confluent 5-byte prefix (magic 0x00 +
   // int32 schema id). The registry stub enforces real BACKWARD
   // compatibility at registration (Avro's own resolution verdict); the
-  // consumer censuses the distinct ids from the prefixes (driver-side,
-  // O(ids)), resolves writer schemas over HTTP, broadcasts the map,
-  // and decodes everything under the v2 READER schema — Avro schema
-  // resolution fills prop_k's null default for the v1-era records.
+  // consumer decodes under the v2 READER schema with executors
+  // resolving each unseen writer-schema id from the registry directly
+  // (lazy per-partition cache — the real consumer's shape: no extra
+  // census pass over the data, O(ids × partitions) tiny HTTP calls) —
+  // Avro schema resolution fills prop_k's null default for the
+  // v1-era records.
   // The oracle pins exactly that: prop_k IS NULL for evens, the
   // payload value for odds — schema evolution must be visible ONLY as
   // the documented default, never as corruption or loss.
@@ -1467,11 +1469,9 @@ object Streaming {
         .option("host", "127.0.0.1").option("port", broker.port.toString)
         .option("topic", "events-sr")
         .load()
-      val ids = graft.kafka.RegistryAvro.schemaIds(consumed)
-      val writerById = ids.map(i => i -> client.schemaById(i)).toMap
       val decoded = graft.kafka.RegistryAvro
-        .decodeEvents(consumed, graft.kafka.RegistryAvro.EventSchemaV2Json,
-          writerById)
+        .decodeEventsResolving(consumed,
+          graft.kafka.RegistryAvro.EventSchemaV2Json, registry.baseUrl)
         .orderBy("event_id")
       graft.core.Spill.materialize(decoded)(())
     } finally {

@@ -297,13 +297,30 @@ object RegistryAvro {
       }.distinct().collect().toSeq.sorted
   }
 
+  /** Like [[decodeEvents]], but executors resolve unseen writer-schema
+    * ids DIRECTLY from the registry (lazy per-partition client,
+    * schemas cached for the partition's lifetime) — the real
+    * consumer's shape, and the right one at scale: no extra
+    * id-census pass over the data, and registry traffic is
+    * O(distinct ids × partitions) tiny HTTP calls, not O(records).
+    * The broadcast-map twin stays for deployments that forbid
+    * executor→registry egress.
+    */
+  def decodeEventsResolving(wire: DataFrame, readerSchemaJson: String,
+      registryUrl: String): DataFrame =
+    decodeImpl(wire, readerSchemaJson, Left(registryUrl))
+
   /** Wire frame → typed event columns under `readerSchemaJson`, with
     * each record's WRITER schema resolved from its id prefix via the
     * broadcast `writerById` map — Avro schema resolution fills new
     * fields' defaults for records written before the field existed.
     */
   def decodeEvents(wire: DataFrame, readerSchemaJson: String,
-      writerById: Map[Int, String]): DataFrame = {
+      writerById: Map[Int, String]): DataFrame =
+    decodeImpl(wire, readerSchemaJson, Right(writerById))
+
+  private def decodeImpl(wire: DataFrame, readerSchemaJson: String,
+      resolver: Either[String, Map[Int, String]]): DataFrame = {
     val spark = wire.sparkSession
     import spark.implicits._
     val values: Dataset[Array[Byte]] =
@@ -313,7 +330,10 @@ object RegistryAvro {
         new org.apache.avro.Schema.Parser().parse(readerSchemaJson)
       val hasPropK = readerSchema.getField("prop_k") != null
       // one resolving reader per writer schema id, built lazily and
-      // reused across the partition (the serializer's cache)
+      // reused across the partition (the serializer's cache); under
+      // Left(url) an unseen id costs one HTTP round trip here, then
+      // never again for this partition
+      lazy val registry = resolver.left.toOption.map(new SchemaRegistryClient(_))
       val readers = scala.collection.mutable.Map.empty[Int,
         org.apache.avro.generic.GenericDatumReader[
           org.apache.avro.generic.GenericRecord]]
@@ -324,9 +344,12 @@ object RegistryAvro {
         val id = ((bytes(1) & 0xff) << 24) | ((bytes(2) & 0xff) << 16) |
           ((bytes(3) & 0xff) << 8) | (bytes(4) & 0xff)
         val reader = readers.getOrElseUpdate(id, {
-          val writerSchema = new org.apache.avro.Schema.Parser().parse(
-            writerById.getOrElse(id,
-              throw new IllegalArgumentException(s"unresolved schema id $id")))
+          val text = resolver match {
+            case Left(_) => registry.get.schemaById(id)
+            case Right(m) => m.getOrElse(id,
+              throw new IllegalArgumentException(s"unresolved schema id $id"))
+          }
+          val writerSchema = new org.apache.avro.Schema.Parser().parse(text)
           new org.apache.avro.generic.GenericDatumReader(writerSchema, readerSchema)
         })
         dec = org.apache.avro.io.DecoderFactory.get()

@@ -14,10 +14,14 @@ import graft.kafka.{RegistryAvro, SchemaRegistryClient, SchemaRegistryStub}
 class SchemaRegistrySpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
-  private def withRegistry[A](f: SchemaRegistryClient => A): A = {
+  private def withRegistry[A](f: SchemaRegistryClient => A): A =
+    withRegistry2((c, _) => f(c))
+
+  private def withRegistry2[A](f: (SchemaRegistryClient, String) => A): A = {
     val stub = new SchemaRegistryStub
     stub.start()
-    try f(new SchemaRegistryClient(stub.baseUrl)) finally stub.stop()
+    try f(new SchemaRegistryClient(stub.baseUrl), stub.baseUrl)
+    finally stub.stop()
   }
 
   private def events(n: Int) = {
@@ -103,6 +107,27 @@ class SchemaRegistrySpec extends AnyFunSuite {
         else assert(k.contains(id.toInt * 11))
       }
       assert(decoded.length == 40)
+    }
+  }
+
+  test("executor-side direct resolution matches the broadcast-map decode") {
+    withRegistry2 { (c, url) =>
+      import spark.implicits._
+      val df = events(30)
+      val id1 = c.register("events-value", RegistryAvro.EventSchemaV1Json)
+      val id2 = c.register("events-value", RegistryAvro.EventSchemaV2Json)
+      val wire = RegistryAvro
+        .encodeEvents(df.filter(col("event_id") % 2 === 0),
+          RegistryAvro.EventSchemaV1Json, id1)
+        .unionAll(RegistryAvro.encodeEvents(df.filter(col("event_id") % 2 === 1),
+          RegistryAvro.EventSchemaV2Json, id2))
+      val byMap = RegistryAvro.decodeEvents(wire, RegistryAvro.EventSchemaV2Json,
+          RegistryAvro.schemaIds(wire).map(i => i -> c.schemaById(i)).toMap)
+        .orderBy("event_id").collect().toSeq
+      val direct = RegistryAvro
+        .decodeEventsResolving(wire, RegistryAvro.EventSchemaV2Json, url)
+        .orderBy("event_id").collect().toSeq
+      assert(direct == byMap && direct.size == 30)
     }
   }
 
