@@ -108,6 +108,11 @@ final class KafkaWireSourceProvider extends TableProvider with DataSourceRegiste
     require(subscribePattern.isEmpty ||
         (Option(opts.get("topic")).isEmpty && Option(opts.get("subscribe")).isEmpty),
       "kafka-wire: subscribePattern and topic/subscribe are mutually exclusive")
+    val assign = Option(opts.get("assign"))
+    require(assign.isEmpty || (subscribePattern.isEmpty &&
+        Option(opts.get("topic")).isEmpty && Option(opts.get("subscribe")).isEmpty),
+      "kafka-wire: assign and topic/subscribe/subscribePattern are mutually exclusive")
+    assign.foreach(KafkaWireSource.parseAssign) // fail malformed specs at plan time
     // SASL/PLAIN, the stock connector's config surface: mechanism +
     // jaas config (username/password extracted from the standard
     // PlainLoginModule string). Only PLAIN is speakable on this
@@ -157,7 +162,8 @@ final class KafkaWireSourceProvider extends TableProvider with DataSourceRegiste
       sasl,
       servers.tail,
       minPerTrigger,
-      maxTriggerDelayMs))
+      maxTriggerDelayMs,
+      assign))
   }
 }
 
@@ -173,6 +179,11 @@ final class KafkaWireSourceProvider extends TableProvider with DataSourceRegiste
   *    or NONE, in which case each row's `topic` STRING column routes it
   *    (the stock contract; the option, when present, overrides the
   *    column);
+  *  - `assign`: the subscription's third mode (stock contract,
+  *    `{"topic":[0,2]}`): plan EXACTLY the listed partitions — the
+  *    shard-a-topic-across-independent-jobs pattern; a nonexistent
+  *    partition fails the plan loudly. Mutually exclusive with
+  *    topic/subscribe/subscribePattern; reads only;
   *  - `minOffsetsPerTrigger` + `maxTriggerDelay` (default 15m): the
   *    inverse backpressure knob — hold a micro-batch until at least
   *    this many records accumulate, unless maxTriggerDelay since the
@@ -263,7 +274,8 @@ final case class KafkaWireConf(host: String, port: Int, topic: String,
     sasl: Option[KafkaWireClient.SaslPlain] = None,
     extraBootstrap: Seq[(String, Int)] = Nil,
     minOffsetsPerTrigger: Option[Long] = None,
-    maxTriggerDelayMs: Long = 15L * 60 * 1000) {
+    maxTriggerDelayMs: Long = 15L * 60 * 1000,
+    assign: Option[String] = None) {
   /** `subscribe` takes a comma-separated topic LIST (stock-connector
     * contract); reads plan every partition of every listed topic.
     * Writes take exactly one — or none, routing on the `topic` column.
@@ -288,9 +300,45 @@ final case class KafkaWireConf(host: String, port: Int, topic: String,
           s"kafka-wire: subscribePattern '$pat' matches no topic")
         matched
     }
+
+  /** The planned (topic → partitions) map — the subscription's THIRD
+    * mode, `assign` (stock contract: `{"topic":[0,2]}`), pins exactly
+    * the listed partitions (validated against broker metadata, a
+    * nonexistent partition fails the plan loudly); the other modes
+    * plan every partition of the resolved topic set.
+    */
+  def resolvePartitions(client: KafkaOffsetClient): Map[String, Seq[Int]] =
+    assign match {
+      case Some(spec) =>
+        val wanted = KafkaWireSource.parseAssign(spec)
+        val meta = client.metadata(wanted.keys.toSeq.sorted)
+          .map(tm => tm.topic -> tm.partitions.map(_.partition).toSet).toMap
+        wanted.map { case (t, ps) =>
+          val known = meta.getOrElse(t, Set.empty)
+          ps.foreach(p => require(known.contains(p),
+            s"kafka-wire: assigned partition $t/$p does not exist"))
+          t -> ps.sorted
+        }
+      case None =>
+        client.metadata(resolveTopics(client))
+          .map(tm => tm.topic -> tm.partitions.map(_.partition)).toMap
+    }
 }
 
 object KafkaWireSource {
+  private val AssignBlock = """"((?:[^"\\]|\\.)+)"\s*:\s*\[([0-9,\s]*)\]""".r
+
+  /** Parse the stock `assign` JSON: `{"topicA":[0,2],"topicB":[1]}`. */
+  def parseAssign(json: String): Map[String, Seq[Int]] = {
+    val m = AssignBlock.findAllMatchIn(json).map { mm =>
+      mm.group(1) -> mm.group(2).split(",").toSeq
+        .map(_.trim).filter(_.nonEmpty).map(_.toInt)
+    }.toMap
+    require(m.nonEmpty && m.values.forall(_.nonEmpty),
+      s"""kafka-wire: malformed assign spec '$json' (expected {"topic":[0,1]})""")
+    m
+  }
+
   /** Parse the stock connector's duration-string form for
     * `maxTriggerDelay`: bare millis, or `ms`/`s`/`m`/`h` suffixed.
     */
@@ -457,7 +505,8 @@ final class KafkaWireTable(conf: KafkaWireConf)
     extends Table with SupportsRead with SupportsWrite {
 
   override def name(): String =
-    s"kafka-wire:${Option(conf.topic).orElse(conf.subscribePattern).getOrElse("<topic column>")}" +
+    s"kafka-wire:${Option(conf.topic).orElse(conf.subscribePattern)
+      .orElse(conf.assign).getOrElse("<topic column>")}" +
       s"@${conf.host}:${conf.port}"
   override def schema(): StructType = KafkaWireSource.Schema
   override def capabilities(): util.Set[TableCapability] =
@@ -468,8 +517,10 @@ final class KafkaWireTable(conf: KafkaWireConf)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = {
-        require(conf.topics.nonEmpty || conf.subscribePattern.isDefined,
-          "kafka-wire read: 'topic'/'subscribe' (or 'subscribePattern') is required")
+        require(conf.topics.nonEmpty || conf.subscribePattern.isDefined ||
+            conf.assign.isDefined,
+          "kafka-wire read: 'topic'/'subscribe', 'subscribePattern', " +
+            "or 'assign' is required")
         new KafkaWireScan(conf)
       }
     }
@@ -477,7 +528,8 @@ final class KafkaWireTable(conf: KafkaWireConf)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): Write = {
-        require(conf.topics.size <= 1 && conf.subscribePattern.isEmpty,
+        require(conf.topics.size <= 1 && conf.subscribePattern.isEmpty &&
+            conf.assign.isEmpty,
           s"kafka-wire write: exactly one topic option, or none with a " +
             s"'topic' column (got '${conf.topic}')")
         new KafkaWireWrite(conf.host, conf.port, conf.topics.headOption.orNull,
@@ -716,8 +768,7 @@ final class KafkaWireScan(conf: KafkaWireConf) extends Scan {
       val c = new KafkaClusterClient(host, port, sasl = conf.sasl,
         extraBootstrap = conf.extraBootstrap)
       try {
-        val partsByTopic = c.metadata(conf.resolveTopics(c))
-          .map(tm => tm.topic -> tm.partitions.map(_.partition)).toMap
+        val partsByTopic = conf.resolvePartitions(c)
         val starts = KafkaWireSource.resolveStart(c, partsByTopic, conf)
         val ends0 = KafkaWireSource.resolveEnd(c, partsByTopic, conf)
         // read_committed: the visibility horizon is the last stable
@@ -770,9 +821,9 @@ final class KafkaWireMicroBatchStream(conf: KafkaWireConf)
   @transient private lazy val partsByTopic: Map[String, Seq[Int]] = {
     // metadata auto-creates the topics on the stub, fixing partition
     // counts before the first offset poll; a subscribePattern resolves
-    // against the broker's topic list here (query start)
-    client.metadata(conf.resolveTopics(client))
-      .map(tm => tm.topic -> tm.partitions.map(_.partition)).toMap
+    // against the broker's topic list here (query start); `assign`
+    // pins exact partitions instead
+    conf.resolvePartitions(client)
   }
   // AvailableNow target: captured once at prepare time so a producer
   // racing the drain can't extend the run past the trigger's snapshot.

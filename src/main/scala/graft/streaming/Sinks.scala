@@ -651,6 +651,27 @@ final class DeltaUpsertStore(root: String, keyCol: String, orderCols: Seq[String
       .foreach(deleteRecursively)
   }
 
+  /** Reclaim NEVER-COMMITTED segment directories older than
+    * `olderThanMs` — crash orphans from writers that died between
+    * writing their segment and winning the commit. Regular GC
+    * deliberately spares these (a live writer's in-flight segment is
+    * indistinguishable from an orphan without a lease); age is the
+    * lease substitute, so run this with a bound comfortably above any
+    * writer's write-to-commit latency (Delta's VACUUM default
+    * posture). Returns the reclaimed names.
+    */
+  def vacuumOrphans(olderThanMs: Long): Seq[String] = synchronized {
+    val committed =
+      versions().flatMap(versionSegmentsRaw).toSet ++ currentState()._1
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && !committed.contains(f.getName) &&
+        f.getName.headOption.exists(c => c == 'b' || c == 'd' ||
+          c == 'm' || c == 't') &&
+        f.lastModified() < cutoff)
+      .map { f => deleteRecursively(f); f.getName }.toSeq
+  }
+
   /** MINOR compaction (the LSM L0→L1 fold): collapse only the DELTA
     * segments — everything after the first segment — into one
     * key-clustered segment, leaving the (large) head segment untouched.

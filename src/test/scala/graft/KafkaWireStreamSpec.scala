@@ -701,6 +701,72 @@ class KafkaWireStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("assign pins exact partitions for batch and streaming reads") {
+    withBroker() { broker =>
+      // deterministic placement: produce() keys records id -> id % 3
+      produce(broker, "asg", 0 until 60)
+      val df = spark.read.format("kafka-wire")
+        .option("host", "127.0.0.1").option("port", broker.port.toString)
+        .option("assign", """{"asg": [0, 2]}""")
+        .load()
+      val parts = df.select("partition").distinct()
+        .collect().map(_.getInt(0)).sorted
+      assert(parts.toSeq == Seq(0, 2))
+      val ids = df.selectExpr("CAST(value AS STRING) AS v")
+        .select(get_json_object(col("v"), "$.id").cast("int"))
+        .collect().map(_.getInt(0)).sorted
+      assert(ids.toSeq == (0 until 60).filter(i => i % 3 == 0 || i % 3 == 2))
+      // streaming: the checkpoint plans only the assigned partitions
+      val got = {
+        val outDir = tmp("asg_out_")
+        val q = spark.readStream.format("kafka-wire")
+          .option("host", "127.0.0.1").option("port", broker.port.toString)
+          .option("assign", """{"asg": [1]}""")
+          .load()
+          .selectExpr("CAST(value AS STRING) AS v")
+          .select(get_json_object(col("v"), "$.id").cast("int").as("id"))
+          .writeStream
+          .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            b.write.mode("append").parquet(outDir))
+          .option("checkpointLocation", tmp("chk_asg_"))
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        spark.read.parquet(outDir).collect().map(_.getInt(0)).sorted
+      }
+      assert(got.toSeq == (0 until 60).filter(_ % 3 == 1))
+    }
+  }
+
+  test("assign validates partitions and excludes other subscription modes") {
+    withBroker() { broker =>
+      produce(broker, "asg2", 0 until 6)
+      val e1 = intercept[Exception] {
+        spark.read.format("kafka-wire")
+          .option("host", "127.0.0.1").option("port", broker.port.toString)
+          .option("assign", """{"asg2": [7]}""")
+          .load().collect()
+      }
+      assert(e1.getMessage.contains("asg2/7 does not exist") ||
+        Option(e1.getCause).exists(_.getMessage.contains("asg2/7 does not exist")))
+      val e2 = intercept[IllegalArgumentException] {
+        spark.read.format("kafka-wire")
+          .option("host", "127.0.0.1").option("port", broker.port.toString)
+          .option("topic", "asg2")
+          .option("assign", """{"asg2": [0]}""")
+          .load()
+      }
+      assert(e2.getMessage.contains("mutually exclusive"))
+      val e3 = intercept[IllegalArgumentException] {
+        spark.read.format("kafka-wire")
+          .option("host", "127.0.0.1").option("port", broker.port.toString)
+          .option("assign", "not json")
+          .load()
+      }
+      assert(e3.getMessage.contains("malformed assign"))
+    }
+  }
+
   test("offset JSON round-trips canonically in the stock nested format") {
     val o: KafkaWireSource.TopicOffsets =
       Map(("t", 2) -> 17L, ("t", 0) -> 3L, ("a", 1) -> 0L)

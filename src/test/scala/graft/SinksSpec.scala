@@ -92,6 +92,34 @@ class SinksSpec extends AnyFunSuite {
     assert(state == Seq(("413", "a"), ("644", "b"), ("777", "c")))
   }
 
+  test("K3 delta store: vacuumOrphans reclaims only AGED never-committed dirs") {
+    val root = tmp("delta_vac_")
+    val store = new DeltaUpsertStore(root, "room", Seq("ts"))
+    store.upsert(Seq(("413", 1L, "a")).toDF("room", "ts", "v"), 0)
+    def mkOrphan(name: String, aged: Boolean): java.io.File = {
+      val d = new java.io.File(root, name)
+      d.mkdirs()
+      java.nio.file.Files.writeString(
+        new java.io.File(d, "part-00000.parquet").toPath, "x")
+      if (aged) {
+        d.listFiles.foreach(_.setLastModified(System.currentTimeMillis() - 3600000))
+        d.setLastModified(System.currentTimeMillis() - 3600000)
+      }
+      d
+    }
+    val oldOrphan = mkOrphan("d8888-cafebabe", aged = true)
+    val freshOrphan = mkOrphan("d8889-cafebabe", aged = false)
+    val unrelated = new java.io.File(root, "somedir"); unrelated.mkdirs()
+    unrelated.setLastModified(System.currentTimeMillis() - 3600000)
+    val reclaimed = store.vacuumOrphans(60000)
+    assert(reclaimed == Seq("d8888-cafebabe"))
+    assert(!oldOrphan.exists)
+    assert(freshOrphan.exists, "a fresh (possibly in-flight) dir must survive")
+    assert(unrelated.exists, "non-segment dirs are never touched")
+    // committed segments are untouched regardless of age
+    assert(store.read(spark).count() == 1)
+  }
+
   test("K3 delta store: string-key pruning uses UTF-8 byte order, not UTF-16") {
     val store = new DeltaUpsertStore(tmp("delta_utf8_"), "k", Seq("ts"))
     // U+1F600 sorts ABOVE U+FFFF in UTF-8 bytes but BELOW it in Java's
