@@ -41,7 +41,40 @@ object AvroCodec {
       |   {"name": "prop_k", "type": ["null", "int"], "default": null}
       | ]}""".stripMargin
 
-  private type EventTuple = (Long, Long, Long, String, Double, Option[Int])
+  // Shared event↔record plumbing: ONE projection, ONE field-put
+  // sequence, ONE record-read — reused by the registry-framed twin
+  // (graft.kafka.RegistryAvro), so a schema-field change cannot
+  // silently diverge the two wire paths.
+  private[graft] type EventTuple = (Long, Long, Long, String, Double, Option[Int])
+
+  private[graft] def projectEvents(events: DataFrame): Dataset[EventTuple] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"), col("value"),
+        get_json_object(col("props"), "$.k").cast("int").as("prop_k"))
+      .as[EventTuple]
+  }
+
+  private[graft] def putEvent(rec: org.apache.avro.generic.GenericData.Record,
+      t: EventTuple, hasPropK: Boolean): Unit = {
+    rec.put("event_id", t._1)
+    rec.put("ts_us", t._2)
+    rec.put("user_id", t._3)
+    rec.put("event_type", t._4)
+    rec.put("value", t._5)
+    if (hasPropK) rec.put("prop_k", t._6.map(Int.box).orNull)
+  }
+
+  private[graft] def eventOf(rec: org.apache.avro.generic.GenericRecord,
+      hasPropK: Boolean): EventTuple =
+    (rec.get("event_id").asInstanceOf[Long],
+      rec.get("ts_us").asInstanceOf[Long],
+      rec.get("user_id").asInstanceOf[Long],
+      rec.get("event_type").toString,
+      rec.get("value").asInstanceOf[Double],
+      if (hasPropK) Option(rec.get("prop_k")).map(_.asInstanceOf[Int])
+      else None)
 
   /** events table → Kafka-shaped (key STRING, value BINARY) wire frame;
     * key = event_id (the producer's partitioning key, F8).
@@ -49,10 +82,7 @@ object AvroCodec {
   def encodeEvents(events: DataFrame): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
-    events.select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
-        col("user_id"), col("event_type"), col("value"),
-        get_json_object(col("props"), "$.k").cast("int").as("prop_k"))
-      .as[EventTuple]
+    projectEvents(events)
       .mapPartitions { it =>
         val schema = new org.apache.avro.Schema.Parser().parse(EventSchemaJson)
         val writer =
@@ -60,19 +90,14 @@ object AvroCodec {
             org.apache.avro.generic.GenericRecord](schema)
         val baos = new java.io.ByteArrayOutputStream(64)
         var enc: org.apache.avro.io.BinaryEncoder = null
-        it.map { case (id, tsUs, uid, typ, v, k) =>
+        it.map { t =>
           baos.reset()
           enc = org.apache.avro.io.EncoderFactory.get().binaryEncoder(baos, enc)
           val rec = new org.apache.avro.generic.GenericData.Record(schema)
-          rec.put("event_id", id)
-          rec.put("ts_us", tsUs)
-          rec.put("user_id", uid)
-          rec.put("event_type", typ)
-          rec.put("value", v)
-          rec.put("prop_k", k.map(Int.box).orNull)
+          putEvent(rec, t, hasPropK = true)
           writer.write(rec, enc)
           enc.flush()
-          (id.toString, baos.toByteArray)
+          (t._1.toString, baos.toByteArray)
         }
       }.toDF("key", "value")
   }
@@ -91,13 +116,7 @@ object AvroCodec {
       var dec: org.apache.avro.io.BinaryDecoder = null
       it.map { bytes =>
         dec = org.apache.avro.io.DecoderFactory.get().binaryDecoder(bytes, dec)
-        val rec = reader.read(null, dec)
-        (rec.get("event_id").asInstanceOf[Long],
-          rec.get("ts_us").asInstanceOf[Long],
-          rec.get("user_id").asInstanceOf[Long],
-          rec.get("event_type").toString,
-          rec.get("value").asInstanceOf[Double],
-          Option(rec.get("prop_k")).map(_.asInstanceOf[Int]))
+        eventOf(reader.read(null, dec), hasPropK = true)
       }
     }.toDF("event_id", "ts_us", "user_id", "event_type", "value", "prop_k")
   }

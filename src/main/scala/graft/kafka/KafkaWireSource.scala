@@ -328,13 +328,20 @@ final case class KafkaWireConf(host: String, port: Int, topic: String,
 object KafkaWireSource {
   private val AssignBlock = """"((?:[^"\\]|\\.)+)"\s*:\s*\[([0-9,\s]*)\]""".r
 
-  /** Parse the stock `assign` JSON: `{"topicA":[0,2],"topicB":[1]}`. */
+  /** Parse the stock `assign` JSON: `{"topicA":[0,2],"topicB":[1]}`.
+    * A block the regex cannot consume fails LOUDLY (the residue check)
+    * — a partially malformed spec must never plan a partial
+    * subscription and silently drop a topic's data. Escaped quotes in
+    * topic names are unescaped like every other JSON string here.
+    */
   def parseAssign(json: String): Map[String, Seq[Int]] = {
     val m = AssignBlock.findAllMatchIn(json).map { mm =>
-      mm.group(1) -> mm.group(2).split(",").toSeq
+      mm.group(1).replaceAll("""\\(.)""", "$1") -> mm.group(2).split(",").toSeq
         .map(_.trim).filter(_.nonEmpty).map(_.toInt)
     }.toMap
-    require(m.nonEmpty && m.values.forall(_.nonEmpty),
+    val residue = AssignBlock.replaceAllIn(json.trim, "")
+      .replaceAll("""[\s{},]""", "")
+    require(m.nonEmpty && m.values.forall(_.nonEmpty) && residue.isEmpty,
       s"""kafka-wire: malformed assign spec '$json' (expected {"topic":[0,1]})""")
     m
   }

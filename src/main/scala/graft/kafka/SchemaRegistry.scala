@@ -78,11 +78,10 @@ final class SchemaRegistryStub {
     ex.close()
   }
 
+  import SchemaRegistryStub.{ByIdRe, LatestRe, VersionsRe}
+
   private def handle(ex: HttpExchange): Unit = try {
     val path = ex.getRequestURI.getPath
-    val VersionsRe = "/subjects/([^/]+)/versions".r
-    val LatestRe = "/subjects/([^/]+)/versions/latest".r
-    val ByIdRe = "/schemas/ids/([0-9]+)".r
     (ex.getRequestMethod, path) match {
       case ("POST", VersionsRe(subject)) =>
         val body = new String(ex.getRequestBody.readAllBytes(),
@@ -117,9 +116,14 @@ final class SchemaRegistryStub {
     }
   } catch {
     case e: Exception =>
-      respond(ex, 422,
+      // the failed respond may already have sent headers (e.g. the
+      // client dropped mid-body-write): a second respond would throw
+      // from the handler and leak the exchange off one of the pool's
+      // threads — always fall back to a bare close
+      try respond(ex, 422,
         s"""{"error_code":422,"message":${mapper.writeValueAsString(
           String.valueOf(e.getMessage))}}""")
+      catch { case _: Exception => try ex.close() catch { case _: Exception => () } }
   }
 
   /** Register under BACKWARD compatibility: the NEW schema (as reader)
@@ -154,9 +158,15 @@ final class SchemaRegistryStub {
   }
 }
 
-/** Minimal blocking registry client (driver-side metadata calls only —
-  * executors receive resolved schemas by broadcast, the same caching
-  * discipline as the real serializer's client).
+object SchemaRegistryStub {
+  private val VersionsRe = "/subjects/([^/]+)/versions".r
+  private val LatestRe = "/subjects/([^/]+)/versions/latest".r
+  private val ByIdRe = "/schemas/ids/([0-9]+)".r
+}
+
+/** Minimal blocking registry client — driver-side metadata calls, and
+  * (under [[RegistryAvro.decodeEventsResolving]]) one short-lived
+  * instance per executor partition.
   */
 final class SchemaRegistryClient(baseUrl: String) {
   private val mapper = new ObjectMapper()
@@ -165,17 +175,22 @@ final class SchemaRegistryClient(baseUrl: String) {
       body: Option[String]): (Int, String) = {
     val conn = new java.net.URL(baseUrl + path).openConnection()
       .asInstanceOf[java.net.HttpURLConnection]
-    conn.setRequestMethod(method)
-    body.foreach { b =>
-      conn.setDoOutput(true)
-      conn.setRequestProperty("Content-Type",
-        "application/vnd.schemaregistry.v1+json")
-      conn.getOutputStream.write(b.getBytes(StandardCharsets.UTF_8))
-    }
-    val status = conn.getResponseCode
-    val stream = if (status < 400) conn.getInputStream else conn.getErrorStream
-    val text = new String(stream.readAllBytes(), StandardCharsets.UTF_8)
-    (status, text)
+    try {
+      conn.setRequestMethod(method)
+      body.foreach { b =>
+        conn.setDoOutput(true)
+        conn.setRequestProperty("Content-Type",
+          "application/vnd.schemaregistry.v1+json")
+        conn.getOutputStream.write(b.getBytes(StandardCharsets.UTF_8))
+      }
+      val status = conn.getResponseCode
+      val stream = if (status < 400) conn.getInputStream else conn.getErrorStream
+      // read AND close the stream: abandoned keep-alive connections
+      // accumulate file descriptors on long-lived executors
+      val text = try new String(stream.readAllBytes(), StandardCharsets.UTF_8)
+        finally stream.close()
+      (status, text)
+    } finally conn.disconnect()
   }
 
   /** Register (or re-resolve) `schemaJson` under `subject` → schema id.
@@ -238,20 +253,17 @@ object RegistryAvro {
     */
   val EventSchemaV2Json: String = graft.core.AvroCodec.EventSchemaJson
 
-  private type EventTuple = (Long, Long, Long, String, Double, Option[Int])
-
   /** events → (key, value) wire frame with the 5-byte registry prefix;
     * fields absent from the writer schema (e.g. prop_k under v1) are
-    * simply not written.
+    * simply not written. The projection and field-put sequence are
+    * [[graft.core.AvroCodec]]'s own — one source of truth for the
+    * event↔record mapping across both wire paths.
     */
   def encodeEvents(events: DataFrame, schemaJson: String,
       schemaId: Int): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
-    events.select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
-        col("user_id"), col("event_type"), col("value"),
-        get_json_object(col("props"), "$.k").cast("int").as("prop_k"))
-      .as[EventTuple]
+    graft.core.AvroCodec.projectEvents(events)
       .mapPartitions { it =>
         val schema = new org.apache.avro.Schema.Parser().parse(schemaJson)
         val hasPropK = schema.getField("prop_k") != null
@@ -259,7 +271,7 @@ object RegistryAvro {
           org.apache.avro.generic.GenericRecord](schema)
         val baos = new java.io.ByteArrayOutputStream(64)
         var enc: org.apache.avro.io.BinaryEncoder = null
-        it.map { case (id, tsUs, uid, typ, v, k) =>
+        it.map { t =>
           baos.reset()
           baos.write(0) // magic byte
           baos.write((schemaId >>> 24) & 0xff)
@@ -268,15 +280,10 @@ object RegistryAvro {
           baos.write(schemaId & 0xff)
           enc = org.apache.avro.io.EncoderFactory.get().binaryEncoder(baos, enc)
           val rec = new org.apache.avro.generic.GenericData.Record(schema)
-          rec.put("event_id", id)
-          rec.put("ts_us", tsUs)
-          rec.put("user_id", uid)
-          rec.put("event_type", typ)
-          rec.put("value", v)
-          if (hasPropK) rec.put("prop_k", k.map(Int.box).orNull)
+          graft.core.AvroCodec.putEvent(rec, t, hasPropK)
           writer.write(rec, enc)
           enc.flush()
-          (id.toString, baos.toByteArray)
+          (t._1.toString, baos.toByteArray)
         }
       }.toDF("key", "value")
   }
@@ -354,14 +361,7 @@ object RegistryAvro {
         })
         dec = org.apache.avro.io.DecoderFactory.get()
           .binaryDecoder(bytes, 5, bytes.length - 5, dec)
-        val rec = reader.read(null, dec)
-        (rec.get("event_id").asInstanceOf[Long],
-          rec.get("ts_us").asInstanceOf[Long],
-          rec.get("user_id").asInstanceOf[Long],
-          rec.get("event_type").toString,
-          rec.get("value").asInstanceOf[Double],
-          if (hasPropK) Option(rec.get("prop_k")).map(_.asInstanceOf[Int])
-          else None)
+        graft.core.AvroCodec.eventOf(reader.read(null, dec), hasPropK)
       }
     }.toDF("event_id", "ts_us", "user_id", "event_type", "value", "prop_k")
   }

@@ -664,12 +664,21 @@ final class DeltaUpsertStore(root: String, keyCol: String, orderCols: Seq[String
     val committed =
       versions().flatMap(versionSegmentsRaw).toSet ++ currentState()._1
     val cutoff = System.currentTimeMillis() - olderThanMs
-    Option(dir.listFiles()).getOrElse(Array.empty)
+    val orphanSegs = Option(dir.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && !committed.contains(f.getName) &&
         f.getName.headOption.exists(c => c == 'b' || c == 'd' ||
           c == 'm' || c == 't') &&
         f.lastModified() < cutoff)
       .map { f => deleteRecursively(f); f.getName }.toSeq
+    // a writer that crashed between staging its MANIFEST.tmp.<uuid>
+    // and the atomic link/move leaves the tmp file behind forever —
+    // no other GC path touches it, so repeated crashes would
+    // accumulate them unboundedly
+    val orphanTmps = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.startsWith("MANIFEST.tmp.") &&
+        f.lastModified() < cutoff)
+      .map { f => f.delete(); f.getName }.toSeq
+    orphanSegs ++ orphanTmps
   }
 
   /** MINOR compaction (the LSM L0→L1 fold): collapse only the DELTA
