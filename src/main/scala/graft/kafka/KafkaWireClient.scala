@@ -17,11 +17,17 @@ import KafkaCodec._
   */
 final class KafkaWireClient(host: String, port: Int,
     clientId: String = "graft",
-    sasl: Option[KafkaWireClient.SaslPlain] = None)
+    sasl: Option[KafkaWireClient.SaslPlain] = None,
+    requestTimeoutMs: Int = 30000)
     extends KafkaOffsetClient with AutoCloseable {
 
   private val socket = new Socket(host, port)
   socket.setTcpNoDelay(true)
+  // a HUNG broker must surface as a loud SocketTimeoutException (an
+  // IOException, so routing clients fail over), never as a task
+  // pinned forever in readInt — the request.timeout.ms discipline.
+  // Safe here because fetches poll with max_wait_ms=0 (no long poll).
+  socket.setSoTimeout(requestTimeoutMs)
   private val out = new DataOutputStream(socket.getOutputStream)
   private val in = new DataInputStream(socket.getInputStream)
   private var correlation = 0

@@ -192,6 +192,27 @@ class KafkaFailoverSpec extends AnyFunSuite {
     }
   }
 
+  test("a hung broker surfaces as a timeout, not a forever-pinned task") {
+    // a server that accepts and then never answers — the hang mode a
+    // network partition or wedged broker produces
+    val server = new java.net.ServerSocket(0)
+    val sink = new Thread(() =>
+      try { val s = server.accept(); Thread.sleep(600000); s.close() }
+      catch { case _: Exception => () })
+    sink.setDaemon(true)
+    sink.start()
+    try {
+      val c = new KafkaWireClient("127.0.0.1", server.getLocalPort,
+        requestTimeoutMs = 500)
+      try {
+        val t0 = System.nanoTime()
+        intercept[java.net.SocketTimeoutException](c.metadata(Seq("t")))
+        val elapsedMs = (System.nanoTime() - t0) / 1000000
+        assert(elapsedMs < 10000, s"timeout took ${elapsedMs}ms")
+      } finally c.close()
+    } finally server.close()
+  }
+
   test("restarted broker catches up missed appends and resumes follower duty") {
     withCluster() { cluster =>
       val c = new KafkaClusterClient("127.0.0.1", cluster.brokers(1).port)
