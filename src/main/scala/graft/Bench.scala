@@ -124,14 +124,19 @@ object Bench {
       val ordered = if (pass % 2 == 0) rerun.reverse else rerun
       ordered.foreach { case (name, fn) =>
         val (t, ok) = runOne(name, fn)
-        // a FAILED re-run contributes nothing: the query already has a
-        // valid pass-1 sample, so recording the failure would both mark
-        // a healthy query failed AND feed the failed attempt's (often
-        // artificially fast) elapsed time into the min — a transient
-        // pass-2 hiccup must not beat a real pass-1 measurement
+        // a FAILED re-run keeps its TIMING sample out of the min (a
+        // fail-fast attempt's artificially small elapsed time must not
+        // beat a real pass-1 measurement) but still FLIPS the ok bit:
+        // the reversed-order passes exist precisely to surface
+        // order-dependent failures, and absorbing one silently would
+        // green-gate the class of bug they hunt
         if (ok) samples(name) = t :: samples(name)
-        else System.err.println(
-          s"[bench] pass $pass: $name re-run failed; keeping earlier samples")
+        else {
+          okMap(name) = false
+          System.err.println(
+            s"[bench] pass $pass: $name re-run FAILED (recorded); " +
+              "timing sample discarded")
+        }
       }
     }
     val results = entries.map { case (name, _) => (name, minOf(name), okMap(name)) }

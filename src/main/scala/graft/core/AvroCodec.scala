@@ -79,12 +79,23 @@ object AvroCodec {
   /** events table → Kafka-shaped (key STRING, value BINARY) wire frame;
     * key = event_id (the producer's partitioning key, F8).
     */
-  def encodeEvents(events: DataFrame): DataFrame = {
+  def encodeEvents(events: DataFrame): DataFrame =
+    encodeEventsFramed(events, EventSchemaJson, Array.empty)
+
+  /** The ONE encode loop, shared with the registry-framed twin
+    * ([[graft.kafka.RegistryAvro]]): an optional constant `header`
+    * (the Confluent magic+id prefix there, empty here) precedes each
+    * record's Avro binary. Fields absent from `schemaJson` are simply
+    * not written.
+    */
+  private[graft] def encodeEventsFramed(events: DataFrame,
+      schemaJson: String, header: Array[Byte]): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
     projectEvents(events)
       .mapPartitions { it =>
-        val schema = new org.apache.avro.Schema.Parser().parse(EventSchemaJson)
+        val schema = new org.apache.avro.Schema.Parser().parse(schemaJson)
+        val hasPropK = schema.getField("prop_k") != null
         val writer =
           new org.apache.avro.generic.GenericDatumWriter[
             org.apache.avro.generic.GenericRecord](schema)
@@ -92,9 +103,10 @@ object AvroCodec {
         var enc: org.apache.avro.io.BinaryEncoder = null
         it.map { t =>
           baos.reset()
+          if (header.nonEmpty) baos.write(header)
           enc = org.apache.avro.io.EncoderFactory.get().binaryEncoder(baos, enc)
           val rec = new org.apache.avro.generic.GenericData.Record(schema)
-          putEvent(rec, t, hasPropK = true)
+          putEvent(rec, t, hasPropK)
           writer.write(rec, enc)
           enc.flush()
           (t._1.toString, baos.toByteArray)

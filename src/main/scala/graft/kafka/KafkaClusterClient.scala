@@ -161,7 +161,9 @@ final class KafkaClusterClient(bootstrapHost: String, bootstrapPort: Int,
     val maxAttempts = 4
     var attempt = 1
     while (true) {
-      try return f(coordinator(key))
+      val (_, h, p) = anyReachable(_.findCoordinator(key))
+      val ep = (h, p)
+      try return f(clientAt(h, p))
       catch {
         case e @ (_: java.io.IOException | _: KafkaCodec.KafkaWireException)
             if attempt < maxAttempts &&
@@ -169,12 +171,11 @@ final class KafkaClusterClient(bootstrapHost: String, bootstrapPort: Int,
                 case w: KafkaCodec.KafkaWireException => w.retriable
                 case _ => true
               }) =>
-          clients.keys.toSeq.foreach { ep =>
-            // a dead coordinator's socket may be any cached one; drop
-            // them all and let live endpoints re-dial (cheap: sockets
-            // re-open lazily, metadata-only)
-            if (e.isInstanceOf[java.io.IOException]) dropClient(ep)
-          }
+          // only the COORDINATOR's socket failed — drop exactly that
+          // one; tearing down healthy authenticated leader connections
+          // would force every partition to re-dial + re-SASL for no
+          // recovery benefit
+          if (e.isInstanceOf[java.io.IOException]) dropClient(ep)
           attempt += 1
       }
     }

@@ -21,7 +21,11 @@ final class KafkaWireClient(host: String, port: Int,
     requestTimeoutMs: Int = 30000)
     extends KafkaOffsetClient with AutoCloseable {
 
-  private val socket = new Socket(host, port)
+  // bound the DIAL as well as reads: a blackholed endpoint (SYN drops,
+  // not refusals) would otherwise pin the constructor for the kernel's
+  // multi-minute connect timeout, out of reach of any failover loop
+  private val socket = new Socket()
+  socket.connect(new java.net.InetSocketAddress(host, port), requestTimeoutMs)
   socket.setTcpNoDelay(true)
   // a HUNG broker must surface as a loud SocketTimeoutException (an
   // IOException, so routing clients fail over), never as a task
@@ -51,8 +55,13 @@ final class KafkaWireClient(host: String, port: Int,
     val hsErr = hsResp.getShort.toInt
     val nMechs = hsResp.getInt
     val enabled = (0 until math.max(nMechs, 0)).map(_ => readString(hsResp))
-    require(hsErr == Err.None,
-      s"SaslHandshake error $hsErr (broker mechanisms: ${enabled.mkString(",")})")
+    if (hsErr != Err.None) {
+      // every constructor-failure path must close the socket: the
+      // instance is never returned, so nothing else ever can
+      socket.close()
+      throw new IllegalArgumentException(
+        s"SaslHandshake error $hsErr (broker mechanisms: ${enabled.mkString(",")})")
+    }
     val user = cred.username.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val pass = cred.password.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val token = new Array[Byte](2 + user.length + pass.length)
@@ -365,8 +374,15 @@ final class KafkaWireClient(host: String, port: Int,
     */
   def lastStableOffset(topic: String, partition: Int): Long = {
     val hw = listOffset(topic, partition, -1L)
-    fetch(topic, partition, hw, maxBytes = 1, readCommitted = true)
-      .lastStableOffset
+    val r = fetch(topic, partition, hw, maxBytes = 1, readCommitted = true)
+    // an errored probe (stale leader between the two calls, unknown
+    // partition) carries lso=0 — returning that would silently clamp a
+    // read_committed plan's end offset to 0 and drop the partition's
+    // data; surface the code so routing clients re-route instead
+    if (r.errorCode != Err.None)
+      throw new KafkaWireException(r.errorCode,
+        s"LSO probe error ${r.errorCode} on $topic/$partition")
+    r.lastStableOffset
   }
 
   /** ListOffsets v1: earliest (-2) or latest (-1) offset. */

@@ -335,13 +335,17 @@ object KafkaWireSource {
     * topic names are unescaped like every other JSON string here.
     */
   def parseAssign(json: String): Map[String, Seq[Int]] = {
-    val m = AssignBlock.findAllMatchIn(json).map { mm =>
+    val entries = AssignBlock.findAllMatchIn(json).map { mm =>
       mm.group(1).replaceAll("""\\(.)""", "$1") -> mm.group(2).split(",").toSeq
         .map(_.trim).filter(_.nonEmpty).map(_.toInt)
-    }.toMap
+    }.toList
+    val m = entries.toMap
     val residue = AssignBlock.replaceAllIn(json.trim, "")
       .replaceAll("""[\s{},]""", "")
-    require(m.nonEmpty && m.values.forall(_.nonEmpty) && residue.isEmpty,
+    // duplicate topic keys would silently keep only the LAST block in
+    // toMap — a partial subscription; reject like any other malformation
+    require(m.nonEmpty && m.size == entries.size &&
+        m.values.forall(_.nonEmpty) && residue.isEmpty,
       s"""kafka-wire: malformed assign spec '$json' (expected {"topic":[0,1]})""")
     m
   }
@@ -904,6 +908,11 @@ final class KafkaWireMicroBatchStream(conf: KafkaWireConf)
     }.sum
     val now = System.currentTimeMillis()
     if (lastTriggerMs < 0) lastTriggerMs = now
+    // IDLE re-arms the window: with nothing to admit, the delay clock
+    // restarts, so a long-idle stream's first trickle record begins a
+    // fresh accumulation window instead of firing an immediate tiny
+    // batch off a stale, long-expired timer
+    if (backlog == 0) lastTriggerMs = now
     // minOffsetsPerTrigger gate: hold the batch until enough backlog
     // accumulates OR maxTriggerDelay since the last admitted batch
     // expires — the stock connector's small-batch suppressor (tiny

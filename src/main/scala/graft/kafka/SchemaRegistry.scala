@@ -184,11 +184,16 @@ final class SchemaRegistryClient(baseUrl: String) {
         conn.getOutputStream.write(b.getBytes(StandardCharsets.UTF_8))
       }
       val status = conn.getResponseCode
-      val stream = if (status < 400) conn.getInputStream else conn.getErrorStream
+      // getErrorStream is NULL for bodiless error responses — guard so
+      // the informative (status, body) failure surfaces, not an NPE
+      val stream = Option(
+        if (status < 400) conn.getInputStream else conn.getErrorStream)
       // read AND close the stream: abandoned keep-alive connections
       // accumulate file descriptors on long-lived executors
-      val text = try new String(stream.readAllBytes(), StandardCharsets.UTF_8)
-        finally stream.close()
+      val text = stream.map { s =>
+        try new String(s.readAllBytes(), StandardCharsets.UTF_8)
+        finally s.close()
+      }.getOrElse("")
       (status, text)
     } finally conn.disconnect()
   }
@@ -255,37 +260,23 @@ object RegistryAvro {
 
   /** events → (key, value) wire frame with the 5-byte registry prefix;
     * fields absent from the writer schema (e.g. prop_k under v1) are
-    * simply not written. The projection and field-put sequence are
-    * [[graft.core.AvroCodec]]'s own — one source of truth for the
-    * event↔record mapping across both wire paths.
+    * simply not written. Delegates to [[graft.core.AvroCodec]]'s one
+    * encode loop — one source of truth for the event↔record mapping
+    * across both wire paths.
     */
   def encodeEvents(events: DataFrame, schemaJson: String,
-      schemaId: Int): DataFrame = {
-    val spark = events.sparkSession
-    import spark.implicits._
-    graft.core.AvroCodec.projectEvents(events)
-      .mapPartitions { it =>
-        val schema = new org.apache.avro.Schema.Parser().parse(schemaJson)
-        val hasPropK = schema.getField("prop_k") != null
-        val writer = new org.apache.avro.generic.GenericDatumWriter[
-          org.apache.avro.generic.GenericRecord](schema)
-        val baos = new java.io.ByteArrayOutputStream(64)
-        var enc: org.apache.avro.io.BinaryEncoder = null
-        it.map { t =>
-          baos.reset()
-          baos.write(0) // magic byte
-          baos.write((schemaId >>> 24) & 0xff)
-          baos.write((schemaId >>> 16) & 0xff)
-          baos.write((schemaId >>> 8) & 0xff)
-          baos.write(schemaId & 0xff)
-          enc = org.apache.avro.io.EncoderFactory.get().binaryEncoder(baos, enc)
-          val rec = new org.apache.avro.generic.GenericData.Record(schema)
-          graft.core.AvroCodec.putEvent(rec, t, hasPropK)
-          writer.write(rec, enc)
-          enc.flush()
-          (t._1.toString, baos.toByteArray)
-        }
-      }.toDF("key", "value")
+      schemaId: Int): DataFrame =
+    graft.core.AvroCodec.encodeEventsFramed(events, schemaJson,
+      Array[Byte](0,
+        ((schemaId >>> 24) & 0xff).toByte, ((schemaId >>> 16) & 0xff).toByte,
+        ((schemaId >>> 8) & 0xff).toByte, (schemaId & 0xff).toByte))
+
+  /** Parse the 5-byte registry prefix (magic 0x00 + int32-BE id). */
+  private def readSchemaId(bytes: Array[Byte]): Int = {
+    require(bytes.length >= 5 && bytes(0) == 0,
+      "not a registry-framed value (magic byte 0 + int32 id)")
+    ((bytes(1) & 0xff) << 24) | ((bytes(2) & 0xff) << 16) |
+      ((bytes(3) & 0xff) << 8) | (bytes(4) & 0xff)
   }
 
   /** The distinct schema ids present in a wire frame — the driver-side
@@ -296,12 +287,7 @@ object RegistryAvro {
     val spark = wire.sparkSession
     import spark.implicits._
     wire.select(col("value").cast("binary")).as[Array[Byte]]
-      .map { bytes =>
-        require(bytes.length >= 5 && bytes(0) == 0,
-          "not a registry-framed value (magic byte 0 + int32 id)")
-        ((bytes(1) & 0xff) << 24) | ((bytes(2) & 0xff) << 16) |
-          ((bytes(3) & 0xff) << 8) | (bytes(4) & 0xff)
-      }.distinct().collect().toSeq.sorted
+      .map(readSchemaId).distinct().collect().toSeq.sorted
   }
 
   /** Like [[decodeEvents]], but executors resolve unseen writer-schema
@@ -346,10 +332,7 @@ object RegistryAvro {
           org.apache.avro.generic.GenericRecord]]
       var dec: org.apache.avro.io.BinaryDecoder = null
       it.map { bytes =>
-        require(bytes.length >= 5 && bytes(0) == 0,
-          "not a registry-framed value (magic byte 0 + int32 id)")
-        val id = ((bytes(1) & 0xff) << 24) | ((bytes(2) & 0xff) << 16) |
-          ((bytes(3) & 0xff) << 8) | (bytes(4) & 0xff)
+        val id = readSchemaId(bytes)
         val reader = readers.getOrElseUpdate(id, {
           val text = resolver match {
             case Left(_) => registry.get.schemaById(id)

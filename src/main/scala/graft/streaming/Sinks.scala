@@ -642,11 +642,28 @@ final class DeltaUpsertStore(root: String, keyCol: String, orderCols: Seq[String
     * directories are deliberately NOT reclaimed here (indistinguishable
     * from in-flight writes without a lease).
     */
+  // ever-committed census, maintained INCREMENTALLY: manifest version
+  // files are immutable and never deleted, so each call reads only the
+  // versions committed since the last scan — O(new commits) per call,
+  // not O(total commits) (a per-micro-batch compaction cadence would
+  // otherwise pay quadratic manifest IO over the stream's life).
+  // Another writer's commits surface as new versions and are picked up
+  // the same way.
+  private var censusVersion = 0L
+  private var censusSegs = Set.empty[String]
+  private def everCommitted(): Set[String] = synchronized {
+    versions().filter(_ > censusVersion).sorted.foreach { v =>
+      censusSegs ++= versionSegmentsRaw(v)
+      censusVersion = v
+    }
+    censusSegs
+  }
+
   private def gcSuperseded(keepSnapshot: Set[String]): Unit = {
-    val everCommitted: Set[String] = versions().flatMap(versionSegmentsRaw).toSet
+    val everCommittedSegs = everCommitted()
     val keep = keepSnapshot ++ currentState()._1
     Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && everCommitted.contains(f.getName) &&
+      .filter(f => f.isDirectory && everCommittedSegs.contains(f.getName) &&
         !keep.contains(f.getName))
       .foreach(deleteRecursively)
   }
@@ -662,7 +679,7 @@ final class DeltaUpsertStore(root: String, keyCol: String, orderCols: Seq[String
     */
   def vacuumOrphans(olderThanMs: Long): Seq[String] = synchronized {
     val committed =
-      versions().flatMap(versionSegmentsRaw).toSet ++ currentState()._1
+      everCommitted() ++ currentState()._1
     val cutoff = System.currentTimeMillis() - olderThanMs
     val orphanSegs = Option(dir.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && !committed.contains(f.getName) &&
