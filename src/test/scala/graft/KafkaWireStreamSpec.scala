@@ -679,6 +679,44 @@ class KafkaWireStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("minOffsetsPerTrigger window re-arms during idle (no stale-timer tiny batch)") {
+    withBroker() { broker =>
+      // topic exists, stream starts EMPTY and idles past maxTriggerDelay
+      produce(broker, "mintr", 0 until 0)
+      val c = new KafkaWireClient("127.0.0.1", broker.port)
+      try c.metadata(Seq("mintr")) finally c.close()
+      val batches = new java.util.concurrent.CopyOnWriteArrayList[Long]()
+      val q = spark.readStream.format("kafka-wire")
+        .option("host", "127.0.0.1").option("port", broker.port.toString)
+        .option("topic", "mintr")
+        .option("minOffsetsPerTrigger", "1000")
+        .option("maxTriggerDelay", "4s")
+        .load()
+        .writeStream
+        .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) => {
+          val n = b.count(); if (n > 0) batches.add(n): Unit
+        })
+        .option("checkpointLocation", tmp("chk_mintr_"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(100))
+        .start()
+      try {
+        Thread.sleep(6000) // idle well past the 4s delay
+        produce(broker, "mintr", 0 until 5)
+        // a stale, long-expired timer would admit these 5 immediately;
+        // the re-armed window must hold them for a fresh delay period
+        Thread.sleep(1500)
+        assert(batches.isEmpty,
+          s"idle-expired timer leaked an immediate tiny batch: $batches")
+        // and the re-armed delay eventually releases them
+        val deadline = System.currentTimeMillis() + 20000
+        while (batches.isEmpty && System.currentTimeMillis() < deadline)
+          Thread.sleep(100)
+        assert(batches.size == 1 && batches.get(0) == 5L,
+          s"expected one 5-row delay-escape batch, got $batches")
+      } finally q.stop()
+    }
+  }
+
   test("Trigger.AvailableNow ignores minOffsetsPerTrigger and drains") {
     withBroker() { broker =>
       produce(broker, "minan", 0 until 10)
