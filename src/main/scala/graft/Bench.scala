@@ -119,7 +119,8 @@ object Bench {
     for (pass <- 2 to passes) {
       val rerun = flagged
       if (rerun.nonEmpty)
-        System.err.println(s"[bench] pass $pass: re-running ${rerun.size} " +
+        // progress, not an error: stdout so sbt tags it [info]
+        println(s"[bench] pass $pass: re-running ${rerun.size} " +
           s"flagged queries: ${rerun.map(_._1).mkString(",")}")
       val ordered = if (pass % 2 == 0) rerun.reverse else rerun
       ordered.foreach { case (name, fn) =>

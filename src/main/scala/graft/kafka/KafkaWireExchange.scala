@@ -172,7 +172,8 @@ final class KafkaWireExchange(host: String, port: Int,
       afterWrite(r)
       val elapsed = (System.nanoTime() - t0) / 1e9
       val eta = elapsed / r * (cfg.repeat - r)
-      System.err.println(
+      // progress, not an error: stdout so sbt tags it [info], not [error]
+      println(
         f"[replay-kafka] batch $r/${cfg.repeat} (${100.0 * r / cfg.repeat}%.0f%%) eta ${eta}%.1fs")
       if (cfg.batchSleepMs > 0 && r < cfg.repeat) Thread.sleep(cfg.batchSleepMs)
     }

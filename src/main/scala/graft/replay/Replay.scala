@@ -144,7 +144,8 @@ object Replay {
           written += 1
           val elapsed = (System.nanoTime() - t0) / 1e9
           val eta = elapsed / written * (cfg.repeat - r)
-          System.err.println(
+          // progress, not an error: stdout so sbt tags it [info], not [error]
+          println(
             f"[replay] batch $r/${cfg.repeat} (${100.0 * r / cfg.repeat}%.0f%%) eta ${eta}%.1fs")
           if (cfg.batchSleepMs > 0 && r < cfg.repeat) Thread.sleep(cfg.batchSleepMs)
         }
