@@ -328,6 +328,20 @@ object SimilaritySearch {
     s"(CASE WHEN list_dot_product(v, ${planeSqlList(j)}) > 0 THEN ${1 << j} ELSE 0 END)")
     .mkString(" + ")
 
+  /** Normed corpus with its 8-bit hyperplane LSH bucket — the exact
+    * signature `q_ann_lsh` / `q_embed_neardup_lsh` search with. Shared
+    * with `AnnRecallSpec`'s enrichment floor (core.AccuracySpecs) so the
+    * measured hash is the served hash, not a re-derivation that could
+    * drift.
+    */
+  private[graft] def lshBucketed(s: SparkSession, dir: String): DataFrame = {
+    val bucket = (0 until B).map { j =>
+      val h = array(plane(j).map(lit): _*)
+      when(Vectors.dot(col("v"), h) > 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+    normed(s, dir).withColumn("bucket", bucket)
+  }
+
   val annLsh: QueryDef = QueryDef.sql("q_ann_lsh")(
     s"""WITH n AS ($normedSql),
        |b AS (SELECT vec_id, v, nrm, $bucketSql AS bucket FROM n),
@@ -341,12 +355,7 @@ object SimilaritySearch {
        |  (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk FROM scored)
        |SELECT query_id, neighbor_id, cosine, rnk FROM ranked
        |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin) { (s, dir) =>
-    val n = normed(s, dir)
-    val bucket = (0 until B).map { j =>
-      val h = array(plane(j).map(lit): _*)
-      when(Vectors.dot(col("v"), h) > 0, lit(1 << j)).otherwise(lit(0))
-    }.reduce(_ + _)
-    val b = n.withColumn("bucket", bucket)
+    val b = lshBucketed(s, dir)
     val q = b.filter(col("vec_id") < 20)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qnrm"), col("bucket"))
@@ -373,12 +382,7 @@ object SimilaritySearch {
        |FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
        |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.3
        |ORDER BY vec_a, vec_b""".stripMargin) { (s, dir) =>
-    val n = normed(s, dir)
-    val bucket = (0 until B).map { j =>
-      val h = array(plane(j).map(lit): _*)
-      when(Vectors.dot(col("v"), h) > 0, lit(1 << j)).otherwise(lit(0))
-    }.reduce(_ + _)
-    val b = n.withColumn("bucket", bucket)
+    val b = lshBucketed(s, dir)
     val a1 = b.select(col("bucket"), col("vec_id").as("vec_a"),
       col("v").as("va"), col("nrm").as("na"))
     val b1 = b.select(col("bucket"), col("vec_id").as("vec_b"),

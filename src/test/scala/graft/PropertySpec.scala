@@ -137,7 +137,7 @@ class PropertySpec extends AnyFunSuite {
     // each registry pointer must name a real suite AND a real test in it
     // — instantiating the suite registers its test names (sessions are
     // lazy), so a renamed accuracy test breaks here, not silently
-    graft.core.AccuracySpecs.registry.foreach { case (n, spec) =>
+    def checkPointer(n: String, spec: String): Unit = {
       val parts = spec.split(":", 2)
       assert(parts.length == 2 && parts.forall(_.nonEmpty),
         s"$n: malformed spec pointer '$spec' (want Suite:test name)")
@@ -146,6 +146,25 @@ class PropertySpec extends AnyFunSuite {
         .newInstance().asInstanceOf[org.scalatest.Suite]
       assert(suite.testNames.contains(testName),
         s"$n: $suiteName has no test named '$testName'; has ${suite.testNames}")
+    }
+    graft.core.AccuracySpecs.registry.foreach { case (n, spec) =>
+      checkPointer(n, spec) }
+    // the ANN family must be floor-registered the same way: every
+    // q_ann_* catalog query carries a quality floor (or sits on the
+    // explicit exact-by-construction exemption list), every floor
+    // points at a real measuring test, and neither side holds strays
+    val annQueries = cat.map(_.name).filter(_.startsWith("q_ann_")).toSet
+    val floors = graft.core.AccuracySpecs.annFloors
+    val covered = floors.keySet ++ graft.core.AccuracySpecs.annExact
+    assert(annQueries.diff(covered).isEmpty,
+      s"q_ann_* queries with no quality floor: ${annQueries.diff(covered)}")
+    assert(covered.diff(annQueries).isEmpty,
+      s"stale ANN floor/exemption entries: ${covered.diff(annQueries)}")
+    assert(floors.keySet.intersect(graft.core.AccuracySpecs.annExact).isEmpty,
+      "a query cannot be both floored and exempt")
+    floors.foreach { case (n, f) =>
+      checkPointer(n, f.spec)
+      assert(f.floor > 0.0, s"$n: a non-positive floor is vacuous")
     }
   }
 }
