@@ -221,6 +221,96 @@ final class DeltaUpsertStore(root: String, keyCol: String, orderCols: Seq[String
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Append `newSegs` on top of the `(baseSegs, baseVersion)` snapshot
+    * with the Delta/Iceberg optimistic-concurrency protocol: losing the
+    * version race is not yet a conflict. The loser re-reads the current
+    * committed state and checks whether the interloping commits
+    * actually CONFLICT with what it wrote:
+    *
+    *  - every base segment must still be current (a compaction that
+    *    rewrote the list invalidates the snapshot the append was built
+    *    on → genuine conflict), and
+    *  - every interloper segment's key range must be PROVABLY disjoint
+    *    from every appended segment's (via the `_KEYSTATS` sidecars —
+    *    the same per-segment min/max Delta keeps in its commit log and
+    *    Iceberg in its manifests; a missing sidecar or mixed key types
+    *    mean disjointness can't be proven and the conflict stands).
+    *
+    * Disjoint writers rebase silently: the append retries on top of the
+    * new current list (bounded attempts — each retry races fresh
+    * interlopers). Overlapping writers still fail LOUDLY with
+    * ConcurrentModificationException: a blind upsert is per-key
+    * last-write-wins with a segment-order tiebreak, so two concurrent
+    * same-key writers are a genuine write-write race whose outcome
+    * would depend on arbitration order — exactly what serializability
+    * must surface, never absorb. MERGE and compaction never take this
+    * path: their outputs depend on the snapshot they READ (per-key
+    * match decisions / the folded list), so any interloper invalidates
+    * them regardless of key ranges.
+    */
+  private def commitAppend(
+      newSegs: Seq[String], baseSegs: Seq[String], baseVersion: Long): Unit = {
+    var segs = baseSegs
+    var v = baseVersion
+    var attempts = 0
+    val maxAttempts = 5
+    while (true) {
+      try { commit(segs ++ newSegs, v); return }
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempts += 1
+          if (attempts >= maxAttempts) throw e
+          val (curSegs, curV) = currentState()
+          if (!segs.forall(curSegs.contains))
+            throw new java.util.ConcurrentModificationException(
+              s"concurrent commit to $root rewrote the base segment list " +
+                "(compaction) under this append; aborted — re-read and " +
+                "retry against the new snapshot", e)
+          val interlopers = curSegs.filterNot(segs.contains)
+          val ours = newSegs.map(readKeyStats)
+          val theirs = interlopers.map(readKeyStats)
+          val provablyDisjoint =
+            ours.forall(_.isDefined) && theirs.forall(_.isDefined) &&
+              ours.flatten.forall(a => theirs.flatten.forall(disjointRanges(a, _)))
+          if (!provablyDisjoint)
+            throw new java.util.ConcurrentModificationException(
+              s"concurrent commit to $root touches a key range overlapping " +
+                "this append (or disjointness is unprovable from segment " +
+                "stats); aborted — a same-key write-write race must be " +
+                "arbitrated by the caller, not absorbed", e)
+          segs = curSegs
+          v = curV
+      }
+    }
+  }
+
+  // test seams (package-private): deterministic OCC interleavings need
+  // to pin a STALE base snapshot, which the public API reads internally
+  // right before committing — a thread race can't force the stale-base
+  // branch reliably, these can
+  private[graft] def snapshotForTest(): (Seq[String], Long) = currentState()
+  private[graft] def writeSegmentForTest(df: DataFrame): String = {
+    val seg = nextSegment("d")
+    writeSegmentWithStats(df, seg)
+    seg
+  }
+  private[graft] def commitAppendForTest(
+      newSegs: Seq[String], base: (Seq[String], Long)): Unit =
+    commitAppend(newSegs, base._1, base._2)
+
+  /** Both ranges provably non-overlapping: same key type and one's max
+    * strictly below the other's min, in the type's own order (numeric
+    * for 'L', UTF-8 byte order for 'S' — matching the sidecar's
+    * provenance). Anything unprovable is an overlap.
+    */
+  private def disjointRanges(a: KeyStats, b: KeyStats): Boolean =
+    (a.typ, b.typ) match {
+      case ('L', 'L') => a.hi.toLong < b.lo.toLong || b.hi.toLong < a.lo.toLong
+      case ('S', 'S') =>
+        KeyStats.utf8Cmp(a.hi, b.lo) < 0 || KeyStats.utf8Cmp(b.hi, a.lo) < 0
+      case _ => false
+    }
+
   private var segCounter = -1L
 
   // writer-unique segment namespace: two store instances on the same
@@ -247,7 +337,7 @@ final class DeltaUpsertStore(root: String, keyCol: String, orderCols: Seq[String
     // drop("__seg") inside latestPerKey is a no-op here (drop ignores
     // missing columns) — no synthetic column needed on the batch path
     writeSegmentWithStats(latestPerKey(batch, segOrdered = false), seg)
-    commit(segs :+ seg, v)
+    commitAppend(Seq(seg), segs, v)
   }
 
   /** Delete-by-key (the GDPR right-to-be-forgotten path): append one
@@ -271,7 +361,7 @@ final class DeltaUpsertStore(root: String, keyCol: String, orderCols: Seq[String
     writeSegmentWithStats(
       latestPerKey(keys.select((keyCol +: orderCols).map(col): _*),
         segOrdered = false).withColumn("__tomb", lit(true)), seg)
-    commit(segs :+ seg, v)
+    commitAppend(Seq(seg), segs, v)
   }
 
   /** Merged view: global orderCols max per key across segments. */

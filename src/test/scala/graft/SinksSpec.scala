@@ -351,12 +351,16 @@ class SinksSpec extends AnyFunSuite {
     assert(ops == Seq(("644", "update"), ("999", "insert")))
   }
 
-  test("K3 delta store: two concurrent writers — last-commit-wins or loud conflict, never a torn manifest") {
+  test("K3 delta store: two concurrent DISJOINT-KEY writers both commit, never a torn manifest") {
     // Two INDEPENDENT store instances on the same root race an upsert
-    // from two threads, 100 rounds. The commit protocol (MANIFEST.v<n>
-    // created with a non-replacing atomic rename = the optimistic-
-    // concurrency token) allows exactly two outcomes per racer: commit
-    // accepted, or a loud ConcurrentModificationException. After every
+    // from two threads, 100 rounds, on DISJOINT keys (a$round vs
+    // b$round — provably non-overlapping ranges in the _KEYSTATS
+    // sidecars). The optimistic-concurrency protocol (MANIFEST.v<n>
+    // created with an atomic create-if-absent; the version-race loser
+    // re-reads, proves key disjointness from segment stats, and
+    // rebases its append on the new current list) must let BOTH
+    // writers commit every round — a lost version race between
+    // non-conflicting appends is a rebase, not an abort. After every
     // round the invariants hold: the manifest parses, every listed
     // segment directory exists (no dangling references), and the
     // store's readable state contains a row for exactly the keys whose
@@ -388,8 +392,10 @@ class SinksSpec extends AnyFunSuite {
       t0.join(60000); t1.join(60000)
       if (committed(0) && committed(1)) bothCommitted += 1
       else conflicts += 1
-      assert(committed(0) || committed(1),
-        s"round $round: both writers lost — livelock, not arbitration")
+      assert(committed(0) && committed(1),
+        s"round $round: a disjoint-key writer was aborted " +
+          s"(committed=${committed.toSeq}) — the OCC rebase must absorb " +
+          "a lost version race between non-conflicting appends")
       // invariant 1a: the committed state (highest immutable version
       // entry) references only existing segment dirs
       def lines(p: java.nio.file.Path): Seq[String] = java.nio.file.Files
@@ -420,11 +426,86 @@ class SinksSpec extends AnyFunSuite {
       if (!committed(1)) assert(!keys.contains(s"b$round"),
         s"round $round: writer 1's REJECTED commit is visible")
     }
-    // sanity on the race itself: with a barrier start, at least some
-    // rounds must actually have contended (pure serialization every
-    // time would mean the race never exercised the arbitration)
-    info(s"two-writer race: $bothCommitted rounds serialized cleanly, " +
-      s"$conflicts rounds arbitrated by conflict")
+    assert(conflicts == 0 && bothCommitted == 100,
+      s"disjoint-key writers must ALL commit ($conflicts rounds aborted)")
+    info(s"two-writer disjoint race: $bothCommitted/100 rounds both committed")
+  }
+
+  test("K3 delta store OCC: disjoint-key append rebases onto an interloper commit") {
+    // Deterministic stale-base interleaving (a thread race can't force
+    // it reliably): writer W snapshots at v1, an interloper commits v2
+    // with key "m", then W appends key "z" against the STALE v1 base.
+    // The version race is lost, the stats prove z/m disjoint -> W must
+    // rebase and commit v3 with ALL of a, m, z readable.
+    val store = new DeltaUpsertStore(tmp("delta_occ1_"), "room", Seq("ts"))
+    store.upsert(Seq(("a", 1L, "base")).toDF("room", "ts", "v"), 0)
+    val staleBase = store.snapshotForTest()
+    store.upsert(Seq(("m", 1L, "interloper")).toDF("room", "ts", "v"), 1)
+    val seg = store.writeSegmentForTest(
+      Seq(("z", 1L, "rebased")).toDF("room", "ts", "v"))
+    store.commitAppendForTest(Seq(seg), staleBase)
+    assert(store.versions().max == 3L)
+    val rows = store.read(spark).orderBy("room")
+      .collect().map(r => (r.getString(0), r.getString(2))).toSeq
+    assert(rows == Seq(("a", "base"), ("m", "interloper"), ("z", "rebased")))
+  }
+
+  test("K3 delta store OCC: overlapping-key append still conflicts loudly, store untouched") {
+    // Same stale-base interleaving, but W's append touches the SAME key
+    // the interloper wrote: a write-write race whose outcome depends on
+    // arbitration order -> must abort with ConcurrentModificationException,
+    // and the store must show NO trace of the aborted append.
+    val store = new DeltaUpsertStore(tmp("delta_occ2_"), "room", Seq("ts"))
+    store.upsert(Seq(("a", 1L, "base")).toDF("room", "ts", "v"), 0)
+    val staleBase = store.snapshotForTest()
+    store.upsert(Seq(("m", 1L, "interloper")).toDF("room", "ts", "v"), 1)
+    val seg = store.writeSegmentForTest(
+      Seq(("m", 2L, "racer")).toDF("room", "ts", "v"))
+    val e = intercept[java.util.ConcurrentModificationException] {
+      store.commitAppendForTest(Seq(seg), staleBase)
+    }
+    assert(e.getMessage.contains("overlapping"))
+    assert(store.versions().max == 2L)
+    val rows = store.read(spark).orderBy("room")
+      .collect().map(r => (r.getString(0), r.getString(2))).toSeq
+    assert(rows == Seq(("a", "base"), ("m", "interloper")))
+  }
+
+  test("K3 delta store OCC: a concurrent compaction invalidates the append's base") {
+    // The rebase is only sound when the base list survives verbatim in
+    // the current manifest; a compaction REWROTE it, so even a
+    // disjoint-key append must abort (its snapshot no longer exists).
+    val store = new DeltaUpsertStore(tmp("delta_occ3_"), "room", Seq("ts"))
+    store.upsert(Seq(("a", 1L, "x")).toDF("room", "ts", "v"), 0)
+    store.upsert(Seq(("b", 1L, "y")).toDF("room", "ts", "v"), 1)
+    val staleBase = store.snapshotForTest()
+    store.compact(spark) // folds the two segments -> base rewritten
+    val seg = store.writeSegmentForTest(
+      Seq(("z", 1L, "late")).toDF("room", "ts", "v"))
+    val e = intercept[java.util.ConcurrentModificationException] {
+      store.commitAppendForTest(Seq(seg), staleBase)
+    }
+    assert(e.getMessage.contains("rewrote the base"))
+  }
+
+  test("K3 delta store OCC: missing interloper stats block the rebase (conservative)") {
+    // Disjointness must be PROVEN: strip the interloper segment's
+    // _KEYSTATS sidecar and the otherwise-disjoint rebase must abort —
+    // an unprovable overlap is an overlap.
+    val root = tmp("delta_occ4_")
+    val store = new DeltaUpsertStore(root, "room", Seq("ts"))
+    store.upsert(Seq(("a", 1L, "base")).toDF("room", "ts", "v"), 0)
+    val staleBase = store.snapshotForTest()
+    store.upsert(Seq(("m", 1L, "interloper")).toDF("room", "ts", "v"), 1)
+    val interloperSeg = store.snapshotForTest()._1
+      .filterNot(staleBase._1.contains).head
+    Files.delete(Paths.get(s"$root/$interloperSeg/_KEYSTATS"))
+    val seg = store.writeSegmentForTest(
+      Seq(("z", 1L, "blocked")).toDF("room", "ts", "v"))
+    intercept[java.util.ConcurrentModificationException] {
+      store.commitAppendForTest(Seq(seg), staleBase)
+    }
+    assert(store.versions().max == 2L)
   }
 
   test("K3 delta store: point lookup prunes segments by key-range stats") {
