@@ -1374,22 +1374,29 @@ object Streaming {
   }
 
   // The SECURED-CLUSTER capstone: every wire feature composed in ONE
-  // pipeline — a 3-broker cluster with replicationFactor=2 whose
-  // listeners require SASL/PLAIN, a TRANSACTIONAL DSv2 write (per-task
-  // KIP-98 txns, so the feed is exactly-once to read_committed
-  // consumers), then a broker KILLED (the bootstrap + a partition
-  // leader), then a read_committed batch read through a bootstrap list
-  // that still leads with the dead endpoint. Auth must hold on every
-  // re-routed socket, replication must carry both the data AND the
-  // commit markers to the promoted leaders, and the same single-broker
-  // ingest oracle must hash-match — features proven one-by-one
-  // elsewhere must also compose, which is where real systems break.
+  // pipeline — a 3-broker cluster with replicationFactor=2 whose TLS
+  // listeners require SASL/PLAIN INSIDE the encrypted session
+  // (security.protocol=SASL_SSL, the only form a production secured
+  // cluster permits for PLAIN — the credentials never cross the wire
+  // in clear), a TRANSACTIONAL DSv2 write (per-task KIP-98 txns, so
+  // the feed is exactly-once to read_committed consumers), then a
+  // broker KILLED (the bootstrap + a partition leader), then a
+  // read_committed batch read through a bootstrap list that still
+  // leads with the dead endpoint. The TLS handshake (with HTTPS-style
+  // endpoint identification against the certificate SAN) and SASL auth
+  // must hold on every re-routed socket, replication must carry both
+  // the data AND the commit markers to the promoted leaders, and the
+  // same single-broker ingest oracle must hash-match — features proven
+  // one-by-one elsewhere must also compose, which is where real
+  // systems break.
   val kafkaWireSecuredE2e: QueryDef = QueryDef.sql("q_kafka_wire_secured_e2e")(
     """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value,
       |  CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS INTEGER) AS prop_k
       |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val (ks, ts, pw) = graft.kafka.Tls.ensureKeyMaterial()
     val cluster = new graft.kafka.KafkaStubCluster(3, 3,
-      saslUsers = Map("svc" -> "pw"), replicationFactor = 2)
+      saslUsers = Map("svc" -> "pw"), replicationFactor = 2,
+      tlsKeystore = Some((ks, pw)))
     cluster.start()
     try {
       val jaas = "org.apache.kafka.common.security.plain.PlainLoginModule " +
@@ -1399,6 +1406,9 @@ object Streaming {
       wire.write.format("kafka-wire")
         .option("kafka.bootstrap.servers", s"127.0.0.1:$deadPort")
         .option("topic", "events-sec")
+        .option("kafka.security.protocol", "SASL_SSL")
+        .option("kafka.ssl.truststore.location", ts)
+        .option("kafka.ssl.truststore.password", pw)
         .option("kafka.sasl.mechanism", "PLAIN")
         .option("kafka.sasl.jaas.config", jaas)
         .option("kafka.transactional.id", "sec-e2e")
@@ -1408,6 +1418,9 @@ object Streaming {
         .option("kafka.bootstrap.servers",
           s"127.0.0.1:$deadPort,127.0.0.1:${cluster.brokers(1).port}")
         .option("topic", "events-sec")
+        .option("kafka.security.protocol", "SASL_SSL")
+        .option("kafka.ssl.truststore.location", ts)
+        .option("kafka.ssl.truststore.password", pw)
         .option("kafka.sasl.mechanism", "PLAIN")
         .option("kafka.sasl.jaas.config", jaas)
         .option("kafka.isolation.level", "read_committed")

@@ -29,7 +29,8 @@ import KafkaWireClient.{ClusterMeta, TopicMeta}
 final class KafkaClusterClient(bootstrapHost: String, bootstrapPort: Int,
     clientId: String = "graft",
     sasl: Option[KafkaWireClient.SaslPlain] = None,
-    extraBootstrap: Seq[(String, Int)] = Nil) extends KafkaOffsetClient {
+    extraBootstrap: Seq[(String, Int)] = Nil,
+    tls: Option[Tls.ClientTls] = None) extends KafkaOffsetClient {
 
   private val clients =
     scala.collection.mutable.Map.empty[(String, Int), KafkaWireClient]
@@ -45,10 +46,11 @@ final class KafkaClusterClient(bootstrapHost: String, bootstrapPort: Int,
   private var knownEndpoints: Vector[(String, Int)] = seedEndpoints
 
   // every broker connection authenticates with the same credentials —
-  // the real client's model (one jaas config per client, N sockets)
+  // the real client's model (one jaas config per client, N sockets) —
+  // and, under SSL/SASL_SSL, TLS-wraps with the same truststore
   private def clientAt(host: String, port: Int): KafkaWireClient =
     clients.getOrElseUpdate((host, port),
-      new KafkaWireClient(host, port, clientId, sasl))
+      new KafkaWireClient(host, port, clientId, sasl, tls = tls))
 
   /** Forget (and close) a connection after an I/O failure, so the next
     * call re-dials instead of reusing a dead socket.

@@ -54,7 +54,8 @@ final class KafkaStubBroker(val numPartitions: Int = 3,
     val compressionType: String = "none",
     val brokerId: Int = 0,
     cluster: KafkaStubCluster = null,
-    saslUsers: Map[String, String] = Map.empty) {
+    saslUsers: Map[String, String] = Map.empty,
+    tlsKeystore: Option[(String, String)] = None) {
   require(compressionType == "none" || compressionType == "gzip",
     s"unsupported compression.type '$compressionType' (none|gzip)")
   private val fetchGzip = compressionType == "gzip"
@@ -151,7 +152,17 @@ final class KafkaStubBroker(val numPartitions: Int = 3,
   def bootstrap: String = s"127.0.0.1:$port"
 
   def start(): Unit = {
-    server = new ServerSocket()
+    // TLS listener (security.protocol=SSL / SASL_SSL): the accept
+    // socket comes from the keystore's SSLContext, so every accepted
+    // connection handshakes before the Kafka framing below ever runs —
+    // a plaintext dial fails its first request with a reset/EOF, the
+    // real secured listener's behavior. The request-serving code is
+    // identical either way: TLS lives entirely below the framing.
+    server = tlsKeystore match {
+      case None => new ServerSocket()
+      case Some((ks, pw)) =>
+        Tls.serverContext(ks, pw).getServerSocketFactory.createServerSocket()
+    }
     server.bind(new InetSocketAddress("127.0.0.1", 0))
     running.set(true)
     acceptor = daemon("kafka-stub-accept") {
@@ -1163,13 +1174,15 @@ object KafkaStubBroker {
 final class KafkaStubCluster(nBrokers: Int, numPartitions: Int = 3,
     compressionType: String = "none",
     saslUsers: Map[String, String] = Map.empty,
-    replicationFactor: Int = 1) {
+    replicationFactor: Int = 1,
+    tlsKeystore: Option[(String, String)] = None) {
   require(nBrokers >= 1, s"nBrokers must be >= 1, got $nBrokers")
   require(replicationFactor >= 1 && replicationFactor <= nBrokers,
     s"replicationFactor must be in [1, $nBrokers], got $replicationFactor")
 
   val brokers: Seq[KafkaStubBroker] = (0 until nBrokers).map { id =>
-    new KafkaStubBroker(numPartitions, compressionType, id, this, saslUsers)
+    new KafkaStubBroker(numPartitions, compressionType, id, this, saslUsers,
+      tlsKeystore)
   }
 
   private val aliveArr: Array[Boolean] = Array.fill(nBrokers)(true)

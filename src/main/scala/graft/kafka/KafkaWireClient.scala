@@ -18,20 +18,34 @@ import KafkaCodec._
 final class KafkaWireClient(host: String, port: Int,
     clientId: String = "graft",
     sasl: Option[KafkaWireClient.SaslPlain] = None,
-    requestTimeoutMs: Int = 30000)
+    requestTimeoutMs: Int = 30000,
+    tls: Option[Tls.ClientTls] = None)
     extends KafkaOffsetClient with AutoCloseable {
 
   // bound the DIAL as well as reads: a blackholed endpoint (SYN drops,
   // not refusals) would otherwise pin the constructor for the kernel's
   // multi-minute connect timeout, out of reach of any failover loop
-  private val socket = new Socket()
-  socket.connect(new java.net.InetSocketAddress(host, port), requestTimeoutMs)
-  socket.setTcpNoDelay(true)
-  // a HUNG broker must surface as a loud SocketTimeoutException (an
-  // IOException, so routing clients fail over), never as a task
-  // pinned forever in readInt — the request.timeout.ms discipline.
-  // Safe here because fetches poll with max_wait_ms=0 (no long poll).
-  socket.setSoTimeout(requestTimeoutMs)
+  private val socket: Socket = {
+    val plain = new Socket()
+    plain.connect(new java.net.InetSocketAddress(host, port), requestTimeoutMs)
+    plain.setTcpNoDelay(true)
+    // a HUNG broker must surface as a loud SocketTimeoutException (an
+    // IOException, so routing clients fail over), never as a task
+    // pinned forever in readInt — the request.timeout.ms discipline.
+    // Safe here because fetches poll with max_wait_ms=0 (no long poll).
+    plain.setSoTimeout(requestTimeoutMs)
+    // security.protocol=SSL/SASL_SSL: TLS layers over the bounded plain
+    // dial, handshake runs eagerly (a wrong certificate — or dialing a
+    // plaintext listener — fails the constructor loudly), and the SASL
+    // exchange below then rides INSIDE the encrypted session, which is
+    // the whole point: PLAIN credentials never cross the wire in clear
+    tls match {
+      case None => plain
+      case Some(cfg) =>
+        try Tls.wrap(plain, host, port, cfg)
+        catch { case e: Throwable => plain.close(); throw e }
+    }
+  }
   private val out = new DataOutputStream(socket.getOutputStream)
   private val in = new DataInputStream(socket.getInputStream)
   private var correlation = 0

@@ -128,6 +128,49 @@ final class KafkaWireSourceProvider extends TableProvider with DataSourceRegiste
     require(saslMechanism.isEmpty || saslJaas.isDefined,
       "kafka-wire: sasl.mechanism=PLAIN requires sasl.jaas.config")
     val sasl = saslJaas.map(KafkaWireClient.SaslPlain.fromJaas)
+    // security.protocol (stock names): PLAINTEXT | SASL_PLAINTEXT |
+    // SSL | SASL_SSL. The SASL_* forms must carry the SASL options and
+    // the *_SSL forms the truststore pair; endpoint identification
+    // follows the stock `ssl.endpoint.identification.algorithm`
+    // contract — 'https' (the default) verifies the dial address
+    // against the certificate SAN, empty disables.
+    val secProtocol = Option(opts.get("kafka.security.protocol"))
+      .orElse(Option(opts.get("security.protocol")))
+      .getOrElse(if (sasl.isDefined) "SASL_PLAINTEXT" else "PLAINTEXT")
+    require(Seq("PLAINTEXT", "SASL_PLAINTEXT", "SSL", "SASL_SSL")
+        .contains(secProtocol),
+      s"kafka-wire: unsupported security.protocol '$secProtocol'")
+    require(!secProtocol.startsWith("SASL") || sasl.isDefined,
+      s"kafka-wire: security.protocol=$secProtocol requires " +
+        "sasl.mechanism + sasl.jaas.config")
+    require(secProtocol.startsWith("SASL") || sasl.isEmpty,
+      s"kafka-wire: SASL options set but security.protocol=$secProtocol")
+    val tls: Option[Tls.ClientTls] =
+      if (!secProtocol.endsWith("SSL")) {
+        require(Option(opts.get("kafka.ssl.truststore.location")).isEmpty,
+          s"kafka-wire: ssl.truststore.location set but " +
+            s"security.protocol=$secProtocol")
+        None
+      } else {
+        val loc = Option(opts.get("kafka.ssl.truststore.location"))
+          .orElse(Option(opts.get("ssl.truststore.location")))
+          .getOrElse(throw new IllegalArgumentException(
+            s"kafka-wire: security.protocol=$secProtocol requires " +
+              "kafka.ssl.truststore.location"))
+        val pw = Option(opts.get("kafka.ssl.truststore.password"))
+          .orElse(Option(opts.get("ssl.truststore.password")))
+          .getOrElse(throw new IllegalArgumentException(
+            s"kafka-wire: security.protocol=$secProtocol requires " +
+              "kafka.ssl.truststore.password"))
+        val endpointAlg =
+          Option(opts.get("kafka.ssl.endpoint.identification.algorithm"))
+            .orElse(Option(opts.get("ssl.endpoint.identification.algorithm")))
+            .getOrElse("https")
+        require(endpointAlg == "https" || endpointAlg.isEmpty,
+          s"kafka-wire: unsupported ssl.endpoint.identification.algorithm " +
+            s"'$endpointAlg' (https or empty)")
+        Some(Tls.ClientTls(loc, pw, verifyHostname = endpointAlg == "https"))
+      }
     // the stock `kafka.bootstrap.servers` comma list, or the pair of
     // `host`/`port` options (back-compat). With a list, the first entry
     // is the primary dial and the rest seed the failover dial order —
@@ -163,7 +206,8 @@ final class KafkaWireSourceProvider extends TableProvider with DataSourceRegiste
       servers.tail,
       minPerTrigger,
       maxTriggerDelayMs,
-      assign))
+      assign,
+      tls))
   }
 }
 
@@ -258,8 +302,13 @@ final class KafkaWireSourceProvider extends TableProvider with DataSourceRegiste
   *    connector's config surface — the jaas string's
   *    username/password authenticate EVERY socket the connector opens
   *    (driver metadata polls and executor record readers/writers
-  *    alike) before any other request. PLAIN only; see COVERAGE.md
-  *    non-goals for the TLS boundary.
+  *    alike) before any other request. PLAIN only.
+  *  - `kafka.security.protocol` + `kafka.ssl.truststore.location` /
+  *    `.password` / `kafka.ssl.endpoint.identification.algorithm`:
+  *    TLS on every socket (SSL), with the SASL exchange riding inside
+  *    the encrypted session (SASL_SSL) — the combination production
+  *    secured clusters actually require, since SASL/PLAIN sends the
+  *    password in clear. See [[Tls]].
   */
 final case class KafkaWireConf(host: String, port: Int, topic: String,
     maxOffsetsPerTrigger: Option[Long], startingOffsets: String,
@@ -275,7 +324,8 @@ final case class KafkaWireConf(host: String, port: Int, topic: String,
     extraBootstrap: Seq[(String, Int)] = Nil,
     minOffsetsPerTrigger: Option[Long] = None,
     maxTriggerDelayMs: Long = 15L * 60 * 1000,
-    assign: Option[String] = None) {
+    assign: Option[String] = None,
+    tls: Option[Tls.ClientTls] = None) {
   /** `subscribe` takes a comma-separated topic LIST (stock-connector
     * contract); reads plan every partition of every listed topic.
     * Writes take exactly one — or none, routing on the `topic` column.
@@ -545,7 +595,7 @@ final class KafkaWireTable(conf: KafkaWireConf)
             s"'topic' column (got '${conf.topic}')")
         new KafkaWireWrite(conf.host, conf.port, conf.topics.headOption.orNull,
           info.schema(), conf.gzip, conf.idempotence, conf.transactionalId,
-          conf.sasl, conf.extraBootstrap)
+          conf.sasl, conf.extraBootstrap, conf.tls)
       }
     }
 }
@@ -566,7 +616,8 @@ final class KafkaWireWrite(host: String, port: Int, topic: String,
     idempotence: Boolean = false,
     transactionalId: Option[String] = None,
     sasl: Option[KafkaWireClient.SaslPlain] = None,
-    extraBootstrap: Seq[(String, Int)] = Nil) extends Write {
+    extraBootstrap: Seq[(String, Int)] = Nil,
+    tls: Option[Tls.ClientTls] = None) extends Write {
 
   private def factoryParams: KafkaWireWriterParams = {
     val keyIdx = schema.fieldNames.indexOf("key")
@@ -597,13 +648,13 @@ final class KafkaWireWrite(host: String, port: Int, topic: String,
         // bootstrap LIST like every other driver-side call (a dead
         // first endpoint would otherwise fail the whole write job)
         val c = new KafkaClusterClient(host, port, sasl = sasl,
-          extraBootstrap = extraBootstrap)
+          extraBootstrap = extraBootstrap, tls = tls)
         try c.metadata(Seq(topic)).head.partitions.size finally c.close()
       }
     KafkaWireWriterParams(host, port, Option(topic),
       if (topic == null) topicIdx else -1, nPartsFixed,
       keyIdx, keyIsString, valueIdx, valueIsString, gzip, idempotence, tsIdx,
-      transactionalId, sasl, extraBootstrap)
+      transactionalId, sasl, extraBootstrap, tls)
   }
 
   override def toBatch: BatchWrite = {
@@ -635,7 +686,8 @@ final case class KafkaWireWriterParams(host: String, port: Int,
     idempotence: Boolean = false, tsIdx: Int = -1,
     transactionalId: Option[String] = None,
     sasl: Option[KafkaWireClient.SaslPlain] = None,
-    extraBootstrap: Seq[(String, Int)] = Nil)
+    extraBootstrap: Seq[(String, Int)] = Nil,
+    tls: Option[Tls.ClientTls] = None)
 
 final case class KafkaWireWriterFactory(params: KafkaWireWriterParams)
     extends DataWriterFactory with StreamingDataWriterFactory {
@@ -663,7 +715,7 @@ final class KafkaWireDataWriter(params: KafkaWireWriterParams, sparkPartition: I
   // transaction APIs on the id's coordinator; one socket per broker
   // actually touched (single-broker mode degenerates to one socket)
   private val client = new KafkaClusterClient(host, port, sasl = params.sasl,
-    extraBootstrap = params.extraBootstrap)
+    extraBootstrap = params.extraBootstrap, tls = params.tls)
   // transactional.id: this task's transaction identity is STABLE across
   // task retries (it derives from the Spark partition id, not the
   // attempt), so a retry's InitProducerId fences the failed attempt and
@@ -777,7 +829,7 @@ final class KafkaWireScan(conf: KafkaWireConf) extends Scan {
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] = {
       val c = new KafkaClusterClient(host, port, sasl = conf.sasl,
-        extraBootstrap = conf.extraBootstrap)
+        extraBootstrap = conf.extraBootstrap, tls = conf.tls)
       try {
         val partsByTopic = conf.resolvePartitions(c)
         val starts = KafkaWireSource.resolveStart(c, partsByTopic, conf)
@@ -797,7 +849,8 @@ final class KafkaWireScan(conf: KafkaWireConf) extends Scan {
           val (lh, lp) = c.leaderFor(t, p)
           KafkaWireInputPartition(lh, lp, t, p, starts((t, p)), ends((t, p)),
             conf.readCommitted, conf.sasl,
-            (conf.host, conf.port) +: conf.extraBootstrap): InputPartition
+            (conf.host, conf.port) +: conf.extraBootstrap,
+            conf.tls): InputPartition
         }.toArray
       } finally c.close()
     }
@@ -828,7 +881,7 @@ final class KafkaWireMicroBatchStream(conf: KafkaWireConf)
   // commits to the coordinator.
   @transient private lazy val client =
     new KafkaClusterClient(host, port, sasl = conf.sasl,
-      extraBootstrap = conf.extraBootstrap)
+      extraBootstrap = conf.extraBootstrap, tls = conf.tls)
   @transient private lazy val partsByTopic: Map[String, Seq[Int]] = {
     // metadata auto-creates the topics on the stub, fixing partition
     // counts before the first offset poll; a subscribePattern resolves
@@ -968,7 +1021,8 @@ final class KafkaWireMicroBatchStream(conf: KafkaWireConf)
         val (lh, lp) = client.leaderFor(t, p)
         Some(KafkaWireInputPartition(lh, lp, t, p, startOff, endOff,
           conf.readCommitted, conf.sasl,
-          (conf.host, conf.port) +: conf.extraBootstrap): InputPartition)
+          (conf.host, conf.port) +: conf.extraBootstrap,
+          conf.tls): InputPartition)
       } else None
     }.toArray
   }
@@ -1011,7 +1065,8 @@ final case class KafkaWireInputPartition(host: String, port: Int, topic: String,
     partition: Int, startOffset: Long, endOffset: Long,
     readCommitted: Boolean = false,
     sasl: Option[KafkaWireClient.SaslPlain] = None,
-    fallback: Seq[(String, Int)] = Nil) extends InputPartition {
+    fallback: Seq[(String, Int)] = Nil,
+    tls: Option[Tls.ClientTls] = None) extends InputPartition {
   override def preferredLocations(): Array[String] = Array(host)
 }
 
@@ -1037,7 +1092,7 @@ final class KafkaWirePartitionReader(p: KafkaWireInputPartition)
   // instead of failing every task retry against a corpse
   private val client =
     new KafkaClusterClient(p.host, p.port, sasl = p.sasl,
-      extraBootstrap = p.fallback)
+      extraBootstrap = p.fallback, tls = p.tls)
   client.assumeLeader(p.topic, p.partition, p.host, p.port)
   private var nextOff = p.startOffset
   private var buffer: Iterator[KafkaCodec.WireRecord] = Iterator.empty

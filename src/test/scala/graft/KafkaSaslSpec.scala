@@ -178,6 +178,163 @@ class KafkaSaslSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("requires sasl.jaas.config"))
   }
 
+  // ---- TLS (security.protocol=SSL / SASL_SSL) ----
+
+  private lazy val (tlsKs, tlsTrust, tlsPw) = graft.kafka.Tls.ensureKeyMaterial()
+  private def clientTls = graft.kafka.Tls.ClientTls(tlsTrust, tlsPw)
+
+  private def withTlsBroker[A](f: KafkaStubBroker => A): A = {
+    val broker = new KafkaStubBroker(3, saslUsers = users,
+      tlsKeystore = Some((tlsKs, tlsPw)))
+    broker.start()
+    try f(broker) finally broker.stop()
+  }
+
+  test("SASL_SSL: TLS handshake with endpoint identification, auth inside the tunnel, round trip") {
+    withTlsBroker { broker =>
+      val c = new KafkaWireClient("127.0.0.1", broker.port,
+        sasl = Some(SaslPlain("alice", "wonder")), tls = Some(clientTls))
+      try {
+        c.metadata(Seq("tls-t"))
+        c.produce("tls-t", 0, Seq((1L, b("k"), b("enc1")), (2L, b("k"), b("enc2"))))
+        assert(c.fetchAll("tls-t", 0).map(r => str(r.value)) == Seq("enc1", "enc2"))
+      } finally c.close()
+    }
+  }
+
+  test("plaintext dial to a TLS listener fails loudly") {
+    withTlsBroker { broker =>
+      // the plain dial connects (TCP is TCP) but the first Kafka frame
+      // hits the listener's TLS handshake, which kills the connection —
+      // the request must die with an IOException, never hang or
+      // silently return garbage
+      val c = new KafkaWireClient("127.0.0.1", broker.port)
+      try intercept[java.io.IOException](c.metadata(Seq("t")))
+      finally c.close()
+    }
+  }
+
+  test("TLS dial with an untrusting truststore fails the handshake in the constructor") {
+    withTlsBroker { broker =>
+      // a truststore holding a DIFFERENT self-signed cert: the server's
+      // chain can't be validated, and the eager handshake fails before
+      // any Kafka bytes (the credentials are never offered)
+      val (_, otherTrust, otherPw) = graft.kafka.Tls.ensureKeyMaterial(
+        "target/tls-other", san = "SAN=IP:127.0.0.1")
+      intercept[javax.net.ssl.SSLException] {
+        new KafkaWireClient("127.0.0.1", broker.port,
+          sasl = Some(SaslPlain("alice", "wonder")),
+          tls = Some(graft.kafka.Tls.ClientTls(otherTrust, otherPw)))
+      }
+    }
+  }
+
+  test("endpoint identification rejects a certificate without the dial address in its SAN") {
+    // serve with a cert whose SAN names some other host: hostname
+    // verification (the stock https default) must refuse it even
+    // though the chain IS trusted; turning verification off (the
+    // algorithm-empty escape hatch) accepts it
+    val (ks2, trust2, pw2) = graft.kafka.Tls.ensureKeyMaterial(
+      "target/tls-wronghost", san = "SAN=DNS:graft-elsewhere")
+    val broker = new KafkaStubBroker(3, tlsKeystore = Some((ks2, pw2)))
+    broker.start()
+    try {
+      intercept[javax.net.ssl.SSLException] {
+        new KafkaWireClient("127.0.0.1", broker.port,
+          tls = Some(graft.kafka.Tls.ClientTls(trust2, pw2)))
+      }
+      val c = new KafkaWireClient("127.0.0.1", broker.port,
+        tls = Some(graft.kafka.Tls.ClientTls(trust2, pw2,
+          verifyHostname = false)))
+      try c.metadata(Seq("tls-nohost")) finally c.close()
+    } finally broker.stop()
+  }
+
+  test("DSv2 SASL_SSL round trip: every connector socket TLS-wraps and authenticates") {
+    withTlsBroker { broker =>
+      val jaas = "org.apache.kafka.common.security.plain.PlainLoginModule " +
+        "required username=\"bob\" password=\"builder\";"
+      import spark.implicits._
+      Seq(("k1", "x"), ("k2", "y")).toDF("key", "value")
+        .write.format("kafka-wire")
+        .option("host", "127.0.0.1").option("port", broker.port.toString)
+        .option("topic", "tls-dsv2")
+        .option("kafka.security.protocol", "SASL_SSL")
+        .option("kafka.ssl.truststore.location", tlsTrust)
+        .option("kafka.ssl.truststore.password", tlsPw)
+        .option("kafka.sasl.mechanism", "PLAIN")
+        .option("kafka.sasl.jaas.config", jaas)
+        .mode("append").save()
+      val got = spark.read.format("kafka-wire")
+        .option("host", "127.0.0.1").option("port", broker.port.toString)
+        .option("topic", "tls-dsv2")
+        .option("kafka.security.protocol", "SASL_SSL")
+        .option("kafka.ssl.truststore.location", tlsTrust)
+        .option("kafka.ssl.truststore.password", tlsPw)
+        .option("kafka.sasl.mechanism", "PLAIN")
+        .option("kafka.sasl.jaas.config", jaas)
+        .load()
+        .select(col("value").cast("string"))
+        .as[String].collect().sorted
+      assert(got.toSeq == Seq("x", "y"))
+    }
+  }
+
+  test("security.protocol option validation") {
+    import spark.implicits._
+    val df = Seq(("k", "v")).toDF("key", "value")
+    val e1 = intercept[IllegalArgumentException] {
+      df.write.format("kafka-wire")
+        .option("host", "127.0.0.1").option("port", "1")
+        .option("topic", "t")
+        .option("kafka.security.protocol", "SASL_SSL")
+        .option("kafka.sasl.mechanism", "PLAIN")
+        .option("kafka.sasl.jaas.config", "x username=\"u\" password=\"p\";")
+        .mode("append").save()
+    }
+    assert(e1.getMessage.contains("requires kafka.ssl.truststore.location"))
+    val e2 = intercept[IllegalArgumentException] {
+      df.write.format("kafka-wire")
+        .option("host", "127.0.0.1").option("port", "1")
+        .option("topic", "t")
+        .option("kafka.security.protocol", "SSL")
+        .option("kafka.sasl.mechanism", "PLAIN")
+        .option("kafka.sasl.jaas.config", "x username=\"u\" password=\"p\";")
+        .option("kafka.ssl.truststore.location", tlsTrust)
+        .option("kafka.ssl.truststore.password", tlsPw)
+        .mode("append").save()
+    }
+    assert(e2.getMessage.contains("SASL options set but security.protocol=SSL"))
+    val e3 = intercept[IllegalArgumentException] {
+      df.write.format("kafka-wire")
+        .option("host", "127.0.0.1").option("port", "1")
+        .option("topic", "t")
+        .option("kafka.security.protocol", "PLAINTEXT")
+        .option("kafka.ssl.truststore.location", tlsTrust)
+        .mode("append").save()
+    }
+    assert(e3.getMessage.contains("ssl.truststore.location set but"))
+  }
+
+  test("SASL_SSL multi-broker cluster: TLS + auth on every leader socket") {
+    val cluster = new KafkaStubCluster(3, 3, saslUsers = users,
+      tlsKeystore = Some((tlsKs, tlsPw)))
+    cluster.start()
+    try {
+      val c = new KafkaClusterClient("127.0.0.1", cluster.bootstrapPort,
+        sasl = Some(SaslPlain("alice", "wonder")), tls = Some(clientTls))
+      try {
+        c.metadata(Seq("tls-cluster"))
+        (0 until 3).foreach { p =>
+          c.produce("tls-cluster", p, Seq((1L, null, b(s"v$p"))))
+        }
+        (0 until 3).foreach { p =>
+          assert(c.fetchAll("tls-cluster", p).map(r => str(r.value)) == Seq(s"v$p"))
+        }
+      } finally c.close()
+    } finally cluster.stop()
+  }
+
   test("multi-broker cluster: one credential set authenticates every socket") {
     val cluster = new KafkaStubCluster(3, 3, saslUsers = users)
     cluster.start()
