@@ -1200,6 +1200,89 @@ object TextAnalysis {
       |  THEN list_transform(generate_series(1, len(toks) - 7), i -> array_to_string(toks[i:i+7], ' '))
       |  ELSE [array_to_string(toks, ' ')] END""".stripMargin
 
+  /** Exact-substring dedup spans (the Lee et al. 2022 "Deduplicating
+    * Training Data Makes Language Models Better" ExactSubstr shape):
+    * all MAXIMAL spans of ≥ L tokens, every L-token window of which
+    * occurs somewhere else in the corpus (another doc OR another
+    * position of the same doc) — the byte ranges that pipeline scrubs.
+    *
+    * Distributed suffix ordering, at fixed depth: the classical
+    * suffix-array pass sorts every suffix and marks a position
+    * duplicated when its sorted NEIGHBOR shares an LCP ≥ L. With the
+    * sort key fixed at depth exactly L (the first L tokens of the
+    * suffix), neighbor-LCP ≥ L collapses to key EQUALITY — so the sort
+    * becomes a hash GROUP BY on the 60-bit window hash: the same
+    * shuffle the sort would pay, minus the global order barrier, and
+    * the shuffle carries (doc_id, pos, int64) — never text. Emission
+    * is then per-doc run-merging (pos − row_number() run ids over a
+    * doc-partitioned window; per-doc state only).
+    *
+    * Losslessness at the L boundary (SubstringDedupSpec pins both
+    * directions): a repeated substring of length s ≥ L is EXACTLY a
+    * run of s − L + 1 consecutive duplicated window starts, so its
+    * maximal span is recovered with exact bounds; a repeat of length
+    * L − 1 contains no duplicated window and is (correctly) silent.
+    * Like ExactSubstr, adjacent runs that match DIFFERENT sources
+    * merge into one span — every covered token sits inside some ≥ L
+    * repeat, which is the scrub contract.
+    *
+    * 100 TB shape: one tokenize+hash projection pass (codegen'd native
+    * expression), one hash aggregate over int64 keys with an early
+    * `count >= 2` cut, one semi join back, one doc-partitioned window.
+    * No all-pairs stage anywhere; the window state is one doc's
+    * duplicated positions. L = 16 words here (Lee et al. use 50 BPE
+    * tokens ≈ the same order of text).
+    */
+  private val SubL = 16
+
+  private[graft] def substringSpans(d: DataFrame, L: Int): DataFrame = {
+    graft.functions.ShingleHash60.register(d.sparkSession)
+    val h = d
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= L)
+      .select(col("doc_id"),
+        posexplode(graft.functions.ShingleHash60
+          .shingleHash60(col("toks"), L)).as(Seq("pos0", "gh")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"), col("gh"))
+      .persist()
+    val dup = h.groupBy("gh").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2).select("gh")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val spans = h.join(dup, Seq("gh"), "left_semi")
+      .withColumn("run", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("run"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(L - 1)).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_len"))
+      .orderBy("doc_id", "span_start")
+    materialized(spans, h)
+  }
+
+  val substringDedup: QueryDef = QueryDef.sql("q_substring_dedup")(
+    s"""WITH base AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |long AS (SELECT doc_id, toks FROM base WHERE len(toks) >= $SubL),
+       |g AS (SELECT doc_id,
+       |        UNNEST(generate_series(1, len(toks) - ${SubL - 1})) AS pos,
+       |        toks FROM long),
+       |h AS (SELECT doc_id, pos,
+       |        CAST(('0x' || substr(md5(
+       |          array_to_string(toks[pos:pos+${SubL - 1}], ' ')), 1, 15))
+       |          AS BIGINT) AS gh
+       |      FROM g),
+       |dup AS (SELECT gh FROM h GROUP BY gh HAVING COUNT(*) >= 2),
+       |d AS (SELECT doc_id, pos FROM h WHERE gh IN (SELECT gh FROM dup)),
+       |r AS (SELECT doc_id, pos,
+       |        pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+       |          AS run FROM d)
+       |SELECT doc_id, MIN(pos) AS span_start,
+       |  MAX(pos) + ${SubL - 1} AS span_end,
+       |  MAX(pos) + ${SubL - 1} - MIN(pos) + 1 AS span_len
+       |FROM r GROUP BY doc_id, run
+       |ORDER BY doc_id, span_start""".stripMargin) { (s, dir) =>
+    substringSpans(docs(s, dir), SubL)
+  }
+
   val dupNgramSpans: QueryDef = QueryDef.sql("q_dup_ngram_spans")(
     s"""WITH base AS (SELECT doc_id, $toksSql AS toks FROM documents),
        |g AS (SELECT doc_id, UNNEST($shingles8Sql) AS g FROM base),
@@ -2172,7 +2255,7 @@ object TextAnalysis {
     minhashVerified, ngramJaccard, simhash,
     simhashNearDup, simhash60, simhash60NearDup, levenshteinPairs,
     minhashJaccardEst, tokenEntropy, bpePairs, dedupIncremental,
-    dupNgramSpans, sourceOverlap, importanceWeights, tfidfRetrieval,
+    substringDedup, dupNgramSpans, sourceOverlap, importanceWeights, tfidfRetrieval,
     bm25Retrieval, bigramLm, perplexityBuckets,
     qualityLogit, zipfFit, streamDedupLsh, bpeMergeRound, bpeMergeRound2,
     substringScrub, pmiCollocations, klDrift, sentiment, containment,
