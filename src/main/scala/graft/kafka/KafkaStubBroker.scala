@@ -217,7 +217,8 @@ final class KafkaStubBroker(val numPartitions: Int = 3,
       // handshake version). Any other early request, or a failed
       // authentication, closes the connection — the real listener's
       // response to a client that skips or flunks auth.
-      var handshaken = false
+      var handshakenMech: Option[String] = None
+      var scramSession: Scram.Server = null
       var authenticated = saslUsers.isEmpty
       while (running.get()) {
         val size = in.readInt()
@@ -232,11 +233,37 @@ final class KafkaStubBroker(val numPartitions: Int = 3,
         val body = apiKey match {
           case Api.ApiVersions => apiVersionsResponse()
           case Api.SaslHandshake =>
-            val (resp, ok) = saslHandshakeResponse(buf)
-            handshaken = ok
+            val (resp, mech) = saslHandshakeResponse(buf)
+            handshakenMech = mech
             resp
+          case Api.SaslAuthenticate if handshakenMech.contains("SCRAM-SHA-256") =>
+            // two-round challenge-response: round 1 answers with the
+            // server-first challenge and the connection stays
+            // UNAUTHENTICATED; only a verified client-final proof flips
+            // the bit (and the server-final carries the v= signature
+            // that proves the broker back to the client)
+            if (scramSession == null)
+              scramSession = new Scram.Server(scramCredentials.get)
+            val token = readNullableBytes(buf)
+            val msg = new String(
+              Option(token).getOrElse(Array.empty[Byte]),
+              java.nio.charset.StandardCharsets.UTF_8)
+            val step =
+              try scramSession.handle(msg)
+              catch { case e: Exception => Scram.Failed(s"malformed SCRAM message: ${e.getMessage}") }
+            step match {
+              case Scram.Continue(challenge) =>
+                saslAuthBytes(Err.None, null, challenge)
+              case Scram.Done(serverFinal, _) =>
+                authenticated = true
+                saslAuthBytes(Err.None, null, serverFinal)
+              case Scram.Failed(m) =>
+                closeAfterResponse = true
+                saslAuthBytes(Err.SaslAuthenticationFailed, m, "")
+            }
           case Api.SaslAuthenticate =>
-            val (resp, ok) = saslAuthenticateResponse(buf, handshaken)
+            val (resp, ok) =
+              saslAuthenticateResponse(buf, handshakenMech.contains("PLAIN"))
             authenticated = ok
             closeAfterResponse = !ok
             resp
@@ -273,15 +300,17 @@ final class KafkaStubBroker(val numPartitions: Int = 3,
     }
   }
 
-  /** SaslHandshake v1: agree on a mechanism. Only PLAIN is enabled (and
-    * only on a listener with configured credentials); anything else is
-    * UNSUPPORTED_SASL_MECHANISM with the enabled list in the response —
-    * exactly what lets a real client print "mechanism X not enabled,
-    * broker offers [PLAIN]".
+  /** SaslHandshake v1: agree on a mechanism. PLAIN and SCRAM-SHA-256
+    * are enabled (only on a listener with configured credentials);
+    * anything else is UNSUPPORTED_SASL_MECHANISM with the enabled list
+    * in the response — exactly what lets a real client print
+    * "mechanism X not enabled, broker offers [PLAIN, SCRAM-SHA-256]".
+    * Returns the agreed mechanism so the connection's SaslAuthenticate
+    * routing follows the negotiation.
     */
-  private def saslHandshakeResponse(req: ByteBuffer): (Array[Byte], Boolean) = {
+  private def saslHandshakeResponse(req: ByteBuffer): (Array[Byte], Option[String]) = {
     val mechanism = readString(req)
-    val enabled = if (saslUsers.isEmpty) Nil else Seq("PLAIN")
+    val enabled = if (saslUsers.isEmpty) Nil else Seq("PLAIN", "SCRAM-SHA-256")
     val ok = enabled.contains(mechanism)
     val buf = ByteBuffer.allocate(16 + enabled.map(_.length + 2).sum)
     buf.putShort((if (ok) Err.None else Err.UnsupportedSaslMechanism).toShort)
@@ -289,7 +318,37 @@ final class KafkaStubBroker(val numPartitions: Int = 3,
     enabled.foreach(writeString(buf, _))
     buf.flip()
     val arr = new Array[Byte](buf.remaining()); buf.get(arr)
-    (arr, ok)
+    (arr, if (ok) Some(mechanism) else None)
+  }
+
+  /** Per-user SCRAM-SHA-256 stored credentials, derived once from the
+    * configured passwords — what `kafka-configs --add-config
+    * SCRAM-SHA-256=[...]` provisions on a real broker: (salt, i,
+    * StoredKey, ServerKey), never the password itself. Salt is
+    * per-user deterministic (md5 of the principal) — a stub
+    * convenience; the protocol carries it to the client either way.
+    */
+  private lazy val scramCredentials: Map[String, Scram.ServerCredential] =
+    saslUsers.map { case (user, password) =>
+      user -> Scram.serverCredential(password,
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(user.getBytes(java.nio.charset.StandardCharsets.UTF_8)),
+        4096)
+    }
+
+  /** SaslAuthenticate v0 response with a challenge/signature payload in
+    * auth_bytes — the field the SCRAM rounds ride in.
+    */
+  private def saslAuthBytes(err: Int, msg: String, payload: String): Array[Byte] = {
+    val p = payload.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val buf = ByteBuffer.allocate(
+      64 + (if (msg == null) 0 else msg.length * 4) + p.length)
+    buf.putShort(err.toShort)
+    writeNullableString(buf, msg)
+    writeNullableBytes(buf, p)
+    buf.flip()
+    val arr = new Array[Byte](buf.remaining()); buf.get(arr)
+    arr
   }
 
   /** SaslAuthenticate v0 carrying the RFC 4616 PLAIN token

@@ -62,7 +62,7 @@ final class KafkaWireClient(host: String, port: Int,
   override def close(): Unit = socket.close()
 
   private def authenticate(cred: KafkaWireClient.SaslPlain): Unit = {
-    val mech = "PLAIN"
+    val mech = cred.mechanism
     val hs = ByteBuffer.allocate(2 + mech.length)
     writeString(hs, mech)
     val hsResp = send(Api.SaslHandshake, 1, hs)
@@ -76,20 +76,64 @@ final class KafkaWireClient(host: String, port: Int,
       throw new IllegalArgumentException(
         s"SaslHandshake error $hsErr (broker mechanisms: ${enabled.mkString(",")})")
     }
-    val user = cred.username.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val pass = cred.password.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val token = new Array[Byte](2 + user.length + pass.length)
-    System.arraycopy(user, 0, token, 1, user.length) // [0]=NUL authzid
-    System.arraycopy(pass, 0, token, 2 + user.length, pass.length)
+    mech match {
+      case "PLAIN" => authenticatePlain(cred)
+      case "SCRAM-SHA-256" => authenticateScram(cred)
+      case other =>
+        socket.close()
+        throw new IllegalArgumentException(s"unsupported SASL mechanism '$other'")
+    }
+  }
+
+  /** One SaslAuthenticate round trip: returns (error, message,
+    * auth_bytes) — the challenge-carrying field SCRAM rides in.
+    */
+  private def saslRound(token: Array[Byte]): (Int, String, Array[Byte]) = {
     val auth = ByteBuffer.allocate(4 + token.length)
     writeNullableBytes(auth, token)
     val resp = send(Api.SaslAuthenticate, 0, auth)
     val err = resp.getShort.toInt
     val msg = readNullableString(resp)
-    if (err != Err.None) {
+    val bytes = if (resp.hasRemaining) readNullableBytes(resp) else Array.empty[Byte]
+    (err, msg, if (bytes == null) Array.empty[Byte] else bytes)
+  }
+
+  private def failAuth(err: Int, msg: String): Nothing = {
+    socket.close()
+    throw new SecurityException(
+      s"SASL authentication failed (error $err): ${Option(msg).getOrElse("")}")
+  }
+
+  private def authenticatePlain(cred: KafkaWireClient.SaslPlain): Unit = {
+    val user = cred.username.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val pass = cred.password.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val token = new Array[Byte](2 + user.length + pass.length)
+    System.arraycopy(user, 0, token, 1, user.length) // [0]=NUL authzid
+    System.arraycopy(pass, 0, token, 2 + user.length, pass.length)
+    val (err, msg, _) = saslRound(token)
+    if (err != Err.None) failAuth(err, msg)
+  }
+
+  /** RFC 5802/7677 exchange in two SaslAuthenticate round trips, with
+    * the server's `v=` signature VERIFIED — a broker that never knew
+    * the password fails here even if it waves the exchange through
+    * (the mutual-auth guarantee PLAIN cannot give).
+    */
+  private def authenticateScram(cred: KafkaWireClient.SaslPlain): Unit = {
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    val session = new Scram.Client(cred.username, cred.password)
+    val (e1, m1, serverFirst) = saslRound(session.firstMessage.getBytes(utf8))
+    if (e1 != Err.None) failAuth(e1, m1)
+    val (finalMsg, expectedSig) =
+      try session.finalMessage(new String(serverFirst, utf8))
+      catch { case e: Exception => socket.close(); throw e }
+    val (e2, m2, serverFinal) = saslRound(finalMsg.getBytes(utf8))
+    if (e2 != Err.None) failAuth(e2, m2)
+    if (!session.verifyServerFinal(new String(serverFinal, utf8), expectedSig)) {
       socket.close()
       throw new SecurityException(
-        s"SASL authentication failed (error $err): ${Option(msg).getOrElse("")}")
+        "SCRAM server signature verification failed — the broker did not " +
+          "prove knowledge of the credential (possible impostor)")
     }
   }
 
@@ -546,14 +590,17 @@ trait KafkaOffsetClient extends AutoCloseable {
 }
 
 object KafkaWireClient {
-  /** SASL/PLAIN credentials (RFC 4616). Carried in connector conf and
-    * task binaries exactly like the stock connector carries
-    * `kafka.sasl.jaas.config` — a deployment secret, not a wire secret
-    * (PLAIN sends it in the clear; real clusters pair it with TLS,
-    * which this plaintext-TCP stack deliberately does not speak — see
-    * COVERAGE.md non-goals).
+  /** SASL credentials. Historically PLAIN-only (hence the name, kept
+    * for source stability across the 12 conf/call sites that carry
+    * it); since round 10 `mechanism` selects the exchange — "PLAIN"
+    * (RFC 4616, the password crosses the wire, pair it with TLS) or
+    * "SCRAM-SHA-256" (RFC 5802/7677 challenge-response, see [[Scram]]:
+    * the password NEVER crosses the wire and the server proves itself
+    * back). Carried in connector conf and task binaries exactly like
+    * the stock `kafka.sasl.jaas.config` — a deployment secret.
     */
-  final case class SaslPlain(username: String, password: String)
+  final case class SaslPlain(username: String, password: String,
+      mechanism: String = "PLAIN")
 
   object SaslPlain {
     private val JaasField = """(username|password)\s*=\s*"((?:[^"\\]|\\.)*)"""".r

@@ -119,15 +119,17 @@ final class KafkaWireSourceProvider extends TableProvider with DataSourceRegiste
     // plaintext-TCP stack.
     val saslMechanism = Option(opts.get("kafka.sasl.mechanism"))
       .orElse(Option(opts.get("sasl.mechanism")))
-    require(saslMechanism.forall(_ == "PLAIN"),
-      s"kafka-wire: unsupported sasl.mechanism '${saslMechanism.orNull}' (PLAIN)")
+    require(saslMechanism.forall(Seq("PLAIN", "SCRAM-SHA-256").contains),
+      s"kafka-wire: unsupported sasl.mechanism '${saslMechanism.orNull}' " +
+        "(PLAIN or SCRAM-SHA-256)")
     val saslJaas = Option(opts.get("kafka.sasl.jaas.config"))
       .orElse(Option(opts.get("sasl.jaas.config")))
     require(saslJaas.isEmpty || saslMechanism.isDefined,
-      "kafka-wire: sasl.jaas.config requires sasl.mechanism=PLAIN")
+      "kafka-wire: sasl.jaas.config requires sasl.mechanism")
     require(saslMechanism.isEmpty || saslJaas.isDefined,
-      "kafka-wire: sasl.mechanism=PLAIN requires sasl.jaas.config")
-    val sasl = saslJaas.map(KafkaWireClient.SaslPlain.fromJaas)
+      s"kafka-wire: sasl.mechanism=${saslMechanism.orNull} requires sasl.jaas.config")
+    val sasl = saslJaas.map(j => KafkaWireClient.SaslPlain.fromJaas(j)
+      .copy(mechanism = saslMechanism.get))
     // security.protocol (stock names): PLAINTEXT | SASL_PLAINTEXT |
     // SSL | SASL_SSL. The SASL_* forms must carry the SASL options and
     // the *_SSL forms the truststore pair; endpoint identification

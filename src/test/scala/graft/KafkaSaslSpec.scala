@@ -164,7 +164,7 @@ class KafkaSaslSpec extends AnyFunSuite {
     val e1 = intercept[IllegalArgumentException] {
       df.write.format("kafka-wire")
         .option("host", "127.0.0.1").option("port", "1")
-        .option("topic", "t").option("kafka.sasl.mechanism", "SCRAM-SHA-256")
+        .option("topic", "t").option("kafka.sasl.mechanism", "GSSAPI")
         .option("kafka.sasl.jaas.config", "x username=\"u\" password=\"p\";")
         .mode("append").save()
     }
@@ -176,6 +176,98 @@ class KafkaSaslSpec extends AnyFunSuite {
         .mode("append").save()
     }
     assert(e2.getMessage.contains("requires sasl.jaas.config"))
+  }
+
+  // ---- SCRAM-SHA-256 (RFC 5802 / RFC 7677) ----
+
+  test("SCRAM-SHA-256 reproduces the RFC 7677 §3 test vector exactly") {
+    import graft.kafka.Scram
+    val salt = java.util.Base64.getDecoder.decode("W22ZaJ0SNY7soEsUEjb6gQ==")
+    val cred = Scram.serverCredential("pencil", salt, 4096)
+    val client = new Scram.Client("user", "pencil",
+      cnonce = "rOprNGfwEbeRWgbNEkqO")
+    val server = new Scram.Server(
+      u => if (u == "user") Some(cred) else None,
+      snonce = "%hvYDpWUa2RaTCAfuxFIlj)hNlF$k0")
+    assert(client.firstMessage == "n,,n=user,r=rOprNGfwEbeRWgbNEkqO")
+    val Scram.Continue(serverFirst) = server.handle(client.firstMessage): @unchecked
+    assert(serverFirst ==
+      "r=rOprNGfwEbeRWgbNEkqO%hvYDpWUa2RaTCAfuxFIlj)hNlF$k0," +
+        "s=W22ZaJ0SNY7soEsUEjb6gQ==,i=4096")
+    val (clientFinal, expectedSig) = client.finalMessage(serverFirst)
+    assert(clientFinal ==
+      "c=biws,r=rOprNGfwEbeRWgbNEkqO%hvYDpWUa2RaTCAfuxFIlj)hNlF$k0," +
+        "p=dHzbZapWIk4jUhN+Ute9ytag9zjfMHgsqmmiz7AndVQ=")
+    val Scram.Done(serverFinal, who) = server.handle(clientFinal): @unchecked
+    assert(who == "user")
+    assert(serverFinal == "v=6rriTRBi23WpRR/wtup+mMhUZUn/dB5nLTJRsjl95G4=")
+    assert(client.verifyServerFinal(serverFinal, expectedSig))
+  }
+
+  test("SCRAM-SHA-256 wire session: challenge-response rounds, produce/fetch round trip") {
+    withBroker { broker =>
+      val c = new KafkaWireClient("127.0.0.1", broker.port,
+        sasl = Some(SaslPlain("alice", "wonder", mechanism = "SCRAM-SHA-256")))
+      try {
+        c.metadata(Seq("scram-t"))
+        c.produce("scram-t", 0, Seq((1L, b("k"), b("s1"))))
+        assert(c.fetchAll("scram-t", 0).map(r => str(r.value)) == Seq("s1"))
+      } finally c.close()
+    }
+  }
+
+  test("SCRAM-SHA-256 wrong password: the proof fails at client-final, connection closed") {
+    withBroker { broker =>
+      val e = intercept[SecurityException] {
+        new KafkaWireClient("127.0.0.1", broker.port,
+          sasl = Some(SaslPlain("alice", "nope", mechanism = "SCRAM-SHA-256")))
+      }
+      assert(e.getMessage.contains("error 58"))
+      assert(e.getMessage.contains("alice"))
+    }
+  }
+
+  test("SCRAM-SHA-256 unknown user fails like a wrong password (no user oracle)") {
+    withBroker { broker =>
+      val e = intercept[SecurityException] {
+        new KafkaWireClient("127.0.0.1", broker.port,
+          sasl = Some(SaslPlain("mallory", "wonder", mechanism = "SCRAM-SHA-256")))
+      }
+      assert(e.getMessage.contains("error 58"))
+    }
+  }
+
+  test("DSv2 SCRAM-SHA-256 over SASL_SSL: the full secured-config round trip") {
+    val broker = new KafkaStubBroker(3, saslUsers = users,
+      tlsKeystore = Some((tlsKs, tlsPw)))
+    broker.start()
+    try {
+      val jaas = "org.apache.kafka.common.security.scram.ScramLoginModule " +
+        "required username=\"bob\" password=\"builder\";"
+      import spark.implicits._
+      Seq(("k1", "sc1"), ("k2", "sc2")).toDF("key", "value")
+        .write.format("kafka-wire")
+        .option("host", "127.0.0.1").option("port", broker.port.toString)
+        .option("topic", "scram-ssl")
+        .option("kafka.security.protocol", "SASL_SSL")
+        .option("kafka.ssl.truststore.location", tlsTrust)
+        .option("kafka.ssl.truststore.password", tlsPw)
+        .option("kafka.sasl.mechanism", "SCRAM-SHA-256")
+        .option("kafka.sasl.jaas.config", jaas)
+        .mode("append").save()
+      val got = spark.read.format("kafka-wire")
+        .option("host", "127.0.0.1").option("port", broker.port.toString)
+        .option("topic", "scram-ssl")
+        .option("kafka.security.protocol", "SASL_SSL")
+        .option("kafka.ssl.truststore.location", tlsTrust)
+        .option("kafka.ssl.truststore.password", tlsPw)
+        .option("kafka.sasl.mechanism", "SCRAM-SHA-256")
+        .option("kafka.sasl.jaas.config", jaas)
+        .load()
+        .select(col("value").cast("string"))
+        .as[String].collect().sorted
+      assert(got.toSeq == Seq("sc1", "sc2"))
+    } finally broker.stop()
   }
 
   // ---- TLS (security.protocol=SSL / SASL_SSL) ----
