@@ -101,7 +101,21 @@ object Bench {
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
             false
         }
-      ((System.nanoTime() - t0) / 1e9, ok)
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // Between-query hygiene, OUTSIDE the timed region: the round-10
+      // full run showed two queries 3.8x slower in-session than the
+      // same binary isolated on the same boot (BENCH_AB_r11.json —
+      // q_approx_quantiles_bound 2.27s in the 260-query session vs
+      // 0.60s alone, code untouched since r7). Each query unpersists
+      // its own caches, but a failed query can strand its persist, and
+      // 260 queries of accumulated heap residue turns one query's GC
+      // debt into its alphabetical successor's wall-clock. Dropping
+      // leaked cache entries + letting a GC run between measurements
+      // charges each query for its own work only — which is also what
+      // a per-job cluster deployment would see.
+      spark.catalog.clearCache()
+      System.gc()
+      (elapsed, ok)
     }
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
     val okMap = scala.collection.mutable.Map.empty[String, Boolean]

@@ -1283,6 +1283,88 @@ object TextAnalysis {
     substringSpans(docs(s, dir), SubL)
   }
 
+  // Scrub twin of q_substring_dedup — the Lee et al. pipeline's actual
+  // OUTPUT is the scrubbed corpus, not the span report: a token is
+  // removed iff some maximal ≥L-repeat span covers its position. The
+  // span relation is SHARED with q_substring_dedup (the same
+  // substringSpans build — the report/delete-share-one-relation
+  // discipline containment/contamination/corpus-dedup follow), so the
+  // report and the scrub cannot drift. Spans within a doc can OVERLAP
+  // in token coverage even though their run STARTS never do (two runs
+  // of duplicated starts separated by a small gap both cover the gap's
+  // neighborhood once each start is widened by L−1), so removed-token
+  // counting is an interval UNION, not a sum of span_len: the classic
+  // running-max island merge — prev_max = max(span_end) over the
+  // preceding per-doc frame, a new island exactly when span_start
+  // clears it, islands summed as max−min+1. O(spans) with one
+  // doc-partitioned window pass; never the O(tokens) per-position
+  // explode the 8-gram q_substring_scrub pays (spans here can be
+  // document-length, so expanding them would rescan the corpus).
+  // 100 TB shape: everything downstream of the shared span relation
+  // shuffles (doc_id, int64, int64) triples; output is one row per doc.
+  val substringDedupScrub: QueryDef = QueryDef.sql("q_substring_dedup_scrub")(
+    s"""WITH base AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |long AS (SELECT doc_id, toks FROM base WHERE len(toks) >= $SubL),
+       |g AS (SELECT doc_id,
+       |        UNNEST(generate_series(1, len(toks) - ${SubL - 1})) AS pos,
+       |        toks FROM long),
+       |h AS (SELECT doc_id, pos,
+       |        CAST(('0x' || substr(md5(
+       |          array_to_string(toks[pos:pos+${SubL - 1}], ' ')), 1, 15))
+       |          AS BIGINT) AS gh
+       |      FROM g),
+       |dup AS (SELECT gh FROM h GROUP BY gh HAVING COUNT(*) >= 2),
+       |d AS (SELECT doc_id, pos FROM h WHERE gh IN (SELECT gh FROM dup)),
+       |r AS (SELECT doc_id, pos,
+       |        pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+       |          AS run FROM d),
+       |spans AS (SELECT doc_id, MIN(pos) AS s, MAX(pos) + ${SubL - 1} AS e
+       |          FROM r GROUP BY doc_id, run),
+       |m AS (SELECT doc_id, s, e,
+       |        MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_e
+       |      FROM spans),
+       |isl AS (SELECT doc_id, s, e,
+       |        SUM(CASE WHEN prev_e IS NULL OR s > prev_e THEN 1 ELSE 0 END)
+       |          OVER (PARTITION BY doc_id ORDER BY s) AS island
+       |      FROM m),
+       |merged AS (SELECT doc_id, island, MIN(s) AS mn, MAX(e) AS mx
+       |           FROM isl GROUP BY doc_id, island),
+       |rem AS (SELECT doc_id, CAST(SUM(mx - mn + 1) AS BIGINT) AS n_removed
+       |        FROM merged GROUP BY doc_id),
+       |tot AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks FROM base)
+       |SELECT t.doc_id, t.n_toks, COALESCE(r2.n_removed, 0) AS n_removed,
+       |  CAST(t.n_toks - COALESCE(r2.n_removed, 0) AS DOUBLE) / t.n_toks
+       |    AS retention
+       |FROM tot t LEFT JOIN rem r2 ON t.doc_id = r2.doc_id
+       |ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
+    substringScrubRetention(docs(s, dir), SubL)
+  }
+
+  private[graft] def substringScrubRetention(d: DataFrame, L: Int): DataFrame = {
+    val spans = substringSpans(d, L)
+    val w = Window.partitionBy("doc_id").orderBy("span_start")
+    val isl = spans
+      .withColumn("prev_e",
+        max(col("span_end")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("island",
+        sum(when(col("prev_e").isNull || col("span_start") > col("prev_e"), 1)
+          .otherwise(0)).over(w))
+    val rem = isl.groupBy(col("doc_id"), col("island"))
+      .agg(min(col("span_start")).as("mn"), max(col("span_end")).as("mx"))
+      .groupBy("doc_id")
+      .agg(sum(col("mx") - col("mn") + 1).as("n_removed"))
+    val tot = d
+      .select(col("doc_id"),
+        size(Text.tokens(col("text"))).cast("long").as("n_toks"))
+    tot.join(rem, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_toks"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        ((col("n_toks") - coalesce(col("n_removed"), lit(0L))).cast("double") /
+          col("n_toks")).as("retention"))
+      .orderBy("doc_id")
+  }
+
   val dupNgramSpans: QueryDef = QueryDef.sql("q_dup_ngram_spans")(
     s"""WITH base AS (SELECT doc_id, $toksSql AS toks FROM documents),
        |g AS (SELECT doc_id, UNNEST($shingles8Sql) AS g FROM base),
@@ -2255,7 +2337,8 @@ object TextAnalysis {
     minhashVerified, ngramJaccard, simhash,
     simhashNearDup, simhash60, simhash60NearDup, levenshteinPairs,
     minhashJaccardEst, tokenEntropy, bpePairs, dedupIncremental,
-    substringDedup, dupNgramSpans, sourceOverlap, importanceWeights, tfidfRetrieval,
+    substringDedup, substringDedupScrub, dupNgramSpans, sourceOverlap,
+    importanceWeights, tfidfRetrieval,
     bm25Retrieval, bigramLm, perplexityBuckets,
     qualityLogit, zipfFit, streamDedupLsh, bpeMergeRound, bpeMergeRound2,
     substringScrub, pmiCollocations, klDrift, sentiment, containment,

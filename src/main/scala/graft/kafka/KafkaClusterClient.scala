@@ -17,11 +17,15 @@ import KafkaWireClient.{ClusterMeta, TopicMeta}
   * ([[onLeader]]), and coordinator calls re-discover via
   * FindCoordinator the same way ([[onCoordinator]]) — the failover
   * behavior KafkaFailoverSpec drives end to end against
-  * [[KafkaStubCluster.failBroker]]. Transaction RPCs
+  * [[KafkaStubCluster.failBroker]]. Mid-transaction RPCs
   * (AddPartitionsToTxn / EndTxn) deliberately do NOT retry across a
-  * coordinator loss: txn-coordinator state is not replicated
-  * (COVERAGE.md non-goals), so the in-flight transaction fails loudly
-  * and the producer restarts it under the successor.
+  * coordinator loss: the OUTCOME of an interrupted EndTxn is
+  * ambiguous at the client (markers may or may not have been
+  * written), so the in-flight transaction fails loudly and the
+  * producer restarts via [[initProducerId]] — which DOES retry to the
+  * successor, where the mirrored txn state aborts whatever the old
+  * epoch left open and fences it (the real producer's
+  * abortable-then-restartable contract).
   *
   * Not thread-safe: one instance per task/thread, like the
   * single-broker client.

@@ -10,6 +10,7 @@ import scala.collection.mutable.ArrayBuffer
 import scala.jdk.CollectionConverters._
 
 import KafkaCodec._
+import KafkaStubBroker.TxnProducer
 
 /** In-process Kafka broker speaking the real binary protocol over TCP —
   * the test-double for S5/K2's executed path, mirroring round 7's
@@ -109,7 +110,6 @@ final class KafkaStubBroker(val numPartitions: Int = 3,
   //  - abortedTxns: per partition, completed ABORTED ranges
   //    (pid, firstOffset, markerOffset) a read_committed fetch reports
   //    so consumers drop those records.
-  private[kafka] final case class TxnProducer(pid: Long, epoch: Short)
   private val txnProducers = new ConcurrentHashMap[String, TxnProducer]()
 
   /** Coordinator-state lookups for a partition leader's transactional
@@ -755,6 +755,7 @@ final class KafkaStubBroker(val numPartitions: Int = 3,
         txnProducers.put(txnId, next)
         next
       }
+    if (txnId != null) replicateTxnState(txnId)
     val buf = ByteBuffer.allocate(16)
     buf.putInt(0) // throttle_time_ms
     buf.putShort(Err.None.toShort)
@@ -783,6 +784,24 @@ final class KafkaStubBroker(val numPartitions: Int = 3,
     txnPartitions.remove(txnId)
   }
 
+  /** Replicate `txnId`'s coordinator state across its standby set
+    * after every mutation (init / add-partitions / end) — the
+    * __transaction_state replication, collapsed exactly like the
+    * group-offset mirror. Synchronous: the mutation is not acked to
+    * the client before the standbys hold it, the same barrier the
+    * acks=all data path uses.
+    */
+  private def replicateTxnState(txnId: String): Unit =
+    clusterOpt.foreach { c =>
+      Option(txnProducers.get(txnId)).foreach { p =>
+        val parts = txnPartitions.getOrDefault(txnId, Set.empty)
+        c.coordinatorReplicas(txnId).foreach { id =>
+          if (id != brokerId && c.isAlive(id))
+            c.brokerAt(id).mirrorTxnState(txnId, p, parts)
+        }
+      }
+    }
+
   /** AddPartitionsToTxn v0: register the partitions the producer will
     * write in this transaction — the coordinator must know them so
     * EndTxn can place a marker in each. A stale epoch is fenced with
@@ -805,6 +824,7 @@ final class KafkaStubBroker(val numPartitions: Int = 3,
         Err.InvalidProducerEpoch
       else {
         txnPartitions.merge(txnId, parts.toSet, (a, b) => a ++ b)
+        replicateTxnState(txnId)
         Err.None
       }
     val buf = ByteBuffer.allocate(64 * 1024)
@@ -838,6 +858,7 @@ final class KafkaStubBroker(val numPartitions: Int = 3,
         Option(txnProducers.get(txnId)) match {
           case Some(p) if p.pid == pid && p.epoch == epoch =>
             completeTxn(txnId, p, commit)
+            replicateTxnState(txnId)
             Err.None
           case _ => Err.InvalidProducerEpoch
         }
@@ -1121,6 +1142,30 @@ final class KafkaStubBroker(val numPartitions: Int = 3,
       partition: Int, offset: Long, metadata: String): Unit =
     groupOffsets.put((group, topic, partition), (offset, metadata))
 
+  /** Standby-coordinator mirror of one transactional id's coordinator
+    * state — (pid, epoch) plus the partitions registered in its
+    * current transaction (the __transaction_state topic's replication,
+    * collapsed to a direct put like [[mirrorGroupOffset]]). Only the
+    * active coordinator calls it. With this mirrored, a coordinator
+    * loss MID-TRANSACTION is recoverable instead of a stuck LSO: the
+    * successor's InitProducerId finds the entry, aborts the dangling
+    * transaction (markers to the alive partition leaders, so
+    * read_committed consumers un-stick) and fences the old epoch — the
+    * client sees one retriable failure, then a clean restart.
+    */
+  private[kafka] def mirrorTxnState(txnId: String, producer: TxnProducer,
+      parts: Set[(String, Int)]): Unit = {
+    txnProducers.put(txnId, producer)
+    if (parts.isEmpty) txnPartitions.remove(txnId)
+    else txnPartitions.put(txnId, parts)
+  }
+
+  /** Txn-coordinator entries this broker holds (restart catch-up input). */
+  private[kafka] def txnStateEntries: Seq[(String, TxnProducer, Set[(String, Int)])] =
+    txnProducers.asScala.toSeq.map { case (id, p) =>
+      (id, p, txnPartitions.getOrDefault(id, Set.empty))
+    }
+
   // ---- restart catch-up (cluster-internal state transfer) ----
 
   /** A consistent copy of one partition's full replica state — log,
@@ -1169,6 +1214,12 @@ final class KafkaStubBroker(val numPartitions: Int = 3,
 }
 
 object KafkaStubBroker {
+  /** Coordinator-side producer identity for a transactional.id —
+    * top-level (not a class inner) so standby mirroring can pass it
+    * between broker instances.
+    */
+  private[kafka] final case class TxnProducer(pid: Long, epoch: Short)
+
   private[kafka] final case class StoredRecord(
       offset: Long, timestampMs: Long, key: Array[Byte], value: Array[Byte],
       pid: Long = -1L, epoch: Short = -1, transactional: Boolean = false,
@@ -1225,10 +1276,14 @@ object KafkaStubBroker {
   * aggregate produce/fetch bandwidth grows with the broker count
   * instead of funneling through a single endpoint, and a broker loss
   * moves traffic to promoted replicas without losing acked data.
-  * Deliberately NOT modeled (COVERAGE.md non-goals): follower-pull
-  * replication lag / ISR shrink-expand, transaction-coordinator state
-  * failover (a txn through a dead coordinator restarts under its
-  * successor), and rack awareness.
+  * Transaction-coordinator state (txnId → pid/epoch + registered
+  * partitions) mirrors across each id's standby set on every mutation
+  * — the __transaction_state replication, collapsed — so a
+  * coordinator death mid-transaction is recoverable: the successor's
+  * InitProducerId aborts the dangling transaction and fences the old
+  * epoch (KafkaFailoverSpec drives it end to end). Deliberately NOT
+  * modeled (COVERAGE.md non-goals): follower-pull replication lag /
+  * ISR shrink-expand, and rack awareness.
   */
 final class KafkaStubCluster(nBrokers: Int, numPartitions: Int = 3,
     compressionType: String = "none",
@@ -1346,6 +1401,15 @@ final class KafkaStubCluster(nBrokers: Int, numPartitions: Int = 3,
       b.groupOffsetEntries.foreach { case ((group, topic, partition), (off, meta)) =>
         if (coordinatorReplicas(group).contains(id))
           brokers(id).mirrorGroupOffset(group, topic, partition, off, meta)
+      }
+    }
+    // transaction-coordinator state: same standby-mirror catch-up, so
+    // the rejoined broker can fence/abort correctly if coordination
+    // for a transactional id falls back to it later
+    aliveBrokers.foreach { b =>
+      b.txnStateEntries.foreach { case (txnId, p, parts) =>
+        if (coordinatorReplicas(txnId).contains(id))
+          brokers(id).mirrorTxnState(txnId, p, parts)
       }
     }
     aliveArr.synchronized { aliveArr(id) = true }

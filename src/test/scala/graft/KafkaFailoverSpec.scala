@@ -138,6 +138,63 @@ class KafkaFailoverSpec extends AnyFunSuite {
     }
   }
 
+  test("transaction interrupted by coordinator death: successor aborts the dangling txn, restart commits") {
+    withCluster() { cluster =>
+      val txnId = "fo-txn"
+      val c = new KafkaClusterClient("127.0.0.1", cluster.bootstrapPort)
+      try {
+        c.metadata(Seq("tfo"))
+        val coord = cluster.coordinatorOf(txnId)
+        // produce the open transaction into a partition the coordinator
+        // does NOT lead, so the kill hits ONLY coordination — the data
+        // path staying healthy is what makes a stuck LSO the failure
+        // mode a coordinator loss would otherwise leave behind
+        val p = (0 until 3).find(pp => cluster.leaderOf(pp) != coord).get
+        val (pid, epoch) = c.initProducerId(txnId)
+        c.addPartitionsToTxn(txnId, pid, epoch, "tfo", Seq(p))
+        c.produce("tfo", p,
+          Seq((1L, b("k1"), b("doomed-1")), (2L, b("k2"), b("doomed-2"))),
+          producerId = pid, producerEpoch = epoch, baseSequence = 0,
+          transactionalId = txnId)
+        // open txn: LSO pinned at its first offset, read_committed blind
+        assert(c.lastStableOffset("tfo", p) == 0L)
+        assert(c.fetchAll("tfo", p, readCommitted = true).isEmpty)
+
+        cluster.failBroker(coord)
+        assert(cluster.coordinatorOf(txnId) != coord)
+
+        // producer restart: the SAME client re-discovers the successor,
+        // whose mirrored txn state returns the same pid with a bumped
+        // epoch and ABORTS the dangling transaction — LSO released
+        // (2 data records + abort marker), records dead to
+        // read_committed instead of blocking it forever
+        val (pid2, epoch2) = c.initProducerId(txnId)
+        assert(pid2 == pid, "same transactional.id must keep its pid across failover")
+        assert(epoch2 == epoch + 1, "successor must fence the old epoch")
+        assert(c.lastStableOffset("tfo", p) == 3L)
+        assert(c.fetchAll("tfo", p, readCommitted = true).isEmpty)
+
+        // a zombie of the dead-coordinator era cannot write
+        c.addPartitionsToTxn(txnId, pid2, epoch2, "tfo", Seq(p))
+        val fenced = intercept[IllegalArgumentException] {
+          c.produce("tfo", p, Seq((3L, b("k"), b("zombie"))),
+            producerId = pid, producerEpoch = epoch, baseSequence = 2,
+            transactionalId = txnId)
+        }
+        assert(fenced.getMessage.contains(
+          graft.kafka.KafkaCodec.Err.InvalidProducerEpoch.toString))
+
+        // the restarted transaction runs to commit through the successor
+        c.produce("tfo", p, Seq((4L, b("k"), b("fresh"))),
+          producerId = pid2, producerEpoch = epoch2, baseSequence = 0,
+          transactionalId = txnId)
+        c.endTxn(txnId, pid2, epoch2, commit = true)
+        assert(c.fetchAll("tfo", p, readCommitted = true)
+          .map(r => str(r.value)) == Seq("fresh"))
+      } finally c.close()
+    }
+  }
+
   test("failing the last replica of a partition fails loudly, not silently") {
     withCluster(nBrokers = 2, numPartitions = 2, rf = 1) { cluster =>
       val e = intercept[IllegalStateException](cluster.failBroker(0))

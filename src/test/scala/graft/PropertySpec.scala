@@ -162,9 +162,19 @@ class PropertySpec extends AnyFunSuite {
       s"stale ANN floor/exemption entries: ${covered.diff(annQueries)}")
     assert(floors.keySet.intersect(graft.core.AccuracySpecs.annExact).isEmpty,
       "a query cannot be both floored and exempt")
-    floors.foreach { case (n, f) =>
-      checkPointer(n, f.spec)
-      assert(f.floor > 0.0, s"$n: a non-positive floor is vacuous")
+    floors.foreach { case (n, fs) =>
+      assert(fs.nonEmpty, s"$n: empty floor list is vacuous")
+      assert(fs.map(_.regime).distinct.size == fs.size,
+        s"$n: duplicate regime entries: ${fs.map(_.regime)}")
+      // every floored variant must be measured in BOTH registered
+      // regimes — a clustered-only or uniform-only entry would leave
+      // half the quality claim unenforced
+      assert(fs.map(_.regime).toSet == Set("uniform", "clustered"),
+        s"$n: regimes ${fs.map(_.regime)} != uniform+clustered")
+      fs.foreach { f =>
+        checkPointer(n, f.spec)
+        assert(f.floor > 0.0, s"$n/${f.regime}: a non-positive floor is vacuous")
+      }
     }
   }
 }

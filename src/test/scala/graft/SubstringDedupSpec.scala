@@ -64,6 +64,65 @@ class SubstringDedupSpec extends AnyFunSuite {
       (1L, (2 * L + 4).toLong, (3 * L + 3).toLong, L.toLong)))
   }
 
+  private def scrub(docs: Seq[(Long, String)]): Seq[(Long, Long, Long, Double)] = {
+    import spark.implicits._
+    TextAnalysis.substringScrubRetention(docs.toDF("doc_id", "text"), L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+  }
+
+  test("scrub counts overlapping spans as an interval union, not a sum") {
+    // doc1 carries L+2 tokens c_1..c_{L+2}; doc2 repeats c_1..c_L and
+    // doc3 repeats c_3..c_{L+2}, so doc1's duplicated window starts are
+    // {4, 6} with 5 silent — two report spans [4, L+3] and [6, L+5]
+    // whose token coverage OVERLAPS. The scrub must remove their union
+    // (L+2 tokens), not the 2L sum of their lengths.
+    val c = (1 to L + 2).map(i => s"c$i")
+    val corpus = Seq(
+      1L -> (fresh(3) ++ c).mkString(" "),
+      2L -> (fresh(2) ++ c.take(L) ++ fresh(2)).mkString(" "),
+      3L -> (fresh(4) ++ c.drop(2) ++ fresh(1)).mkString(" "))
+    assert(spans(corpus).filter(_._1 == 1L) == Seq(
+      (1L, 4L, (L + 3).toLong, L.toLong),
+      (1L, 6L, (L + 5).toLong, L.toLong)))
+    assert(scrub(corpus) == Seq(
+      (1L, (L + 5).toLong, (L + 2).toLong, 3.0 / (L + 5)),
+      (2L, (L + 4).toLong, L.toLong, 4.0 / (L + 4)),
+      (3L, (L + 5).toLong, L.toLong, 5.0 / (L + 5))))
+  }
+
+  test("scrub equals the interval union of the report's spans (randomized)") {
+    val rnd = new scala.util.Random(20260814L)
+    for (round <- 0 until 5) {
+      uid += 200000
+      val base = Array.fill(6)(fresh(60 + rnd.nextInt(60)).toVector)
+      val docs = base.map(_.toBuffer)
+      (0 until 4).foreach { k =>
+        val len = L - 2 + rnd.nextInt(15)
+        val run = (0 until len).map(i => s"s${round}x${k}x$i")
+        val a = rnd.nextInt(docs.length)
+        val b = rnd.nextInt(docs.length)
+        docs(a).insertAll(rnd.nextInt(docs(a).length + 1), run)
+        docs(b).insertAll(rnd.nextInt(docs(b).length + 1), run)
+      }
+      val corpus = docs.zipWithIndex.map { case (t, i) =>
+        ((i + 1).toLong, t.mkString(" "))
+      }.toSeq
+      // report/scrub share one relation: per doc, n_removed must be
+      // EXACTLY the size of the union of the report's span intervals,
+      // and every doc (spanless ones included) must appear
+      val sp = spans(corpus)
+      val expected = corpus.map { case (id, t) =>
+        val n = t.split(" ").length.toLong
+        val covered = sp.filter(_._1 == id)
+          .flatMap(s => s._2 to s._3).toSet.size.toLong
+        (id, n, covered, (n - covered).toDouble / n)
+      }
+      assert(scrub(corpus) == expected, s"round $round diverged")
+    }
+  }
+
   test("randomized corpora match an independent brute-force reference (seeded)") {
     val rnd = new scala.util.Random(20260814L)
     for (round <- 0 until 10) {
