@@ -324,9 +324,14 @@ object SimilaritySearch {
     s"list_transform(range(0, $D), i -> " +
       s"((1103515245 * ($j * $D + i + 1) + 12345) % 2147483648) / 2147483648.0 * 2 - 1)"
 
-  private val bucketSql = (0 until B).map(j =>
-    s"(CASE WHEN list_dot_product(v, ${planeSqlList(j)}) > 0 THEN ${1 << j} ELSE 0 END)")
+  /** 8-bit signature over planes `t*B .. t*B+B-1` — table 0 is the
+    * single-table query's signature; tables 1..T−1 exist for
+    * OR-amplification ([[annLshMulti]]).
+    */
+  private def bucketSqlFor(t: Int): String = (0 until B).map(j =>
+    s"(CASE WHEN list_dot_product(v, ${planeSqlList(t * B + j)}) > 0 THEN ${1 << j} ELSE 0 END)")
     .mkString(" + ")
+  private val bucketSql = bucketSqlFor(0)
 
   /** Normed corpus with its 8-bit hyperplane LSH bucket — the exact
     * signature `q_ann_lsh` / `q_embed_neardup_lsh` search with. Shared
@@ -393,6 +398,81 @@ object SimilaritySearch {
         Vectors.cosine(col("va"), col("vb"), col("na"), col("nb")).as("cosine"))
       .filter(col("cosine") >= 0.3)
       .orderBy("vec_a", "vec_b")
+  }
+
+  // Multi-table OR-amplified LSH ANN: T independent 8-bit signature
+  // tables (table t hashes with planes t·B..t·B+B−1 of the same LCG
+  // family), candidates = the UNION of co-bucket members across
+  // tables, then exact cosine re-rank of the candidate set. This is
+  // the standard cure for single-table LSH's structural recall
+  // ceiling: on a clustered corpus with within-cluster angle θ, one
+  // B-bit table collides true neighbors with p = (1 − θ/π)^B (≈ 0.39
+  // at θ≈20°, which is exactly where q_ann_lsh's clustered recall
+  // tops out), while T OR'd tables recall 1 − (1 − p)^T (≈ 0.86 at
+  // T=4) — amplification buys recall with LINEAR signature cost,
+  // never widening any single bucket. At scale: signatures are one
+  // codegen'd projection pass (T·B dot products against broadcast
+  // literal planes, then one posexplode to (tbl, bucket) rows — the
+  // corpus is scanned once, not T times); the candidate join keys on
+  // (tbl, bucket) ints; the pair-dedup that implements the union is a
+  // shuffle of ids+vectors, size bounded by T × bucket occupancy, and
+  // the exact re-rank touches only deduped candidates.
+  private val T = 4 // OR-amplification tables
+
+  val annLshMulti: QueryDef = QueryDef.sql("q_ann_lsh_multi")(
+    s"""WITH n AS ($normedSql),
+       |sig AS (${(0 until T).map(t =>
+             s"SELECT vec_id, v, nrm, $t AS tbl, ${bucketSqlFor(t)} AS bucket FROM n")
+             .mkString("\n  UNION ALL\n  ")}),
+       |q AS (SELECT vec_id AS query_id, tbl, bucket FROM sig WHERE vec_id < 20),
+       |cand AS (SELECT DISTINCT query_id, s.vec_id AS neighbor_id
+       |         FROM q JOIN sig s USING (tbl, bucket)
+       |         WHERE s.vec_id <> query_id),
+       |scored AS (
+       |  SELECT query_id, neighbor_id,
+       |    list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cosine
+       |  FROM cand JOIN n a ON a.vec_id = cand.query_id
+       |            JOIN n b ON b.vec_id = cand.neighbor_id),
+       |ranked AS (SELECT *, ROW_NUMBER() OVER
+       |  (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk FROM scored)
+       |SELECT query_id, neighbor_id, cosine, rnk FROM ranked
+       |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin) { (s, dir) =>
+    val sig = lshMultiBucketed(s, dir)
+    val q = sig.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"), col("tbl"), col("bucket"))
+    val cand = broadcast(q).join(sig, Seq("tbl", "bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      // the union across tables: one candidate row per (query,
+      // neighbor) pair no matter how many tables it co-bucketed in.
+      // The carried vector/norm columns are functionally dependent on
+      // the ids, so which duplicate survives is value-irrelevant.
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("qv"), col("qnrm"), col("v"), col("nrm"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val scored = cand.select(col("query_id"), col("neighbor_id"),
+      Vectors.cosine(col("qv"), col("v"), col("qnrm"), col("nrm")).as("cosine"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select("query_id", "neighbor_id", "cosine", "rnk")
+      .orderBy("query_id", "rnk")
+  }
+
+  /** Corpus exploded to one row per (vector, table) with that table's
+    * 8-bit signature — all T signatures computed in a single scan
+    * projection, then posexploded. Shared with AnnRecallSpec's
+    * multi-table enrichment floor so the measured hash is the served
+    * hash.
+    */
+  private[graft] def lshMultiBucketed(s: SparkSession, dir: String): DataFrame = {
+    def bucketExpr(t: Int) = (0 until B).map { j =>
+      val h = array(plane(t * B + j).map(lit): _*)
+      when(Vectors.dot(col("v"), h) > 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+    normed(s, dir)
+      .select(col("vec_id"), col("v"), col("nrm"),
+        posexplode(array((0 until T).map(bucketExpr): _*)).as(Seq("tbl", "bucket")))
   }
 
   // Embedding-space outlier scoring: distance to the centroid of the
@@ -1063,7 +1143,7 @@ object SimilaritySearch {
 
   val all: Seq[QueryDef] = Seq(
     embedNorm, embedTopk, embedNearDup, annIvf, annIvfProbe2, annIvfKmeans, annLsh,
-    embedNearDupLsh, embedOutlier, vecQuantize, pqCodes, semanticDedup,
+    annLshMulti, embedNearDupLsh, embedOutlier, vecQuantize, pqCodes, semanticDedup,
     embedTruncatedRecall, rrfFusion, annTopkRefine, mmrRerank, hardNegatives,
     embedDrift, annBinaryQuant)
 }

@@ -78,8 +78,35 @@ object ScaleGen {
 
   def generate(spark: SparkSession, src: String, dest: String, factor: Int): Unit = {
     def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
+    // Each table must land as a single FILE named `<table>.parquet`,
+    // not a Spark part-file directory: the driver's testdata ships
+    // single files and the streaming sources glob LEAF file names
+    // (`pathGlobFilter "events*.parquet"`), so a directory layout
+    // makes every file-stream query read zero files. Parallelism at
+    // the 10× scale comes from row-group granularity instead: an 8 MB
+    // block size gives the scan ~8–16 splits per fact table, where the
+    // single-row-group layout the one-task write would otherwise
+    // produce serializes every scan.
     def write(df: DataFrame, t: String, parts: Int): Unit = {
-      df.repartition(parts).write.mode("overwrite").parquet(s"$dest/$t.parquet")
+      val tmp = s"$dest/_tmp_$t"
+      // the repartition(1) SHUFFLE (not coalesce, which would collapse
+      // the upstream stage into the single writer task) funnels to one
+      // writer; the sort restores a deterministic row order the
+      // shuffle destroyed. `parts` sizes the upstream compute stage.
+      df.repartition(parts).localCheckpoint()
+        .repartition(1).sortWithinPartitions(df.columns.head)
+        .write.mode("overwrite")
+        .option("parquet.block.size", (8 * 1024 * 1024).toString)
+        .parquet(tmp)
+      val dir = new java.io.File(tmp)
+      val part = dir.listFiles().find(_.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file under $tmp"))
+      val target = new java.io.File(s"$dest/$t.parquet")
+      if (target.isDirectory) {
+        target.listFiles().foreach(_.delete()); target.delete()
+      } else if (target.exists) target.delete()
+      java.nio.file.Files.move(part.toPath, target.toPath)
+      dir.listFiles().foreach(_.delete()); dir.delete()
       println(s"[scalegen] $t -> $dest/$t.parquet")
     }
 

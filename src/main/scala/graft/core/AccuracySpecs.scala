@@ -96,7 +96,23 @@ object AccuracySpecs {
         QualityFloor("uniform",
           "AnnRecallSpec:LSH co-bucket pairs enrich for cosine over the corpus mean",
           "co-bucket mean cosine minus corpus mean cosine", 0.03),
-        QualityFloor("clustered", clusteredSpec, "mean recall@3", 0.30)))
+        QualityFloor("clustered", clusteredSpec, "mean recall@3", 0.30)),
+      // Multi-table OR-amplification (T=4): clustered recall rises
+      // from the single table's structural ceiling p ≈ 0.40 toward
+      // 1 − (1 − p)^T ≈ 0.87 theory; measured 0.75 on the fixture
+      // (tables aren't fully independent — they hash the same
+      // within-cluster geometry), floor ~25% under. Uniform-regime
+      // recall is still structurally ~0 (amplifying a 4% per-table
+      // collision rate 4× is still ~15%), so like the single table it
+      // gets the LSH-defining enrichment property instead, measured on
+      // the UNION candidate relation the query actually searches —
+      // per-pair enrichment is necessarily diluted vs a single table's
+      // co-bucket pairs, hence the lower floor.
+      "q_ann_lsh_multi" -> Seq(
+        QualityFloor("uniform",
+          "AnnRecallSpec:multi-table LSH co-candidate pairs enrich for cosine over the corpus mean",
+          "co-candidate mean cosine minus corpus mean cosine", 0.02),
+        QualityFloor("clustered", clusteredSpec, "mean recall@3", 0.55)))
   }
 
   /** q_ann_* queries exempt from [[annFloors]] because they are exact

@@ -104,6 +104,12 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(recalls("q_ann_ivf_probe2") >= recalls("q_ann_ivf"),
       s"multi-probe recall ${recalls("q_ann_ivf_probe2")} fell below " +
         s"single-probe ${recalls("q_ann_ivf")}")
+    // structural: the multi-table candidate set contains table 0 = the
+    // single-table query's bucketing, so OR-amplification can only add
+    // candidates — recall going DOWN means the union broke
+    assert(recalls("q_ann_lsh_multi") >= recalls("q_ann_lsh"),
+      s"multi-table recall ${recalls("q_ann_lsh_multi")} fell below " +
+        s"single-table ${recalls("q_ann_lsh")}")
     info(recalls.toSeq.sortBy(_._1)
       .map { case (n, r) => f"$n=$r%.3f" }.mkString("clustered recall@3: ", ", ", ""))
   }
@@ -137,5 +143,44 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(enrichment >= floor,
       f"LSH enrichment $enrichment%.4f below floor $floor%.2f " +
         f"(co-bucket ${row.getDouble(0)}%.4f vs corpus ${row.getDouble(1)}%.4f)")
+  }
+
+  test("multi-table LSH co-candidate pairs enrich for cosine over the corpus mean") {
+    // Same LSH-defining property as the single-table test, measured on
+    // the UNION candidate relation q_ann_lsh_multi actually searches
+    // (co-bucketed in ANY of the T tables — shared lshMultiBucketed
+    // builder, so this can't drift from the catalog). OR-amplification
+    // admits more pairs per query, so per-pair enrichment is
+    // necessarily ≤ the single table's — the floor pins that the
+    // amplified candidate set still concentrates on high-cosine pairs
+    // instead of degenerating toward the corpus mean.
+    import graft.ops.Vectors
+    val sig = graft.catalog.SimilaritySearch.lshMultiBucketed(spark, dir)
+    val co = sig.select(col("tbl"), col("bucket"), col("vec_id").as("ia"))
+      .join(sig.select(col("tbl"), col("bucket"), col("vec_id").as("ib")),
+        Seq("tbl", "bucket"))
+      .filter(col("ia") < col("ib"))
+      .select("ia", "ib").distinct()
+      .withColumn("same", lit(true))
+    val n = graft.catalog.SimilaritySearch.lshBucketed(spark, dir)
+      .select(col("vec_id"), col("v"), col("nrm"))
+    val a1 = n.select(col("vec_id").as("ia"), col("v").as("va"), col("nrm").as("na"))
+    val b1 = n.select(col("vec_id").as("ib"), col("v").as("vb"), col("nrm").as("nb"))
+    val pairs = a1.crossJoin(b1).filter(col("ia") < col("ib"))
+      .join(co, Seq("ia", "ib"), "left")
+      .select(coalesce(col("same"), lit(false)).as("same"),
+        Vectors.cosine(col("va"), col("vb"), col("na"), col("nb")).as("cos"))
+    val row = pairs.agg(
+      avg(when(col("same"), col("cos"))).as("co_cand"),
+      avg(col("cos")).as("overall"),
+      sum(when(col("same"), 1L).otherwise(0L)).as("n_co")).head()
+    val enrichment = row.getDouble(0) - row.getDouble(1)
+    val floor = graft.core.AccuracySpecs.annFloors("q_ann_lsh_multi")
+      .find(f => f.regime == "uniform").get.floor
+    assert(row.getLong(2) > 0, "no co-candidate pairs at all — hashes degenerate")
+    info(f"multi-table enrichment $enrichment%.4f over ${row.getLong(2)} co-candidate pairs")
+    assert(enrichment >= floor,
+      f"multi-table LSH enrichment $enrichment%.4f below floor $floor%.2f " +
+        f"(co-candidate ${row.getDouble(0)}%.4f vs corpus ${row.getDouble(1)}%.4f)")
   }
 }
