@@ -650,7 +650,27 @@ final class KafkaStubBroker(val numPartitions: Int = 3,
           val open = openTxns.getOrDefault((topic, partition), Map.empty)
           val lsoL = if (open.isEmpty) hwL else math.min(hwL, open.values.min)
           val limit = if (readCommitted) lsoL else hwL
-          val sl = log.slice(fetchOffset.toInt, limit.toInt).toVector
+          // copy out roughly what the byte budget will encode, not the
+          // whole remaining log: an uncapped slice here is
+          // O(log end − fetch offset) per fetch, which turns a full
+          // consumption into O(n²) total copy work — the measured
+          // superlinear term on the 10× scale run. The record count a
+          // budget covers is estimated from the record AT the fetch
+          // offset (batch framing ≈ 12 bytes + key + value; gzip'd
+          // batches assumed ≥ 8× compressible), padded 1.5× plus one
+          // full 500-record chunk so ordinary size variance still
+          // fills the response. A shorter-than-budget response is
+          // protocol-legal regardless — the consumer resumes at
+          // last offset + 1, and hw/lso advertise the rest.
+          val cap = if (limit.toInt <= fetchOffset.toInt) 0 else {
+            val probe = log(fetchOffset.toInt)
+            val sz = 12 + (if (probe.key == null) 0 else probe.key.length) +
+              (if (probe.value == null) 0 else probe.value.length)
+            val est = math.max(2, if (fetchGzip) sz / 8 else sz)
+            (math.max(partMaxBytes, 1).toLong / est + 1).toInt * 3 / 2 + 500
+          }
+          val end = math.min(limit.toInt, fetchOffset.toInt + cap)
+          val sl = log.slice(fetchOffset.toInt, end).toVector
           val ab = if (readCommitted)
             abortedTxns.getOrDefault((topic, partition), Nil)
               .collect { case (pid, first, marker)

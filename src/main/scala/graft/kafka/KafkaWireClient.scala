@@ -424,6 +424,29 @@ final class KafkaWireClient(host: String, port: Int,
     acc.result().filterNot(_.control)
   }
 
+  /** Drain exactly `[start, end)` — the offset-range-slice twin of
+    * [[fetchAll]], for parallel consumption of ONE partition by
+    * several tasks (each task owns a disjoint slice; records past the
+    * slice end that a batch-aligned fetch response happens to carry
+    * are cut, so slices never overlap).
+    */
+  def fetchRange(topic: String, partition: Int, start: Long, end: Long,
+      readCommitted: Boolean = false): Seq[WireRecord] = {
+    val acc = Seq.newBuilder[WireRecord]
+    var next = start
+    while (next < end) {
+      val r = fetch(topic, partition, next, readCommitted = readCommitted)
+      if (r.errorCode != Err.None)
+        throw new KafkaWireException(r.errorCode,
+          s"fetch error ${r.errorCode} on $topic/$partition@$next")
+      require(r.nextOffset > next,
+        s"stalled fetch at $next < planned end $end ($topic/$partition)")
+      acc ++= r.records.filter(rec => rec.offset >= next && rec.offset < end)
+      next = r.nextOffset
+    }
+    acc.result().filterNot(_.control)
+  }
+
   /** The partition's last stable offset (read_committed visibility
     * horizon). Probed AT the high watermark, where the fetch response
     * is header-only (empty-at-hw contract) — probing at offset 0 would

@@ -198,16 +198,38 @@ final class KafkaWireExchange(host: String, port: Int,
   private def readIsolation(spark: SparkSession, topic: String,
       committed: Boolean): DataFrame = {
     val (h, p) = (host, port)
-    val nParts = {
+    // plan offset-range SLICES, not whole partitions: a 3-partition
+    // topic on a 32-core stage would otherwise pin the fetch AND every
+    // downstream projection (JSON decode, the usual next op) to 3
+    // tasks — the measured bottleneck on the 10× scale run. Bounds are
+    // resolved once here (hw, or LSO for read_committed), so the read
+    // is a deterministic snapshot no matter how it's sliced.
+    val slices = {
       val c = new KafkaWireClient(h, p)
-      try c.metadata(Seq(topic)).head.partitions.size finally c.close()
+      try {
+        val parts = c.metadata(Seq(topic)).head.partitions.map(_.partition).sorted
+        val ranges = parts.map { part =>
+          val end = if (committed) c.lastStableOffset(topic, part)
+                    else c.listOffset(topic, part, -1L)
+          (topic, part, 0L, end)
+        }
+        // 4 slices per topic-partition, capped at the stage's core
+        // count: enough that the downstream projection (JSON decode)
+        // is no longer pinned to partition-count tasks, without
+        // putting every core into contention on the same few broker
+        // partition locks (measured: 32 readers over 3 partitions ran
+        // SLOWER than 3 — lock convoy on the per-partition log)
+        KafkaWireSource.splitForMinPartitions(ranges,
+          Some(math.min(spark.sparkContext.defaultParallelism,
+            4 * ranges.size)))
+      } finally c.close()
     }
     val rdd = spark.sparkContext
-      .parallelize(0 until nParts, math.max(nParts, 1))
-      .flatMap { part =>
+      .parallelize(slices, math.max(slices.size, 1))
+      .flatMap { case (t, part, s0, e0) =>
         val c = new KafkaWireClient(h, p)
         try {
-          c.fetchAll(topic, part, readCommitted = committed).map { r =>
+          c.fetchRange(t, part, s0, e0, readCommitted = committed).map { r =>
             (if (r.key == null) null else new String(r.key, StandardCharsets.UTF_8),
               if (r.value == null) null else new String(r.value, StandardCharsets.UTF_8),
               part, r.offset)

@@ -209,11 +209,17 @@ final class KafkaWireSourceProvider extends TableProvider with DataSourceRegiste
       minPerTrigger,
       maxTriggerDelayMs,
       assign,
-      tls))
+      tls,
+      Option(opts.get("minPartitions")).map(Integer.parseInt)))
   }
 }
 
 /** Connector options (the stock Kafka connector's names):
+  *  - `minPartitions`: floor on planned input slices — topic-partitions
+  *    whose offset range exceeds ceil(total/minPartitions) are split
+  *    into several `[start, end)` slices, decoupling read parallelism
+  *    from the topic's partition count (batch and micro-batch planning
+  *    both split; see [[KafkaWireSource.splitForMinPartitions]]);
   *  - `maxOffsetsPerTrigger`: cap on records admitted per micro-batch,
   *    allotted across partitions proportionally to backlog — the
   *    backpressure knob that keeps one trigger's state/shuffle bounded
@@ -327,7 +333,8 @@ final case class KafkaWireConf(host: String, port: Int, topic: String,
     minOffsetsPerTrigger: Option[Long] = None,
     maxTriggerDelayMs: Long = 15L * 60 * 1000,
     assign: Option[String] = None,
-    tls: Option[Tls.ClientTls] = None) {
+    tls: Option[Tls.ClientTls] = None,
+    minPartitions: Option[Int] = None) {
   /** `subscribe` takes a comma-separated topic LIST (stock-connector
     * contract); reads plan every partition of every listed topic.
     * Writes take exactly one — or none, routing on the `topic` column.
@@ -379,6 +386,35 @@ final case class KafkaWireConf(host: String, port: Int, topic: String,
 
 object KafkaWireSource {
   private val AssignBlock = """"((?:[^"\\]|\\.)+)"\s*:\s*\[([0-9,\s]*)\]""".r
+
+  /** The stock connector's `minPartitions`: when the planned slice
+    * count is under the floor, split large offset ranges into several
+    * `[start, end)` slices of one topic-partition so READ parallelism
+    * is decoupled from the topic's partition count. This is the scale
+    * lever for the common mismatch "3-partition topic, 32-core stage":
+    * without it every downstream projection (JSON decode, decryption,
+    * decompression) is pinned to partition-count tasks while the rest
+    * of the cluster idles. Slices are even splits of each range larger
+    * than ceil(total/minPartitions); ordering within a partition is
+    * preserved per slice, and the slice boundaries are deterministic
+    * (pure arithmetic on the planned offsets), so a batch re-plan or
+    * checkpoint replay produces identical slices.
+    */
+  private[kafka] def splitForMinPartitions(
+      ranges: Seq[(String, Int, Long, Long)], minPartitions: Option[Int])
+    : Seq[(String, Int, Long, Long)] = {
+    val mp = minPartitions.getOrElse(0)
+    val total = ranges.map { case (_, _, s, e) => math.max(0L, e - s) }.sum
+    if (mp <= ranges.size || total == 0) ranges
+    else {
+      val target = math.max(1L, (total + mp - 1) / mp)
+      ranges.flatMap { case (t, p, s0, e0) =>
+        val sz = math.max(0L, e0 - s0)
+        val n = math.max(1L, math.min(sz, (sz + target - 1) / target)).toInt
+        (0 until n).map(i => (t, p, s0 + sz * i / n, s0 + sz * (i + 1) / n))
+      }
+    }
+  }
 
   /** Parse the stock `assign` JSON: `{"topicA":[0,2],"topicB":[1]}`.
     * A block the regex cannot consume fails LOUDLY (the residue check)
@@ -844,16 +880,19 @@ final class KafkaWireScan(conf: KafkaWireConf) extends Scan {
             (t, p) -> math.min(e, c.lastStableOffset(t, p))
           }
         else ends0
-        starts.keys.toSeq.sorted.map { case (t, p) =>
-          // each slice is planned AT its partition's leader — the
-          // executor's socket goes straight to the broker holding the
-          // data (preferred-location thinking, minus the locality hint)
-          val (lh, lp) = c.leaderFor(t, p)
-          KafkaWireInputPartition(lh, lp, t, p, starts((t, p)), ends((t, p)),
-            conf.readCommitted, conf.sasl,
-            (conf.host, conf.port) +: conf.extraBootstrap,
-            conf.tls): InputPartition
-        }.toArray
+        val ranges = starts.keys.toSeq.sorted
+          .map { case (t, p) => (t, p, starts((t, p)), ends((t, p))) }
+        KafkaWireSource.splitForMinPartitions(ranges, conf.minPartitions)
+          .map { case (t, p, s0, e0) =>
+            // each slice is planned AT its partition's leader — the
+            // executor's socket goes straight to the broker holding the
+            // data (preferred-location thinking, minus the locality hint)
+            val (lh, lp) = c.leaderFor(t, p)
+            KafkaWireInputPartition(lh, lp, t, p, s0, e0,
+              conf.readCommitted, conf.sasl,
+              (conf.host, conf.port) +: conf.extraBootstrap,
+              conf.tls): InputPartition
+          }.toArray
       } finally c.close()
     }
     override def createReaderFactory(): PartitionReaderFactory =
@@ -1015,18 +1054,20 @@ final class KafkaWireMicroBatchStream(conf: KafkaWireConf)
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[KafkaWireOffset].offsets
     val e = end.asInstanceOf[KafkaWireOffset].offsets
-    e.toSeq.sortBy(_._1).flatMap { case ((t, p), endOff) =>
+    val ranges = e.toSeq.sortBy(_._1).flatMap { case ((t, p), endOff) =>
       val startOff = s.getOrElse((t, p), 0L)
-      if (endOff > startOff) {
+      if (endOff > startOff) Some((t, p, startOff, endOff)) else None
+    }
+    KafkaWireSource.splitForMinPartitions(ranges, conf.minPartitions)
+      .map { case (t, p, s0, e0) =>
         // plan the slice at its partition's leader (executor sockets go
         // straight to the broker holding the data)
         val (lh, lp) = client.leaderFor(t, p)
-        Some(KafkaWireInputPartition(lh, lp, t, p, startOff, endOff,
+        KafkaWireInputPartition(lh, lp, t, p, s0, e0,
           conf.readCommitted, conf.sasl,
           (conf.host, conf.port) +: conf.extraBootstrap,
-          conf.tls): InputPartition)
-      } else None
-    }.toArray
+          conf.tls): InputPartition
+      }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = KafkaWireReaderFactory
