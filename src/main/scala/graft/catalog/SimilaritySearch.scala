@@ -38,6 +38,20 @@ object SimilaritySearch {
       |  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
       |FROM embeddings""".stripMargin
 
+  /** IVF centroid-seed cap: centroids are every 50th vector, capped at
+    * `vec_id < 3200` (nlist ≤ 64). Without the cap nlist grows ∝ n and
+    * the broadcast-assign pass is O(n · n/50) — quadratic, and the
+    * sf1.0 scale run measured exactly that (q_ann_ivf_probe2 22.5× at
+    * 10× data, BENCH_SCALE.json). nlist is a deployment constant in
+    * production IVF, sized to the index's recall/latency budget, not to
+    * the corpus — with the cap the assign pass is O(n · nlist) = linear
+    * and buckets average n/nlist. The cap sits ABOVE the sf0.1 corpus
+    * (2000 vectors → 40 centroids, all under 3200), so small-SF
+    * results, oracle hashes, and bench baselines are bit-unchanged; it
+    * binds from ~3.2k vectors up.
+    */
+  private val IvfCentroidCap = 3200
+
   // Vector norms — the primitive every similarity op builds on.
   val embedNorm: QueryDef = QueryDef.sql("q_embed_norm")(
     s"""WITH n AS ($normedSql)
@@ -149,7 +163,8 @@ object SimilaritySearch {
   // per-bucket search is a co-partitioned join on centroid id.
   val annIvf: QueryDef = QueryDef.sql("q_ann_ivf")(
     s"""WITH n AS ($normedSql),
-       |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n WHERE vec_id % 50 = 0),
+       |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n
+       |     WHERE vec_id % 50 = 0 AND vec_id < $IvfCentroidCap),
        |asg AS (
        |  SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
        |    ORDER BY list_dot_product(v, cv) / (nrm * cnrm) DESC, cid) AS rn
@@ -167,7 +182,7 @@ object SimilaritySearch {
        |SELECT query_id, neighbor_id, cosine, rnk FROM ranked
        |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin) { (s, dir) =>
     val n = normed(s, dir)
-    val c = n.filter(col("vec_id") % 50 === 0)
+    val c = n.filter(col("vec_id") % 50 === 0 && col("vec_id") < IvfCentroidCap)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
     val nb = assignNearest(n, c)
     val q = nb.filter(col("vec_id") < 20)
@@ -195,7 +210,8 @@ object SimilaritySearch {
   // co-partitioned shape as single-probe.
   val annIvfProbe2: QueryDef = QueryDef.sql("q_ann_ivf_probe2")(
     s"""WITH n AS ($normedSql),
-       |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n WHERE vec_id % 50 = 0),
+       |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n
+       |     WHERE vec_id % 50 = 0 AND vec_id < $IvfCentroidCap),
        |asg AS (
        |  SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
        |    ORDER BY list_dot_product(v, cv) / (nrm * cnrm) DESC, cid) AS rn
@@ -216,7 +232,7 @@ object SimilaritySearch {
        |SELECT query_id, neighbor_id, cosine, rnk FROM ranked
        |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin) { (s, dir) =>
     val n = normed(s, dir)
-    val c = n.filter(col("vec_id") % 50 === 0)
+    val c = n.filter(col("vec_id") % 50 === 0 && col("vec_id") < IvfCentroidCap)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
     val nb = assignNearest(n, c)
     val qs = n.filter(col("vec_id") < 20)
@@ -251,7 +267,8 @@ object SimilaritySearch {
   // 64·n rows; more rounds = a driver loop over the same two stages.
   val annIvfKmeans: QueryDef = QueryDef.sql("q_ann_ivf_kmeans")(
     s"""WITH n AS ($normedSql),
-       |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n WHERE vec_id % 50 = 0),
+       |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n
+       |     WHERE vec_id % 50 = 0 AND vec_id < $IvfCentroidCap),
        |asg AS (
        |  SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
        |    ORDER BY list_dot_product(v, cv) / (nrm * cnrm) DESC, cid) AS rn
@@ -282,7 +299,7 @@ object SimilaritySearch {
        |SELECT query_id, neighbor_id, cosine, rnk FROM ranked
        |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin) { (s, dir) =>
     val n = normed(s, dir)
-    val c = n.filter(col("vec_id") % 50 === 0)
+    val c = n.filter(col("vec_id") % 50 === 0 && col("vec_id") < IvfCentroidCap)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
     val nb = assignNearest(n, c)
     // Lloyd update — per-(cluster, dimension) mean with a vec_id-ordered

@@ -582,6 +582,16 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // auditOnly: the 16-bit form's pair join is blocked ONLY on lang —
+  // O(n²/|langs|) pairs, and the sf1.0 scale run measured the cliff
+  // (31× at 10× docs, BENCH_SCALE.json). It cannot be banded out of it
+  // either: hamming ≤ 4 over 16 bits needs 5 bands of ~3 bits
+  // (pigeonhole), whose 8-value key space leaves buckets of n/8 — still
+  // quadratic. A 16-bit signature space (65k values) is itself
+  // meaningless at corpus scale; the scale path is the 60-bit twin
+  // q_simhash60_neardup (6×10-bit bands ≡ hamming ≤ 5, 3.6× at 10×
+  // data — healthy). Kept for reference fidelity + the 60-bit twin's
+  // cross-check, benched only via explicit SPARK_GRAFT_ONLY profiling.
   val simhashNearDup: QueryDef = QueryDef.sql("q_simhash_neardup")(
     s"""WITH $simhashCte
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -2335,7 +2345,7 @@ object TextAnalysis {
     tokenCount, langId, qualityScore, gopherRules, fingerprint, dedupExact,
     minhashSig, minhashPairs, minhashPairsCapped, minhashHotBuckets,
     minhashVerified, ngramJaccard, simhash,
-    simhashNearDup, simhash60, simhash60NearDup, levenshteinPairs,
+    simhashNearDup.audit, simhash60, simhash60NearDup, levenshteinPairs,
     minhashJaccardEst, tokenEntropy, bpePairs, dedupIncremental,
     substringDedup, substringDedupScrub, dupNgramSpans, sourceOverlap,
     importanceWeights, tfidfRetrieval,
