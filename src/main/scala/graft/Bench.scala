@@ -180,11 +180,19 @@ object Bench {
         "\"" + k + "\":[" + ts.reverse.map(fmt).mkString(",") + "]" }
       .mkString("{", ",", "}")
     // only a FULL run may refresh the repo's detail file — a filtered
-    // profiling run would silently clobber the full-catalog record
-    if (only.isEmpty)
+    // profiling run would silently clobber the full-catalog record.
+    // Scale runs (non-default SF dir) get their own detail file for the
+    // same reason: BENCH_FULL.json is the driver's sf0.1 record, and an
+    // sf1.0 run overwriting it silently poisons every ratio computed
+    // against it.
+    if (only.isEmpty) {
+      val base = java.nio.file.Paths.get(sfDir).getFileName.toString
+      val detail = if (base == "sf0.1") "BENCH_FULL.json"
+        else s"BENCH_FULL_$base.json"
       java.nio.file.Files.write(
-        java.nio.file.Paths.get("BENCH_FULL.json"),
+        java.nio.file.Paths.get(detail),
         line(full.sortBy(_._1), 0, s""","reruns":$rerunsJson""").getBytes("UTF-8"))
+    }
     val byCost = full.sortBy(-_._2)
     val keep = Iterator.range(byCost.size, 0, -1)
       .find(n => line(byCost.take(n), byCost.size - n).length <= 1600)
