@@ -661,9 +661,13 @@ object SimilaritySearch {
   // and flag the higher-id member of every pair above the cosine
   // threshold. This is the scale path for embedding dedup: candidate
   // generation is a co-partitioned equi-join on cluster id, so total
-  // work is Σ|cluster|² ≪ n² and no task ever sees the corpus — the
-  // cluster count grows with the data to cap per-cluster size (here
-  // k=8 over 500 vectors to keep the unrolled oracle tractable).
+  // work is Σ|cluster|² ≪ n² and no task ever sees the corpus — and
+  // that only holds if the cluster count GROWS with the data to cap
+  // per-cluster size: k = ops.KMeans.adaptiveK(n) (n/256 in [8, 4096];
+  // the fixed k=8 this replaced measured 47× wall at 10× data on the
+  // sf10 run — per-cluster size ∝ n turns the pair join back into
+  // n²/k). The floor keeps sf≤0.1 results and oracle hashes
+  // bit-unchanged.
   // Recall vs the exact all-pairs baseline (q_embed_neardup) is the
   // deliberate trade: pairs split across clusters are missed.
   val semanticDedup: QueryDef = QueryDef.sql("q_semantic_dedup")(
@@ -683,7 +687,8 @@ object SimilaritySearch {
        |ORDER BY mem.cid""".stripMargin) { (s, dir) =>
     val vecs = normed(s, dir)
     val (asg, _) = graft.ops.KMeans.fit(
-      vecs.select("vec_id", "v"), "vec_id", "v", k = 8, rounds = 3)
+      vecs.select("vec_id", "v"), "vec_id", "v",
+      k = graft.ops.KMeans.adaptiveK(vecs.count()), rounds = 3)
     val members = asg.join(vecs, asg("id") === vecs("vec_id"))
       .select(col("cid"), col("vec_id"), col("v"), col("nrm"))
     val mem = members.groupBy("cid").agg(count(lit(1)).as("n_members"))

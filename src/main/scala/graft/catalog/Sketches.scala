@@ -92,7 +92,12 @@ object Sketches {
     * unrolled 3-round Lloyd fit, ending at `nbf(vec_id, v, nrm, cid)` —
     * every vector with its final cluster assignment. Both oracles build
     * on the same trained clustering, so a change to the fit (seeding,
-    * tie-break, fold order) must reach both or neither.
+    * tie-break, fold order) must reach both or neither. k is the
+    * ADAPTIVE count (ops.KMeans.adaptiveK — n/256 clamped to [8, 4096],
+    * expressed here as an expression LIMIT over the seed scan): the
+    * floor keeps every sf≤0.1 hash bit-unchanged, the growth keeps
+    * SemDeDup's within-cluster pair cost linear (see adaptiveK's
+    * scaladoc for the sf10 measurement that forced this).
     */
   private[catalog] val kmeansAssignCte: String = {
     def round(i: Int, prev: String): String =
@@ -117,7 +122,8 @@ object Sketches {
        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
        |      CAST(embedding AS DOUBLE[]))) AS nrm FROM embeddings),
        |c0 AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n
-       |  ORDER BY vec_id LIMIT 8),
+       |  ORDER BY vec_id
+       |  LIMIT (SELECT GREATEST(8, LEAST(4096, COUNT(*)//256)) FROM n)),
        |${round(1, "c0")},
        |${round(2, "cn1")},
        |${round(3, "cn2")},
@@ -146,7 +152,8 @@ object Sketches {
     val vecs = Tables.embeddings(s, dir)
       .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
       .select(col("vec_id"), graft.ops.Vectors.toDouble(col("embedding")).as("v"))
-    val (asg, cents) = graft.ops.KMeans.fit(vecs, "vec_id", "v", k = 8, rounds = 3)
+    val (asg, cents) = graft.ops.KMeans.fit(vecs, "vec_id", "v",
+      k = graft.ops.KMeans.adaptiveK(vecs.count()), rounds = 3)
     asg.join(vecs, asg("id") === vecs("vec_id"))
       .join(cents, "cid")
       .select(col("cid"), col("id"),

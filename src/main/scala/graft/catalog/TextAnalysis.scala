@@ -2067,8 +2067,9 @@ object TextAnalysis {
        |         WHERE inter * 5 >= n_a * 4
        |           AND (n_a < n_b OR (n_a = n_b AND doc_a < doc_b)))""".stripMargin
 
-  /** Spark side of [[containmentCteSql]]: (qualifying pairs, persisted
-    * shingle relation — callers unpersist after materializing).
+  /** Spark side of [[containmentCteSql]]: the qualifying-pair relation
+    * (the shared shingle relation is spilled to parquet internally —
+    * see the comment at the spill site).
     *
     * Shingles are 60-bit hashes from the ONE-PASS native generator
     * (q_dup_ngram_spans' discipline: shuffles carry (doc_id, int64),
@@ -2080,14 +2081,24 @@ object TextAnalysis {
     * query's 35 s at sf0.1 in shingle generation alone; this native
     * pass + long joins run the report in ~6 s.
     */
-  private def containmentQual(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private def containmentQual(s: SparkSession, dir: String): DataFrame = {
     graft.functions.ShingleHash60.register(s)
-    val ex = docs(s, dir)
-      .select(col("doc_id"),
-        array_distinct(graft.functions.ShingleHash60
-          .shingleHash60(Text.tokens(col("text")), 3)).as("sh"))
-      .select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("t"))
-      .persist()
+    // The exploded shingle relation is referenced FIVE times downstream
+    // (df, prefix, candidates, both intersection legs) — reuse is
+    // mandatory, but a heap persist is the wrong altitude at scale:
+    // docs × shingles/doc rows live in executor memory for the whole
+    // query, and the sf10 run measured the consequence (539 s wall,
+    // then a task OOM on the in-session re-run — BENCH_SCALE_CURVE
+    // round-11 notes). A parquet spill round-trip keeps the
+    // recompute-avoidance with ZERO heap residency: columnar,
+    // compressed, re-scanned in parallel per reference, and each
+    // re-scan prunes to the columns that reference needs.
+    val ex = graft.core.Spill.materialize(
+      docs(s, dir)
+        .select(col("doc_id"),
+          array_distinct(graft.functions.ShingleHash60
+            .shingleHash60(Text.tokens(col("text")), 3)).as("sh"))
+        .select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("t")))(())
     val dfreq = ex.groupBy("t").agg(count(lit(1)).as("df"))
     val pfx = ex.join(dfreq, "t")
       .withColumn("r", row_number().over(
@@ -2108,19 +2119,19 @@ object TextAnalysis {
         (col("n_a") < col("n_b") ||
           (col("n_a") === col("n_b") && col("doc_a") < col("doc_b"))))
       .select("doc_a", "doc_b", "n_a", "inter")
-    (qual, ex)
+    qual
   }
 
   val containment: QueryDef = QueryDef.sql("q_containment")(
     s"""WITH $containmentCteSql
        |SELECT doc_a, doc_b, n_a, inter, inter / n_a AS containment
        |FROM qual ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
-    val (qual, ex) = containmentQual(s, dir)
+    val qual = containmentQual(s, dir)
     val res = qual
       .select(col("doc_a"), col("doc_b"), col("n_a"), col("inter"),
         (col("inter") / col("n_a")).as("containment"))
       .orderBy("doc_a", "doc_b")
-    materialized(res, ex)
+    materialized(res)
   }
 
   // The scrub twin: drop every doc that is ≥0.8-contained in an
@@ -2135,12 +2146,12 @@ object TextAnalysis {
        |SELECT doc_id FROM documents
        |WHERE doc_id NOT IN (SELECT DISTINCT doc_a FROM qual)
        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    val (qual, ex) = containmentQual(s, dir)
+    val qual = containmentQual(s, dir)
     val contained = qual.select(col("doc_a").as("doc_id")).distinct()
     val res = docs(s, dir).select("doc_id")
       .join(contained, Seq("doc_id"), "left_anti")
       .orderBy("doc_id")
-    materialized(res, ex)
+    materialized(res)
   }
 
   // Tokenizer-vocabulary coverage: per-doc out-of-vocabulary rate

@@ -26,6 +26,24 @@ import org.apache.spark.sql.functions._
   */
 object KMeans {
 
+  /** Cluster count for clusterings whose DOWNSTREAM cost is per-cluster
+    * quadratic (SemDeDup within-cluster pairs): k must grow with the
+    * corpus so cluster size stays ~constant (target 256 members), or
+    * Σ|c|² degrades to n²/k — the sf10 scale run measured exactly that
+    * (q_semantic_dedup 47× wall at 10× data with k pinned at 8,
+    * BENCH_SCALE_CURVE.json). Floor 8 binds through ~2k vectors, so
+    * sf≤0.1 results, oracle hashes, and baselines are bit-unchanged.
+    * Ceiling 4096 bounds the broadcast-assign pass (n·k dot products):
+    * it binds above ~1M vectors, where production SemDeDup moves
+    * assignment to a coarse-quantized two-level route (assign to √k
+    * super-centroids, refine within) — the scale note, not this
+    * in-process path. Mirrored in SQL by the oracle seed
+    * `LIMIT (SELECT GREATEST(8, LEAST(4096, COUNT(*)//256)) FROM n)`
+    * (Sketches.kmeansAssignCte) — a change here must reach both.
+    */
+  def adaptiveK(n: Long): Int =
+    math.min(4096L, math.max(8L, n / 256L)).toInt
+
   /** One Lloyd update: per-(cluster, dimension) member mean, folding
     * members in `idCol` order so the IEEE sum is bit-reproducible
     * regardless of partitioning. Shared by [[fit]] and the catalog's
