@@ -30,6 +30,10 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
 
 def main(out_dir: str, sf_dir: str) -> int:
     con = duckdb.connect()
+    # polite mode for runs concurrent with a timing-sensitive bench
+    threads = os.environ.get("PARITY_THREADS")
+    if threads:
+        con.execute(f"SET threads TO {int(threads)}")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
