@@ -454,18 +454,29 @@ object Relational {
   // (the 3-factor charge product is exact at scale 6), averages are one
   // IEEE division of the exact sum by the count, and the date filter
   // pushes to the scan.
+  //
+  // Oracle-side cast discipline: DuckDB's DECIMAL(38,s)→DOUBLE goes
+  // int128→double→÷10^s — TWO roundings, one ULP off correct nearest
+  // once the scaled integer exceeds 2^53 (the sf1.0 parity run caught
+  // sum_charge: scale 6, 5.08e10·10^6 ≈ 5e16). Spark's decimal→double
+  // cast is correctly rounded, so the oracle routes each sum through
+  // VARCHAR (strtod — correctly rounded by spec) to express the same
+  // "exact decimal, rounded once" semantics. Engine side unchanged.
+  // The scale-4 two-factor revenue sums elsewhere sit orders of
+  // magnitude below the 2^53 cliff; re-audit them if a parity run at
+  // a larger SF ever flags one.
   val pricingSummary: QueryDef = QueryDef.sql("q_pricing_summary")(
     """SELECT l_returnflag, l_linestatus,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
-      |           (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |           (1 - CAST(l_discount AS DECIMAL(18,2)))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
       |           (1 - CAST(l_discount AS DECIMAL(18,2))) *
-      |           (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
-      |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+      |           (1 + CAST(l_tax AS DECIMAL(18,2)))) AS VARCHAR) AS DOUBLE) AS sum_charge,
+      |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_qty,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_price,
+      |  CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_disc,
       |  COUNT(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
