@@ -114,6 +114,11 @@ object Bench {
       // charges each query for its own work only — which is also what
       // a per-job cluster deployment would see.
       spark.catalog.clearCache()
+      // clearCache only drops CacheManager (Dataset.persist) entries; a
+      // failed query can also strand RDD-level persisted blocks (e.g. a
+      // localCheckpoint inside KMeans.fit) that live in a different
+      // registry — sweep those too.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       System.gc()
       (elapsed, ok)
     }

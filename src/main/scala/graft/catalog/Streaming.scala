@@ -1568,6 +1568,11 @@ object Streaming {
       val stream = s.readStream.format("kafka-wire")
         .option("host", "127.0.0.1").option("port", broker.port.toString)
         .option("topic", "events")
+        // decouple decode parallelism from the 3-partition topic: plan
+        // ~4 offset slices per partition (more slices convoy on the
+        // stub's per-partition log locks; on a real cluster this is
+        // sized to the executor core count, not the topic layout)
+        .option("minPartitions", "12")
         .load()
       val decoded = Ingest.decodeJsonWire(stream)
         .select(col("event_id"), col("ts_us"), col("user_id"), col("event_type"),
@@ -1702,6 +1707,8 @@ object Streaming {
         .option("host", "127.0.0.1").option("port", broker.port.toString)
         .option("topic", "events")
         .option("maxOffsetsPerTrigger", cap.toString)
+        // see q_stream_kafka_wire: decode parallelism above topic width
+        .option("minPartitions", "12")
         .load()
       val agg = Ingest.decodeJsonWire(stream)
         .withWatermark("ts", "35 days")

@@ -27,9 +27,21 @@ import org.apache.spark.sql.functions._
   *    ("spark" → "sparkx3"). Within-replica n-gram/minhash/substring
   *    collision structure is IDENTICAL to the source corpus (the
   *    rewrite is a vocabulary bijection and every hash treats tokens
-  *    opaquely), cross-replica overlap is zero, and the global
+  *    opaquely), cross-replica overlap is ≈zero, and the global
   *    vocabulary grows with the corpus — which is how real web-scale
   *    text behaves. Dup counts therefore scale ×factor linearly.
+  *    Two deliberate approximations in the rewrite: (1) the suffix
+  *    alphabet overlaps the token alphabet, so a source token that
+  *    happens to end in "x<i>" collides with replica i's rewrite of
+  *    its stem — for this corpus (English-like words + digit runs)
+  *    such tokens are rare enough that the cross-replica shingle
+  *    overlap they admit is statistical noise, not a dup clique;
+  *    (2) the regex rewrites per lowercase-alnum RUN, so a
+  *    mixed-case token is suffixed per run rather than once — still
+  *    a per-replica injective rewrite, which is all the dup-scaling
+  *    argument needs. A non-alnum separator would make both exact
+  *    at the cost of changing the token charset the quality/lang-id
+  *    queries see; not worth it.
   *  - `embeddings.embedding`: replica i > 0 vectors are freshly drawn
   *    unit-norm 64-d gaussians (Box–Muller over xxhash64(vec_id, dim)
   *    — deterministic, seedless-rand-free), matching the source
@@ -92,9 +104,13 @@ object ScaleGen {
       // the repartition(1) SHUFFLE (not coalesce, which would collapse
       // the upstream stage into the single writer task) funnels to one
       // writer; the sort restores a deterministic row order the
-      // shuffle destroyed. `parts` sizes the upstream compute stage.
+      // shuffle destroyed — over ALL columns, since no single column
+      // is unique in every table (l_orderkey repeats per line, so a
+      // first-column sort would leave ties shuffle-ordered and the
+      // output non-byte-reproducible). `parts` sizes the upstream
+      // compute stage.
       df.repartition(parts).localCheckpoint()
-        .repartition(1).sortWithinPartitions(df.columns.head)
+        .repartition(1).sortWithinPartitions(df.columns.map(col): _*)
         .write.mode("overwrite")
         .option("parquet.block.size", (8 * 1024 * 1024).toString)
         .parquet(tmp)

@@ -667,7 +667,12 @@ final class KafkaStubBroker(val numPartitions: Int = 3,
             val sz = 12 + (if (probe.key == null) 0 else probe.key.length) +
               (if (probe.value == null) 0 else probe.value.length)
             val est = math.max(2, if (fetchGzip) sz / 8 else sz)
-            (math.max(partMaxBytes, 1).toLong / est + 1).toInt * 3 / 2 + 500
+            // Long arithmetic, clamped to the records actually left:
+            // a client max_bytes near Int.MaxValue over est=2 would
+            // overflow an Int cap into a negative slice (empty
+            // response below the high watermark = stalled consumer).
+            val capL = math.max(partMaxBytes, 1).toLong / est * 3 / 2 + 501
+            math.min(capL, limit - fetchOffset).toInt
           }
           val end = math.min(limit.toInt, fetchOffset.toInt + cap)
           val sl = log.slice(fetchOffset.toInt, end).toVector

@@ -1,11 +1,16 @@
 #!/usr/bin/env python3
 """Local mirror of the driver's DuckDB-oracle compare.
 
-Usage: python3 tools/check_parity.py <verify_out_dir> <sf_dir>
+Usage: python3 tools/check_parity.py <verify_out_dir> <sf_dir> [out.json]
 
 Reads each <name>/ parquet result written by graft.Verify, runs the
 matching oracle SQL from oracle_sql.json in DuckDB over the sf_dir
 tables, and diffs values column-by-column (sorted columns, sorted rows).
+
+With a third argument, also writes a per-query JSON artifact in the
+driver's CORRECTNESS_r{N}.json schema (rows_match / schema_match /
+hash_match / spark_rows / oracle_rows / err) so scale-factor parity runs
+can be checked in alongside the per-round sf0.01 files.
 """
 import json, sys, glob, os
 import duckdb
@@ -28,7 +33,7 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
-def main(out_dir: str, sf_dir: str) -> int:
+def main(out_dir: str, sf_dir: str, json_out: str = None) -> int:
     con = duckdb.connect()
     # polite mode for runs concurrent with a timing-sensitive bench
     threads = os.environ.get("PARITY_THREADS")
@@ -40,6 +45,7 @@ def main(out_dir: str, sf_dir: str) -> int:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     failures = 0
+    report = {}
     for name in sorted(os.listdir(out_dir)):
         d = os.path.join(out_dir, name)
         if not os.path.isdir(d):
@@ -48,9 +54,16 @@ def main(out_dir: str, sf_dir: str) -> int:
         got = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
         if name not in oracle:
             print(f"[rows-only] {name}: rows={len(got)}")
+            report[name] = {"rows_match": None, "schema_match": None,
+                            "hash_match": None, "spark_rows": len(got),
+                            "oracle_rows": None, "err": "no_oracle"}
             continue
         want = con.execute(oracle[name]).df()
         g, w = norm(got), norm(want)
+        report[name] = {"rows_match": len(g) == len(w),
+                        "schema_match": list(g.columns) == list(w.columns),
+                        "hash_match": False, "spark_rows": len(g),
+                        "oracle_rows": len(w), "err": None}
         if list(g.columns) != list(w.columns):
             print(f"[FAIL-cols] {name}: spark={list(g.columns)} duckdb={list(w.columns)}")
             failures += 1
@@ -81,10 +94,16 @@ def main(out_dir: str, sf_dir: str) -> int:
                     print(f"    row {i} col {c}: spark={g[c][i]!r} duckdb={w[c][i]!r}")
             failures += 1
         else:
+            report[name]["hash_match"] = True
             print(f"[ok] {name}: {len(g)} rows")
     print(f"=== {failures} failures ===")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(report, f, indent=2, sort_keys=True)
+        print(f"wrote {json_out} ({len(report)} queries)")
     return 1 if failures else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  sys.argv[3] if len(sys.argv) > 3 else None))
