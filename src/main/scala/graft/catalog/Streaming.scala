@@ -1373,6 +1373,62 @@ object Streaming {
     } finally cluster.stop()
   }
 
+  // The REPLICATION-LAG leg of the wire: the full feed produced into a
+  // 3-broker replicationFactor=3 cluster running ASYNC (follower-pull)
+  // replication with one follower's chaser PAUSED — the laggard ages
+  // past the replica.lag.time window, drops out of every ISR it
+  // follows (verified over the real Metadata wire before reading),
+  // and acks proceed without it instead of stalling the feed. Then
+  // the follower RESUMES, drains its whole backlog in order, re-enters
+  // the ISR — and the leader of partition 0 is KILLED, promoting the
+  // previously-lagging follower. The read-back through the DSv2
+  // connector (bootstrap list still leading with the dead endpoint)
+  // must hash-match the same single-broker ingest oracle: a chased log
+  // must be byte-equivalent to a synchronously-replicated one, or lag
+  // tolerance silently becomes data loss at the first failover. This
+  // is the ISR contract a 1000-executor pipeline assumes when a
+  // follower falls behind under production load.
+  val kafkaWireIsrLag: QueryDef = QueryDef.sql("q_kafka_wire_isr_lag")(
+    """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value,
+      |  CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS INTEGER) AS prop_k
+      |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val cluster = new graft.kafka.KafkaStubCluster(3, 3,
+      replicationFactor = 3, asyncLagMs = Some(250))
+    cluster.start()
+    try {
+      cluster.pauseReplication(1)
+      val deadPort = cluster.brokers(0).port
+      val wire = Ingest.toJsonWire(graft.core.Tables.events(s, dir), "event_id")
+      wire.write.format("kafka-wire")
+        .option("kafka.bootstrap.servers", s"127.0.0.1:$deadPort")
+        .option("topic", "events-lag").mode("append").save()
+      // the laggard genuinely trails and its eviction is visible on
+      // the wire: partition 0's Metadata ISR no longer lists broker 1
+      require(cluster.replicationLag(1) > 0, "paused follower has no lag")
+      val wc = new graft.kafka.KafkaWireClient("127.0.0.1", deadPort)
+      val isr0 = try wc.metadataFull(Seq("events-lag")).topics.head
+        .partitions.find(_.partition == 0).get.isr.toSet
+      finally wc.close()
+      require(!isr0.contains(1), s"laggard still in ISR: $isr0")
+      cluster.resumeReplication(1)
+      require(cluster.awaitCaughtUp(1, 60000), "follower never caught up")
+      cluster.failBroker(0) // promotes broker 1 — the chased follower
+      val consumed = s.read.format("kafka-wire")
+        .option("kafka.bootstrap.servers",
+          s"127.0.0.1:$deadPort,127.0.0.1:${cluster.brokers(1).port}")
+        .option("topic", "events-lag")
+        .load()
+      val decoded = Ingest.decodeJsonWire(consumed)
+        .select(col("event_id"), col("ts_us"), col("user_id"), col("event_type"),
+          col("value"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k")
+            .as("prop_k"))
+        .orderBy("event_id")
+      graft.core.Spill.materialize(decoded)(())
+    } finally cluster.stop()
+  }
+
   // The SECURED-CLUSTER capstone: every wire feature composed in ONE
   // pipeline — a 3-broker cluster with replicationFactor=2 whose TLS
   // listeners require SASL/PLAIN INSIDE the encrypted session
@@ -1973,7 +2029,8 @@ object Streaming {
     kafkaWireIngest, kafkaWireRedelivery, streamKafkaWire, streamKafkaSink,
     streamKafkaGzip, kafkaWireAvro, kafkaWireIdempotent, kafkaWireTxn,
     kafkaWireGroupResume, kafkaWireMultiTopic, kafkaWireTopicRouting,
-    kafkaWireCluster, kafkaWireSasl, kafkaWireFailover, kafkaWireSecuredE2e,
+    kafkaWireCluster, kafkaWireSasl, kafkaWireFailover, kafkaWireIsrLag,
+    kafkaWireSecuredE2e,
     kafkaWireSchemaRegistry,
     e2eKafkaEs, kafkaTopicTransform, deltaMerge, deltaCdf, streamCdcApply,
     deltaCompactMinor)

@@ -431,10 +431,15 @@ final class KafkaStubBroker(val numPartitions: Int = 3,
       (0 until numPartitions).foreach { p =>
         val leader = clusterOpt.map(_.leaderOf(p)).getOrElse(brokerId)
         // replicas = the ASSIGNMENT (dead members included, like real
-        // metadata); isr = the alive subset still in sync
+        // metadata); isr = the leader plus every alive follower still
+        // in sync (in async-lag mode a follower whose oldest unapplied
+        // batch is past the grace window is OUT — the observable
+        // shrink; it re-enters once its chaser catches up)
         val replicas = clusterOpt.map(_.replicasOf(p)).getOrElse(Seq(brokerId))
         val isr = clusterOpt
-          .map(c => replicas.filter(c.isAlive)).getOrElse(replicas)
+          .map(c => replicas.filter(r =>
+            r == c.leaderOf(p) || c.inSyncFollower(r, t, p)))
+          .getOrElse(replicas)
         buf.putShort(Err.None.toShort)
         buf.putInt(p)
         buf.putInt(leader)
@@ -477,6 +482,13 @@ final class KafkaStubBroker(val numPartitions: Int = 3,
             // batch's append behind (partial application within one
             // request would be unrecoverable for the producer, which
             // retries the whole request).
+            // async-lag mode: barriers enqueued under the log lock are
+            // awaited AFTER it is released (purgatory, not a lock hold
+            // — concurrent fetches must not block on a lagging
+            // follower's grace window). The LAST barrier per partition
+            // suffices: channels are per-follower FIFO, so the final
+            // batch applied implies every earlier one was.
+            var ackBarrier: Option[KafkaStubCluster#AckBarrier] = None
             val result = log.synchronized {
               var firstBase = -1L
               var err = Err.None
@@ -578,16 +590,21 @@ final class KafkaStubBroker(val numPartitions: Int = 3,
                   // acks=all: forward the committed append to every
                   // alive follower BEFORE the ack leaves (synchronous
                   // inside the leader's log section, so per-partition
-                  // replication order equals append order). Lock order
-                  // is always leader-log → follower-log for one
-                  // partition, and a partition has exactly one leader —
-                  // no cycle.
-                  clusterOpt.foreach(_.onFollowers(partition, brokerId)(
+                  // replication order equals append order; in the
+                  // cluster's asyncLagMs mode this enqueues on the
+                  // follower chasers and the ISR wait happens after
+                  // the lock). Lock order is always leader-log →
+                  // follower-log for one partition, and a partition
+                  // has exactly one leader — no cycle.
+                  clusterOpt.flatMap(_.replicate(topic, partition, brokerId,
+                    log.length.toLong)(
                     _.applyReplicatedData(topic, partition, meta, records, base)))
+                    .foreach(b => ackBarrier = Some(b))
                   if (firstBase < 0) firstBase = base
               }
               (err, firstBase)
             }
+            ackBarrier.foreach(_.await())
             (topic, partition, result._1, result._2)
           } catch {
             case _: IllegalArgumentException =>
@@ -646,7 +663,15 @@ final class KafkaStubBroker(val numPartitions: Int = 3,
         // plus the completed aborted ranges overlapping the slice, so
         // the consumer can drop them
         val (hw, lso, slice, aborted) = log.synchronized {
-          val hwL = log.length.toLong
+          // consumer-visible watermark: in the cluster's async-lag
+          // mode this is min LEO over the ISR — records an in-grace
+          // follower has not applied yet are not readable yet (an
+          // EVICTED laggard stops holding it back). Single-broker /
+          // sync mode: the local log end, unchanged.
+          val hwL = clusterOpt
+            .map(_.visibleWatermark(topic, partition, brokerId,
+              log.length.toLong))
+            .getOrElse(log.length.toLong)
           val open = openTxns.getOrDefault((topic, partition), Map.empty)
           val lsoL = if (open.isEmpty) hwL else math.min(hwL, open.values.min)
           val limit = if (readCommitted) lsoL else hwL
@@ -1044,7 +1069,12 @@ final class KafkaStubBroker(val numPartitions: Int = 3,
           buf.putLong(-1L)
           buf.putLong(-1L)
         } else {
-        val hw = highWatermark(topic, p)
+        // "latest" is the consumer-VISIBLE watermark, not the local
+        // LEO: in async-lag mode a planner must not plan offset ranges
+        // past what the ISR has replicated (fetch would cut them off)
+        val hw = clusterOpt
+          .map(_.visibleWatermark(topic, p, brokerId, highWatermark(topic, p)))
+          .getOrElse(highWatermark(topic, p))
         // real ListOffsets semantics: a non-negative timestamp resolves
         // to the FIRST offset whose record timestamp is >= it. When no
         // record qualifies this resolves to the log end ("start from
@@ -1090,11 +1120,15 @@ final class KafkaStubBroker(val numPartitions: Int = 3,
     // follower and diverge the replicas (appendMarkerLocal re-takes
     // the same lock — reentrant on the leader, fresh on followers)
     val log = logFor(topic, partition)
-    log.synchronized {
+    val barrier = log.synchronized {
       appendMarkerLocal(topic, partition, pid, epoch, commit)
-      clusterOpt.foreach(_.onFollowers(partition, brokerId)(
+      clusterOpt.flatMap(_.replicate(topic, partition, brokerId,
+        log.length.toLong)(
         _.appendMarkerLocal(topic, partition, pid, epoch, commit)))
     }
+    // async-lag mode: the marker's ISR wait runs outside the log lock
+    // (purgatory), like the produce path
+    barrier.foreach(_.await())
   }
 
   private def appendMarkerLocal(topic: String, partition: Int,
@@ -1306,15 +1340,42 @@ object KafkaStubBroker {
   * — the __transaction_state replication, collapsed — so a
   * coordinator death mid-transaction is recoverable: the successor's
   * InitProducerId aborts the dangling transaction and fences the old
-  * epoch (KafkaFailoverSpec drives it end to end). Deliberately NOT
-  * modeled (COVERAGE.md non-goals): follower-pull replication lag /
-  * ISR shrink-expand, and rack awareness.
+  * epoch (KafkaFailoverSpec drives it end to end).
+  *
+  * REPLICATION LAG / ISR (`asyncLagMs` = Some(t)): instead of the
+  * synchronous leader-push above, every committed append — data batch
+  * or control marker — is enqueued on a per-follower replication
+  * channel and applied by that follower's own chaser thread, so a
+  * follower genuinely TRAILS the leader and chases at its own pace
+  * (the follower-pull fetch loop, with the wire hop collapsed to an
+  * in-process queue). ISR semantics follow `replica.lag.time.max.ms`:
+  * a follower whose oldest unapplied batch for a partition is older
+  * than `t` ms drops out of that partition's ISR — observable in
+  * Metadata responses, which report isr as {leader} ∪ {caught-up
+  * followers} instead of the alive set. The consumer-visible high
+  * watermark is min(LEO over the ISR), so records an in-grace
+  * follower has not applied yet are not yet readable, and produce
+  * acks wait for the ISR: a batch is acked once every in-sync
+  * follower applied it OR the grace expired and the laggard was
+  * evicted (at which point the watermark advances without it) —
+  * exactly the acks=all + ISR-shrink contract. [[pauseReplication]] /
+  * [[resumeReplication]] freeze and release one follower's chaser so
+  * shrink→expand is drivable in tests; a resumed follower drains its
+  * backlog in order and re-enters the ISR with a log byte-identical
+  * to the leader's. With `asyncLagMs` = None (default) replication is
+  * the synchronous push above and ISR = the alive set (lag never
+  * observable — a zero-cost degenerate case of the same contract).
+  * Group-offset and txn-coordinator mirrors stay synchronous in both
+  * modes: they collapse the INTERNAL topics' replication, whose lag
+  * none of the modeled client behavior can observe. Still NOT
+  * modeled (COVERAGE.md non-goals): rack awareness.
   */
 final class KafkaStubCluster(nBrokers: Int, numPartitions: Int = 3,
     compressionType: String = "none",
     saslUsers: Map[String, String] = Map.empty,
     replicationFactor: Int = 1,
-    tlsKeystore: Option[(String, String)] = None) {
+    tlsKeystore: Option[(String, String)] = None,
+    asyncLagMs: Option[Long] = None) {
   require(nBrokers >= 1, s"nBrokers must be >= 1, got $nBrokers")
   require(replicationFactor >= 1 && replicationFactor <= nBrokers,
     s"replicationFactor must be in [1, $nBrokers], got $replicationFactor")
@@ -1369,6 +1430,205 @@ final class KafkaStubCluster(nBrokers: Int, numPartitions: Int = 3,
       if (id != leaderId && isAlive(id)) f(brokers(id))
     }
 
+  // ----- async (follower-pull) replication: asyncLagMs = Some(t) -----
+
+  /** One follower's replication channel: a FIFO of unapplied leader
+    * appends drained by the follower's own chaser thread. Per-partition
+    * enqueue timestamps back the ISR lag check (a deque head is the
+    * OLDEST unapplied batch for that partition — `replica.lag.time`).
+    * FIFO across partitions trivially preserves the per-partition apply
+    * order [[KafkaStubBroker.applyReplicatedData]]'s divergence check
+    * demands.
+    */
+  private final class ReplChannel(followerId: Int) {
+    private final case class Pending(gen: Int, topic: String, partition: Int,
+        enqueuedNanos: Long, apply: () => Unit)
+    private val queue =
+      new java.util.concurrent.LinkedBlockingQueue[Pending]()
+    private val pendingTimes =
+      new java.util.concurrent.ConcurrentHashMap[(String, Int), java.util.ArrayDeque[Long]]()
+    private val unapplied = new java.util.concurrent.atomic.AtomicInteger(0)
+    @volatile var paused = false
+    @volatile private var stopped = false
+    // bumped by clear(): a batch polled before the clear but not yet
+    // applied (the head slot below) is stale and must be dropped, not
+    // applied to a log the restart snapshot is about to re-baseline
+    @volatile private var gen = 0
+
+    private val chaser = new Thread(() => {
+      // the head slot: a batch is polled once, then applied only when
+      // NOT paused — re-checked after the blocking poll, because pause
+      // can land while the poll is parked and the freshly-arrived
+      // batch must lag, not sneak through
+      var head: Pending = null
+      while (!stopped) {
+        if (head == null)
+          head = queue.poll(5, java.util.concurrent.TimeUnit.MILLISECONDS)
+        if (head != null) {
+          if (head.gen != gen) head = null // cleared while held
+          else if (paused) Thread.sleep(1)
+          else {
+            head.apply()
+            val dq = pendingTimes.get((head.topic, head.partition))
+            if (dq != null) dq.synchronized(dq.pollFirst())
+            unapplied.decrementAndGet()
+            head = null
+            replMonitor.synchronized(replMonitor.notifyAll())
+          }
+        }
+      }
+    }, s"repl-chaser-$followerId")
+    chaser.setDaemon(true)
+
+    def startChaser(): Unit = if (!chaser.isAlive) chaser.start()
+    def stopChaser(): Unit = { stopped = true }
+
+    def enqueue(topic: String, partition: Int, nowNanos: Long)(
+        f: () => Unit): Unit = {
+      val dq = pendingTimes.computeIfAbsent((topic, partition),
+        _ => new java.util.ArrayDeque[Long]())
+      dq.synchronized(dq.addLast(nowNanos))
+      unapplied.incrementAndGet()
+      queue.put(Pending(gen, topic, partition, nowNanos, f))
+    }
+
+    /** Oldest unapplied batch for the partition, if any. */
+    def oldestPendingNanos(topic: String, partition: Int): Option[Long] = {
+      val dq = pendingTimes.get((topic, partition))
+      if (dq == null) None
+      else dq.synchronized(Option(dq.peekFirst()).map(_.longValue))
+    }
+
+    /** Unapplied batches, INCLUDING one held in the chaser's head slot. */
+    def lagBatches: Int = unapplied.get
+
+    /** Drop every pending apply (broker death: the restart snapshot
+      * supersedes them; applying a stale batch to a re-baselined log
+      * would diverge it — the generation stamp drops a batch the
+      * chaser polled but had not applied yet).
+      */
+    def clear(): Unit = {
+      gen += 1
+      queue.clear()
+      pendingTimes.values().forEach(dq => dq.synchronized(dq.clear()))
+      unapplied.set(0)
+    }
+  }
+
+  /** Chasers signal here after each apply; ack barriers wait on it. */
+  private val replMonitor = new Object
+  private val channels: Array[ReplChannel] =
+    if (asyncLagMs.isDefined) Array.tabulate(nBrokers)(new ReplChannel(_))
+    else null
+
+  /** The acks=all wait for one replicated append in async mode:
+    * blocks until every follower still IN the ISR has applied it — a
+    * laggard past the grace window is evicted rather than waited for,
+    * so [[await]] terminates in at most `lagMs`. MUST be awaited
+    * after the leader's partition log lock is released: a real broker
+    * parks the produce in purgatory without blocking concurrent
+    * fetches, and holding the log lock here would do exactly that for
+    * the whole grace window.
+    */
+  private[kafka] final class AckBarrier(topic: String, partition: Int,
+      leaderId: Int, endOffset: Long) {
+    def await(): Unit = {
+      var done = false
+      while (!done) {
+        done = replicasOf(partition).forall { id =>
+          id == leaderId || !isAlive(id) ||
+            brokers(id).highWatermark(topic, partition) >= endOffset ||
+            // an ALREADY-EVICTED laggard is not waited for at all —
+            // only in-grace followers hold the ack, and the in-grace
+            // state expires on its own (the oldest pending batch ages
+            // past the window), so this terminates in ≤ lagMs
+            !inSyncFollower(id, topic, partition)
+        }
+        if (!done) replMonitor.synchronized(replMonitor.wait(1))
+      }
+    }
+  }
+
+  /** Replicate one committed leader append (data batch or control
+    * marker) to the partition's alive followers. Sync mode: apply
+    * inline (the acks=all push), no barrier. Async mode: enqueue on
+    * each follower's channel and return the [[AckBarrier]] the caller
+    * awaits AFTER releasing the partition log lock. Called with that
+    * lock held (per-partition enqueue order = append order).
+    */
+  private[kafka] def replicate(topic: String, partition: Int, leaderId: Int,
+      endOffset: Long)(f: KafkaStubBroker => Unit): Option[AckBarrier] =
+    asyncLagMs match {
+      case None => onFollowers(partition, leaderId)(f); None
+      case Some(_) =>
+        val now = System.nanoTime()
+        replicasOf(partition).foreach { id =>
+          if (id != leaderId && isAlive(id))
+            channels(id).enqueue(topic, partition, now)(() => f(brokers(id)))
+        }
+        Some(new AckBarrier(topic, partition, leaderId, endOffset))
+    }
+
+  /** Is follower `id` in `partition`'s ISR? Alive and, in async mode,
+    * with no unapplied batch older than the lag grace (the
+    * `replica.lag.time.max.ms` eviction rule). Sync mode: alive IS
+    * in-sync (replication happened before the ack left).
+    */
+  private[kafka] def inSyncFollower(id: Int, topic: String,
+      partition: Int): Boolean =
+    isAlive(id) && (asyncLagMs match {
+      case None => true
+      case Some(lagMs) => channels(id).oldestPendingNanos(topic, partition)
+        .forall(t => System.nanoTime() - t <= lagMs * 1000000L)
+    })
+
+  /** The consumer-visible high watermark: min LEO over {leader} ∪
+    * {in-sync followers}. Sync mode: the leader's LEO (followers hold
+    * every acked record already). An EVICTED laggard does not hold
+    * the watermark back — that is the point of ISR shrink.
+    */
+  private[kafka] def visibleWatermark(topic: String, partition: Int,
+      leaderId: Int, leaderLeo: Long): Long = asyncLagMs match {
+    case None => leaderLeo
+    case Some(_) =>
+      replicasOf(partition).foldLeft(leaderLeo) { (hw, id) =>
+        if (id == leaderId || !isAlive(id) ||
+            !inSyncFollower(id, topic, partition)) hw
+        else math.min(hw, brokers(id).highWatermark(topic, partition))
+      }
+  }
+
+  /** Freeze follower `id`'s chaser: it stops applying (mid-apply
+    * batches finish) and starts falling behind — past `asyncLagMs` it
+    * drops out of every lagging partition's ISR. Async mode only.
+    */
+  def pauseReplication(id: Int): Unit = {
+    require(channels != null, "pauseReplication needs asyncLagMs")
+    channels(id).paused = true
+  }
+
+  /** Release follower `id`'s chaser: it drains its backlog in order
+    * and re-enters the ISR once caught up (shrink → expand).
+    */
+  def resumeReplication(id: Int): Unit = {
+    require(channels != null, "resumeReplication needs asyncLagMs")
+    channels(id).paused = false
+  }
+
+  /** Unapplied batches on follower `id`'s channel (its total lag). */
+  def replicationLag(id: Int): Int =
+    if (channels == null) 0 else channels(id).lagBatches
+
+  /** Block until follower `id` has applied its whole backlog (or the
+    * timeout passes); true iff caught up.
+    */
+  def awaitCaughtUp(id: Int, timeoutMs: Long = 5000): Boolean = {
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    while (replicationLag(id) > 0 && System.nanoTime() < deadline)
+      replMonitor.synchronized(replMonitor.wait(1))
+    replicationLag(id) == 0
+  }
+
   /** Kill broker `id`: its sockets die (live connections reset, not
     * polite errors), every partition it led promotes the next alive
     * replica with a bumped leader epoch, coordination moves to each
@@ -1395,6 +1655,7 @@ final class KafkaStubCluster(nBrokers: Int, numPartitions: Int = 3,
       }
     }
     aliveArr.synchronized { aliveArr(id) = false }
+    if (channels != null) channels(id).clear()
     brokers(id).stop()
   }
 
@@ -1412,6 +1673,10 @@ final class KafkaStubCluster(nBrokers: Int, numPartitions: Int = 3,
     */
   def restartBroker(id: Int): Unit = leaderLock.synchronized {
     require(!isAlive(id), s"broker $id is alive; nothing to restart")
+    // async mode: anything enqueued while dead was skipped (enqueue
+    // checks isAlive), but a batch the chaser was holding mid-death
+    // must not outlive the snapshot baseline installed below
+    if (channels != null) channels(id).clear()
     brokers(id).start()
     val topics = aliveBrokers.flatMap(_.topics).toSet
     for (p <- 0 until numPartitions if replicasOf(p).contains(id)) {
@@ -1444,6 +1709,12 @@ final class KafkaStubCluster(nBrokers: Int, numPartitions: Int = 3,
   def bootstrap: String = aliveBrokers.head.bootstrap
   def bootstrapPort: Int = aliveBrokers.head.port
 
-  def start(): Unit = brokers.foreach(_.start())
-  def stop(): Unit = aliveBrokers.foreach(_.stop())
+  def start(): Unit = {
+    brokers.foreach(_.start())
+    if (channels != null) channels.foreach(_.startChaser())
+  }
+  def stop(): Unit = {
+    if (channels != null) channels.foreach(_.stopChaser())
+    aliveBrokers.foreach(_.stop())
+  }
 }

@@ -218,9 +218,11 @@ final class KafkaWireClient(host: String, port: Int,
         val p = resp.getInt
         val leader = resp.getInt
         require(pErr == Err.None, s"Metadata partition error $pErr")
-        val nReplicas = resp.getInt; (0 until nReplicas).foreach(_ => resp.getInt)
-        val nIsr = resp.getInt; (0 until nIsr).foreach(_ => resp.getInt)
-        PartitionMeta(p, leader)
+        val nReplicas = resp.getInt
+        val replicas = (0 until nReplicas).map(_ => resp.getInt)
+        val nIsr = resp.getInt
+        val isr = (0 until nIsr).map(_ => resp.getInt)
+        PartitionMeta(p, leader, replicas, isr)
       }
       TopicMeta(name, parts)
     }
@@ -642,7 +644,8 @@ object KafkaWireClient {
     }
   }
 
-  final case class PartitionMeta(partition: Int, leader: Int)
+  final case class PartitionMeta(partition: Int, leader: Int,
+      replicas: Seq[Int] = Nil, isr: Seq[Int] = Nil)
   final case class TopicMeta(topic: String, partitions: Seq[PartitionMeta])
   final case class BrokerMeta(nodeId: Int, host: String, port: Int)
   final case class ClusterMeta(brokers: Seq[BrokerMeta], topics: Seq[TopicMeta])

@@ -1,0 +1,177 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.kafka.{KafkaClusterClient, KafkaStubCluster, KafkaWireClient}
+
+/** Honest follower replication lag ([[KafkaStubCluster]] with
+  * `asyncLagMs`): followers trail the leader and chase via their own
+  * replication channel, ISR membership follows the
+  * `replica.lag.time.max.ms` eviction rule, shrink and expand are
+  * observable through real Metadata responses, produce acks wait for
+  * the ISR (a laggard past the grace window is evicted, not waited
+  * for), and the consumer-visible high watermark is min-LEO over the
+  * ISR — so records an in-grace laggard has not applied are not yet
+  * readable, and eviction releases them. The previously-synchronous
+  * push mode (`asyncLagMs` = None) is the degenerate case and is
+  * covered by KafkaFailoverSpec unchanged.
+  */
+class KafkaIsrSpec extends AnyFunSuite {
+
+  private def b(s: String): Array[Byte] = s.getBytes(StandardCharsets.UTF_8)
+  private def str(a: Array[Byte]): String = new String(a, StandardCharsets.UTF_8)
+
+  private def withAsyncCluster[A](lagMs: Long)(f: KafkaStubCluster => A): A = {
+    val c = new KafkaStubCluster(nBrokers = 3, numPartitions = 3,
+      replicationFactor = 3, asyncLagMs = Some(lagMs))
+    c.start()
+    try f(c) finally c.stop()
+  }
+
+  /** Partition `p`'s ISR as one alive broker's Metadata reports it. */
+  private def isrOf(cluster: KafkaStubCluster, topic: String, p: Int): Set[Int] = {
+    val broker = cluster.aliveBrokers.head
+    val wc = new KafkaWireClient("127.0.0.1", broker.port)
+    try wc.metadataFull(Seq(topic)).topics.head.partitions
+      .find(_.partition == p).get.isr.toSet
+    finally wc.close()
+  }
+
+  test("healthy chasers converge: full ISR, every replica holds every acked record") {
+    withAsyncCluster(lagMs = 2000) { cluster =>
+      val c = new KafkaClusterClient("127.0.0.1", cluster.bootstrapPort)
+      try {
+        c.metadata(Seq("lag"))
+        (0 until 3).foreach { p =>
+          c.produce("lag", p, (0 until 20).map(i => (1L + i, b(s"k$i"), b(s"v$p-$i"))))
+        }
+        // the ack barrier already waited for the ISR, so every replica
+        // is at the leader's LEO the moment produce returns
+        (0 until 3).foreach { p =>
+          cluster.brokers.foreach { broker =>
+            assert(broker.highWatermark("lag", p) == 20L,
+              s"broker ${broker.brokerId} partition $p")
+          }
+          assert(isrOf(cluster, "lag", p) == Set(0, 1, 2))
+        }
+        assert((0 until 3).forall(cluster.replicationLag(_) == 0))
+      } finally c.close()
+    }
+  }
+
+  test("paused follower is evicted from the ISR; acks and the watermark advance without it") {
+    withAsyncCluster(lagMs = 250) { cluster =>
+      val c = new KafkaClusterClient("127.0.0.1", cluster.bootstrapPort)
+      try {
+        c.metadata(Seq("shrink"))
+        (0 until 3).foreach { p =>
+          c.produce("shrink", p, Seq((1L, null, b(s"seed-$p"))))
+        }
+        cluster.pauseReplication(1)
+        // partition 0: leader 0, followers 1 (paused) and 2. The ack
+        // waits out the grace window for broker 1, evicts it, returns.
+        c.produce("shrink", 0, (0 until 10).map(i => (2L + i, null, b(s"x$i"))))
+        // shrink is observable via Metadata on the partitions broker 1
+        // FOLLOWS and lags on...
+        assert(isrOf(cluster, "shrink", 0) == Set(0, 2))
+        // ...while the partition broker 1 LEADS keeps its full ISR (its
+        // followers' chasers — brokers 2 and 0 — are still running)
+        c.produce("shrink", 1, Seq((2L, null, b("y"))))
+        assert(isrOf(cluster, "shrink", 1) == Set(0, 1, 2))
+        // the evicted laggard does not hold the watermark back: a
+        // consumer sees all 11 acked records, while broker 1's log
+        // genuinely trails
+        val got = c.fetchAll("shrink", 0).map(r => str(r.value))
+        assert(got == ("seed-0" +: (0 until 10).map(i => s"x$i")))
+        assert(cluster.brokers(1).highWatermark("shrink", 0) < 11L)
+        assert(cluster.replicationLag(1) > 0)
+      } finally c.close()
+    }
+  }
+
+  test("resumed follower drains its backlog, re-enters the ISR, and can take leadership with nothing missing") {
+    withAsyncCluster(lagMs = 250) { cluster =>
+      val c = new KafkaClusterClient("127.0.0.1", cluster.bootstrapPort)
+      try {
+        c.metadata(Seq("expand"))
+        cluster.pauseReplication(1)
+        c.produce("expand", 0, (0 until 15).map(i => (1L + i, null, b(s"r$i"))))
+        assert(isrOf(cluster, "expand", 0) == Set(0, 2))
+        cluster.resumeReplication(1)
+        assert(cluster.awaitCaughtUp(1), "follower 1 did not drain its backlog")
+        // expand: caught up -> back in the ISR, log byte-identical LEO
+        assert(isrOf(cluster, "expand", 0) == Set(0, 1, 2))
+        assert(cluster.brokers(1).highWatermark("expand", 0) ==
+          cluster.brokers(0).highWatermark("expand", 0))
+        // the chased log is real: kill the leader, the promoted
+        // follower serves every acked record
+        cluster.failBroker(0)
+        assert(cluster.leaderOf(0) == 1)
+        val got = c.fetchAll("expand", 0).map(r => str(r.value))
+        assert(got == (0 until 15).map(i => s"r$i"))
+      } finally c.close()
+    }
+  }
+
+  test("an already-evicted laggard does not tax later acks with fresh grace windows") {
+    withAsyncCluster(lagMs = 800) { cluster =>
+      val c = new KafkaClusterClient("127.0.0.1", cluster.bootstrapPort)
+      try {
+        c.metadata(Seq("fast"))
+        cluster.pauseReplication(1)
+        // first produce pays the one grace window that evicts broker 1
+        c.produce("fast", 0, Seq((1L, null, b("first"))))
+        assert(isrOf(cluster, "fast", 0) == Set(0, 2))
+        // subsequent acks consult the ISR, not a per-batch deadline:
+        // with the laggard already out, they must be near-instant
+        val t0 = System.nanoTime()
+        (0 until 5).foreach(i => c.produce("fast", 0, Seq((2L + i, null, b(s"n$i")))))
+        val elapsedMs = (System.nanoTime() - t0) / 1000000L
+        assert(elapsedMs < 400,
+          s"5 post-eviction produces took ${elapsedMs}ms — waited out grace windows")
+        cluster.resumeReplication(1)
+        assert(cluster.awaitCaughtUp(1))
+      } finally c.close()
+    }
+  }
+
+  test("in-grace lag holds the consumer-visible watermark back; eviction releases it") {
+    withAsyncCluster(lagMs = 1500) { cluster =>
+      val c = new KafkaClusterClient("127.0.0.1", cluster.bootstrapPort)
+      try {
+        c.metadata(Seq("hw"))
+        c.produce("hw", 0, (0 until 4).map(i => (1L + i, null, b(s"old$i"))))
+        cluster.pauseReplication(1)
+        // produce blocks on the ISR barrier for ~lagMs (broker 1 is in
+        // grace); run it on its own thread and observe mid-grace
+        val producer = new Thread(() =>
+          c.produce("hw", 0, (0 until 3).map(i => (10L + i, null, b(s"new$i")))))
+        producer.start()
+        // wait until the leader has LOCALLY appended the new batch
+        val deadline = System.nanoTime() + 5000000000L
+        while (cluster.brokers(0).highWatermark("hw", 0) < 7L &&
+            System.nanoTime() < deadline) Thread.sleep(1)
+        assert(cluster.brokers(0).highWatermark("hw", 0) == 7L,
+          "leader never appended the in-flight batch")
+        // mid-grace: broker 1 is still IN the ISR (not yet past the
+        // window), so the visible watermark stops at its LEO — a
+        // second consumer connection sees only the old records
+        val mid = new KafkaWireClient("127.0.0.1", cluster.brokers(0).port)
+        val midGot = try mid.fetchAll("hw", 0).map(r => str(r.value))
+          finally mid.close()
+        assert(midGot == (0 until 4).map(i => s"old$i"),
+          s"in-grace records leaked to a consumer: $midGot")
+        producer.join(10000)
+        assert(!producer.isAlive, "produce never returned after grace expiry")
+        // evicted: the watermark is released without the laggard
+        val after = c.fetchAll("hw", 0).map(r => str(r.value))
+        assert(after == ((0 until 4).map(i => s"old$i") ++ (0 until 3).map(i => s"new$i")))
+        cluster.resumeReplication(1)
+        assert(cluster.awaitCaughtUp(1))
+        assert(isrOf(cluster, "hw", 0) == Set(0, 1, 2))
+      } finally c.close()
+    }
+  }
+}
