@@ -143,4 +143,21 @@ class CliMainsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(1), r.getLong(2), r.isNullAt(3)))
     assert(empty.toSeq == Seq((0L, 0L, true), (0L, 0L, true), (0L, 0L, true)))
   }
+
+  test("ScaleGen output is byte-reproducible across runs") {
+    // the single-file writer sorts on ALL columns before the one-task
+    // write (no single column is unique in every table), so two
+    // amplifications of the same source must produce identical bytes —
+    // scale-proof runs at sf1.0/sf10 are re-derivable exactly
+    val (a, b) = (tmp("scalegen_a_"), tmp("scalegen_b_"))
+    graft.cli.ScaleGen.generate(spark, "/root/testdata/sf0.001", a, 2)
+    graft.cli.ScaleGen.generate(spark, "/root/testdata/sf0.001", b, 2)
+    val tables = new java.io.File(a).list().toSeq.sorted
+    assert(tables.nonEmpty && tables.forall(_.endsWith(".parquet")))
+    tables.foreach { t =>
+      val ba = Files.readAllBytes(Paths.get(a, t))
+      val bb = Files.readAllBytes(Paths.get(b, t))
+      assert(java.util.Arrays.equals(ba, bb), s"$t differs across runs")
+    }
+  }
 }

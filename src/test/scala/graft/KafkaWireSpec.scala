@@ -31,6 +31,24 @@ class KafkaWireSpec extends AnyFunSuite {
     try f(c) finally c.close()
   }
 
+  test("a max_bytes near Int.MaxValue over tiny gzip'd records does not overflow the fetch cap") {
+    // the record-count cap is estimated from the record at the fetch
+    // offset; gzip'd tiny records floor the estimate at 2 bytes, so a
+    // huge client budget used to overflow the Int arithmetic into a
+    // NEGATIVE cap — an empty slice below the high watermark, i.e. a
+    // permanently stalled consumer. The cap is now computed in Long
+    // and clamped to the records actually left.
+    val broker = new KafkaStubBroker(1, "gzip")
+    broker.start()
+    try withClient(broker) { c =>
+      c.produce("tiny", 0, (0 until 100).map(i => (1L + i, null, b("x"))))
+      val r = c.fetch("tiny", 0, 0L, maxBytes = Int.MaxValue)
+      assert(r.errorCode == 0)
+      assert(r.records.nonEmpty, "negative cap produced an empty slice below hw")
+      assert(c.fetchAll("tiny", 0).size == 100)
+    } finally broker.stop()
+  }
+
   // ---- codec ----
 
   test("record batch v2 round-trips keys, values, nulls, timestamps, offsets") {
