@@ -1675,8 +1675,13 @@ final class KafkaStubCluster(nBrokers: Int, numPartitions: Int = 3,
     require(!isAlive(id), s"broker $id is alive; nothing to restart")
     // async mode: anything enqueued while dead was skipped (enqueue
     // checks isAlive), but a batch the chaser was holding mid-death
-    // must not outlive the snapshot baseline installed below
-    if (channels != null) channels(id).clear()
+    // must not outlive the snapshot baseline installed below; and a
+    // restarted broker runs a FRESH replica fetcher, so a pause that
+    // froze the old incarnation's chaser does not survive the restart
+    if (channels != null) {
+      channels(id).clear()
+      channels(id).paused = false
+    }
     brokers(id).start()
     val topics = aliveBrokers.flatMap(_.topics).toSet
     for (p <- 0 until numPartitions if replicasOf(p).contains(id)) {

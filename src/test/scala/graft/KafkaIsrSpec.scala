@@ -137,6 +137,73 @@ class KafkaIsrSpec extends AnyFunSuite {
     }
   }
 
+  test("a follower that DIES while lagging restarts clean: stale pending applies are dropped, snapshot re-baselines") {
+    withAsyncCluster(lagMs = 300) { cluster =>
+      val c = new KafkaClusterClient("127.0.0.1", cluster.bootstrapPort)
+      try {
+        c.metadata(Seq("die"))
+        c.produce("die", 0, (0 until 5).map(i => (1L + i, null, b(s"a$i"))))
+        cluster.pauseReplication(1)
+        c.produce("die", 0, (0 until 5).map(i => (10L + i, null, b(s"c$i"))))
+        assert(cluster.replicationLag(1) > 0)
+        // the lagging follower dies with unapplied batches in its
+        // channel; the generation-stamped clear must drop them so they
+        // can never land on top of the restart snapshot
+        cluster.failBroker(1)
+        assert(cluster.replicationLag(1) == 0)
+        c.produce("die", 0, (0 until 5).map(i => (20L + i, null, b(s"d$i"))))
+        cluster.restartBroker(1)
+        // snapshot catch-up brought it to the leader's LEO exactly
+        assert(cluster.brokers(1).highWatermark("die", 0) ==
+          cluster.brokers(0).highWatermark("die", 0))
+        // and it resumes live follower duty: new appends chase through
+        // the channel again
+        c.produce("die", 0, Seq((30L, null, b("post"))))
+        assert(cluster.awaitCaughtUp(1))
+        assert(cluster.brokers(1).highWatermark("die", 0) == 16L)
+        assert(isrOf(cluster, "die", 0) == Set(0, 1, 2))
+        val got = c.fetchAll("die", 0).map(r => str(r.value))
+        assert(got == ((0 until 5).map(i => s"a$i") ++ (0 until 5).map(i => s"c$i") ++
+          (0 until 5).map(i => s"d$i") :+ "post"))
+      } finally c.close()
+    }
+  }
+
+  test("concurrent producers under pause/resume churn: replicas converge byte-identical") {
+    withAsyncCluster(lagMs = 150) { cluster =>
+      val clients = (0 until 3).map(_ =>
+        new KafkaClusterClient("127.0.0.1", cluster.bootstrapPort))
+      try {
+        clients.head.metadata(Seq("churn"))
+        val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+        val producers = clients.zipWithIndex.map { case (cl, t) =>
+          new Thread(() => try {
+            (0 until 40).foreach { i =>
+              cl.produce("churn", (t + i) % 3, Seq((1L + i, b(s"t$t"), b(s"t$t-i$i"))))
+            }
+          } catch { case e: Throwable => errs.add(e) })
+        }
+        val churn = new Thread(() => (0 until 6).foreach { i =>
+          cluster.pauseReplication(1); Thread.sleep(40)
+          cluster.resumeReplication(1); Thread.sleep(20)
+        })
+        (producers :+ churn).foreach(_.start())
+        (producers :+ churn).foreach(_.join(30000))
+        assert(errs.isEmpty, s"producer errors: ${errs.peek()}")
+        (0 until 3).foreach(id => assert(cluster.awaitCaughtUp(id)))
+        // every replica of every partition converged to the same log:
+        // same length, and the same multiset of values via the leader
+        (0 until 3).foreach { p =>
+          val leo = cluster.brokers.map(_.highWatermark("churn", p)).toSet
+          assert(leo.size == 1, s"partition $p replica LEOs diverged: $leo")
+        }
+        val all = (0 until 3).flatMap(p =>
+          clients.head.fetchAll("churn", p).map(r => str(r.value)))
+        assert(all.size == 120 && all.toSet.size == 120)
+      } finally clients.foreach(_.close())
+    }
+  }
+
   test("in-grace lag holds the consumer-visible watermark back; eviction releases it") {
     withAsyncCluster(lagMs = 1500) { cluster =>
       val c = new KafkaClusterClient("127.0.0.1", cluster.bootstrapPort)
