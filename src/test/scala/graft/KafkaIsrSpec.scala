@@ -204,6 +204,48 @@ class KafkaIsrSpec extends AnyFunSuite {
     }
   }
 
+  test("transactions compose with lag: markers chase through the channel, a promoted laggard keeps read_committed honest") {
+    withAsyncCluster(lagMs = 250) { cluster =>
+      val c = new KafkaClusterClient("127.0.0.1", cluster.bootstrapPort)
+      try {
+        c.metadata(Seq("txn"))
+        // COMMITTED txn whose data AND commit marker replicate while
+        // follower 1 is paused (both ride the same channel FIFO)
+        val (pid, ep) = c.initProducerId("isr-txn")
+        c.addPartitionsToTxn("isr-txn", pid, ep, "txn", Seq(0))
+        cluster.pauseReplication(1)
+        c.produce("txn", 0, Seq((1L, b("k1"), b("c1")), (2L, b("k2"), b("c2"))),
+          gzip = false, pid, ep, 0, transactionalId = "isr-txn")
+        c.endTxn("isr-txn", pid, ep, commit = true)
+        // the evicted laggard holds back neither the ack nor the LSO
+        assert(c.fetchAll("txn", 0, readCommitted = true).map(r => str(r.value))
+          == Seq("c1", "c2"))
+        assert(cluster.brokers(1).highWatermark("txn", 0) < 3L)
+        // ABORTED txn, same lag window: the abort marker and its
+        // aborted-range bookkeeping must also chase correctly
+        val (pid2, ep2) = c.initProducerId("isr-txn2")
+        c.addPartitionsToTxn("isr-txn2", pid2, ep2, "txn", Seq(0))
+        c.produce("txn", 0, Seq((3L, b("k3"), b("dead"))),
+          gzip = false, pid2, ep2, 0, transactionalId = "isr-txn2")
+        c.endTxn("isr-txn2", pid2, ep2, commit = false)
+        cluster.resumeReplication(1)
+        assert(cluster.awaitCaughtUp(1))
+        // the chased follower holds data + both markers (LEO equal)...
+        assert(cluster.brokers(1).highWatermark("txn", 0) ==
+          cluster.brokers(0).highWatermark("txn", 0))
+        // ...and after promotion its REBUILT transaction state serves
+        // the same read_committed view: committed rows only, the
+        // aborted record skipped via the replicated abort marker
+        cluster.failBroker(0)
+        assert(cluster.leaderOf(0) == 1)
+        assert(c.fetchAll("txn", 0, readCommitted = true).map(r => str(r.value))
+          == Seq("c1", "c2"))
+        assert(c.fetchAll("txn", 0).map(r => str(r.value))
+          == Seq("c1", "c2", "dead"))
+      } finally c.close()
+    }
+  }
+
   test("in-grace lag holds the consumer-visible watermark back; eviction releases it") {
     withAsyncCluster(lagMs = 1500) { cluster =>
       val c = new KafkaClusterClient("127.0.0.1", cluster.bootstrapPort)
