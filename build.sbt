@@ -11,6 +11,9 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// the ≥5-minute streaming soak (StreamSoakSpec) is opt-in:
+//   sbt 'testOnly graft.StreamSoakSpec -- -n graft.Soak'
+Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest, "-l", "graft.Soak")
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -21,6 +21,50 @@ import org.apache.spark.sql.SparkSession
   * N isolated attempts is a real regression.
   */
 object Bench {
+
+  /** Deterministic fixed-workload box probe, timed before any query:
+    * a single-threaded splitmix64 stream (CPU/JIT era) plus a strided
+    * pass over a 128 MiB long array (memory-bandwidth era). The
+    * seconds are recorded with every run (`probe_sec` in the JSON) so
+    * `tools/check_bench.py` can report probe-normalized ratios — two
+    * baseline re-bases in three rounds (r10, r12) showed the raw 2x
+    * gate erodes as the host era moves; normalizing by a fixed
+    * workload measured in the SAME run ends that treadmill. Min of
+    * two timed repetitions after one untimed JIT warm-up.
+    */
+  def probeSec(): Double = {
+    val mem = new Array[Long](16 << 20) // 128 MiB
+    def leg(): Double = {
+      val t0 = System.nanoTime()
+      var x = 0x9E3779B97F4A7C15L
+      var acc = 0L
+      var i = 0
+      while (i < 400000000) {
+        x += 0x9E3779B97F4A7C15L
+        var z = x
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        acc ^= z ^ (z >>> 31)
+        i += 1
+      }
+      var pass = 0
+      while (pass < 10) {
+        var j = 0
+        while (j < mem.length) {
+          mem(j) = mem(j) * 6364136223846793005L + acc
+          j += 8 // one touch per cache line
+        }
+        pass += 1
+      }
+      acc ^= mem(0)
+      val dt = (System.nanoTime() - t0) / 1e9
+      if (acc == 42L) System.err.print("") // defeat dead-code elimination
+      dt
+    }
+    leg() // untimed JIT warm-up
+    math.min(leg(), leg())
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -79,6 +123,10 @@ object Bench {
     // profiling runs re-run EVERY selected query each pass — one
     // command yields the min-of-N A/B number.
     val passes = sys.env.get("SPARK_GRAFT_PASSES").map(_.toInt).getOrElse(3)
+    // box-era calibration anchor, measured in the SAME run the query
+    // times come from (see [[probeSec]])
+    val probe = probeSec()
+    println(f"[bench] box probe: $probe%.3f s")
     val baseline: Map[String, Double] = {
       val p = java.nio.file.Paths.get("BASELINE_BENCH.json")
       if (!java.nio.file.Files.exists(p)) Map.empty
@@ -171,7 +219,7 @@ object Bench {
         extra: String = ""): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"omitted":$omitted,"passes":$passes,"audit_skipped":$auditSkipped,"queries":$qs,"failed":$failed$extra,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"omitted":$omitted,"passes":$passes,"probe_sec":${fmt(probe)},"audit_skipped":$auditSkipped,"queries":$qs,"failed":$failed$extra,"sf":"$sfDir"}"""
     }
     // Full per-query detail goes to a repo file; stdout gets ONE line that
     // must survive the harness's 2000-char output tail — a full 130+-query

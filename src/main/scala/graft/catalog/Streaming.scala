@@ -1429,6 +1429,73 @@ object Streaming {
     } finally cluster.stop()
   }
 
+  // STREAMING failover MID-STREAM: q_kafka_wire_isr_lag proves a
+  // chased log survives promotion for a BATCH read; this query proves
+  // it for the composition a real pipeline actually exercises — a
+  // CHECKPOINTED readStream whose leader dies BETWEEN micro-batches.
+  // Wave 1 of the feed drains through the DSv2 source (offsets
+  // committed to the checkpoint against the original leader). Then the
+  // failure drill: follower 1's chaser PAUSES, wave 2 is produced (the
+  // laggard ages past replica.lag.time and is evicted — acks proceed
+  // without it), the follower resumes and chases its whole backlog,
+  // and the leader is KILLED so the previously-lagging follower is
+  // promoted. The SAME query resumes from the checkpoint against a
+  // bootstrap list still leading with the dead endpoint: the
+  // checkpointed offsets, the promoted replica's chased log, and the
+  // min-LEO-over-ISR watermark must compose to deliver wave 2 exactly
+  // once — a duplicate, a lost record, or an offset gap at promotion
+  // all break the hash against the single-broker ingest oracle.
+  val streamKafkaFailover: QueryDef = QueryDef.sql("q_stream_kafka_failover")(
+    """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value,
+      |  CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS INTEGER) AS prop_k
+      |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val cluster = new graft.kafka.KafkaStubCluster(3, 3,
+      replicationFactor = 3, asyncLagMs = Some(250))
+    cluster.start()
+    try {
+      val deadPort = cluster.brokers(0).port
+      val events = graft.core.Tables.events(s, dir)
+      def produce(wave: DataFrame): Unit =
+        Ingest.toJsonWire(wave, "event_id").write.format("kafka-wire")
+          .option("kafka.bootstrap.servers", s"127.0.0.1:$deadPort")
+          .option("topic", "events-sfo").mode("append").save()
+      val chk = uniqueDir("chk_kwsfo_")
+      val outDir = uniqueDir("out_kwsfo_")
+      def drain(bootstrap: String): Unit = {
+        val q = s.readStream.format("kafka-wire")
+          .option("kafka.bootstrap.servers", bootstrap)
+          .option("topic", "events-sfo")
+          .option("minPartitions", "12")
+          .load()
+          .writeStream
+          .foreachBatch((b: DataFrame, _: Long) =>
+            b.write.mode("append").parquet(outDir))
+          .option("checkpointLocation", chk)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      produce(events.filter(col("event_id") % 2 === 0))
+      drain(s"127.0.0.1:$deadPort")
+      // between micro-batches: lag, evict, chase, promote
+      cluster.pauseReplication(1)
+      produce(events.filter(col("event_id") % 2 === 1))
+      require(cluster.replicationLag(1) > 0, "paused follower has no lag")
+      cluster.resumeReplication(1)
+      require(cluster.awaitCaughtUp(1, 60000), "follower never caught up")
+      cluster.failBroker(0) // promotes broker 1 — the chased follower
+      drain(s"127.0.0.1:$deadPort,127.0.0.1:${cluster.brokers(1).port}")
+      val decoded = Ingest.decodeJsonWire(s.read.parquet(outDir))
+        .select(col("event_id"), col("ts_us"), col("user_id"), col("event_type"),
+          col("value"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k")
+            .as("prop_k"))
+        .orderBy("event_id")
+      graft.core.Spill.materialize(decoded)(())
+    } finally cluster.stop()
+  }
+
   // The SECURED-CLUSTER capstone: every wire feature composed in ONE
   // pipeline — a 3-broker cluster with replicationFactor=2 whose TLS
   // listeners require SASL/PLAIN INSIDE the encrypted session
@@ -2030,7 +2097,7 @@ object Streaming {
     streamKafkaGzip, kafkaWireAvro, kafkaWireIdempotent, kafkaWireTxn,
     kafkaWireGroupResume, kafkaWireMultiTopic, kafkaWireTopicRouting,
     kafkaWireCluster, kafkaWireSasl, kafkaWireFailover, kafkaWireIsrLag,
-    kafkaWireSecuredE2e,
+    streamKafkaFailover, kafkaWireSecuredE2e,
     kafkaWireSchemaRegistry,
     e2eKafkaEs, kafkaTopicTransform, deltaMerge, deltaCdf, streamCdcApply,
     deltaCompactMinor)

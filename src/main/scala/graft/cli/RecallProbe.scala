@@ -1,0 +1,66 @@
+package graft.cli
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** ANN recall-at-scale probe: mean recall@3 of every bucketed ANN
+  * variant vs the exact brute-force top-3, measured across scale
+  * factors. The quality floors in [[graft.core.AccuracySpecs]] are
+  * enforced at sf0.01 (AnnRecallSpec); this main answers the question
+  * those floors cannot — does recall@k HOLD as the corpus grows 100×
+  * while nlist stays capped at the deployment constant
+  * (SimilaritySearch's √n-with-cap seed rule) — the known IVF
+  * recall-vs-corpus-size tension.
+  *
+  * Ground truth per dir = `q_ann_topk_refine`: its candidate stage is
+  * the exact brute-force corpus scan (broadcast ≤20-row query side),
+  * so its top-3 prefix IS the exact answer at any SF.
+  *
+  * Usage: RecallProbe [sfDir ...]   (defaults to the curve's 3 dirs)
+  * Prints one JSON line per dir:
+  *   {"dir":…,"n_queries":20,"recall@3":{"q_ann_ivf":0.37,…}}
+  */
+object RecallProbe {
+  private val Variants = Seq(
+    "q_ann_ivf", "q_ann_ivf_probe2", "q_ann_lsh", "q_ann_lsh_multi")
+
+  private def topSets(df: DataFrame, k: Int): Map[Long, Set[Long]] =
+    df.filter(col("rnk") <= k)
+      .select(col("query_id").cast("long"), col("neighbor_id").cast("long"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
+
+  def main(args: Array[String]): Unit = {
+    val dirs = if (args.nonEmpty) args.toSeq
+      else Seq("/root/testdata/sf0.1", "/root/repo/target/sf1.0",
+        "/root/repo/target/sf10")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-recall-probe")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    dirs.foreach { d =>
+      val exact = topSets(graft.SparkEntry.queries("q_ann_topk_refine")(spark, d), 3)
+      require(exact.nonEmpty, s"no exact top-k rows for $d")
+      val recalls = Variants.map { name =>
+        val approx = topSets(graft.SparkEntry.queries(name)(spark, d), 3)
+        val r = exact.map { case (q, ex) =>
+          approx.getOrElse(q, Set.empty).intersect(ex).size / 3.0
+        }.sum / exact.size
+        name -> r
+      }
+      val qs = recalls.map { case (k, v) => f""""$k":$v%.3f""" }.mkString(",")
+      println(s"""{"dir":"$d","n_queries":${exact.size},"recall@3":{$qs}}""")
+      spark.catalog.clearCache()
+    }
+    graft.core.Spill.cleanup()
+    spark.stop()
+  }
+}

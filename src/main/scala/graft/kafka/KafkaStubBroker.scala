@@ -1441,8 +1441,8 @@ final class KafkaStubCluster(nBrokers: Int, numPartitions: Int = 3,
     * demands.
     */
   private final class ReplChannel(followerId: Int) {
-    private final case class Pending(gen: Int, topic: String, partition: Int,
-        enqueuedNanos: Long, apply: () => Unit)
+    private final case class Pending(gen: Int, pGen: Int, topic: String,
+        partition: Int, enqueuedNanos: Long, apply: () => Unit)
     private val queue =
       new java.util.concurrent.LinkedBlockingQueue[Pending]()
     private val pendingTimes =
@@ -1454,6 +1454,25 @@ final class KafkaStubCluster(nBrokers: Int, numPartitions: Int = 3,
     // applied (the head slot below) is stale and must be dropped, not
     // applied to a log the restart snapshot is about to re-baseline
     @volatile private var gen = 0
+    // per-partition purge generation, bumped by purgePartition() at
+    // leader promotion: the promoted replica (and, via epoch
+    // truncation, its sibling followers) stop fetching from the dead
+    // leader, so their pending batches for that partition are dropped
+    @volatile private var failedWith: Throwable = null
+    private val partGen =
+      new java.util.concurrent.ConcurrentHashMap[(String, Int), Integer]()
+    // makes gen-check-and-apply atomic with clear()/purgePartition()/
+    // enqueue(): without it, clear() can run between the chaser's gen
+    // check and its apply (landing a stale batch on a re-baselined
+    // log), and an enqueue can slip in after the isAlive check but
+    // past the clear, carrying the post-clear gen so the guard never
+    // drops it
+    private val applyLock = new Object
+
+    private def pGenOf(topic: String, partition: Int): Int = {
+      val g = partGen.get((topic, partition))
+      if (g == null) 0 else g.intValue
+    }
 
     private val chaser = new Thread(() => {
       // the head slot: a batch is polled once, then applied only when
@@ -1465,31 +1484,68 @@ final class KafkaStubCluster(nBrokers: Int, numPartitions: Int = 3,
         if (head == null)
           head = queue.poll(5, java.util.concurrent.TimeUnit.MILLISECONDS)
         if (head != null) {
-          if (head.gen != gen) head = null // cleared while held
-          else if (paused) Thread.sleep(1)
-          else {
-            head.apply()
-            val dq = pendingTimes.get((head.topic, head.partition))
-            if (dq != null) dq.synchronized(dq.pollFirst())
-            unapplied.decrementAndGet()
+          val done = applyLock.synchronized {
+            if (head.gen != gen) true // cleared while held; books reset
+            else if (head.pGen != pGenOf(head.topic, head.partition)) {
+              // purged while held (leader promotion): the purge reset
+              // this partition's pending deque but could not see the
+              // head slot, so settle its unapplied count here
+              unapplied.decrementAndGet()
+              true
+            } else if (paused) false
+            else {
+              // a throwing apply (notably applyReplicatedData's
+              // divergence IllegalStateException) must not die silently
+              // in a daemon thread: record it, halt this follower's
+              // replication, and let replicationLag/awaitCaughtUp/
+              // AckBarrier rethrow it loudly
+              try head.apply()
+              catch {
+                case t: Throwable =>
+                  failedWith = t
+                  stopped = true
+                  System.err.println(
+                    s"repl-chaser-$followerId died applying " +
+                      s"${head.topic}/${head.partition}: $t")
+              }
+              val dq = pendingTimes.get((head.topic, head.partition))
+              if (dq != null) dq.synchronized(dq.pollFirst())
+              unapplied.decrementAndGet()
+              true
+            }
+          }
+          if (done) {
             head = null
             replMonitor.synchronized(replMonitor.notifyAll())
-          }
+          } else Thread.sleep(1)
         }
       }
+      replMonitor.synchronized(replMonitor.notifyAll())
     }, s"repl-chaser-$followerId")
     chaser.setDaemon(true)
 
     def startChaser(): Unit = if (!chaser.isAlive) chaser.start()
     def stopChaser(): Unit = { stopped = true }
 
-    def enqueue(topic: String, partition: Int, nowNanos: Long)(
-        f: () => Unit): Unit = {
-      val dq = pendingTimes.computeIfAbsent((topic, partition),
-        _ => new java.util.ArrayDeque[Long]())
-      dq.synchronized(dq.addLast(nowNanos))
-      unapplied.incrementAndGet()
-      queue.put(Pending(gen, topic, partition, nowNanos, f))
+    /** A chaser-thread apply failure, if one halted this channel. */
+    def failure: Throwable = failedWith
+
+    /** Enqueue one pending apply iff `alive` still holds under the
+      * channel lock — re-checked there because a plain
+      * check-then-enqueue races failBroker's clear(): the enqueue
+      * could land after the clear carrying the post-clear gen, and
+      * the gen guard would never drop it.
+      */
+    def enqueue(topic: String, partition: Int, nowNanos: Long,
+        alive: => Boolean)(f: () => Unit): Unit = applyLock.synchronized {
+      if (alive) {
+        val dq = pendingTimes.computeIfAbsent((topic, partition),
+          _ => new java.util.ArrayDeque[Long]())
+        dq.synchronized(dq.addLast(nowNanos))
+        unapplied.incrementAndGet()
+        queue.put(Pending(gen, pGenOf(topic, partition), topic, partition,
+          nowNanos, f))
+      }
     }
 
     /** Oldest unapplied batch for the partition, if any. */
@@ -1505,14 +1561,42 @@ final class KafkaStubCluster(nBrokers: Int, numPartitions: Int = 3,
     /** Drop every pending apply (broker death: the restart snapshot
       * supersedes them; applying a stale batch to a re-baselined log
       * would diverge it — the generation stamp drops a batch the
-      * chaser polled but had not applied yet).
+      * chaser polled but had not applied yet). Atomic with the
+      * chaser's gen-check-and-apply via the channel lock.
       */
-    def clear(): Unit = {
+    def clear(): Unit = applyLock.synchronized {
       gen += 1
       queue.clear()
       pendingTimes.values().forEach(dq => dq.synchronized(dq.clear()))
       unapplied.set(0)
     }
+
+    /** Drop the pending applies of ONE partition (leader promotion:
+      * this replica stops fetching that partition from the dead
+      * leader; its un-acked backlog there is discarded — those
+      * records were never acked, because the ack barrier was still
+      * waiting on this in-sync replica). Other partitions' pendings
+      * are untouched. A head-slot batch for the partition is dropped
+      * by the chaser via the bumped purge generation.
+      */
+    def purgePartition(topic: String, partition: Int): Unit =
+      applyLock.synchronized {
+        val key = (topic, partition)
+        partGen.merge(key, 1, (a, b) => Integer.valueOf(a.intValue + b.intValue))
+        var removed = 0
+        val it = queue.iterator()
+        while (it.hasNext) {
+          val p = it.next()
+          if (p.topic == topic && p.partition == partition) {
+            it.remove()
+            removed += 1
+          }
+        }
+        val dq = pendingTimes.get(key)
+        if (dq != null) dq.synchronized(dq.clear())
+        if (removed > 0) unapplied.addAndGet(-removed)
+        replMonitor.synchronized(replMonitor.notifyAll())
+      }
   }
 
   /** Chasers signal here after each apply; ack barriers wait on it. */
@@ -1535,6 +1619,10 @@ final class KafkaStubCluster(nBrokers: Int, numPartitions: Int = 3,
     def await(): Unit = {
       var done = false
       while (!done) {
+        // a dead chaser never applies again: without this, the ack
+        // would spin forever waiting on a follower whose replication
+        // halted on a recorded failure — rethrow it loudly instead
+        checkReplicationFailure()
         done = replicasOf(partition).forall { id =>
           id == leaderId || !isAlive(id) ||
             brokers(id).highWatermark(topic, partition) >= endOffset ||
@@ -1563,8 +1651,9 @@ final class KafkaStubCluster(nBrokers: Int, numPartitions: Int = 3,
       case Some(_) =>
         val now = System.nanoTime()
         replicasOf(partition).foreach { id =>
-          if (id != leaderId && isAlive(id))
-            channels(id).enqueue(topic, partition, now)(() => f(brokers(id)))
+          if (id != leaderId)
+            channels(id).enqueue(topic, partition, now, isAlive(id))(
+              () => f(brokers(id)))
         }
         Some(new AckBarrier(topic, partition, leaderId, endOffset))
     }
@@ -1615,9 +1704,30 @@ final class KafkaStubCluster(nBrokers: Int, numPartitions: Int = 3,
     channels(id).paused = false
   }
 
+  /** Rethrow a recorded chaser failure, so a halted follower's
+    * replication surfaces at the next observation point instead of
+    * hanging acks/awaits forever.
+    */
+  private def checkReplicationFailure(): Unit =
+    if (channels != null) {
+      var i = 0
+      while (i < channels.length) {
+        val f = channels(i).failure
+        if (f != null) throw new IllegalStateException(
+          s"replication chaser for broker $i died: ${f.getMessage}", f)
+        i += 1
+      }
+    }
+
   /** Unapplied batches on follower `id`'s channel (its total lag). */
   def replicationLag(id: Int): Int =
-    if (channels == null) 0 else channels(id).lagBatches
+    if (channels == null) 0
+    else {
+      val f = channels(id).failure
+      if (f != null) throw new IllegalStateException(
+        s"replication chaser for broker $id died: ${f.getMessage}", f)
+      channels(id).lagBatches
+    }
 
   /** Block until follower `id` has applied its whole backlog (or the
     * timeout passes); true iff caught up.
@@ -1631,29 +1741,70 @@ final class KafkaStubCluster(nBrokers: Int, numPartitions: Int = 3,
 
   /** Kill broker `id`: its sockets die (live connections reset, not
     * polite errors), every partition it led promotes the next alive
-    * replica with a bumped leader epoch, coordination moves to each
-    * key's next alive standby. Fails loudly if a led partition would
-    * be left with NO alive replica — that is acked-data loss, a test
-    * bug here (a real cluster marks the partition offline).
+    * IN-SYNC replica with a bumped leader epoch, coordination moves to
+    * each key's next alive standby. Fails loudly if a led partition
+    * would be left with NO alive replica (acked-data loss) or with
+    * only EVICTED laggards alive — promoting a laggard whose log is
+    * missing acked records would be an unclean leader election
+    * silently turning lag tolerance into data loss; like a real
+    * cluster with `unclean.leader.election.enable=false`, we refuse
+    * (there the partition goes offline until an ISR member returns —
+    * here, in a test harness, that is a test bug worth an exception).
+    *
+    * Async mode also runs the leader-epoch truncation step of a real
+    * failover: the promoted replica stops fetching the partition (its
+    * pending UN-acked backlog from the dead leader is purged — those
+    * records were never acked, the barrier was still waiting on this
+    * in-sync replica), and every other alive follower is re-baselined
+    * to the new leader's log, since it may have applied un-acked
+    * records the new leader dropped (or missed ones it kept). Like
+    * [[restartBroker]]'s catch-up, truncation assumes a quiesced
+    * window for the affected partitions — live fetch-protocol
+    * truncation is out of scope (COVERAGE.md).
     */
   def failBroker(id: Int): Unit = leaderLock.synchronized {
     require(isAlive(id), s"broker $id already failed")
+    val allTopics = brokers.flatMap(_.topics).toSet
+    // compute every promotion BEFORE mutating any state, so a refused
+    // election (exception below) leaves the cluster untouched
+    val newLeaders = leaderMap.map { case (p, leader) =>
+      if (leader != id) p -> leader
+      else {
+        val alive = replicasOf(p).filter(r => r != id && isAlive(r))
+        if (alive.isEmpty) throw new IllegalStateException(
+          s"partition $p lost its last replica (rf=$replicationFactor)")
+        val promoted = alive
+          .find(r => allTopics.forall(t => inSyncFollower(r, t, p)))
+          .getOrElse(throw new IllegalStateException(
+            s"partition $p has no in-sync replica to promote (alive " +
+              s"laggards: ${alive.mkString(",")}) — refusing unclean " +
+              "leader election: a laggard's log is missing acked records"))
+        p -> promoted
+      }
+    }
+    // epoch truncation (async mode), before publishing the new map
+    if (channels != null) newLeaders.foreach { case (p, promoted) =>
+      if (leaderMap(p) == id) allTopics.foreach { t =>
+        channels(promoted).purgePartition(t, p)
+        replicasOf(p).foreach { r =>
+          if (r != id && r != promoted && isAlive(r)) {
+            channels(r).purgePartition(t, p)
+            brokers(r).installSnapshot(t, p,
+              brokers(promoted).snapshotPartition(t, p))
+          }
+        }
+      }
+    }
     // publish the PROMOTED leader map FIRST, then flip alive and kill
     // sockets: metadataResponse reads both without this lock, and the
     // reverse order has a window where a survivor serves a broker list
     // without `id` but a leader map still naming it — a routing
     // client's refresh would then see a leader id absent from the
     // broker list mid-failover
-    leaderMap = leaderMap.map { case (p, leader) =>
-      if (leader != id) p -> leader
-      else {
-        val promoted = replicasOf(p).find(r => r != id && isAlive(r)).getOrElse(
-          throw new IllegalStateException(
-            s"partition $p lost its last replica (rf=$replicationFactor)"))
-        leaderEpochs += p -> (leaderEpochs(p) + 1)
-        p -> promoted
-      }
+    newLeaders.foreach { case (p, _) =>
+      if (leaderMap(p) == id) leaderEpochs += p -> (leaderEpochs(p) + 1)
     }
+    leaderMap = newLeaders
     aliveArr.synchronized { aliveArr(id) = false }
     if (channels != null) channels(id).clear()
     brokers(id).stop()

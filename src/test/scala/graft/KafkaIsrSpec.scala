@@ -23,9 +23,10 @@ class KafkaIsrSpec extends AnyFunSuite {
   private def b(s: String): Array[Byte] = s.getBytes(StandardCharsets.UTF_8)
   private def str(a: Array[Byte]): String = new String(a, StandardCharsets.UTF_8)
 
-  private def withAsyncCluster[A](lagMs: Long)(f: KafkaStubCluster => A): A = {
+  private def withAsyncCluster[A](lagMs: Long, rf: Int = 3)(
+      f: KafkaStubCluster => A): A = {
     val c = new KafkaStubCluster(nBrokers = 3, numPartitions = 3,
-      replicationFactor = 3, asyncLagMs = Some(lagMs))
+      replicationFactor = rf, asyncLagMs = Some(lagMs))
     c.start()
     try f(c) finally c.stop()
   }
@@ -116,7 +117,7 @@ class KafkaIsrSpec extends AnyFunSuite {
   }
 
   test("an already-evicted laggard does not tax later acks with fresh grace windows") {
-    withAsyncCluster(lagMs = 800) { cluster =>
+    withAsyncCluster(lagMs = 2000) { cluster =>
       val c = new KafkaClusterClient("127.0.0.1", cluster.bootstrapPort)
       try {
         c.metadata(Seq("fast"))
@@ -125,11 +126,14 @@ class KafkaIsrSpec extends AnyFunSuite {
         c.produce("fast", 0, Seq((1L, null, b("first"))))
         assert(isrOf(cluster, "fast", 0) == Set(0, 2))
         // subsequent acks consult the ISR, not a per-batch deadline:
-        // with the laggard already out, they must be near-instant
+        // five produces that each waited out a fresh 2000ms grace
+        // window would take ≥10s; the 1500ms bound discriminates that
+        // failure mode while leaving real slack for GC/load (the
+        // produces themselves are ~ms round-trips)
         val t0 = System.nanoTime()
         (0 until 5).foreach(i => c.produce("fast", 0, Seq((2L + i, null, b(s"n$i")))))
         val elapsedMs = (System.nanoTime() - t0) / 1000000L
-        assert(elapsedMs < 400,
+        assert(elapsedMs < 1500,
           s"5 post-eviction produces took ${elapsedMs}ms — waited out grace windows")
         cluster.resumeReplication(1)
         assert(cluster.awaitCaughtUp(1))
@@ -246,8 +250,75 @@ class KafkaIsrSpec extends AnyFunSuite {
     }
   }
 
+  test("leader death promotes the IN-SYNC replica, never the evicted laggard; the laggard is re-baselined to the new leader") {
+    withAsyncCluster(lagMs = 300) { cluster =>
+      val c = new KafkaClusterClient("127.0.0.1", cluster.bootstrapPort)
+      try {
+        c.metadata(Seq("clean"))
+        cluster.pauseReplication(1)
+        // two produces past grace: broker 1 is evicted with ACKED
+        // records sitting unapplied in its channel (head + queue)
+        c.produce("clean", 0, (0 until 5).map(i => (1L + i, null, b(s"a$i"))))
+        c.produce("clean", 0, (0 until 5).map(i => (10L + i, null, b(s"b$i"))))
+        assert(isrOf(cluster, "clean", 0) == Set(0, 2))
+        // kill the leader: promotion must skip the laggard (its log is
+        // missing acked records) and pick the in-sync broker 2
+        cluster.failBroker(0)
+        assert(cluster.leaderOf(0) == 2,
+          s"promoted ${cluster.leaderOf(0)} — an evicted laggard led")
+        // epoch truncation re-baselined the laggard to the new leader's
+        // log (snapshot install works even while its chaser is paused),
+        // and purged its stale backlog so nothing can land on top later
+        assert(cluster.brokers(1).highWatermark("clean", 0) ==
+          cluster.brokers(2).highWatermark("clean", 0))
+        cluster.resumeReplication(1)
+        assert(cluster.awaitCaughtUp(1), "purged backlog never settled")
+        // the new leader serves every acked record, and fresh appends
+        // replicate to the re-baselined follower without divergence
+        c.produce("clean", 0, Seq((20L, null, b("post"))))
+        assert(cluster.awaitCaughtUp(1))
+        val got = c.fetchAll("clean", 0).map(r => str(r.value))
+        assert(got == ((0 until 5).map(i => s"a$i") ++
+          (0 until 5).map(i => s"b$i") :+ "post"))
+        assert(cluster.brokers(1).highWatermark("clean", 0) == 11L)
+      } finally c.close()
+    }
+  }
+
+  test("no in-sync replica to promote: failBroker refuses the unclean election loudly, and recovers once the laggard chases") {
+    // rf=2: partition 0 lives on brokers {0, 1} only — evicting broker
+    // 1 leaves the leader with no in-sync follower at all
+    withAsyncCluster(lagMs = 300, rf = 2) { cluster =>
+      val c = new KafkaClusterClient("127.0.0.1", cluster.bootstrapPort)
+      try {
+        c.metadata(Seq("unclean"))
+        cluster.pauseReplication(1)
+        c.produce("unclean", 0, (0 until 5).map(i => (1L + i, null, b(s"v$i"))))
+        assert(isrOf(cluster, "unclean", 0) == Set(0))
+        // promoting broker 1 now would lose the five acked records its
+        // channel still holds — the election must be refused, loudly,
+        // with the cluster left untouched
+        val e = intercept[IllegalStateException](cluster.failBroker(0))
+        assert(e.getMessage.contains("unclean"), e.getMessage)
+        assert(cluster.isAlive(0) && cluster.leaderOf(0) == 0,
+          "refused election must leave the cluster untouched")
+        // once the laggard chases back into the ISR, the same failover
+        // is clean and loses nothing
+        cluster.resumeReplication(1)
+        assert(cluster.awaitCaughtUp(1))
+        cluster.failBroker(0)
+        assert(cluster.leaderOf(0) == 1)
+        val got = c.fetchAll("unclean", 0).map(r => str(r.value))
+        assert(got == (0 until 5).map(i => s"v$i"))
+      } finally c.close()
+    }
+  }
+
   test("in-grace lag holds the consumer-visible watermark back; eviction releases it") {
-    withAsyncCluster(lagMs = 1500) { cluster =>
+    // the grace window doubles as the margin for the mid-grace fetch
+    // below — 5s keeps a loaded box or GC pause from expiring the
+    // window before the in-grace observation completes
+    withAsyncCluster(lagMs = 5000) { cluster =>
       val c = new KafkaClusterClient("127.0.0.1", cluster.bootstrapPort)
       try {
         c.metadata(Seq("hw"))

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.kafka.{KafkaStubBroker, KafkaWireClient, KafkaWireSource}
+import graft.kafka.{KafkaClusterClient, KafkaStubBroker, KafkaStubCluster, KafkaWireClient, KafkaWireSource}
 
 /** The DSv2 streaming source over the Kafka wire
   * ([[graft.kafka.KafkaWireMicroBatchStream]], `format("kafka-wire")`):
@@ -803,6 +803,83 @@ class KafkaWireStreamSpec extends AnyFunSuite {
       }
       assert(e3.getMessage.contains("malformed assign"))
     }
+  }
+
+  test("read_committed stream resumes from checkpoint across an ISR promotion: offsets respect the rebuilt LSO") {
+    // The offset-vs-LSO interaction at promotion: a checkpointed
+    // read_committed stream commits offsets computed against the OLD
+    // leader's last-stable-offset (past a commit marker, an aborted
+    // record, and its abort marker — all of which chased a LAGGING
+    // follower's replication channel). After that follower is promoted,
+    // its REBUILT transaction state must place the resumed stream at
+    // the same stable boundary: nothing re-read, nothing skipped, the
+    // aborted record still invisible, and a post-promotion transaction
+    // delivered exactly once.
+    val cluster = new KafkaStubCluster(nBrokers = 3, numPartitions = 3,
+      replicationFactor = 3, asyncLagMs = Some(250))
+    cluster.start()
+    try {
+      val deadPort = cluster.brokers(0).port
+      val c = new KafkaClusterClient("127.0.0.1", cluster.bootstrapPort)
+      try {
+        c.metadata(Seq("lso"))
+        val chk = tmp("chk_lso_")
+        val outDir = tmp("out_lso_")
+        def drainCommitted(bootstrap: String): Unit = {
+          val q = spark.readStream.format("kafka-wire")
+            .option("kafka.bootstrap.servers", bootstrap)
+            .option("topic", "lso")
+            .option("kafka.isolation.level", "read_committed")
+            .load()
+            .selectExpr("CAST(value AS STRING) AS v")
+            .select(get_json_object(col("v"), "$.id").cast("int").as("id"))
+            .writeStream
+            .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+              b.write.mode("append").parquet(outDir))
+            .option("checkpointLocation", chk)
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        // wave 1, produced while follower 1 LAGS: a committed txn (ids
+        // 1,2), then an aborted one (id 99) — rows and both markers all
+        // ride the paused replication channel
+        cluster.pauseReplication(1)
+        val (pid, ep) = c.initProducerId("lso-a")
+        c.addPartitionsToTxn("lso-a", pid, ep, "lso", Seq(0))
+        c.produce("lso", 0, Seq((1L, b("k1"), b("""{"id":1}""")),
+          (2L, b("k2"), b("""{"id":2}"""))), gzip = false, pid, ep, 0,
+          transactionalId = "lso-a")
+        c.endTxn("lso-a", pid, ep, commit = true)
+        val (pid2, ep2) = c.initProducerId("lso-b")
+        c.addPartitionsToTxn("lso-b", pid2, ep2, "lso", Seq(0))
+        c.produce("lso", 0, Seq((3L, b("k3"), b("""{"id":99}"""))),
+          gzip = false, pid2, ep2, 0, transactionalId = "lso-b")
+        c.endTxn("lso-b", pid2, ep2, commit = false)
+        drainCommitted(s"127.0.0.1:$deadPort")
+        val wave1 = spark.read.parquet(outDir)
+          .select("id").collect().map(_.getInt(0)).sorted.toSeq
+        assert(wave1 == Seq(1, 2), s"wave 1 read_committed saw $wave1")
+        // chase the backlog, then promote the previously-lagging follower
+        cluster.resumeReplication(1)
+        assert(cluster.awaitCaughtUp(1, 60000))
+        cluster.failBroker(0)
+        assert(cluster.leaderOf(0) == 1, "the chased follower must lead")
+        // wave 2: a committed txn against the PROMOTED leader, whose
+        // producer/txn state was rebuilt from its chased log
+        val (pid3, ep3) = c.initProducerId("lso-c")
+        c.addPartitionsToTxn("lso-c", pid3, ep3, "lso", Seq(0))
+        c.produce("lso", 0, Seq((4L, b("k4"), b("""{"id":3}"""))),
+          gzip = false, pid3, ep3, 0, transactionalId = "lso-c")
+        c.endTxn("lso-c", pid3, ep3, commit = true)
+        drainCommitted(
+          s"127.0.0.1:$deadPort,127.0.0.1:${cluster.brokers(1).port}")
+        val all = spark.read.parquet(outDir)
+          .select("id").collect().map(_.getInt(0)).sorted.toSeq
+        assert(all == Seq(1, 2, 3),
+          s"resume across promotion broke offset/LSO alignment: $all")
+      } finally c.close()
+    } finally cluster.stop()
   }
 
   test("offset JSON round-trips canonically in the stock nested format") {

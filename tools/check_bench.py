@@ -5,7 +5,16 @@ Usage: check_bench.py <BENCH_json> [BASELINE_BENCH.json]
 
 <BENCH_json> is either graft.Bench's own one-line JSON (BENCH_FULL.json)
 or a driver round file whose 'tail' embeds that line. Reports, per
-query: time, baseline, ratio; flags ratios > 2.0.
+query: time, baseline, raw ratio, and — when both files carry a
+`probe_sec` box-calibration anchor (graft.Bench times a deterministic
+fixed workload at the start of every run since round 13) — the
+probe-NORMALIZED ratio: raw_ratio / (probe_now / probe_base). The flag
+logic cites the probe: a query is flagged only when its normalized
+ratio exceeds 2.0 (falling back to the raw ratio when either probe is
+missing). Rationale: two baseline re-bases in three rounds (r10, r12)
+showed uniform box-era drift masquerading as regression bands;
+normalizing by a workload measured in the SAME run separates "the box
+got slower" from "this plan got slower".
 
 Since round 9, graft.Bench self-adjudicates: each reported time is
 already the min over up to SPARK_GRAFT_PASSES (default 3) same-boot
@@ -25,26 +34,41 @@ import re
 import sys
 
 
-def load_queries(path):
+def load_bench(path):
     with open(path) as f:
         d = json.load(f)
     if "queries" in d and isinstance(d["queries"], dict):
-        return d["queries"]
+        return d["queries"], d.get("probe_sec")
     t = d.get("tail", "")
     out = {}
     for k, v in re.findall(r'"(q_[a-z0-9_]+)":([0-9.]+)', t):
         out.setdefault(k, float(v))
-    return out
+    m = re.search(r'"probe_sec":([0-9.]+)', t)
+    return out, (float(m.group(1)) if m else None)
 
 
 def main():
     if len(sys.argv) < 2:
         print(__doc__)
         return
-    bench = load_queries(sys.argv[1])
+    bench, probe_now = load_bench(sys.argv[1])
     base_path = sys.argv[2] if len(sys.argv) > 2 else "BASELINE_BENCH.json"
     with open(base_path) as f:
-        base = json.load(f)["queries"]
+        base_doc = json.load(f)
+    base = base_doc["queries"]
+    probe_base = base_doc.get("probe_sec")
+    era = None
+    if probe_now and probe_base:
+        era = probe_now / probe_base
+        print(f"box probe: run {probe_now:.3f}s vs baseline-era "
+              f"{probe_base:.3f}s -> era factor {era:.3f}x "
+              "(ratios below are also shown probe-normalized; the >2x "
+              "flag applies to the NORMALIZED ratio)")
+    else:
+        print("box probe: missing from "
+              + ("both files" if not probe_now and not probe_base
+                 else ("the bench run" if not probe_now else "the baseline"))
+              + " -> flags use RAW ratios (pre-r13 files)")
     flagged, missing = [], []
     for q in sorted(bench):
         v = bench[q] if isinstance(bench[q], (int, float)) else bench[q]["sec"]
@@ -53,14 +77,19 @@ def main():
             continue
         b = base[q]["sec"]
         ratio = v / b if b > 0 else float("inf")
-        mark = " <-- >2x" if ratio > 2.0 else ""
-        if ratio > 2.0:
-            flagged.append((q, v, b, ratio))
-        print(f"{q:40s} {v:8.3f}s  base {b:8.3f}s (r{base[q]['round']})  {ratio:5.2f}x{mark}")
-    print(f"\n=== {len(flagged)} queries over 2x of baseline, "
+        norm = ratio / era if era else ratio
+        mark = " <-- >2x" if norm > 2.0 else ""
+        if norm > 2.0:
+            flagged.append((q, v, b, ratio, norm))
+        ncol = f"  norm {norm:5.2f}x" if era else ""
+        print(f"{q:40s} {v:8.3f}s  base {b:8.3f}s (r{base[q]['round']})  "
+              f"{ratio:5.2f}x{ncol}{mark}")
+    gate = "probe-normalized " if era else ""
+    print(f"\n=== {len(flagged)} queries over 2x of {gate}baseline, "
           f"{len(missing)} unbaselined ===")
-    for q, v, b, r in flagged:
-        print(f"  {q}: {v:.3f}s vs {b:.3f}s = {r:.2f}x")
+    for q, v, b, r, n in flagged:
+        ncol = f" (normalized {n:.2f}x)" if era else ""
+        print(f"  {q}: {v:.3f}s vs {b:.3f}s = {r:.2f}x{ncol}")
     if missing:
         print("  unbaselined (add to BASELINE_BENCH.json on their first run): "
               + ", ".join(missing))
