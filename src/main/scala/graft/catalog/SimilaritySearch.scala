@@ -208,7 +208,7 @@ object SimilaritySearch {
   // high-cardinality partitions, not a global window — and the probe
   // list (2 rows/query) broadcasts into the bucket join, same
   // co-partitioned shape as single-probe.
-  val annIvfProbe2: QueryDef = QueryDef.sql("q_ann_ivf_probe2")(
+  private def ivfProbeSql(nprobe: Int): String =
     s"""WITH n AS ($normedSql),
        |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n
        |     WHERE vec_id % 50 = 0 AND vec_id < $IvfCentroidCap),
@@ -219,7 +219,7 @@ object SimilaritySearch {
        |bucket AS (SELECT vec_id, cid FROM asg WHERE rn = 1),
        |nb AS (SELECT n.vec_id, v, nrm, cid FROM n JOIN bucket USING (vec_id)),
        |probe AS (SELECT vec_id AS query_id, cid FROM asg
-       |          WHERE vec_id < 20 AND rn <= 2),
+       |          WHERE vec_id < 20 AND rn <= $nprobe),
        |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM n
        |      WHERE vec_id < 20),
        |scored AS (
@@ -230,7 +230,10 @@ object SimilaritySearch {
        |ranked AS (SELECT *, ROW_NUMBER() OVER
        |  (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk FROM scored)
        |SELECT query_id, neighbor_id, cosine, rnk FROM ranked
-       |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin) { (s, dir) =>
+       |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
+
+  private def ivfProbe(nprobe: Int)(
+      s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     val n = normed(s, dir)
     val c = n.filter(col("vec_id") % 50 === 0 && col("vec_id") < IvfCentroidCap)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
@@ -242,7 +245,7 @@ object SimilaritySearch {
       .select(col("query_id"), col("qv"), col("qnrm"), col("cid"),
         Vectors.cosine(col("qv"), col("cv"), col("qnrm"), col("cnrm")).as("__cos"))
       .withColumn("rn", row_number().over(wp))
-      .filter(col("rn") <= 2)
+      .filter(col("rn") <= nprobe)
       .select("query_id", "qv", "qnrm", "cid")
     val scored = broadcast(probes).join(nb, "cid")
       .filter(col("vec_id") =!= col("query_id"))
@@ -254,6 +257,23 @@ object SimilaritySearch {
       .select("query_id", "neighbor_id", "cosine", "rnk")
       .orderBy("query_id", "rnk")
   }
+
+  val annIvfProbe2: QueryDef =
+    QueryDef.sql("q_ann_ivf_probe2")(ivfProbeSql(2))(ivfProbe(2))
+
+  // nprobe=4 — the SCALED probe count for grown corpora. The r13
+  // recall-at-scale probe (cli.RecallProbe, PLANS.md round-13 table)
+  // measured the known IVF tension directly: with nlist capped at the
+  // deployment constant, a 10-Gaussian clustered corpus grown 100×
+  // splits each cluster across ~6 centroid shards, and single-probe
+  // clustered recall@3 decays 0.53 → 0.37 while probe2 erodes 0.77 →
+  // 0.68. Production IVF answers corpus growth by turning the nprobe
+  // knob, not re-sizing nlist — this query IS that knob turned once
+  // more (same index, same buckets, 4 probed shards per query), with
+  // its own hash oracle and floors. Cost stays 4 bucket scans per
+  // query = 4·n/nlist candidates — linear in n, same plan shape.
+  val annIvfProbe4: QueryDef =
+    QueryDef.sql("q_ann_ivf_probe4")(ivfProbeSql(4))(ivfProbe(4))
 
   // IVF with TRAINED centroids: one deterministic Lloyd update on top
   // of the seed assignment — members of each seed bucket are averaged
@@ -1164,7 +1184,8 @@ object SimilaritySearch {
   }
 
   val all: Seq[QueryDef] = Seq(
-    embedNorm, embedTopk, embedNearDup, annIvf, annIvfProbe2, annIvfKmeans, annLsh,
+    embedNorm, embedTopk, embedNearDup, annIvf, annIvfProbe2, annIvfProbe4,
+    annIvfKmeans, annLsh,
     annLshMulti, embedNearDupLsh, embedOutlier, vecQuantize, pqCodes, semanticDedup,
     embedTruncatedRecall, rrfFusion, annTopkRefine, mmrRerank, hardNegatives,
     embedDrift, annBinaryQuant)

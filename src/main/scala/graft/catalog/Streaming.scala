@@ -1496,6 +1496,125 @@ object Streaming {
     } finally cluster.stop()
   }
 
+  // The REBALANCE-PROTOCOL leg of the wire (round 13 — the last wire
+  // non-goal, now a goal): the feed consumed by a real consumer GROUP.
+  // Two members run the classic eager protocol against the group's
+  // coordinator (FindCoordinator-discovered on a 3-broker cluster):
+  // concurrent JoinGroups folded into ONE generation by the
+  // initial-rebalance delay, the elected leader computing the range
+  // assignment CLIENT-side exactly like Kafka's RangeAssignor (the
+  // coordinator only relays opaque bytes), SyncGroup parking the
+  // follower until the leader's assignments land. Each member then
+  // reads ONLY its assigned partitions through the DSv2 `assign` mode
+  // and commits its positions under generation+member fencing. Member
+  // B LEAVES; A's heartbeat reports the rebalance, A rejoins at
+  // generation 2 owning every partition, and the zombie fence is
+  // proven live (A's stale gen-1 commit is rejected, its gen-2 commit
+  // lands). The union of the two members' partition slices must
+  // hash-match the single-consumer ingest oracle: the protocol's split
+  // must cover the topic exactly once, or the hash breaks.
+  val kafkaWireRebalance: QueryDef = QueryDef.sql("q_kafka_wire_rebalance")(
+    """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value,
+      |  CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS INTEGER) AS prop_k
+      |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+    import graft.kafka.{KafkaCodec, KafkaWireClient}
+    val cluster = new graft.kafka.KafkaStubCluster(3, 3, replicationFactor = 2)
+    cluster.start()
+    try {
+      val bootstrap = s"127.0.0.1:${cluster.bootstrapPort}"
+      val topic = "events-reb"
+      val group = "grp-reb"
+      Ingest.toJsonWire(graft.core.Tables.events(s, dir), "event_id")
+        .write.format("kafka-wire")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("topic", topic).mode("append").save()
+      // coordinator discovery, then the group dance on its socket(s)
+      val seed = new KafkaWireClient("127.0.0.1", cluster.bootstrapPort)
+      val (_, chost, cport) = try seed.findCoordinator(group)
+        finally seed.close()
+      val a = new KafkaWireClient(chost, cport, clientId = "ga")
+      val b = new KafkaWireClient(chost, cport, clientId = "gb")
+      try {
+        val results =
+          new java.util.concurrent.ConcurrentLinkedQueue[KafkaWireClient.JoinResult]
+        val ta = new Thread(() => results.add(a.joinGroup(group)))
+        val tb = new Thread(() => { Thread.sleep(10); results.add(b.joinGroup(group)) })
+        ta.start(); tb.start(); ta.join(15000); tb.join(15000)
+        val rs = results.toArray(Array.empty[KafkaWireClient.JoinResult])
+        require(rs.length == 2 && rs.map(_.generation).toSet == Set(1),
+          s"joins did not converge on generation 1: ${rs.toSeq}")
+        def clientOf(memberId: String): KafkaWireClient =
+          if (memberId.startsWith("ga-")) a else b
+        val leader = rs.find(_.isLeader).get
+        val follower = rs.find(!_.isLeader).get
+        val split = KafkaWireClient.rangeAssign(leader.members.map(_._1), 0 until 3)
+        val assignments = split.map { case (m, ps) =>
+          m -> KafkaWireClient.encodeAssignment(topic, ps) }
+        @volatile var followerAssign: Seq[Int] = null
+        val tf = new Thread(() => {
+          val (err, bytes) = clientOf(follower.memberId)
+            .syncGroup(group, 1, follower.memberId)
+          if (err == 0)
+            followerAssign = KafkaWireClient.decodeAssignment(bytes)._2
+        })
+        tf.start()
+        val (errL, bytesL) = clientOf(leader.memberId)
+          .syncGroup(group, 1, leader.memberId, assignments)
+        tf.join(15000)
+        require(errL == 0 && followerAssign != null, "sync did not complete")
+        val leaderAssign = KafkaWireClient.decodeAssignment(bytesL)._2
+        require((leaderAssign ++ followerAssign).sorted == (0 until 3),
+          s"assignment does not cover the topic: $leaderAssign / $followerAssign")
+        // each member scans its OWN slice via DSv2 assign mode
+        def readAssigned(ps: Seq[Int]): DataFrame = s.read.format("kafka-wire")
+          .option("kafka.bootstrap.servers", bootstrap)
+          .option("assign", s"""{"$topic": [${ps.mkString(", ")}]}""")
+          .load()
+        val union = readAssigned(leaderAssign).unionAll(readAssigned(followerAssign))
+        val decoded = Ingest.decodeJsonWire(union)
+          .select(col("event_id"), col("ts_us"), col("user_id"), col("event_type"),
+            col("value"),
+            from_json(col("props"),
+              org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k")
+              .as("prop_k"))
+          .orderBy("event_id")
+        val out = graft.core.Spill.materialize(decoded)(())
+        // members commit their end positions under the live generation
+        val ends = union.groupBy("partition")
+          .agg(org.apache.spark.sql.functions.max("offset").as("mx"))
+          .collect().map(r => r.getInt(0) -> (r.getLong(1) + 1)).toMap
+        Seq((leader, leaderAssign), (follower, followerAssign)).foreach {
+          case (m, ps) =>
+            val mine = ends.filter { case (p, _) => ps.contains(p) }
+            clientOf(m.memberId).commitOffsetsAs(group, topic, mine, 1, m.memberId)
+        }
+        // B departs; A learns via heartbeat, rejoins at gen 2, owns all
+        clientOf(follower.memberId).leaveGroup(group, follower.memberId)
+        val aId = rs.find(_.memberId.startsWith("ga-")).get.memberId
+        require(a.heartbeat(group, 1, aId) == KafkaCodec.Err.RebalanceInProgress,
+          "survivor was not told to rejoin after the leave")
+        val r2 = a.joinGroup(group, memberId = aId)
+        require(r2.generation == 2 && r2.isLeader &&
+          r2.members.map(_._1) == Seq(aId), s"gen-2 rejoin wrong: $r2")
+        val (e2, bytes2) = a.syncGroup(group, 2, aId,
+          Map(aId -> KafkaWireClient.encodeAssignment(topic, 0 until 3)))
+        require(e2 == 0 &&
+          KafkaWireClient.decodeAssignment(bytes2)._2 == (0 until 3),
+          "gen-2 sync wrong")
+        // the zombie fence is live: a gen-1 commit is rejected now
+        val fenced =
+          try { a.commitOffsetsAs(group, topic, Map(0 -> 1L), 1, aId); false }
+          catch {
+            case e: KafkaCodec.KafkaWireException
+              if e.code == KafkaCodec.Err.IllegalGeneration => true
+          }
+        require(fenced, "stale-generation commit was not fenced")
+        a.commitOffsetsAs(group, topic, ends, 2, aId)
+        out
+      } finally { a.close(); b.close() }
+    } finally cluster.stop()
+  }
+
   // The SECURED-CLUSTER capstone: every wire feature composed in ONE
   // pipeline — a 3-broker cluster with replicationFactor=2 whose TLS
   // listeners require SASL/PLAIN INSIDE the encrypted session
@@ -2097,7 +2216,7 @@ object Streaming {
     streamKafkaGzip, kafkaWireAvro, kafkaWireIdempotent, kafkaWireTxn,
     kafkaWireGroupResume, kafkaWireMultiTopic, kafkaWireTopicRouting,
     kafkaWireCluster, kafkaWireSasl, kafkaWireFailover, kafkaWireIsrLag,
-    streamKafkaFailover, kafkaWireSecuredE2e,
+    streamKafkaFailover, kafkaWireRebalance, kafkaWireSecuredE2e,
     kafkaWireSchemaRegistry,
     e2eKafkaEs, kafkaTopicTransform, deltaMerge, deltaCdf, streamCdcApply,
     deltaCompactMinor)

@@ -22,7 +22,8 @@ import org.apache.spark.sql.functions._
   */
 object RecallProbe {
   private val Variants = Seq(
-    "q_ann_ivf", "q_ann_ivf_probe2", "q_ann_lsh", "q_ann_lsh_multi")
+    "q_ann_ivf", "q_ann_ivf_probe2", "q_ann_ivf_probe4", "q_ann_lsh",
+    "q_ann_lsh_multi")
 
   private def topSets(df: DataFrame, k: Int): Map[Long, Set[Long]] =
     df.filter(col("rnk") <= k)
@@ -30,6 +31,37 @@ object RecallProbe {
       .collect()
       .groupBy(_.getLong(0))
       .map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
+
+  /** Deterministic clustered corpus at size `n` — AnnRecallSpec's
+    * 10-Gaussian fixture (within-cluster cosine ≈ 0.94, cross ≈ 0)
+    * scaled up with the SAME layout rules the catalog constants assume
+    * (queries = ids 0..19 planted 2-per-cluster; members in contiguous
+    * 50-blocks cycling the 10 clusters, so the IVF seed rule vec_id %
+    * 50 = 0 spans every cluster). Cluster COUNT stays fixed as n grows
+    * — the regime where a capped-nlist IVF should hold recall, which
+    * is exactly what this probe measures.
+    */
+  private def clusteredDir(spark: SparkSession, n: Int): String = {
+    val out = java.nio.file.Paths.get("target", s"recall_clustered_$n")
+    val marker = out.resolve("embeddings.parquet")
+    if (!java.nio.file.Files.exists(marker)) {
+      import spark.implicits._
+      val rnd = new scala.util.Random(20260814L)
+      val K = 10; val d = 64
+      val centers = Array.fill(K, d)(rnd.nextGaussian())
+      def clusterOf(id: Int): Int = if (id < 20) id % K else (id / 50) % K
+      val rows = (0 until n).map { id =>
+        val c = centers(clusterOf(id))
+        val v: Seq[Float] =
+          Array.tabulate(d)(j => (c(j) + 0.25 * rnd.nextGaussian()).toFloat).toSeq
+        (id.toLong, v)
+      }
+      rows.toDF("vec_id", "embedding")
+        .repartition(8).write.mode("overwrite")
+        .parquet(marker.toString)
+    }
+    out.toString
+  }
 
   def main(args: Array[String]): Unit = {
     val dirs = if (args.nonEmpty) args.toSeq
@@ -46,7 +78,7 @@ object RecallProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    dirs.foreach { d =>
+    def measure(d: String, regime: String): Unit = {
       val exact = topSets(graft.SparkEntry.queries("q_ann_topk_refine")(spark, d), 3)
       require(exact.nonEmpty, s"no exact top-k rows for $d")
       val recalls = Variants.map { name =>
@@ -57,8 +89,13 @@ object RecallProbe {
         name -> r
       }
       val qs = recalls.map { case (k, v) => f""""$k":$v%.3f""" }.mkString(",")
-      println(s"""{"dir":"$d","n_queries":${exact.size},"recall@3":{$qs}}""")
+      println(s"""{"dir":"$d","regime":"$regime","n_queries":${exact.size},"recall@3":{$qs}}""")
       spark.catalog.clearCache()
+    }
+    dirs.foreach(measure(_, "uniform"))
+    // clustered corpora at the same three cardinalities as the sf dirs
+    Seq(2000, 20000, 200000).foreach { n =>
+      measure(clusteredDir(spark, n), "clustered")
     }
     graft.core.Spill.cleanup()
     spark.stop()

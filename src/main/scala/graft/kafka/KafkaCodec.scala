@@ -437,6 +437,10 @@ object KafkaCodec {
     val OffsetCommit = 8
     val OffsetFetch = 9
     val FindCoordinator = 10
+    val JoinGroup = 11
+    val Heartbeat = 12
+    val LeaveGroup = 13
+    val SyncGroup = 14
     val SaslHandshake = 17
     val ApiVersions = 18
     val InitProducerId = 22
@@ -453,6 +457,8 @@ object KafkaCodec {
     val NotLeaderForPartition = 6 // partition is led by another broker: refresh metadata and re-route
     val NotCoordinator = 16 // group/txn key is coordinated by another broker
     val IllegalGeneration = 22 // member-protocol generation on a group with no active members
+    val UnknownMemberId = 25 // group op from a member the coordinator doesn't know (fenced)
+    val RebalanceInProgress = 27 // heartbeat/sync during PreparingRebalance: rejoin now
     val UnsupportedSaslMechanism = 33 // handshake named a mechanism the broker doesn't enable
     val IllegalSaslState = 34 // SASL request out of sequence (e.g. authenticate before handshake)
     val OutOfOrderSequenceNumber = 45

@@ -32,8 +32,12 @@ import KafkaStubBroker.TxnProducer
   *     markers written per registered partition)
   *   - FindCoordinator v0 / OffsetCommit v2 / OffsetFetch v1 (the
   *     group-offset surface: simple-consumer commits stored per
-  *     (group, topic, partition); membership generations rejected —
-  *     no rebalance protocol, see COVERAGE.md non-goals)
+  *     (group, topic, partition); commits into a group with active
+  *     protocol members are generation/member fenced)
+  *   - JoinGroup/SyncGroup/Heartbeat/LeaveGroup v0 (the classic eager
+  *     rebalance protocol: real state machine, session-timeout
+  *     eviction, leader-relayed opaque assignments — see the group
+  *     coordinator section below)
   *
   * Offset semantics enforced (what `spark_streaming_kafka.py:13-18`'s
   * `startingOffsets=earliest` consumer depends on):
@@ -228,7 +232,7 @@ final class KafkaStubBroker(val numPartitions: Int = 3,
         val apiKey = buf.getShort.toInt
         val apiVersion = buf.getShort.toInt
         val correlationId = buf.getInt
-        readNullableString(buf) // client_id
+        val clientId = readNullableString(buf)
         var closeAfterResponse = false
         val body = apiKey match {
           case Api.ApiVersions => apiVersionsResponse()
@@ -280,6 +284,11 @@ final class KafkaStubBroker(val numPartitions: Int = 3,
           case Api.FindCoordinator => findCoordinatorResponse(buf)
           case Api.OffsetCommit => offsetCommitResponse(buf)
           case Api.OffsetFetch => offsetFetchResponse(buf)
+          case Api.JoinGroup =>
+            joinGroupResponse(buf, Option(clientId).getOrElse("member"))
+          case Api.SyncGroup => syncGroupResponse(buf)
+          case Api.Heartbeat => heartbeatResponse(buf)
+          case Api.LeaveGroup => leaveGroupResponse(buf)
           case other =>
             throw new IllegalArgumentException(s"unsupported api key $other v$apiVersion")
         }
@@ -388,7 +397,9 @@ final class KafkaStubBroker(val numPartitions: Int = 3,
       (Api.SaslHandshake, 1, 1), (Api.SaslAuthenticate, 0, 0),
       (Api.InitProducerId, 0, 0), (Api.AddPartitionsToTxn, 0, 0),
       (Api.EndTxn, 0, 0), (Api.FindCoordinator, 0, 0),
-      (Api.OffsetCommit, 2, 2), (Api.OffsetFetch, 1, 1))
+      (Api.OffsetCommit, 2, 2), (Api.OffsetFetch, 1, 1),
+      (Api.JoinGroup, 0, 0), (Api.SyncGroup, 0, 0),
+      (Api.Heartbeat, 0, 0), (Api.LeaveGroup, 0, 0))
     val buf = ByteBuffer.allocate(2 + 4 + apis.size * 6)
     buf.putShort(Err.None.toShort)
     buf.putInt(apis.size)
@@ -942,20 +953,27 @@ final class KafkaStubBroker(val numPartitions: Int = 3,
     val arr = new Array[Byte](buf.remaining()); buf.get(arr); arr
   }
 
-  /** OffsetCommit v2 (simple-consumer path): store the committed
-    * position per (group, topic, partition). A generation >= 0 claims
-    * membership in a rebalance-protocol group — this broker hosts no
-    * group members (Spark assigns partitions itself), so such a commit
-    * is rejected with ILLEGAL_GENERATION, the real broker's answer for
-    * a group with no active generation. Offsets for unknown partitions
-    * fail per-partition with UNKNOWN_TOPIC_OR_PARTITION; the rest of
-    * the request still commits (per-partition error contract).
+  /** OffsetCommit v2: store the committed position per (group, topic,
+    * partition). Generation fencing follows the group's PROTOCOL state:
+    * a group with active rebalance-protocol members accepts commits
+    * only from a known member at the current generation (the classic
+    * zombie-commit fence — a consumer that missed a rebalance cannot
+    * clobber its successor's position); a memberless group keeps the
+    * simple-consumer contract (generation -1 stores — Spark's manual-
+    * assignment mode — and a claimed generation >= 0 is
+    * ILLEGAL_GENERATION, the real broker's answer for a group with no
+    * active generation). Offsets for unknown partitions fail
+    * per-partition with UNKNOWN_TOPIC_OR_PARTITION; the rest of the
+    * request still commits (per-partition error contract).
     */
   private def offsetCommitResponse(req: ByteBuffer): Array[Byte] = {
     val group = readString(req)
     val generation = req.getInt
-    readString(req) // member_id (empty for simple consumers)
+    val memberId = readString(req) // empty for simple consumers
     req.getLong // retention_time_ms (-1 = broker default)
+    val fence =
+      if (coordinates(group)) commitFenceErr(group, generation, memberId)
+      else Err.None // NotCoordinator reported below, per partition
     val nTopics = req.getInt
     val results = (0 until nTopics).flatMap { _ =>
       val topic = readString(req)
@@ -966,7 +984,7 @@ final class KafkaStubBroker(val numPartitions: Int = 3,
         val metadata = readNullableString(req)
         val err =
           if (!coordinates(group)) Err.NotCoordinator
-          else if (generation >= 0) Err.IllegalGeneration
+          else if (fence != Err.None) fence
           else if (partition < 0 || partition >= numPartitions)
             Err.UnknownTopicOrPartition
           else {
@@ -1037,6 +1055,280 @@ final class KafkaStubBroker(val numPartitions: Int = 3,
     }
     buf.flip()
     val arr = new Array[Byte](buf.remaining()); buf.get(arr); arr
+  }
+
+  // ---- consumer-group rebalance protocol (classic, eager) ----
+  // JoinGroup/SyncGroup/Heartbeat/LeaveGroup v0 with the real state
+  // machine: Empty -> PreparingRebalance -> CompletingRebalance ->
+  // Stable, generation bumped per rebalance, the longest-lived member
+  // elected leader, assignment bytes OPAQUE to the broker (the
+  // assignor runs client-side in real Kafka too — the leader computes,
+  // the coordinator relays), members evicted on session timeout, and
+  // every group op generation/member fenced. Membership is
+  // coordinator-LOCAL (not standby-mirrored): real group membership is
+  // ephemeral — on coordinator failover clients rediscover and rejoin
+  // at a fresh generation, which is exactly what this models.
+
+  /** One joined member; mutation under the owning group's monitor. */
+  private final class GroupMember(val memberId: String,
+      val sessionTimeoutMs: Int) {
+    var lastSeenNanos: Long = System.nanoTime()
+    /** (protocol name, subscription metadata) as sent — relayed to the
+      * leader verbatim; the broker never parses subscription bytes. */
+    var protocols: Seq[(String, Array[Byte])] = Nil
+  }
+
+  /** Coordinator state for one group; all access synchronized on the
+    * instance — blocked joins/syncs `wait()` on it, the completing
+    * thread `notifyAll()`s.
+    */
+  private final class GroupCoordState {
+    var state: String = "Empty" // Empty|PreparingRebalance|CompletingRebalance|Stable
+    var generation = 0
+    var protocolName = ""
+    var leaderId = ""
+    var memberSeq = 0
+    // insertion-ordered so the leader (head) is the longest-lived member
+    val members = scala.collection.mutable.LinkedHashMap[String, GroupMember]()
+    val rejoined = scala.collection.mutable.Set[String]()
+    var assignments: Map[String, Array[Byte]] = Map.empty
+    // group.initial.rebalance.delay.ms, collapsed: the first join into
+    // an Empty group holds completion briefly so a cohort of consumers
+    // starting together lands in ONE generation, not a join storm
+    var completeNotBeforeNanos = 0L
+
+    /** Evict members silent past their session timeout. Returns true
+      * if any were removed (a Stable group must then rebalance).
+      */
+    def evictExpired(): Boolean = {
+      val now = System.nanoTime()
+      val dead = members.values.filter(m =>
+        now - m.lastSeenNanos > m.sessionTimeoutMs * 1000000L).map(_.memberId).toSeq
+      dead.foreach { id => members.remove(id); rejoined.remove(id) }
+      if (dead.nonEmpty) {
+        if (members.isEmpty) { state = "Empty"; rejoined.clear() }
+        else if (state == "Stable" || state == "CompletingRebalance") {
+          state = "PreparingRebalance"; rejoined.clear()
+        }
+        notifyAll()
+      }
+      dead.nonEmpty
+    }
+  }
+
+  private val groupCoord = new ConcurrentHashMap[String, GroupCoordState]()
+
+  /** Group-protocol fencing for an OffsetCommit: a group with ACTIVE
+    * members accepts commits only from a known member at the current
+    * generation (stale generation = the classic zombie-commit fence); a
+    * memberless group keeps the simple-consumer contract (generation
+    * -1 stores, >= 0 is ILLEGAL_GENERATION).
+    */
+  private def commitFenceErr(group: String, generation: Int,
+      memberId: String): Int = {
+    val g = groupCoord.get(group)
+    if (g == null) { if (generation >= 0) Err.IllegalGeneration else Err.None }
+    else g.synchronized {
+      g.evictExpired()
+      if (g.members.isEmpty) {
+        if (generation >= 0) Err.IllegalGeneration else Err.None
+      } else if (!g.members.contains(memberId)) Err.UnknownMemberId
+      else if (generation != g.generation) Err.IllegalGeneration
+      else { g.members(memberId).lastSeenNanos = System.nanoTime(); Err.None }
+    }
+  }
+
+  private def joinGroupResponse(req: ByteBuffer, clientId: String): Array[Byte] = {
+    val group = readString(req)
+    val sessionTimeoutMs = req.getInt
+    val reqMemberId = readString(req)
+    readString(req) // protocol_type ("consumer")
+    val nProtocols = req.getInt
+    val protocols = (0 until nProtocols).map { _ =>
+      val name = readString(req)
+      val meta = readNullableBytes(req)
+      (name, if (meta == null) Array.empty[Byte] else meta)
+    }
+    def errResp(err: Int): Array[Byte] = {
+      val buf = ByteBuffer.allocate(64)
+      buf.putShort(err.toShort)
+      buf.putInt(-1)
+      writeString(buf, ""); writeString(buf, ""); writeString(buf, "")
+      buf.putInt(0)
+      buf.flip()
+      val arr = new Array[Byte](buf.remaining()); buf.get(arr); arr
+    }
+    if (!coordinates(group)) return errResp(Err.NotCoordinator)
+    val g = groupCoord.computeIfAbsent(group, _ => new GroupCoordState)
+    g.synchronized {
+      g.evictExpired()
+      if (reqMemberId.nonEmpty && !g.members.contains(reqMemberId))
+        return errResp(Err.UnknownMemberId)
+      val memberId = if (reqMemberId.nonEmpty) reqMemberId else {
+        g.memberSeq += 1
+        val id = s"$clientId-${g.memberSeq}"
+        g.members.put(id, new GroupMember(id, sessionTimeoutMs))
+        id
+      }
+      val m = g.members(memberId)
+      m.lastSeenNanos = System.nanoTime()
+      m.protocols = protocols
+      if (g.state != "PreparingRebalance") {
+        if (g.state == "Empty")
+          g.completeNotBeforeNanos = System.nanoTime() + 50L * 1000000L
+        g.state = "PreparingRebalance"
+        g.rejoined.clear()
+        g.notifyAll() // stable members learn via heartbeat, but wake waiters
+      }
+      g.rejoined.add(memberId)
+      // block until every CURRENT member has rejoined (the eager
+      // rebalance barrier), the initial-join delay has passed, or this
+      // member's session timeout expires the stragglers
+      val deadline = System.nanoTime() + sessionTimeoutMs * 1000000L
+      def allRejoined = g.members.keysIterator.forall(g.rejoined.contains)
+      while (g.state == "PreparingRebalance" &&
+          (!allRejoined || System.nanoTime() < g.completeNotBeforeNanos) &&
+          System.nanoTime() < deadline) {
+        g.wait(10)
+        g.evictExpired()
+      }
+      if (g.state == "PreparingRebalance") {
+        // this thread completes the rebalance: stragglers past the
+        // barrier deadline are dropped from the generation
+        if (!allRejoined) {
+          val stale = g.members.keysIterator.filterNot(g.rejoined.contains).toSeq
+          stale.foreach(g.members.remove)
+        }
+        g.generation += 1
+        g.protocolName = m.protocols.headOption.map(_._1).getOrElse("")
+        g.leaderId = g.members.keysIterator.next()
+        g.assignments = Map.empty
+        g.state = "CompletingRebalance"
+        g.notifyAll()
+      }
+      val buf = ByteBuffer.allocate(4096 + g.members.size * 256)
+      buf.putShort(Err.None.toShort)
+      buf.putInt(g.generation)
+      writeString(buf, g.protocolName)
+      writeString(buf, g.leaderId)
+      writeString(buf, memberId)
+      if (memberId == g.leaderId) {
+        buf.putInt(g.members.size)
+        g.members.foreach { case (id, mem) =>
+          writeString(buf, id)
+          val meta = mem.protocols.find(_._1 == g.protocolName)
+            .map(_._2).getOrElse(Array.empty[Byte])
+          writeNullableBytes(buf, meta)
+        }
+      } else buf.putInt(0)
+      buf.flip()
+      val arr = new Array[Byte](buf.remaining()); buf.get(arr); arr
+    }
+  }
+
+  private def syncGroupResponse(req: ByteBuffer): Array[Byte] = {
+    val group = readString(req)
+    val generation = req.getInt
+    val memberId = readString(req)
+    val nAssign = req.getInt
+    val assigns = (0 until nAssign).map { _ =>
+      val id = readString(req)
+      val bytes = readNullableBytes(req)
+      id -> (if (bytes == null) Array.empty[Byte] else bytes)
+    }.toMap
+    def resp(err: Int, assignment: Array[Byte]): Array[Byte] = {
+      val buf = ByteBuffer.allocate(8 + assignment.length)
+      buf.putShort(err.toShort)
+      writeNullableBytes(buf, assignment)
+      buf.flip()
+      val arr = new Array[Byte](buf.remaining()); buf.get(arr); arr
+    }
+    if (!coordinates(group)) return resp(Err.NotCoordinator, Array.empty)
+    val g = groupCoord.get(group)
+    if (g == null) return resp(Err.UnknownMemberId, Array.empty)
+    g.synchronized {
+      g.evictExpired()
+      if (!g.members.contains(memberId))
+        return resp(Err.UnknownMemberId, Array.empty)
+      if (generation != g.generation)
+        return resp(Err.IllegalGeneration, Array.empty)
+      g.members(memberId).lastSeenNanos = System.nanoTime()
+      g.state match {
+        case "PreparingRebalance" =>
+          resp(Err.RebalanceInProgress, Array.empty)
+        case "CompletingRebalance" =>
+          if (memberId == g.leaderId) {
+            g.assignments = assigns
+            g.state = "Stable"
+            g.notifyAll()
+            resp(Err.None, g.assignments.getOrElse(memberId, Array.empty))
+          } else {
+            // follower parks until the leader's assignments land (the
+            // coordinator's sync purgatory) or the rebalance restarts
+            val deadline = System.nanoTime() +
+              g.members(memberId).sessionTimeoutMs * 1000000L
+            while (g.state == "CompletingRebalance" &&
+                System.nanoTime() < deadline) g.wait(10)
+            if (g.state == "Stable")
+              resp(Err.None, g.assignments.getOrElse(memberId, Array.empty))
+            else resp(Err.RebalanceInProgress, Array.empty)
+          }
+        case "Stable" =>
+          resp(Err.None, g.assignments.getOrElse(memberId, Array.empty))
+        case _ =>
+          resp(Err.UnknownMemberId, Array.empty)
+      }
+    }
+  }
+
+  private def heartbeatResponse(req: ByteBuffer): Array[Byte] = {
+    val group = readString(req)
+    val generation = req.getInt
+    val memberId = readString(req)
+    def resp(err: Int): Array[Byte] = {
+      val buf = ByteBuffer.allocate(2)
+      buf.putShort(err.toShort)
+      buf.flip()
+      val arr = new Array[Byte](buf.remaining()); buf.get(arr); arr
+    }
+    if (!coordinates(group)) return resp(Err.NotCoordinator)
+    val g = groupCoord.get(group)
+    if (g == null) return resp(Err.UnknownMemberId)
+    g.synchronized {
+      g.evictExpired()
+      if (!g.members.contains(memberId)) return resp(Err.UnknownMemberId)
+      if (generation != g.generation) return resp(Err.IllegalGeneration)
+      g.members(memberId).lastSeenNanos = System.nanoTime()
+      g.state match {
+        case "Stable" => resp(Err.None)
+        // both rebalance phases tell the member to rejoin now — the
+        // classic coordinator's signal that a new generation is forming
+        case _ => resp(Err.RebalanceInProgress)
+      }
+    }
+  }
+
+  private def leaveGroupResponse(req: ByteBuffer): Array[Byte] = {
+    val group = readString(req)
+    val memberId = readString(req)
+    def resp(err: Int): Array[Byte] = {
+      val buf = ByteBuffer.allocate(2)
+      buf.putShort(err.toShort)
+      buf.flip()
+      val arr = new Array[Byte](buf.remaining()); buf.get(arr); arr
+    }
+    if (!coordinates(group)) return resp(Err.NotCoordinator)
+    val g = groupCoord.get(group)
+    if (g == null) return resp(Err.UnknownMemberId)
+    g.synchronized {
+      if (!g.members.contains(memberId)) return resp(Err.UnknownMemberId)
+      g.members.remove(memberId)
+      g.rejoined.remove(memberId)
+      if (g.members.isEmpty) { g.state = "Empty"; g.rejoined.clear() }
+      else { g.state = "PreparingRebalance"; g.rejoined.clear() }
+      g.notifyAll()
+      resp(Err.None)
+    }
   }
 
   private def listOffsetsResponse(req: ByteBuffer): Array[Byte] = {

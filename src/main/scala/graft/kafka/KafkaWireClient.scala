@@ -579,6 +579,143 @@ final class KafkaWireClient(host: String, port: Int,
     out.result()
   }
 
+  // ---- classic consumer-group rebalance protocol (v0) ----
+
+  /** JoinGroup v0. Pass an empty `memberId` on first join (the
+    * coordinator assigns one); later rejoins reuse it. BLOCKS while
+    * the coordinator completes the rebalance barrier (bounded by
+    * `sessionTimeoutMs` server-side and `requestTimeoutMs` here).
+    * Subscription `metadata` bytes are opaque to the broker — the
+    * leader member interprets them when computing assignments, exactly
+    * the real protocol's division of labor.
+    */
+  def joinGroup(group: String, memberId: String = "",
+      sessionTimeoutMs: Int = 10000,
+      protocols: Seq[(String, Array[Byte])] = Seq(("range", Array.empty[Byte])))
+      : KafkaWireClient.JoinResult = {
+    val body = ByteBuffer.allocate(256 + group.length * 4 +
+      memberId.length * 4 + protocols.map(p => p._1.length * 4 + p._2.length + 8).sum)
+    writeString(body, group)
+    body.putInt(sessionTimeoutMs)
+    writeString(body, memberId)
+    writeString(body, "consumer")
+    body.putInt(protocols.size)
+    protocols.foreach { case (name, meta) =>
+      writeString(body, name)
+      writeNullableBytes(body, meta)
+    }
+    val resp = send(Api.JoinGroup, 0, body)
+    val err = resp.getShort.toInt
+    val generation = resp.getInt
+    val protocol = readString(resp)
+    val leaderId = readString(resp)
+    val myId = readString(resp)
+    val nMembers = resp.getInt
+    val members = (0 until nMembers).map { _ =>
+      val id = readString(resp)
+      val meta = readNullableBytes(resp)
+      (id, if (meta == null) Array.empty[Byte] else meta)
+    }
+    if (err != Err.None)
+      throw new KafkaWireException(err, s"JoinGroup error $err for group $group")
+    KafkaWireClient.JoinResult(generation, protocol, leaderId, myId, members)
+  }
+
+  /** SyncGroup v0: the leader passes the computed `assignments`
+    * (member id -> opaque bytes), followers pass an empty map and
+    * BLOCK until the leader's assignments land. Returns (error code,
+    * this member's assignment bytes) — REBALANCE_IN_PROGRESS means
+    * rejoin now; fencing errors (ILLEGAL_GENERATION /
+    * UNKNOWN_MEMBER_ID) throw.
+    */
+  def syncGroup(group: String, generation: Int, memberId: String,
+      assignments: Map[String, Array[Byte]] = Map.empty)
+      : (Int, Array[Byte]) = {
+    val body = ByteBuffer.allocate(256 + group.length * 4 +
+      memberId.length * 4 +
+      assignments.map(a => a._1.length * 4 + a._2.length + 8).sum)
+    writeString(body, group)
+    body.putInt(generation)
+    writeString(body, memberId)
+    body.putInt(assignments.size)
+    assignments.toSeq.sortBy(_._1).foreach { case (id, bytes) =>
+      writeString(body, id)
+      writeNullableBytes(body, bytes)
+    }
+    val resp = send(Api.SyncGroup, 0, body)
+    val err = resp.getShort.toInt
+    val assignment = readNullableBytes(resp)
+    if (err != Err.None && err != Err.RebalanceInProgress)
+      throw new KafkaWireException(err, s"SyncGroup error $err for group $group")
+    (err, if (assignment == null) Array.empty[Byte] else assignment)
+  }
+
+  /** Heartbeat v0. Returns the error code: NONE (still stable),
+    * REBALANCE_IN_PROGRESS (rejoin now); fencing errors throw.
+    */
+  def heartbeat(group: String, generation: Int, memberId: String): Int = {
+    val body = ByteBuffer.allocate(
+      16 + group.length * 4 + memberId.length * 4)
+    writeString(body, group)
+    body.putInt(generation)
+    writeString(body, memberId)
+    val resp = send(Api.Heartbeat, 0, body)
+    val err = resp.getShort.toInt
+    if (err != Err.None && err != Err.RebalanceInProgress)
+      throw new KafkaWireException(err, s"Heartbeat error $err for group $group")
+    err
+  }
+
+  /** LeaveGroup v0: clean departure — the coordinator rebalances the
+    * remaining members immediately instead of waiting out the session
+    * timeout.
+    */
+  def leaveGroup(group: String, memberId: String): Unit = {
+    val body = ByteBuffer.allocate(
+      16 + group.length * 4 + memberId.length * 4)
+    writeString(body, group)
+    writeString(body, memberId)
+    val resp = send(Api.LeaveGroup, 0, body)
+    val err = resp.getShort.toInt
+    if (err != Err.None)
+      throw new KafkaWireException(err, s"LeaveGroup error $err for group $group")
+  }
+
+  /** OffsetCommit v2 as a GROUP MEMBER (generation + member id carried
+    * for the coordinator's zombie fence) — the protocol-consumer twin
+    * of [[commitOffsets]].
+    */
+  def commitOffsetsAs(group: String, topic: String, offsets: Map[Int, Long],
+      generation: Int, memberId: String): Unit = {
+    if (offsets.isEmpty) return
+    val body = ByteBuffer.allocate(64 + group.length * 4 + topic.length * 4 +
+      memberId.length * 4 + offsets.size * 20)
+    writeString(body, group)
+    body.putInt(generation)
+    writeString(body, memberId)
+    body.putLong(-1L)
+    body.putInt(1)
+    writeString(body, topic)
+    body.putInt(offsets.size)
+    offsets.toSeq.sortBy(_._1).foreach { case (p, o) =>
+      body.putInt(p)
+      body.putLong(o)
+      writeNullableString(body, null)
+    }
+    val resp = send(Api.OffsetCommit, 2, body)
+    val nTopics = resp.getInt
+    (0 until nTopics).foreach { _ =>
+      readString(resp)
+      val n = resp.getInt
+      (0 until n).foreach { _ =>
+        val p = resp.getInt
+        val err = resp.getShort.toInt
+        if (err != Err.None)
+          throw new KafkaWireException(err, s"OffsetCommit error $err on $topic/$p")
+      }
+    }
+  }
+
 }
 
 /** The metadata/offset surface the DSv2 planner drives — implemented
@@ -642,6 +779,53 @@ object KafkaWireClient {
         "sasl.jaas.config must carry username=\"...\" and password=\"...\"")
       SaslPlain(fields("username"), fields("password"))
     }
+  }
+
+  /** JoinGroup result: `members` (id -> subscription bytes) is
+    * populated only for the elected leader, which computes the
+    * assignment — the real protocol's contract.
+    */
+  final case class JoinResult(generation: Int, protocol: String,
+      leaderId: String, memberId: String,
+      members: Seq[(String, Array[Byte])]) {
+    def isLeader: Boolean = memberId == leaderId
+  }
+
+  /** Client-side range assignor — the LEADER member's job in the real
+    * protocol (the coordinator only relays bytes): members sorted,
+    * contiguous partition ranges, the first `partitions % members`
+    * members take one extra. Matches Kafka's RangeAssignor for a
+    * single topic.
+    */
+  def rangeAssign(memberIds: Seq[String],
+      partitions: Seq[Int]): Map[String, Seq[Int]] = {
+    val ms = memberIds.sorted
+    val ps = partitions.sorted
+    val base = ps.size / ms.size
+    val extra = ps.size % ms.size
+    var idx = 0
+    ms.zipWithIndex.map { case (m, i) =>
+      val take = base + (if (i < extra) 1 else 0)
+      val slice = ps.slice(idx, idx + take)
+      idx += take
+      m -> slice
+    }.toMap
+  }
+
+  /** Assignment-bytes codec for [[rangeAssign]] results — opaque to
+    * the broker (it relays them verbatim), shared by both ends of the
+    * client: `topic:p1,p2,...` UTF-8.
+    */
+  def encodeAssignment(topic: String, partitions: Seq[Int]): Array[Byte] =
+    s"$topic:${partitions.sorted.mkString(",")}"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  def decodeAssignment(bytes: Array[Byte]): (String, Seq[Int]) = {
+    val s = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+    val i = s.lastIndexOf(':')
+    val ps = s.substring(i + 1)
+    (s.substring(0, i),
+      if (ps.isEmpty) Nil else ps.split(",").map(_.toInt).toSeq)
   }
 
   final case class PartitionMeta(partition: Int, leader: Int,

@@ -93,10 +93,15 @@ class AnnRecallSpec extends AnyFunSuite {
     val recalls = checkRegime(dir, "uniform")
     // structural monotonicity: probe2 searches each query's top-2
     // centroid buckets, a superset of single-probe's top-1 — recall
-    // can only go up. A violation means the probe list broke.
+    // can only go up. A violation means the probe list broke. Same
+    // argument one rung up for probe4 vs probe2 (the r13 scaled-nprobe
+    // variant).
     assert(recalls("q_ann_ivf_probe2") >= recalls("q_ann_ivf"),
       s"multi-probe recall ${recalls("q_ann_ivf_probe2")} fell below " +
         s"single-probe ${recalls("q_ann_ivf")}")
+    assert(recalls("q_ann_ivf_probe4") >= recalls("q_ann_ivf_probe2"),
+      s"probe4 recall ${recalls("q_ann_ivf_probe4")} fell below " +
+        s"probe2 ${recalls("q_ann_ivf_probe2")}")
   }
 
   test("ANN variants clear their clustered-regime recall@3 floors vs exact top-3") {

@@ -9,15 +9,17 @@ import org.apache.spark.sql.functions._
 
 import graft.kafka.{KafkaStubBroker, KafkaWireClient}
 
-/** Consumer-group OFFSET protocol on the wire pair (FindCoordinator /
-  * OffsetCommit / OffsetFetch): coordinator discovery, simple-consumer
-  * commits (generation -1 — the manual-assignment mode Spark's own
-  * consumers run in), the -1 "no committed offset" sentinel, lag math,
-  * the source's per-batch group commits under `kafka.group.id`, and the
-  * checkpoint-free `startingOffsets=group` handover. The rebalance
-  * protocol (JoinGroup/SyncGroup/Heartbeat) stays a non-goal — the
-  * broker rejects membership generations exactly as a real one does for
-  * a group with no active members.
+/** Consumer-group protocol on the wire: the OFFSET surface
+  * (FindCoordinator / OffsetCommit / OffsetFetch — coordinator
+  * discovery, simple-consumer commits in the manual-assignment mode
+  * Spark's own consumers run in, the -1 "no committed offset"
+  * sentinel, lag math, per-batch group commits under `kafka.group.id`,
+  * the checkpoint-free `startingOffsets=group` handover) and, since
+  * round 13, the classic eager REBALANCE protocol (JoinGroup /
+  * SyncGroup / Heartbeat / LeaveGroup v0): generation lifecycle,
+  * leader election and opaque assignment relay, session-timeout
+  * eviction, rejoin-on-rebalance signaling, and the zombie-commit
+  * generation fence.
   */
 class KafkaGroupSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -195,6 +197,180 @@ class KafkaGroupSpec extends AnyFunSuite {
         readStream(broker, "t", Map("startingOffsets" -> "group"))
       }
       assert(e.getMessage.contains("kafka.group.id"))
+    }
+  }
+
+  // ---- classic rebalance protocol (round 13) ----
+
+  test("rebalance lifecycle: two concurrent joins land in ONE generation, the leader relays range assignments") {
+    withBroker() { broker =>
+      val a = new KafkaWireClient("127.0.0.1", broker.port, clientId = "ca")
+      val b = new KafkaWireClient("127.0.0.1", broker.port, clientId = "cb")
+      try {
+        // both join with empty member ids; the initial-rebalance delay
+        // folds the pair into a single generation
+        val results = new java.util.concurrent.ConcurrentLinkedQueue[KafkaWireClient.JoinResult]
+        val ta = new Thread(() => results.add(a.joinGroup("g1")))
+        val tb = new Thread(() => { Thread.sleep(10); results.add(b.joinGroup("g1")) })
+        ta.start(); tb.start(); ta.join(15000); tb.join(15000)
+        val rs = results.toArray(Array.empty[KafkaWireClient.JoinResult])
+        assert(rs.length == 2)
+        assert(rs.map(_.generation).toSet == Set(1),
+          s"joins split across generations: ${rs.map(_.generation).toSeq}")
+        assert(rs.map(_.leaderId).toSet.size == 1)
+        val leader = rs.find(_.isLeader).get
+        val follower = rs.find(!_.isLeader).get
+        // only the leader sees the member list (the assignor's input)
+        assert(leader.members.map(_._1).sorted ==
+          Seq(leader.memberId, follower.memberId).sorted)
+        assert(follower.members.isEmpty)
+        // leader computes the range split and relays it through sync;
+        // the follower's sync parks until the assignments land
+        val split = KafkaWireClient.rangeAssign(
+          leader.members.map(_._1), 0 until broker.numPartitions)
+        val assignments = split.map { case (m, ps) =>
+          m -> KafkaWireClient.encodeAssignment("t", ps)
+        }
+        // each member id is minted as "<clientId>-<seq>", so the
+        // prefix resolves which socket owns which member
+        def clientOf(memberId: String): KafkaWireClient =
+          if (memberId.startsWith("ca-")) a else b
+        @volatile var followerBytes: Array[Byte] = null
+        val tf = new Thread(() => {
+          val (err, bytes) = clientOf(follower.memberId)
+            .syncGroup("g1", follower.generation, follower.memberId)
+          if (err == 0) followerBytes = bytes
+        })
+        tf.start()
+        val (errL, leaderBytes) = clientOf(leader.memberId)
+          .syncGroup("g1", leader.generation, leader.memberId, assignments)
+        assert(errL == 0)
+        tf.join(15000)
+        assert(followerBytes != null, "follower sync never completed")
+        val (tL, psL) = KafkaWireClient.decodeAssignment(leaderBytes)
+        val (tF, psF) = KafkaWireClient.decodeAssignment(followerBytes)
+        assert(tL == "t" && tF == "t")
+        // the two assignments partition the topic exactly
+        assert((psL ++ psF).sorted == (0 until broker.numPartitions))
+        assert(psL.toSet.intersect(psF.toSet).isEmpty)
+        // stable group: heartbeats answer NONE for both members
+        assert(clientOf(leader.memberId)
+          .heartbeat("g1", leader.generation, leader.memberId) == 0)
+        assert(clientOf(follower.memberId)
+          .heartbeat("g1", follower.generation, follower.memberId) == 0)
+      } finally { a.close(); b.close() }
+    }
+  }
+
+  test("a silent member is evicted on session timeout; the survivor rebalances to a new generation owning everything") {
+    withBroker() { broker =>
+      val a = new KafkaWireClient("127.0.0.1", broker.port, clientId = "ca")
+      val b = new KafkaWireClient("127.0.0.1", broker.port, clientId = "cb")
+      try {
+        val results = new java.util.concurrent.ConcurrentLinkedQueue[KafkaWireClient.JoinResult]
+        val ta = new Thread(() => results.add(a.joinGroup("g2", sessionTimeoutMs = 30000)))
+        val tb = new Thread(() => { Thread.sleep(10);
+          results.add(b.joinGroup("g2", sessionTimeoutMs = 800)) })
+        ta.start(); tb.start(); ta.join(15000); tb.join(15000)
+        val rs = results.toArray(Array.empty[KafkaWireClient.JoinResult])
+        assert(rs.map(_.generation).toSet == Set(1))
+        def clientOf(memberId: String): KafkaWireClient =
+          if (memberId.startsWith("ca-")) a else b
+        val leader = rs.find(_.isLeader).get
+        val assignments = KafkaWireClient.rangeAssign(
+          leader.members.map(_._1), 0 until 3).map { case (m, ps) =>
+          m -> KafkaWireClient.encodeAssignment("t", ps) }
+        val syncs = rs.map { r =>
+          new Thread(() => clientOf(r.memberId).syncGroup("g2", r.generation,
+            r.memberId, if (r.isLeader) assignments else Map.empty))
+        }
+        syncs.foreach(_.start()); syncs.foreach(_.join(15000))
+        // the short-session member (cb-*) goes silent; the survivor
+        // keeps heartbeating until the coordinator's eviction flips the
+        // group into a rebalance
+        val aId = rs.find(_.memberId.startsWith("ca-")).get.memberId
+        val deadline = System.currentTimeMillis() + 15000
+        var hb = 0
+        while (hb == 0 && System.currentTimeMillis() < deadline) {
+          Thread.sleep(100)
+          hb = a.heartbeat("g2", 1, aId)
+        }
+        assert(hb == 27, s"expected REBALANCE_IN_PROGRESS after eviction, got $hb")
+        // rejoin: generation 2, sole member, leader, owns the topic
+        val r2 = a.joinGroup("g2", memberId = aId, sessionTimeoutMs = 30000)
+        assert(r2.generation == 2)
+        assert(r2.isLeader && r2.members.map(_._1) == Seq(aId))
+        val (err2, bytes2) = a.syncGroup("g2", 2, aId, Map(
+          aId -> KafkaWireClient.encodeAssignment("t", 0 until 3)))
+        assert(err2 == 0)
+        assert(KafkaWireClient.decodeAssignment(bytes2)._2 == (0 until 3))
+      } finally { a.close(); b.close() }
+    }
+  }
+
+  test("zombie-commit fence: stale generation and unknown member rejected; the live member commits; simple-consumer commits blocked while the group has members") {
+    withBroker() { broker =>
+      val a = new KafkaWireClient("127.0.0.1", broker.port, clientId = "ca")
+      try {
+        val r = a.joinGroup("g3")
+        val (errS, _) = a.syncGroup("g3", r.generation, r.memberId, Map(
+          r.memberId -> KafkaWireClient.encodeAssignment("t", 0 until 3)))
+        assert(errS == 0)
+        // a LeaveGroup + rejoin bumps the generation, stranding gen 1
+        a.leaveGroup("g3", r.memberId)
+        val r2 = a.joinGroup("g3")
+        assert(r2.generation == 2)
+        a.syncGroup("g3", 2, r2.memberId, Map(
+          r2.memberId -> KafkaWireClient.encodeAssignment("t", 0 until 3)))
+        // the zombie (old generation) is fenced with ILLEGAL_GENERATION
+        val e1 = intercept[graft.kafka.KafkaCodec.KafkaWireException](
+          a.commitOffsetsAs("g3", "t", Map(0 -> 5L), 1, r2.memberId))
+        assert(e1.code == 22, s"expected ILLEGAL_GENERATION, got ${e1.code}")
+        // an unknown member is fenced with UNKNOWN_MEMBER_ID
+        val e2 = intercept[graft.kafka.KafkaCodec.KafkaWireException](
+          a.commitOffsetsAs("g3", "t", Map(0 -> 5L), 2, "ghost-1"))
+        assert(e2.code == 25, s"expected UNKNOWN_MEMBER_ID, got ${e2.code}")
+        // a simple-consumer commit cannot clobber a protocol group
+        val e3 = intercept[graft.kafka.KafkaCodec.KafkaWireException](
+          a.commitOffsets("g3", "t", Map(0 -> 5L)))
+        assert(e3.code == 25, s"expected UNKNOWN_MEMBER_ID, got ${e3.code}")
+        // the live member's commit lands and reads back
+        a.commitOffsetsAs("g3", "t", Map(0 -> 7L, 1 -> 3L), 2, r2.memberId)
+        assert(a.committedOffsets("g3", "t", Seq(0, 1)) == Map(0 -> 7L, 1 -> 3L))
+      } finally a.close()
+    }
+  }
+
+  test("a late joiner flips a Stable group into rebalance: members learn via heartbeat and reconverge at the next generation") {
+    withBroker() { broker =>
+      val a = new KafkaWireClient("127.0.0.1", broker.port, clientId = "ca")
+      val b = new KafkaWireClient("127.0.0.1", broker.port, clientId = "cb")
+      try {
+        val r1 = a.joinGroup("g4")
+        assert(r1.generation == 1 && r1.isLeader)
+        a.syncGroup("g4", 1, r1.memberId, Map(
+          r1.memberId -> KafkaWireClient.encodeAssignment("t", 0 until 3)))
+        assert(a.heartbeat("g4", 1, r1.memberId) == 0)
+        // B joins: the group flips to PreparingRebalance; A's next
+        // heartbeat says rejoin; both land in generation 2
+        @volatile var rB: KafkaWireClient.JoinResult = null
+        val tb = new Thread(() => rB = b.joinGroup("g4"))
+        tb.start()
+        val deadline = System.currentTimeMillis() + 15000
+        var hb = 0
+        while (hb == 0 && System.currentTimeMillis() < deadline) {
+          Thread.sleep(20)
+          hb = a.heartbeat("g4", 1, r1.memberId)
+        }
+        assert(hb == 27, s"expected REBALANCE_IN_PROGRESS, got $hb")
+        val r2 = a.joinGroup("g4", memberId = r1.memberId)
+        tb.join(15000)
+        assert(rB != null, "late joiner never completed its join")
+        assert(r2.generation == 2 && rB.generation == 2)
+        assert(Set(r2.leaderId) == Set(rB.leaderId))
+        // longest-lived member keeps the leadership
+        assert(r2.leaderId == r1.memberId)
+      } finally { a.close(); b.close() }
     }
   }
 }
