@@ -12,8 +12,12 @@ libraryDependencies ++= Seq(
 Test / fork := true
 run / fork := true
 // the ≥5-minute streaming soak (StreamSoakSpec) is opt-in:
-//   sbt 'testOnly graft.StreamSoakSpec -- -n graft.Soak'
-Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest, "-l", "graft.Soak")
+//   GRAFT_SOAK=1 sbt 'testOnly graft.StreamSoakSpec'
+// (an env gate, not -n/-l flags: an -l exclusion here would also
+// cancel an explicit testOnly -n run)
+Test / testOptions ++= (
+  if (sys.env.contains("GRAFT_SOAK")) Seq.empty
+  else Seq(Tests.Argument(TestFrameworks.ScalaTest, "-l", "graft.Soak")))
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

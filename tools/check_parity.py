@@ -39,6 +39,24 @@ def main(out_dir: str, sf_dir: str, json_out: str = None) -> int:
     threads = os.environ.get("PARITY_THREADS")
     if threads:
         con.execute(f"SET threads TO {int(threads)}")
+    # bound DuckDB's footprint for scale-factor runs (it spills to
+    # temp instead of eating the box; an sf10 oracle self-join peaked
+    # >80 GB resident without this)
+    memcap = os.environ.get("PARITY_MEMORY")
+    if memcap:
+        con.execute(f"SET memory_limit='{memcap}'")
+    # opt-in spill dir: WITHOUT it a query over the memory limit fails
+    # fast with an out-of-memory error instead of silently filling the
+    # disk with tens of GB of temp blocks (which an sf10 minhash-pairs
+    # oracle did — the engine computes the same relation in seconds,
+    # the set-based SQL re-derivation materializes it)
+    # (PARITY_TEMP='' disables spilling entirely: over-limit queries
+    # fail fast with OOM instead of writing temp blocks)
+    if os.environ.get("PARITY_TEMP") is not None:
+        con.execute(f"SET temp_directory='{os.environ['PARITY_TEMP']}'")
+    # restrict to a comma-separated query subset (batching scale runs)
+    only = os.environ.get("PARITY_ONLY")
+    only_set = set(only.split(",")) if only else None
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
@@ -49,6 +67,8 @@ def main(out_dir: str, sf_dir: str, json_out: str = None) -> int:
     for name in sorted(os.listdir(out_dir)):
         d = os.path.join(out_dir, name)
         if not os.path.isdir(d):
+            continue
+        if only_set is not None and name not in only_set:
             continue
         files = glob.glob(f"{d}/*.parquet")
         got = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
