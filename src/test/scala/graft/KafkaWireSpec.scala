@@ -174,16 +174,20 @@ class KafkaWireSpec extends AnyFunSuite {
 
   // ---- client ↔ broker over TCP ----
 
-  test("ApiVersions advertises the thirteen spoken APIs") {
+  test("ApiVersions advertises the seventeen spoken APIs") {
     withBroker() { broker =>
       withClient(broker) { c =>
         val v = c.apiVersions()
         // produce/fetch/listOffsets/metadata, the group-offset trio,
-        // apiVersions, the SASL pair, and the KIP-98
+        // the rebalance quartet (r13: JoinGroup/Heartbeat/LeaveGroup/
+        // SyncGroup), apiVersions, the SASL pair, and the KIP-98
         // idempotence+transactions trio
-        assert(v.keySet == Set(0, 1, 2, 3, 8, 9, 10, 17, 18, 22, 24, 26, 36))
+        assert(v.keySet ==
+          Set(0, 1, 2, 3, 8, 9, 10, 11, 12, 13, 14, 17, 18, 22, 24, 26, 36))
         assert(v(0) == (3, 3) && v(1) == (4, 4))
         assert(v(8) == (2, 2) && v(9) == (1, 1) && v(10) == (0, 0))
+        assert(v(11) == (0, 0) && v(12) == (0, 0) && v(13) == (0, 0) &&
+          v(14) == (0, 0))
         assert(v(17) == (1, 1) && v(36) == (0, 0))
       }
     }
