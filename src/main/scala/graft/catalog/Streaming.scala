@@ -1535,10 +1535,20 @@ object Streaming {
       val a = new KafkaWireClient(chost, cport, clientId = "ga")
       val b = new KafkaWireClient(chost, cport, clientId = "gb")
       try {
+        // session.timeout.ms raised WAY past the scan: a real consumer
+        // heartbeats from a background thread while it processes; this
+        // driver-side dance has none, and at sf1.0 the produce+scan
+        // between join and commit runs ~17 s — longer than the 10 s
+        // default, which silently evicted both members and failed the
+        // gen-1 commit (exactly the slow-consumer failure mode the
+        // timeout knob exists for)
+        val sessionMs = 600000
         val results =
           new java.util.concurrent.ConcurrentLinkedQueue[KafkaWireClient.JoinResult]
-        val ta = new Thread(() => results.add(a.joinGroup(group)))
-        val tb = new Thread(() => { Thread.sleep(10); results.add(b.joinGroup(group)) })
+        val ta = new Thread(() =>
+          results.add(a.joinGroup(group, sessionTimeoutMs = sessionMs)))
+        val tb = new Thread(() => { Thread.sleep(10)
+          results.add(b.joinGroup(group, sessionTimeoutMs = sessionMs)) })
         ta.start(); tb.start(); ta.join(15000); tb.join(15000)
         val rs = results.toArray(Array.empty[KafkaWireClient.JoinResult])
         require(rs.length == 2 && rs.map(_.generation).toSet == Set(1),
@@ -1593,7 +1603,7 @@ object Streaming {
         val aId = rs.find(_.memberId.startsWith("ga-")).get.memberId
         require(a.heartbeat(group, 1, aId) == KafkaCodec.Err.RebalanceInProgress,
           "survivor was not told to rejoin after the leave")
-        val r2 = a.joinGroup(group, memberId = aId)
+        val r2 = a.joinGroup(group, memberId = aId, sessionTimeoutMs = sessionMs)
         require(r2.generation == 2 && r2.isLeader &&
           r2.members.map(_._1) == Seq(aId), s"gen-2 rejoin wrong: $r2")
         val (e2, bytes2) = a.syncGroup(group, 2, aId,
