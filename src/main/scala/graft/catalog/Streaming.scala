@@ -1506,13 +1506,16 @@ object Streaming {
   // coordinator only relays opaque bytes), SyncGroup parking the
   // follower until the leader's assignments land. Each member then
   // reads ONLY its assigned partitions through the DSv2 `assign` mode
-  // and commits its positions under generation+member fencing. Member
-  // B LEAVES; A's heartbeat reports the rebalance, A rejoins at
-  // generation 2 owning every partition, and the zombie fence is
-  // proven live (A's stale gen-1 commit is rejected, its gen-2 commit
-  // lands). The union of the two members' partition slices must
-  // hash-match the single-consumer ingest oracle: the protocol's split
-  // must cover the topic exactly once, or the hash breaks.
+  // and commits its positions under generation+member fencing — with a
+  // BACKGROUND HEARTBEAT THREAD per member (GroupHeartbeat) keeping
+  // the realistic 10 s session alive while the scan runs, exactly the
+  // real consumer's two-channel liveness design. Member B LEAVES; A's
+  // heartbeat reports the rebalance, A rejoins at the next generation
+  // owning every partition, and the zombie fence is proven live (A's
+  // stale prior-generation commit is rejected, its new commit lands).
+  // The union of the two members' partition slices must hash-match the
+  // single-consumer ingest oracle: the protocol's split must cover the
+  // topic exactly once, or the hash breaks.
   val kafkaWireRebalance: QueryDef = QueryDef.sql("q_kafka_wire_rebalance")(
     """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value,
       |  CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS INTEGER) AS prop_k
@@ -1535,26 +1538,49 @@ object Streaming {
       val a = new KafkaWireClient(chost, cport, clientId = "ga")
       val b = new KafkaWireClient(chost, cport, clientId = "gb")
       try {
-        // session.timeout.ms raised WAY past the scan: a real consumer
-        // heartbeats from a background thread while it processes; this
-        // driver-side dance has none, and at sf1.0 the produce+scan
-        // between join and commit runs ~17 s — longer than the 10 s
-        // default, which silently evicted both members and failed the
-        // gen-1 commit (exactly the slow-consumer failure mode the
-        // timeout knob exists for)
-        val sessionMs = 600000
-        val results =
-          new java.util.concurrent.ConcurrentLinkedQueue[KafkaWireClient.JoinResult]
-        val ta = new Thread(() =>
-          results.add(a.joinGroup(group, sessionTimeoutMs = sessionMs)))
-        val tb = new Thread(() => { Thread.sleep(10)
-          results.add(b.joinGroup(group, sessionTimeoutMs = sessionMs)) })
-        ta.start(); tb.start(); ta.join(15000); tb.join(15000)
-        val rs = results.toArray(Array.empty[KafkaWireClient.JoinResult])
-        require(rs.length == 2 && rs.map(_.generation).toSet == Set(1),
-          s"joins did not converge on generation 1: ${rs.toSeq}")
+        // the 10 s session timeout a production consumer actually
+        // ships with: each member's GroupHeartbeat thread (below)
+        // keeps its session alive through the scan, so no crutch
+        // timeout is needed even when the materialize between sync
+        // and commit runs ~17 s at sf1.0
+        val sessionMs = 10000
         def clientOf(memberId: String): KafkaWireClient =
           if (memberId.startsWith("ga-")) a else b
+        // concurrent joins usually fold into ONE generation via the
+        // coordinator's initial-rebalance delay, but that window is a
+        // heuristic, not a guarantee (a GC pause splits the cohort) —
+        // so the dance RETRIES until both members land in the same
+        // generation, the real client's rejoin-on-REBALANCE loop
+        def joinBoth(ids: Map[String, String])
+            : Seq[KafkaWireClient.JoinResult] = {
+          val results = new java.util.concurrent
+            .ConcurrentLinkedQueue[KafkaWireClient.JoinResult]
+          def join(c: KafkaWireClient, prefix: String): Unit = results.add(
+            try c.joinGroup(group, memberId = ids.getOrElse(prefix, ""),
+              sessionTimeoutMs = sessionMs)
+            catch {
+              // dropped as a straggler from a prior attempt: the old
+              // id is fenced; start over with a fresh one
+              case e: KafkaCodec.KafkaWireException
+                  if e.code == KafkaCodec.Err.UnknownMemberId =>
+                c.joinGroup(group, sessionTimeoutMs = sessionMs)
+            })
+          val ta = new Thread(() => join(a, "ga"))
+          val tb = new Thread(() => { Thread.sleep(10); join(b, "gb") })
+          ta.start(); tb.start(); ta.join(30000); tb.join(30000)
+          results.toArray(Array.empty[KafkaWireClient.JoinResult]).toSeq
+        }
+        var rs = joinBoth(Map.empty)
+        var attempts = 0
+        while (rs.length == 2 && rs.map(_.generation).toSet.size != 1 &&
+            attempts < 5) {
+          attempts += 1
+          rs = joinBoth(rs.map(r =>
+            r.memberId.take(2) -> r.memberId).toMap)
+        }
+        require(rs.length == 2 && rs.map(_.generation).toSet.size == 1,
+          s"joins did not converge on one generation: $rs")
+        val gen = rs.head.generation
         val leader = rs.find(_.isLeader).get
         val follower = rs.find(!_.isLeader).get
         val split = KafkaWireClient.rangeAssign(leader.members.map(_._1), 0 until 3)
@@ -1563,64 +1589,85 @@ object Streaming {
         @volatile var followerAssign: Seq[Int] = null
         val tf = new Thread(() => {
           val (err, bytes) = clientOf(follower.memberId)
-            .syncGroup(group, 1, follower.memberId)
+            .syncGroup(group, gen, follower.memberId)
           if (err == 0)
             followerAssign = KafkaWireClient.decodeAssignment(bytes)._2
         })
         tf.start()
         val (errL, bytesL) = clientOf(leader.memberId)
-          .syncGroup(group, 1, leader.memberId, assignments)
+          .syncGroup(group, gen, leader.memberId, assignments)
         tf.join(15000)
         require(errL == 0 && followerAssign != null, "sync did not complete")
         val leaderAssign = KafkaWireClient.decodeAssignment(bytesL)._2
         require((leaderAssign ++ followerAssign).sorted == (0 until 3),
           s"assignment does not cover the topic: $leaderAssign / $followerAssign")
-        // each member scans its OWN slice via DSv2 assign mode
-        def readAssigned(ps: Seq[Int]): DataFrame = s.read.format("kafka-wire")
-          .option("kafka.bootstrap.servers", bootstrap)
-          .option("assign", s"""{"$topic": [${ps.mkString(", ")}]}""")
-          .load()
-        val union = readAssigned(leaderAssign).unionAll(readAssigned(followerAssign))
-        val decoded = Ingest.decodeJsonWire(union)
-          .select(col("event_id"), col("ts_us"), col("user_id"), col("event_type"),
-            col("value"),
-            from_json(col("props"),
-              org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k")
-              .as("prop_k"))
-          .orderBy("event_id")
-        val out = graft.core.Spill.materialize(decoded)(())
-        // members commit their end positions under the live generation
-        val ends = union.groupBy("partition")
-          .agg(org.apache.spark.sql.functions.max("offset").as("mx"))
-          .collect().map(r => r.getInt(0) -> (r.getLong(1) + 1)).toMap
-        Seq((leader, leaderAssign), (follower, followerAssign)).foreach {
-          case (m, ps) =>
-            val mine = ends.filter { case (p, _) => ps.contains(p) }
-            clientOf(m.memberId).commitOffsetsAs(group, topic, mine, 1, m.memberId)
-        }
-        // B departs; A learns via heartbeat, rejoins at gen 2, owns all
-        clientOf(follower.memberId).leaveGroup(group, follower.memberId)
-        val aId = rs.find(_.memberId.startsWith("ga-")).get.memberId
-        require(a.heartbeat(group, 1, aId) == KafkaCodec.Err.RebalanceInProgress,
-          "survivor was not told to rejoin after the leave")
-        val r2 = a.joinGroup(group, memberId = aId, sessionTimeoutMs = sessionMs)
-        require(r2.generation == 2 && r2.isLeader &&
-          r2.members.map(_._1) == Seq(aId), s"gen-2 rejoin wrong: $r2")
-        val (e2, bytes2) = a.syncGroup(group, 2, aId,
-          Map(aId -> KafkaWireClient.encodeAssignment(topic, 0 until 3)))
-        require(e2 == 0 &&
-          KafkaWireClient.decodeAssignment(bytes2)._2 == (0 until 3),
-          "gen-2 sync wrong")
-        // the zombie fence is live: a gen-1 commit is rejected now
-        val fenced =
-          try { a.commitOffsetsAs(group, topic, Map(0 -> 1L), 1, aId); false }
-          catch {
-            case e: KafkaCodec.KafkaWireException
-              if e.code == KafkaCodec.Err.IllegalGeneration => true
+        // group is Stable: start each member's background heartbeat —
+        // from here the members are "slow consumers" whose processing
+        // (two distributed scans + commits) far exceeds sessionMs, and
+        // only the heartbeat channel keeps them in the generation
+        val hbs = rs.map(r => r.memberId -> new graft.kafka.GroupHeartbeat(
+          chost, cport, group, r.memberId, gen,
+          clientId = s"hb-${r.memberId}")).toMap
+        try {
+          // each member scans its OWN slice via DSv2 assign mode
+          def readAssigned(ps: Seq[Int]): DataFrame = s.read.format("kafka-wire")
+            .option("kafka.bootstrap.servers", bootstrap)
+            .option("assign", s"""{"$topic": [${ps.mkString(", ")}]}""")
+            .load()
+          val union = readAssigned(leaderAssign).unionAll(readAssigned(followerAssign))
+          val decoded = Ingest.decodeJsonWire(union)
+            .select(col("event_id"), col("ts_us"), col("user_id"), col("event_type"),
+              col("value"),
+              from_json(col("props"),
+                org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k")
+                .as("prop_k"))
+            .orderBy("event_id")
+          val out = graft.core.Spill.materialize(decoded)(())
+          // members commit their end positions under the live generation
+          val ends = union.groupBy("partition")
+            .agg(org.apache.spark.sql.functions.max("offset").as("mx"))
+            .collect().map(r => r.getInt(0) -> (r.getLong(1) + 1)).toMap
+          Seq((leader, leaderAssign), (follower, followerAssign)).foreach {
+            case (m, ps) =>
+              val mine = ends.filter { case (p, _) => ps.contains(p) }
+              clientOf(m.memberId).commitOffsetsAs(group, topic, mine, gen,
+                m.memberId)
           }
-        require(fenced, "stale-generation commit was not fenced")
-        a.commitOffsetsAs(group, topic, ends, 2, aId)
-        out
+          // B departs; A learns via heartbeat, rejoins next gen, owns all
+          hbs(follower.memberId).close()
+          clientOf(follower.memberId).leaveGroup(group, follower.memberId)
+          val aId = rs.find(_.memberId.startsWith("ga-")).get.memberId
+          require(a.heartbeat(group, gen, aId) == KafkaCodec.Err.RebalanceInProgress,
+            "survivor was not told to rejoin after the leave")
+          // the BACKGROUND thread sees the same signal within a tick
+          val hbA = hbs(aId)
+          val hbDeadline = System.nanoTime() + 5L * 1000000000L
+          while (!hbA.rebalanceSignalled && System.nanoTime() < hbDeadline)
+            Thread.sleep(20)
+          require(hbA.rebalanceSignalled,
+            "background heartbeat missed the rebalance signal")
+          val r2 = a.joinGroup(group, memberId = aId, sessionTimeoutMs = sessionMs)
+          require(r2.generation == gen + 1 && r2.isLeader &&
+            r2.members.map(_._1) == Seq(aId), s"next-gen rejoin wrong: $r2")
+          hbA.generationIs(r2.generation)
+          val (e2, bytes2) = a.syncGroup(group, r2.generation, aId,
+            Map(aId -> KafkaWireClient.encodeAssignment(topic, 0 until 3)))
+          require(e2 == 0 &&
+            KafkaWireClient.decodeAssignment(bytes2)._2 == (0 until 3),
+            "next-gen sync wrong")
+          // the zombie fence is live: a prior-gen commit is rejected now
+          val fenced =
+            try { a.commitOffsetsAs(group, topic, Map(0 -> 1L), gen, aId); false }
+            catch {
+              case e: KafkaCodec.KafkaWireException
+                if e.code == KafkaCodec.Err.IllegalGeneration => true
+            }
+          require(fenced, "stale-generation commit was not fenced")
+          a.commitOffsetsAs(group, topic, ends, r2.generation, aId)
+          require(hbs.valuesIterator.forall(_.failure.isEmpty),
+            s"heartbeat thread died: ${hbs.valuesIterator.flatMap(_.failure).toSeq}")
+          out
+        } finally hbs.values.foreach(_.close())
       } finally { a.close(); b.close() }
     } finally cluster.stop()
   }

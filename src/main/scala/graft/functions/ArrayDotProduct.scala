@@ -91,8 +91,8 @@ object ArrayDotProduct {
     * so it is usable from both the Column API ([[dot]]) and SQL.
     */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_dot", exprs => ArrayDotProduct(exprs(0), exprs(1)), "built-in")
+    Registry.once(spark, "graft_dot")(
+      exprs => ArrayDotProduct(exprs(0), exprs(1)))
 
   /** Column-API form; requires [[register]] on the running session. */
   def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)

@@ -115,8 +115,7 @@ object MinHashSig60 {
     * foldable int literals — shingle width and hash count.
     */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_minhash_sig60",
+    Registry.once(spark, "graft_minhash_sig60")(
       exprs => {
         if (exprs.length != 3) throw new IllegalArgumentException(
           s"graft_minhash_sig60 expects 3 arguments (tokens, shingle width, hash count), got ${exprs.length}")
@@ -126,7 +125,7 @@ object MinHashSig60 {
           case other => throw new IllegalArgumentException(
             s"shingle width / hash count must be int literals, got $other")
         }
-      }, "built-in")
+      })
 
   /** Column-API form; requires [[register]] on the running session. */
   def minhashSig60(toks: Column, n: Int, k: Int): Column =

@@ -105,8 +105,7 @@ object ShingleHash60 {
     * must be a foldable int literal — the shingle width.
     */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_shingle_hash60",
+    Registry.once(spark, "graft_shingle_hash60")(
       exprs => {
         if (exprs.length != 2) throw new IllegalArgumentException(
           s"graft_shingle_hash60 expects 2 arguments (tokens, shingle width), got ${exprs.length}")
@@ -115,7 +114,7 @@ object ShingleHash60 {
           case other => throw new IllegalArgumentException(
             s"shingle width must be an int literal, got $other")
         }
-      }, "built-in")
+      })
 
   /** Column-API form; requires [[register]] on the running session. */
   def shingleHash60(toks: Column, n: Int): Column =

@@ -93,8 +93,7 @@ object SimHash60 {
 
   /** Register `graft_simhash60` in the session registry (idempotent). */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_simhash60", exprs => SimHash60Expr(exprs.head), "built-in")
+    Registry.once(spark, "graft_simhash60")(exprs => SimHash60Expr(exprs.head))
 
   /** Column-API form; requires [[register]] on the running session. */
   def simhash60(toks: Column): Column = call_function("graft_simhash60", toks)

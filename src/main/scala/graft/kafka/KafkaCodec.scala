@@ -457,6 +457,7 @@ object KafkaCodec {
     val NotLeaderForPartition = 6 // partition is led by another broker: refresh metadata and re-route
     val NotCoordinator = 16 // group/txn key is coordinated by another broker
     val IllegalGeneration = 22 // member-protocol generation on a group with no active members
+    val InconsistentGroupProtocol = 23 // joiner's protocol list shares nothing with the group's
     val UnknownMemberId = 25 // group op from a member the coordinator doesn't know (fenced)
     val RebalanceInProgress = 27 // heartbeat/sync during PreparingRebalance: rejoin now
     val UnsupportedSaslMechanism = 33 // handshake named a mechanism the broker doesn't enable

@@ -1164,6 +1164,17 @@ final class KafkaStubBroker(val numPartitions: Int = 3,
       g.evictExpired()
       if (reqMemberId.nonEmpty && !g.members.contains(reqMemberId))
         return errResp(Err.UnknownMemberId)
+      // group.supportsProtocols: a joiner whose protocol list shares
+      // nothing with every OTHER member's list is rejected at admission
+      // (real Kafka's GroupCoordinator check) — otherwise the leader
+      // could hand a member an assignment under a protocol it never
+      // offered. Checked against the others only: a rejoin REPLACES
+      // this member's own list.
+      val others = g.members.valuesIterator
+        .filter(_.memberId != reqMemberId).toSeq
+      if (others.nonEmpty && !protocols.exists(p =>
+          others.forall(_.protocols.exists(_._1 == p._1))))
+        return errResp(Err.InconsistentGroupProtocol)
       val memberId = if (reqMemberId.nonEmpty) reqMemberId else {
         g.memberSeq += 1
         val id = s"$clientId-${g.memberSeq}"
@@ -1192,15 +1203,36 @@ final class KafkaStubBroker(val numPartitions: Int = 3,
         g.wait(10)
         g.evictExpired()
       }
+      // the wait loop's evictExpired shares the session-timeout horizon
+      // with this waiter's own deadline, so at deadline the waiter
+      // itself may have been evicted — it must NOT complete a
+      // generation it is no longer part of
+      if (!g.members.contains(memberId)) return errResp(Err.UnknownMemberId)
       if (g.state == "PreparingRebalance") {
         // this thread completes the rebalance: stragglers past the
-        // barrier deadline are dropped from the generation
+        // barrier deadline are dropped from the generation. Never
+        // self: the completer IS rejoining — its `rejoined` entry can
+        // only have been erased by bookkeeping, not by silence.
         if (!allRejoined) {
-          val stale = g.members.keysIterator.filterNot(g.rejoined.contains).toSeq
+          val stale = g.members.keysIterator.filterNot(id =>
+            g.rejoined.contains(id) || id == memberId).toSeq
           stale.foreach(g.members.remove)
         }
+        if (g.members.isEmpty) {
+          // straggler drop emptied the group (everyone else timed out
+          // and this waiter was itself evicted mid-loop): reset to
+          // Empty instead of electing a leader from an empty map
+          g.state = "Empty"; g.rejoined.clear(); g.notifyAll()
+          return errResp(Err.UnknownMemberId)
+        }
         g.generation += 1
-        g.protocolName = m.protocols.headOption.map(_._1).getOrElse("")
+        // the group's protocol must be one EVERY member of the new
+        // generation offered (admission keeps the intersection
+        // nonempty); preference order is the completing member's
+        g.protocolName = m.protocols.map(_._1)
+          .find(p => g.members.valuesIterator.forall(
+            _.protocols.exists(_._1 == p)))
+          .orElse(m.protocols.headOption.map(_._1)).getOrElse("")
         g.leaderId = g.members.keysIterator.next()
         g.assignments = Map.empty
         g.state = "CompletingRebalance"
@@ -1325,7 +1357,13 @@ final class KafkaStubBroker(val numPartitions: Int = 3,
       g.members.remove(memberId)
       g.rejoined.remove(memberId)
       if (g.members.isEmpty) { g.state = "Empty"; g.rejoined.clear() }
-      else { g.state = "PreparingRebalance"; g.rejoined.clear() }
+      else if (g.state != "PreparingRebalance") {
+        g.state = "PreparingRebalance"; g.rejoined.clear()
+      }
+      // a leave DURING an in-flight rebalance only shrinks the
+      // barrier: members already waiting keep their rejoin status
+      // (clearing it made them look like stragglers to the completer,
+      // which could drop every live waiter and empty the group)
       g.notifyAll()
       resp(Err.None)
     }

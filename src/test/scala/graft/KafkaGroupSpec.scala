@@ -373,4 +373,123 @@ class KafkaGroupSpec extends AnyFunSuite {
       } finally { a.close(); b.close() }
     }
   }
+
+  test("two-channel liveness: a slow-PROCESSING member with a background heartbeat survives the session timeout that evicts a silent member") {
+    withBroker() { broker =>
+      val a = new KafkaWireClient("127.0.0.1", broker.port, clientId = "ca")
+      val b = new KafkaWireClient("127.0.0.1", broker.port, clientId = "cb")
+      try {
+        // both join with a SHORT session (700 ms) — far less than the
+        // "processing" sleep below, so without heartbeats both die
+        val results = new java.util.concurrent.ConcurrentLinkedQueue[KafkaWireClient.JoinResult]
+        val ta = new Thread(() => results.add(a.joinGroup("g5", sessionTimeoutMs = 700)))
+        val tb = new Thread(() => { Thread.sleep(10);
+          results.add(b.joinGroup("g5", sessionTimeoutMs = 700)) })
+        ta.start(); tb.start(); ta.join(15000); tb.join(15000)
+        val rs = results.toArray(Array.empty[KafkaWireClient.JoinResult])
+        assert(rs.length == 2 && rs.map(_.generation).toSet.size == 1)
+        val gen = rs.head.generation
+        def clientOf(memberId: String): KafkaWireClient =
+          if (memberId.startsWith("ca-")) a else b
+        val leader = rs.find(_.isLeader).get
+        val assignments = KafkaWireClient.rangeAssign(
+          leader.members.map(_._1), 0 until 3).map { case (m, ps) =>
+          m -> KafkaWireClient.encodeAssignment("t", ps) }
+        val syncs = rs.map { r =>
+          new Thread(() => clientOf(r.memberId).syncGroup("g5", gen,
+            r.memberId, if (r.isLeader) assignments else Map.empty))
+        }
+        syncs.foreach(_.start()); syncs.foreach(_.join(15000))
+        // A processes slowly but heartbeats from the background
+        // thread (150 ms cadence); B processes slowly and is SILENT
+        val aId = rs.find(_.memberId.startsWith("ca-")).get.memberId
+        val bId = rs.find(_.memberId.startsWith("cb-")).get.memberId
+        val hb = new graft.kafka.GroupHeartbeat("127.0.0.1", broker.port,
+          "g5", aId, gen, intervalMs = 150)
+        try {
+          Thread.sleep(2100) // 3x the session timeout: "processing"
+          // B is gone: its own heartbeat is fenced as unknown
+          val eB = intercept[graft.kafka.KafkaCodec.KafkaWireException](
+            b.heartbeat("g5", gen, bId))
+          assert(eB.code == 25, s"expected UNKNOWN_MEMBER_ID, got ${eB.code}")
+          // A is alive AND was told (on the heartbeat channel) that
+          // B's eviction opened a rebalance
+          assert(hb.rebalanceSignalled,
+            "survivor's heartbeat thread never saw the rebalance signal")
+          assert(hb.failure.isEmpty, s"heartbeat thread died: ${hb.failure}")
+          val r2 = a.joinGroup("g5", memberId = aId, sessionTimeoutMs = 700)
+          assert(r2.generation == gen + 1 && r2.isLeader &&
+            r2.members.map(_._1) == Seq(aId),
+            s"survivor did not own the next generation: $r2")
+          hb.generationIs(r2.generation)
+        } finally hb.close()
+      } finally { a.close(); b.close() }
+    }
+  }
+
+  test("a join waiter evicted at its own deadline gets UNKNOWN_MEMBER_ID, not a connection reset; the group stays rejoinable") {
+    withBroker() { broker =>
+      val a = new KafkaWireClient("127.0.0.1", broker.port, clientId = "ca")
+      val b = new KafkaWireClient("127.0.0.1", broker.port, clientId = "cb")
+      try {
+        // M1 joins alone and never syncs or rejoins (a zombie with a
+        // 1.5 s session)
+        val r1 = a.joinGroup("g6", sessionTimeoutMs = 1500)
+        assert(r1.generation == 1)
+        // M2 joins with a SHORTER session: the rebalance barrier waits
+        // for M1 (who never rejoins) until M2's own 400 ms deadline —
+        // at which point M2 has itself been silent past its timeout
+        // and is evicted mid-loop. Before round 14 the completing
+        // thread then dropped M1 as a straggler too, elected a leader
+        // from the EMPTIED member map, and the NoSuchElementException
+        // reset the connection; now the evicted waiter is answered
+        // with the protocol error.
+        val e = intercept[graft.kafka.KafkaCodec.KafkaWireException](
+          b.joinGroup("g6", sessionTimeoutMs = 400))
+        assert(e.code == 25, s"expected UNKNOWN_MEMBER_ID, got ${e.code}")
+        // the group was not corrupted: once the zombie's session
+        // lapses, a fresh join completes and leads a new generation
+        val r2 = b.joinGroup("g6", sessionTimeoutMs = 30000)
+        assert(r2.isLeader && r2.members.map(_._1) == Seq(r2.memberId),
+          s"group not rejoinable after the evicted-waiter join: $r2")
+        assert(r2.generation >= 2)
+      } finally { a.close(); b.close() }
+    }
+  }
+
+  test("group protocol is voted across members: the chosen protocol is one EVERY member offered; a disjoint joiner is rejected with INCONSISTENT_GROUP_PROTOCOL") {
+    withBroker() { broker =>
+      val ca = new KafkaWireClient("127.0.0.1", broker.port, clientId = "ca")
+      val cb = new KafkaWireClient("127.0.0.1", broker.port, clientId = "cb")
+      val cc = new KafkaWireClient("127.0.0.1", broker.port, clientId = "cc")
+      try {
+        // A offers [range, sticky]; B offers only [sticky] — the only
+        // protocol every member speaks is "sticky", so the generation
+        // must select it no matter which thread completes the barrier
+        val results = new java.util.concurrent.ConcurrentLinkedQueue[KafkaWireClient.JoinResult]
+        val ta = new Thread(() => results.add(ca.joinGroup("g7",
+          protocols = Seq(("range", Array.empty[Byte]), ("sticky", b("ma"))))))
+        val tb = new Thread(() => { Thread.sleep(10)
+          results.add(cb.joinGroup("g7",
+            protocols = Seq(("sticky", b("mb"))))) })
+        ta.start(); tb.start(); ta.join(15000); tb.join(15000)
+        val rs = results.toArray(Array.empty[KafkaWireClient.JoinResult])
+        assert(rs.length == 2 && rs.map(_.generation).toSet.size == 1)
+        assert(rs.map(_.protocol).toSet == Set("sticky"),
+          s"chosen protocol not in every member's list: ${rs.map(_.protocol).toSeq}")
+        // the leader's relayed subscription metadata is the bytes each
+        // member attached to the CHOSEN protocol, not its first offer
+        val leader = rs.find(_.isLeader).get
+        val metas = leader.members.map { case (_, m) =>
+          new String(m, java.nio.charset.StandardCharsets.UTF_8) }.sorted
+        assert(metas == Seq("ma", "mb"), s"relayed metadata wrong: $metas")
+        // C offers only [roundrobin] — no overlap with the group:
+        // rejected at admission, the stable pair is undisturbed
+        val e = intercept[graft.kafka.KafkaCodec.KafkaWireException](
+          cc.joinGroup("g7", protocols = Seq(("roundrobin", Array.empty[Byte]))))
+        assert(e.code == 23,
+          s"expected INCONSISTENT_GROUP_PROTOCOL, got ${e.code}")
+      } finally { ca.close(); cb.close(); cc.close() }
+    }
+  }
 }
