@@ -1183,10 +1183,130 @@ object SimilaritySearch {
       .orderBy("query_id", "rnk")
   }
 
+  // PQ retrieval by ADC (asymmetric distance computation — Jégou et
+  // al.): the corpus lives as 8 one-byte codes per vector
+  // (q_pq_codes' encoding: 8 subspaces × the 8-centroid seed
+  // codebook), and each query precomputes an 8×8 LOOKUP TABLE of
+  // query-subvector · codebook-centroid dot products. Scoring a
+  // corpus vector is then 8 table lookups + 7 adds — no float
+  // vector math per candidate, which is why PQ is the RAM-resident
+  // index for corpora whose raw vectors don't fit (at 100 TB: 8 B of
+  // codes per vector vs 512 B of doubles, and the scan shape is one
+  // pass over the n-row code relation crossed with the ≤20-row
+  // broadcast query+LUT side — the corpus payload never shuffles;
+  // candidate generation carries only (query_id, neighbor_id, adc)).
+  // The ADC top-50 then pays the exact cosine rerank, so ranking
+  // quality degrades only as far as the quantizer's distortion
+  // misroutes the candidate cut (floored in AccuracySpecs.annFloors,
+  // measured at scale by cli.RecallProbe). Both engines fold the LUT
+  // partials in subspace order and each LUT cell in dimension order,
+  // so adc is bit-identical cross-engine.
+  val annPqAdc: QueryDef = QueryDef.sql("q_ann_pq_adc")(
+    s"""WITH n AS ($normedSql),
+       |ss AS (SELECT UNNEST(range(0, 8)) AS s),
+       |cb AS (SELECT n.vec_id AS cid, s,
+       |         list_transform(range(1, 9), j -> v[s * 8 + j]) AS cs
+       |       FROM n CROSS JOIN ss WHERE n.vec_id < 8),
+       |sub AS (SELECT vec_id, s,
+       |          list_transform(range(1, 9), j -> v[s * 8 + j]) AS sv
+       |        FROM n CROSS JOIN ss),
+       |d AS (SELECT vec_id, sub.s, cid,
+       |        list_reduce(list_prepend(0.0, list_transform(range(1, 9),
+       |          j -> (sv[j] - cs[j]) * (sv[j] - cs[j]))), (a, b) -> a + b) AS d2
+       |      FROM sub JOIN cb ON sub.s = cb.s),
+       |code AS (SELECT vec_id, s, cid FROM (SELECT vec_id, s, cid,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2, cid) AS rn
+       |  FROM d) WHERE rn = 1),
+       |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM n
+       |      WHERE vec_id < 20),
+       |qsub AS (SELECT query_id, s,
+       |           list_transform(range(1, 9), j -> qv[s * 8 + j]) AS qs
+       |         FROM q CROSS JOIN ss),
+       |lut AS (SELECT query_id, qsub.s, cid,
+       |          list_reduce(list_prepend(0.0, list_transform(range(1, 9),
+       |            j -> qs[j] * cs[j])), (a, b) -> a + b) AS lu
+       |        FROM qsub JOIN cb ON qsub.s = cb.s),
+       |adc AS (SELECT l.query_id, c.vec_id AS neighbor_id,
+       |          list_reduce(list_prepend(0.0, list(l.lu ORDER BY c.s)),
+       |            (a, b) -> a + b) AS adc
+       |        FROM code c JOIN lut l ON c.s = l.s AND c.cid = l.cid
+       |        WHERE c.vec_id <> l.query_id
+       |        GROUP BY l.query_id, c.vec_id),
+       |cand AS (SELECT *, ROW_NUMBER() OVER
+       |  (PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS arnk FROM adc),
+       |rerank AS (SELECT cand.query_id, neighbor_id, adc,
+       |             list_dot_product(qv, v) / (qnrm * nrm) AS cosine
+       |           FROM cand JOIN q ON cand.query_id = q.query_id
+       |           JOIN n ON n.vec_id = cand.neighbor_id
+       |           WHERE arnk <= 50),
+       |ranked AS (SELECT *, ROW_NUMBER() OVER
+       |  (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+       |  FROM rerank)
+       |SELECT query_id, neighbor_id, adc, cosine, rnk FROM ranked
+       |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin) { (s, dir) =>
+    val n = normed(s, dir)
+    def subspaces(df: DataFrame, idOut: String, vecCol: String, out: String) = df
+      .withColumn("s", explode(sequence(lit(0), lit(7))))
+      .select(col(df.columns.head).as(idOut), col("s"),
+        slice(col(vecCol), col("s") * 8 + 1, lit(8)).as(out))
+    val cb = subspaces(n.filter(col("vec_id") < 8), "cid", "v", "cs")
+    val sub = subspaces(n, "vec_id", "v", "sv")
+    val d2 = aggregate(zip_with(col("sv"), col("cs"), (x, c) => (x - c) * (x - c)),
+      lit(0.0), (a, x) => a + x)
+    // corpus → one row per vector holding its 8 codes in subspace order
+    val codes = sub.join(broadcast(cb), "s")
+      .select(col("vec_id"), col("s"), col("cid"), d2.as("d2"))
+      .groupBy("vec_id", "s")
+      .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("cid"))
+      .groupBy("vec_id")
+      .agg(transform(sort_array(collect_list(struct(col("s"), col("cid")))),
+        p => p.getField("cid")).as("code"))
+    // query side: full vector + its 8×8 LUT (lut[s][cid], both sorted)
+    val q = n.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
+    val qsub = subspaces(
+      q.select(col("query_id"), col("qv")), "query_id", "qv", "qs")
+    val lut = qsub.join(broadcast(cb), "s")
+      .select(col("query_id"), col("s"), col("cid"),
+        aggregate(zip_with(col("qs"), col("cs"), (x, c) => x * c),
+          lit(0.0), (a, x) => a + x).as("lu"))
+      .groupBy("query_id", "s")
+      .agg(transform(sort_array(collect_list(struct(col("cid"), col("lu")))),
+        p => p.getField("lu")).as("lus"))
+      .groupBy("query_id")
+      .agg(transform(sort_array(collect_list(struct(col("s"), col("lus")))),
+        p => p.getField("lus")).as("lut"))
+    val qside = q.join(lut, "query_id")
+    // ADC scan: n code rows × 20 broadcast queries, 8 lookups each;
+    // the LUT partials fold in subspace order (IEEE-stable)
+    val adc = codes.crossJoin(broadcast(qside))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("qv"), col("qnrm"),
+        aggregate(
+          transform(sequence(lit(0), lit(7)), i =>
+            element_at(element_at(col("lut"), i + 1),
+              element_at(col("code"), i + 1).cast("int") + 1)),
+          lit(0.0), (a, x) => a + x).as("adc"))
+    val aw = Window.partitionBy("query_id").orderBy(col("adc").desc, col("neighbor_id"))
+    val rerank = adc.withColumn("arnk", row_number().over(aw))
+      .filter(col("arnk") <= 50)
+      .join(n.select(col("vec_id").as("neighbor_id"), col("v"), col("nrm")),
+        "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"), col("adc"),
+        Vectors.cosine(col("qv"), col("v"), col("qnrm"), col("nrm")).as("cosine"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    rerank.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select("query_id", "neighbor_id", "adc", "cosine", "rnk")
+      .orderBy("query_id", "rnk")
+  }
+
   val all: Seq[QueryDef] = Seq(
     embedNorm, embedTopk, embedNearDup, annIvf, annIvfProbe2, annIvfProbe4,
     annIvfKmeans, annLsh,
     annLshMulti, embedNearDupLsh, embedOutlier, vecQuantize, pqCodes, semanticDedup,
     embedTruncatedRecall, rrfFusion, annTopkRefine, mmrRerank, hardNegatives,
-    embedDrift, annBinaryQuant)
+    embedDrift, annBinaryQuant, annPqAdc)
 }

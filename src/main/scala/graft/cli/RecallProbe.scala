@@ -23,7 +23,13 @@ import org.apache.spark.sql.functions._
 object RecallProbe {
   private val Variants = Seq(
     "q_ann_ivf", "q_ann_ivf_probe2", "q_ann_ivf_probe4", "q_ann_lsh",
-    "q_ann_lsh_multi")
+    "q_ann_lsh_multi",
+    // r14: the quantized variants — quantization distortion vs corpus
+    // spread is the classic silent 100× decay (a codebook/signature
+    // trained on corpus geometry at sf0.01 may stop separating
+    // neighbors as the corpus fills the space), so they ride the same
+    // three-decade probe as the IVF family
+    "q_ann_ivf_kmeans", "q_ann_binary_quant", "q_ann_pq_adc")
 
   private def topSets(df: DataFrame, k: Int): Map[Long, Set[Long]] =
     df.filter(col("rnk") <= k)

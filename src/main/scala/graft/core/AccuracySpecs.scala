@@ -99,6 +99,13 @@ object AccuracySpecs {
       "q_ann_ivf_probe4" -> both(0.35, 0.80),
       "q_ann_ivf_kmeans" -> both(0.18, 0.80),
       "q_ann_binary_quant" -> both(0.40, 0.45),
+      // PQ/ADC (r14): 8 subspaces × 8 seed centroids = 64 bits of code
+      // per vector (binary-quant's information budget), but scored
+      // through the per-query LUT with a top-50 candidate cut — ADC
+      // candidates cost 8 lookups each, so the deeper cut is nearly
+      // free and recall clears binary-quant's 20-cut band (measured:
+      // uniform 0.667, clustered 0.983; floors ~30% under).
+      "q_ann_pq_adc" -> both(0.45, 0.70),
       "q_ann_lsh" -> Seq(
         QualityFloor("uniform",
           "AnnRecallSpec:LSH co-bucket pairs enrich for cosine over the corpus mean",

@@ -102,6 +102,8 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(recalls("q_ann_ivf_probe4") >= recalls("q_ann_ivf_probe2"),
       s"probe4 recall ${recalls("q_ann_ivf_probe4")} fell below " +
         s"probe2 ${recalls("q_ann_ivf_probe2")}")
+    info(recalls.toSeq.sortBy(_._1)
+      .map { case (n, r) => f"$n=$r%.3f" }.mkString("uniform recall@3: ", ", ", ""))
   }
 
   test("ANN variants clear their clustered-regime recall@3 floors vs exact top-3") {
