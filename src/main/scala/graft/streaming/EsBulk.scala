@@ -138,18 +138,48 @@ final class EsBulkClient(baseUrl: String, maxDocsPerRequest: Int = 1000,
     sys.error("unreachable")
   }
 
-  /** GET `{index}/_search` → raw hits array (stub returns everything in
-    * one page; a production read path uses scroll/PIT or the es-hadoop
-    * source — this client's write path is the part that carries).
+  /** Full export of `{index}` ("" = all) via the SCROLL API — the
+    * real engine's bulk-read path: `?scroll=` on the initial search,
+    * then `POST /_search/scroll` pages of `max_result_window` (10k)
+    * docs until an empty page. A plain one-page `_search` caps at the
+    * result window, so "read everything in one GET" stops existing
+    * past 10k docs — the round-14 sf10 run proved it the hard way
+    * (a 10M-doc corpus serialized as one 1.07 GB response and the
+    * transfer collapsed). Pages bound both sides' per-response
+    * memory; the es-hadoop source does exactly this per shard.
     */
   def searchHits(index: String): Seq[(String, String)] = {
     val path = if (index.isEmpty) "_search" else s"$index/_search"
-    val resp = send(HttpRequest.newBuilder(URI.create(s"$baseUrl/$path"))
+    def parse(body: String): (String, Seq[(String, String)]) = {
+      val root = mapper.readTree(body)
+      (root.path("_scroll_id").asText(""),
+        root.path("hits").path("hits").elements().asScala
+          .map(h => (h.path("_index").asText(), h.path("_source").toString))
+          .toSeq)
+    }
+    val first = send(HttpRequest.newBuilder(
+        URI.create(s"$baseUrl/$path?scroll=1m&size=10000"))
       .timeout(Duration.ofSeconds(60)).GET().build())
-    require(resp.statusCode() == 200, s"search failed: ${resp.statusCode()}")
-    mapper.readTree(resp.body()).path("hits").path("hits").elements().asScala
-      .map(h => (h.path("_index").asText(), h.path("_source").toString))
-      .toSeq
+    require(first.statusCode() == 200, s"search failed: ${first.statusCode()}")
+    var (sid, page) = parse(first.body())
+    val out = Seq.newBuilder[(String, String)]
+    while (page.nonEmpty) {
+      out ++= page
+      require(sid.nonEmpty, "paged search response without a scroll id")
+      val req = mapper.createObjectNode()
+      req.put("scroll", "1m")
+      req.put("scroll_id", sid)
+      val resp = send(HttpRequest.newBuilder(URI.create(s"$baseUrl/_search/scroll"))
+        .timeout(Duration.ofSeconds(60))
+        .header("Content-Type", "application/json")
+        .POST(HttpRequest.BodyPublishers.ofString(mapper.writeValueAsString(req)))
+        .build())
+      require(resp.statusCode() == 200, s"scroll failed: ${resp.statusCode()}")
+      val (nsid, npage) = parse(resp.body())
+      if (nsid.nonEmpty) sid = nsid
+      page = npage
+    }
+    out.result()
   }
 
   private def send(req: HttpRequest): HttpResponse[String] =

@@ -21,7 +21,14 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   * bytes, same response shapes, same status codes — so swapping
   * `baseUrl` to a real cluster exercises the identical code path
   * (README documents this as the sanctioned stand-in, like
-  * `FileExchange` for the Kafka transport).
+  * `FileExchange` for the Kafka transport). Reads page like the real
+  * engine: a plain `_search` returns at most `max_result_window`
+  * (10,000) hits — never the whole corpus in one response — and bulk
+  * export goes through the SCROLL API (`?scroll=` on the initial
+  * search, then `POST /_search/scroll`), which is how the round-14
+  * sf10 run forced it: the one-page stub built a single 1.07 GB JSON
+  * response for a 10M-doc corpus and the transfer collapsed — the
+  * exact failure mode `max_result_window` exists to prevent.
   *
   * Semantics per (index, _id):
   *  - `version_type=external`: keep the doc with the HIGHEST version;
@@ -49,6 +56,15 @@ final class EsStub {
   private val autoId = new AtomicLong(0L)
   val bulkRequests = new AtomicLong(0L)
   @volatile var failNextBulks: Int = 0
+
+  /** index.max_result_window — the real engine's one-page cap. */
+  val MaxResultWindow = 10000
+  // live scrolls: id -> (remaining hits, page size). The iterator is
+  // over an immutable snapshot taken at scroll open, the real API's
+  // point-in-time semantics.
+  private val scrolls =
+    new ConcurrentHashMap[String, (Iterator[(String, String, String)], Int)]()
+  private val scrollSeq = new AtomicLong(0L)
 
   /** Atomically claim one injected failure — check and decrement under
     * one lock so N configured failures yield exactly N 429s even when
@@ -102,9 +118,26 @@ final class EsStub {
           val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
           respond(ex, 200, applyBulk(body))
         }
-      case ("GET", "_search") => respond(ex, 200, searchBody(""))
+      case ("GET", "_search") => respond(ex, 200, searchBody("", ex))
       case ("GET", p) if p.endsWith("/_search") =>
-        respond(ex, 200, searchBody(p.stripSuffix("/_search")))
+        respond(ex, 200, searchBody(p.stripSuffix("/_search"), ex))
+      case ("POST", "_search/scroll") =>
+        val body = mapper.readTree(
+          new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))
+        val sid = body.path("scroll_id").asText("")
+        scrolls.get(sid) match {
+          case null =>
+            respond(ex, 404, """{"error":"search_context_missing_exception"}""")
+          case (it, size) =>
+            val page = it.take(size).toSeq
+            if (page.isEmpty) scrolls.remove(sid)
+            respond(ex, 200, pageBody(sid, page, -1))
+        }
+      case ("DELETE", "_search/scroll") =>
+        val body = mapper.readTree(
+          new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))
+        scrolls.remove(body.path("scroll_id").asText(""))
+        respond(ex, 200, """{"succeeded":true}""")
       case (m, p) =>
         respond(ex, 400, s"""{"error":"unsupported $m /$p"}""")
     }
@@ -177,11 +210,37 @@ final class EsStub {
     mapper.writeValueAsString(resp)
   }
 
-  private def searchBody(index: String): String = {
-    val hits = snapshot(index)
+  /** `_search`, paged like the real engine: `?scroll=` opens a scroll
+    * over a point-in-time snapshot and returns the first page; a plain
+    * search returns at most min(size, max_result_window) hits. Never
+    * the whole corpus in one response.
+    */
+  private def searchBody(index: String, ex: HttpExchange): String = {
+    val params = Option(ex.getRequestURI.getQuery).getOrElse("")
+      .split('&').filter(_.contains("=")).map { kv =>
+        val Array(k, v) = kv.split("=", 2); k -> v
+      }.toMap
+    val size = math.min(
+      params.get("size").map(_.toInt).getOrElse(10), MaxResultWindow)
+    val all = snapshot(index)
+    if (params.contains("scroll")) {
+      val it = all.iterator
+      val sid = s"graft-scroll-${scrollSeq.incrementAndGet()}"
+      val page = it.take(size).toSeq
+      // registered even when exhausted: the client learns the end from
+      // the empty page on its next poll (the real API's contract)
+      scrolls.put(sid, (it, size))
+      pageBody(sid, page, all.size)
+    } else pageBody("", all.take(size), all.size)
+  }
+
+  private def pageBody(scrollId: String,
+      hits: Seq[(String, String, String)], total: Int): String = {
     val resp = mapper.createObjectNode()
+    if (scrollId.nonEmpty) resp.put("_scroll_id", scrollId)
     val hitsObj = resp.putObject("hits")
-    hitsObj.putObject("total").put("value", hits.size).put("relation", "eq")
+    if (total >= 0)
+      hitsObj.putObject("total").put("value", total).put("relation", "eq")
     val arr = hitsObj.putArray("hits")
     hits.foreach { case (i, id, src) =>
       val h = arr.addObject()

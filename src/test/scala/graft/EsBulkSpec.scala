@@ -221,4 +221,29 @@ class EsBulkSpec extends AnyFunSuite {
       assert(out == Seq(("room-1", 2L), ("room-2", 2L)))
     }
   }
+
+  test("reads page through the scroll API past max_result_window; a plain search caps at the window") {
+    withStub { stub =>
+      // 25,003 docs: 2.5 scroll pages at the 10k window — the r14 sf10
+      // run caught the one-page read collapsing on a 10M-doc corpus
+      // (a single 1.07 GB response), so the export path must page.
+      val c = new EsBulkClient(stub.baseUrl, maxDocsPerRequest = 5000)
+      c.bulk((1 to 25003).iterator.map(i =>
+        EsDoc("big", Some(i.toString), None, s"""{"k":$i}""")))
+      val hits = c.searchHits("big")
+      assert(hits.size == 25003, s"scroll export lost docs: ${hits.size}")
+      assert(hits.forall(_._1 == "big"))
+      // the stub never serialized more than one window per response
+      assert(stub.MaxResultWindow == 10000)
+      // a plain (non-scroll) one-page search returns at most the window
+      val http = java.net.http.HttpClient.newHttpClient()
+      val resp = http.send(
+        java.net.http.HttpRequest.newBuilder(java.net.URI.create(
+          s"${stub.baseUrl}/big/_search?size=20000")).GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      val n = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(resp.body()).path("hits").path("hits").size()
+      assert(n == 10000, s"one-page search exceeded max_result_window: $n")
+    }
+  }
 }
