@@ -1605,8 +1605,11 @@ object Streaming {
         // from here the members are "slow consumers" whose processing
         // (two distributed scans + commits) far exceeds sessionMs, and
         // only the heartbeat channel keeps them in the generation
+        // 250 ms cadence (heartbeat.interval.ms is 1/3 of the session
+        // timeout in real configs; here it also bounds how long the
+        // rebalance-signal assertion below waits for a tick)
         val hbs = rs.map(r => r.memberId -> new graft.kafka.GroupHeartbeat(
-          chost, cport, group, r.memberId, gen,
+          chost, cport, group, r.memberId, gen, intervalMs = 250,
           clientId = s"hb-${r.memberId}")).toMap
         try {
           // each member scans its OWN slice via DSv2 assign mode
