@@ -141,9 +141,8 @@ object Functions {
        |                                i -> CAST(unicode(substr(norm, i, 1)) AS BIGINT))),
        |    (h, c) -> (h * 31 + c) % 2147483648) AS rh
        |FROM n ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    s.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_rolling_hash",
-      exprs => graft.functions.RollingHash31(exprs.head), "built-in")
+    graft.functions.Registry.once(s, "graft_rolling_hash")(
+      exprs => graft.functions.RollingHash31(exprs.head))
     Tables.documents(s, dir)
       .select(col("doc_id"),
         call_function("graft_rolling_hash", Text.normText(col("text"))).as("rh"))

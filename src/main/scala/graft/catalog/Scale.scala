@@ -632,12 +632,10 @@ object Scale {
       |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin) { (s, dir) =>
     import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-    s.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_bloom_agg",
-      exprs => new BloomFilterAggregate(exprs(0)), "built-in")
-    s.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_might_contain",
-      exprs => BloomFilterMightContain(exprs(0), exprs(1)), "built-in")
+    graft.functions.Registry.once(s, "graft_bloom_agg")(
+      exprs => new BloomFilterAggregate(exprs(0)))
+    graft.functions.Registry.once(s, "graft_might_contain")(
+      exprs => BloomFilterMightContain(exprs(0), exprs(1)))
     val view = s"ev_bloom_${java.util.UUID.randomUUID().toString.take(8)}"
     Tables.events(s, dir).createOrReplaceTempView(view)
     val out = s.sql(

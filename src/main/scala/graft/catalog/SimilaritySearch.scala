@@ -1303,10 +1303,175 @@ object SimilaritySearch {
       .orderBy("query_id", "rnk")
   }
 
+  // RESIDUAL IVF-PQ (Jégou et al. §IV) — the production answer to the
+  // quantized-recall cliff the r14 scale table measured: flat 64-bit
+  // codes (binary-quant, plain PQ/ADC) collapse to 0.000 clustered
+  // recall at 200k vectors because every member of a dense cluster
+  // maps to near-identical codes and the ADC cut degenerates to an
+  // id-ordered tie-break. The fix is structural, not a knob: the
+  // COARSE quantizer (the IVF centroid grid, nlist ≤ 64) routes each
+  // vector to its cell first, and PQ encodes the RESIDUAL v − c — the
+  // within-cell offset, which is exactly the part flat codes lose.
+  // Each query fans out to its nprobe=4 nearest cells; the LUT is per
+  // (query, probed cell) because the query's residual q − c differs by
+  // cell; scoring is 8 lookups + 7 adds of squared-L2 over the probed
+  // cells' codes only. At 100 TB the shape is the IVF shape: one
+  // broadcast-assign pass, an 8 B/vector code relation co-partitioned
+  // on cell id, and an ≤80-row broadcast query+LUT side — the raw
+  // vectors are touched only for the top-50 rerank. The residual
+  // codebook is deterministic and training-free (the residuals of
+  // vec_id < 8, one slice per subspace), mirrored exactly by the
+  // oracle; every fold runs in pinned order (LUT cells in dimension
+  // order, ADC in subspace order) so adc_d2 is bit-identical
+  // cross-engine. Recall floors: AccuracySpecs.annFloors; the
+  // recall-at-scale row (cli.RecallProbe) is the acceptance test —
+  // clustered recall ≥ 0.5 at 200k where pq_adc holds 0.000.
+  val annIvfPq: QueryDef = QueryDef.sql("q_ann_ivfpq")(
+    s"""WITH n AS ($normedSql),
+       |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n
+       |     WHERE vec_id % 50 = 0 AND vec_id < $IvfCentroidCap),
+       |asg AS (
+       |  SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |    ORDER BY list_dot_product(v, cv) / (nrm * cnrm) DESC, cid) AS rn
+       |  FROM n CROSS JOIN c),
+       |bucket AS (SELECT vec_id, cid FROM asg WHERE rn = 1),
+       |res AS (SELECT n.vec_id, bucket.cid,
+       |          list_transform(range(1, 65), j -> v[j] - cv[j]) AS r
+       |        FROM n JOIN bucket USING (vec_id) JOIN c USING (cid)),
+       |ss AS (SELECT UNNEST(range(0, 8)) AS s),
+       |cb AS (SELECT res.vec_id AS k, s,
+       |         list_transform(range(1, 9), j -> r[s * 8 + j]) AS cs
+       |       FROM res CROSS JOIN ss WHERE res.vec_id < 8),
+       |sub AS (SELECT vec_id, cid, s,
+       |          list_transform(range(1, 9), j -> r[s * 8 + j]) AS rv
+       |        FROM res CROSS JOIN ss),
+       |d AS (SELECT vec_id, cid, sub.s, k,
+       |        list_reduce(list_prepend(0.0, list_transform(range(1, 9),
+       |          j -> (rv[j] - cs[j]) * (rv[j] - cs[j]))), (a, b) -> a + b) AS d2
+       |      FROM sub JOIN cb ON sub.s = cb.s),
+       |code AS (SELECT vec_id, cid, s, k FROM (SELECT vec_id, cid, s, k,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2, k) AS rn2
+       |  FROM d) WHERE rn2 = 1),
+       |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM n
+       |      WHERE vec_id < 20),
+       |probe AS (SELECT vec_id AS query_id, cid FROM asg
+       |          WHERE vec_id < 20 AND rn <= 4),
+       |qres AS (SELECT query_id, probe.cid,
+       |           list_transform(range(1, 65), j -> qv[j] - cv[j]) AS qr
+       |         FROM probe JOIN q USING (query_id) JOIN c USING (cid)),
+       |qsub AS (SELECT query_id, cid, s,
+       |           list_transform(range(1, 9), j -> qr[s * 8 + j]) AS qs
+       |         FROM qres CROSS JOIN ss),
+       |lut AS (SELECT query_id, qsub.cid, qsub.s, k,
+       |          list_reduce(list_prepend(0.0, list_transform(range(1, 9),
+       |            j -> (qs[j] - cs[j]) * (qs[j] - cs[j]))), (a, b) -> a + b) AS lu
+       |        FROM qsub JOIN cb ON qsub.s = cb.s),
+       |adc AS (SELECT l.query_id, cd.vec_id AS neighbor_id,
+       |          list_reduce(list_prepend(0.0, list(l.lu ORDER BY cd.s)),
+       |            (a, b) -> a + b) AS adc_d2
+       |        FROM code cd
+       |        JOIN lut l ON cd.cid = l.cid AND cd.s = l.s AND cd.k = l.k
+       |        WHERE cd.vec_id <> l.query_id
+       |        GROUP BY l.query_id, cd.vec_id),
+       |cand AS (SELECT *, ROW_NUMBER() OVER
+       |  (PARTITION BY query_id ORDER BY adc_d2, neighbor_id) AS arnk FROM adc),
+       |rerank AS (SELECT cand.query_id, neighbor_id, adc_d2,
+       |             list_dot_product(qv, v) / (qnrm * nrm) AS cosine
+       |           FROM cand JOIN q ON cand.query_id = q.query_id
+       |           JOIN n ON n.vec_id = cand.neighbor_id
+       |           WHERE arnk <= 50),
+       |ranked AS (SELECT *, ROW_NUMBER() OVER
+       |  (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+       |  FROM rerank)
+       |SELECT query_id, neighbor_id, adc_d2, cosine, rnk FROM ranked
+       |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin) { (s, dir) =>
+    val n = normed(s, dir)
+    val c = n.filter(col("vec_id") % 50 === 0 && col("vec_id") < IvfCentroidCap)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+    // coarse assignment (one bucket per vector) + residual v − c
+    val nb = assignNearest(n, c)
+    val res = nb.join(broadcast(c), "cid")
+      .select(col("vec_id"), col("cid"),
+        zip_with(col("v"), col("cv"), (x, cc) => x - cc).as("r"))
+    def subspaces(df: DataFrame, idOut: String, vecCol: String, out: String) = {
+      val keep = col(df.columns.head).as(idOut) +:
+        df.columns.tail.filterNot(_ == vecCol).map(col).toSeq
+      df.withColumn("s", explode(sequence(lit(0), lit(7))))
+        .select(keep ++ Seq(col("s"),
+          slice(col(vecCol), col("s") * 8 + 1, lit(8)).as(out)): _*)
+    }
+    // residual codebook: 8 subspace slices of the first 8 residuals —
+    // training-free and deterministic, mirrored verbatim by the oracle
+    val cb = subspaces(res.filter(col("vec_id") < 8).select("vec_id", "r"),
+      "k", "r", "cs")
+    val sub = subspaces(res, "vec_id", "r", "rv")
+    val d2 = aggregate(zip_with(col("rv"), col("cs"), (x, cc) => (x - cc) * (x - cc)),
+      lit(0.0), (a, x) => a + x)
+    // corpus code relation: (vec_id, cell cid, 8 codes in subspace
+    // order) — the 8 B/vector structure that stays resident at scale
+    val codes = sub.join(broadcast(cb), "s")
+      .select(col("vec_id"), col("cid"), col("s"), col("k"), d2.as("d2"))
+      .groupBy("vec_id", "s")
+      .agg(first(col("cid")).as("cid"),
+        min_by(col("k"), struct(col("d2"), col("k"))).as("k"))
+      .groupBy("vec_id")
+      .agg(first(col("cid")).as("cid"),
+        transform(sort_array(collect_list(struct(col("s"), col("k")))),
+          p => p.getField("k")).as("code"))
+    // query side: nprobe=4 nearest cells, one residual + 8×8 LUT per
+    // probed cell (the residual q − c differs by cell)
+    val qs = n.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val wp = Window.partitionBy("query_id").orderBy(col("__cos").desc, col("cid"))
+    val probes = qs.crossJoin(broadcast(c))
+      .select(col("query_id"), col("qv"), col("cid"), col("cv"),
+        Vectors.cosine(col("qv"), col("cv"), col("qnrm"), col("cnrm")).as("__cos"))
+      .withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= 4)
+      .select(col("query_id"), col("cid"),
+        zip_with(col("qv"), col("cv"), (x, cc) => x - cc).as("qr"))
+    val qsub = subspaces(probes, "query_id", "qr", "qs")
+    val lu = aggregate(zip_with(col("qs"), col("cs"), (x, cc) => (x - cc) * (x - cc)),
+      lit(0.0), (a, x) => a + x)
+    val lut = qsub.join(broadcast(cb), "s")
+      .select(col("query_id"), col("cid"), col("s"), col("k"), lu.as("lu"))
+      .groupBy("query_id", "cid", "s")
+      .agg(transform(sort_array(collect_list(struct(col("k"), col("lu")))),
+        p => p.getField("lu")).as("lus"))
+      .groupBy("query_id", "cid")
+      .agg(transform(sort_array(collect_list(struct(col("s"), col("lus")))),
+        p => p.getField("lus")).as("lut"))
+    val probeSide = lut.join(qs, "query_id")
+    // ADC scan over probed cells only — co-partitioned equi-join on the
+    // cell id (the IVF shape), probe side ≤ 80 rows broadcast; folds in
+    // subspace order so adc_d2 is bit-identical to the oracle
+    val adc = codes.join(broadcast(probeSide), "cid")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("qv"), col("qnrm"),
+        aggregate(
+          transform(sequence(lit(0), lit(7)), i =>
+            element_at(element_at(col("lut"), i + 1),
+              element_at(col("code"), i + 1).cast("int") + 1)),
+          lit(0.0), (a, x) => a + x).as("adc_d2"))
+    val aw = Window.partitionBy("query_id").orderBy(col("adc_d2"), col("neighbor_id"))
+    val rerank = adc.withColumn("arnk", row_number().over(aw))
+      .filter(col("arnk") <= 50)
+      .join(n.select(col("vec_id").as("neighbor_id"), col("v"), col("nrm")),
+        "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"), col("adc_d2"),
+        Vectors.cosine(col("qv"), col("v"), col("qnrm"), col("nrm")).as("cosine"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    rerank.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select("query_id", "neighbor_id", "adc_d2", "cosine", "rnk")
+      .orderBy("query_id", "rnk")
+  }
+
   val all: Seq[QueryDef] = Seq(
     embedNorm, embedTopk, embedNearDup, annIvf, annIvfProbe2, annIvfProbe4,
     annIvfKmeans, annLsh,
     annLshMulti, embedNearDupLsh, embedOutlier, vecQuantize, pqCodes, semanticDedup,
     embedTruncatedRecall, rrfFusion, annTopkRefine, mmrRerank, hardNegatives,
-    embedDrift, annBinaryQuant, annPqAdc)
+    embedDrift, annBinaryQuant, annPqAdc, annIvfPq)
 }

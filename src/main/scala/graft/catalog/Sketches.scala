@@ -52,9 +52,8 @@ object Sketches {
     val top = Tables.events(s, dir)
       .groupBy("user_id").agg(count(lit(1)).as("exact_n"))
       .orderBy(col("exact_n").desc, col("user_id")).limit(5)
-    s.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_cms_estimate",
-      exprs => graft.functions.CountMinEstimate(exprs(0), exprs(1)), "built-in")
+    graft.functions.Registry.once(s, "graft_cms_estimate")(
+      exprs => graft.functions.CountMinEstimate(exprs(0), exprs(1)))
     top.crossJoin(cms)
       .select(col("user_id"), col("exact_n"),
         call_function("graft_cms_estimate", col("sketch"), col("user_id"))
@@ -212,9 +211,8 @@ object Sketches {
     val top = events
       .groupBy("user_id").agg(count(lit(1)).as("exact_n"))
       .orderBy(col("exact_n").desc, col("user_id")).limit(5)
-    s.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_cms_estimate",
-      exprs => graft.functions.CountMinEstimate(exprs(0), exprs(1)), "built-in")
+    graft.functions.Registry.once(s, "graft_cms_estimate")(
+      exprs => graft.functions.CountMinEstimate(exprs(0), exprs(1)))
     top.crossJoin(cms)
       .select(col("user_id"), col("exact_n"),
         call_function("graft_cms_estimate", col("sketch"), col("user_id")).as("__est"),

@@ -825,6 +825,80 @@ object TextAnalysis {
       .orderBy("doc_a", "doc_b")
   }
 
+  // The 100 TB path for q_levenshtein_pairs — SAME oracle (lossless
+  // candidate generation, like q_trajectory_sim_blocked and
+  // q_containment), different plan. The exact form's (lang, n_chars)
+  // blocks grow ∝ n, so within-block all-pairs is quadratic by contract
+  // (measured 77.9× per 10× data, BENCH_SCALE_SF10.json). This twin is
+  // ED-Join's q-gram PREFIX FILTER (Xiao et al., q=2, k=18): by the
+  // count-filtering theorem (Gravano et al.), ed(x,y) ≤ k ⇒ the bigram
+  // MULTISETS share ≥ T = max(|Gx|,|Gy|) − k·q occurrence-numbered
+  // units, and when |X ∩ Y| ≥ T ≥ 1 the (|X| − T + 1)-prefixes under
+  // ANY fixed total order intersect — |X| − T + 1 ≤ k·q + 1 = 37, so
+  // each doc emits only its 37 globally-RAREST (df, gram, occ) units
+  // and candidates come from an equi-join on the unit (+ the block
+  // keys), never an all-pairs. T ≥ 1 requires max(len) ≥ 38; pairs of
+  // SHORT canons (both ≤ 37 chars — where 18 edits can rewrite the
+  // whole string and no gram filter can prune) fall back to the exact
+  // block join over the short slice only, a relation that holds just
+  // the corpus's near-empty documents. Every candidate then pays the
+  // exact levenshtein verify, so the output is IDENTICAL to the exact
+  // form's — one oracle, two plans. Shuffles carry (unit, doc_id)
+  // prefix rows and the ≤60-char canon strings only.
+  val levenshteinPairsBanded: QueryDef =
+    QueryDef.sql("q_levenshtein_pairs_banded")(levenshteinPairs.oracle.get) {
+      (s, dir) =>
+    val n = docs(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        substring(concat_ws(" ", array_sort(Text.tokens(col("text")))), 1, 60)
+          .as("canon"))
+      .withColumn("len", length(col("canon")))
+      .persist() // referenced by units, shorts, and both verify sides
+    // occurrence-numbered bigram units (the multiset→set expansion the
+    // count-filter theorem is stated over)
+    val grams = n.filter(col("len") >= 2)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("len"), col("canon"),
+        explode(sequence(lit(1), col("len") - 1)).as("i"))
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("len"), col("i"),
+        expr("substring(canon, i, 2)").as("gram"))
+    val units = grams.withColumn("occ",
+      row_number().over(Window.partitionBy("doc_id", "gram").orderBy("i")))
+    // global unit order: ascending document frequency (rarest units in
+    // the prefix ⇒ fewest candidates), ties by (gram, occ) — any fixed
+    // total order preserves losslessness, df just buys selectivity
+    val df = units.groupBy("gram", "occ").agg(count(lit(1)).as("df"))
+    val prefix = units.join(df, Seq("gram", "occ"))
+      .withColumn("prank", row_number().over(
+        Window.partitionBy("doc_id")
+          .orderBy(col("df"), col("gram"), col("occ"))))
+      .filter(col("prank") <= 37) // k·q + 1
+      .select("doc_id", "lang", "n_chars", "len", "gram", "occ")
+    val candLong = prefix.as("a").join(prefix.as("b"),
+        col("a.gram") === col("b.gram") && col("a.occ") === col("b.occ") &&
+          col("a.lang") === col("b.lang") &&
+          col("a.n_chars") === col("b.n_chars") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          greatest(col("a.len"), col("b.len")) >= 38)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    // both-short pairs: T ≤ 0 ⇒ no gram filter applies; exact block
+    // join over the short slice only (near-empty docs)
+    val short = n.filter(col("len") <= 37)
+    val candShort = short.as("a").join(short.as("b"),
+        col("a.lang") === col("b.lang") &&
+          col("a.n_chars") === col("b.n_chars") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val pairs = candLong.unionAll(candShort)
+      .join(n.select(col("doc_id").as("doc_a"), col("canon").as("ca")), "doc_a")
+      .join(n.select(col("doc_id").as("doc_b"), col("canon").as("cb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("ca"), col("cb")).as("edit_dist"))
+      .filter(col("edit_dist") <= 18)
+      .orderBy("doc_a", "doc_b")
+    materialized(pairs, n)
+  }
+
   // MinHash-as-ESTIMATOR: jaccard_est = matching signature components
   // / K for every LSH candidate pair — the sketch answer that stands in
   // for exact verification at scale (q_minhash_verified is the exact
@@ -2356,7 +2430,10 @@ object TextAnalysis {
     tokenCount, langId, qualityScore, gopherRules, fingerprint, dedupExact,
     minhashSig, minhashPairs, minhashPairsCapped, minhashHotBuckets,
     minhashVerified, ngramJaccard, simhash,
-    simhashNearDup.audit, simhash60, simhash60NearDup, levenshteinPairs,
+    simhashNearDup.audit, simhash60, simhash60NearDup,
+    // exact (lang, n_chars) block join is quadratic by contract
+    // (77.9×/decade at sf10); the banded twin is the benched path
+    levenshteinPairs.audit, levenshteinPairsBanded,
     minhashJaccardEst, tokenEntropy, bpePairs, dedupIncremental,
     substringDedup, substringDedupScrub, dupNgramSpans, sourceOverlap,
     importanceWeights, tfidfRetrieval,

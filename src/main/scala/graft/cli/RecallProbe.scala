@@ -29,7 +29,10 @@ object RecallProbe {
     // trained on corpus geometry at sf0.01 may stop separating
     // neighbors as the corpus fills the space), so they ride the same
     // three-decade probe as the IVF family
-    "q_ann_ivf_kmeans", "q_ann_binary_quant", "q_ann_pq_adc")
+    "q_ann_ivf_kmeans", "q_ann_binary_quant", "q_ann_pq_adc",
+    // r15: residual IVF-PQ — the variant built to SURVIVE this probe's
+    // 200k clustered row where the flat 64-bit codes hold 0.000
+    "q_ann_ivfpq")
 
   private def topSets(df: DataFrame, k: Int): Map[Long, Set[Long]] =
     df.filter(col("rnk") <= k)

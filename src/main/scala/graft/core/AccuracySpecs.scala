@@ -106,6 +106,18 @@ object AccuracySpecs {
       // free and recall clears binary-quant's 20-cut band (measured:
       // uniform 0.667, clustered 0.983; floors ~30% under).
       "q_ann_pq_adc" -> both(0.45, 0.70),
+      // Residual IVF-PQ (r15): the production fix for the 64-bit code
+      // saturation the r14 recall-at-scale table measured (flat PQ/ADC
+      // and binary-quant at 0.000 clustered recall at 200k vectors) —
+      // the coarse quantizer routes to the cell, PQ encodes the
+      // residual v − c (the within-cell offset flat codes lose), ADC
+      // scores squared-L2 within the nprobe=4 probed cells only.
+      // Measured: uniform 0.367 (bounded by the probe4 candidate pool —
+      // on structureless random vectors the coarse router, not the
+      // code, is the binding constraint, exactly like q_ann_ivf_probe4),
+      // clustered 1.000; floors ~25% under. The scale acceptance row
+      // (clustered ≥ 0.5 at 200k) lives in cli.RecallProbe's output.
+      "q_ann_ivfpq" -> both(0.27, 0.75),
       "q_ann_lsh" -> Seq(
         QualityFloor("uniform",
           "AnnRecallSpec:LSH co-bucket pairs enrich for cosine over the corpus mean",

@@ -14,7 +14,7 @@ import org.apache.spark.sql.catalyst.expressions.Expression
   * registration is as good as the last, and re-registering buys
   * nothing but log noise.
   */
-private[functions] object Registry {
+private[graft] object Registry {
 
   /** Register `name` only if the session doesn't already know it. */
   def once(spark: SparkSession, name: String)(

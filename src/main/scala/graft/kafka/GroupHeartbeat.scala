@@ -43,7 +43,11 @@ final class GroupHeartbeat(host: String, port: Int, group: String,
 
   @volatile private var gen = initialGeneration
   @volatile private var fencedAtGen = Int.MinValue
-  @volatile private var rebalance = false
+  // the generation a rebalance signal was observed UNDER: an in-flight
+  // heartbeat for a stale generation must not raise a phantom signal
+  // for a newer one the caller already rejoined into (generations are
+  // monotonic, so "signal gen == current gen" is the liveness test)
+  @volatile private var rebalanceAtGen = Int.MinValue
   @volatile private var died: Option[Throwable] = None
   private val stop = new CountDownLatch(1)
   private val client = new KafkaWireClient(host, port, clientId = clientId)
@@ -55,12 +59,12 @@ final class GroupHeartbeat(host: String, port: Int, group: String,
         if (g != fencedAtGen) {
           try {
             if (client.heartbeat(group, g, memberId) == Err.RebalanceInProgress)
-              rebalance = true
+              rebalanceAtGen = g
           } catch {
             case e: KafkaWireException
                 if e.code == Err.IllegalGeneration ||
                   e.code == Err.UnknownMemberId =>
-              rebalance = true
+              rebalanceAtGen = g
               fencedAtGen = g
           }
         }
@@ -70,16 +74,22 @@ final class GroupHeartbeat(host: String, port: Int, group: String,
   thread.setDaemon(true)
   thread.start()
 
-  /** True once the coordinator has told this member to rejoin. */
-  def rebalanceSignalled: Boolean = rebalance
+  /** True once the coordinator has told this member to rejoin under
+    * the CURRENT generation; signals observed under an older one are
+    * stale by construction and read as false.
+    */
+  def rebalanceSignalled: Boolean = rebalanceAtGen == gen
 
   /** Transport-level thread death, if any (fencing is NOT a death). */
   def failure: Option[Throwable] = died
 
   /** The caller rejoined and landed in `newGen`: heartbeat under it
-    * from now on (clears the rebalance flag and any fencing pause).
+    * from now on. Any rebalance/fencing signal recorded under an older
+    * generation — including one set by a heartbeat that was in flight
+    * during this call — is stale and ignored by the generation compare,
+    * so there is no flag to clear and no clear-then-reset race.
     */
-  def generationIs(newGen: Int): Unit = { gen = newGen; rebalance = false }
+  def generationIs(newGen: Int): Unit = { gen = newGen }
 
   override def close(): Unit = {
     stop.countDown()

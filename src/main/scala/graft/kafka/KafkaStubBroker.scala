@@ -1218,13 +1218,12 @@ final class KafkaStubBroker(val numPartitions: Int = 3,
             g.rejoined.contains(id) || id == memberId).toSeq
           stale.foreach(g.members.remove)
         }
-        if (g.members.isEmpty) {
-          // straggler drop emptied the group (everyone else timed out
-          // and this waiter was itself evicted mid-loop): reset to
-          // Empty instead of electing a leader from an empty map
-          g.state = "Empty"; g.rejoined.clear(); g.notifyAll()
-          return errResp(Err.UnknownMemberId)
-        }
+        // invariant (documented, not branched): the contains(memberId)
+        // gate above plus the self-excluding straggler drop guarantee
+        // the completing member is still in the map, so the new
+        // generation can never be empty here
+        assert(g.members.contains(memberId),
+          s"rebalance completer $memberId vanished from the member map")
         g.generation += 1
         // the group's protocol must be one EVERY member of the new
         // generation offered (admission keeps the intersection

@@ -163,21 +163,37 @@ final class EsBulkClient(baseUrl: String, maxDocsPerRequest: Int = 1000,
     require(first.statusCode() == 200, s"search failed: ${first.statusCode()}")
     var (sid, page) = parse(first.body())
     val out = Seq.newBuilder[(String, String)]
-    while (page.nonEmpty) {
-      out ++= page
-      require(sid.nonEmpty, "paged search response without a scroll id")
-      val req = mapper.createObjectNode()
-      req.put("scroll", "1m")
-      req.put("scroll_id", sid)
-      val resp = send(HttpRequest.newBuilder(URI.create(s"$baseUrl/_search/scroll"))
-        .timeout(Duration.ofSeconds(60))
-        .header("Content-Type", "application/json")
-        .POST(HttpRequest.BodyPublishers.ofString(mapper.writeValueAsString(req)))
-        .build())
-      require(resp.statusCode() == 200, s"scroll failed: ${resp.statusCode()}")
-      val (nsid, npage) = parse(resp.body())
-      if (nsid.nonEmpty) sid = nsid
-      page = npage
+    try {
+      while (page.nonEmpty) {
+        out ++= page
+        require(sid.nonEmpty, "paged search response without a scroll id")
+        val req = mapper.createObjectNode()
+        req.put("scroll", "1m")
+        req.put("scroll_id", sid)
+        val resp = send(HttpRequest.newBuilder(URI.create(s"$baseUrl/_search/scroll"))
+          .timeout(Duration.ofSeconds(60))
+          .header("Content-Type", "application/json")
+          .POST(HttpRequest.BodyPublishers.ofString(mapper.writeValueAsString(req)))
+          .build())
+        require(resp.statusCode() == 200, s"scroll failed: ${resp.statusCode()}")
+        val (nsid, npage) = parse(resp.body())
+        if (nsid.nonEmpty) sid = nsid
+        page = npage
+      }
+    } finally {
+      // release the scroll context promptly: against a real cluster an
+      // open scroll pins its point-in-time segments until the 1m TTL
+      if (sid.nonEmpty) {
+        val req = mapper.createObjectNode()
+        req.put("scroll_id", sid)
+        try send(HttpRequest.newBuilder(URI.create(s"$baseUrl/_search/scroll"))
+          .timeout(Duration.ofSeconds(10))
+          .header("Content-Type", "application/json")
+          .method("DELETE",
+            HttpRequest.BodyPublishers.ofString(mapper.writeValueAsString(req)))
+          .build())
+        catch { case _: Exception => () } // best-effort: TTL reclaims anyway
+      }
     }
     out.result()
   }

@@ -59,12 +59,24 @@ final class EsStub {
 
   /** index.max_result_window — the real engine's one-page cap. */
   val MaxResultWindow = 10000
-  // live scrolls: id -> (remaining hits, page size). The iterator is
-  // over an immutable snapshot taken at scroll open, the real API's
-  // point-in-time semantics.
-  private val scrolls =
-    new ConcurrentHashMap[String, (Iterator[(String, String, String)], Int)]()
+  // live scrolls: immutable point-in-time snapshot + an offset cursor,
+  // advanced atomically under the map entry (a shared Iterator would be
+  // unsafe if two continuations for the same id raced). Entries expire
+  // after the advertised 1m scroll TTL so abandoned scrolls (e.g. an
+  // empty first page the client never polls again) don't leak.
+  private final case class Scroll(
+      hits: IndexedSeq[(String, String, String)], size: Int,
+      offset: Int, openedAtMs: Long)
+  private val scrolls = new ConcurrentHashMap[String, Scroll]()
   private val scrollSeq = new AtomicLong(0L)
+  private val ScrollTtlMs = 60000L
+
+  private def sweepExpiredScrolls(): Unit = {
+    val now = System.currentTimeMillis()
+    scrolls.asScala.foreach { case (sid, sc) =>
+      if (now - sc.openedAtMs > ScrollTtlMs) scrolls.remove(sid, sc)
+    }
+  }
 
   /** Atomically claim one injected failure — check and decrement under
     * one lock so N configured failures yield exactly N 429s even when
@@ -125,13 +137,20 @@ final class EsStub {
         val body = mapper.readTree(
           new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))
         val sid = body.path("scroll_id").asText("")
-        scrolls.get(sid) match {
-          case null =>
-            respond(ex, 404, """{"error":"search_context_missing_exception"}""")
-          case (it, size) =>
-            val page = it.take(size).toSeq
-            if (page.isEmpty) scrolls.remove(sid)
-            respond(ex, 200, pageBody(sid, page, -1))
+        sweepExpiredScrolls()
+        // advance the cursor atomically under the map entry: two racing
+        // continuations for one id each get a distinct, contiguous page
+        var page: Seq[(String, String, String)] = null
+        val after = scrolls.computeIfPresent(sid, (_, sc) => {
+          page = sc.hits.slice(sc.offset, sc.offset + sc.size)
+          if (page.isEmpty) null // exhausted: evict
+          else sc.copy(offset = sc.offset + sc.size)
+        })
+        if (page == null)
+          respond(ex, 404, """{"error":"search_context_missing_exception"}""")
+        else {
+          val _ = after
+          respond(ex, 200, pageBody(sid, page, -1))
         }
       case ("DELETE", "_search/scroll") =>
         val body = mapper.readTree(
@@ -224,12 +243,14 @@ final class EsStub {
       params.get("size").map(_.toInt).getOrElse(10), MaxResultWindow)
     val all = snapshot(index)
     if (params.contains("scroll")) {
-      val it = all.iterator
+      sweepExpiredScrolls()
       val sid = s"graft-scroll-${scrollSeq.incrementAndGet()}"
-      val page = it.take(size).toSeq
+      val hits = all.toIndexedSeq
+      val page = hits.take(size)
       // registered even when exhausted: the client learns the end from
-      // the empty page on its next poll (the real API's contract)
-      scrolls.put(sid, (it, size))
+      // the empty page on its next poll (the real API's contract); the
+      // TTL sweep reclaims it if that poll never comes
+      scrolls.put(sid, Scroll(hits, size, size, System.currentTimeMillis()))
       pageBody(sid, page, all.size)
     } else pageBody("", all.take(size), all.size)
   }
