@@ -356,6 +356,143 @@ object Advanced {
       graft.core.Spill.materialize(res) { tc.unpersist(blocking = false) }
     }
 
+  // The SUB-QUADRATIC path for trajectory similarity — the blocked
+  // exact form above still enumerates all n²/2 pairs (spread across
+  // reducers, but 78×/decade at sf10 by contract), so past the exact
+  // requirement the bench measures THIS: mean-centered sign-LSH over
+  // the same trigram-count vectors, T=4 tables × B=16 bits, candidates
+  // = co-bucket pairs only, exact integer cosine verify, top-20.
+  // Centering is the piece that makes behavior vectors hashable at
+  // all: raw trigram counts of ANY two users point in nearly the same
+  // direction (multinomials around the corpus mix, pairwise cosine
+  // ≈ 0.9), so uncentered hyperplane signs would co-bucket everyone;
+  // subtracting the corpus-mean vector spreads users across the 65k
+  // buckets while identical trajectories (the pairs that own the
+  // top-20 at every SF) still collide on every table by construction.
+  // EVERYTHING is integer: plane values are an LCG of (bit, gid) in
+  // [−1000, 1000], the centered projection test N·S_uj − M_j > 0
+  // multiplies through by the user count N so no division/double ever
+  // enters the signature, and dot/norms are BIGINT folds — so every
+  // engine computes the identical buckets and the oracle mirrors the
+  // algorithm verbatim (the q_embed_neardup_lsh contract: recall is
+  // bounded by the signature, determinism is hash-gated;
+  // AdvancedOpsSpec pins top-20 overlap vs the exact form). Scale
+  // shape: one event-grain window pass → the sparse (user, gid, c)
+  // relation; signatures are 64 integer sums per user folded in one
+  // groupBy; the candidate join keys on (table, bucket) ints; verify
+  // touches candidate pairs × shared grams only. No stage enumerates
+  // n² anything.
+  val trajectorySimLsh: QueryDef = {
+    val Tt = 4; val B = 16
+    def pSql(j: Int): String =
+      s"(((1103515245 * (${j.toLong * 1000003L} + gid) + 12345) % 2147483648) % 2001 - 1000)"
+    val suSums = (0 until Tt * B)
+      .map(j => s"CAST(SUM(c * ${pSql(j)}) AS BIGINT) AS s_$j").mkString(",\n  ")
+    val mmSums = (0 until Tt * B)
+      .map(j => s"CAST(SUM(c * ${pSql(j)}) AS BIGINT) AS m_$j").mkString(",\n  ")
+    val bCols = (0 until Tt).map { t =>
+      (0 until B).map { j =>
+        s"(CASE WHEN nu * s_${t * B + j} - m_${t * B + j} > 0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString(" + ") + s" AS b_$t"
+    }.mkString(",\n  ")
+    val exUnion = (0 until Tt)
+      .map(t => s"SELECT user_id, $t AS tbl, b_$t AS bucket FROM sig")
+      .mkString("\n  UNION ALL\n  ")
+    QueryDef.sql("q_trajectory_sim_lsh")(
+      s"""WITH tr AS (
+         |  SELECT user_id,
+         |    event_type || ' ' || lead(event_type, 1) OVER w
+         |      || ' ' || lead(event_type, 2) OVER w AS g,
+         |    lead(event_type, 2) OVER w AS t3
+         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |tc AS (SELECT user_id, g, COUNT(*) AS c FROM tr WHERE t3 IS NOT NULL GROUP BY 1, 2),
+         |vocab AS (SELECT g, ROW_NUMBER() OVER (ORDER BY g) AS gid
+         |          FROM (SELECT DISTINCT g FROM tc)),
+         |tcg AS (SELECT user_id, c, gid FROM tc JOIN vocab USING (g)),
+         |su AS (SELECT user_id,
+         |  $suSums
+         |  FROM tcg GROUP BY 1),
+         |mm AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS nu,
+         |  $mmSums
+         |  FROM tcg),
+         |sig AS (SELECT user_id,
+         |  $bCols
+         |  FROM su CROSS JOIN mm),
+         |ex AS (
+         |  $exUnion),
+         |cand AS (SELECT DISTINCT a.user_id AS ua, b.user_id AS ub
+         |  FROM ex a JOIN ex b
+         |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.user_id < b.user_id),
+         |dots AS (SELECT cand.ua, cand.ub, CAST(SUM(ta.c * tb.c) AS BIGINT) AS dot
+         |  FROM cand JOIN tc ta ON ta.user_id = cand.ua
+         |  JOIN tc tb ON tb.user_id = cand.ub AND tb.g = ta.g
+         |  GROUP BY 1, 2),
+         |nrm AS (SELECT user_id, CAST(SUM(c*c) AS BIGINT) AS ss FROM tc GROUP BY 1)
+         |SELECT ua, ub,
+         |  ROUND(CAST(dot AS DOUBLE) /
+         |    (sqrt(CAST(na.ss AS DOUBLE)) * sqrt(CAST(nb.ss AS DOUBLE))), 6) AS cosine
+         |FROM dots JOIN nrm na ON na.user_id = ua JOIN nrm nb ON nb.user_id = ub
+         |ORDER BY cosine DESC, ua, ub LIMIT 20""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val wu = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val tc = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("t2", lead(col("event_type"), 1).over(wu))
+        .withColumn("t3", lead(col("event_type"), 2).over(wu))
+        .filter(col("t3").isNotNull)
+        .select(col("user_id"),
+          concat_ws(" ", col("event_type"), col("t2"), col("t3")).as("g"))
+        .groupBy("user_id", "g").agg(count(lit(1)).as("c"))
+        .persist() // feeds vocab, signatures, and both verify sides
+      val vocab = tc.select("g").distinct()
+        .withColumn("gid", row_number().over(Window.orderBy("g")))
+      val tcg = tc.join(broadcast(vocab), "g")
+      // integer plane value for bit j at vocabulary index gid — the
+      // same LCG family the embedding LSH uses, range [−1000, 1000]
+      def p(j: Int) =
+        pmod(lit(1103515245L) * (lit(j.toLong * 1000003L) + col("gid")) + 12345L,
+          lit(2147483648L)) % 2001L - 1000L
+      val su = tcg.groupBy("user_id")
+        .agg(sum(col("c") * p(0)).cast("long").as("s_0"),
+          (1 until Tt * B).map(j =>
+            sum(col("c") * p(j)).cast("long").as(s"s_$j")): _*)
+      val mm = tcg.agg(
+        countDistinct(col("user_id")).cast("long").as("nu"),
+        (0 until Tt * B).map(j =>
+          sum(col("c") * p(j)).cast("long").as(s"m_$j")): _*)
+      val sig = su.crossJoin(broadcast(mm))
+        .select(col("user_id") +: (0 until Tt).map { t =>
+          (0 until B).map { j =>
+            when(col("nu") * col(s"s_${t * B + j}") - col(s"m_${t * B + j}") > 0,
+              lit(1L << j)).otherwise(lit(0L))
+          }.reduce(_ + _).as(s"b_$t")
+        }: _*)
+      val ex = sig.select(col("user_id"),
+          posexplode(array((0 until Tt).map(t => col(s"b_$t")): _*))
+            .as(Seq("tbl", "bucket")))
+      val cand = ex.as("a").join(ex.as("b"),
+          col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+            col("a.user_id") < col("b.user_id"))
+        .select(col("a.user_id").as("ua"), col("b.user_id").as("ub"))
+        .distinct()
+      val dots = cand
+        .join(tc.select(col("user_id").as("ua"), col("g"), col("c").as("ca")), "ua")
+        .join(tc.select(col("user_id").as("ub"), col("g"), col("c").as("cb")),
+          Seq("ub", "g"))
+        .groupBy("ua", "ub").agg(sum(col("ca") * col("cb")).cast("long").as("dot"))
+      val nrm = tc.groupBy("user_id").agg(sum(col("c") * col("c")).as("ss"))
+      val res = dots
+        .join(nrm.select(col("user_id").as("ua"), col("ss").as("sa")), "ua")
+        .join(nrm.select(col("user_id").as("ub"), col("ss").as("sb")), "ub")
+        .select(col("ua"), col("ub"),
+          round(col("dot").cast("double") /
+            (sqrt(col("sa").cast("double")) * sqrt(col("sb").cast("double"))), 6)
+            .as("cosine"))
+        .orderBy(col("cosine").desc, col("ua"), col("ub")).limit(20)
+      graft.core.Spill.materialize(res) { tc.unpersist(blocking = false) }
+    }
+  }
+
   // Interval-OVERLAP join — the interval×interval sibling of
   // q_range_join_bucketed's value-band join: which user sessions
   // intersect which error incidents. Two scale decisions:
@@ -485,5 +622,7 @@ object Advanced {
   val all: Seq[QueryDef] = Seq(asofJoin, asofJoinNative, asofForward,
     streamStatefulCount, topkTokens, rangeJoinBucketed, intervalOverlap,
     nullsafeJoin, asofTolerance,
-    trajectorySim.audit, trajectorySimBlocked)
+    // blocked exact form enumerates all n²/2 pairs (78×/decade at
+    // sf10); audit-gated, the LSH twin is the benched path
+    trajectorySim.audit, trajectorySimBlocked.audit, trajectorySimLsh)
 }

@@ -428,7 +428,13 @@ object Curation {
        |  ('0x' || substr(md5(array_to_string(list_slice(toks, chunk_start,
        |      chunk_start + ${ChunkW - 1}), ' ')), 1, 15))::BIGINT AS chunk_fp
        |FROM starts ORDER BY doc_id, chunk_start""".stripMargin) { (s, dir) =>
+    // input-sized partitions for the tokenize+window-hash CPU and the
+    // chunk-grain final sort (several chunk rows per doc, so per-task
+    // sort volume would otherwise outgrow the in-memory tier first
+    // among the text queries — Tables.scaledPartitions scaladoc)
+    val nParts = Tables.scaledPartitions(s, dir, "documents")
     Tables.documents(s, dir)
+      .repartition(nParts, col("doc_id"))
       .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) > 0)
       .select(col("doc_id"), col("toks"), size(col("toks")).as("n"),
@@ -440,7 +446,8 @@ object Curation {
           .as("n_chunk_tokens"),
         Text.hash60(concat_ws(" ", slice(col("toks"), col("chunk_start"), lit(ChunkW))))
           .as("chunk_fp"))
-      .orderBy("doc_id", "chunk_start")
+      .repartitionByRange(nParts, col("doc_id"), col("chunk_start"))
+      .sortWithinPartitions("doc_id", "chunk_start")
   }
 
   // -------------------------------------------------------------------
@@ -1051,15 +1058,19 @@ object Curation {
          |SELECT source, rnk, doc_id, n_toks, cum_toks
          |FROM w WHERE cum_toks <= $budget
          |ORDER BY source, rnk""".stripMargin) { (s, dir) =>
-      val w = Window.partitionBy("source")
-        .orderBy(col("n_toks").desc, col("doc_id"))
-      Tables.documents(s, dir)
+      // source cardinality is a catalog constant while per-source
+      // slices grow ∝ corpus, so a PARTITION BY source window puts a
+      // whole source on one task — rank + running total instead run
+      // two-phase (range-sort across input-sized partitions, per-key
+      // prefix offsets, local labeling; ops/GlobalIndex scaladoc)
+      val nParts = Tables.scaledPartitions(s, dir, "documents")
+      val t = Tables.documents(s, dir)
+        .repartition(nParts, col("doc_id"))
         .select(col("source"), col("doc_id"),
           size(Text.tokens(col("text"))).cast("long").as("n_toks"))
-        .select(col("source"), col("doc_id"), col("n_toks"),
-          row_number().over(w).as("rnk"),
-          sum(col("n_toks")).over(w.rowsBetween(
-            Window.unboundedPreceding, Window.currentRow)).as("cum_toks"))
+      graft.ops.GlobalIndex.withKeyedRankAndTotal(
+          t, "source", Seq(col("n_toks").desc, col("doc_id")), "n_toks",
+          "rnk", "cum_toks", nParts)
         .filter(col("cum_toks") <= budget)
         .select("source", "rnk", "doc_id", "n_toks", "cum_toks")
         .orderBy("source", "rnk")

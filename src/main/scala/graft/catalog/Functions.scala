@@ -143,10 +143,16 @@ object Functions {
        |FROM n ORDER BY doc_id""".stripMargin) { (s, dir) =>
     graft.functions.Registry.once(s, "graft_rolling_hash")(
       exprs => graft.functions.RollingHash31(exprs.head))
+    // input-sized partitions: the raw scan is ONE task until the file
+    // outgrows maxPartitionBytes, and the fixed-width final sort's
+    // per-task volume would grow ∝ corpus (Tables.scaledPartitions)
+    val nParts = Tables.scaledPartitions(s, dir, "documents")
     Tables.documents(s, dir)
+      .repartition(nParts, col("doc_id"))
       .select(col("doc_id"),
         call_function("graft_rolling_hash", Text.normText(col("text"))).as("rh"))
-      .orderBy("doc_id")
+      .repartitionByRange(nParts, col("doc_id"))
+      .sortWithinPartitions("doc_id")
   }
 
   // Unpivot (wide → long) via the stack expression; oracle mirrors with

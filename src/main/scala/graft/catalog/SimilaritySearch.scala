@@ -1469,7 +1469,11 @@ object SimilaritySearch {
   }
 
   val all: Seq[QueryDef] = Seq(
-    embedNorm, embedTopk, embedNearDup, annIvf, annIvfProbe2, annIvfProbe4,
+    embedNorm, embedTopk,
+    // exact all-pairs is quadratic by contract (119.7×/decade at sf10,
+    // BENCH_SCALE_SF10.json); oracle-gated only — q_embed_neardup_lsh
+    // is the benched scale path
+    embedNearDup.audit, annIvf, annIvfProbe2, annIvfProbe4,
     annIvfKmeans, annLsh,
     annLshMulti, embedNearDupLsh, embedOutlier, vecQuantize, pqCodes, semanticDedup,
     embedTruncatedRecall, rrfFusion, annTopkRefine, mmrRerank, hardNegatives,

@@ -1,6 +1,6 @@
 package graft.catalog
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.DecimalType
@@ -1333,17 +1333,24 @@ object Streaming {
     } finally broker.stop()
   }
 
-  // The FAILOVER leg of the wire: produce the full feed into a 3-broker
-  // cluster with replicationFactor=2 (every acked append mirrored to
-  // its follower before the ack — acks=all), then KILL broker 0 — the
-  // original bootstrap endpoint AND the leader of partition 0 — and
-  // read everything back through the DSv2 connector with a bootstrap
-  // LIST that still leads with the dead endpoint. The planner must dial
-  // past the corpse, route every slice to a promoted or surviving
-  // leader, and the rows must hash-match the same single-broker ingest
-  // oracle: a broker loss must cost availability of nothing that was
-  // acked. This is the durability contract a 1000-executor pipeline
-  // assumes of a real cluster, executed at the protocol level.
+  // The FAILOVER leg of the wire — a full ROLLING-RESTART drill (r15,
+  // extending the r14 single-kill form): wave 1 of the feed lands in a
+  // 3-broker replicationFactor=2 cluster (every acked append mirrored
+  // before the ack — acks=all); broker 0 — the original bootstrap
+  // endpoint AND the leader of partition 0 — is KILLED, and wave 2 is
+  // acked under the promoted leaders while it is down; broker 0 then
+  // RESTARTS and catches up against the still-serving leaders
+  // (snapshot point taken under the live append lock —
+  // KafkaStubCluster.restartBroker); wave 3 is acked with the rejoined
+  // broker back on follower duty; finally broker 1 — the replica that
+  // took partition 0's leadership at the first kill — is killed too,
+  // forcing promotion BACK ONTO THE RESTARTED BROKER. The read-back
+  // through the DSv2 connector (bootstrap list still leading with two
+  // dead endpoints) must hash-match the single-broker ingest oracle:
+  // if restart catch-up missed one acked record from any wave, the
+  // re-kill surfaces it as a hash break instead of leaving a silently
+  // diverged replica in the ISR. This is the rolling-restart-under-
+  // load contract a 1000-executor pipeline assumes of a real cluster.
   val kafkaWireFailover: QueryDef = QueryDef.sql("q_kafka_wire_failover")(
     """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value,
       |  CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS INTEGER) AS prop_k
@@ -1352,14 +1359,26 @@ object Streaming {
     cluster.start()
     try {
       val deadPort = cluster.brokers(0).port
-      val wire = Ingest.toJsonWire(graft.core.Tables.events(s, dir), "event_id")
-      wire.write.format("kafka-wire")
-        .option("kafka.bootstrap.servers", s"127.0.0.1:$deadPort")
-        .option("topic", "events-fo").mode("append").save()
-      cluster.failBroker(0)
+      val events = graft.core.Tables.events(s, dir)
+      def produceWave(which: Column, bootstrap: String): Unit =
+        Ingest.toJsonWire(events.filter(which), "event_id")
+          .write.format("kafka-wire")
+          .option("kafka.bootstrap.servers", bootstrap)
+          .option("topic", "events-fo").mode("append").save()
+      val survivors =
+        s"127.0.0.1:$deadPort,127.0.0.1:${cluster.brokers(2).port}"
+      produceWave(pmod(col("event_id"), lit(3)) === 0, s"127.0.0.1:$deadPort")
+      cluster.failBroker(0) // kill the bootstrap + partition-0 leader
+      produceWave(pmod(col("event_id"), lit(3)) === 1, survivors)
+      cluster.restartBroker(0) // live catch-up: leaders never quiesced
+      produceWave(pmod(col("event_id"), lit(3)) === 2, survivors)
+      cluster.failBroker(1) // re-kill: promotion onto the restarted broker
+      require(cluster.leaderOf(0) == 0,
+        s"expected partition 0 back on the restarted broker, got ${cluster.leaderOf(0)}")
       val consumed = s.read.format("kafka-wire")
         .option("kafka.bootstrap.servers",
-          s"127.0.0.1:$deadPort,127.0.0.1:${cluster.brokers(1).port}")
+          s"127.0.0.1:$deadPort,127.0.0.1:${cluster.brokers(1).port}," +
+            s"127.0.0.1:${cluster.brokers(0).port}")
         .option("topic", "events-fo")
         .load()
       val decoded = Ingest.decodeJsonWire(consumed)

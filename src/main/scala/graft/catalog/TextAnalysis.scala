@@ -346,11 +346,18 @@ object TextAnalysis {
     s"""SELECT doc_id, md5($normSql) AS fp_md5,
        |  CAST(('0x' || substr(md5($normSql), 1, 15)) AS BIGINT) AS fp64
        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    docs(s, dir).select(
+    // input-sized partitions, not the fixed default: two regex passes
+    // per row and a final sort whose per-task volume must stay constant
+    // as the corpus grows (Tables.scaledPartitions scaladoc)
+    val nParts = Tables.scaledPartitions(s, dir, "documents")
+    Tables.documents(s, dir)
+      .repartition(nParts, col("doc_id"))
+      .select(
         col("doc_id"),
         md5(Text.normText(col("text"))).as("fp_md5"),
         Text.fingerprint64(col("text")).as("fp64"))
-      .orderBy("doc_id")
+      .repartitionByRange(nParts, col("doc_id"))
+      .sortWithinPartitions("doc_id")
   }
 
   // Exact dedup: hash-groupBy on the normalized-text fingerprint.

@@ -18,6 +18,29 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Partition count scaled to a table's on-disk footprint — for
+    * CPU-bound per-row stages (regex tokenize, per-doc sorts/windows)
+    * whose per-task volume must stay CONSTANT as the corpus grows.
+    * A fixed `spark.sql.shuffle.partitions` makes per-task sort volume
+    * ∝ input, and once it crosses the in-memory sort budget the
+    * external-merge tier engages and the fixed-box scale curve bends
+    * superlinear (measured ~n^1.2 on four text queries at the sf10
+    * second decade, BENCH_SCALE_SF10.json). On a real cluster executors
+    * scale with data; on the fixed box this keeps each task's slice at
+    * `perTaskBytes` of compressed parquet regardless of SF. Floor =
+    * defaultParallelism, so small-SF plans (and their bench baselines
+    * and oracle hashes) are unchanged — the knob binds only once the
+    * table outgrows ~8 MB.
+    */
+  def scaledPartitions(spark: SparkSession, sfDir: String, name: String,
+      perTaskBytes: Long = 256L << 10): Int = {
+    val p = new org.apache.hadoop.fs.Path(s"$sfDir/$name.parquet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(p).getLength
+    math.max(spark.sparkContext.defaultParallelism,
+      math.ceil(bytes.toDouble / perTaskBytes).toInt)
+  }
+
   /** Normalize the events `ts` column to a microsecond TimestampType
     * regardless of how the generator wrote it — testdata generations
     * have shipped it as parquet TIMESTAMP(NANOS) (which Spark 4 refuses

@@ -1561,19 +1561,32 @@ final class KafkaStubBroker(val numPartitions: Int = 3,
     * the partition's append lock. The unit a restarted broker catches
     * up with ([[KafkaStubCluster.restartBroker]]).
     */
-  private[kafka] def snapshotPartition(topic: String,
-      partition: Int): PartitionSnapshot = {
+  /** `onLocked` runs INSIDE the partition's append lock, on the
+    * just-taken copy — the hook [[KafkaStubCluster.restartBroker]] uses
+    * to flip a recovering replica's live-replication gate (and, in sync
+    * mode, install the baseline) atomically with the snapshot point, so
+    * every leader append is either in the snapshot or replicated live,
+    * never both and never neither.
+    */
+  private[kafka] def snapshotPartition(topic: String, partition: Int,
+      onLocked: PartitionSnapshot => Unit = _ => ()): PartitionSnapshot = {
     val log = logFor(topic, partition)
     log.synchronized {
-      PartitionSnapshot(
-        log.toVector,
-        producerState.asScala.collect {
-          case ((t, p, pid), st) if t == topic && p == partition => pid -> st
-        }.toMap,
-        openTxns.getOrDefault((topic, partition), Map.empty),
-        abortedTxns.getOrDefault((topic, partition), Nil))
+      val snap = mkSnapshot(topic, partition, log)
+      onLocked(snap)
+      snap
     }
   }
+
+  private def mkSnapshot(topic: String, partition: Int,
+      log: scala.collection.mutable.ArrayBuffer[StoredRecord]): PartitionSnapshot =
+    PartitionSnapshot(
+      log.toVector,
+      producerState.asScala.collect {
+        case ((t, p, pid), st) if t == topic && p == partition => pid -> st
+      }.toMap,
+      openTxns.getOrDefault((topic, partition), Map.empty),
+      abortedTxns.getOrDefault((topic, partition), Nil))
 
   /** Replace this replica's state for one partition with a leader's
     * snapshot — idempotent full-state install (simpler than a suffix
@@ -1976,16 +1989,37 @@ final class KafkaStubCluster(nBrokers: Int, numPartitions: Int = 3,
   private[kafka] def replicate(topic: String, partition: Int, leaderId: Int,
       endOffset: Long)(f: KafkaStubBroker => Unit): Option[AckBarrier] =
     asyncLagMs match {
-      case None => onFollowers(partition, leaderId)(f); None
+      case None =>
+        // sync push, including to a recovering replica whose baseline
+        // was installed at the snapshot point (under this same lock)
+        replicasOf(partition).foreach { id =>
+          if (id != leaderId && (isAlive(id) ||
+              recoveringAccept.contains((id, topic, partition))))
+            f(brokers(id))
+        }
+        None
       case Some(_) =>
         val now = System.nanoTime()
         replicasOf(partition).foreach { id =>
           if (id != leaderId)
-            channels(id).enqueue(topic, partition, now, isAlive(id))(
+            channels(id).enqueue(topic, partition, now,
+              isAlive(id) || recoveringAccept.contains((id, topic, partition)))(
               () => f(brokers(id)))
         }
         Some(new AckBarrier(topic, partition, leaderId, endOffset))
     }
+
+  /** Partitions a RECOVERING (restarting, not yet alive) broker already
+    * receives live replication for: entries are added under the
+    * leader's partition append lock at the restart snapshot point
+    * ([[KafkaStubBroker.snapshotPartition]]'s `onLocked` hook) and
+    * removed once the broker is back in the alive set, so during
+    * catch-up the leader keeps accepting produce and every append lands
+    * exactly once — in the snapshot if it preceded the point, on the
+    * replica's channel if it followed it.
+    */
+  private val recoveringAccept =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(Int, String, Int)]()
 
   /** Is follower `id` in `partition`'s ISR? Alive and, in async mode,
     * with no unapplied batch older than the lag grace (the
@@ -2086,10 +2120,12 @@ final class KafkaStubCluster(nBrokers: Int, numPartitions: Int = 3,
     * records were never acked, the barrier was still waiting on this
     * in-sync replica), and every other alive follower is re-baselined
     * to the new leader's log, since it may have applied un-acked
-    * records the new leader dropped (or missed ones it kept). Like
-    * [[restartBroker]]'s catch-up, truncation assumes a quiesced
-    * window for the affected partitions — live fetch-protocol
-    * truncation is out of scope (COVERAGE.md).
+    * records the new leader dropped (or missed ones it kept). Unlike
+    * [[restartBroker]]'s catch-up (live-leader chase since r15),
+    * PROMOTION-TIME truncation still assumes a quiesced window for
+    * the affected partitions — live fetch-protocol truncation during
+    * an election is out of scope (COVERAGE.md); the election itself
+    * already serializes produce via the leader epoch bump.
     */
   def failBroker(id: Int): Unit = leaderLock.synchronized {
     require(isAlive(id), s"broker $id already failed")
@@ -2141,33 +2177,61 @@ final class KafkaStubCluster(nBrokers: Int, numPartitions: Int = 3,
 
   /** Restart a failed broker: it re-binds (on a fresh port — metadata
     * propagates the new endpoint, clients re-route on refresh), CATCHES
-    * UP every partition it replicates with a full-state snapshot from
-    * the partition's current leader (log, producer state, open/aborted
-    * transactions) plus the group offsets of every group it stands by
-    * for, then rejoins the alive set — resuming follower duty and,
-    * where it is first in a standby list, coordination. Leadership does
-    * NOT move back (no preferred-leader election, like a real cluster
-    * until one is triggered). Catch-up assumes a quiesced window — a
-    * real rejoin runs the follower-pull fetch protocol to chase a live
-    * leader, which is out of scope (COVERAGE.md).
+    * UP every partition it replicates against a LIVE leader, then
+    * rejoins the alive set — resuming follower duty and, where it is
+    * first in a standby list, coordination. Leadership does NOT move
+    * back (no preferred-leader election, like a real cluster until one
+    * is triggered).
+    *
+    * Live-leader catch-up (async mode): the leader keeps accepting
+    * produce throughout. For each partition, the snapshot point is
+    * taken under the leader's append lock and — in the same critical
+    * section — the restarting replica's live-replication gate opens
+    * ([[recoveringAccept]]), so appends before the point are in the
+    * snapshot and appends after it queue on the replica's channel in
+    * order; the channel is held PAUSED until every baseline is
+    * installed, then released to drain the backlog — the follower-pull
+    * fetch loop's restart-recovery shape, with the wire hop collapsed.
+    * ISR re-entry follows the `replica.lag.time.max.ms` rule like any
+    * laggard: the rejoined broker stays out of the ISR (holding no
+    * acks, invisible to the watermark) until its oldest pending batch
+    * is younger than the grace — shrink → chase → expand. Sync mode
+    * has no observable lag: the snapshot under the append lock IS the
+    * catch-up, and the alive flip below makes subsequent pushes land
+    * directly.
+    *
+    * Coordinator state (group offsets, txn producers) still merges
+    * from the alive holders as of the restart — a commit racing the
+    * merge reaches the rejoined standby on its NEXT mutation (mirrors
+    * are per-mutation), the same convergence a real __consumer_offsets
+    * follower gets from its own fetch loop.
     */
   def restartBroker(id: Int): Unit = leaderLock.synchronized {
     require(!isAlive(id), s"broker $id is alive; nothing to restart")
     // async mode: anything enqueued while dead was skipped (enqueue
     // checks isAlive), but a batch the chaser was holding mid-death
-    // must not outlive the snapshot baseline installed below; and a
-    // restarted broker runs a FRESH replica fetcher, so a pause that
-    // froze the old incarnation's chaser does not survive the restart
+    // must not outlive the snapshot baseline installed below; and the
+    // chaser stays PAUSED through the install so a post-snapshot-point
+    // append can never land on a log its baseline hasn't reached yet
     if (channels != null) {
       channels(id).clear()
-      channels(id).paused = false
+      channels(id).paused = true
     }
     brokers(id).start()
     val topics = aliveBrokers.flatMap(_.topics).toSet
     for (p <- 0 until numPartitions if replicasOf(p).contains(id)) {
       val leader = brokers(leaderOf(p))
       topics.foreach { t =>
-        brokers(id).installSnapshot(t, p, leader.snapshotPartition(t, p))
+        val snap = leader.snapshotPartition(t, p, s0 => {
+          // inside the leader's append lock: from this exact point the
+          // live leader's appends flow to the recovering replica. Sync
+          // mode must install the baseline HERE (the next push applies
+          // the moment the lock releases); async installs after —
+          // the paused chaser holds the queued backlog until then.
+          if (channels == null) brokers(id).installSnapshot(t, p, s0)
+          recoveringAccept.add((id, t, p)); ()
+        })
+        if (channels != null) brokers(id).installSnapshot(t, p, snap)
       }
     }
     // group offsets: merge every alive holder's entries for groups this
@@ -2188,6 +2252,10 @@ final class KafkaStubCluster(nBrokers: Int, numPartitions: Int = 3,
       }
     }
     aliveArr.synchronized { aliveArr(id) = true }
+    // alive now gates enqueue on its own; drop the recovery gate and
+    // release the chaser to drain the catch-up backlog in order
+    recoveringAccept.removeIf(_._1 == id)
+    if (channels != null) channels(id).paused = false
   }
 
   /** Any ALIVE broker bootstraps the whole cluster; use the first. */

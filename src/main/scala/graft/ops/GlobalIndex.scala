@@ -67,4 +67,69 @@ object GlobalIndex {
     }
     spark.createDataFrame(labeled, schema)
   }
+
+  /** Per-KEY rank + INCLUSIVE running total in `sortCols` order — the
+    * keyed generalization of [[withRunningTotal]] for when
+    * `ROW_NUMBER()/SUM() OVER (PARTITION BY key ORDER BY ...)` would
+    * put each key's whole slice on one task (fine while keys are many,
+    * a cliff when key cardinality is small and slices grow ∝ corpus —
+    * a per-source window over 100 TB of documents is one task per
+    * source). Same two-phase shape: range-sort by (key, sortCols)
+    * across `numPartitions` tasks sized to the input, one light job
+    * collecting per-partition per-key (count, sum) — O(partitions ×
+    * keys-per-partition-boundary) to the driver, keys are LOW
+    * cardinality by precondition — then every partition labels its own
+    * rows from its key-offset map. `sortCols` must be unique per row
+    * within a key or boundary assignment is input-order dependent.
+    */
+  def withKeyedRankAndTotal(df: DataFrame, keyCol: String,
+      sortCols: Seq[Column], valueCol: String, outRank: String,
+      outTotal: String, numPartitions: Int): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df
+      .repartitionByRange(numPartitions, (org.apache.spark.sql.functions
+        .col(keyCol) +: sortCols): _*)
+      .sortWithinPartitions((org.apache.spark.sql.functions
+        .col(keyCol) +: sortCols): _*)
+    val kIdx = sorted.schema.fieldIndex(keyCol)
+    val vIdx = sorted.schema.fieldIndex(valueCol)
+    val schema = sorted.schema
+      .add(outRank, LongType, nullable = false)
+      .add(outTotal, LongType, nullable = false)
+    val rdd = sorted.rdd
+    // phase 1: per-partition per-key (row count, value sum)
+    val partKey = rdd.mapPartitionsWithIndex { case (i, it) =>
+      val m = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long)]
+      it.foreach { r =>
+        val k = String.valueOf(r.get(kIdx))
+        val (c, s) = m.getOrElse(k, (0L, 0L))
+        m.update(k, (c + 1L, s + r.getLong(vIdx)))
+      }
+      Iterator.single(i -> m.toSeq)
+    }.collect().sortBy(_._1)
+    // prefix offsets per key across partitions (driver-side, tiny)
+    val running = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    val offsets: Array[Map[String, (Long, Long)]] = partKey.map { case (_, ks) =>
+      val snap = ks.map { case (k, _) =>
+        k -> running.getOrElse(k, (0L, 0L)) }.toMap
+      ks.foreach { case (k, (c, s)) =>
+        val (pc, ps) = running.getOrElse(k, (0L, 0L))
+        running.update(k, (pc + c, ps + s))
+      }
+      snap
+    }
+    // phase 2: label locally — rank and inclusive running total
+    val labeled = rdd.mapPartitionsWithIndex { case (i, it) =>
+      val acc = scala.collection.mutable.Map.empty[String, (Long, Long)]
+      offsets(i).foreach { case (k, v) => acc.update(k, v) }
+      it.map { r =>
+        val k = String.valueOf(r.get(kIdx))
+        val (c, s) = acc.getOrElse(k, (0L, 0L))
+        val v = r.getLong(vIdx)
+        acc.update(k, (c + 1L, s + v))
+        Row.fromSeq(r.toSeq :+ (c + 1L) :+ (s + v))
+      }
+    }
+    spark.createDataFrame(labeled, schema)
+  }
 }

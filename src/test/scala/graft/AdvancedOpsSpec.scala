@@ -117,4 +117,74 @@ class AdvancedOpsSpec extends AnyFunSuite {
       TopKTokens.TokenCount("a", 2), TopKTokens.TokenCount("b", 2),
       TopKTokens.TokenCount("c", 1)))
   }
+
+  /** Top-20 pair sets of a trajectory query as (ua, ub) tuples. */
+  private def topPairs(name: String, dir: String): Seq[(Long, Long)] =
+    SparkEntry.queries(name)(spark, dir)
+      .select(col("ua").cast("long"), col("ub").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+  /** Quality floors for q_trajectory_sim_lsh, mirroring the ANN
+    * family's two-regime philosophy (AccuracySpecs.annFloors scaladoc):
+    * the hash oracle proves determinism, these pin retrieval quality.
+    *
+    *  - clustered: users drawn from 10 behavioral ARCHETYPES (each a
+    *    deterministic event-type cycle + 10% noise) — the regime real
+    *    user behavior resembles, where same-archetype pairs dominate
+    *    the exact top-20 and a centered sign-LSH must co-bucket them.
+    *  - uniform (the synthetic testdata): iid multinomial users, the
+    *    structureless worst case — the exact top-20 mean cosine
+    *    (0.587 at sf0.01) barely clears the all-pairs corpus mean
+    *    (0.345), and NO o(n²)-candidate algorithm can reliably isolate
+    *    it (the q_ann_lsh uniform-regime argument). There the floor is
+    *    ENRICHMENT: the twin's top-20 mean cosine must reach ≥ 65% of
+    *    the exact top-20's mean (measured 0.755 — and 28 points above
+    *    the corpus mean), i.e. the pairs it surfaces are genuinely
+    *    similar even when the true extremes are unfindable.
+    */
+  test("trajectory LSH twin: clustered top-20 overlap, uniform enrichment") {
+    // --- clustered fixture: 300 users × 63 events, 10 archetypes ---
+    val rnd = new scala.util.Random(20260816L)
+    val types = Vector("click", "signup", "error", "view", "purchase")
+    // archetype k = a fixed random cycle of length 6 over the 5 types
+    val cycles = Vector.tabulate(10)(k => {
+      val r = new scala.util.Random(1000 + k)
+      Vector.fill(6)(types(r.nextInt(5)))
+    })
+    val rows = for {
+      u <- 0 until 300
+      arch = u % 10
+      i <- 0 until 63
+    } yield {
+      val t = if (rnd.nextDouble() < 0.10) types(rnd.nextInt(5))
+        else cycles(arch)(i % 6)
+      (u.toLong * 1000 + i, // event_id: unique, ordered within user
+        java.sql.Timestamp.valueOf(java.time.LocalDateTime
+          .of(2026, 1, 1, 0, 0).plusSeconds(i.toLong * 60 + u)),
+        u.toLong, t, 1.0, "{}")
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-traj-clustered")
+    dir.toFile.deleteOnExit()
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val exactC = topPairs("q_trajectory_sim", dir.toString)
+    val lshC = topPairs("q_trajectory_sim_lsh", dir.toString)
+    val overlapC = exactC.toSet.intersect(lshC.toSet).size / 20.0
+    info(f"clustered top-20 overlap: $overlapC%.2f")
+    assert(overlapC >= 0.75,
+      f"clustered-regime top-20 overlap $overlapC%.2f below floor 0.75")
+
+    // --- uniform regime: the sf0.01 testdata ---
+    val sf = "/root/testdata/sf0.01"
+    def meanTopCos(name: String): Double = {
+      val c = SparkEntry.queries(name)(spark, sf)
+        .select(col("cosine").cast("double")).collect().map(_.getDouble(0))
+      c.sum / c.length
+    }
+    val exactMean = meanTopCos("q_trajectory_sim")
+    val lshMean = meanTopCos("q_trajectory_sim_lsh")
+    info(f"uniform top-20 mean cosine: exact $exactMean%.3f, lsh $lshMean%.3f")
+    assert(lshMean >= 0.65 * exactMean,
+      f"uniform-regime enrichment $lshMean%.3f < 0.65 × exact $exactMean%.3f")
+  }
 }

@@ -354,4 +354,64 @@ class KafkaIsrSpec extends AnyFunSuite {
       } finally c.close()
     }
   }
+
+  test("restart catch-up chases a LIVE leader: continuous produce through kill+restart loses no acked record; rejoined replica re-enters the ISR and survives promotion") {
+    // rf=2: partition 0 lives on {0, 1} only, so broker 1's death and
+    // rejoin are fully observable through partition 0's ISR
+    withAsyncCluster(lagMs = 2000, rf = 2) { cluster =>
+      val c = new KafkaClusterClient("127.0.0.1", cluster.bootstrapPort)
+      try {
+        c.metadata(Seq("live"))
+        c.produce("live", 0, (0 until 50).map(i => (1L + i, null, b(s"v$i"))))
+        val leader = cluster.leaderOf(0)
+        val follower = cluster.replicasOf(0).find(_ != leader).get
+        cluster.failBroker(follower)
+        assert(isrOf(cluster, "live", 0) == Set(leader))
+        // produce CONTINUOUSLY through the whole dead→restart→chase
+        // window — the property under test is that no acked record is
+        // lost even though the leader never quiesces
+        @volatile var stop = false
+        @volatile var acked = 50
+        @volatile var err: Throwable = null
+        val producer = new Thread(() => {
+          try {
+            var i = 50
+            while (!stop) {
+              c.produce("live", 0, Seq((1L + i, null, b(s"v$i"))))
+              acked = i + 1
+              i += 1
+            }
+          } catch { case t: Throwable => err = t }
+        })
+        producer.start()
+        Thread.sleep(80) // acked appends while the follower is dead
+        cluster.restartBroker(follower) // catch-up races live produce
+        Thread.sleep(80) // acked appends during/after catch-up
+        stop = true
+        producer.join(10000)
+        assert(err == null, s"producer failed: $err")
+        val ackedAtStop = acked
+        assert(ackedAtStop > 60, "producer made no progress through the restart")
+        // the rejoined replica drains its backlog and holds EVERY acked
+        // record — snapshot point + live channel covered the whole log
+        assert(cluster.awaitCaughtUp(follower, 10000))
+        assert(cluster.brokerAt(follower).highWatermark("live", 0) ==
+          cluster.brokerAt(leader).highWatermark("live", 0))
+        assert(cluster.brokerAt(follower).highWatermark("live", 0) >= ackedAtStop)
+        // ISR re-entry under the replica.lag.time rule (caught up ⇒ no
+        // pending batch older than grace ⇒ in-sync)
+        assert(isrOf(cluster, "live", 0) == Set(leader, follower),
+          "caught-up rejoined replica missing from the ISR")
+        // re-kill the OTHER replica: promotion lands on the restarted
+        // broker, which must serve the complete acked history
+        cluster.failBroker(leader)
+        assert(cluster.leaderOf(0) == follower,
+          s"expected promotion onto restarted broker $follower")
+        val got = c.fetchAll("live", 0).map(r => str(r.value))
+        assert(got.size >= ackedAtStop, s"${got.size} < acked $ackedAtStop")
+        assert(got == got.indices.map(i => s"v$i"),
+          "promoted restarted replica serves a gap or reorder")
+      } finally c.close()
+    }
+  }
 }
