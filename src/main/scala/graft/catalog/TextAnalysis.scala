@@ -852,6 +852,16 @@ object TextAnalysis {
   // exact levenshtein verify, so the output is IDENTICAL to the exact
   // form's — one oracle, two plans. Shuffles carry (unit, doc_id)
   // prefix rows and the ≤60-char canon strings only.
+  //
+  // Scale adjudication (r15): this query's OUTPUT is itself quadratic
+  // by contract — ed ≤ 18 on 60-char sorted-token canons admits ~1/3
+  // of ALL same-block pairs (sf1.0: 203,358 output rows of 642,247
+  // block pairs), so Ω(output) = Ω(n²) bounds every implementation.
+  // Against that bound the prefix filter is near-optimal: candidates
+  // (583k at sf1.0) sit within 3× of the output itself, and measured
+  // runtime grows 5.6× SLOWER than the output per decade (sf1→sf10
+  // wall ratio 17.7× vs ~100× output growth). A tighter threshold —
+  // not a better plan — is what would shrink this query at 100 TB.
   val levenshteinPairsBanded: QueryDef =
     QueryDef.sql("q_levenshtein_pairs_banded")(levenshteinPairs.oracle.get) {
       (s, dir) =>
