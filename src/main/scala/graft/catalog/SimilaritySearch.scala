@@ -1316,16 +1316,23 @@ object SimilaritySearch {
   // (query, probed cell) because the query's residual q − c differs by
   // cell; scoring is 8 lookups + 7 adds of squared-L2 over the probed
   // cells' codes only. At 100 TB the shape is the IVF shape: one
-  // broadcast-assign pass, an 8 B/vector code relation co-partitioned
-  // on cell id, and an ≤80-row broadcast query+LUT side — the raw
-  // vectors are touched only for the top-50 rerank. The residual
-  // codebook is deterministic and training-free (the residuals of
-  // vec_id < 8, one slice per subspace), mirrored exactly by the
-  // oracle; every fold runs in pinned order (LUT cells in dimension
-  // order, ADC in subspace order) so adc_d2 is bit-identical
+  // broadcast-assign pass, an 8 B/vector (8 × log₂256-bit) code
+  // relation co-partitioned on cell id, and an ≤80-row broadcast
+  // query+LUT side — the raw vectors are touched only for the top-200
+  // rerank. The residual codebook is TRAINED, deterministically: 256
+  // seed residuals (vec_id < 256) per subspace, then ONE Lloyd round
+  // over every residual subvector with KMeans.foldMeans' id-ordered
+  // IEEE fold, empty cells dropped and survivors re-keyed densely per
+  // subspace — the r15 capacity curve at 200k clustered (0.03 with 8
+  // sampled codewords → 0.13 with 64 sampled → 0.28 with 64 trained →
+  // 0.52 with 256 trained) is why sampling isn't enough: random
+  // codewords cannot tile an 8-dim residual space. Every fold runs in
+  // pinned order (Lloyd means in member-id order, LUT cells in
+  // dimension order, ADC in subspace order) so adc_d2 is bit-identical
   // cross-engine. Recall floors: AccuracySpecs.annFloors; the
-  // recall-at-scale row (cli.RecallProbe) is the acceptance test —
-  // clustered recall ≥ 0.5 at 200k where pq_adc holds 0.000.
+  // recall-at-scale row (cli.RecallProbe, RECALL_SCALE_r15.jsonl) is
+  // the acceptance test — clustered recall ≥ 0.5 at 200k where flat
+  // pq_adc holds 0.000.
   val annIvfPq: QueryDef = QueryDef.sql("q_ann_ivfpq")(
     s"""WITH n AS ($normedSql),
        |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n
@@ -1339,19 +1346,35 @@ object SimilaritySearch {
        |          list_transform(range(1, 65), j -> v[j] - cv[j]) AS r
        |        FROM n JOIN bucket USING (vec_id) JOIN c USING (cid)),
        |ss AS (SELECT UNNEST(range(0, 8)) AS s),
-       |cb AS (SELECT res.vec_id AS k, s,
-       |         list_transform(range(1, 9), j -> r[s * 8 + j]) AS cs
-       |       FROM res CROSS JOIN ss WHERE res.vec_id < 8),
        |sub AS (SELECT vec_id, cid, s,
        |          list_transform(range(1, 9), j -> r[s * 8 + j]) AS rv
        |        FROM res CROSS JOIN ss),
-       |d AS (SELECT vec_id, cid, sub.s, k,
+       |cb0 AS (SELECT res.vec_id AS k, s,
+       |         list_transform(range(1, 9), j -> r[s * 8 + j]) AS cs
+       |       FROM res CROSS JOIN ss WHERE res.vec_id < 256),
+       |d0 AS (SELECT vec_id, sub.s, k,
        |        list_reduce(list_prepend(0.0, list_transform(range(1, 9),
        |          j -> (rv[j] - cs[j]) * (rv[j] - cs[j]))), (a, b) -> a + b) AS d2
-       |      FROM sub JOIN cb ON sub.s = cb.s),
-       |code AS (SELECT vec_id, cid, s, k FROM (SELECT vec_id, cid, s, k,
-       |    ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2, k) AS rn2
-       |  FROM d) WHERE rn2 = 1),
+       |      FROM sub JOIN cb0 ON sub.s = cb0.s),
+       |a0 AS (SELECT vec_id, s, k FROM (SELECT vec_id, s, k,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2, k) AS rn0
+       |  FROM d0) WHERE rn0 = 1),
+       |tr AS (SELECT a0.s, a0.k, j.j,
+       |         list_reduce(list_prepend(0.0, list(sub.rv[j.j] ORDER BY sub.vec_id)),
+       |           (a, b) -> a + b) / COUNT(*) AS mx
+       |       FROM a0 JOIN sub ON sub.vec_id = a0.vec_id AND sub.s = a0.s
+       |       CROSS JOIN (SELECT UNNEST(range(1, 9)) AS j) j
+       |       GROUP BY a0.s, a0.k, j.j),
+       |cb1 AS (SELECT s, ROW_NUMBER() OVER (PARTITION BY s ORDER BY k) AS k2,
+       |          cs FROM (
+       |        SELECT s, k, list(mx ORDER BY j) AS cs FROM tr GROUP BY s, k)),
+       |d1 AS (SELECT vec_id, sub.s, k2,
+       |        list_reduce(list_prepend(0.0, list_transform(range(1, 9),
+       |          j -> (rv[j] - cs[j]) * (rv[j] - cs[j]))), (a, b) -> a + b) AS d2
+       |      FROM sub JOIN cb1 ON sub.s = cb1.s),
+       |code AS (SELECT vec_id, cid, s, k2 FROM (SELECT d1.vec_id, b.cid, s, k2,
+       |    ROW_NUMBER() OVER (PARTITION BY d1.vec_id, s ORDER BY d2, k2) AS rn2
+       |  FROM d1 JOIN bucket b ON b.vec_id = d1.vec_id) WHERE rn2 = 1),
        |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM n
        |      WHERE vec_id < 20),
        |probe AS (SELECT vec_id AS query_id, cid FROM asg
@@ -1362,15 +1385,15 @@ object SimilaritySearch {
        |qsub AS (SELECT query_id, cid, s,
        |           list_transform(range(1, 9), j -> qr[s * 8 + j]) AS qs
        |         FROM qres CROSS JOIN ss),
-       |lut AS (SELECT query_id, qsub.cid, qsub.s, k,
+       |lut AS (SELECT query_id, qsub.cid, qsub.s, k2,
        |          list_reduce(list_prepend(0.0, list_transform(range(1, 9),
        |            j -> (qs[j] - cs[j]) * (qs[j] - cs[j]))), (a, b) -> a + b) AS lu
-       |        FROM qsub JOIN cb ON qsub.s = cb.s),
+       |        FROM qsub JOIN cb1 ON qsub.s = cb1.s),
        |adc AS (SELECT l.query_id, cd.vec_id AS neighbor_id,
        |          list_reduce(list_prepend(0.0, list(l.lu ORDER BY cd.s)),
        |            (a, b) -> a + b) AS adc_d2
        |        FROM code cd
-       |        JOIN lut l ON cd.cid = l.cid AND cd.s = l.s AND cd.k = l.k
+       |        JOIN lut l ON cd.cid = l.cid AND cd.s = l.s AND cd.k2 = l.k2
        |        WHERE cd.vec_id <> l.query_id
        |        GROUP BY l.query_id, cd.vec_id),
        |cand AS (SELECT *, ROW_NUMBER() OVER
@@ -1379,7 +1402,7 @@ object SimilaritySearch {
        |             list_dot_product(qv, v) / (qnrm * nrm) AS cosine
        |           FROM cand JOIN q ON cand.query_id = q.query_id
        |           JOIN n ON n.vec_id = cand.neighbor_id
-       |           WHERE arnk <= 50),
+       |           WHERE arnk <= 200),
        |ranked AS (SELECT *, ROW_NUMBER() OVER
        |  (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
        |  FROM rerank)
@@ -1388,11 +1411,12 @@ object SimilaritySearch {
     val n = normed(s, dir)
     val c = n.filter(col("vec_id") % 50 === 0 && col("vec_id") < IvfCentroidCap)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
-    // coarse assignment (one bucket per vector) + residual v − c
+    // coarse assignment (one cell per vector) + residual v − c
     val nb = assignNearest(n, c)
     val res = nb.join(broadcast(c), "cid")
       .select(col("vec_id"), col("cid"),
         zip_with(col("v"), col("cv"), (x, cc) => x - cc).as("r"))
+      .persist() // seeds, training members, and the encode pass
     def subspaces(df: DataFrame, idOut: String, vecCol: String, out: String) = {
       val keep = col(df.columns.head).as(idOut) +:
         df.columns.tail.filterNot(_ == vecCol).map(col).toSeq
@@ -1400,25 +1424,46 @@ object SimilaritySearch {
         .select(keep ++ Seq(col("s"),
           slice(col(vecCol), col("s") * 8 + 1, lit(8)).as(out)): _*)
     }
-    // residual codebook: 8 subspace slices of the first 8 residuals —
-    // training-free and deterministic, mirrored verbatim by the oracle
-    val cb = subspaces(res.filter(col("vec_id") < 8).select("vec_id", "r"),
-      "k", "r", "cs")
     val sub = subspaces(res, "vec_id", "r", "rv")
-    val d2 = aggregate(zip_with(col("rv"), col("cs"), (x, cc) => (x - cc) * (x - cc)),
-      lit(0.0), (a, x) => a + x)
-    // corpus code relation: (vec_id, cell cid, 8 codes in subspace
-    // order) — the 8 B/vector structure that stays resident at scale
-    val codes = sub.join(broadcast(cb), "s")
-      .select(col("vec_id"), col("cid"), col("s"), col("k"), d2.as("d2"))
+    // seed codebook: subspace slices of the first 64 residuals, then
+    // ONE deterministic Lloyd round over ALL residual subvectors —
+    // random samples cannot tile an 8-dim residual space (the r15
+    // first cut measured clustered recall 0.13 at 200k with sampled
+    // codewords), so the codebook is TRAINED exactly like production
+    // IVF-PQ, with KMeans.foldMeans' id-ordered IEEE fold so the run
+    // is bit-reproducible and the oracle mirrors it.
+    val cb0 = subspaces(res.filter(col("vec_id") < 256).select("vec_id", "r"),
+      "k", "r", "cs")
+    def d2(a: String, b: String) =
+      aggregate(zip_with(col(a), col(b), (x, cc) => (x - cc) * (x - cc)),
+        lit(0.0), (acc, x) => acc + x)
+    val a0 = sub.join(broadcast(cb0), "s")
+      .select(col("vec_id"), col("s"), col("k"), col("rv"), d2("rv", "cs").as("d2"))
       .groupBy("vec_id", "s")
-      .agg(first(col("cid")).as("cid"),
-        min_by(col("k"), struct(col("d2"), col("k"))).as("k"))
+      .agg(min_by(col("k"), struct(col("d2"), col("k"))).as("k"),
+        first(col("rv")).as("rv"))
+    // Lloyd update at (subspace, codeword) grain via the shared fold
+    // (cid packs (s, k) into one key); empty cells drop out and the
+    // survivors re-key densely per subspace so codes index LUT arrays
+    val cb1 = graft.ops.KMeans.foldMeans(
+        a0.select(col("vec_id"), (col("s") * 1000 + col("k")).as("cid"), col("rv")),
+        "vec_id", "cid", "rv")
+      .select((col("cid") / 1000).cast("int").as("s"),
+        pmod(col("cid"), lit(1000)).cast("int").as("k"), col("cv").as("cs"))
+      .withColumn("k2", row_number().over(
+        Window.partitionBy("s").orderBy("k")))
+      .select("s", "k2", "cs")
+    // corpus code relation: (vec_id, cell cid, 8 trained codes in
+    // subspace order) — the bytes-per-vector structure at scale
+    val codes = sub.join(broadcast(cb1), "s")
+      .select(col("vec_id"), col("s"), col("k2"), d2("rv", "cs").as("d2"))
+      .groupBy("vec_id", "s")
+      .agg(min_by(col("k2"), struct(col("d2"), col("k2"))).as("k2"))
       .groupBy("vec_id")
-      .agg(first(col("cid")).as("cid"),
-        transform(sort_array(collect_list(struct(col("s"), col("k")))),
-          p => p.getField("k")).as("code"))
-    // query side: nprobe=4 nearest cells, one residual + 8×8 LUT per
+      .agg(transform(sort_array(collect_list(struct(col("s"), col("k2")))),
+        p => p.getField("k2")).as("code"))
+      .join(nb.select(col("vec_id"), col("cid")), "vec_id")
+    // query side: nprobe=4 nearest cells, one residual + LUT per
     // probed cell (the residual q − c differs by cell)
     val qs = n.filter(col("vec_id") < 20)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
@@ -1431,20 +1476,19 @@ object SimilaritySearch {
       .select(col("query_id"), col("cid"),
         zip_with(col("qv"), col("cv"), (x, cc) => x - cc).as("qr"))
     val qsub = subspaces(probes, "query_id", "qr", "qs")
-    val lu = aggregate(zip_with(col("qs"), col("cs"), (x, cc) => (x - cc) * (x - cc)),
-      lit(0.0), (a, x) => a + x)
-    val lut = qsub.join(broadcast(cb), "s")
-      .select(col("query_id"), col("cid"), col("s"), col("k"), lu.as("lu"))
+    val lut = qsub.join(broadcast(cb1), "s")
+      .select(col("query_id"), col("cid"), col("s"), col("k2"),
+        d2("qs", "cs").as("lu"))
       .groupBy("query_id", "cid", "s")
-      .agg(transform(sort_array(collect_list(struct(col("k"), col("lu")))),
+      .agg(transform(sort_array(collect_list(struct(col("k2"), col("lu")))),
         p => p.getField("lu")).as("lus"))
       .groupBy("query_id", "cid")
       .agg(transform(sort_array(collect_list(struct(col("s"), col("lus")))),
         p => p.getField("lus")).as("lut"))
     val probeSide = lut.join(qs, "query_id")
-    // ADC scan over probed cells only — co-partitioned equi-join on the
-    // cell id (the IVF shape), probe side ≤ 80 rows broadcast; folds in
-    // subspace order so adc_d2 is bit-identical to the oracle
+    // ADC scan over probed cells only — co-partitioned equi-join on
+    // the cell id (the IVF shape), probe side ≤ 80 rows broadcast;
+    // folds in subspace order so adc_d2 is bit-identical to the oracle
     val adc = codes.join(broadcast(probeSide), "cid")
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -1452,20 +1496,21 @@ object SimilaritySearch {
         aggregate(
           transform(sequence(lit(0), lit(7)), i =>
             element_at(element_at(col("lut"), i + 1),
-              element_at(col("code"), i + 1).cast("int") + 1)),
+              element_at(col("code"), i + 1).cast("int"))),
           lit(0.0), (a, x) => a + x).as("adc_d2"))
     val aw = Window.partitionBy("query_id").orderBy(col("adc_d2"), col("neighbor_id"))
     val rerank = adc.withColumn("arnk", row_number().over(aw))
-      .filter(col("arnk") <= 50)
+      .filter(col("arnk") <= 200)
       .join(n.select(col("vec_id").as("neighbor_id"), col("v"), col("nrm")),
         "neighbor_id")
       .select(col("query_id"), col("neighbor_id"), col("adc_d2"),
         Vectors.cosine(col("qv"), col("v"), col("qnrm"), col("nrm")).as("cosine"))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
-    rerank.withColumn("rnk", row_number().over(w))
+    val out = rerank.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 3)
       .select("query_id", "neighbor_id", "adc_d2", "cosine", "rnk")
       .orderBy("query_id", "rnk")
+    graft.core.Spill.materialize(out) { res.unpersist(blocking = false) }
   }
 
   val all: Seq[QueryDef] = Seq(

@@ -21,7 +21,8 @@ import org.apache.spark.sql.functions._
   *   {"dir":…,"n_queries":20,"recall@3":{"q_ann_ivf":0.37,…}}
   */
 object RecallProbe {
-  private val Variants = Seq(
+  private val Variants = sys.env.get("GRAFT_PROBE_ONLY")
+    .map(_.split(",").toSeq).getOrElse(Seq(
     "q_ann_ivf", "q_ann_ivf_probe2", "q_ann_ivf_probe4", "q_ann_lsh",
     "q_ann_lsh_multi",
     // r14: the quantized variants — quantization distortion vs corpus
@@ -32,7 +33,7 @@ object RecallProbe {
     "q_ann_ivf_kmeans", "q_ann_binary_quant", "q_ann_pq_adc",
     // r15: residual IVF-PQ — the variant built to SURVIVE this probe's
     // 200k clustered row where the flat 64-bit codes hold 0.000
-    "q_ann_ivfpq")
+    "q_ann_ivfpq"))
 
   private def topSets(df: DataFrame, k: Int): Map[Long, Set[Long]] =
     df.filter(col("rnk") <= k)

@@ -112,12 +112,17 @@ object AccuracySpecs {
       // the coarse quantizer routes to the cell, PQ encodes the
       // residual v − c (the within-cell offset flat codes lose), ADC
       // scores squared-L2 within the nprobe=4 probed cells only.
-      // Measured: uniform 0.367 (bounded by the probe4 candidate pool —
-      // on structureless random vectors the coarse router, not the
-      // code, is the binding constraint, exactly like q_ann_ivf_probe4),
-      // clustered 1.000; floors ~25% under. The scale acceptance row
-      // (clustered ≥ 0.5 at 200k) lives in cli.RecallProbe's output.
-      "q_ann_ivfpq" -> both(0.27, 0.75),
+      // The codebook is TRAINED (256 seed residuals + one deterministic
+      // Lloyd round over every residual subvector, KMeans.foldMeans'
+      // id-ordered fold): the r15 iteration measured the capacity curve
+      // directly at 200k clustered — 8 sampled codewords 0.03, 64
+      // sampled 0.13, 64 trained 0.28, 256 trained + top-200 rerank
+      // 0.52 — so training is what clears the acceptance bar, not the
+      // rerank depth. Measured at sf0.01: uniform 0.683, clustered
+      // 1.000; floors ~25% under. The scale acceptance row (clustered
+      // ≥ 0.5 at 200k, where flat pq_adc holds 0.000) lives in
+      // cli.RecallProbe's output (RECALL_SCALE_r15.jsonl).
+      "q_ann_ivfpq" -> both(0.50, 0.75),
       "q_ann_lsh" -> Seq(
         QualityFloor("uniform",
           "AnnRecallSpec:LSH co-bucket pairs enrich for cosine over the corpus mean",
