@@ -423,33 +423,33 @@ object Advanced {
          |      || ' ' || lead(event_type, 2) OVER w AS g,
          |    lead(event_type, 2) OVER w AS t3
          |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-         |tc AS (SELECT user_id, g, COUNT(*) AS c FROM tr WHERE t3 IS NOT NULL GROUP BY 1, 2),
-         |dig AS (SELECT user_id,
+         |tc AS MATERIALIZED (SELECT user_id, g, COUNT(*) AS c FROM tr WHERE t3 IS NOT NULL GROUP BY 1, 2),
+         |dig AS MATERIALIZED (SELECT user_id,
          |          md5(string_agg(g || ':' || c, '|' ORDER BY g)) AS d
          |        FROM tc GROUP BY user_id),
-         |grp AS (SELECT d, MIN(user_id) AS rep, COUNT(*) AS sz FROM dig GROUP BY d),
-         |m21 AS (SELECT d, user_id FROM (
+         |grp AS MATERIALIZED (SELECT d, MIN(user_id) AS rep, COUNT(*) AS sz FROM dig GROUP BY d),
+         |m21 AS MATERIALIZED (SELECT d, user_id FROM (
          |  SELECT d, user_id, ROW_NUMBER() OVER (PARTITION BY d ORDER BY user_id) AS rn
          |  FROM dig) WHERE rn <= 21),
-         |rtc AS (SELECT tc.user_id, g, c FROM tc JOIN grp ON tc.user_id = grp.rep),
+         |rtc AS MATERIALIZED (SELECT tc.user_id, g, c FROM tc JOIN grp ON tc.user_id = grp.rep),
          |vocab AS (SELECT g, ROW_NUMBER() OVER (ORDER BY g) AS gid
          |          FROM (SELECT DISTINCT g FROM rtc)),
-         |tcg AS (SELECT user_id, c, gid FROM rtc JOIN vocab USING (g)),
+         |tcg AS MATERIALIZED (SELECT user_id, c, gid FROM rtc JOIN vocab USING (g)),
          |su AS (SELECT user_id,
          |  $suSums
          |  FROM tcg GROUP BY 1),
          |mm AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS nu,
          |  $mmSums
          |  FROM tcg),
-         |sig AS (SELECT user_id,
+         |sig AS MATERIALIZED (SELECT user_id,
          |  $bCols
          |  FROM su CROSS JOIN mm),
-         |ex AS (
+         |ex AS MATERIALIZED (
          |  $exUnion),
          |cand AS (SELECT DISTINCT a.user_id AS ra, b.user_id AS rb
          |  FROM ex a JOIN ex b
          |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.user_id < b.user_id),
-         |nrm AS (SELECT user_id, CAST(SUM(c*c) AS BIGINT) AS ss FROM rtc GROUP BY 1),
+         |nrm AS MATERIALIZED (SELECT user_id, CAST(SUM(c*c) AS BIGINT) AS ss FROM rtc GROUP BY 1),
          |dots AS (SELECT cand.ra, cand.rb, CAST(SUM(ta.c * tb.c) AS BIGINT) AS dot
          |  FROM cand JOIN rtc ta ON ta.user_id = cand.ra
          |  JOIN rtc tb ON tb.user_id = cand.rb AND tb.g = ta.g

@@ -1767,8 +1767,8 @@ object TextAnalysis {
   // shared by q_bigram_lm and q_perplexity_buckets, which bucket the
   // same scores; a smoothing/fold change must reach both.
   private val bigramScoredCte: String =
-    s"""WITH base AS (SELECT doc_id, $toksSql AS toks FROM documents),
-       |bg AS (SELECT doc_id,
+    s"""WITH base AS MATERIALIZED (SELECT doc_id, $toksSql AS toks FROM documents),
+       |bg AS MATERIALIZED (SELECT doc_id,
        |         UNNEST(generate_series(1, len(toks) - 1)) AS pos,
        |         UNNEST(toks[1:len(toks)-1]) AS t1,
        |         UNNEST(toks[2:len(toks)]) AS t2
@@ -1852,7 +1852,7 @@ object TextAnalysis {
   // the documented trade for never sorting the corpus globally.
   val perplexityBuckets: QueryDef = QueryDef.sql("q_perplexity_buckets")(
     s"""$bigramScoredCte,
-       |b AS (SELECT doc_id, n_bigrams, round(avg_logprob, 2) AS bin FROM scored),
+       |b AS MATERIALIZED (SELECT doc_id, n_bigrams, round(avg_logprob, 2) AS bin FROM scored),
        |h AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY bin),
        |c AS (SELECT bin, n,
        |        CAST(SUM(n) OVER (ORDER BY bin) - n AS BIGINT) AS cum0 FROM h),
