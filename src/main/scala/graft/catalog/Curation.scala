@@ -559,13 +559,19 @@ object Curation {
     // ONE corpus pass: the train side left-joins the (tiny, broadcast)
     // benchmark shingle set and aggregates totals + hits together — the
     // three-branch formulation (hits join + totals + reconcile) would
-    // re-tokenize the corpus per branch
+    // re-tokenize the corpus per branch. DISTINCT(doc_id, s) ≡ per-doc
+    // distinct shingles, so array_distinct BEFORE the explode dedups
+    // with zero shuffle — and the surviving groupBy(doc_id) reuses the
+    // input-sized hash partitioning on doc_id (broadcast join and
+    // explode preserve it), so the whole corpus side is shuffle-free
+    // past the initial repartition
+    val nParts = Tables.scaledPartitions(s, dir, "documents")
     val dsh = Tables.documents(s, dir)
-      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .repartition(nParts, col("doc_id"))
       .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), explode(Text.wordShingles(col("toks"), 3)).as("s"))
-      .distinct()
+      .select(col("doc_id"),
+        explode(array_distinct(Text.wordShingles(col("toks"), 3))).as("s"))
     // benchmark branch: the doc_id < 10 filter pushes below the shingle
     // explode to the scan, so only the 10 eval docs are tokenized here
     val bench = dsh.filter(col("doc_id") < 10).select("s").distinct()
@@ -1014,12 +1020,18 @@ object Curation {
          |  least(g_end, (seq_id + 1) * $L) - greatest(g_start, seq_id * $L)
          |    AS n_toks_in_seq
          |FROM x ORDER BY seq_id, doc_id""".stripMargin) { (s, dir) =>
+      // input-sized partitions for the tokenize pass, the prefix-sum
+      // range sort, and the (seq, doc)-grain final sort — per-task
+      // volume stays constant as the corpus grows
+      // (Tables.scaledPartitions scaladoc)
+      val nParts = Tables.scaledPartitions(s, dir, "documents")
       val t = Tables.documents(s, dir)
+        .repartition(nParts, col("doc_id"))
         .select(col("doc_id"),
           size(Text.tokens(col("text"))).cast("long").as("n_toks"))
         .filter(col("n_toks") > 0)
       val cum = graft.ops.GlobalIndex.withRunningTotal(
-        t, Seq(col("doc_id")), "n_toks", "g_start")
+        t, Seq(col("doc_id")), "n_toks", "g_start", nParts)
       val x = cum.withColumn("g_end", col("g_start") + col("n_toks"))
         .select(col("doc_id"), col("g_start"), col("g_end"),
           explode(sequence(
@@ -1029,7 +1041,8 @@ object Curation {
             .as("pos_in_seq"),
           (least(col("g_end"), (col("seq_id") + 1) * L)
             - greatest(col("g_start"), col("seq_id") * L)).as("n_toks_in_seq"))
-        .orderBy("seq_id", "doc_id")
+        .repartitionByRange(nParts, col("seq_id"), col("doc_id"))
+        .sortWithinPartitions("seq_id", "doc_id")
     }
   }
 

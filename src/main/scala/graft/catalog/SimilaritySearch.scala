@@ -1425,7 +1425,7 @@ object SimilaritySearch {
           slice(col(vecCol), col("s") * 8 + 1, lit(8)).as(out)): _*)
     }
     val sub = subspaces(res, "vec_id", "r", "rv")
-    // seed codebook: subspace slices of the first 64 residuals, then
+    // seed codebook: subspace slices of the first 256 residuals, then
     // ONE deterministic Lloyd round over ALL residual subvectors —
     // random samples cannot tile an 8-dim residual space (the r15
     // first cut measured clustered recall 0.13 at 200k with sampled

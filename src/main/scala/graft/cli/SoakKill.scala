@@ -116,6 +116,7 @@ object SoakKill {
     }
     killedAtRows = rows
     killedAtStateBytes = du(chk.resolve("state"))
+    val mintedAtKill = minted
     child.destroyForcibly() // SIGKILL: no stop(), no shutdown hooks
     child.waitFor()
     println(f"[soakkill] SIGKILLed child at $killedAtRows%,d committed rows, " +
@@ -128,6 +129,10 @@ object SoakKill {
     Thread.sleep(15000) // let the resume settle under continued feed
     feeding = false
     feeder.join(5000)
+    // the ledger is only final once the feeder's last minted update has
+    // landed; a timed-out join would freeze `ledger` short of the true
+    // key count and make the drain equality unreachable
+    if (feeder.isAlive) sys.error("feeder still alive after join timeout")
     val ledger = minted
     // drain: output must converge to EXACTLY the ledger
     val deadline = System.nanoTime() + 600L * 1000000000L
@@ -146,7 +151,7 @@ object SoakKill {
         f""""ledger_keys":$ledger,"out_rows":$cnt,"out_distinct":$dst,""" +
         f""""killed_at_rows":$killedAtRows,""" +
         f""""killed_at_state_bytes":$killedAtStateBytes,""" +
-        f""""minted_during_outage":${mintedDuringOutage - killedAtRows},""" +
+        f""""minted_during_outage":${mintedDuringOutage - mintedAtKill},""" +
         f""""row_exact":$exact}"""
     Files.write(Paths.get("target", "soak_report.json"),
       ("\n" + report + "\n").getBytes("UTF-8"),

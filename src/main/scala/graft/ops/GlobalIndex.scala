@@ -28,9 +28,13 @@ object GlobalIndex {
     val spark = df.sparkSession
     val sorted = df.orderBy(sortCols: _*)
     val schema = sorted.schema.add(out, LongType, nullable = false)
-    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
-      Row.fromSeq(r.toSeq :+ (i + 1L))
-    }
+    // zipWithIndex runs its own count job before the labeling job —
+    // pin the partitioning across both (see withRunningTotal)
+    val rdd = sorted.rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .zipWithIndex().map { case (r, i) =>
+        Row.fromSeq(r.toSeq :+ (i + 1L))
+      }
     spark.createDataFrame(rdd, schema)
   }
 
@@ -45,12 +49,27 @@ object GlobalIndex {
     * order are partition-agnostic.
     */
   def withRunningTotal(df: DataFrame, sortCols: Seq[Column], valueCol: String,
-      out: String): DataFrame = {
+      out: String, numPartitions: Int = -1): DataFrame = {
     val spark = df.sparkSession
-    val sorted = df.orderBy(sortCols: _*)
+    // numPartitions > 0 pins the range-sort width to an input-sized
+    // count (Tables.scaledPartitions) instead of the session default —
+    // same total order, but per-task sort volume stays constant as the
+    // corpus grows
+    val sorted =
+      if (numPartitions > 0)
+        df.repartitionByRange(numPartitions, sortCols: _*)
+          .sortWithinPartitions(sortCols: _*)
+      else df.orderBy(sortCols: _*)
     val idx = sorted.schema.fieldIndex(valueCol)
     val schema = sorted.schema.add(out, LongType, nullable = false)
-    val rdd = sorted.rdd
+    // both phases must observe the SAME physical partitioning: the
+    // offsets collected in phase 1 are only valid against the exact
+    // partition contents phase 2 labels, and a recompute (speculation,
+    // executor loss, non-deterministic upstream) can re-sample range
+    // bounds. Persisted; ContextCleaner unpersists when the returned
+    // frame is dropped — exactly the offsets' lifetime.
+    val rdd = sorted.rdd.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val partSums = rdd.mapPartitionsWithIndex { case (i, it) =>
       var s = 0L
       it.foreach(r => s += r.getLong(idx))
@@ -96,7 +115,10 @@ object GlobalIndex {
     val schema = sorted.schema
       .add(outRank, LongType, nullable = false)
       .add(outTotal, LongType, nullable = false)
-    val rdd = sorted.rdd
+    // same two-job pinning as withRunningTotal: phase-2 labeling is only
+    // correct against the exact partition contents phase 1 summed
+    val rdd = sorted.rdd.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // phase 1: per-partition per-key (row count, value sum)
     val partKey = rdd.mapPartitionsWithIndex { case (i, it) =>
       val m = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long)]

@@ -144,7 +144,11 @@ final class EsStub {
         val after = scrolls.computeIfPresent(sid, (_, sc) => {
           page = sc.hits.slice(sc.offset, sc.offset + sc.size)
           if (page.isEmpty) null // exhausted: evict
-          else sc.copy(offset = sc.offset + sc.size)
+          // each continuation renews the keep-alive (real ES re-arms the
+          // context for the `scroll=` duration on every request), so an
+          // actively-paging scroll never expires mid-pagination
+          else sc.copy(offset = sc.offset + sc.size,
+            openedAtMs = System.currentTimeMillis())
         })
         if (page == null)
           respond(ex, 404, """{"error":"search_context_missing_exception"}""")

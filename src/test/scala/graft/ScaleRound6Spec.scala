@@ -88,7 +88,7 @@ class ScaleRound6Spec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     val kept = run("q_token_budget")
       .groupBy(_.getString(0)).map { case (src, rs) =>
-        src -> (rs.map(_.getLong(4)).max, rs.map(_.getInt(1)).max)
+        src -> (rs.map(_.getLong(4)).max, rs.map(_.getLong(1)).max)
       }
     // recompute the full ranked token list and check the FIRST excluded
     // doc per source would blow the budget (cut exactly at the boundary)
@@ -103,7 +103,7 @@ class ScaleRound6Spec extends AnyFunSuite {
       }
     kept.foreach { case (src, (cum, maxRank)) =>
       assert(cum <= 600L, s"$src over budget: $cum")
-      val next = ranked(src).drop(maxRank)
+      val next = ranked(src).drop(maxRank.toInt)
       if (next.nonEmpty)
         assert(cum + next.head._1 > 600L,
           s"$src stopped early: $cum + ${next.head._1} fits in 600")
