@@ -120,5 +120,58 @@ object MultimodalMeta {
       .orderBy("doc_id", "rnk")
   }
 
-  val all: Seq[QueryDef] = Seq(decodeMeta, frameSample, features, resize, retrieval)
+  // Image-content near-dup: every image-typed doc renders to a REAL
+  // 8×8 grayscale PNG (pixel (r,c) = text byte (r·8+c) mod len — the
+  // corpus stand-in for stored image files), is decoded back through
+  // ImageIO, and hashed with the 56-bit gradient dHash
+  // (ops/ImageHash). Near-dups join on 7×8-bit hash bands — pigeonhole
+  // makes the banded candidate set lossless for the hamming ≤ 6 verify
+  // (the q_simhash60_neardup argument), so the plan never compares
+  // pixel pairs across docs and shuffles only 8-byte signatures. The
+  // oracle rebuilds the sample values from codepoints (pure-ASCII
+  // corpus: byte == unicode(char)) — PNG grayscale is lossless, so the
+  // Spark side's encode → decode → hash matches exactly.
+  val imageNearDup: QueryDef = QueryDef.sql("q_image_neardup")(
+    """WITH img AS (SELECT doc_id, text FROM documents
+      |             WHERE doc_id % 3 = 0 AND length(text) > 0),
+      |b AS (SELECT doc_id, k,
+      |        CASE WHEN unicode(substr(text, ((k+1) % length(text)) + 1, 1)) >
+      |                  unicode(substr(text, (k % length(text)) + 1, 1))
+      |             THEN 1::BIGINT ELSE 0::BIGINT END AS bit,
+      |        (k // 8) * 7 + (k % 8) AS bitpos
+      |      FROM img CROSS JOIN (SELECT UNNEST(generate_series(0, 62)) AS k) kk
+      |      WHERE k % 8 <> 7),
+      |sig AS (SELECT doc_id, SUM(bit << bitpos)::BIGINT AS s FROM b GROUP BY doc_id),
+      |ex AS (SELECT doc_id, s, bnd AS band_idx, (s >> (8 * bnd)) & 255 AS band_val
+      |       FROM sig CROSS JOIN (SELECT UNNEST(generate_series(0, 6)) AS bnd) bb),
+      |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |                a.s AS s_a, b.s AS s_b
+      |         FROM ex a JOIN ex b
+      |           ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+      |          AND a.doc_id < b.doc_id)
+      |SELECT doc_a, doc_b, CAST(bit_count(xor(s_a, s_b)) AS BIGINT) AS hamming
+      |FROM cand WHERE bit_count(xor(s_a, s_b)) <= 6
+      |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+    // persist: both band-join sides would otherwise re-render + re-hash
+    val sig = graft.ops.ImageHash.dhashes(s, Tables.documents(s, dir)).persist()
+    val banded = sig.select(col("doc_id"), col("dhash"),
+      posexplode(array((0 until graft.ops.ImageHash.Bands).map(i =>
+        shiftright(col("dhash"), 8 * i).bitwiseAND(lit(255L))): _*))
+        .as(Seq("band_idx", "band_val")))
+    val pairs = banded.as("a").join(banded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.dhash").as("s_a"), col("b.dhash").as("s_b"))
+      .distinct()
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("s_a").bitwiseXOR(col("s_b"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= 6)
+      .orderBy("doc_a", "doc_b")
+    graft.core.Spill.materialize(pairs) { sig.unpersist(blocking = false) }
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(decodeMeta, frameSample, features, resize, retrieval, imageNearDup)
 }
