@@ -2286,7 +2286,44 @@ object Streaming {
       .orderBy("user_id")
   }
 
+  // Compacted topic (cleanup.policy=compact) — the state-topic
+  // bootstrap pattern: every event is produced keyed by user_id, the
+  // broker's log cleaner retains only the latest record per key
+  // (offsets preserved → the log is GAPPY, and the consumer iterates
+  // the gaps), and a full replay of the cleaned topic must equal the
+  // per-key latest of the uncompacted ledger. Per-key produce order is
+  // pinned by repartitioning on the key and sorting by event_id inside
+  // each task (one key never splits across tasks, and key-hash routing
+  // sends it to one Kafka partition), so "latest" is deterministic:
+  // max event_id per user.
+  val kafkaWireCompacted: QueryDef = QueryDef.sql("q_kafka_wire_compacted")(
+    """WITH latest AS (
+      |  SELECT user_id, event_id, event_type, value,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY event_id DESC) AS rn
+      |  FROM events)
+      |SELECT user_id, event_id, event_type, value
+      |FROM latest WHERE rn = 1 ORDER BY user_id""".stripMargin) { (s, dir) =>
+    val broker = new graft.kafka.KafkaStubBroker(3)
+    broker.start()
+    try {
+      val exchange = new graft.kafka.KafkaWireExchange("127.0.0.1", broker.port)
+      val ev = graft.core.Tables.events(s, dir)
+        .repartition(6, col("user_id"))
+        .sortWithinPartitions("user_id", "event_id")
+      exchange.publish(Ingest.toJsonWire(ev, "user_id"),
+        graft.replay.Replay.ReplayConfig(input = "", topic = "user-state"))
+      broker.compactTopic("user-state")
+      val decoded = Ingest.decodeJsonWire(exchange.read(s, "user-state"))
+        .select("user_id", "event_id", "event_type", "value")
+        .orderBy("user_id")
+      // materialize before the broker dies: the consumer scan is lazy
+      graft.core.Spill.materialize(decoded)(())
+    } finally broker.stop()
+  }
+
   val all: Seq[QueryDef] = Seq(
+    kafkaWireCompacted,
     streamIngestJson, streamIngestDsv, streamWindowHourly, sinkUpsert,
     sinkUpsertDelta, sinkRoute, streamStreamJoin, streamDedup,
     streamSessionWindow, streamTwsSummary, streamLeftOuter, streamFullOuter,

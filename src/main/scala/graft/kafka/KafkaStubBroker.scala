@@ -190,7 +190,7 @@ final class KafkaStubBroker(val numPartitions: Int = 3,
   /** Partition high watermark (test hook). */
   def highWatermark(topic: String, partition: Int): Long = {
     val log = logs.get((topic, partition))
-    if (log == null) 0L else log.synchronized(log.length.toLong)
+    if (log == null) 0L else log.synchronized(leo(log))
   }
 
   def topics: Set[String] = logs.keySet.asScala.map(_._1).toSet
@@ -203,6 +203,61 @@ final class KafkaStubBroker(val numPartitions: Int = 3,
 
   private def logFor(topic: String, partition: Int): ArrayBuffer[StoredRecord] =
     logs.computeIfAbsent((topic, partition), _ => new ArrayBuffer[StoredRecord]())
+
+  /** Log end offset, under the log lock: offsets survive compaction, so
+    * LEO derives from the last record, not the array length (the two
+    * are equal while a log has never been cleaned).
+    */
+  private def leo(log: ArrayBuffer[StoredRecord]): Long =
+    if (log.isEmpty) 0L else log.last.offset + 1L
+
+  /** Index of the first record with offset >= target (binary search —
+    * the log is offset-sorted; equals `target` while the log is dense).
+    * Post-compaction fetches land here: asking for a cleaned-away
+    * offset serves the next retained record, exactly how a real broker
+    * reads a cleaned segment.
+    */
+  private def idxAtOrAfter(log: ArrayBuffer[StoredRecord], target: Long): Int = {
+    var lo = 0; var hi = log.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (log(mid).offset < target) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+
+  /** Log cleaner (`cleanup.policy=compact`): retain, per key, only the
+    * LATEST record — the state-topic bootstrap semantics. Offsets are
+    * PRESERVED (the log becomes gappy; offset gaps are legal and the
+    * consumer advances past them), so LEO, producer dedup ranges and
+    * replication base checks are untouched. Control records and
+    * null-key records always survive, as does the final record (the
+    * active-segment rule — it also pins LEO). Tombstones (null value)
+    * survive by default — a bootstrapping consumer needs the delete —
+    * and are dropped with `retainTombstones = false` (the
+    * delete.retention.ms expiry). Runs under the partition append lock
+    * like the real cleaner thread; in a cluster each replica cleans
+    * independently and stays convergent because offsets never move.
+    */
+  def compactTopic(topic: String, retainTombstones: Boolean = true): Unit =
+    (0 until numPartitions).foreach { p =>
+      val log = logFor(topic, p)
+      log.synchronized {
+        if (log.nonEmpty) {
+          val lastIdx = scala.collection.mutable.HashMap.empty[ByteBuffer, Int]
+          log.zipWithIndex.foreach { case (r, i) =>
+            if (!r.control && r.key != null) lastIdx.update(ByteBuffer.wrap(r.key), i)
+          }
+          val kept = log.zipWithIndex.collect {
+            case (r, i) if i == log.length - 1 || r.control || r.key == null ||
+                (lastIdx(ByteBuffer.wrap(r.key)) == i &&
+                  (retainTombstones || r.value != null)) => r
+          }
+          log.clear()
+          log ++= kept
+        }
+      }
+    }
 
   private def serve(sock: Socket): Unit = {
     liveConns.add(sock)
@@ -503,7 +558,7 @@ final class KafkaStubBroker(val numPartitions: Int = 3,
             val result = log.synchronized {
               var firstBase = -1L
               var err = Err.None
-              var simLen = log.length.toLong
+              var simLen = leo(log)
               var simState = Map.empty[Long, PidState]
               // planned effects: Left(base) = dup re-ack, Right = append
               val plan = ArrayBuffer
@@ -608,7 +663,7 @@ final class KafkaStubBroker(val numPartitions: Int = 3,
                   // follower-log for one partition, and a partition
                   // has exactly one leader — no cycle.
                   clusterOpt.flatMap(_.replicate(topic, partition, brokerId,
-                    log.length.toLong)(
+                    leo(log))(
                     _.applyReplicatedData(topic, partition, meta, records, base)))
                     .foreach(b => ackBarrier = Some(b))
                   if (firstBase < 0) firstBase = base
@@ -680,9 +735,8 @@ final class KafkaStubBroker(val numPartitions: Int = 3,
           // EVICTED laggard stops holding it back). Single-broker /
           // sync mode: the local log end, unchanged.
           val hwL = clusterOpt
-            .map(_.visibleWatermark(topic, partition, brokerId,
-              log.length.toLong))
-            .getOrElse(log.length.toLong)
+            .map(_.visibleWatermark(topic, partition, brokerId, leo(log)))
+            .getOrElse(leo(log))
           val open = openTxns.getOrDefault((topic, partition), Map.empty)
           val lsoL = if (open.isEmpty) hwL else math.min(hwL, open.values.min)
           val limit = if (readCommitted) lsoL else hwL
@@ -698,8 +752,15 @@ final class KafkaStubBroker(val numPartitions: Int = 3,
           // fills the response. A shorter-than-budget response is
           // protocol-legal regardless — the consumer resumes at
           // last offset + 1, and hw/lso advertise the rest.
-          val cap = if (limit.toInt <= fetchOffset.toInt) 0 else {
-            val probe = log(fetchOffset.toInt)
+          // slice bounds live in INDEX space, not offset space: a
+          // compacted log has offset gaps, so the fetch offset (and the
+          // visibility limit) map to array positions by binary search —
+          // a fetch at a cleaned-away offset serves the next retained
+          // record, the real cleaned-segment read behavior
+          val startIdx = idxAtOrAfter(log, fetchOffset)
+          val limitIdx = idxAtOrAfter(log, limit)
+          val cap = if (limitIdx <= startIdx) 0 else {
+            val probe = log(startIdx)
             val sz = 12 + (if (probe.key == null) 0 else probe.key.length) +
               (if (probe.value == null) 0 else probe.value.length)
             val est = math.max(2, if (fetchGzip) sz / 8 else sz)
@@ -708,10 +769,9 @@ final class KafkaStubBroker(val numPartitions: Int = 3,
             // overflow an Int cap into a negative slice (empty
             // response below the high watermark = stalled consumer).
             val capL = math.max(partMaxBytes, 1).toLong / est * 3 / 2 + 501
-            math.min(capL, limit - fetchOffset).toInt
+            math.min(capL, (limitIdx - startIdx).toLong).toInt
           }
-          val end = math.min(limit.toInt, fetchOffset.toInt + cap)
-          val sl = log.slice(fetchOffset.toInt, end).toVector
+          val sl = log.slice(startIdx, startIdx + cap).toVector
           val ab = if (readCommitted)
             abortedTxns.getOrDefault((topic, partition), Nil)
               .collect { case (pid, first, marker)
@@ -740,7 +800,10 @@ final class KafkaStubBroker(val numPartitions: Int = 3,
             while (j < slice.length && j - i < 500 &&
                 slice(j).pid == head.pid && slice(j).epoch == head.epoch &&
                 slice(j).transactional == head.transactional &&
-                slice(j).control == head.control) j += 1
+                slice(j).control == head.control &&
+                // encodeBatch writes dense offset deltas, so a batch
+                // must also split at compaction gaps
+                slice(j).offset == head.offset + (j - i)) j += 1
             val chunk = slice.slice(i, j)
             val encoded = encodeBatch(head.offset,
               chunk.map(r => (r.timestampMs, r.key, r.value)),
@@ -1412,7 +1475,10 @@ final class KafkaStubBroker(val numPartitions: Int = 3,
         // default (error) deliberately; a strategy option would be the
         // parity path if stricter behavior is ever needed.
         val (offset, matchedTs) = ts match {
-          case -2L => (0L, 0L) // earliest
+          case -2L => // earliest = first RETAINED offset (compaction
+            // can clean the head of the log away)
+            val log = logFor(topic, p)
+            (log.synchronized(if (log.isEmpty) 0L else log.head.offset), 0L)
           case -1L => (hw, -1L) // latest
           case t =>
             val log = logFor(topic, p)
@@ -1452,7 +1518,7 @@ final class KafkaStubBroker(val numPartitions: Int = 3,
     val barrier = log.synchronized {
       appendMarkerLocal(topic, partition, pid, epoch, commit)
       clusterOpt.flatMap(_.replicate(topic, partition, brokerId,
-        log.length.toLong)(
+        leo(log))(
         _.appendMarkerLocal(topic, partition, pid, epoch, commit)))
     }
     // async-lag mode: the marker's ISR wait runs outside the log lock
@@ -1467,7 +1533,7 @@ final class KafkaStubBroker(val numPartitions: Int = 3,
       val key = (topic, partition)
       val open = openTxns.getOrDefault(key, Map.empty)
       open.get(pid).foreach { firstOffset =>
-        val markerOffset = log.length.toLong
+        val markerOffset = leo(log)
         log += StoredRecord(markerOffset, 0L,
           ControlMarker.key(if (commit) ControlMarker.Commit else ControlMarker.Abort),
           ControlMarker.value(), pid, epoch,
@@ -1498,10 +1564,10 @@ final class KafkaStubBroker(val numPartitions: Int = 3,
       // errors), which would silently mask divergence as a producer
       // error while the leader keeps the rows — divergence must stay
       // loud and fatal
-      if (log.length.toLong != base)
+      if (leo(log) != base)
         throw new IllegalStateException(
           s"replica divergence on $topic/$partition: follower log at " +
-            s"${log.length}, leader appended at $base")
+            s"${leo(log)}, leader appended at $base")
       records.zipWithIndex.foreach { case (r, i) =>
         log += StoredRecord(base + i, r.timestampMs, r.key, r.value,
           meta.producerId, meta.producerEpoch, meta.transactional)

@@ -426,4 +426,62 @@ class KafkaWireSpec extends AnyFunSuite {
       assert(consumed.select(col("key")).distinct().count() == 3000)
     }
   }
+
+  test("log cleaner keeps per-key latest at preserved offsets and the consumer iterates the gaps") {
+    withBroker(1) { broker =>
+      withClient(broker) { c =>
+        // k0,k1,k2,k0,k1,k0 → latest: k2@2, k1@4, k0@5 (mid-log gaps)
+        val keys = Seq("k0", "k1", "k2", "k0", "k1", "k0")
+        c.produce("state", 0, keys.zipWithIndex.map { case (k, i) =>
+          (100L + i, b(k), b(s"v$i")) })
+        val hwBefore = broker.highWatermark("state", 0)
+        broker.compactTopic("state")
+        // LEO is pinned by the surviving final record — offsets never move
+        assert(broker.highWatermark("state", 0) == hwBefore)
+        val got = c.fetchAll("state", 0)
+        assert(got.map(_.offset) == Seq(2L, 4L, 5L),
+          "cleaner must keep the latest record per key AT its original offset")
+        assert(got.map(r => s(r.key) -> s(r.value)) ==
+          Seq("k2" -> "v2", "k1" -> "v4", "k0" -> "v5"))
+        // earliest is the first RETAINED offset, not 0
+        assert(c.listOffset("state", 0, -2L) == 2L)
+        assert(c.listOffset("state", 0, -1L) == 6L)
+        // a fetch at a cleaned-away offset serves the next retained record
+        assert(c.fetch("state", 0, 0L).records.head.offset == 2L)
+        assert(c.fetch("state", 0, 3L).records.head.offset == 4L)
+      }
+    }
+  }
+
+  test("tombstones survive compaction by default and expire on request") {
+    withBroker(1) { broker =>
+      withClient(broker) { c =>
+        c.produce("state", 0, Seq(
+          (1L, b("k1"), b("v1")), (2L, b("k2"), b("v2")),
+          (3L, b("k1"), null),    // delete k1
+          (4L, b("k2"), b("v2b"))))
+        broker.compactTopic("state")
+        val kept = c.fetchAll("state", 0)
+        assert(kept.map(_.offset) == Seq(2L, 3L))
+        assert(kept.find(r => s(r.key) == "k1").exists(_.value == null),
+          "a bootstrapping consumer needs the tombstone to delete its state")
+        // delete.retention expiry: the tombstone goes, the live key stays
+        broker.compactTopic("state", retainTombstones = false)
+        assert(c.fetchAll("state", 0).map(r => s(r.key)) == Seq("k2"))
+      }
+    }
+  }
+
+  test("the final record survives the cleaner even as an expired tombstone") {
+    withBroker(1) { broker =>
+      withClient(broker) { c =>
+        c.produce("solo", 0, Seq((1L, b("k"), null)))
+        broker.compactTopic("solo", retainTombstones = false)
+        // the active-segment rule: cleaning the last record would move
+        // LEO and diverge replication base checks
+        assert(broker.highWatermark("solo", 0) == 1L)
+        assert(c.fetchAll("solo", 0).size == 1)
+      }
+    }
+  }
 }
