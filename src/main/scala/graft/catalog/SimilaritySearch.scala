@@ -208,7 +208,9 @@ object SimilaritySearch {
   // high-cardinality partitions, not a global window — and the probe
   // list (2 rows/query) broadcasts into the bucket join, same
   // co-partitioned shape as single-probe.
-  private def ivfProbeSql(nprobe: Int): String =
+  private def ivfProbeSql(nprobe: Int): String = ivfProbeSqlExpr(nprobe.toString)
+
+  private def ivfProbeSqlExpr(nprobeExpr: String): String =
     s"""WITH n AS ($normedSql),
        |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n
        |     WHERE vec_id % 50 = 0 AND vec_id < $IvfCentroidCap),
@@ -219,7 +221,7 @@ object SimilaritySearch {
        |bucket AS (SELECT vec_id, cid FROM asg WHERE rn = 1),
        |nb AS (SELECT n.vec_id, v, nrm, cid FROM n JOIN bucket USING (vec_id)),
        |probe AS (SELECT vec_id AS query_id, cid FROM asg
-       |          WHERE vec_id < 20 AND rn <= $nprobe),
+       |          WHERE vec_id < 20 AND rn <= $nprobeExpr),
        |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM n
        |      WHERE vec_id < 20),
        |scored AS (
@@ -274,6 +276,38 @@ object SimilaritySearch {
   // query = 4·n/nlist candidates — linear in n, same plan shape.
   val annIvfProbe4: QueryDef =
     QueryDef.sql("q_ann_ivf_probe4")(ivfProbeSql(4))(ivfProbe(4))
+
+  /** Scale-aware nprobe: 4 probes up to 20k vectors, DOUBLING each
+    * corpus decade (8 ≤ 200k, 16 ≤ 2M, 32 beyond — past that the
+    * policy is to re-size nlist, a re-index). Constant nprobe is the
+    * measured uniform-regime failure mode (RECALL_SCALE_r15.jsonl:
+    * every fixed-probe variant decays as the corpus grows against the
+    * capped nlist, best sf10-uniform recall@3 0.417), because the
+    * probed fraction nprobe/nlist of the corpus shrinks RELATIVE to
+    * the noise floor of near-tie candidates. Doubling nprobe per
+    * decade holds the floor at a log-factor cost: candidates per query
+    * = nprobe·n/nlist, so the query stays linear-in-n with a
+    * ⌈log10⌉-step multiplier. The thresholds are integer CASE rungs
+    * (no float boundary can flip an engine), and both engines derive
+    * them from COUNT(*) of the same embeddings relation.
+    */
+  private def adaptiveNprobe(nVecs: Long): Int =
+    if (nVecs <= 20000L) 4
+    else if (nVecs <= 200000L) 8
+    else if (nVecs <= 2000000L) 16
+    else 32
+
+  val annIvfAdaptive: QueryDef = QueryDef.sql("q_ann_ivf_adaptive")(
+    ivfProbeSqlExpr(
+      """(SELECT CASE WHEN COUNT(*) <= 20000 THEN 4
+        |        WHEN COUNT(*) <= 200000 THEN 8
+        |        WHEN COUNT(*) <= 2000000 THEN 16
+        |        ELSE 32 END FROM embeddings)""".stripMargin)) { (s, dir) =>
+    // metadata-only count: parquet row counts come from footers, no
+    // column IO — the one driver-side scalar the policy needs
+    val nVecs = s.read.parquet(s"$dir/embeddings.parquet").count()
+    ivfProbe(adaptiveNprobe(nVecs))(s, dir)
+  }
 
   // IVF with TRAINED centroids: one deterministic Lloyd update on top
   // of the seed assignment — members of each seed bucket are averaged
@@ -1518,7 +1552,7 @@ object SimilaritySearch {
     // exact all-pairs is quadratic by contract (119.7×/decade at sf10,
     // BENCH_SCALE_SF10.json); oracle-gated only — q_embed_neardup_lsh
     // is the benched scale path
-    embedNearDup.audit, annIvf, annIvfProbe2, annIvfProbe4,
+    embedNearDup.audit, annIvf, annIvfProbe2, annIvfProbe4, annIvfAdaptive,
     annIvfKmeans, annLsh,
     annLshMulti, embedNearDupLsh, embedOutlier, vecQuantize, pqCodes, semanticDedup,
     embedTruncatedRecall, rrfFusion, annTopkRefine, mmrRerank, hardNegatives,

@@ -23,7 +23,11 @@ import org.apache.spark.sql.functions._
 object RecallProbe {
   private val Variants = sys.env.get("GRAFT_PROBE_ONLY")
     .map(_.split(",").toSeq).getOrElse(Seq(
-    "q_ann_ivf", "q_ann_ivf_probe2", "q_ann_ivf_probe4", "q_ann_lsh",
+    "q_ann_ivf", "q_ann_ivf_probe2", "q_ann_ivf_probe4",
+    // r16: the scale-aware policy — nprobe doubles per corpus decade,
+    // built to HOLD the uniform regime this probe showed every
+    // fixed-probe variant losing (sf10-uniform best 0.417)
+    "q_ann_ivf_adaptive", "q_ann_lsh",
     "q_ann_lsh_multi",
     // r14: the quantized variants — quantization distortion vs corpus
     // spread is the classic silent 100× decay (a codebook/signature

@@ -166,11 +166,12 @@ class PropertySpec extends AnyFunSuite {
       assert(fs.nonEmpty, s"$n: empty floor list is vacuous")
       assert(fs.map(_.regime).distinct.size == fs.size,
         s"$n: duplicate regime entries: ${fs.map(_.regime)}")
-      // every floored variant must be measured in BOTH registered
-      // regimes — a clustered-only or uniform-only entry would leave
-      // half the quality claim unenforced
-      assert(fs.map(_.regime).toSet == Set("uniform", "clustered"),
-        s"$n: regimes ${fs.map(_.regime)} != uniform+clustered")
+      // every floored variant must be measured in BOTH base regimes —
+      // a clustered-only or uniform-only entry would leave half the
+      // quality claim unenforced; additional SCALE regimes (e.g. the
+      // adaptive-nprobe sf10-uniform floor) may stack on top
+      assert(Set("uniform", "clustered").subsetOf(fs.map(_.regime).toSet),
+        s"$n: regimes ${fs.map(_.regime)} missing uniform+clustered")
       fs.foreach { f =>
         checkPointer(n, f.spec)
         assert(f.floor > 0.0, s"$n/${f.regime}: a non-positive floor is vacuous")
