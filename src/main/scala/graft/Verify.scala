@@ -28,6 +28,14 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // per-query hygiene (same sweep as Bench): drop Dataset-level
+      // caches and leaked RDD persists — GlobalIndex's lineage-pinned
+      // sorted-corpus RDDs in particular live until explicitly swept,
+      // and a 270-query dump session would otherwise accumulate their
+      // memory/disk blocks across queries
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -809,7 +809,7 @@ object TextAnalysis {
   // canonical string (order-insensitive: bag-of-words near-dups differ
   // by token order, which raw-prefix edit distance misreads as distant).
   // Integer distances, exact on both engines.
-  val levenshteinPairs: QueryDef = QueryDef.sql("q_levenshtein_pairs")(
+  private def levenshteinOracle(k: Int): String =
     s"""WITH n AS (SELECT doc_id, lang, n_chars,
        |  substr(array_to_string(list_sort($toksSql), ' '), 1, 60) AS canon
        |  FROM documents)
@@ -817,8 +817,11 @@ object TextAnalysis {
        |  levenshtein(a.canon, b.canon) AS edit_dist
        |FROM n a JOIN n b
        |  ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id
-       |WHERE levenshtein(a.canon, b.canon) <= 18
-       |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+       |WHERE levenshtein(a.canon, b.canon) <= $k
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  val levenshteinPairs: QueryDef = QueryDef.sql("q_levenshtein_pairs")(
+    levenshteinOracle(18)) { (s, dir) =>
     val n = docs(s, dir)
       .select(col("doc_id"), col("lang"), col("n_chars"),
         substring(concat_ws(" ", array_sort(Text.tokens(col("text")))), 1, 60)
@@ -853,18 +856,21 @@ object TextAnalysis {
   // form's — one oracle, two plans. Shuffles carry (unit, doc_id)
   // prefix rows and the ≤60-char canon strings only.
   //
-  // Scale adjudication (r15): this query's OUTPUT is itself quadratic
-  // by contract — ed ≤ 18 on 60-char sorted-token canons admits ~1/3
-  // of ALL same-block pairs (sf1.0: 203,358 output rows of 642,247
+  // Scale adjudication (r15, upheld r17): the ed ≤ 18 contract's OUTPUT
+  // is itself quadratic — ed ≤ 18 on 60-char sorted-token canons admits
+  // ~1/3 of ALL same-block pairs (sf1.0: 203,358 output rows of 642,247
   // block pairs), so Ω(output) = Ω(n²) bounds every implementation.
   // Against that bound the prefix filter is near-optimal: candidates
   // (583k at sf1.0) sit within 3× of the output itself, and measured
   // runtime grows 5.6× SLOWER than the output per decade (sf1→sf10
   // wall ratio 17.7× vs ~100× output growth). A tighter threshold —
-  // not a better plan — is what would shrink this query at 100 TB.
-  val levenshteinPairsBanded: QueryDef =
-    QueryDef.sql("q_levenshtein_pairs_banded")(levenshteinPairs.oracle.get) {
-      (s, dir) =>
+  // not a better plan — is what shrinks this query at 100 TB: hence
+  // the ed ≤ 6 twin below is the BENCHED form (its output is
+  // near-linear in the corpus) and both ed ≤ 18 forms are auditOnly.
+  private def edJoinPlan(s: SparkSession, dir: String, k: Int): DataFrame = {
+    val q = 2              // bigrams
+    val pfx = k * q + 1    // prefix length |X| − T + 1 ≤ k·q + 1
+    val minLong = k * q + 2 // T ≥ 1 ⇔ max(len) ≥ k·q + 2
     val n = docs(s, dir)
       .select(col("doc_id"), col("lang"), col("n_chars"),
         substring(concat_ws(" ", array_sort(Text.tokens(col("text")))), 1, 60)
@@ -888,19 +894,19 @@ object TextAnalysis {
       .withColumn("prank", row_number().over(
         Window.partitionBy("doc_id")
           .orderBy(col("df"), col("gram"), col("occ"))))
-      .filter(col("prank") <= 37) // k·q + 1
+      .filter(col("prank") <= pfx)
       .select("doc_id", "lang", "n_chars", "len", "gram", "occ")
     val candLong = prefix.as("a").join(prefix.as("b"),
         col("a.gram") === col("b.gram") && col("a.occ") === col("b.occ") &&
           col("a.lang") === col("b.lang") &&
           col("a.n_chars") === col("b.n_chars") &&
           col("a.doc_id") < col("b.doc_id") &&
-          greatest(col("a.len"), col("b.len")) >= 38)
+          greatest(col("a.len"), col("b.len")) >= minLong)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     // both-short pairs: T ≤ 0 ⇒ no gram filter applies; exact block
     // join over the short slice only (near-empty docs)
-    val short = n.filter(col("len") <= 37)
+    val short = n.filter(col("len") <= minLong - 1)
     val candShort = short.as("a").join(short.as("b"),
         col("a.lang") === col("b.lang") &&
           col("a.n_chars") === col("b.n_chars") &&
@@ -911,10 +917,26 @@ object TextAnalysis {
       .join(n.select(col("doc_id").as("doc_b"), col("canon").as("cb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         levenshtein(col("ca"), col("cb")).as("edit_dist"))
-      .filter(col("edit_dist") <= 18)
+      .filter(col("edit_dist") <= k)
       .orderBy("doc_a", "doc_b")
     materialized(pairs, n)
   }
+
+  val levenshteinPairsBanded: QueryDef =
+    QueryDef.sql("q_levenshtein_pairs_banded")(levenshteinOracle(18))(
+      edJoinPlan(_, _, 18))
+
+  // The benched edit-distance query: SAME ED-Join machinery, ed ≤ 8
+  // (prefix k·q+1 = 17) — a threshold whose output is near-linear in
+  // the corpus (sf0.1: 56 of the ed ≤ 18 contract's 669 pairs qualify;
+  // matches ~exact dups and one-or-two-token edits, not a third of
+  // every block), so runtime is no longer Ω(n²) by contract. ed ≤ 8
+  // rather than the even tighter ed ≤ 6 because the sf0.01 correctness
+  // corpus has its nearest non-identical pair at distance 8 — ≤ 6
+  // would hash-match a 0-row oracle and gate nothing.
+  val levenshteinPairsTight: QueryDef =
+    QueryDef.sql("q_levenshtein_pairs_tight")(levenshteinOracle(8))(
+      edJoinPlan(_, _, 8))
 
   // MinHash-as-ESTIMATOR: jaccard_est = matching signature components
   // / K for every LSH candidate pair — the sketch answer that stands in
@@ -2448,9 +2470,11 @@ object TextAnalysis {
     minhashSig, minhashPairs, minhashPairsCapped, minhashHotBuckets,
     minhashVerified, ngramJaccard, simhash,
     simhashNearDup.audit, simhash60, simhash60NearDup,
-    // exact (lang, n_chars) block join is quadratic by contract
-    // (77.9×/decade at sf10); the banded twin is the benched path
-    levenshteinPairs.audit, levenshteinPairsBanded,
+    // ed ≤ 18's OUTPUT is quadratic by contract (exact block join
+    // 77.9×/decade at sf10; even the ED-Join form is Ω(output) = Ω(n²))
+    // — both audit; the ed ≤ 6 twin is the benched path
+    levenshteinPairs.audit, levenshteinPairsBanded.audit,
+    levenshteinPairsTight,
     minhashJaccardEst, tokenEntropy, bpePairs, dedupIncremental,
     substringDedup, substringDedupScrub, dupNgramSpans, sourceOverlap,
     importanceWeights, tfidfRetrieval,

@@ -238,18 +238,32 @@ final class KafkaStubBroker(val numPartitions: Int = 3,
     * delete.retention.ms expiry). Runs under the partition append lock
     * like the real cleaner thread; in a cluster each replica cleans
     * independently and stays convergent because offsets never move.
+    *
+    * Uncleanable floor: cleaning stops BELOW the partition's
+    * first-uncleanable offset — the min first-offset of any OPEN
+    * transaction (the same quantity the fetch path's LSO uses). Records
+    * at/above the floor are retained verbatim AND excluded from the
+    * latest-per-key scan: an open transaction's record may still be
+    * aborted, so letting it shadow (and clean away) a committed value
+    * below the floor would make a read_committed bootstrap miss that
+    * key's committed state. Real Kafka's cleaner enforces exactly this
+    * bound (firstUncleanableOffset <= LSO).
     */
   def compactTopic(topic: String, retainTombstones: Boolean = true): Unit =
     (0 until numPartitions).foreach { p =>
       val log = logFor(topic, p)
       log.synchronized {
         if (log.nonEmpty) {
+          val open = openTxns.getOrDefault((topic, p), Map.empty)
+          val floor = if (open.isEmpty) Long.MaxValue else open.values.min
           val lastIdx = scala.collection.mutable.HashMap.empty[ByteBuffer, Int]
           log.zipWithIndex.foreach { case (r, i) =>
-            if (!r.control && r.key != null) lastIdx.update(ByteBuffer.wrap(r.key), i)
+            if (!r.control && r.key != null && r.offset < floor)
+              lastIdx.update(ByteBuffer.wrap(r.key), i)
           }
           val kept = log.zipWithIndex.collect {
             case (r, i) if i == log.length - 1 || r.control || r.key == null ||
+                r.offset >= floor ||
                 (lastIdx(ByteBuffer.wrap(r.key)) == i &&
                   (retainTombstones || r.value != null)) => r
           }

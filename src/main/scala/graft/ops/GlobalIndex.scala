@@ -66,8 +66,10 @@ object GlobalIndex {
     // offsets collected in phase 1 are only valid against the exact
     // partition contents phase 2 labels, and a recompute (speculation,
     // executor loss, non-deterministic upstream) can re-sample range
-    // bounds. Persisted; ContextCleaner unpersists when the returned
-    // frame is dropped — exactly the offsets' lifetime.
+    // bounds. Persisted for the result's lifetime: Bench/Verify sweep
+    // getPersistentRDDs after consuming each query (the explicit
+    // release point); outside those mains ContextCleaner reclaims the
+    // blocks when the returned frame's lineage is GC'd.
     val rdd = sorted.rdd.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val partSums = rdd.mapPartitionsWithIndex { case (i, it) =>

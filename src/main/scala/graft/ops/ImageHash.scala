@@ -144,8 +144,24 @@ object ImageHash {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         // ImageIO plugin lookup happens once per partition, then the
-        // batch streams through encode → decode → hash
-        it.map { case (id, b) => (id, dhash56(grayPng(b))) }
+        // batch streams through encode → decode → hash.
+        // ASCII guard: the DuckDB oracle samples by CODEPOINT with a
+        // char-length modulus while this side samples by UTF-8 BYTE
+        // with a byte-length modulus — identical only while every char
+        // is one ASCII byte. A non-ASCII doc would diverge silently,
+        // so fail loudly instead (a real image corpus feeds raw bytes
+        // here and never hits this guard).
+        it.map { case (id, b) =>
+          var i = 0
+          while (i < b.length) {
+            if (b(i) < 0) throw new IllegalArgumentException(
+              s"ImageHash.dhashes: non-ASCII byte 0x${(b(i) & 0xff).toHexString} " +
+                s"at offset $i of doc $id - byte-indexed hash would diverge " +
+                "from the codepoint-indexed oracle")
+            i += 1
+          }
+          (id, dhash56(grayPng(b)))
+        }
       }
       .toDF("doc_id", "dhash")
   }
