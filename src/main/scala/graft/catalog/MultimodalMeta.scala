@@ -172,6 +172,67 @@ object MultimodalMeta {
     graft.core.Spill.materialize(pairs) { sig.unpersist(blocking = false) }
   }
 
+  // Audio-content near-dup: every audio-typed doc renders to a REAL
+  // RIFF/WAVE file (8-bit unsigned mono PCM, sample k = text byte
+  // k mod len — the corpus stand-in for stored audio files), decodes
+  // back through AudioSystem, and fingerprints with the 56-bit
+  // frame-energy gradient hash (ops/AudioHash: 57 frames × 8 samples,
+  // bit j = frame j+1 sum > frame j sum). Near-dups join on 7×8-bit
+  // fingerprint bands — pigeonhole makes the banded candidate set
+  // lossless for the hamming ≤ 6 verify, so the plan never compares
+  // waveform pairs across docs and shuffles only 8-byte fingerprints.
+  // The oracle rebuilds the sample values from codepoints (pure-ASCII
+  // corpus: byte == unicode(char)) — 8-bit PCM in WAV is lossless, so
+  // the Spark side's encode → decode → fingerprint matches exactly.
+  // Corpus note: the frame-sum grain is discriminative enough that the
+  // synthetic corpus produces its first hamming ≤ 6 collisions at
+  // sf0.1 (22 pairs, incl. the corpus's one exact-dup audio pair); the
+  // sf0.01 correctness dump is legitimately EMPTY on both engines —
+  // non-trivial parity is pinned at sf0.1 (local r17 run) and in the
+  // sf10 scale gate, and AudioHashSpec pins the collision semantics on
+  // fixtures.
+  val audioNearDup: QueryDef = QueryDef.sql("q_audio_neardup")(
+    """WITH aud AS (SELECT doc_id, text FROM documents
+      |             WHERE doc_id % 3 = 1 AND length(text) > 0),
+      |fs AS (SELECT doc_id, k // 8 AS f,
+      |         SUM(unicode(substr(text, (k % length(text)) + 1, 1))) AS fsum
+      |       FROM aud CROSS JOIN (SELECT UNNEST(generate_series(0, 455)) AS k) kk
+      |       GROUP BY doc_id, f),
+      |b AS (SELECT a.doc_id, p.f AS bitpos,
+      |        CASE WHEN a.fsum > p.fsum THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+      |      FROM fs a JOIN fs p ON a.doc_id = p.doc_id AND a.f = p.f + 1),
+      |sig AS (SELECT doc_id, SUM(bit << bitpos)::BIGINT AS s FROM b GROUP BY doc_id),
+      |ex AS (SELECT doc_id, s, bnd AS band_idx, (s >> (8 * bnd)) & 255 AS band_val
+      |       FROM sig CROSS JOIN (SELECT UNNEST(generate_series(0, 6)) AS bnd) bb),
+      |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |                a.s AS s_a, b.s AS s_b
+      |         FROM ex a JOIN ex b
+      |           ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+      |          AND a.doc_id < b.doc_id)
+      |SELECT doc_a, doc_b, CAST(bit_count(xor(s_a, s_b)) AS BIGINT) AS hamming
+      |FROM cand WHERE bit_count(xor(s_a, s_b)) <= 6
+      |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+    // persist: both band-join sides would otherwise re-render + re-hash
+    val sig = graft.ops.AudioHash.fingerprints(s, Tables.documents(s, dir)).persist()
+    val banded = sig.select(col("doc_id"), col("fp"),
+      posexplode(array((0 until graft.ops.AudioHash.Bands).map(i =>
+        shiftright(col("fp"), 8 * i).bitwiseAND(lit(255L))): _*))
+        .as(Seq("band_idx", "band_val")))
+    val pairs = banded.as("a").join(banded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.fp").as("s_a"), col("b.fp").as("s_b"))
+      .distinct()
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("s_a").bitwiseXOR(col("s_b"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= 6)
+      .orderBy("doc_a", "doc_b")
+    graft.core.Spill.materialize(pairs) { sig.unpersist(blocking = false) }
+  }
+
   val all: Seq[QueryDef] =
-    Seq(decodeMeta, frameSample, features, resize, retrieval, imageNearDup)
+    Seq(decodeMeta, frameSample, features, resize, retrieval, imageNearDup,
+      audioNearDup)
 }
