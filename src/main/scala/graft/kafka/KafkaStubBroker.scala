@@ -2338,6 +2338,58 @@ final class KafkaStubCluster(nBrokers: Int, numPartitions: Int = 3,
     if (channels != null) channels(id).paused = false
   }
 
+  /** Preferred-leader election (`auto.leader.rebalance.enable` /
+    * `kafka-leader-election.sh --election-type preferred` — the
+    * controller's periodic imbalance check collapsed to an explicit
+    * trigger): every partition whose current leader is not the FIRST
+    * replica of its assignment moves leadership back to that preferred
+    * replica with a bumped leader epoch, PROVIDED the preferred
+    * replica is alive and in sync. Without this, [[restartBroker]]
+    * never moves leadership back, so a rolling restart permanently
+    * skews leader placement toward whichever brokers died last — the
+    * exact imbalance the real controller's trigger exists to undo. A
+    * partition whose preferred replica is dead or lagging is left
+    * alone (the controller's rule: preferred election is never
+    * unclean).
+    *
+    * Zero acked-record loss: in async mode the flip first waits for
+    * the preferred replica to fully DRAIN its replication channel for
+    * the partition — in-sync tolerates `replica.lag.time` of backlog,
+    * but a handover needs log equality — so at the flip instant its
+    * log holds every record the outgoing leader ever acked and no
+    * truncation step is needed (unlike [[failBroker]] promotion).
+    * Like the promotion path, the election assumes a quiesced window
+    * for the affected partitions; produce serialization across the
+    * flip is the epoch bump + NOT_LEADER re-route, same as failover.
+    */
+  def electPreferredLeaders(timeoutMs: Long = 5000): Unit =
+    leaderLock.synchronized {
+      val allTopics = brokers.flatMap(_.topics).toSet
+      leaderMap.toSeq.sortBy(_._1).foreach { case (p, current) =>
+        val preferred = replicasOf(p).head
+        if (preferred != current && isAlive(preferred) &&
+            allTopics.forall(t => inSyncFollower(preferred, t, p))) {
+          if (channels != null) {
+            val deadline = System.nanoTime() + timeoutMs * 1000000L
+            while (allTopics.exists(t =>
+                channels(preferred).oldestPendingNanos(t, p).nonEmpty)) {
+              if (channels(preferred).failure != null)
+                throw new IllegalStateException(
+                  s"preferred election: replica $preferred's chaser died",
+                  channels(preferred).failure)
+              if (System.nanoTime() > deadline)
+                throw new IllegalStateException(
+                  s"preferred election: replica $preferred did not drain " +
+                    s"partition $p within ${timeoutMs}ms")
+              replMonitor.synchronized(replMonitor.wait(1))
+            }
+          }
+          leaderEpochs += p -> (leaderEpochs(p) + 1)
+          leaderMap += p -> preferred
+        }
+      }
+    }
+
   /** Any ALIVE broker bootstraps the whole cluster; use the first. */
   def bootstrap: String = aliveBrokers.head.bootstrap
   def bootstrapPort: Int = aliveBrokers.head.port

@@ -285,6 +285,62 @@ class KafkaIsrSpec extends AnyFunSuite {
     }
   }
 
+  test("rolling restart + preferred election: leadership returns to the preferred replicas with zero acked-record loss") {
+    withAsyncCluster(lagMs = 2000) { cluster =>
+      val c = new KafkaClusterClient("127.0.0.1", cluster.bootstrapPort)
+      try {
+        c.metadata(Seq("roll"))
+        (0 until 3).foreach { p =>
+          c.produce("roll", p, (0 until 10).map(i => (1L + i, null, b(s"pre$p-$i"))))
+        }
+        // full rolling restart, one broker at a time: each fail moves
+        // that broker's leaderships; each restart catches up but does
+        // NOT move leadership back
+        (0 until 3).foreach { id =>
+          cluster.failBroker(id)
+          cluster.restartBroker(id)
+          assert(cluster.awaitCaughtUp(id), s"broker $id never caught up")
+          // the periodic refresh a real client runs between roll steps
+          // (metadata.max.age.ms): restarted brokers re-bind on fresh
+          // ports, so a client that never refreshed mid-roll would age
+          // out its entire endpoint set
+          c.metadata(Seq("roll"))
+        }
+        // the roll leaves placement skewed: promotion is preferred-first
+        // among survivors, so p0/p1 drift home but p2's preferred
+        // replica was freshly restarted when broker 2 died — broker 0
+        // still leads it
+        assert(cluster.leaderOf(2) != 2, "test premise: roll must skew placement")
+        val epochBefore = cluster.leaderEpoch(2)
+        // records acked AFTER the roll, before the election
+        (0 until 3).foreach { p =>
+          c.produce("roll", p, Seq((100L, null, b(s"mid$p"))))
+        }
+        cluster.electPreferredLeaders()
+        // every partition's leadership is home, with a bumped epoch on
+        // the moved one only
+        (0 until 3).foreach(p => assert(cluster.leaderOf(p) == p,
+          s"partition $p led by ${cluster.leaderOf(p)} after preferred election"))
+        assert(cluster.leaderEpoch(2) == epochBefore + 1)
+        // zero acked-record loss: every pre-roll and mid-roll record is
+        // served by the restored leaders, and a fresh produce lands +
+        // replicates cleanly under the new epoch
+        (0 until 3).foreach { p =>
+          c.produce("roll", p, Seq((200L, null, b(s"post$p"))))
+          val got = c.fetchAll("roll", p).map(r => str(r.value))
+          assert(got == ((0 until 10).map(i => s"pre$p-$i") :+ s"mid$p" :+ s"post$p"),
+            s"partition $p: $got")
+        }
+        assert((0 until 3).forall(cluster.awaitCaughtUp(_)))
+        // idempotent: a second trigger with placement already preferred
+        // is a no-op (no epoch churn)
+        val epochs = (0 until 3).map(cluster.leaderEpoch)
+        cluster.electPreferredLeaders()
+        assert((0 until 3).map(cluster.leaderEpoch) == epochs)
+      } finally c.close()
+    }
+  }
+
   test("no in-sync replica to promote: failBroker refuses the unclean election loudly, and recovers once the laggard chases") {
     // rf=2: partition 0 lives on brokers {0, 1} only — evicting broker
     // 1 leaves the leader with no in-sync follower at all
