@@ -232,7 +232,65 @@ object MultimodalMeta {
     graft.core.Spill.materialize(pairs) { sig.unpersist(blocking = false) }
   }
 
+  // Video-content near-dup: the temporal leg (ops/VideoHash). Decode
+  // is the one deliberately-stubbed step (no JDK video codec — payload
+  // bytes stand in for the decoded luma stream); everything downstream
+  // — the 57 equal time-slices (clips of any length compare on one
+  // grid), the 56-bit MEAN-gradient fingerprint (exact integer
+  // cross-multiply; sum-gradient bits would let the slice-width
+  // pattern, a pure function of len, alias every similar-length pair
+  // into a spurious near-dup — measured ~0.2% all-pairs collision vs
+  // near-dups-only for means), the 7×8-bit banded join
+  // (pigeonhole-lossless hamming ≤ 6) — is the real pipeline a true
+  // decoder would feed. Only 8-byte fingerprints shuffle. The oracle
+  // rebuilds slice stats from codepoints; slices a short clip never
+  // reaches read (0, 0) via the LEFT JOIN, matching the Scala arrays'
+  // zero-filled slots.
+  val videoNearDup: QueryDef = QueryDef.sql("q_video_neardup")(
+    """WITH vid AS (SELECT doc_id, text, length(text) AS len
+      |             FROM documents WHERE doc_id % 3 = 2 AND length(text) > 0),
+      |fe AS (SELECT doc_id, (p * 57) // len AS f,
+      |         SUM(unicode(substr(text, p + 1, 1))) AS e, COUNT(*) AS w
+      |       FROM vid, UNNEST(generate_series(0, len - 1)) AS t(p)
+      |       GROUP BY doc_id, f),
+      |g AS (SELECT v.doc_id, j, COALESCE(fe.e, 0) AS e, COALESCE(fe.w, 0) AS w
+      |      FROM vid v CROSS JOIN (SELECT UNNEST(generate_series(0, 56)) AS j) jj
+      |      LEFT JOIN fe ON fe.doc_id = v.doc_id AND fe.f = j),
+      |b AS (SELECT a.doc_id, p.j AS bitpos,
+      |        CASE WHEN a.e * p.w > p.e * a.w THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+      |      FROM g a JOIN g p ON a.doc_id = p.doc_id AND a.j = p.j + 1),
+      |sig AS (SELECT doc_id, SUM(bit << bitpos)::BIGINT AS s FROM b GROUP BY doc_id),
+      |ex AS (SELECT doc_id, s, bnd AS band_idx, (s >> (8 * bnd)) & 255 AS band_val
+      |       FROM sig CROSS JOIN (SELECT UNNEST(generate_series(0, 6)) AS bnd) bb),
+      |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |                a.s AS s_a, b.s AS s_b
+      |         FROM ex a JOIN ex b
+      |           ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+      |          AND a.doc_id < b.doc_id)
+      |SELECT doc_a, doc_b, CAST(bit_count(xor(s_a, s_b)) AS BIGINT) AS hamming
+      |FROM cand WHERE bit_count(xor(s_a, s_b)) <= 6
+      |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+    // persist: both band-join sides would otherwise re-carve + re-hash
+    val sig = graft.ops.VideoHash.fingerprints(s, Tables.documents(s, dir)).persist()
+    val banded = sig.select(col("doc_id"), col("fp"),
+      posexplode(array((0 until graft.ops.VideoHash.Bands).map(i =>
+        shiftright(col("fp"), 8 * i).bitwiseAND(lit(255L))): _*))
+        .as(Seq("band_idx", "band_val")))
+    val pairs = banded.as("a").join(banded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.fp").as("s_a"), col("b.fp").as("s_b"))
+      .distinct()
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("s_a").bitwiseXOR(col("s_b"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= 6)
+      .orderBy("doc_a", "doc_b")
+    graft.core.Spill.materialize(pairs) { sig.unpersist(blocking = false) }
+  }
+
   val all: Seq[QueryDef] =
     Seq(decodeMeta, frameSample, features, resize, retrieval, imageNearDup,
-      audioNearDup)
+      audioNearDup, videoNearDup)
 }
