@@ -433,12 +433,17 @@ object Curation {
     // sort volume would otherwise outgrow the in-memory tier first
     // among the text queries — Tables.scaledPartitions scaladoc)
     val nParts = Tables.scaledPartitions(s, dir, "documents")
+    // empty-docs exclusion folded into the explode (empty sequence →
+    // row vanishes), NOT a filter: `.filter(size(toks) > 0)` pushes
+    // below the exchange by substitution and runs the regex tokenize
+    // twice per doc (the q_decontaminate finding)
     Tables.documents(s, dir)
       .repartition(nParts, col("doc_id"))
       .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
-      .filter(size(col("toks")) > 0)
       .select(col("doc_id"), col("toks"), size(col("toks")).as("n"),
-        explode(sequence(lit(1), size(col("toks")), lit(ChunkS))).as("chunk_start"))
+        explode(when(size(col("toks")) > 0,
+            sequence(lit(1), size(col("toks")), lit(ChunkS)))
+          .otherwise(array().cast("array<int>"))).as("chunk_start"))
       .select(col("doc_id"),
         (((col("chunk_start") - 1) / ChunkS).cast("long")).as("chunk_idx"),
         col("chunk_start").cast("long").as("chunk_start"),
@@ -566,12 +571,20 @@ object Curation {
     // explode preserve it), so the whole corpus side is shuffle-free
     // past the initial repartition
     val nParts = Tables.scaledPartitions(s, dir, "documents")
+    // the < 3-token exclusion is folded INTO the shingle expression
+    // (empty array → explode drops the doc) rather than written as a
+    // filter: `.filter(size(tokens) >= 3)` pushes below the exchange
+    // by expression substitution, so the regex tokenize would execute
+    // TWICE per doc — once in the pushed-down filter under the
+    // shuffle, once in this projection (measured: the sf10 scan stage
+    // alone paid 300 task-seconds of duplicate tokenization)
     val dsh = Tables.documents(s, dir)
       .repartition(nParts, col("doc_id"))
       .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
-      .filter(size(col("toks")) >= 3)
       .select(col("doc_id"),
-        explode(array_distinct(Text.wordShingles(col("toks"), 3))).as("s"))
+        explode(array_distinct(
+          when(size(col("toks")) >= 3, Text.wordShingles(col("toks"), 3))
+            .otherwise(array().cast("array<string>")))).as("s"))
     // benchmark branch: the doc_id < 10 filter pushes below the shingle
     // explode to the scan, so only the 10 eval docs are tokenized here
     val bench = dsh.filter(col("doc_id") < 10).select("s").distinct()
@@ -611,9 +624,19 @@ object Curation {
        |WHERE d.doc_id >= 10
        |  AND d.doc_id NOT IN (SELECT doc_id FROM dropped)
        |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
-    val dropped = contaminationAgg(s, dir)
-      .filter(col("n_contaminated") * 20 >= col("n_shingles"))
-      .select("doc_id")
+    // materialize the dropped-id set through a spill before the anti
+    // join: it is output-small (one id per contaminated doc) but its
+    // PLANNED size estimate sits behind the whole tokenize+explode+agg
+    // pipeline, so AQE first materializes it as a broadcast-candidate
+    // stage, then demotes the join to sort-merge and RE-RUNS the
+    // pipeline inside the join stage — measured at sf10 as two ~1050
+    // task-second twins of the same work. A rescan of the spilled
+    // relation has a known tiny size: the pipeline runs exactly once
+    // and the anti join broadcasts for real.
+    val dropped = graft.core.Spill.materialize(
+      contaminationAgg(s, dir)
+        .filter(col("n_contaminated") * 20 >= col("n_shingles"))
+        .select("doc_id")) {}
     Tables.documents(s, dir)
       .filter(col("doc_id") >= 10)
       .join(dropped, Seq("doc_id"), "left_anti")
@@ -875,12 +898,15 @@ object Curation {
        |  MIN(doc_id) AS canonical_doc
        |FROM ch GROUP BY chunk_fp HAVING COUNT(*) > 1
        |ORDER BY chunk_fp""".stripMargin) { (s, dir) =>
+    // same explode-folded empty-doc exclusion as chunkTokens: a filter
+    // here would push below the exchange and tokenize twice
     Tables.documents(s, dir)
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
-      .filter(size(col("toks")) > 0)
       .select(col("doc_id"), col("toks"),
-        explode(sequence(lit(1), size(col("toks")), lit(ChunkS))).as("chunk_start"))
+        explode(when(size(col("toks")) > 0,
+            sequence(lit(1), size(col("toks")), lit(ChunkS)))
+          .otherwise(array().cast("array<int>"))).as("chunk_start"))
       .select(col("doc_id"),
         Text.hash60(concat_ws(" ", slice(col("toks"), col("chunk_start"), lit(ChunkW))))
           .as("chunk_fp"))
@@ -1025,17 +1051,23 @@ object Curation {
       // volume stays constant as the corpus grows
       // (Tables.scaledPartitions scaladoc)
       val nParts = Tables.scaledPartitions(s, dir, "documents")
+      // no `.filter(n_toks > 0)`: that filter pushes below the
+      // exchange by expression substitution, so the regex tokenize
+      // would run TWICE per doc (the q_decontaminate finding). Empty
+      // docs instead ride the prefix sum contributing 0 — g_start for
+      // every other doc is unchanged — and vanish at the explode via
+      // the empty-sequence guard below.
       val t = Tables.documents(s, dir)
         .repartition(nParts, col("doc_id"))
         .select(col("doc_id"),
           size(Text.tokens(col("text"))).cast("long").as("n_toks"))
-        .filter(col("n_toks") > 0)
       val cum = graft.ops.GlobalIndex.withRunningTotal(
         t, Seq(col("doc_id")), "n_toks", "g_start", nParts)
       val x = cum.withColumn("g_end", col("g_start") + col("n_toks"))
         .select(col("doc_id"), col("g_start"), col("g_end"),
-          explode(sequence(
-            expr(s"g_start div $L"), expr(s"(g_end - 1) div $L"))).as("seq_id"))
+          explode(when(col("g_end") > col("g_start"), sequence(
+              expr(s"g_start div $L"), expr(s"(g_end - 1) div $L")))
+            .otherwise(array().cast("array<bigint>"))).as("seq_id"))
       x.select(col("seq_id"), col("doc_id"),
           (greatest(col("g_start"), col("seq_id") * L) - col("seq_id") * L)
             .as("pos_in_seq"),
