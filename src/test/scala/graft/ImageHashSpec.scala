@@ -18,9 +18,6 @@ class ImageHashSpec extends AnyFunSuite {
   // monotone ramp: every adjacent comparison is "greater" → all 56 bits
   private val ramp: Array[Byte] = Array.tabulate(64)(k => (k * 4).toByte)
 
-  private def bands(s: Long): Seq[Long] =
-    (0 until ImageHash.Bands).map(i => (s >> (8 * i)) & 255L)
-
   test("dhash of the rendered PNG equals the hash of the raw samples") {
     // independent recompute straight from the byte pattern — the PNG
     // encode → ImageIO decode round trip must not move a single sample
@@ -35,25 +32,52 @@ class ImageHashSpec extends AnyFunSuite {
     assert(s == (1L << 56) - 1, "monotone ramp must set all 56 bits")
   }
 
+  test("the vertical half mirrors the horizontal on the transposed raster") {
+    // dhash112's v-bits on the ramp: bit (c·7+r) = gray(r+1,c) > gray(r,c)
+    val (h, v) = ImageHash.dhash112(ImageHash.grayPng(ramp))
+    assert(h == ImageHash.dhash56(ImageHash.grayPng(ramp)))
+    var expectV = 0L
+    for (c <- 0 until 8; r <- 0 until 7) {
+      if ((ramp((r + 1) * 8 + c) & 0xff) > (ramp(r * 8 + c) & 0xff))
+        expectV |= 1L << (c * 7 + r)
+    }
+    assert(v == expectV)
+  }
+
+  test("the 7x16-bit bands are disjoint and cover all 112 bits") {
+    // flipping any single bit of (h, v) must change exactly one band
+    val (h0, v0) = (0x00aa55aa55aa55aaL, 0x0055aa55aa55aa55L)
+    for (bit <- 0 until 56) {
+      val base = (0 until 7).map(i => ImageHash.bandVal(h0, v0, i))
+      val hFlip = (0 until 7).map(i => ImageHash.bandVal(h0 ^ (1L << bit), v0, i))
+      val vFlip = (0 until 7).map(i => ImageHash.bandVal(h0, v0 ^ (1L << bit), i))
+      assert(base.zip(hFlip).count { case (x, y) => x != y } == 1)
+      assert(base.zip(vFlip).count { case (x, y) => x != y } == 1)
+    }
+  }
+
   test("a one-pixel perturbation stays inside the hamming gate and shares a band") {
     val perturbed = ramp.clone()
-    // dip pixel (3,4): flips its two adjacent comparisons, nothing else
+    // dip pixel (3,4): flips its two horizontal and two vertical
+    // adjacent comparisons at most, nothing else
     perturbed(3 * 8 + 4) = 0
-    val (a, b) = (ImageHash.dhash56(ImageHash.grayPng(ramp)),
-      ImageHash.dhash56(ImageHash.grayPng(perturbed)))
-    val ham = java.lang.Long.bitCount(a ^ b)
+    val (ah, av) = ImageHash.dhash112(ImageHash.grayPng(ramp))
+    val (bh, bv) = ImageHash.dhash112(ImageHash.grayPng(perturbed))
+    val ham = java.lang.Long.bitCount(ah ^ bh) + java.lang.Long.bitCount(av ^ bv)
     assert(ham > 0, "perturbation must actually change the hash")
-    assert(ham <= 6, s"one-pixel change must stay near-dup, hamming $ham")
+    assert(ham <= 4, s"one-pixel change flips at most 4 of 112 bits, hamming $ham")
     // the pigeonhole that makes the banded join lossless: ≤6 differing
-    // bits over 7 bands leaves at least one band equal
-    assert(bands(a).zip(bands(b)).exists { case (x, y) => x == y })
+    // bits over 7 disjoint 16-bit bands leaves at least one band equal
+    assert((0 until 7).exists(i =>
+      ImageHash.bandVal(ah, av, i) == ImageHash.bandVal(bh, bv, i)))
   }
 
   test("a distinct image is far outside the gate") {
     val reversed = ramp.reverse
-    val (a, b) = (ImageHash.dhash56(ImageHash.grayPng(ramp)),
-      ImageHash.dhash56(ImageHash.grayPng(reversed)))
-    assert(java.lang.Long.bitCount(a ^ b) > 6)
+    val (ah, av) = ImageHash.dhash112(ImageHash.grayPng(ramp))
+    val (bh, bv) = ImageHash.dhash112(ImageHash.grayPng(reversed))
+    assert(java.lang.Long.bitCount(ah ^ bh) +
+      java.lang.Long.bitCount(av ^ bv) > 6)
   }
 
   test("area-average resize: a 2x upscale hashes identically") {
@@ -72,18 +96,20 @@ class ImageHashSpec extends AnyFunSuite {
       ImageHash.dhash56(ImageHash.grayPng(ramp)))
   }
 
-  test("catalog query returns exact-dup image pairs at sf0.001") {
+  test("catalog query equals brute-force 112-bit hamming pairs at sf0.001") {
     val rows = SparkEntry.queries("q_image_neardup")(spark, "/root/testdata/sf0.001")
       .collect()
     // brute-force recompute over the hashed signatures: the banded plan
-    // must return EXACTLY the hamming ≤ 6 pair set
+    // must return EXACTLY the 112-bit hamming ≤ 6 pair set
     val sig = ImageHash.dhashes(spark,
         graft.core.Tables.documents(spark, "/root/testdata/sf0.001"))
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val expect = (for {
-      (ida, sa) <- sig; (idb, sb) <- sig
-      if ida < idb && java.lang.Long.bitCount(sa ^ sb) <= 6
+      (ida, ha, va) <- sig; (idb, hb, vb) <- sig
+      if ida < idb &&
+        java.lang.Long.bitCount(ha ^ hb) + java.lang.Long.bitCount(va ^ vb) <= 6
     } yield (ida, idb)).toSet
+    assert(expect.nonEmpty, "the sf0.001 corpus must yield at least one pair")
     assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet == expect)
     rows.foreach(r => assert(r.getLong(2) <= 6))
   }
