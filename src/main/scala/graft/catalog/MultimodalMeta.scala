@@ -200,58 +200,73 @@ object MultimodalMeta {
   // Audio-content near-dup: every audio-typed doc renders to a REAL
   // RIFF/WAVE file (8-bit unsigned mono PCM, sample k = text byte
   // k mod len — the corpus stand-in for stored audio files), decodes
-  // back through AudioSystem, and fingerprints with the 56-bit
-  // frame-energy gradient hash (ops/AudioHash: 57 frames × 8 samples,
-  // bit j = frame j+1 sum > frame j sum). Near-dups join on 7×8-bit
-  // fingerprint bands — pigeonhole makes the banded candidate set
-  // lossless for the hamming ≤ 6 verify, so the plan never compares
-  // waveform pairs across docs and shuffles only 8-byte fingerprints.
-  // The oracle rebuilds the sample values from codepoints (pure-ASCII
-  // corpus: byte == unicode(char)) — 8-bit PCM in WAV is lossless, so
-  // the Spark side's encode → decode → fingerprint matches exactly.
-  // Corpus note: the frame-sum grain is discriminative enough that the
-  // synthetic corpus produces its first hamming ≤ 6 collisions at
-  // sf0.1 (22 pairs, incl. the corpus's one exact-dup audio pair); the
-  // sf0.01 correctness dump is legitimately EMPTY on both engines —
+  // back through AudioSystem, and fingerprints with the two-lag
+  // 112-bit frame-energy gradient hash (ops/AudioHash.fingerprint112:
+  // adjacent-frame gradient + the lag-2 gradient over the same 57×8
+  // frames — lag-2 keeps a one-frame edit within 4 flipped bits,
+  // which a polyphase second view would not). Near-dups join on the
+  // shared Bands112 7×16-bit bands — pigeonhole makes the banded
+  // candidate set lossless for the 112-bit hamming ≤ 6 verify, so the
+  // plan never compares waveform pairs across docs and shuffles only
+  // 16-byte fingerprints (widened from 56 bits / 8-bit bands in r17:
+  // those admitted 747M candidate pairs at sf10; 16-bit bands cut
+  // that to a measured 22.3M). The oracle rebuilds the sample values
+  // from codepoints (pure-ASCII corpus: byte == unicode(char)) —
+  // 8-bit PCM in WAV is lossless, so encode → decode → fingerprint
+  // matches exactly. Corpus note: the synthetic corpus produces its
+  // first hamming ≤ 6 collisions at sf0.1 (13 pairs); the sf0.01
+  // correctness dump is legitimately EMPTY on both engines —
   // non-trivial parity is pinned at sf0.1 (local r17 run) and in the
-  // sf10 scale gate, and AudioHashSpec pins the collision semantics on
-  // fixtures.
+  // sf10 scale gate, and AudioHashSpec pins the collision semantics
+  // on fixtures.
   val audioNearDup: QueryDef = QueryDef.sql("q_audio_neardup")(
-    """WITH aud AS (SELECT doc_id, text FROM documents
+    s"""WITH aud AS (SELECT doc_id, text FROM documents
       |             WHERE doc_id % 3 = 1 AND length(text) > 0),
-      |fs AS (SELECT doc_id, k // 8 AS f,
+      |s1 AS (SELECT doc_id, k // 8 AS f,
       |         SUM(unicode(substr(text, (k % length(text)) + 1, 1))) AS fsum
       |       FROM aud CROSS JOIN (SELECT UNNEST(generate_series(0, 455)) AS k) kk
       |       GROUP BY doc_id, f),
-      |b AS (SELECT a.doc_id, p.f AS bitpos,
-      |        CASE WHEN a.fsum > p.fsum THEN 1::BIGINT ELSE 0::BIGINT END AS bit
-      |      FROM fs a JOIN fs p ON a.doc_id = p.doc_id AND a.f = p.f + 1),
-      |sig AS (SELECT doc_id, SUM(bit << bitpos)::BIGINT AS s FROM b GROUP BY doc_id),
-      |ex AS (SELECT doc_id, s, bnd AS band_idx, (s >> (8 * bnd)) & 255 AS band_val
+      |hb AS (SELECT a.doc_id,
+      |         SUM(CASE WHEN a.fsum > p.fsum THEN 1::BIGINT ELSE 0::BIGINT END
+      |           << p.f)::BIGINT AS h
+      |       FROM s1 a JOIN s1 p ON a.doc_id = p.doc_id AND a.f = p.f + 1
+      |       GROUP BY a.doc_id),
+      |vb AS (SELECT a.doc_id,
+      |         SUM(CASE WHEN a.fsum > p.fsum THEN 1::BIGINT ELSE 0::BIGINT END
+      |           << p.f)::BIGINT AS v
+      |       FROM s1 a JOIN s1 p ON a.doc_id = p.doc_id AND a.f = p.f + 2
+      |       GROUP BY a.doc_id),
+      |sig AS (SELECT hb.doc_id, h, v FROM hb JOIN vb ON hb.doc_id = vb.doc_id),
+      |ex AS (SELECT doc_id, h, v, bnd AS band_idx,
+      |         ${graft.ops.Bands112.bandSql} AS band_val
       |       FROM sig CROSS JOIN (SELECT UNNEST(generate_series(0, 6)) AS bnd) bb),
       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |                a.s AS s_a, b.s AS s_b
+      |                a.h AS h_a, a.v AS v_a, b.h AS h_b, b.v AS v_b
       |         FROM ex a JOIN ex b
       |           ON a.band_idx = b.band_idx AND a.band_val = b.band_val
       |          AND a.doc_id < b.doc_id)
-      |SELECT doc_a, doc_b, CAST(bit_count(xor(s_a, s_b)) AS BIGINT) AS hamming
-      |FROM cand WHERE bit_count(xor(s_a, s_b)) <= 6
+      |SELECT doc_a, doc_b,
+      |  CAST(bit_count(xor(h_a, h_b)) + bit_count(xor(v_a, v_b)) AS BIGINT) AS hamming
+      |FROM cand
+      |WHERE bit_count(xor(h_a, h_b)) + bit_count(xor(v_a, v_b)) <= 6
       |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
     // persist: both band-join sides would otherwise re-render + re-hash
     val sig = graft.ops.AudioHash.fingerprints(s, Tables.documents(s, dir)).persist()
-    val banded = sig.select(col("doc_id"), col("fp"),
-      posexplode(array((0 until graft.ops.AudioHash.Bands).map(i =>
-        shiftright(col("fp"), 8 * i).bitwiseAND(lit(255L))): _*))
+    val banded = sig.select(col("doc_id"), col("fp_h"), col("fp_v"),
+      posexplode(array(
+        graft.ops.Bands112.bandCols(col("fp_h"), col("fp_v")): _*))
         .as(Seq("band_idx", "band_val")))
     val pairs = banded.as("a").join(banded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_val") === col("b.band_val") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.fp").as("s_a"), col("b.fp").as("s_b"))
+        col("a.fp_h").as("h_a"), col("a.fp_v").as("v_a"),
+        col("b.fp_h").as("h_b"), col("b.fp_v").as("v_b"))
       .distinct()
       .select(col("doc_a"), col("doc_b"),
-        bit_count(col("s_a").bitwiseXOR(col("s_b"))).cast("long").as("hamming"))
+        (bit_count(col("h_a").bitwiseXOR(col("h_b"))) +
+          bit_count(col("v_a").bitwiseXOR(col("v_b")))).cast("long").as("hamming"))
       .filter(col("hamming") <= 6)
       .orderBy("doc_a", "doc_b")
     graft.core.Spill.materialize(pairs) { sig.unpersist(blocking = false) }
@@ -261,18 +276,21 @@ object MultimodalMeta {
   // is the one deliberately-stubbed step (no JDK video codec — payload
   // bytes stand in for the decoded luma stream); everything downstream
   // — the 57 equal time-slices (clips of any length compare on one
-  // grid), the 56-bit MEAN-gradient fingerprint (exact integer
-  // cross-multiply; sum-gradient bits would let the slice-width
-  // pattern, a pure function of len, alias every similar-length pair
-  // into a spurious near-dup — measured ~0.2% all-pairs collision vs
-  // near-dups-only for means), the 7×8-bit banded join
-  // (pigeonhole-lossless hamming ≤ 6) — is the real pipeline a true
-  // decoder would feed. Only 8-byte fingerprints shuffle. The oracle
-  // rebuilds slice stats from codepoints; slices a short clip never
-  // reaches read (0, 0) via the LEFT JOIN, matching the Scala arrays'
-  // zero-filled slots.
+  // grid), the two-lag 112-bit MEAN-gradient fingerprint (adjacent +
+  // lag-2 slice-mean comparisons by exact integer cross-multiply;
+  // sum-gradient bits would let the slice-width pattern, a pure
+  // function of len, alias every similar-length pair into a spurious
+  // near-dup — measured ~0.2% all-pairs collision vs near-dups-only
+  // for means; lag-2 keeps a one-slice edit within 4 flipped bits),
+  // the shared Bands112 7×16-bit banded join (pigeonhole-lossless for
+  // the 112-bit hamming ≤ 6; the single-lag 8-bit bands admitted
+  // 1.11B candidate pairs at sf10, 16-bit bands cut that ~40×) — is
+  // the real pipeline a true decoder would feed. Only 16-byte
+  // fingerprints shuffle. The oracle rebuilds both lags' bits from
+  // codepoints; slices a short clip never reaches read (0, 0) via the
+  // LEFT JOIN, matching the Scala arrays' zero-filled slots.
   val videoNearDup: QueryDef = QueryDef.sql("q_video_neardup")(
-    """WITH vid AS (SELECT doc_id, text, length(text) AS len
+    s"""WITH vid AS (SELECT doc_id, text, length(text) AS len
       |             FROM documents WHERE doc_id % 3 = 2 AND length(text) > 0),
       |fe AS (SELECT doc_id, (p * 57) // len AS f,
       |         SUM(unicode(substr(text, p + 1, 1))) AS e, COUNT(*) AS w
@@ -281,35 +299,47 @@ object MultimodalMeta {
       |g AS (SELECT v.doc_id, j, COALESCE(fe.e, 0) AS e, COALESCE(fe.w, 0) AS w
       |      FROM vid v CROSS JOIN (SELECT UNNEST(generate_series(0, 56)) AS j) jj
       |      LEFT JOIN fe ON fe.doc_id = v.doc_id AND fe.f = j),
-      |b AS (SELECT a.doc_id, p.j AS bitpos,
-      |        CASE WHEN a.e * p.w > p.e * a.w THEN 1::BIGINT ELSE 0::BIGINT END AS bit
-      |      FROM g a JOIN g p ON a.doc_id = p.doc_id AND a.j = p.j + 1),
-      |sig AS (SELECT doc_id, SUM(bit << bitpos)::BIGINT AS s FROM b GROUP BY doc_id),
-      |ex AS (SELECT doc_id, s, bnd AS band_idx, (s >> (8 * bnd)) & 255 AS band_val
+      |hb AS (SELECT a.doc_id,
+      |         SUM(CASE WHEN a.e * p.w > p.e * a.w THEN 1::BIGINT ELSE 0::BIGINT END
+      |           << p.j)::BIGINT AS h
+      |       FROM g a JOIN g p ON a.doc_id = p.doc_id AND a.j = p.j + 1
+      |       GROUP BY a.doc_id),
+      |vb AS (SELECT a.doc_id,
+      |         SUM(CASE WHEN a.e * p.w > p.e * a.w THEN 1::BIGINT ELSE 0::BIGINT END
+      |           << p.j)::BIGINT AS v
+      |       FROM g a JOIN g p ON a.doc_id = p.doc_id AND a.j = p.j + 2
+      |       GROUP BY a.doc_id),
+      |sig AS (SELECT hb.doc_id, h, v FROM hb JOIN vb ON hb.doc_id = vb.doc_id),
+      |ex AS (SELECT doc_id, h, v, bnd AS band_idx,
+      |         ${graft.ops.Bands112.bandSql} AS band_val
       |       FROM sig CROSS JOIN (SELECT UNNEST(generate_series(0, 6)) AS bnd) bb),
       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |                a.s AS s_a, b.s AS s_b
+      |                a.h AS h_a, a.v AS v_a, b.h AS h_b, b.v AS v_b
       |         FROM ex a JOIN ex b
       |           ON a.band_idx = b.band_idx AND a.band_val = b.band_val
       |          AND a.doc_id < b.doc_id)
-      |SELECT doc_a, doc_b, CAST(bit_count(xor(s_a, s_b)) AS BIGINT) AS hamming
-      |FROM cand WHERE bit_count(xor(s_a, s_b)) <= 6
+      |SELECT doc_a, doc_b,
+      |  CAST(bit_count(xor(h_a, h_b)) + bit_count(xor(v_a, v_b)) AS BIGINT) AS hamming
+      |FROM cand
+      |WHERE bit_count(xor(h_a, h_b)) + bit_count(xor(v_a, v_b)) <= 6
       |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
     // persist: both band-join sides would otherwise re-carve + re-hash
     val sig = graft.ops.VideoHash.fingerprints(s, Tables.documents(s, dir)).persist()
-    val banded = sig.select(col("doc_id"), col("fp"),
-      posexplode(array((0 until graft.ops.VideoHash.Bands).map(i =>
-        shiftright(col("fp"), 8 * i).bitwiseAND(lit(255L))): _*))
+    val banded = sig.select(col("doc_id"), col("fp_h"), col("fp_v"),
+      posexplode(array(
+        graft.ops.Bands112.bandCols(col("fp_h"), col("fp_v")): _*))
         .as(Seq("band_idx", "band_val")))
     val pairs = banded.as("a").join(banded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_val") === col("b.band_val") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.fp").as("s_a"), col("b.fp").as("s_b"))
+        col("a.fp_h").as("h_a"), col("a.fp_v").as("v_a"),
+        col("b.fp_h").as("h_b"), col("b.fp_v").as("v_b"))
       .distinct()
       .select(col("doc_a"), col("doc_b"),
-        bit_count(col("s_a").bitwiseXOR(col("s_b"))).cast("long").as("hamming"))
+        (bit_count(col("h_a").bitwiseXOR(col("h_b"))) +
+          bit_count(col("v_a").bitwiseXOR(col("v_b")))).cast("long").as("hamming"))
       .filter(col("hamming") <= 6)
       .orderBy("doc_a", "doc_b")
     graft.core.Spill.materialize(pairs) { sig.unpersist(blocking = false) }

@@ -37,19 +37,18 @@ import org.apache.spark.sql.functions._
   *
   * Scale notes: render + decode + fingerprint run partition-local
   * (codec init amortized per partition; payload bytes never shuffle —
-  * only the 8-byte fingerprint does), and the near-dup join shuffles
-  * (band_idx, band_val, doc_id) rows. Pigeonhole: hamming ≤ 6 over 7
-  * disjoint 8-bit bands forces at least one equal band, so the banded
-  * candidate set is LOSSLESS for the ≤ 6 verify.
+  * only the 16-byte fingerprint does), and the near-dup join shuffles
+  * (band_idx, band_val, doc_id) rows. Banding is the shared
+  * [[Bands112]] 7×16-bit scheme over the two-view 112-bit signature
+  * ([[fingerprint112]]): pigeonhole keeps the banded candidate set
+  * LOSSLESS for the 112-bit hamming ≤ 6 verify.
   */
 object AudioHash {
 
   val FrameLen = 8
   val Frames = 57
   val Samples: Int = FrameLen * Frames // 456
-  val Bits: Int = Frames - 1 // 56
-  val Bands = 7
-  val BandBits = 8
+  val Bits: Int = Frames - 1 // 56 per view; 112 total
   val SampleRateHz = 8000f
 
   /** Render the deterministic PCM clip for a doc's bytes as a REAL WAV
@@ -104,9 +103,39 @@ object AudioHash {
     sig
   }
 
+  /** Decode audio bytes and fingerprint BOTH gradient lags: the lag-1
+    * half is [[fingerprint56]]'s adjacent-frame gradient; the lag-2
+    * half compares frame j+2 against frame j (55 bits, j ≤ 54; its top
+    * bit stays 0). Together the 112-bit signature the [[Bands112]]
+    * banded join keys on. Lag-2, not a polyphase second view: a
+    * CONTIGUOUS edit touches ~edit/8 polyphase groups (every stride
+    * group samples the whole clip) but only the edited frames here, so
+    * a one-frame edit still flips ≤ 4 of 112 bits — the locality the
+    * near-dup gate is built on. Added r17 with the [[Bands112]]
+    * widening: the 56-bit hash's 8-bit bands admitted 747M candidate
+    * pairs at sf10; 7×16-bit bands over 112 bits cut that to 22.3M
+    * while keeping pigeonhole losslessness for the full hamming ≤ 6.
+    */
+  def fingerprint112(wavBytes: Array[Byte]): (Long, Long) = {
+    val s = pcmSamples(wavBytes)
+    require(s.length >= Samples, s"short clip: ${s.length} < $Samples samples")
+    val sums = new Array[Long](Frames)
+    var k = 0
+    while (k < Samples) { sums(k / FrameLen) += s(k); k += 1 }
+    var h = 0L
+    var v = 0L
+    var j = 0
+    while (j < Bits) {
+      if (sums(j + 1) > sums(j)) h |= 1L << j
+      if (j < Bits - 1 && sums(j + 2) > sums(j)) v |= 1L << j
+      j += 1
+    }
+    (h, v)
+  }
+
   /** Audio-typed docs (doc_id % 3 == 1, the `mediaFromDocuments`
     * convention) rendered to real WAV payloads, then decoded + hashed
-    * partition-wise: out columns (doc_id, fp). The render+hash round
+    * partition-wise: out columns (doc_id, fp_h, fp_v). The render+hash round
     * trip runs inside one task — payload bytes never shuffle.
     */
   def fingerprints(spark: SparkSession, docs: DataFrame): DataFrame = {
@@ -131,9 +160,10 @@ object AudioHash {
                 "diverge from the codepoint-indexed oracle")
             i += 1
           }
-          (id, fingerprint56(monoWav(b)))
+          val (h, v) = fingerprint112(monoWav(b))
+          (id, h, v)
         }
       }
-      .toDF("doc_id", "fp")
+      .toDF("doc_id", "fp_h", "fp_v")
   }
 }

@@ -163,16 +163,8 @@ object ImageHash {
     (h, v)
   }
 
-  /** Band `i` (0..6) of the 112-bit signature as a 16-bit value: the
-    * two halves concatenated as h | v<<56, sliced at [16i, 16i+16).
-    * Bands 0-2 live in h, band 3 straddles (h's top byte + v's low
-    * byte), bands 4-6 live in v — disjoint and covering, so hamming
-    * ≤ 6 forces at least one equal band (pigeonhole over 7 bands).
-    */
-  def bandVal(h: Long, v: Long, i: Int): Long =
-    if (i <= 2) (h >> (16 * i)) & 0xffffL
-    else if (i == 3) ((h >> 48) & 0xffL) | ((v & 0xffL) << 8)
-    else (v >> (16 * (i - 4) + 8)) & 0xffffL
+  /** Band `i` (0..6) of the 112-bit signature — see [[Bands112]]. */
+  def bandVal(h: Long, v: Long, i: Int): Long = Bands112.bandVal(h, v, i)
 
   /** Image-typed docs (doc_id % 3 == 0, the `mediaFromDocuments`
     * convention) rendered to real PNG payloads, then decoded + hashed

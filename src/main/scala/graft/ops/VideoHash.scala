@@ -33,17 +33,16 @@ import org.apache.spark.sql.functions._
   *     its two adjacent gradient bits.
   *
   * Scale notes: carve + fingerprint run partition-local (payload bytes
-  * never shuffle — only the 8-byte fingerprint does); the near-dup
-  * join shuffles (band_idx, band_val, doc_id) rows. Pigeonhole:
-  * hamming ≤ 6 over 7 disjoint 8-bit bands forces at least one equal
-  * band, so the banded candidate set is LOSSLESS for the ≤ 6 verify.
+  * never shuffle — only the 16-byte two-view fingerprint does); the
+  * near-dup join shuffles (band_idx, band_val, doc_id) rows. Banding
+  * is the shared [[Bands112]] 7×16-bit scheme over the 112-bit
+  * signature ([[fingerprint112]]): pigeonhole keeps the banded
+  * candidate set LOSSLESS for the 112-bit hamming ≤ 6 verify.
   */
 object VideoHash {
 
   val GridPoints = 57
-  val Bits: Int = GridPoints - 1 // 56
-  val Bands = 7
-  val BandBits = 8
+  val Bits: Int = GridPoints - 1 // 56 per view; 112 total
 
   /** STUB decode + time-slice reduce: (energy, width) per grid slice,
     * slice of byte p = p·57/len. A real implementation sums decoded
@@ -80,9 +79,33 @@ object VideoHash {
     sig
   }
 
+  /** Both gradient lags over the same slice stats: the lag-1 half is
+    * [[fingerprint56]]; the lag-2 half compares slice j+2's mean
+    * against slice j's (55 bits, j ≤ 54; its top bit stays 0) —
+    * together the 112-bit signature the [[Bands112]] banded join keys
+    * on. Lag-2 rather than a polyphase second view so a contiguous
+    * one-slice edit still flips ≤ 4 of 112 bits (the
+    * [[AudioHash.fingerprint112]] locality argument). Added r17: the
+    * single 56-bit view's 8-bit bands admitted 1.11B candidate pairs
+    * at sf10; 7×16-bit bands cut that ~40× while keeping pigeonhole
+    * losslessness for the full 112-bit hamming ≤ 6.
+    */
+  def fingerprint112(b: Array[Byte]): (Long, Long) = {
+    val (e, w) = spanStats(b)
+    var h = 0L
+    var v = 0L
+    var j = 0
+    while (j < Bits) {
+      if (e(j + 1) * w(j) > e(j) * w(j + 1)) h |= 1L << j
+      if (j < Bits - 1 && e(j + 2) * w(j) > e(j) * w(j + 2)) v |= 1L << j
+      j += 1
+    }
+    (h, v)
+  }
+
   /** Video-typed docs (doc_id % 3 == 2, the `mediaFromDocuments`
     * convention) carved + fingerprinted partition-wise: out columns
-    * (doc_id, fp). Payload bytes never shuffle.
+    * (doc_id, fp_h, fp_v). Payload bytes never shuffle.
     */
   def fingerprints(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
@@ -103,9 +126,10 @@ object VideoHash {
                 "diverge from the codepoint-indexed oracle")
             i += 1
           }
-          (id, fingerprint56(spanStats(b)))
+          val (h, v) = fingerprint112(b)
+          (id, h, v)
         }
       }
-      .toDF("doc_id", "fp")
+      .toDF("doc_id", "fp_h", "fp_v")
   }
 }

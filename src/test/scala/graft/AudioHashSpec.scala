@@ -22,8 +22,9 @@ class AudioHashSpec extends AnyFunSuite {
     (frame * 3 + (k % AudioHash.FrameLen)).toByte
   }
 
-  private def bands(s: Long): Seq[Long] =
-    (0 until AudioHash.Bands).map(i => (s >> (8 * i)) & 255L)
+  private def bands(h: Long, v: Long): Seq[Long] =
+    (0 until graft.ops.Bands112.Bands)
+      .map(i => graft.ops.Bands112.bandVal(h, v, i))
 
   test("wav render + decode round-trips the exact samples") {
     val wav = AudioHash.monoWav(ramp)
@@ -48,6 +49,10 @@ class AudioHashSpec extends AnyFunSuite {
       if (sums(j + 1) > sums(j)) expect |= 1L << j
     assert(fp == expect)
     assert(fp == (1L << 56) - 1, "rising frame sums must set all 56 bits")
+    // the lag-2 half: rising sums also win every j+2 vs j compare
+    val (h, v) = AudioHash.fingerprint112(AudioHash.monoWav(ramp))
+    assert(h == fp)
+    assert(v == (1L << 55) - 1, "lag-2 half has 55 bits, all set on a rising ramp")
   }
 
   test("a one-sample perturbation stays inside the hamming gate and shares a band") {
@@ -55,21 +60,23 @@ class AudioHashSpec extends AnyFunSuite {
     // dip one sample of frame 20: changes only that frame's sum, hence
     // at most its two adjacent gradient bits
     perturbed(20 * AudioHash.FrameLen + 3) = 0
-    val a = AudioHash.fingerprint56(AudioHash.monoWav(ramp))
-    val b = AudioHash.fingerprint56(AudioHash.monoWav(perturbed))
-    val ham = java.lang.Long.bitCount(a ^ b)
+    val (ah, av) = AudioHash.fingerprint112(AudioHash.monoWav(ramp))
+    val (bh, bv) = AudioHash.fingerprint112(AudioHash.monoWav(perturbed))
+    val ham = java.lang.Long.bitCount(ah ^ bh) + java.lang.Long.bitCount(av ^ bv)
     assert(ham > 0, "perturbation must actually change the fingerprint")
-    assert(ham <= 2, s"one-frame change flips at most 2 bits, hamming $ham")
+    assert(ham <= 4,
+      s"one-frame change flips at most 2 lag-1 + 2 lag-2 bits, hamming $ham")
     // the pigeonhole that makes the banded join lossless: ≤6 differing
-    // bits over 7 bands leaves at least one band equal
-    assert(bands(a).zip(bands(b)).exists { case (x, y) => x == y })
+    // bits over 7 disjoint 16-bit bands leaves at least one band equal
+    assert(bands(ah, av).zip(bands(bh, bv)).exists { case (x, y) => x == y })
   }
 
   test("a distinct clip is far outside the gate") {
     val reversed = ramp.reverse
-    val a = AudioHash.fingerprint56(AudioHash.monoWav(ramp))
-    val b = AudioHash.fingerprint56(AudioHash.monoWav(reversed))
-    assert(java.lang.Long.bitCount(a ^ b) > 6)
+    val (ah, av) = AudioHash.fingerprint112(AudioHash.monoWav(ramp))
+    val (bh, bv) = AudioHash.fingerprint112(AudioHash.monoWav(reversed))
+    assert(java.lang.Long.bitCount(ah ^ bh) +
+      java.lang.Long.bitCount(av ^ bv) > 6)
   }
 
   test("catalog query equals brute-force hamming pairs at sf0.001") {
@@ -79,10 +86,11 @@ class AudioHashSpec extends AnyFunSuite {
     // return EXACTLY the hamming ≤ 6 pair set
     val sig = AudioHash.fingerprints(spark,
         graft.core.Tables.documents(spark, "/root/testdata/sf0.001"))
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val expect = (for {
-      (ida, sa) <- sig; (idb, sb) <- sig
-      if ida < idb && java.lang.Long.bitCount(sa ^ sb) <= 6
+      (ida, ha, va) <- sig; (idb, hb, vb) <- sig
+      if ida < idb &&
+        java.lang.Long.bitCount(ha ^ hb) + java.lang.Long.bitCount(va ^ vb) <= 6
     } yield (ida, idb)).toSet
     assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet == expect)
     rows.foreach(r => assert(r.getLong(2) <= 6))
@@ -90,7 +98,7 @@ class AudioHashSpec extends AnyFunSuite {
     // tiny corpus yields no collisions (its first hamming ≤ 6 pairs
     // appear at sf0.1) — every audio doc hashed, fingerprints diverse
     assert(sig.nonEmpty)
-    assert(sig.map(_._2).distinct.length > sig.length / 2,
+    assert(sig.map(t => (t._2, t._3)).distinct.length > sig.length / 2,
       "fingerprints must discriminate distinct clips")
   }
 }

@@ -19,8 +19,9 @@ class VideoHashSpec extends AnyFunSuite {
   // (f * 4 + 3) so slice means rise strictly across the grid
   private val clip: Array[Byte] = Array.tabulate(570)(p => (p / 10 * 4 + 3).toByte)
 
-  private def bands(s: Long): Seq[Long] =
-    (0 until VideoHash.Bands).map(i => (s >> (8 * i)) & 255L)
+  private def bands(h: Long, v: Long): Seq[Long] =
+    (0 until graft.ops.Bands112.Bands)
+      .map(i => graft.ops.Bands112.bandVal(h, v, i))
 
   test("time-slice carve partitions the clip: widths sum to len, energies to the byte sum") {
     val (e, w) = VideoHash.spanStats(clip)
@@ -30,9 +31,11 @@ class VideoHashSpec extends AnyFunSuite {
     (0 until 57).foreach(f => assert(e(f) == 10L * (f * 4 + 3)))
   }
 
-  test("strictly rising slice means set all 56 bits") {
-    val fp = VideoHash.fingerprint56(VideoHash.spanStats(clip))
-    assert(fp == (1L << 56) - 1)
+  test("strictly rising slice means set all 56 lag-1 and 55 lag-2 bits") {
+    val (h, v) = VideoHash.fingerprint112(clip)
+    assert(h == (1L << 56) - 1)
+    assert(h == VideoHash.fingerprint56(VideoHash.spanStats(clip)))
+    assert(v == (1L << 55) - 1, "lag-2 half has 55 bits, all set on a rising ramp")
   }
 
   test("a one-segment edit stays inside the hamming gate and shares a band") {
@@ -40,21 +43,23 @@ class VideoHashSpec extends AnyFunSuite {
     // zero out one interior slice: perturbs one grid point, hence at
     // most its two adjacent gradient bits
     (200 until 210).foreach(i => perturbed(i) = 0)
-    val a = VideoHash.fingerprint56(VideoHash.spanStats(clip))
-    val b = VideoHash.fingerprint56(VideoHash.spanStats(perturbed))
-    val ham = java.lang.Long.bitCount(a ^ b)
+    val (ah, av) = VideoHash.fingerprint112(clip)
+    val (bh, bv) = VideoHash.fingerprint112(perturbed)
+    val ham = java.lang.Long.bitCount(ah ^ bh) + java.lang.Long.bitCount(av ^ bv)
     assert(ham > 0, "the edit must actually change the fingerprint")
-    assert(ham <= 2, s"one-slice edit flips at most 2 bits, hamming $ham")
+    assert(ham <= 4,
+      s"one-slice edit flips at most 2 lag-1 + 2 lag-2 bits, hamming $ham")
     // the pigeonhole that makes the banded join lossless: ≤6 differing
-    // bits over 7 bands leaves at least one band equal
-    assert(bands(a).zip(bands(b)).exists { case (x, y) => x == y })
+    // bits over 7 disjoint 16-bit bands leaves at least one band equal
+    assert(bands(ah, av).zip(bands(bh, bv)).exists { case (x, y) => x == y })
   }
 
   test("a distinct clip is far outside the gate") {
     val reversed = clip.reverse
-    val a = VideoHash.fingerprint56(VideoHash.spanStats(clip))
-    val b = VideoHash.fingerprint56(VideoHash.spanStats(reversed))
-    assert(java.lang.Long.bitCount(a ^ b) > 6)
+    val (ah, av) = VideoHash.fingerprint112(clip)
+    val (bh, bv) = VideoHash.fingerprint112(reversed)
+    assert(java.lang.Long.bitCount(ah ^ bh) +
+      java.lang.Long.bitCount(av ^ bv) > 6)
   }
 
   test("mean compare is width-free: a frame-rate-doubled clip fingerprints identically") {
@@ -64,8 +69,8 @@ class VideoHashSpec extends AnyFunSuite {
     // This is the property the sum-gradient design FAILED: its bits
     // tracked the slice-width pattern, a pure function of len.
     val doubled = clip.flatMap(b => Array(b, b))
-    val a = VideoHash.fingerprint56(VideoHash.spanStats(clip))
-    val b = VideoHash.fingerprint56(VideoHash.spanStats(doubled))
+    val a = VideoHash.fingerprint112(clip)
+    val b = VideoHash.fingerprint112(doubled)
     assert(a == b)
     val (e2, w2) = VideoHash.spanStats(doubled)
     assert(w2.forall(_ == 20) && e2.toSeq ==
@@ -88,10 +93,11 @@ class VideoHashSpec extends AnyFunSuite {
       .collect()
     val sig = VideoHash.fingerprints(spark,
         graft.core.Tables.documents(spark, "/root/testdata/sf0.001"))
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val expect = (for {
-      (ida, sa) <- sig; (idb, sb) <- sig
-      if ida < idb && java.lang.Long.bitCount(sa ^ sb) <= 6
+      (ida, ha, va) <- sig; (idb, hb, vb) <- sig
+      if ida < idb &&
+        java.lang.Long.bitCount(ha ^ hb) + java.lang.Long.bitCount(va ^ vb) <= 6
     } yield (ida, idb)).toSet
     assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet == expect)
     rows.foreach(r => assert(r.getLong(2) <= 6))
@@ -100,7 +106,7 @@ class VideoHashSpec extends AnyFunSuite {
     // fingerprints diverse (the sum-gradient design managed only 22
     // distinct values here; the mean design discriminates fully)
     assert(sig.nonEmpty)
-    assert(sig.map(_._2).distinct.length > sig.length / 2,
+    assert(sig.map(t => (t._2, t._3)).distinct.length > sig.length / 2,
       "fingerprints must discriminate distinct clips")
   }
 }
