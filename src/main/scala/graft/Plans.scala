@@ -23,9 +23,32 @@ object Plans {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // Many builders materialize intermediates (Spill.materialize, CC
+    // rounds), so the RETURNED DataFrame's plan is just a spill scan.
+    // SPARK_GRAFT_PLANS_EXEC=1 additionally prints every plan the
+    // builder executed, via a listener — the real evidence for those.
+    val dumpExecuted = sys.env.get("SPARK_GRAFT_PLANS_EXEC").contains("1")
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = {
+        println(s"\n-------- executed ($funcName) --------")
+        println(qe.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+      }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    if (dumpExecuted) spark.listenerManager.register(listener)
     SparkEntry.catalog.filter(q => names.contains(q.name)).foreach { q =>
       println(s"\n======== ${q.name} ========")
-      q.build(spark, sfDir).explain("formatted")
+      val df = q.build(spark, sfDir)
+      // listener events are async; settle before the final explain so
+      // executed plans stay inside this query's banner
+      if (dumpExecuted) Thread.sleep(1500)
+      df.explain("formatted")
+      if (dumpExecuted) Thread.sleep(1500)
     }
     spark.stop()
   }
