@@ -661,22 +661,32 @@ object Analytics {
 
   // Rolling exact median — the robust trailing statistic (median is
   // outlier-proof where the running mean is not). The frame is a FIXED
-  // 100 rows, so per-row cost is O(frame), not O(partition): the window
-  // partitions by event_type (scales with data) and the frame bound is
-  // a constant — at 100 TB this stays a linear pass, unlike an
-  // unbounded exact-median window. Both engines interpolate the even
-  // frame's middle pair; rounding to 6 decimals absorbs the one-ulp
-  // interpolation difference (house float discipline).
+  // 100 rows, so per-row cost is O(frame), not O(partition). Originally
+  // a `percentile(value, 0.5)` sliding window: WindowExec re-builds the
+  // percentile buffer per OUTPUT row (O(frame) hash inserts + a sort,
+  // ~100× the needed work) and `PARTITION BY event_type` caps the stage
+  // at one task per event type at ANY scale. Since r17 it runs through
+  // [[graft.ops.RollingMedian]]: the same (type, ts, event_id) total
+  // order as ONE input-sized range sort, then an order-statistics
+  // buffer per partition with predecessor-tail seeding — O(log frame)
+  // compare + one ≤800-byte memcpy per row, parallelism ∝ input, and
+  // the median replicates Percentile.getPercentile bit-for-bit
+  // (RollingMedianSpec pins window ≡ two-phase on real data).
   val rollingMedian: QueryDef = QueryDef.sql("q_rolling_median")(
     """SELECT event_id, event_type, value,
       |  ROUND(median(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
       |    ROWS BETWEEN 99 PRECEDING AND CURRENT ROW), 6) AS med100
       |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
-    val w = Window.partitionBy("event_type").orderBy(col("ts"), col("event_id"))
-      .rowsBetween(-99, 0)
-    Tables.events(s, dir)
+    val base = Tables.events(s, dir)
       .select(col("event_id"), col("event_type"), col("value"),
-        round(percentile(col("value"), lit(0.5)).over(w), 6).as("med100"))
+        // micros long, not Timestamp: same total order, no per-row
+        // java.sql.Timestamp boxing through the RDD phases
+        unix_micros(col("ts")).as("__tsu"))
+    graft.ops.RollingMedian.withRollingMedian(
+        base, "event_type", Seq(col("__tsu"), col("event_id")), "value",
+        100, "__med", Tables.scaledPartitions(s, dir, "events"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        round(col("__med"), 6).as("med100"))
       .orderBy("event_id")
   }
 
