@@ -1141,13 +1141,42 @@ final class KafkaWirePartitionReader(p: KafkaWireInputPartition)
   private var buffer: Iterator[KafkaCodec.WireRecord] = Iterator.empty
   private var current: KafkaCodec.WireRecord = _
   private val topicUtf8 = UTF8String.fromString(p.topic)
+  // Adaptive per-fetch byte budget. The planned slice [start, end) is
+  // usually a small fraction of the partition log (micro-batch caps,
+  // minPartitions splits), but a FIXED 4 MB max_bytes makes the broker
+  // copy + re-encode and the socket carry ~max_bytes of records per
+  // fetch regardless — this reader then throws away everything at or
+  // past endOffset. Measured on q_e2e_kafka_es at sf0.1: every split's
+  // fetch returned ~the whole remaining partition, ~24× the bytes the
+  // slice needed, and the fetch wait dominated the stage (thread dumps
+  // show all tasks parked in KafkaWireClient.send readInt). Budget ≈
+  // remaining rows × observed bytes/record instead; protocol-safe
+  // because a fetch always returns at least one batch and the loop
+  // drains the slice across as many fetches as needed.
+  private var avgRecBytes = 0L
+  private def fetchBudget(): Int = {
+    val remaining = p.endOffset - nextOff
+    if (avgRecBytes <= 0L || remaining <= 0L) 256 * 1024
+    else {
+      val want = avgRecBytes * remaining * 2L + 4096L
+      math.max(64L * 1024L, math.min(want, 4L * 1024L * 1024L)).toInt
+    }
+  }
 
   override def next(): Boolean = {
     while (!buffer.hasNext && nextOff < p.endOffset) {
       val r = client.fetch(p.topic, p.partition, nextOff,
-        readCommitted = p.readCommitted)
+        maxBytes = fetchBudget(), readCommitted = p.readCommitted)
       require(r.errorCode == KafkaCodec.Err.None,
         s"fetch error ${r.errorCode} on ${p.topic}/${p.partition}@$nextOff")
+      if (r.records.nonEmpty) {
+        var bytes = 0L
+        r.records.foreach { rec =>
+          bytes += 12L + (if (rec.key == null) 0 else rec.key.length) +
+            (if (rec.value == null) 0 else rec.value.length)
+        }
+        avgRecBytes = math.max(1L, bytes / r.records.length)
+      }
       // control markers advance the offset cursor but are never rows;
       // aborted-range records were already dropped client-side
       val got = r.records.filter(rec =>
