@@ -671,23 +671,35 @@ object TextAnalysis {
     */
   private[catalog] def minhashVerifiedStats(
       s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val shingled = Tables.documents(s, dir)
+    // ONE per-DOC cached relation computed projection-locally by the
+    // native one-pass expressions: the k-component signature
+    // (MinHashSig60 — the q_minhash_sig scale path) plus the distinct
+    // shingle hashes (ShingleHash60's distinct twin; dedupe on the
+    // window STRING before hashing, exactly the oracle's
+    // list_distinct → md5 order). The r16 shape exploded STRING
+    // shingles, persisted ~80 rows/doc of 3-gram text, computed k
+    // hash60(conv/substring/md5-hex) column trees per shingle ROW,
+    // re-aggregated k minima, and ran a corpus-wide distinct() shuffle
+    // over the shingle strings — all of that is now one narrow map
+    // stage; nothing wider than (doc_id, k+|dsh| longs) is ever cached
+    // or shuffled (guide §2.3: shuffle keys, not payloads).
+    graft.functions.MinHashSig60.register(s)
+    graft.functions.ShingleHash60.registerDistinct(s)
+    val perDoc = Tables.documents(s, dir)
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), Text.tokens(col("text")).as("__toks"))
       .select(col("doc_id"),
-        explode(Text.wordShingles(col("__toks"), 3)).as("s"))
+        graft.functions.MinHashSig60.minhashSig60(col("__toks"), 3, K).as("__sig"),
+        graft.functions.ShingleHash60.shingleHash60Distinct(col("__toks"), 3)
+          .as("__dsh"))
       .persist()
-    // fill the cache EAGERLY: this relation feeds four AQE shuffle
-    // branches (signatures, both band sides, the distinct-shingle
-    // verify side) which materialize concurrently — with a lazy
-    // persist each raced to compute the uncached tokenize+shingle
-    // chain (event log showed the Generate subtree in four stages)
-    shingled.count()
-    val hashed = shingled.select(col("doc_id") +:
-      (0 until K).map(i => Text.hash60(concat(lit(s"$i:"), col("s"))).as(s"h_$i")): _*)
-    val sigDf = hashed.groupBy(col("doc_id"))
-      .agg(min(col("h_0")).as("sig_0"),
-        (1 until K).map(i => min(col(s"h_$i")).as(s"sig_$i")): _*)
+    // fill the cache EAGERLY: this relation feeds several AQE shuffle
+    // branches (both band sides, both verify sides) which materialize
+    // concurrently — with a lazy persist each raced to compute the
+    // uncached tokenize+hash chain
+    perDoc.count()
+    val sigDf = perDoc.select(col("doc_id") +:
+      (0 until K).map(i => element_at(col("__sig"), i + 1).as(s"sig_$i")): _*)
     val banded = sigDf
       .select(col("doc_id"), array(Text.lshBandCols(2, K): _*).as("bands"))
       .select(col("doc_id"), posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
@@ -697,15 +709,13 @@ object TextAnalysis {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val distinctSh = shingled.distinct()
-    val sizes = distinctSh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     // the verify join carries the candidate-pair × shingle fan-out
     // (the query's hottest shuffle, 209 CPU-s at sf0.1 when keyed by
     // raw 3-gram STRINGS): key it by the 60-bit md5 instead — the
     // shuffle/sort compares int64s, and the oracle CTE hashes with the
     // same md5 so any collision (p ≈ |sh|²/2⁶⁰) is shared bit-for-bit
-    val dsh = distinctSh.join(sizes, "doc_id")
-      .select(col("doc_id"), col("n"), Text.hash60(col("s")).as("sh60"))
+    val dsh = perDoc.select(col("doc_id"), size(col("__dsh")).as("n"),
+      explode(col("__dsh")).as("sh60"))
     val ea = dsh.select(col("doc_id").as("doc_a"), col("n").as("n_a"),
       col("sh60"))
     val eb = dsh.select(col("doc_id").as("doc_b2"), col("n").as("n_b"),
@@ -714,7 +724,7 @@ object TextAnalysis {
       .join(eb, col("doc_b") === col("doc_b2") && col("sh60") === col("sh60b"))
       .groupBy("doc_a", "doc_b", "n_a", "n_b")
       .agg(count(lit(1)).as("inter"))
-    (stats, shingled)
+    (stats, perDoc)
   }
 
   val minhashVerified: QueryDef = QueryDef.sql("q_minhash_verified")(

@@ -119,4 +119,88 @@ object ShingleHash60 {
   /** Column-API form; requires [[register]] on the running session. */
   def shingleHash60(toks: Column, n: Int): Column =
     call_function("graft_shingle_hash60", toks, lit(n))
+
+  /** 60-bit hashes of the DISTINCT shingle STRINGS, first-occurrence
+    * order — dedupe happens on the window text BEFORE hashing, exactly
+    * like the oracles' `list_distinct(shingles)` → md5 chain, so a
+    * 60-bit collision between two distinct strings still contributes
+    * two array entries (hash-then-dedupe would fold them). Same
+    * projection-local one-pass discipline as [[hashShingles]].
+    */
+  def hashDistinctShingles(arr: ArrayData, n: Int): ArrayData = {
+    val cnt = arr.numElements()
+    val seen = new java.util.LinkedHashSet[String]()
+    def window(from: Int, len: Int): String = {
+      val sb = new java.lang.StringBuilder()
+      var j = 0
+      var first = true
+      while (j < len) {
+        if (!arr.isNullAt(from + j)) {
+          if (!first) sb.append(' ')
+          sb.append(arr.getUTF8String(from + j).toString)
+          first = false
+        }
+        j += 1
+      }
+      sb.toString
+    }
+    if (cnt < n) seen.add(window(0, cnt))
+    else {
+      var i = 0
+      while (i <= cnt - n) { seen.add(window(i, n)); i += 1 }
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var i = 0
+    while (it.hasNext) {
+      out(i) = hash60(it.next().getBytes("UTF-8"))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Register `graft_shingle_hash60_distinct` (idempotent). */
+  def registerDistinct(spark: SparkSession): Unit =
+    Registry.once(spark, "graft_shingle_hash60_distinct")(
+      exprs => {
+        if (exprs.length != 2) throw new IllegalArgumentException(
+          s"graft_shingle_hash60_distinct expects 2 arguments, got ${exprs.length}")
+        exprs(1) match {
+          case Literal(v: Int, IntegerType) => ShingleHash60DistinctExpr(exprs.head, v)
+          case other => throw new IllegalArgumentException(
+            s"shingle width must be an int literal, got $other")
+        }
+      })
+
+  /** Column-API form; requires [[registerDistinct]] on the session. */
+  def shingleHash60Distinct(toks: Column, n: Int): Column =
+    call_function("graft_shingle_hash60_distinct", toks, lit(n))
+}
+
+/** [[ShingleHash60Expr]]'s distinct twin — hashes of the distinct
+  * shingle strings (see [[ShingleHash60.hashDistinctShingles]]).
+  */
+case class ShingleHash60DistinctExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n >= 1, "shingle width must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "graft_shingle_hash60_distinct"
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleHash60.hashDistinctShingles(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      c => s"${ev.value} = graft.functions.ShingleHash60.hashDistinctShingles($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHash60DistinctExpr =
+    copy(child = newChild)
 }

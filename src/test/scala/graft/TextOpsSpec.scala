@@ -161,4 +161,27 @@ class TextOpsSpec extends AnyFunSuite {
       .collect().map(_.getString(0))
     assert(twice.toSeq == once.toSeq)
   }
+
+  test("shingleHash60Distinct == distinct window strings then hash60 (r17 native twin)") {
+    graft.functions.ShingleHash60.registerDistinct(spark)
+    // real corpus slice: duplicates inside docs, short docs, empties
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.01")
+      .limit(400)
+    val native = docs
+      .select(col("doc_id"),
+        graft.functions.ShingleHash60
+          .shingleHash60Distinct(Text.tokens(col("text")), 3).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val reference = docs
+      .select(col("doc_id"),
+        array_distinct(Text.wordShingles(Text.tokens(col("text")), 3)).as("sh"))
+      .select(col("doc_id"), transform(col("sh"), s => Text.hash60(s)).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(native.keySet == reference.keySet)
+    // order AND multiplicity must match: dedupe is string-level,
+    // first-occurrence order (array_distinct keeps first occurrence)
+    native.foreach { case (id, h) =>
+      assert(h == reference(id), s"distinct shingle hashes differ for doc $id")
+    }
+  }
 }
