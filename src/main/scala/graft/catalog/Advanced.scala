@@ -506,14 +506,25 @@ object Advanced {
       def p(j: Int) =
         pmod(lit(1103515245L) * (lit(j.toLong * 1000003L) + col("gid")) + 12345L,
           lit(2147483648L)) % 2001L - 1000L
+      // persisted + eager: the 64-sum aggregate is the query's heaviest
+      // pass and feeds the global-mean derivation AND both sides of the
+      // band self-join; left lazy, each consumer re-ran the whole
+      // vocab -> tcg -> 64-sum pipeline (the profiler showed the two
+      // ~16 task-s twins). The cached relation is tiny: reps x 64 longs.
       val su = tcg.groupBy("user_id")
         .agg(sum(col("c") * p(0)).cast("long").as("s_0"),
           (1 until Tt * B).map(j =>
             sum(col("c") * p(j)).cast("long").as(s"s_$j")): _*)
-      val mm = tcg.agg(
-        countDistinct(col("user_id")).cast("long").as("nu"),
+        .persist()
+      su.count()
+      // global sums derive from the per-rep sums — integer addition is
+      // associative, so m_j = Σ_user s_j bit-equals the oracle's direct
+      // SUM over tcg, and nu = COUNT(su rows) = COUNT(DISTINCT user_id):
+      // one pass over tcg computes both relations instead of two
+      val mm = su.agg(
+        count(lit(1)).cast("long").as("nu"),
         (0 until Tt * B).map(j =>
-          sum(col("c") * p(j)).cast("long").as(s"m_$j")): _*)
+          sum(col(s"s_$j")).cast("long").as(s"m_$j")): _*)
       val sig = su.crossJoin(broadcast(mm))
         .select(col("user_id") +: (0 until Tt).map { t =>
           (0 until B).map { j =>
@@ -569,6 +580,7 @@ object Advanced {
         tc.unpersist(blocking = false)
         grp.unpersist(blocking = false)
         rtc.unpersist(blocking = false)
+        su.unpersist(blocking = false)
       }
     }
   }
