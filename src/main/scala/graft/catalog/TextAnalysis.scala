@@ -2216,12 +2216,21 @@ object TextAnalysis {
     // recompute-avoidance with ZERO heap residency: columnar,
     // compressed, re-scanned in parallel per reference, and each
     // re-scan prunes to the columns that reference needs.
-    val ex = graft.core.Spill.materialize(
+    // spill the PER-DOC array, explode after the rescan: with the
+    // explode in the spilled plan, CollapseProject folds the
+    // tokenize→shingle→distinct chain into BOTH `size(sh)` and
+    // `explode(sh)` and the chain runs twice per document (the
+    // q_substring_scrub re-evaluation trap; the r17 profile charged
+    // ~23 task-s to this one stage at sf0.1). Exploding the scanned
+    // array is a cheap long-array generate, and the array spill is
+    // smaller than the exploded one.
+    val perDoc = graft.core.Spill.materialize(
       docs(s, dir)
         .select(col("doc_id"),
           array_distinct(graft.functions.ShingleHash60
-            .shingleHash60(Text.tokens(col("text")), 3)).as("sh"))
-        .select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("t")))(())
+            .shingleHash60(Text.tokens(col("text")), 3)).as("sh")))(())
+    val ex = perDoc
+      .select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("t"))
     val dfreq = ex.groupBy("t").agg(count(lit(1)).as("df"))
     val pfx = ex.join(dfreq, "t")
       .withColumn("r", row_number().over(
