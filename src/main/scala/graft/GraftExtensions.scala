@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{ArrayDotProduct, RewriteHofDot, RollingHash31, SimHash60Expr}
+import graft.functions.{ArrayDotProduct, ArraySqDist, RewriteHofDot, RollingHash31, SimHash60Expr}
 
 /** SparkSessionExtensions entry point: makes the engine's native
   * expressions available in any session built with
@@ -29,6 +29,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ArrayDotProduct].getName, "graft_dot"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         ArrayDotProduct(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("graft_sqdist"),
+      new ExpressionInfo(classOf[ArraySqDist].getName, "graft_sqdist"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        ArraySqDist(exprs(0), exprs(1))))
     e.injectFunction((
       FunctionIdentifier("graft_rolling_hash"),
       new ExpressionInfo(classOf[RollingHash31].getName, "graft_rolling_hash"),

@@ -1487,6 +1487,12 @@ object SimilaritySearch {
       .withColumn("k2", row_number().over(
         Window.partitionBy("s").orderBy("k")))
       .select("s", "k2", "cs")
+      // persisted + eager: the trained codebook is referenced by the
+      // corpus encode AND the query LUT — left lazy, each broadcast
+      // build replayed the whole Lloyd round (the ~4M-row seed
+      // assignment join) from scratch. ≤ 2048 tiny rows cached.
+      .persist()
+    cb1.count()
     // corpus code relation: (vec_id, cell cid, 8 trained codes in
     // subspace order) — the bytes-per-vector structure at scale
     val codes = sub.join(broadcast(cb1), "s")
@@ -1496,7 +1502,9 @@ object SimilaritySearch {
       .groupBy("vec_id")
       .agg(transform(sort_array(collect_list(struct(col("s"), col("k2")))),
         p => p.getField("k2")).as("code"))
-      .join(nb.select(col("vec_id"), col("cid")), "vec_id")
+      // cell ids come off the PERSISTED residual relation — joining nb
+      // here replayed the full crossJoin coarse-assignment pass
+      .join(res.select(col("vec_id"), col("cid")), "vec_id")
     // query side: nprobe=4 nearest cells, one residual + LUT per
     // probed cell (the residual q − c differs by cell)
     val qs = n.filter(col("vec_id") < 20)
@@ -1544,7 +1552,10 @@ object SimilaritySearch {
       .filter(col("rnk") <= 3)
       .select("query_id", "neighbor_id", "adc_d2", "cosine", "rnk")
       .orderBy("query_id", "rnk")
-    graft.core.Spill.materialize(out) { res.unpersist(blocking = false) }
+    graft.core.Spill.materialize(out) {
+      res.unpersist(blocking = false)
+      cb1.unpersist(blocking = false)
+    }
   }
 
   val all: Seq[QueryDef] = Seq(

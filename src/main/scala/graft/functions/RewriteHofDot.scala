@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{Add, ArrayAggregate, Expression,
-  LambdaFunction, Literal, Multiply, NamedLambdaVariable, ZipWith}
+  LambdaFunction, Literal, Multiply, NamedLambdaVariable, Subtract, ZipWith}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{ArrayType, DoubleType}
@@ -65,5 +65,33 @@ object RewriteHofDot extends Rule[LogicalPlan] {
           fb.exprId == fa.exprId &&
           isDoubleArray(a) && isDoubleArray(b) =>
         ArrayDotProduct(a, b)
+
+      // the squared-distance sibling:
+      //   aggregate(zip_with(a, b, (x, y) -> (x-y)*(x-y)), 0.0,
+      //             (acc, e) -> acc + e)
+      // → graft_sqdist. Both multiply operands must be the SAME
+      // subtraction of the two zip variables; the orientation is free
+      // because (x-y)² bit-equals (y-x)² under IEEE (exact negation,
+      // sign cancelled by the square, ±0 squares to +0).
+      case ArrayAggregate(
+          ZipWith(a, b,
+            LambdaFunction(
+              Multiply(
+                Subtract(s1l: NamedLambdaVariable, s1r: NamedLambdaVariable, _),
+                Subtract(s2l: NamedLambdaVariable, s2r: NamedLambdaVariable, _), _),
+              Seq(zx: NamedLambdaVariable, zy: NamedLambdaVariable), _)),
+          Literal(zero, DoubleType),
+          LambdaFunction(
+            Add(aa: NamedLambdaVariable, ae: NamedLambdaVariable, _),
+            Seq(la: NamedLambdaVariable, le: NamedLambdaVariable), _),
+          LambdaFunction(fb: NamedLambdaVariable, Seq(fa: NamedLambdaVariable), _))
+        if java.lang.Double.doubleToRawLongBits(zero.asInstanceOf[Double]) == 0L &&
+          s1l.exprId == s2l.exprId && s1r.exprId == s2r.exprId &&
+          s1l.exprId != s1r.exprId &&
+          Set(s1l.exprId, s1r.exprId) == Set(zx.exprId, zy.exprId) &&
+          Set(aa.exprId, ae.exprId) == Set(la.exprId, le.exprId) &&
+          fb.exprId == fa.exprId &&
+          isDoubleArray(a) && isDoubleArray(b) =>
+        ArraySqDist(a, b)
     }
 }

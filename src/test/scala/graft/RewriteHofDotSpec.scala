@@ -4,7 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import org.apache.spark.sql.functions._
 
-import graft.functions.{ArrayDotProduct, RewriteHofDot}
+import graft.functions.{ArrayDotProduct, ArraySqDist, RewriteHofDot}
 import graft.ops.Vectors
 
 /** The Rule[LogicalPlan] surface: the HOF dot-product pattern rewrites
@@ -84,17 +84,46 @@ class RewriteHofDotSpec extends AnyFunSuite {
     }
   }
 
-  test("only the exact dot pattern rewrites — a squared-difference fold is untouched") {
+  test("the squared-difference fold rewrites to graft_sqdist, bit-exactly (r17)") {
+    def build() = vecs.select(col("id"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x).as("d"))
+    val plain = build().collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     withRule {
-      val df = vecs
-        .select(col("id"),
-          aggregate(zip_with(col("a"), col("b"), (x, y) => (x - y) * (x - y)),
-            lit(0.0), (acc, x) => acc + x).as("d"))
-      assert(df.queryExecution.optimizedPlan.expressions.flatMap(_.collect {
+      val df = build()
+      val optimized = df.queryExecution.optimizedPlan
+      assert(optimized.expressions.flatMap(_.collect {
+        case d: ArraySqDist => d
+      }).nonEmpty, s"sqdist rule did not fire:\n$optimized")
+      assert(optimized.expressions.flatMap(_.collect {
         case d: ArrayDotProduct => d
       }).isEmpty)
-      // and it still computes the squared distance
-      assert(df.orderBy("id").collect()(0).getDouble(1) == 27.0)
+      val rewritten = df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(rewritten == plain) // bit-exact: same IEEE fold order
+      assert(rewritten(1L) == 27.0)
+    }
+  }
+
+  test("sqdist rewrite keeps HOF null semantics; mixed-operand folds stay untouched") {
+    withRule {
+      // null element and length mismatch -> NULL, like the HOF chain
+      val nd = viaParquet(Seq(
+        (1L, Array[java.lang.Double](1.0, 2.0), Array[java.lang.Double](1.0)),
+        (2L, Array[java.lang.Double](1.0, null), Array[java.lang.Double](1.0, 1.0)))
+        .toDF("id", "a", "b"))
+        .select(col("id"),
+          aggregate(zip_with(col("a").cast("array<double>"),
+              col("b").cast("array<double>"), (x, y) => (x - y) * (x - y)),
+            lit(0.0), (acc, x) => acc + x).as("d"))
+        .orderBy("id").collect()
+      assert(nd(0).isNullAt(1) && nd(1).isNullAt(1))
+      // (x - y) * (y - x) is NOT a square — must not rewrite
+      val other = vecs.select(
+        aggregate(zip_with(col("a"), col("b"), (x, y) => (x - y) * (y - x)),
+          lit(0.0), (acc, x) => acc + x).as("d"))
+      assert(other.queryExecution.optimizedPlan.expressions.flatMap(_.collect {
+        case d: ArraySqDist => d
+      }).isEmpty, "asymmetric product must not rewrite")
     }
   }
 }
