@@ -283,7 +283,10 @@ object Functions {
       |  CAST(json_extract(doc, '$.vals[1]') AS BIGINT) AS val1,
       |  CAST(json_extract(doc, '$.k') AS INTEGER) AS k
       |FROM j ORDER BY event_id""".stripMargin) { (s, dir) =>
-    Tables.events(s, dir)
+    // widen the scan first: four get_json_object re-parses per row run
+    // in the scan stage, and a one-file table serializes them on one
+    // core (no-op once splits >= cores — see ops.Par.widen)
+    graft.ops.Par.widen(Tables.events(s, dir))
       .select(col("event_id"),
         concat(lit("{\"meta\": {\"type\": \""), col("event_type"),
           lit("\", \"uid\": "), col("user_id").cast("string"),
@@ -320,7 +323,7 @@ object Functions {
       |  CAST(json_extract(doc, '$.vals[1]') AS BIGINT) AS val1,
       |  CAST(json_extract(doc, '$.k') AS INTEGER) AS k
       |FROM j ORDER BY event_id""".stripMargin) { (s, dir) =>
-    Tables.events(s, dir)
+    graft.ops.Par.widen(Tables.events(s, dir))
       .select(col("event_id"),
         concat(lit("{\"meta\": {\"type\": \""), col("event_type"),
           lit("\", \"uid\": "), col("user_id").cast("string"),

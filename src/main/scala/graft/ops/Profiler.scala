@@ -45,7 +45,12 @@ object Profiler {
   def profile(df: DataFrame): DataFrame = {
     val fields = df.schema.fields.toSeq
     require(fields.nonEmpty, "cannot profile a zero-column relation")
-    val safe = df.toDF(fields.indices.map(i => s"c_$i"): _*)
+    // The Expand-based multi-DISTINCT fans every row out ×k INSIDE the
+    // scan stage, so the profile inherits the SCAN's parallelism — a
+    // one-file table ran the whole ×k expansion on one core (6.4 s
+    // single-task at sf0.1). Par.widen is a no-op once splits ≥ cores,
+    // so no extra full-data exchange appears at scale (guide §2.4).
+    val safe = Par.widen(df).toDF(fields.indices.map(i => s"c_$i"): _*)
     val aggs = fields.indices.flatMap { i =>
       Seq(
         coalesce(sum(col(s"c_$i").isNull.cast("long")), lit(0L))
