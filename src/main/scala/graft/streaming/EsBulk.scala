@@ -281,7 +281,10 @@ final class EsHttpStore(baseUrl: String, index: String, idCol: String,
   def appendRouted(batch: DataFrame, indexCol: String): Unit = {
     val docCols = docSchema.fieldNames.map(col).toSeq
     val url = baseUrl
-    batch
+    // widen a narrow batch first (no-op once partitions ≥ cores): the
+    // JSON encode + bulk POST run per partition, and a one-split
+    // micro-batch otherwise serializes the whole sink pass on one task
+    graft.ops.Par.widen(batch)
       .select(col(indexCol).cast("string").as("_idx"),
         to_json(struct(docCols: _*)).as("_src"))
       .foreachPartition { (rows: Iterator[Row]) =>
