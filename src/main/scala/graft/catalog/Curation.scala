@@ -1249,6 +1249,11 @@ object Curation {
       .select(col("doc_id"), Text.tokens(col("text")).as("toks"),
         Text.normText(col("text")).as("norm"))
       .persist()
+    // fill the cache eagerly: the gate and the dedup branches
+    // materialize concurrently under AQE, and a lazy persist lets both
+    // race to compute the uncached tokenize chain (the
+    // minhashVerifiedStats lesson)
+    base.count()
     val ts = base.select(col("doc_id"), explode(col("toks")).as("t"))
       .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
       .groupBy("doc_id")

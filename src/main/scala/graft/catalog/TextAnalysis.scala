@@ -1130,7 +1130,15 @@ object TextAnalysis {
     */
   private def bpeMergeStep(seq: DataFrame): DataFrame = {
     val wDoc = Window.partitionBy("doc_id").orderBy("i")
+    // localCheckpoint: p feeds the argmax AND the merge rewrite; left
+    // lazy, each branch re-derived the whole upstream chain — and in
+    // the two-round query that nested (round 2's two branches each
+    // re-ran round 1's two branches: 16 Window nodes in the r16 plan).
+    // Checkpointing per round is exactly what a real vocab-build loop
+    // does (see q_bpe_merge_round2's scaladoc); Bench/Verify sweep the
+    // pinned blocks after the query materializes.
     val p = seq.withColumn("tn", lead(col("t"), 1).over(wDoc))
+      .localCheckpoint()
     val cnt = p.filter(col("tn").isNotNull)
       .groupBy(concat(col("t"), lit(" "), col("tn")).as("pair"))
       .agg(count(lit(1)).as("n"))
@@ -1897,8 +1905,12 @@ object TextAnalysis {
        |  CAST(SUM(b.n_bigrams) AS BIGINT) AS n_bigrams
        |FROM b JOIN t ON b.bin = t.bin
        |GROUP BY t.bucket ORDER BY t.bucket""".stripMargin) { (s, dir) =>
+    // localCheckpoint: b feeds the histogram AND the final bucket join;
+    // left lazy each reference re-ran the whole bigram-LM pipeline
+    // (tokenize → explode → model joins). Doc-grain rows — tiny.
     val b = bigramScored(s, dir)
       .select(col("doc_id"), col("n_bigrams"), round(col("avg_logprob"), 2).as("bin"))
+      .localCheckpoint()
     val h = b.groupBy("bin").agg(count(lit(1)).as("n"))
     // exclusive cumulative count over the BIN table only — bounded by
     // the number of distinct 2-decimal bins, safe in one window task
