@@ -74,8 +74,14 @@ object Curation {
     val edges = pairs.select(col(ca).as("src"), col(cb).as("dst"))
       .unionByName(pairs.select(col(cb).as("src"), col(ca).as("dst")))
       .localCheckpoint()
-    var labels = edges.select(col("src").as("doc")).distinct()
-      .withColumn("lbl", col("doc"))
+    // seed at min(self, neighbors) rather than self — exactly what the
+    // first propagation round would compute from a self-label start, so
+    // the fixed point (component minimum) is unchanged and the loop
+    // converges one round earlier; labels stay node ids (self or a
+    // neighbor), which the pointer-jump dereference requires
+    var labels = edges.groupBy(col("src"))
+      .agg(least(col("src"), min(col("dst"))).as("lbl"))
+      .select(col("src").as("doc"), col("lbl"))
       .localCheckpoint()
     var converged = false
     var rounds = 0
