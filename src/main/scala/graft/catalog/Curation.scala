@@ -195,7 +195,12 @@ object Curation {
       var rounds = 0
       while (!converged && rounds < 50) {
         val next = smallStar(largeStar(edges)).localCheckpoint()
-        converged = next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
+        // multiset equality via count + ONE-sided except: both sides are
+        // duplicate-free (each round ends in distinct()), so equal
+        // cardinality plus next ⊆ edges ⇒ equality — half the r16
+        // check's cost (it ran exceptAll in BOTH directions)
+        converged = next.count() == edges.count() &&
+          next.exceptAll(edges).isEmpty
         edges = next
         rounds += 1
       }
